@@ -1,13 +1,232 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator family from SURVEY.md §2 (or an
+  * extension operator); `oracleSql` carries the DuckDB-equivalent SQL the
+  * driver replays over the same parquet tables. Column names and types are
+  * aligned on both sides (see queries.Relational scaladoc for the
+  * float-determinism contract).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (Relational.q01PricingSummary _),
+    "q02_top_revenue"      -> (Relational.q02TopRevenueOrders _),
+    "q03_nation_revenue"   -> (Relational.q03NationRevenue _),
+    "q04_semi_join"        -> (Relational.q04SemiJoin _),
+    "q05_anti_join"        -> (Relational.q05AntiJoin _),
+    "q06_window_topk"      -> (Relational.q06TopOrdersPerCustomer _),
+    "q07_running_sum"      -> (Relational.q07RunningSum _),
+    "q08_rollup"           -> (Relational.q08Rollup _),
+    "q09_distinct_counts"  -> (Relational.q09DistinctCounts _),
+    "q10_setops"           -> (Relational.q10SetOps _),
+    "q11_top_parts"        -> (Relational.q11TopParts _),
+    "q12_scalar_functions" -> (Relational.q12ScalarFunctions _),
+    "q13_pivot_events"     -> (Relational.q13PivotEventCounts _),
+    "q14_sessionize"       -> (Relational.q14Sessionize _),
+    "q15_json_extract"     -> (Relational.q15JsonExtract _),
+    "q16_asof_join"        -> (Relational.q16AsOfJoin _),
+    "q17_hourly_events"    -> (Relational.q17HourlyEventAgg _),
+    "q18_above_avg"        -> (Relational.q18AboveAvgOrders _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q03_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q07_running_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q08_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal,
+        |  COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q09_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q10_setops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) a
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) b
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q11_top_parts" ->
+      """SELECT l_partkey, p_name, p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_partkey, p_name, p_brand
+        |ORDER BY total_qty DESC, l_partkey
+        |LIMIT 5""".stripMargin,
+
+    "q12_scalar_functions" ->
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_upper,
+        |  SUBSTRING(p_type, 1, 5) AS type_prefix,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+        |  CONTAINS(p_name, 'green') AS has_green,
+        |  CASE WHEN p_size < 10 THEN 'small'
+        |       WHEN p_size < 30 THEN 'medium'
+        |       ELSE 'large' END AS size_class,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.100 AS DECIMAL(4,3)) AS DOUBLE) AS price_with_tax
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q13_pivot_events" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q14_sessionize" ->
+      """SELECT user_id,
+        |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev_ms
+        |    FROM events) x) y
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q16_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  COALESCE(m.o_orderkey, -1) AS asof_orderkey,
+        |  COALESCE(m.od, DATE '1970-01-01') AS asof_orderdate
+        |FROM events e LEFT JOIN (
+        |  SELECT event_id AS m_event_id, o_orderkey, CAST(o_orderdate AS DATE) AS od FROM (
+        |    SELECT e2.event_id, o.o_orderkey, o.o_orderdate,
+        |      ROW_NUMBER() OVER (PARTITION BY e2.event_id
+        |                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |    FROM events e2 JOIN orders o
+        |      ON e2.user_id = o.o_custkey
+        |     AND epoch_ms(o.o_orderdate) <= epoch_ms(e2.ts)) z
+        |  WHERE rn = 1) m ON e.event_id = m.m_event_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q17_hourly_events" ->
+      """SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q18_above_avg" ->
+      """SELECT o_orderkey, o.o_custkey, o_totalprice
+        |FROM orders o
+        |JOIN (SELECT o_custkey AS ca_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        |      FROM orders GROUP BY o_custkey) ca
+        |  ON o.o_custkey = ca.ca_custkey
+        |WHERE o_totalprice > avg_price
+        |ORDER BY o_orderkey""".stripMargin,
+  )
 }

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface — the "query half" the reference delegates to
+  * Athena (SURVEY.md §0, §2.3): filters, joins (broadcast/semi/anti/as-of),
+  * aggregations (incl. rollup / distinct / conditional pivot), window
+  * functions, set ops, top-k, sessionization.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *   - every floating-point SUM goes through an exact DECIMAL intermediate
+  *     (`dsum`) so the result is independent of partial-aggregation order —
+  *     a double sum over a shuffled 100 TB dataset is otherwise
+  *     non-deterministic in the last ulps and would hash-mismatch;
+  *   - every output is deterministically ordered by a key column;
+  *   - timestamps are surfaced as epoch millis / dates, never raw
+  *     TIMESTAMP columns (Spark µs vs DuckDB ns precision).
+  *
+  * Scale notes: dims are broadcast; fact-fact joins shuffle on their join
+  * keys only after filtering; window functions partition on high-cardinality
+  * keys (customer/user), so no single-partition windows.
+  */
+object Relational {
+
+  /** Order-independent sum of a double expression: exact decimal
+    * accumulation, surfaced back as double. DECIMAL(28,6) holds 22 integer
+    * digits — enough for 100 TB-scale row counts times 1e12-scale values. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** TPC-H Q1 style pricing summary: scan + filter + hash aggregate.
+    * Catalyst plans a partial (map-side) agg before the shuffle, so the
+    * shuffle carries one row per (flag, status) per task, not per input row. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 style: fact-fact join (lineitem ⋈ orders shuffles on orderkey)
+    * plus broadcast customer filter; top-10 by revenue with key tie-break. */
+  def q02TopRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir)
+    val li   = Tables.lineitem(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 style: revenue per nation through the full dim chain —
+    * all three dims broadcast, single shuffle for the final aggregate. */
+  def q03NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left-semi join (SQL EXISTS): customers having at least one order over
+    * the threshold. Semi-join keeps only left columns and stops probing a
+    * key after the first match — cheaper than join+distinct at scale. */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (SQL NOT EXISTS): customers with no order since 2000 —
+    * the filter lands on the build side before the join, so the anti-join
+    * probes a reduced set. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window top-k per group: 3 most expensive orders per customer.
+    * Partition key is c_custkey (high cardinality) so the window sort is
+    * distributed; ties broken by o_orderkey for determinism. */
+  def q06TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** events.ts surfaces as epoch-nanos LongType (Tables.NanosAsLongKey);
+    * integer DIV to millis keeps full precision (see Tables scaladoc). */
+  private def tsMs: Column = expr("ts DIV 1000000")
+
+  /** Running (cumulative) sum per user over the event stream. The running
+    * aggregate uses an exact decimal accumulator so every prefix sum is
+    * order-of-association independent. */
+  def q07RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ROLLUP aggregation: acctbal totals by region → nation → grand total. */
+  def q08Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("total_acctbal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Exact + distinct aggregation: per return flag, distinct suppliers and
+    * parts. Exact COUNT(DISTINCT) expands to a two-phase aggregate in
+    * Catalyst; see Extensions for the approx_count_distinct scale path. */
+  def q09DistinctCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Set operations: customers active in 1995 vs 1996 (order date year):
+    * intersect = both years, except = 1995 only. Output one tagged union. */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    val both  = y1995.intersect(y1996).withColumn("tag", lit("both"))
+    val only95 = y1995.except(y1996).withColumn("tag", lit("only_1995"))
+    both.unionByName(only95)
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Top-k with a broadcast dim join: parts by shipped quantity. */
+  def q11TopParts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    li.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("p_brand"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(5)
+  }
+
+  /** Scalar string/math function surface (SURVEY §2.3 row "string/date/math"):
+    * upper/substring/length/concat/contains/CASE + exact decimal math. */
+  def q12ScalarFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").contains("green").as("has_green"),
+        when(col("p_size") < 10, "small").when(col("p_size") < 30, "medium")
+          .otherwise("large").as("size_class"),
+        (col("p_retailprice").cast("decimal(18,2)") * lit(BigDecimal("1.100")))
+          .cast("double").as("price_with_tax"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Pivot via conditional aggregation: per-user event-type counts plus
+    * decimal-exact purchase total. Map-side partial aggregation keeps the
+    * shuffle at one row per user per task. */
+  def q13PivotEventCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        sum(when(col("event_type") === "purchase", col("value").cast("decimal(28,6)"))
+          .otherwise(lit(null))).cast("double").as("purchase_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Sessionization: a new session starts after a >30 min gap. lag() +
+    * cumulative sum of session-start markers — the classic scalable
+    * sessionizer (one window shuffle on user_id, no driver state).
+    * Gap math in epoch millis so Spark (µs) and DuckDB (ns) agree. */
+  def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ms = tsMs
+    Tables.events(s, dir)
+      .withColumn("prev_ms", lag(ms, 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull.or(ms - col("prev_ms") > 1800000L), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured extraction: pull integer k out of the JSON props
+    * column with a regexp (codegen'd, no UDF) and aggregate. */
+  def q15JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** As-of join: for each event, the customer's most recent order with
+    * o_orderdate <= event ts (ties on date broken by max orderkey).
+    * Implemented as join + filter + window argmax — shuffles once on the
+    * join key and once for the per-event window; left join keeps events
+    * with no qualifying order. */
+  def q16AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val o = Tables.orders(s, dir)
+    // Compare in epoch millis: orders carry ms precision, so flooring the
+    // event's ns timestamp to ms preserves the <= relation exactly.
+    val eMs = e.withColumn("ts_ms", tsMs)
+    val matched = eMs
+      .join(o, eMs("user_id") === o("o_custkey") &&
+        unix_millis(o("o_orderdate").cast("timestamp")) <= eMs("ts_ms"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_id").as("m_event_id"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("m_orderdate"))
+    e.select(col("event_id"), col("user_id"))
+      .join(matched, col("event_id") === matched("m_event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("m_orderdate"), lit("1970-01-01").cast("date")).as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-bucketed aggregation over the event stream: hourly tumbling
+    * windows as epoch-hour buckets (batch analogue of the streaming
+    * windowed agg in graft.streaming). */
+  def q17HourlyEventAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  /** Correlated-aggregate pattern (decorrelated by Catalyst into a join):
+    * orders above their customer's average order value. */
+  def q18AboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val custAvg = o.groupBy(col("o_custkey").as("ca_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+    o.join(custAvg, o("o_custkey") === custAvg("ca_custkey"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}

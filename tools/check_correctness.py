@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local pre-flight mirror of the driver's correctness gate.
+
+Usage: python3 tools/check_correctness.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already run
+(or run with --run-verify to invoke it). For each query in
+outDir/oracle_sql.json: run the SQL in DuckDB over the sfDir parquet
+tables, load the Spark parquet result, sort columns by name + rows by
+values, and compare cell-by-cell (exact for non-floats, tiny-rel-tol
+report for floats so we can see how close "exact" is).
+
+Driver-side python (duckdb/pandas/pyarrow) is allowed for tooling;
+the engine itself is pure Scala/Spark.
+"""
+import json
+import math
+import subprocess
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # make bytes/lists hashable+sortable for the row sort
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        # numpy arrays from pyarrow list columns
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+    df = df.sort_values(by=list(df.columns), key=lambda s: s.map(str)).reset_index(drop=True)
+    return df
+
+
+def compare(name, spark_df, oracle_df):
+    problems = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return [f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"]
+    s, o = normalize(spark_df), normalize(oracle_df)
+    if len(s) != len(o):
+        return [f"row count differs: spark={len(s)} oracle={len(o)}"]
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            for i, (a, b) in enumerate(zip(sv.astype(float), ov.astype(float))):
+                if (math.isnan(a) and math.isnan(b)):
+                    continue
+                if a != b:
+                    problems.append(f"col {c} row {i}: spark={a!r} oracle={b!r} (diff={a-b:.3e})")
+                    if len(problems) > 5:
+                        return problems
+        else:
+            neq = sv.astype(str) != ov.astype(str)
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(f"col {c} first mismatch row {i}: spark={sv[i]!r} oracle={ov[i]!r} ({int(neq.sum())} rows)")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    if "--run-verify" in sys.argv:
+        subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+                       check=True, cwd="/root/repo")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle_sql = json.load(f)
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle_sql.items()):
+        try:
+            oracle_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_df, oracle_df)
+        if problems:
+            print(f"FAIL {name}: ({len(spark_df)} rows)")
+            for p in problems[:6]:
+                print(f"    {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
