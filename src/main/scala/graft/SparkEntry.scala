@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{LogParsing, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,7 @@ object SparkEntry {
     "q16_asof_join"        -> (Relational.q16AsOfJoin _),
     "q17_hourly_events"    -> (Relational.q17HourlyEventAgg _),
     "q18_above_avg"        -> (Relational.q18AboveAvgOrders _),
+    "q20_s3log_etl"        -> (LogParsing.q20S3LogEtl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,5 +229,7 @@ object SparkEntry {
         |  ON o.o_custkey = ca.ca_custkey
         |WHERE o_totalprice > avg_price
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_s3log_etl" -> LogParsing.q20OracleSql,
   )
 }

@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's batch pipeline (cmd/export.py:204-397), Spark-first:
+  * one narrow scan→parse→enrich chain, one wide boundary (the shuffle
+  * before the partitioned write). No driver-side materialization — the
+  * reference's whole-hour pandas gather (cmd/export.py:134) is exactly
+  * the ceiling this design removes at 100 TB.
+  */
+object ExportJob {
+
+  /** Hour-glob text scan (reference create_files_index, cmd/export.py:31-56).
+    * The `$hour*` glob is pushed into the file listing, so only that hour's
+    * objects are enumerated — the reference's only scan predicate. Applied
+    * uniformly to local and object-store paths (the reference skips the
+    * filter on its local branch — a deliberate divergence, SURVEY.md §2.1).
+    * Returns None when no files match (reference exits 0,
+    * cmd/export.py:339-341). */
+  def readHour(spark: SparkSession, src: String, hour: String): Option[DataFrame] = {
+    val pattern = new Path(s"${src.stripSuffix("/")}/$hour*")
+    val fs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(pattern)).getOrElse(Array.empty)
+    if (matches.isEmpty) None
+    else Some(spark.read.text(matches.map(_.getPath.toString): _*))
+  }
+
+  /** Filename-time extraction (reference parse_time, cmd/export.py:27-28):
+    * first 19 chars of the object basename are `YYYY-MM-DD-HH-MM-SS`. */
+  def fileTime(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_timestamp(substring(regexp_extract(c, "[^/]+$", 0), 1, 19), "yyyy-MM-dd-HH-mm-ss")
+
+  /** Partitioned, clustered, Snappy parquet sink (reference
+    * s3access/parquet.py:31-112):
+    *   - `repartition(partitionCols)` gives the reference's
+    *     one-file-per-partition-combo layout (each combo hashes to one
+    *     task — at 100 TB swap for `repartition(n, cols)` or drop it and
+    *     accept multiple files per partition);
+    *   - `sortWithinPartitions(rowGroupCols)` clusters rows so Parquet
+    *     row-group min/max stats are tight on the common predicates —
+    *     the Spark equivalent of the reference's per-key-combo
+    *     `write_table` loop (parquet.py:20-21);
+    *   - Hive `col=value/` dirs + partition-column dropping are built into
+    *     `partitionBy`. File names are Spark's `part-*` (documented
+    *     divergence, SURVEY.md §7.4#1).
+    */
+  def write(df: DataFrame, dst: String): Unit = {
+    import LogSchema._
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(rowGroupCols.map(col): _*)
+      .write
+      .mode(SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .parquet(dst)
+  }
+
+  /** Idempotency markers (reference cmd/export.py:158-168, 319-324):
+    * presence of `{trackingDst}/{hour}` means the hour is already done. */
+  object Tracking {
+    def done(spark: SparkSession, trackingDst: String, hour: String): Boolean = {
+      val p = new Path(s"${trackingDst.stripSuffix("/")}/$hour")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def mark(spark: SparkSession, trackingDst: String, hour: String, detail: String): Unit = {
+      val p = new Path(s"${trackingDst.stripSuffix("/")}/$hour")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(detail.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** One hour's export: read → parse → enrich → write → mark.
+    * Returns number of rows written, or -1 if skipped (marker present or
+    * no input files). */
+  def runHour(spark: SparkSession, src: String, dst: String,
+              trackingDst: String, hour: String): Long = {
+    if (Tracking.done(spark, trackingDst, hour)) return -1L
+    readHour(spark, src, hour) match {
+      case None => -1L
+      case Some(lines) =>
+        val parsed = Enrich.parseLines(lines)
+        write(parsed, dst)
+        // count from the written output so the marker reflects committed rows
+        val n = spark.read.parquet(dst).count()
+        Tracking.mark(spark, trackingDst, hour, s"exported hour=$hour rows=$n")
+        n
+    }
+  }
+
+  /** Env contract of the reference (cmd/export.py:234-259): SRC, DST,
+    * TRACKING_DST, HOUR (default = previous hour UTC, cmd/export.py:238-241). */
+  def main(args: Array[String]): Unit = {
+    val src = sys.env("SRC")
+    val dst = sys.env("DST")
+    val tracking = sys.env.getOrElse("TRACKING_DST", dst + "_tracking")
+    val hour = sys.env.getOrElse("HOUR", {
+      val prev = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).minusHours(1)
+      prev.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"))
+    })
+    val spark = graft.GraftSession.create()
+    try {
+      val n = runHour(spark, src, dst, tracking, hour)
+      println(s"""{"hour":"$hour","rows":$n}""")
+    } finally spark.stop()
+  }
+}

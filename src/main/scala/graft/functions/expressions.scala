@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the two operations the reference
+  * implements in Python and Spark lacks as builtins (SURVEY.md §2.2):
+  * the access-log tokenizer and IPv4→int. Both implement `doGenCode` so
+  * they stay inside whole-stage codegen — no UDF serialization, no
+  * row-at-a-time boxing beyond the unavoidable string work.
+  */
+
+/** Splits one S3 access-log line into its fields.
+  * Reference: s3access/serializer.py:5-10. Output never contains nulls
+  * (absent fields arrive as literal "-" tokens). */
+case class TokenizeS3Log(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tokenize_s3_log requires STRING, got ${child.dataType.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    S3LogParse.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.S3LogParse.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeS3Log =
+    copy(child = newChild)
+  override def prettyName: String = "tokenize_s3_log"
+}
+
+/** Dotted-quad IPv4 string → its unsigned 32-bit value as a long.
+  * Reference: s3access/normalize.py:70 (`int(ipaddress.IPv4Address(ip))`),
+  * where invalid input kills the run (cmd/export.py:109-111). Default mode
+  * returns NULL for invalid input (hostile-input-safe at 100 TB scale);
+  * `strict = true` reproduces the reference's fail-fast for parity tests. */
+case class Ipv4ToLong(child: Expression, strict: Boolean = false) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ipv4_to_long requires STRING, got ${child.dataType.sql}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val r = S3LogParse.ipv4ToLong(input.asInstanceOf[UTF8String])
+    if (r >= 0L) java.lang.Long.valueOf(r)
+    else if (strict) throw new IllegalArgumentException(
+      s"ipv4_to_long: not an IPv4 address: $input")
+    else null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val invalid =
+        if (strict)
+          s"""throw new IllegalArgumentException("ipv4_to_long: not an IPv4 address: " + $c);"""
+        else s"${ev.isNull} = true;"
+      s"""
+         |${ev.value} = graft.functions.S3LogParse.ipv4ToLong($c);
+         |if (${ev.value} < 0L) { $invalid }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Ipv4ToLong =
+    copy(child = newChild)
+  override def prettyName: String = "ipv4_to_long"
+}
+
+/** Column-level entry points for the custom expressions. */
+object exprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def tokenize_s3_log(c: Column): Column = column(TokenizeS3Log(expression(c)))
+  def ipv4_to_long(c: Column): Column = column(Ipv4ToLong(expression(c)))
+  def ipv4_to_long_strict(c: Column): Column = column(Ipv4ToLong(expression(c), strict = true))
+}

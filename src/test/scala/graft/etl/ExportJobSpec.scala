@@ -1,0 +1,52 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.{Fixtures, SparkSpec}
+
+/** Golden end-to-end (SURVEY.md §5.2): fixture hour of raw lines →
+  * ExportJob.runHour → assert partition layout, values, pruning, and
+  * idempotency. */
+class ExportJobSpec extends SparkSpec {
+
+  test("export hour end-to-end: layout, rows, pruning, idempotency") {
+    val base = Files.createTempDirectory("graft-e2e").toFile.getAbsolutePath
+    val src = s"$base/in"; val dst = s"$base/out"; val tracking = s"$base/track"
+    new java.io.File(src).mkdirs()
+
+    // FIXTURES.md §2: two files in hour 05, one in hour 06 (must be excluded)
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-ABCDEF0123456789"),
+      (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-30-44-FEDCBA9876543210"),
+      Fixtures.happyLine.getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-06-00-01-0123456789ABCDEF"),
+      Fixtures.roleLine.getBytes)
+
+    val n = ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-05")
+    assert(n == 3) // hour-06 file excluded by the glob
+
+    // Hive partition layout (FIXTURES.md §3)
+    assert(new java.io.File(
+      s"$dst/bucket_name=awsexamplebucket1/operation=REST.GET.OBJECT/year=2021/month=7/day=18/hour=5").isDirectory)
+    assert(new java.io.File(
+      s"$dst/bucket_name=awsexamplebucket1/operation=REST.GET.LOGGING_STATUS/year=2021/month=7/day=18/hour=5").isDirectory)
+
+    val out = spark.read.parquet(dst)
+    assert(out.count() == 3)
+    assert(out.columns.toSet == LogSchema.schema.fieldNames.toSet)
+
+    // partition-pruned read: only the GET.OBJECT dir should be scanned
+    val pruned = out.where("operation = 'REST.GET.OBJECT' and hour = 5")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 2)
+    assert(planStr.contains("PartitionFilters"))
+
+    // idempotency: marker written, re-run is a no-op
+    assert(ExportJob.Tracking.done(spark, tracking, "2021-07-18-05"))
+    assert(ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-05") == -1L)
+    assert(spark.read.parquet(dst).count() == 3)
+
+    // empty hour: no files → skip, no marker
+    assert(ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-07") == -1L)
+    assert(!ExportJob.Tracking.done(spark, tracking, "2021-07-18-07"))
+  }
+}
