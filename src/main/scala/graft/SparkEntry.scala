@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LogParsing, Relational}
+import graft.queries.{ExtensionOracles, LogParsing, Relational}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +39,16 @@ object SparkEntry {
     "q17_hourly_events"    -> (Relational.q17HourlyEventAgg _),
     "q18_above_avg"        -> (Relational.q18AboveAvgOrders _),
     "q20_s3log_etl"        -> (LogParsing.q20S3LogEtl _),
+    "q21_text_stats"       -> (TextAnalysis.q21TextStats _),
+    "q22_lang_id"          -> (TextAnalysis.q22LangId _),
+    "q23_fingerprint"      -> (TextAnalysis.q23Fingerprint _),
+    "q24_dedup_exact"      -> (Dedup.q24ExactDedup _),
+    "q25_ngram_jaccard"    -> (Dedup.q25NgramJaccard _),
+    "q26_minhash_lsh"      -> (Dedup.q26MinhashLsh _),
+    "q27_simhash"          -> (Dedup.q27Simhash _),
+    "q28_ann_bruteforce"   -> (Similarity.q28BruteForceTopK _),
+    "q29_ann_lsh"          -> (Similarity.q29LshTopK _),
+    "q30_multimodal_meta"  -> (Multimodal.q30MultimodalMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,5 +242,15 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q20_s3log_etl" -> LogParsing.q20OracleSql,
+    "q21_text_stats" -> ExtensionOracles.q21TextStats,
+    "q22_lang_id" -> ExtensionOracles.q22LangId,
+    "q23_fingerprint" -> ExtensionOracles.q23Fingerprint,
+    "q24_dedup_exact" -> ExtensionOracles.q24ExactDedup,
+    "q25_ngram_jaccard" -> ExtensionOracles.q25NgramJaccard,
+    "q26_minhash_lsh" -> ExtensionOracles.q26MinhashLsh,
+    "q27_simhash" -> ExtensionOracles.q27Simhash,
+    "q28_ann_bruteforce" -> ExtensionOracles.q28BruteForceTopK,
+    // q29_ann_lsh: float-path LSH — not SQL-expressible, rows-only check
+    "q30_multimodal_meta" -> ExtensionOracles.q30MultimodalMeta,
   )
 }

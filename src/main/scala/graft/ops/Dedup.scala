@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline, each designed as
+  * a distributed dataflow (no driver-side state):
+  *
+  *  - exact:   hash-groupBy on a normalized content key — one shuffle on
+  *             the hash, scales linearly;
+  *  - n-gram Jaccard: inverted-index self-join on word shingles — the
+  *             shuffle key is the shingle, so frequent shingles are the
+  *             skew risk; at 100 TB add a stop-shingle filter (drop grams
+  *             with document frequency above a cap) before the join;
+  *  - MinHash+LSH: fixed-size signatures (k md5-min hashes) → banded
+  *             bucket join → exact verification of candidates only. This
+  *             is the 100 TB path: candidate generation touches each doc
+  *             k times regardless of corpus size, and the band join only
+  *             collides near-duplicates;
+  *  - SimHash: 16-bit fingerprint from token-hash bit voting; Hamming
+  *             buckets give another near-dup candidate generator.
+  *
+  * Hashing is md5-based so the DuckDB oracle can mirror every stage
+  * bit-for-bit (Spark and DuckDB md5 agree); a production variant would
+  * swap in xxhash64 (cheaper) without changing the dataflow.
+  */
+object Dedup {
+
+  import TextAnalysis.{normalize, prefixTokens}
+
+  /** Distinct word n-gram shingles per document: explode token positions,
+    * join adjacent tokens. Narrow until the final distinct. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)).as("l"))
+    // guard: Spark's sequence(1, 0) counts DOWN to [1, 0]; docs shorter
+    // than n tokens must produce zero shingles, not bogus indices
+    toks
+      .withColumn("i", explode(
+        when(size(col("l")) >= n, sequence(lit(1), size(col("l")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"),
+        array_join(slice(col("l"), col("i"), lit(n)), " ").as("g"))
+      .distinct()
+  }
+
+  /** q24: exact dedup on the normalized 8-token prefix (boilerplate key).
+    * Emits one row per duplicate group: canonical (min) id, size, members. */
+  def q24ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(md5(prefixTokens(col("text"), 8)).as("group_key"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("members"))
+      .filter(col("group_size") >= 2)
+      .select(col("group_key"), col("canonical_id"), col("group_size"), col("members"))
+      .orderBy(col("group_key"))
+  }
+
+  /** q25: all-pairs word-3-gram Jaccard ≥ 0.5 via inverted-index join.
+    * Jaccard is computed from exact integer set sizes, so the double is
+    * engine-deterministic. */
+  def q25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir), 3).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash signature component j: min over the doc's shingles of
+    * md5(shingle + "#j") — a lexicographic min-hash. */
+  private def minhashAgg(j: Int): Column =
+    min(md5(concat(col("g"), lit(s"#$j")))).as(s"h$j")
+
+  /** q26: MinHash + LSH banded dedup, fully verified.
+    * k=8 signature components, 4 bands × 2 rows; candidates from band
+    * collisions, then exact Jaccard ≥ 0.5 verification on candidates only. */
+  def q26MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir), 3).cache()
+    val k = 8
+    val sig = sh.groupBy(col("doc_id")).agg(
+      minhashAgg(0), (1 until k).map(minhashAgg): _*)
+    // 4 bands of 2 components each → band hash
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // exact verification of candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.g") === col("b.g"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q27: 16-bit SimHash per document. Bit i of the fingerprint is the
+    * sign of a vote: each token contributes +1 if hex digit i of its md5
+    * is ≥ 8 (top bit set), else -1. Output is the 16-char bitstring —
+    * Hamming-adjacent fingerprints are near-dup candidates. */
+  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (1 to 16).map { i =>
+      sum(when(substring(col("h"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 16).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+}

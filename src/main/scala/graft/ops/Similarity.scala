@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`, dim 64 in the testdata).
+  *
+  * Three tiers:
+  *  - `cosine` — fast codegen'd dot product (`zip_with` + `aggregate`),
+  *    double accumulation in array order. The per-row hot path.
+  *  - q28 brute-force top-k — exact k-NN by cosine; per-element products
+  *    are cast to DECIMAL(38,18) before summing so the score is
+  *    bit-identical across engines (the DuckDB oracle mirrors it). Rank
+  *    output only; ties broken by vec_id.
+  *  - q29 LSH top-k — the 100 TB path: random-hyperplane signatures
+  *    bucket the corpus, candidates come from the query's bucket ring,
+  *    and only candidates are re-ranked exactly. Corpus-size-independent
+  *    candidate cost; recall tunable via planes/tables.
+  */
+object Similarity {
+
+  /** Fast cosine similarity between two float-array columns (double
+    * accumulation, sequential order — deterministic for a fixed layout). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, e) => acc + e)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact-decimal dot product — engine-portable to the last bit: float
+    * products are exact in double; each product is rounded once to
+    * DECIMAL(28,18) and summed exactly (precision 28 leaves headroom so
+    * Spark's add-widening never hits the 38 cap, which would silently
+    * drop scale and diverge from DuckDB's exact SUM). */
+  private def decDot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(28,18)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
+      (acc, e) => (acc + e).cast("decimal(28,18)"))
+
+  /** q28: brute-force exact top-10 cosine neighbors for query vectors
+    * vec_id < 5 (self excluded). Queries are broadcast; one scan of the
+    * corpus per batch of queries, no shuffle until the final top-k. */
+  def q28BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        (decDot(col("qe"), col("embedding")).cast("double") /
+          (sqrt(decDot(col("qe"), col("qe")).cast("double")) *
+           sqrt(decDot(col("embedding"), col("embedding")).cast("double")))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component p of plane j:
+    * a fixed hash of (j, p) mapped to [-0.5, 0.5). No RNG state — every
+    * executor derives the same planes, nothing is shipped. */
+  private def planeComponent(j: Int, p: Int): Double =
+    ((java.util.Objects.hash(Int.box(j), Int.box(p)) & 0xffff).toDouble / 0x10000) - 0.5
+
+  /** Sign-of-projection LSH signature: bit j = (v · plane_j) >= 0. */
+  def lshSignature(v: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { j =>
+      val proj = (0 until dim).map { p =>
+        element_at(v, p + 1).cast("double") * lit(planeComponent(j, p))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** q29: LSH-bucketed ANN (rows-only check — float path, no oracle).
+    * Candidates share the query's 12-bit signature; exact cosine re-ranks
+    * them. At 100 TB: bucket the corpus once (write-time), probe per
+    * query with multi-probe on near buckets for recall. */
+  def q29LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val planes = 12
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("sig", lshSignature(col("embedding"), 64, planes))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("sig").as("qsig"))
+    emb.join(broadcast(q), col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all-pairs over a bucketed
+    * join): docs whose embeddings' cosine ≥ threshold, LSH-bucketed so
+    * only same-signature pairs are compared. */
+  def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
+    val sigs = emb.withColumn("sig", lshSignature(col("embedding"), 64, planes))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cos"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) — at 100 TB these run as a
+  * single narrow map stage over the corpus, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (regex `\S+` — robust to repeated /
+    * leading / trailing whitespace, unlike split-on-space). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** Characters excluding whitespace. */
+  def charCountNoWs(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("long")
+
+  /** Ratio helpers return double; all derived from exact integer counts so
+    * they are engine-deterministic. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Per-language stopword hit counts — the n-gram-heuristic language
+    * detector: count hits from small high-frequency stopword sets and take
+    * the argmax (ties resolved in fixed en>de>es>fr order). */
+  val langPatterns: Map[String, String] = Map(
+    "en" -> "\\b(the|a|an|of|to|and|in|is|it|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|von|mit|ein|zu)\\b",
+    "es" -> "\\b(el|la|los|las|que|y|en|un|una|por)\\b",
+    "fr" -> "\\b(le|les|et|un|une|pour|dans|sur|avec)\\b")
+
+  def langHits(text: Column, lang: String): Column =
+    size(regexp_extract_all(lower(text), lit(langPatterns(lang)), lit(0))).cast("long")
+
+  /** q21: per-document stats + a deterministic quality score in [0,1]:
+    * rewards 20-200 tokens, mean token length 3-10, low punctuation. */
+  def q21TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nTok = tokenCount(col("text"))
+    val nChr = charCountNoWs(col("text"))
+    val avgTokLen = nChr.cast("double") / greatest(nTok.cast("double"), lit(1.0))
+    val stopHits = langHits(col("text"), "en")
+    d.select(
+        col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        nChr.as("n_chars"),
+        avgTokLen.as("avg_token_len"),
+        punctRatio(col("text")).as("punct_ratio"),
+        (stopHits.cast("double") / greatest(nTok.cast("double"), lit(1.0))).as("stopword_ratio"))
+      .withColumn("quality_score",
+        (when(col("n_tokens").between(20, 200), lit(0.4)).otherwise(lit(0.0)) +
+         when(col("avg_token_len").between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+         when(col("punct_ratio") <= 0.1, lit(0.3)).otherwise(lit(0.0))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q22: language ID via stopword-set scoring (argmax, fixed tie order). */
+  def q22LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = d.select(
+      col("doc_id"), col("lang").as("lang_label"),
+      langHits(col("text"), "en").as("n_en"),
+      langHits(col("text"), "de").as("n_de"),
+      langHits(col("text"), "es").as("n_es"),
+      langHits(col("text"), "fr").as("n_fr"))
+    scored.withColumn("lang_pred",
+        when(col("n_en") >= greatest(col("n_de"), col("n_es"), col("n_fr")), "en")
+          .when(col("n_de") >= greatest(col("n_es"), col("n_fr")), "de")
+          .when(col("n_es") >= col("n_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q23: document fingerprints — full-content hash (md5) and a prefix
+    * fingerprint over the first 8 tokens (boilerplate/near-head dedup key).
+    * A rolling-hash variant lives in Dedup.simhash16 for similarity use. */
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val norm = normalize(col("text"))
+    d.select(
+        col("doc_id"),
+        md5(norm).as("content_md5"),
+        substring(md5(norm), 1, 16).as("fp64_hex"),
+        md5(prefixTokens(col("text"), 8)).as("prefix8_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical text normalization for hashing: lowercase, collapse
+    * whitespace runs, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** First n whitespace tokens re-joined with single spaces. */
+  def prefixTokens(text: Column, n: Int): Column =
+    array_join(slice(regexp_extract_all(normalize(text), lit("\\S+"), lit(0)), 1, n), " ")
+}

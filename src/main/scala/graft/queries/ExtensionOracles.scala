@@ -1,0 +1,164 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the training-data extension operators
+  * (graft.ops.*). Each mirrors its Spark query stage-for-stage; hashing
+  * is md5 on both sides and every float is either derived from exact
+  * integers or accumulated via DECIMAL(28,18), so results are
+  * bit-identical.
+  */
+object ExtensionOracles {
+
+  /** Shared CTE: normalized token list per document. */
+  private val tokCte =
+    """tok AS (SELECT doc_id,
+      |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |FROM documents)""".stripMargin
+
+  /** Shared CTEs: distinct word-3-gram shingles + per-doc sizes. */
+  private val shingleCtes =
+    s"""$tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val q21TextStats: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |    greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS avg_token_len,
+      |  CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+      |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|for)\b')) AS DOUBLE) /
+      |    greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS stopword_ratio,
+      |  (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.4 ELSE 0.0 END +
+      |   CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END +
+      |   CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END) AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val q22LangId: String =
+    """SELECT doc_id, lang AS lang_label,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|for)\b')) AS BIGINT) AS n_en,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|ein|zu)\b')) AS BIGINT) AS n_de,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en|un|una|por)\b')) AS BIGINT) AS n_es,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|un|une|pour|dans|sur|avec)\b')) AS BIGINT) AS n_fr,
+      |  CASE WHEN n_en >= greatest(n_de, n_es, n_fr) THEN 'en'
+      |       WHEN n_de >= greatest(n_es, n_fr) THEN 'de'
+      |       WHEN n_es >= n_fr THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val q23Fingerprint: String =
+    """SELECT doc_id,
+      |  md5(norm) AS content_md5,
+      |  substring(md5(norm), 1, 16) AS fp64_hex,
+      |  md5(array_to_string(regexp_extract_all(norm, '\S+')[1:8], ' ')) AS prefix8_md5
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  val q24ExactDedup: String =
+    """SELECT group_key, canonical_id, group_size, members FROM (
+      |  SELECT md5(array_to_string(
+      |           regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')[1:8],
+      |           ' ')) AS group_key,
+      |    min(doc_id) AS canonical_id,
+      |    COUNT(*) AS group_size,
+      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+      |  FROM documents GROUP BY 1) t
+      |WHERE group_size >= 2
+      |ORDER BY group_key""".stripMargin
+
+  val q25NgramJaccard: String =
+    s"""WITH $shingleCtes,
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT d1, d2, c AS n_common,
+       |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sz s1 ON d1 = s1.doc_id
+       |JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  val q26MinhashLsh: String =
+    s"""WITH $shingleCtes,
+       |sig AS (SELECT doc_id,
+       |  min(md5(g || '#0')) AS h0, min(md5(g || '#1')) AS h1,
+       |  min(md5(g || '#2')) AS h2, min(md5(g || '#3')) AS h3,
+       |  min(md5(g || '#4')) AS h4, min(md5(g || '#5')) AS h5,
+       |  min(md5(g || '#6')) AS h6, min(md5(g || '#7')) AS h7
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |common AS (SELECT cand.d1, cand.d2, count(*) AS c
+       |           FROM cand
+       |           JOIN sh a ON cand.d1 = a.doc_id
+       |           JOIN sh b ON cand.d2 = b.doc_id AND a.g = b.g
+       |           GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sz s1 ON d1 = s1.doc_id
+       |JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  val q27Simhash: String = {
+    val votes = (1 to 16).map { i =>
+      s"sum(CASE WHEN substring(h, $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n  ")
+    val bits = (1 to 16).map(i => s"(CASE WHEN v$i >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH $tokCte,
+       |t2 AS (SELECT doc_id, unnest(l) AS tok FROM tok),
+       |h AS (SELECT doc_id, md5(tok) AS h FROM t2),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash16 FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  val q28BruteForceTopK: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS emb
+      |          FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |expl AS (SELECT query_id, vec_id, qe, emb,
+      |           unnest(generate_series(1, len(qe))) AS i
+      |         FROM pairs),
+      |dots AS (SELECT query_id, vec_id,
+      |  SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot,
+      |  SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS qq,
+      |  SUM(CAST(CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18))) AS ee
+      |  FROM expl GROUP BY 1, 2),
+      |scored AS (SELECT query_id, vec_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(ee AS DOUBLE))) AS cos
+      |  FROM dots)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  val q30MultimodalMeta: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  CAST(ascii(text) AS BIGINT) AS head_byte
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}
