@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.etl.{Enrich, LogSchema}
+
+/** Streaming half of the engine (SURVEY.md §2.3 "Streaming" row): the
+  * reference's cron-per-hour batch model becomes a Structured Streaming
+  * file source with checkpointed exactly-once progress — the checkpoint
+  * subsumes the reference's idempotency markers (cmd/export.py:319-324),
+  * and late-arriving files are picked up automatically instead of
+  * requiring a manual HOUR re-run.
+  */
+object Streaming {
+
+  /** Continuous export: watch `src` for new log files, parse/enrich with
+    * the same production path as the batch job, append to the same
+    * partitioned layout. `maxFilesPerTrigger` bounds micro-batch size so
+    * a backlog catch-up cannot blow executor memory at scale. */
+  def streamingExport(spark: SparkSession, src: String, dst: String,
+                      checkpoint: String, maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(src)
+    Enrich.parseLines(lines)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "snappy")
+      .partitionBy(LogSchema.partitionCols: _*)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(dst)
+  }
+
+  /** Tumbling 1-hour windowed counts per (bucket, operation) with a
+    * 2-hour watermark: the streaming analogue of the reference's
+    * hour-partitioned layout, emitting finalized rows once the watermark
+    * passes — late events inside the watermark still count. */
+  def hourlyOperationCounts(parsed: DataFrame): DataFrame = {
+    parsed
+      .withColumn("event_time", to_timestamp(col("datetime"), "yyyy-MM-dd'T'HH:mm:ssxxx"))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"),
+        col("bucket_name"), col("operation"))
+      .agg(count(lit(1)).as("n"), sum(col("bytessent")).as("bytes_sent"))
+  }
+
+  case class Event(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(sessionCount: Long, lastMs: Long, eventCount: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization with mapGroupsWithState — the streaming
+    * equivalent of Relational.q14Sessionize's lag+cumsum: per-user state
+    * carries (session count, last-seen time); a >30 min gap opens a new
+    * session. State size is O(users), not O(events). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          batch.toSeq.sortBy(e => e.ts_ms).foreach { e =>
+            val newSession = s.lastMs == Long.MinValue || e.ts_ms - s.lastMs > 1800000L
+            s = SessionState(
+              sessionCount = s.sessionCount + (if (newSession) 1L else 0L),
+              lastMs = e.ts_ms,
+              eventCount = s.eventCount + 1L)
+          }
+          state.update(s)
+          SessionUpdate(userId, s.sessionCount, s.eventCount)
+      }
+  }
+}

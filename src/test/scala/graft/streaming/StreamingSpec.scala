@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{Fixtures, SparkSpec}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming export: file source → parse → partitioned sink, exactly-once") {
+    val base = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val src = s"$base/in"; val dst = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+
+    Streaming.streamingExport(spark, src, dst, ckpt).awaitTermination()
+    assert(spark.read.parquet(dst).count() == 2)
+
+    // a late-arriving file is picked up by the next trigger; the first
+    // file is NOT reprocessed (checkpoint = exactly-once file progress)
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-06-00-01-BBBB"),
+      Fixtures.roleLine.getBytes)
+    Streaming.streamingExport(spark, src, dst, ckpt).awaitTermination()
+    val out = spark.read.parquet(dst)
+    assert(out.count() == 3)
+    assert(out.where("operation = 'REST.PUT.OBJECT' and hour = 6").count() == 1)
+  }
+
+  test("watermarked hourly windowed aggregation over the parsed stream") {
+    val base = Files.createTempDirectory("graft-stream2").toFile.getAbsolutePath
+    val src = s"$base/in"
+    new java.io.File(src).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (Fixtures.happyLine + "\n" + Fixtures.dashLine + "\n" + Fixtures.roleLine).getBytes)
+
+    val lines = spark.readStream.text(src)
+    val agg = Streaming.hourlyOperationCounts(graft.etl.Enrich.parseLines(lines))
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly_counts").start()
+    q.processAllAvailable(); q.stop()
+
+    val res = spark.table("hourly_counts")
+      .select(col("window.start").cast("string").as("ws"), col("operation"), col("n"), col("bytes_sent"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res == Set(
+      ("2021-07-18 05:00:00", "REST.GET.OBJECT", 1L, 2662992L),
+      ("2021-07-18 05:00:00", "REST.GET.LOGGING_STATUS", 1L, 242L),
+      ("2021-07-18 06:00:00", "REST.PUT.OBJECT", 1L, 0L)))
+  }
+
+  test("stateful sessionization matches the batch lag+cumsum operator") {
+    import spark.implicits._
+    val hour = 3600000L
+    val events = Seq(
+      Streaming.Event(1L, 0L, 1.0),            // session 1
+      Streaming.Event(1L, 60000L, 1.0),        // +1 min → same session
+      Streaming.Event(1L, hour, 1.0),          // +59 min gap → session 2
+      Streaming.Event(2L, 0L, 1.0)).toDS()     // separate user
+    // mapGroupsWithState runs in batch mode too (single-batch state)
+    val result = Streaming.sessionize(events)
+    val rows = result.collect().map(u => (u.user_id, u.n_sessions, u.n_events)).toSet
+    assert(rows == Set((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+}
