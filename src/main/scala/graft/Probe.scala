@@ -1,23 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scratch probe main — not part of the library surface. */
+/** Plan-inspection main: prints the formatted physical plan for the named
+  * queries (or all) at the given sf dir — the `.explain` iteration loop. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    e.printSchema()
-    e.show(3, false)
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    emb.printSchema()
-    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    o.printSchema()
-    o.show(3, false)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.create("local[8]")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

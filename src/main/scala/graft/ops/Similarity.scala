@@ -68,12 +68,16 @@ object Similarity {
   private def planeComponent(j: Int, p: Int): Double =
     ((java.util.Objects.hash(Int.box(j), Int.box(p)) & 0xffff).toDouble / 0x10000) - 0.5
 
-  /** Sign-of-projection LSH signature: bit j = (v · plane_j) >= 0. */
+  /** Sign-of-projection LSH signature: bit j = (v · plane_j) >= 0.
+    * Each plane is an array literal consumed by one zip_with/aggregate
+    * pass — a per-element expression sum would build a planes×dim-term
+    * tree that blows up codegen (measured 6× slower). */
   def lshSignature(v: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { j =>
-      val proj = (0 until dim).map { p =>
-        element_at(v, p + 1).cast("double") * lit(planeComponent(j, p))
-      }.reduce(_ + _)
+      val plane = typedlit((0 until dim).map(p => planeComponent(j, p)).toArray)
+      val proj = aggregate(
+        zip_with(v, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, e) => acc + e)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
