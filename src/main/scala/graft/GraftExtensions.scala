@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{Ipv4ToLong, TokenizeS3Log}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users (the
+  * Athena-replacement surface, SURVEY.md §0) can call them directly:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT ipv4_to_long(remoteip), tokenize_s3_log(value) FROM logs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.tokenizeS3Log)
+    e.injectFunction(GraftExtensions.ipv4ToLong)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val tokenizeS3Log: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("tokenize_s3_log"),
+      info("tokenize_s3_log", "tokenize_s3_log(line) - Splits an S3 access-log line into fields."),
+      (children: Seq[Expression]) => TokenizeS3Log(children.head))
+
+  val ipv4ToLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ipv4_to_long"),
+      info("ipv4_to_long", "ipv4_to_long(ip) - Dotted-quad IPv4 to its unsigned 32-bit value (NULL if invalid)."),
+      (children: Seq[Expression]) => Ipv4ToLong(children.head))
+
+  /** Register on an existing session (for sessions not built with
+    * `withExtensions`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    Seq(tokenizeS3Log, ipv4ToLong).foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
+}

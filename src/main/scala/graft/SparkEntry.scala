@@ -38,6 +38,7 @@ object SparkEntry {
     "q16_asof_join"        -> (Relational.q16AsOfJoin _),
     "q17_hourly_events"    -> (Relational.q17HourlyEventAgg _),
     "q18_above_avg"        -> (Relational.q18AboveAvgOrders _),
+    "q19_cube"             -> (Relational.q19Cube _),
     "q20_s3log_etl"        -> (LogParsing.q20S3LogEtl _),
     "q21_text_stats"       -> (TextAnalysis.q21TextStats _),
     "q22_lang_id"          -> (TextAnalysis.q22LangId _),
@@ -49,6 +50,8 @@ object SparkEntry {
     "q28_ann_bruteforce"   -> (Similarity.q28BruteForceTopK _),
     "q29_ann_lsh"          -> (Similarity.q29LshTopK _),
     "q30_multimodal_meta"  -> (Multimodal.q30MultimodalMeta _),
+    "q31_approx_aggs"      -> (Relational.q31ApproxAggs _),
+    "q32_split_assign"     -> (Relational.q32SplitAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -241,6 +244,16 @@ object SparkEntry {
         |WHERE o_totalprice > avg_price
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q19_cube" ->
+      """SELECT c_mktsegment, r_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal,
+        |  COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (c_mktsegment, r_name)
+        |ORDER BY c_mktsegment NULLS FIRST, r_name NULLS FIRST""".stripMargin,
+
     "q20_s3log_etl" -> LogParsing.q20OracleSql,
     "q21_text_stats" -> ExtensionOracles.q21TextStats,
     "q22_lang_id" -> ExtensionOracles.q22LangId,
@@ -252,5 +265,15 @@ object SparkEntry {
     "q28_ann_bruteforce" -> ExtensionOracles.q28BruteForceTopK,
     // q29_ann_lsh: float-path LSH — not SQL-expressible, rows-only check
     "q30_multimodal_meta" -> ExtensionOracles.q30MultimodalMeta,
+    // q31_approx_aggs: sketch internals are engine-specific — rows-only
+    "q32_split_assign" ->
+      """SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY split
+        |ORDER BY split""".stripMargin,
   )
 }

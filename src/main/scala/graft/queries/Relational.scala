@@ -286,6 +286,46 @@ object Relational {
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
+  /** CUBE aggregation (all 4 grouping combinations of segment × region). */
+  def q19Cube(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("c_mktsegment"), col("r_name"))
+      .agg(dsum(col("c_acctbal")).as("total_acctbal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("r_name").asc_nulls_first)
+  }
+
+  /** Approximate aggregates — the 100 TB path for distinct counts and
+    * quantiles (HLL++ / GK sketches, constant memory per group, one
+    * shuffle of sketch buffers instead of raw values). Sketch internals
+    * are engine-specific → rows-only driver check, with exact bounds
+    * asserted in the spec instead. */
+  def q31ApproxAggs(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Deterministic train/val/test split assignment by content hash — the
+    * standard leakage-safe split for a training pipeline: membership is a
+    * pure function of the id, stable across runs, engines and rescans. */
+  def q32SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
   /** Correlated-aggregate pattern (decorrelated by Catalyst into a join):
     * orders above their customer's average order value. */
   def q18AboveAvgOrders(s: SparkSession, dir: String): DataFrame = {

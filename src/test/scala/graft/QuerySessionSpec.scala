@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.ExportJob
+
+/** The Athena-replacement surface: SQL over the exported log layout with
+  * the custom functions registered. */
+class QuerySessionSpec extends SparkSpec {
+
+  test("SQL over exported logs: custom functions + partition pruning") {
+    val base = Files.createTempDirectory("graft-qs").toFile.getAbsolutePath
+    val src = s"$base/in"; val dst = s"$base/out"
+    new java.io.File(src).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+    ExportJob.runHour(spark, src, dst, s"$base/track", "2021-07-18-05")
+
+    QuerySession.open(spark, dst, "logs")
+    val r = spark.sql(
+      """SELECT key, ipv4_to_long(remoteip) AS ip_int, bytessent
+        |FROM logs
+        |WHERE operation = 'REST.GET.OBJECT' AND year = 2021 AND hour = 5
+        |  AND httpstatus = '200'""".stripMargin).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("ip_int") == 3221225987L)
+    assert(r(0).getAs[Long]("bytessent") == 2662992L)
+
+    // tokenizer callable from SQL
+    val toks = spark.sql(
+      "SELECT tokenize_s3_log('a \"b c\" [d e] f') AS t").collect()(0)
+      .getSeq[String](0)
+    assert(toks == Seq("a", "b c", "d e", "f"))
+
+    // remoteip_int range predicate benefits from the row-group clustering
+    val cidr = spark.sql(
+      """SELECT count(*) FROM logs
+        |WHERE remoteip_int BETWEEN ipv4_to_long('192.0.2.0') AND ipv4_to_long('192.0.2.255')
+        |""".stripMargin).collect()(0).getLong(0)
+    assert(cidr == 1L)
+  }
+
+  test("approx aggregates stay within declared error of exact values") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.Relational.q31ApproxAggs(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"flag $k: approx=${approx(k)} exact=$n")
+    }
+  }
+}
