@@ -43,6 +43,42 @@ object Multimodal {
       md.map("%02x".format(_)).mkString)
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stub deterministically samples bytes so output size tracks the target
+    * dims and pipelines can assert on shape. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, (w * h) / 64)
+    if (payload.isEmpty) Array.emptyByteArray
+    else Array.tabulate(math.min(target, payload.length))(i =>
+      payload((i.toLong * payload.length / math.min(target, payload.length)).toInt % payload.length))
+  }
+
+  /** STUB frame sampling for video payloads: every nth "frame" is a
+    * fixed-size byte window; real codecs slot in behind the same
+    * signature (payload → frames). */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyN: Int): Seq[Array[Byte]] = {
+    if (frameSize <= 0 || everyN <= 0) Seq.empty
+    else payload.grouped(frameSize).zipWithIndex
+      .collect { case (frame, i) if i % everyN == 0 => frame }.toSeq
+  }
+
+  case class FrameMeta(doc_id: Long, frame_idx: Int, n_bytes: Long, frame_md5: String)
+
+  /** Per-partition frame explosion: one media row → N sampled-frame rows.
+    * Output cardinality is data-dependent, so this is an iterator-to-
+    * iterator flatMap (no per-task buffering). */
+  def sampleFrames(df: DataFrame, frameSize: Int = 256, everyN: Int = 2): Dataset[FrameMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        frameSampleStub(bytes, frameSize, everyN).zipWithIndex.map { case (f, i) =>
+          val md = java.security.MessageDigest.getInstance("MD5").digest(f)
+          FrameMeta(id, i, f.length.toLong, md.map("%02x".format(_)).mkString)
+        }
+      })
+  }
+
   /** Batch feature extraction over a binary-payload DataFrame
     * (`doc_id: long, media_type: string, payload: binary`). Runs
     * partition-local with an iterator (constant memory per task). */
