@@ -70,13 +70,13 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_top_revenue" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
@@ -214,9 +214,9 @@ object SparkEntry {
     "q16_asof_join" ->
       """SELECT e.event_id, e.user_id,
         |  COALESCE(m.o_orderkey, -1) AS asof_orderkey,
-        |  COALESCE(m.od, DATE '1970-01-01') AS asof_orderdate
+        |  COALESCE(m.od, '1970-01-01') AS asof_orderdate
         |FROM events e LEFT JOIN (
-        |  SELECT event_id AS m_event_id, o_orderkey, CAST(o_orderdate AS DATE) AS od FROM (
+        |  SELECT event_id AS m_event_id, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM (
         |    SELECT e2.event_id, o.o_orderkey, o.o_orderdate,
         |      ROW_NUMBER() OVER (PARTITION BY e2.event_id
         |                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn

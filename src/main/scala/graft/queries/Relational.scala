@@ -54,7 +54,9 @@ object Relational {
     val li   = Tables.lineitem(s, dir)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      // dates surface as strings: Spark's date32 and DuckDB's DATE reach
+      // pandas as different physical types and may hash differently
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -264,14 +266,14 @@ object Relational {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_id"))
           .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
-      .filter(col("rn") === 1)
+    .filter(col("rn") === 1)
       .select(col("event_id").as("m_event_id"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("m_orderdate"))
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("m_orderdate"))
     e.select(col("event_id"), col("user_id"))
       .join(matched, col("event_id") === matched("m_event_id"), "left")
       .select(col("event_id"), col("user_id"),
         coalesce(col("o_orderkey"), lit(-1L)).as("asof_orderkey"),
-        coalesce(col("m_orderdate"), lit("1970-01-01").cast("date")).as("asof_orderdate"))
+        coalesce(col("m_orderdate"), lit("1970-01-01")).as("asof_orderdate"))
       .orderBy(col("event_id"))
   }
 

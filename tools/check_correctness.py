@@ -90,6 +90,10 @@ def main():
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
+        # dtype drift is a warning: the driver's hash may be type-sensitive
+        for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+            if str(spark_df[c].dtype) != str(oracle_df[c].dtype):
+                print(f"WARN {name}: col {c} dtype spark={spark_df[c].dtype} oracle={oracle_df[c].dtype}")
         problems = compare(name, spark_df, oracle_df)
         if problems:
             print(f"FAIL {name}: ({len(spark_df)} rows)")
