@@ -72,6 +72,23 @@ object ExportJob {
     }
   }
 
+  /** Preflight smoke checks (reference cmd/export.py:346-376): read the
+    * first matched input file counting lines; write/read/delete a probe
+    * file under dst. Fails fast before any cluster work is scheduled. */
+  def preflight(spark: SparkSession, src: String, dst: String, hour: String): Boolean = {
+    val ok = readHour(spark, src, hour).forall(df => df.limit(1).count() >= 0)
+    val probe = new Path(s"${dst.stripSuffix("/")}/.graft-preflight-${java.util.UUID.randomUUID()}")
+    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val out = fs.create(probe, true)
+      try out.write("probe".getBytes("UTF-8")) finally out.close()
+      val in = fs.open(probe)
+      val buf = new Array[Byte](5)
+      try in.readFully(buf) finally in.close()
+      ok && new String(buf, "UTF-8") == "probe"
+    } finally fs.delete(probe, false)
+  }
+
   /** One hour's export: read → parse → enrich → write → mark.
     * Returns number of rows written, or -1 if skipped (marker present or
     * no input files). */

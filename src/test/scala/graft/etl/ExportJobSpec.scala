@@ -1,6 +1,7 @@
 package graft.etl
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.input_file_name
 import graft.{Fixtures, SparkSpec}
 
 /** Golden end-to-end (SURVEY.md §5.2): fixture hour of raw lines →
@@ -20,6 +21,8 @@ class ExportJobSpec extends SparkSpec {
       Fixtures.happyLine.getBytes)
     Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-06-00-01-0123456789ABCDEF"),
       Fixtures.roleLine.getBytes)
+
+    assert(ExportJob.preflight(spark, src, dst, "2021-07-18-05"))
 
     val n = ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-05")
     assert(n == 3) // hour-06 file excluded by the glob
@@ -48,5 +51,11 @@ class ExportJobSpec extends SparkSpec {
     // empty hour: no files → skip, no marker
     assert(ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-07") == -1L)
     assert(!ExportJob.Tracking.done(spark, tracking, "2021-07-18-07"))
+
+    // filename-time extraction (reference parse_time): first 19 chars
+    val ft = spark.read.text(s"$src/2021-07-18-05-00-12-ABCDEF0123456789")
+      .select(ExportJob.fileTime(input_file_name()).cast("string"))
+      .collect()(0).getString(0)
+    assert(ft == "2021-07-18 05:00:12")
   }
 }
