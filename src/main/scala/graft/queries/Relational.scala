@@ -263,12 +263,16 @@ object Relational {
     val matched = eMs
       .join(o, eMs("user_id") === o("o_custkey") &&
         unix_millis(o("o_orderdate").cast("timestamp")) <= eMs("ts_ms"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_id"))
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
-    .filter(col("rn") === 1)
-      .select(col("event_id").as("m_event_id"), col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("m_orderdate"))
+      // argmax via max(struct(date, key)): struct ordering is
+      // field-by-field, so max picks the latest date then the largest
+      // orderkey — same result as a per-event window, but map-side
+      // partial aggregation shrinks the shuffle to one row per event
+      // per task instead of every joined row.
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id").as("m_event_id"),
+        col("best.o_orderkey").as("o_orderkey"),
+        date_format(col("best.o_orderdate"), "yyyy-MM-dd").as("m_orderdate"))
     e.select(col("event_id"), col("user_id"))
       .join(matched, col("event_id") === matched("m_event_id"), "left")
       .select(col("event_id"), col("user_id"),
