@@ -1,0 +1,79 @@
+package graft.ops
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** SpaceSaving (Metwally et al., "Efficient Computation of Frequent and
+  * Top-k Elements in Data Streams") heavy-hitters as a typed
+  * `Aggregator` — the 100 TB path for "top tokens / top requesters /
+  * top keys": constant memory (k counters) per partition, mergeable
+  * buffers, one shuffle of k-sized summaries instead of a full
+  * group-count of a possibly unbounded key domain.
+  *
+  * Guarantee: any item with true frequency > N/k is present in the
+  * result, and reported counts overestimate by at most the tracked
+  * error. Exact top-k needs a full groupBy; this is the sketch
+  * companion (same relationship as approx_count_distinct to
+  * countDistinct, Relational.q31).
+  */
+object HeavyHitters {
+
+  /** counts: item -> (count, maxError). */
+  case class SSBuffer(capacity: Int, counts: mutable.Map[String, (Long, Long)])
+
+  case class TopItem(item: String, count: Long, maxError: Long)
+
+  class SpaceSaving(k: Int) extends Aggregator[String, SSBuffer, Seq[TopItem]] {
+
+    override def zero: SSBuffer = SSBuffer(k, mutable.Map.empty)
+
+    private def offer(b: SSBuffer, item: String, inc: Long, err: Long): Unit = {
+      b.counts.get(item) match {
+        case Some((c, e)) => b.counts(item) = (c + inc, e + err)
+        case None if b.counts.size < b.capacity =>
+          b.counts(item) = (inc, err)
+        case None =>
+          // evict the current minimum; the newcomer inherits its count as error
+          val (minItem, (minC, _)) = b.counts.minBy { case (i, (c, _)) => (c, i) }
+          b.counts.remove(minItem)
+          b.counts(item) = (minC + inc, minC + err)
+      }
+    }
+
+    override def reduce(b: SSBuffer, item: String): SSBuffer = { offer(b, item, 1L, 0L); b }
+
+    /** Sum-combine then truncate to the k largest (mergeable-summaries
+      * style). Re-offering b's items through the eviction path instead
+      * would let inherited counts inflate until the true top item becomes
+      * the minimum and is evicted — counts here stay exact sums of the
+      * partials, so the global top item always survives a merge. */
+    override def merge(a: SSBuffer, b: SSBuffer): SSBuffer = {
+      b.counts.foreach { case (item, (c, e)) =>
+        val (c0, e0) = a.counts.getOrElse(item, (0L, 0L))
+        a.counts(item) = (c0 + c, e0 + e)
+      }
+      if (a.counts.size > a.capacity) {
+        val keep = a.counts.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(a.capacity)
+        a.counts.clear()
+        keep.foreach { case (i, ce) => a.counts(i) = ce }
+      }
+      a
+    }
+
+    override def finish(b: SSBuffer): Seq[TopItem] =
+      b.counts.toSeq
+        .map { case (i, (c, e)) => TopItem(i, c, e) }
+        .sortBy(t => (-t.count, t.item))
+
+    override def bufferEncoder: Encoder[SSBuffer] = Encoders.kryo[SSBuffer]
+    override def outputEncoder: Encoder[Seq[TopItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopItem]]()
+  }
+
+  /** Top-k heavy hitters over a string Dataset. */
+  def topK(items: Dataset[String], k: Int): Seq[TopItem] = {
+    import items.sparkSession.implicits._
+    items.select(new SpaceSaving(k).toColumn.name("top")).as[Seq[TopItem]].head()
+  }
+}
