@@ -47,6 +47,21 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("bytessent")).as("bytes_sent"))
   }
 
+  /** Session windows via the built-in `session_window` (gap-based merge
+    * handled by Spark's streaming state store): one row per closed
+    * session once the watermark passes its end. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String = "event_time",
+                       gap: String = "30 minutes"): DataFrame = {
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
   case class Event(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(sessionCount: Long, lastMs: Long, eventCount: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
