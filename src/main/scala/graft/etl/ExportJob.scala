@@ -72,6 +72,30 @@ object ExportJob {
     }
   }
 
+  /** Post-commit rename to the reference's deterministic file naming
+    * (s3access/parquet.py:89-92): each partition dir's single data file
+    * becomes `{bucket}-{operation}-{year}-{month}-{day}-{hour}.parquet`.
+    * Valid because `write` routes each partition combo to one task
+    * (repartition on the partition cols) → exactly one file per dir.
+    * Closes SURVEY §7.4#1; a FileCommitProtocol would do this atomically
+    * inside the commit — the rename pass is the simpler equivalent and
+    * touches only filesystem metadata. */
+  def renameToReferenceLayout(spark: SparkSession, dst: String): Int = {
+    val root = new Path(dst)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.globStatus(new Path(dst +
+      "/bucket_name=*/operation=*/year=*/month=*/day=*/hour=*/part-*.parquet"))
+    parts.map { st =>
+      val dir = st.getPath.getParent
+      // dir chain: .../bucket_name=B/operation=O/year=Y/month=M/day=D/hour=H
+      val values = Iterator.iterate(dir)(_.getParent).take(6).toSeq.reverse
+        .map(_.getName.split("=", 2)(1))
+      val target = new Path(dir, values.mkString("-") + ".parquet")
+      if (st.getPath != target) fs.rename(st.getPath, target)
+      1
+    }.sum
+  }
+
   /** Preflight smoke checks (reference cmd/export.py:346-376): read the
     * first matched input file counting lines; write/read/delete a probe
     * file under dst. Fails fast before any cluster work is scheduled. */

@@ -50,6 +50,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(item0.count >= 2500L) // SpaceSaving never undercounts
   }
 
+  test("bounded top-k-per-group aggregator matches the window formulation") {
+    val orders = graft.Tables.orders(spark, dir)
+    val viaAgg = TopKPerGroup.topKPerKey(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .select(col("key"), col("rank"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaWindow = graft.queries.Relational.q06TopOrdersPerCustomer(spark, dir)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("post-commit rename produces the reference's deterministic file names") {
+    val base = java.nio.file.Files.createTempDirectory("graft-rename").toFile.getAbsolutePath
+    val src = s"$base/in"; val dst = s"$base/out"
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (graft.Fixtures.happyLine + "\n" + graft.Fixtures.dashLine).getBytes)
+    graft.etl.ExportJob.runHour(spark, src, dst, s"$base/track", "2021-07-18-05")
+    val n = graft.etl.ExportJob.renameToReferenceLayout(spark, dst)
+    assert(n == 2)
+    assert(new java.io.File(
+      s"$dst/bucket_name=awsexamplebucket1/operation=REST.GET.OBJECT/year=2021/month=7/day=18/hour=5/" +
+        "awsexamplebucket1-REST.GET.OBJECT-2021-7-18-5.parquet").isFile)
+    // still a valid readable dataset afterwards
+    assert(spark.read.parquet(dst).count() == 2)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (if (i % 100 == 0) 1L else i.toLong, s"v$i"))
