@@ -46,14 +46,15 @@ object Similarity {
     * vec_id < 5 (self excluded). Queries are broadcast; one scan of the
     * corpus per batch of queries, no shuffle until the final top-k. */
   def q28BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    // norms are per-vector, not per-pair: compute each once (a per-pair
+    // formulation would redo the corpus-side norm |queries| times)
     val emb = Tables.embeddings(s, dir)
+      .withColumn("norm", sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qnorm"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        (decDot(col("qe"), col("embedding")).cast("double") /
-          (sqrt(decDot(col("qe"), col("qe")).cast("double")) *
-           sqrt(decDot(col("embedding"), col("embedding")).cast("double")))))
+        decDot(col("qe"), col("embedding")).cast("double") / (col("qnorm") * col("norm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
