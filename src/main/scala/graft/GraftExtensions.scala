@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Ipv4ToLong, TokenizeS3Log}
+import graft.functions.{CosineSimilarity, Ipv4ToLong, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.tokenizeS3Log)
     e.injectFunction(GraftExtensions.ipv4ToLong)
+    e.injectFunction(GraftExtensions.cosineSimilarity)
   }
 }
 
@@ -37,11 +38,16 @@ object GraftExtensions {
       info("ipv4_to_long", "ipv4_to_long(ip) - Dotted-quad IPv4 to its unsigned 32-bit value (NULL if invalid)."),
       (children: Seq[Expression]) => Ipv4ToLong(children.head))
 
+  val cosineSimilarity: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - Cosine similarity of two float arrays."),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(tokenizeS3Log, ipv4ToLong).foreach { case (id, inf, builder) =>
+    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

@@ -68,6 +68,34 @@ case class Ipv4ToLong(child: Expression, strict: Boolean = false) extends UnaryE
   override def prettyName: String = "ipv4_to_long"
 }
 
+/** Cosine similarity between two `array<float>` columns as a native
+  * binary expression: one fused loop computing dot product and both
+  * norms with double accumulation — replaces a 3×(zip_with+aggregate)
+  * HOF chain in the ANN hot path while producing bit-identical values
+  * (same accumulation order; asserted in ParseSpec). */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity requires ARRAY<FLOAT> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineFloat(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_similarity"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -75,4 +103,6 @@ object exprs {
   def tokenize_s3_log(c: Column): Column = column(TokenizeS3Log(expression(c)))
   def ipv4_to_long(c: Column): Column = column(Ipv4ToLong(expression(c)))
   def ipv4_to_long_strict(c: Column): Column = column(Ipv4ToLong(expression(c), strict = true))
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
 }

@@ -22,9 +22,15 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Fast cosine similarity between two float-array columns (double
-    * accumulation, sequential order — deterministic for a fixed layout). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Fast cosine similarity: the native CosineSimilarity expression — one
+    * fused codegen loop. Bit-identical to `cosineHof` (same accumulation
+    * order), which is kept as the built-ins-only formulation and for the
+    * equality spec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.exprs.cosine_similarity(a, b)
+
+  /** Built-ins-only cosine (zip_with + aggregate HOFs). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, e) => acc + e)

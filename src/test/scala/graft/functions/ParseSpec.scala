@@ -100,6 +100,23 @@ class ParseSpec extends SparkSpec {
     assert(role.getAs[String]("operation") == "REST.PUT.OBJECT")
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("embedding").as("qe"),
+        org.apache.spark.sql.functions.col("vec_id").as("qid"))
+    val pairs = emb.crossJoin(q)
+    val diffs = pairs.select(
+        graft.ops.Similarity.cosine(
+          org.apache.spark.sql.functions.col("qe"),
+          org.apache.spark.sql.functions.col("embedding")).as("native"),
+        graft.ops.Similarity.cosineHof(
+          org.apache.spark.sql.functions.col("qe"),
+          org.apache.spark.sql.functions.col("embedding")).as("hof"))
+      .filter("native <> hof").count()
+    assert(diffs == 0L)
+  }
+
   test("ipv4 strict mode fails the job, lenient yields NULL (SURVEY §1.4#5)") {
     import spark.implicits._
     val df = Seq("2001:db8::1").toDF("ip")
