@@ -46,9 +46,17 @@ object ExportJob {
     *     `partitionBy`. File names are Spark's `part-*` (documented
     *     divergence, SURVEY.md §7.4#1).
     */
-  def write(df: DataFrame, dst: String): Unit = {
+  def write(df: DataFrame, dst: String, tasksPerHour: Int = 0): Unit = {
     import LogSchema._
-    df.repartition(partitionCols.map(col): _*)
+    // tasksPerHour = 0 reproduces the reference's one-file-per-partition-
+    // combo layout (each combo hashes to one task). At 100 TB an hour's
+    // hot (bucket, operation) can exceed one task: pass an explicit task
+    // count and the same combo spreads over many tasks/files while the
+    // directory layout and row-group clustering are unchanged.
+    val partitioned =
+      if (tasksPerHour > 0) df.repartition(tasksPerHour, partitionCols.map(col): _*)
+      else df.repartition(partitionCols.map(col): _*)
+    partitioned
       .sortWithinPartitions(rowGroupCols.map(col): _*)
       .write
       .mode(SaveMode.Append)
