@@ -52,6 +52,9 @@ object SparkEntry {
     "q30_multimodal_meta"  -> (Multimodal.q30MultimodalMeta _),
     "q31_approx_aggs"      -> (Relational.q31ApproxAggs _),
     "q32_split_assign"     -> (Relational.q32SplitAssign _),
+    "q33_median_disc"      -> (Relational.q33MedianDisc _),
+    "q34_moment_stats"     -> (Relational.q34MomentStats _),
+    "q35_array_agg"        -> (Relational.q35ArrayAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -275,5 +278,39 @@ object SparkEntry {
         |  FROM documents) t
         |GROUP BY split
         |ORDER BY split""".stripMargin,
+
+    "q33_median_disc" ->
+      """SELECT l_returnflag, median_price, n FROM (
+        |  SELECT l_returnflag, l_extendedprice AS median_price, n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |  JOIN (SELECT l_returnflag AS cf, COUNT(*) AS n FROM lineitem GROUP BY 1) c
+        |    ON l_returnflag = cf) t
+        |WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q34_moment_stats" ->
+      """SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price,
+        |  round(sqrt(n * sxx - sx * sx) / n, 12) AS stddev_pop_qty
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q35_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first5_orderkeys,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

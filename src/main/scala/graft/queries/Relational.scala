@@ -332,6 +332,62 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** Exact discrete median (type-agnostic order statistic): the
+    * ceil(n/2)-th smallest value per group, selected by window rank with
+    * a deterministic tie-break — interpolating percentile functions
+    * differ across engines, the order statistic cannot. */
+  def q33MedianDisc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val counts = li.groupBy(col("l_returnflag").as("cf")).agg(count(lit(1)).as("n"))
+    li.withColumn("rn", row_number().over(w))
+      .join(counts, col("l_returnflag") === col("cf"))
+      .filter(col("rn") === ceil(col("n") / lit(2.0)).cast("long"))
+      .select(col("l_returnflag"), col("l_extendedprice").as("median_price"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Statistical aggregates (corr / stddev) from exact decimal moment
+    * sums — built-in corr()/stddev() use incremental float updates whose
+    * order varies by engine and partitioning; the moment formula over
+    * exact sums is deterministic everywhere. */
+  def q34MomentStats(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(28,6)")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d(col("l_quantity"))).cast("double").as("sx"),
+        sum(d(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(d(col("l_quantity") * col("l_quantity"))).cast("double").as("sxx"),
+        sum(d(col("l_extendedprice") * col("l_extendedprice"))).cast("double").as("syy"),
+        sum(d(col("l_quantity") * col("l_extendedprice"))).cast("double").as("sxy"))
+      // round(…, 12): compilers may fuse a*b-c*d into FMA differently per
+      // engine — the inputs are identical doubles, so divergence is ≤1e-17
+      // and a 12-digit round restores bit equality
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("corr_qty_price"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))) /
+          col("n"), 12).as("stddev_pop_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered collection aggregate (nested-type surface): the 5 smallest
+    * order keys per priority, surfaced as a joined string so the physical
+    * representation is engine-neutral. */
+  def q35ArrayAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(transform(slice(array_sort(collect_list(col("o_orderkey"))), 1, 5),
+          x => x.cast("string")), ",").as("first5_orderkeys"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Correlated-aggregate pattern (decorrelated by Catalyst into a join):
     * orders above their customer's average order value. */
   def q18AboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
