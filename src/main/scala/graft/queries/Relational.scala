@@ -332,6 +332,20 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** Deterministic stratified sampling: within each stratum, membership
+    * is `md5(id) < threshold(stratum)` — a pure function of the row, so
+    * the sample is identical across runs, engines, partitionings and
+    * retries (rand()-based sampleBy is none of those). Thresholds are
+    * fraction × 2^32 rendered in hex-space. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 8) // 32 bits of hash
+    val threshold = fractions.foldLeft(lit(null).cast("string")) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f"${(f * 0xffffffffL).toLong}%08x")).otherwise(acc)
+    }
+    df.filter(h < threshold)
+  }
+
   /** Exact discrete median (type-agnostic order statistic): the
     * ceil(n/2)-th smallest value per group, selected by window rank with
     * a deterministic tie-break — interpolating percentile functions

@@ -47,6 +47,16 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("bytessent")).as("bytes_sent"))
   }
 
+  /** Streaming exact dedup: drop duplicate request ids within the
+    * watermark horizon — state is bounded by the watermark (old keys are
+    * evicted), so it runs indefinitely at any rate. The streaming
+    * counterpart of ops.Dedup's batch operators. */
+  def dedupStream(parsed: DataFrame, idCol: String = "requestid"): DataFrame =
+    parsed
+      .withColumn("event_time", to_timestamp(col("datetime"), "yyyy-MM-dd'T'HH:mm:ssxxx"))
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicates(idCol, "event_time")
+
   /** Session windows via the built-in `session_window` (gap-based merge
     * handled by Spark's streaming state store): one row per closed
     * session once the watermark passes its end. */

@@ -1,0 +1,48 @@
+package graft.etl
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{Fixtures, SparkSpec}
+
+class CompactionSpec extends SparkSpec {
+
+  test("compaction shrinks file count, preserves layout and data") {
+    val base = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val src = s"$base/in"; val dst = s"$base/out"
+    new java.io.File(src).mkdirs()
+    // three "hourly runs" into the same partitions → small-file buildup
+    (1 to 3).foreach { i =>
+      Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-0$i-00-RUN$i"),
+        (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+      ExportJob.runHour(spark, src, dst, s"$base/track$i", s"2021-07-18-05")
+      // distinct tracking dirs so each run actually writes (append mode)
+    }
+    val before = spark.read.parquet(dst)
+    val beforeRows = before.count()
+    val beforeData = before.orderBy("requestid", "ts").collect().toSeq
+
+    val (nBefore, nAfter) = Compaction.compact(spark, dst)
+    assert(nBefore > nAfter, s"expected fewer files, got $nBefore -> $nAfter")
+
+    val after = spark.read.parquet(dst)
+    assert(after.count() == beforeRows)
+    assert(after.orderBy("requestid", "ts").collect().toSeq == beforeData)
+    // layout intact: partition dirs still present and pruned reads work
+    assert(after.where("operation = 'REST.GET.OBJECT' and hour = 5").count() == beforeRows / 2)
+  }
+
+  test("deterministic stratified sample is stable and stratum-scoped") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fractions = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = graft.queries.Relational.stratifiedSample(docs, "doc_id", "lang", fractions)
+    val s2 = graft.queries.Relational.stratifiedSample(docs, "doc_id", "lang", fractions)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == s2.select("doc_id").collect().map(_.getLong(0)).toSet) // stable
+    // only declared strata are sampled
+    assert(s1.select("lang").distinct().collect().map(_.getString(0)).toSet.subsetOf(Set("en", "de")))
+    // rough rate: en near 50%
+    val enTotal = docs.where("lang = 'en'").count().toDouble
+    val enSampled = s1.where("lang = 'en'").count().toDouble
+    assert(math.abs(enSampled / enTotal - 0.5) < 0.2)
+  }
+}
