@@ -60,11 +60,27 @@ object Dedup {
       .orderBy(col("group_key"))
   }
 
-  /** q25: all-pairs word-3-gram Jaccard ≥ 0.5 via inverted-index join.
+  /** All-pairs word-n-gram Jaccard ≥ threshold via inverted-index join.
     * Jaccard is computed from exact integer set sizes, so the double is
-    * engine-deterministic. */
-  def q25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir), 3).cache()
+    * engine-deterministic.
+    *
+    * `maxDocFreq > 0` enables the stop-shingle cap — the 100 TB skew
+    * control: a shingle appearing in d documents contributes O(d²) join
+    * pairs, so boilerplate shingles ("terms of service …") dominate the
+    * shuffle while carrying no dedup signal. Dropping shingles with
+    * document frequency above the cap bounds per-key fan-out; genuinely
+    * near-duplicate pairs still share plenty of rare shingles (recall
+    * asserted in OpsSpec). Note the cap also shrinks the per-doc set
+    * size used in the Jaccard denominator — scores are then Jaccard over
+    * the *informative* shingle sets. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   maxDocFreq: Long = 0L): DataFrame = {
+    val all = shingles(docs, n)
+    val sh = (if (maxDocFreq > 0L) {
+      val rare = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select(col("g"))
+      all.join(broadcast(rare), "g").select(col("doc_id"), col("g"))
+    } else all).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -75,10 +91,15 @@ object Dedup {
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** q25: word-3-gram Jaccard ≥ 0.5, uncapped (the oracle mirrors the
+    * exact all-pairs form; the capped variant is the scale path). */
+  def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(s, dir), 3, 0.5)
 
   /** MinHash signature component j: min over the doc's shingles of
     * md5(shingle + "#j") — a lexicographic min-hash. */

@@ -35,6 +35,20 @@ class OpsSpec extends SparkSpec {
     assert(f0.map(_.frame_idx).toSeq == f0.indices.toSeq)
   }
 
+  test("stop-shingle cap preserves recall of planted near-duplicates") {
+    val docs = graft.Tables.documents(spark, dir)
+    val uncapped = Dedup.jaccardPairs(docs, 3, 0.5).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val capped = Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(uncapped.nonEmpty)
+    // near-dup pairs share mostly RARE shingles; capping boilerplate
+    // shingles must not lose them (it can only add pairs whose
+    // denominators shrank)
+    assert(uncapped.subsetOf(capped),
+      s"cap lost pairs: ${uncapped.diff(capped)}")
+  }
+
   test("minhash LSH finds a superset-of-threshold subset of exact jaccard pairs") {
     val exact = Dedup.q25NgramJaccard(spark, dir).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
