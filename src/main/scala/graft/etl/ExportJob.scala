@@ -151,8 +151,10 @@ object ExportJob {
     })
     val spark = graft.GraftSession.create()
     try {
+      val t0 = System.nanoTime()
       val n = runHour(spark, src, dst, tracking, hour)
-      println(s"""{"hour":"$hour","rows":$n}""")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"hour":"$hour","rows":$n,"job_sec":$secs%.2f}""")
     } finally spark.stop()
   }
 }
