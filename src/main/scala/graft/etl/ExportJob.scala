@@ -131,7 +131,11 @@ object ExportJob {
       case None => -1L
       case Some(lines) =>
         val parsed = Enrich.parseLines(lines)
-        write(parsed, dst)
+        // SPARK_GRAFT_EXPORT_TASKS>0 spreads hot partition combos over
+        // that many write tasks (multiple files per partition dir) —
+        // default 0 keeps reference one-file-per-combo parity
+        val tasks = sys.env.getOrElse("SPARK_GRAFT_EXPORT_TASKS", "0").toInt
+        write(parsed, dst, tasks)
         // count from the written output so the marker reflects committed rows
         val n = spark.read.parquet(dst).count()
         Tracking.mark(spark, trackingDst, hour, s"exported hour=$hour rows=$n")
