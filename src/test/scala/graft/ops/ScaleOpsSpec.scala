@@ -77,6 +77,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 2)
   }
 
+  test("bucketed range join equals the nested-loop formulation") {
+    import spark.implicits._
+    val points = (1 to 5000).map(i => (i.toLong, (i % 997) * 1.7)).toDF("pid", "v")
+    val intervals = (1 to 300).map { i =>
+      val lo = (i * 11) % 900 * 1.9
+      (i.toLong, lo, lo + (i % 7) * 25.0)
+    }.toDF("iid", "lo", "hi")
+    val bucketed = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 50.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+    // and it plans as an equi-join, not a nested loop
+    val plan = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (if (i % 100 == 0) 1L else i.toLong, s"v$i"))
