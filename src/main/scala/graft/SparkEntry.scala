@@ -55,6 +55,7 @@ object SparkEntry {
     "q33_median_disc"      -> (Relational.q33MedianDisc _),
     "q34_moment_stats"     -> (Relational.q34MomentStats _),
     "q35_array_agg"        -> (Relational.q35ArrayAgg _),
+    "q36_embedding_neardup" -> (Similarity.q36EmbeddingNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -312,5 +313,7 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q36_embedding_neardup" -> ExtensionOracles.q36EmbeddingNearDup,
   )
 }

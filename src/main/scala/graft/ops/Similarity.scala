@@ -109,6 +109,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q36: embedding-cosine near-duplicate pairs, exact all-pairs with
+    * decimal-exact scoring (oracle-mirrorable). The LSH-bucketed
+    * `nearDupPairs` below is the 100 TB path; this is its exact
+    * ground-truth companion. Norms computed once per vector. */
+  def q36EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("d1") < col("d2"))
+      // round(…,12): the dot and norms are bit-identical across engines,
+      // but the final fused multiply-divide drifts 1 ulp (see q34)
+      .withColumn("cos", round(
+        decDot(col("ea"), col("eb")).cast("double") / (col("na") * col("nb")), 12))
+      .filter(col("cos") >= 0.45)
+      .select(col("d1"), col("d2"), col("cos"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (all-pairs over a bucketed
     * join): docs whose embeddings' cosine ≥ threshold, LSH-bucketed so
     * only same-signature pairs are compared. */

@@ -152,6 +152,28 @@ object ExtensionOracles {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  val q36EmbeddingNearDup: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |norms AS (SELECT vec_id,
+      |  SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS nn
+      |  FROM x GROUP BY vec_id),
+      |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS ea, b.embedding AS eb
+      |          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |pe AS (SELECT d1, d2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pairs),
+      |dots AS (SELECT d1, d2,
+      |  SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot
+      |  FROM pe GROUP BY d1, d2),
+      |scored AS (SELECT d1, d2,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))), 12) AS cos
+      |  FROM dots
+      |  JOIN norms n1 ON d1 = n1.vec_id
+      |  JOIN norms n2 ON d2 = n2.vec_id)
+      |SELECT d1, d2, cos FROM scored
+      |WHERE cos >= 0.45
+      |ORDER BY d1, d2""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
