@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Ipv4ToLong, TokenizeS3Log}
+import graft.functions.{CosineSimilarity, Ipv4ToLong, RollingHash64, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.tokenizeS3Log)
     e.injectFunction(GraftExtensions.ipv4ToLong)
     e.injectFunction(GraftExtensions.cosineSimilarity)
+    e.injectFunction(GraftExtensions.rollingHash64)
   }
 }
 
@@ -43,12 +44,17 @@ object GraftExtensions {
       info("cosine_similarity", "cosine_similarity(a, b) - Cosine similarity of two float arrays."),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
+  val rollingHash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("rolling_hash64"),
+      info("rolling_hash64", "rolling_hash64(s) - 64-bit polynomial rolling hash of a string."),
+      (children: Seq[Expression]) => RollingHash64(children.head))
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity).foreach { case (id, inf, builder) =>
-      reg.registerFunction(id, inf, builder)
+    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, rollingHash64).foreach {
+      case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }
 }

@@ -35,6 +35,21 @@ object S3LogParse {
     new GenericArrayData(out.toArray)
   }
 
+  /** 64-bit polynomial rolling hash of a string's UTF-8 bytes
+    * (h = h*1000003 + b, wrapping): the per-document fingerprint primitive —
+    * O(n), no allocation, and the polynomial form supports incremental
+    * window updates for character-level winnowing. */
+  def rollingHash64(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var h = 1469598103934665603L // FNV offset basis as a non-zero seed
+    var i = 0
+    while (i < n) {
+      h = h * 1000003L + (s.getByte(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
   /** Dotted-quad IPv4 → unsigned-32 value as long; -1 when the input is not
     * a valid IPv4 literal (caller maps -1 to NULL or, in strict mode, to an
     * error — SURVEY.md §1.4#5). Allocation-free fast path. */

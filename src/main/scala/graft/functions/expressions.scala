@@ -68,6 +68,25 @@ case class Ipv4ToLong(child: Expression, strict: Boolean = false) extends UnaryE
   override def prettyName: String = "ipv4_to_long"
 }
 
+/** 64-bit polynomial rolling hash of a string (document-fingerprint
+  * primitive; see S3LogParse.rollingHash64). Codegen'd; deterministic
+  * across partitions/engines-with-this-library. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash64 requires STRING, got ${child.dataType.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    S3LogParse.rollingHash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.S3LogParse.rollingHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash64"
+}
+
 /** Cosine similarity between two `array<float>` columns as a native
   * binary expression: one fused loop computing dot product and both
   * norms with double accumulation — replaces a 3×(zip_with+aggregate)
@@ -105,4 +124,5 @@ object exprs {
   def ipv4_to_long_strict(c: Column): Column = column(Ipv4ToLong(expression(c), strict = true))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
 }

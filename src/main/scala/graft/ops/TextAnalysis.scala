@@ -16,6 +16,15 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
 
+  /** BPE-ish subword token count: GPT-2-style pretokenizer classes
+    * (contraction suffixes, letter runs, digit runs, symbol runs) without
+    * the lookahead (RE2, which the oracle uses, has none). Approximates
+    * LLM token budgets far better than whitespace counting on
+    * code/punctuation-heavy text. */
+  val BpePattern = "'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   /** Characters excluding whitespace. */
   def charCountNoWs(text: Column): Column =
     length(regexp_replace(text, "\\s", "")).cast("long")
@@ -49,6 +58,7 @@ object TextAnalysis {
     d.select(
         col("doc_id"), col("lang"),
         nTok.as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_raw"),
         nChr.as("n_chars"),
         avgTokLen.as("avg_token_len"),
@@ -84,11 +94,20 @@ object TextAnalysis {
   def q23Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val norm = normalize(col("text"))
+    // winnowing-style fingerprint: minimum window hash over all 8-token
+    // windows — robust to local edits (an edit disturbs only the windows
+    // it touches; the global min usually survives). The per-character
+    // rolling variant is functions.RollingHash64 (spec-tested).
+    val toks = regexp_extract_all(norm, lit("\\S+"), lit(0))
+    val windows = transform(
+      sequence(lit(1), greatest(size(toks) - 7, lit(1))),
+      i => md5(array_join(slice(toks, i, lit(8)), " ")))
     d.select(
         col("doc_id"),
         md5(norm).as("content_md5"),
         substring(md5(norm), 1, 16).as("fp64_hex"),
-        md5(prefixTokens(col("text"), 8)).as("prefix8_md5"))
+        md5(prefixTokens(col("text"), 8)).as("prefix8_md5"),
+        array_min(windows).as("winnow8_min"))
       .orderBy(col("doc_id"))
   }
 

@@ -25,6 +25,7 @@ object ExtensionOracles {
   val q21TextStats: String =
     """SELECT doc_id, lang,
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_raw,
       |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars,
       |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
@@ -56,9 +57,12 @@ object ExtensionOracles {
     """SELECT doc_id,
       |  md5(norm) AS content_md5,
       |  substring(md5(norm), 1, 16) AS fp64_hex,
-      |  md5(array_to_string(regexp_extract_all(norm, '\S+')[1:8], ' ')) AS prefix8_md5
+      |  md5(array_to_string(l[1:8], ' ')) AS prefix8_md5,
+      |  list_min(list_transform(generate_series(1, greatest(len(l) - 7, 1)),
+      |    i -> md5(array_to_string(l[i:i+7], ' ')))) AS winnow8_min
       |FROM (SELECT doc_id,
-      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+      |        regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 

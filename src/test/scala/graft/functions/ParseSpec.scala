@@ -100,6 +100,16 @@ class ParseSpec extends SparkSpec {
     assert(role.getAs[String]("operation") == "REST.PUT.OBJECT")
   }
 
+  test("rolling_hash64: deterministic, sensitive to every byte, codegen == interpreted") {
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(1469598103934665603L)((h, b) => h * 1000003L + (b & 0xffL))
+    val texts = Seq("", "a", "ab", "ba", "hello world", "hello worle")
+    val got = texts.toDF("t").select(exprs.rolling_hash64($"t")).collect().map(_.getLong(0))
+    assert(got.toSeq == texts.map(ref))
+    assert(got.distinct.length == texts.length) // all inputs hash differently
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
