@@ -49,6 +49,22 @@ class StreamingSpec extends SparkSpec {
       ("2021-07-18 06:00:00", "REST.PUT.OBJECT", 1L, 0L)))
   }
 
+  test("streaming dedup drops duplicate request ids within the watermark") {
+    val base = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
+    val src = s"$base/in"
+    new java.io.File(src).mkdirs()
+    // same happy line twice (same requestid) + one distinct line
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (Fixtures.happyLine + "\n" + Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+    val lines = spark.readStream.text(src)
+    val deduped = Streaming.dedupStream(graft.etl.Enrich.parseLines(lines))
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_sink").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_sink").select("requestid").collect().map(_.getString(0))
+    assert(ids.sorted.toSeq == Seq("3E57427F3EXAMPLE", "891CE47D2EXAMPLE"))
+  }
+
   test("stateful sessionization matches the batch lag+cumsum operator") {
     import spark.implicits._
     val hour = 3600000L
