@@ -139,6 +139,49 @@ object Similarity {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into nlist cells; a query probes only its nprobe nearest
+    * cells and exact-reranks those candidates. The other classic ANN
+    * scale path next to LSH (q29): at 100 TB the corpus is written
+    * bucketed by cell id, so a probe reads nprobe/nlist of the data.
+    * Centroids are a tiny model (nlist × dim) — computed once, broadcast
+    * via the closure; only the assignment and rerank are distributed. */
+  def ivfTopK(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 6,
+              k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(emb)
+    val centers = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+
+    def nearestCells(v: Array[Double]): Seq[Int] = {
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+    import s.implicits._
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect() // 5 query vectors — not corpus data
+      .map { case (id, e) => (id, e, nearestCells(e.map(_.toDouble))) }
+    val probeCells = queries.flatMap { case (qid, qe, cells) =>
+      cells.map(c => (qid, qe, c))
+    }.toSeq.toDF("query_id", "qe", "qcell")
+
+    assigned.join(broadcast(probeCells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (all-pairs over a bucketed
     * join): docs whose embeddings' cosine ≥ threshold, LSH-bucketed so
     * only same-signature pairs are compared. */

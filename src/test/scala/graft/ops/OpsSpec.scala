@@ -58,6 +58,16 @@ class OpsSpec extends SparkSpec {
     assert(exact.isEmpty || lsh.nonEmpty) // bands catch at least some true pairs
   }
 
+  test("IVF ANN: probes a fraction of cells, recalls a useful share of true neighbors") {
+    val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, dir, nlist = 16, nprobe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, f"IVF recall $recall%.2f too low for nprobe=8/16")
+  }
+
   test("LSH ANN results are a subset-consistent approximation of brute force") {
     val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
