@@ -127,6 +127,25 @@ class ParseSpec extends SparkSpec {
     assert(diffs == 0L)
   }
 
+  test("malformed lines degrade to nulls instead of killing the job") {
+    import spark.implicits._
+    val rows = Enrich.parseLines(Seq(
+      "too short",                       // 2 tokens
+      "",                                // empty line
+      "a b [not-a-timestamp] 1.2.3.4 r") // bad timestamp, 5 tokens
+      .toDF("value")).collect()
+    assert(rows.length == 3)
+    // no exception; missing positions and unparseable derivations are null
+    val short = rows.find(_.getAs[String]("bucketowner") == "too").get
+    assert(short.getAs[String]("bucket_name") == "short")
+    assert(short.isNullAt(short.fieldIndex("requestdatetime")))
+    assert(short.isNullAt(short.fieldIndex("ts")))
+    val bad = rows.find(_.getAs[String]("bucketowner") == "a").get
+    assert(bad.getAs[String]("requestdatetime") == "not-a-timestamp")
+    assert(bad.isNullAt(bad.fieldIndex("ts")))          // unparseable → null
+    assert(bad.getAs[Long]("remoteip_int") == 16909060L) // valid IP still derived
+  }
+
   test("ipv4 strict mode fails the job, lenient yields NULL (SURVEY §1.4#5)") {
     import spark.implicits._
     val df = Seq("2001:db8::1").toDF("ip")
