@@ -39,6 +39,15 @@ class QuerySessionSpec extends SparkSpec {
     assert(cidr == 1L)
   }
 
+  test("driver contract: entry() yields rows; every query has a runnable fn") {
+    assert(SparkEntry.entry(spark).count() > 0)          // driver's t1 smoke
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // every declared query at least constructs its plan on sf0.001
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, "/root/testdata/sf0.001").columns.nonEmpty, name)
+    }
+  }
+
   test("approx aggregates stay within declared error of exact values") {
     val dir = "/root/testdata/sf0.001"
     val approx = graft.queries.Relational.q31ApproxAggs(spark, dir).collect()
