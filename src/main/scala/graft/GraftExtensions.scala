@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Ipv4ToLong, RollingHash64, TokenizeS3Log}
+import graft.functions.{CmsEstimate, CosineSimilarity, CountMinSketchAgg, Ipv4ToLong, RollingHash64, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.ipv4ToLong)
     e.injectFunction(GraftExtensions.cosineSimilarity)
     e.injectFunction(GraftExtensions.rollingHash64)
+    e.injectFunction(GraftExtensions.cmsSketch)
+    e.injectFunction(GraftExtensions.cmsEstimate)
   }
 }
 
@@ -49,11 +51,37 @@ object GraftExtensions {
       info("rolling_hash64", "rolling_hash64(s) - 64-bit polynomial rolling hash of a string."),
       (children: Seq[Expression]) => RollingHash64(children.head))
 
+  /** `cms_sketch(col)` or `cms_sketch(col, depth, width)` — depth/width
+    * must be integer literals (they shape the aggregation buffer). */
+  val cmsSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cms_sketch"),
+      info("cms_sketch", "cms_sketch(col[, depth, width]) - Count-Min Sketch of a string column as binary."),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => CountMinSketchAgg(c)
+        case Seq(c, d, w) =>
+          def intLit(e: Expression, name: String): Int = e match {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+              lit.value.asInstanceOf[Int]
+            case _ => throw new IllegalArgumentException(
+              s"cms_sketch: $name must be an INT literal, got $e")
+          }
+          CountMinSketchAgg(c, intLit(d, "depth"), intLit(w, "width"))
+        case other => throw new IllegalArgumentException(
+          s"cms_sketch takes 1 or 3 arguments, got ${other.size}")
+      })
+
+  val cmsEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", "cms_estimate(sketch, item) - Point-frequency estimate from a cms_sketch binary."),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1)))
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, rollingHash64).foreach {
+    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, rollingHash64,
+        cmsSketch, cmsEstimate).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }

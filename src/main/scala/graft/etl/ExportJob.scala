@@ -135,9 +135,15 @@ object ExportJob {
         // that many write tasks (multiple files per partition dir) —
         // default 0 keeps reference one-file-per-combo parity
         val tasks = sys.env.getOrElse("SPARK_GRAFT_EXPORT_TASKS", "0").toInt
-        write(parsed, dst, tasks)
-        // count from the written output so the marker reflects committed rows
-        val n = spark.read.parquet(dst).count()
+        // observe() counts the rows that flow through THIS write — no
+        // post-write re-scan of dst (which accumulates across hours under
+        // SaveMode.Append: a year in, that scan reads ~8,760 hours to
+        // produce one marker line, and its count is cumulative, not
+        // per-hour). The metric is only published once the write commits,
+        // so the marker still reflects committed rows.
+        val obs = org.apache.spark.sql.Observation(s"graft-export-$hour")
+        write(parsed.observe(obs, count(lit(1)).as("rows")), dst, tasks)
+        val n = obs.get("rows").asInstanceOf[Long]
         Tracking.mark(spark, trackingDst, hour, s"exported hour=$hour rows=$n")
         n
     }

@@ -125,4 +125,8 @@ object exprs {
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
   def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
+  def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
+    column(CountMinSketchAgg(expression(c), depth, width).toAggregateExpression())
+  def cms_estimate(sketch: Column, item: Column): Column =
+    column(CmsEstimate(expression(sketch), expression(item)))
 }

@@ -96,10 +96,14 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** q25: word-3-gram Jaccard ≥ 0.5, uncapped (the oracle mirrors the
-    * exact all-pairs form; the capped variant is the scale path). */
+  /** q25: word-3-gram Jaccard ≥ 0.5 with the stop-shingle cap ON
+    * (maxDocFreq=50) — the declared query IS the scale path: per-shingle
+    * join fan-out is bounded at 50² pairs, so a boilerplate shingle in
+    * 10⁶ docs contributes nothing instead of 10¹² pairs. The oracle
+    * mirrors the cap stage-for-stage; recall of planted near-duplicates
+    * under the cap is asserted in OpsSpec against the uncapped form. */
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(s, dir), 3, 0.5)
+    jaccardPairs(Tables.documents(s, dir), 3, 0.5, maxDocFreq = 50L)
 
   /** MinHash signature component j: min over the doc's shingles of
     * md5(shingle + "#j") — a lexicographic min-hash. */

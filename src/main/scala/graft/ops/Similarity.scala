@@ -91,17 +91,26 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** q29: LSH-bucketed ANN (rows-only check — float path, no oracle).
-    * Candidates share the query's 12-bit signature; exact cosine re-ranks
-    * them. At 100 TB: bucket the corpus once (write-time), probe per
-    * query with multi-probe on near buckets for recall. */
+  /** q29: LSH-bucketed multi-probe ANN (rows-only check — float path, no
+    * oracle; recall vs the q28 ground truth is asserted in OpsSpec).
+    * The corpus is bucketed by its 12-bit signature; each query probes its
+    * own bucket PLUS every Hamming-distance-1 bucket (sig ⊕ 2^j) — the
+    * standard multi-probe trick: near-threshold vectors most often differ
+    * in exactly one marginal plane, so probing the 12 adjacent buckets
+    * buys most of the recall of 13 independent tables for one signature
+    * evaluation. Probe fan-out lives on the broadcast (query) side —
+    * queries × (planes+1) rows — the corpus is still scanned once.
+    * At 100 TB: bucket the corpus once (write-time, cluster by sig);
+    * each probe then reads ~(planes+1)/2^planes of the data. */
   def q29LshTopK(s: SparkSession, dir: String): DataFrame = {
     val planes = 12
     val emb = Tables.embeddings(s, dir)
       .withColumn("sig", lshSignature(col("embedding"), 64, planes))
+    val masks = array((lit(0L) +: (0 until planes).map(j => lit(1L << j))): _*)
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("sig").as("qsig"))
-    emb.join(broadcast(q), col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(transform(masks, m => col("sig").bitwiseXOR(m))).as("psig"))
+    emb.join(broadcast(q), col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
@@ -119,8 +128,10 @@ object Similarity {
       .withColumn("nrm", sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
     // the corpus arrives as one small file = one partition; without the
     // repartition the nested-loop pair generation (and all the decimal
-    // dot products) would run in a single task (measured 30x slower)
-    val a = emb.repartition(32, col("vec_id"))
+    // dot products) would run in a single task (measured 30x slower).
+    // defaultParallelism, not a constant: 32 would be wrong on any
+    // differently-sized cluster
+    val a = emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = broadcast(emb
       .select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb")))

@@ -78,16 +78,23 @@ object ExtensionOracles {
       |WHERE group_size >= 2
       |ORDER BY group_key""".stripMargin
 
+  /** Mirrors the stop-shingle cap (maxDocFreq=50): shingles above the
+    * document-frequency cap are dropped BEFORE the inverted-index join,
+    * and per-doc set sizes are recomputed over the capped sets — exactly
+    * the Spark dataflow in Dedup.jaccardPairs. */
   val q25NgramJaccard: String =
     s"""WITH $shingleCtes,
+       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+       |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-       |           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
        |           GROUP BY 1, 2)
        |SELECT d1, d2, c AS n_common,
        |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
        |FROM common
-       |JOIN sz s1 ON d1 = s1.doc_id
-       |JOIN sz s2 ON d2 = s2.doc_id
+       |JOIN szc s1 ON d1 = s1.doc_id
+       |JOIN szc s2 ON d2 = s2.doc_id
        |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 

@@ -347,17 +347,41 @@ object Relational {
   }
 
   /** Exact discrete median (type-agnostic order statistic): the
-    * ceil(n/2)-th smallest value per group, selected by window rank with
-    * a deterministic tie-break — interpolating percentile functions
-    * differ across engines, the order statistic cannot. */
+    * ceil(n/2)-th smallest value per group — interpolating percentile
+    * functions differ across engines, the order statistic cannot.
+    *
+    * Two-phase selection, NOT a per-row window: a `row_number()` over a
+    * 3-value partition key sorts each group's entire data through one
+    * task — a third of the corpus per task at 100 TB. Instead:
+    *   1. distinct-value histogram (one shuffle, map-side partial agg);
+    *   2. coarse value-buckets → cumulative counts over the bucket axis
+    *      (window over ~100 aggregated rows per group, not raw rows)
+    *      locate the bucket holding rank k and the residual rank inside it;
+    *   3. only that bucket's distinct values (a ~1024-wide price slice)
+    *      sort through a window — bounded work regardless of data size.
+    * Every window in the plan runs over aggregated, bounded-cardinality
+    * input (asserted in PlanSpec). */
   def q33MedianDisc(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val bucket = (c: Column) => floor(c / lit(1024.0))
     val counts = li.groupBy(col("l_returnflag").as("cf")).agg(count(lit(1)).as("n"))
-    li.withColumn("rn", row_number().over(w))
-      .join(counts, col("l_returnflag") === col("cf"))
-      .filter(col("rn") === ceil(col("n") / lit(2.0)).cast("long"))
+      .withColumn("k", ceil(col("n") / lit(2.0)).cast("long"))
+    val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val buckets = hist.groupBy(col("l_returnflag").as("bf"),
+        bucket(col("l_extendedprice")).as("b"))
+      .agg(sum(col("cnt")).as("bc"))
+    val wb = Window.partitionBy(col("bf")).orderBy(col("b"))
+    val target = buckets.withColumn("cumb", sum(col("bc")).over(wb))
+      .join(broadcast(counts), col("bf") === col("cf"))
+      .filter(col("cumb") >= col("k") && col("cumb") - col("bc") < col("k"))
+      .select(col("bf"), col("b").as("tb"),
+        (col("k") - (col("cumb") - col("bc"))).as("kk"), col("n"))
+    val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    hist.join(broadcast(target), col("l_returnflag") === col("bf") &&
+        bucket(col("l_extendedprice")) === col("tb"))
+      .withColumn("cumv", sum(col("cnt")).over(wv))
+      .filter(col("cumv") >= col("kk") && col("cumv") - col("cnt") < col("kk"))
       .select(col("l_returnflag"), col("l_extendedprice").as("median_price"), col("n"))
       .orderBy(col("l_returnflag"))
   }

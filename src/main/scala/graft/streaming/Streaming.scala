@@ -50,12 +50,18 @@ object Streaming {
   /** Streaming exact dedup: drop duplicate request ids within the
     * watermark horizon — state is bounded by the watermark (old keys are
     * evicted), so it runs indefinitely at any rate. The streaming
-    * counterpart of ops.Dedup's batch operators. */
+    * counterpart of ops.Dedup's batch operators.
+    *
+    * `dropDuplicatesWithinWatermark` keys state on the id ALONE: a retry
+    * or clock-skewed duplicate arrives with a different event timestamp —
+    * the normal duplicate case — and must still be dropped. (A plain
+    * `dropDuplicates(id, event_time)` would key on the pair and pass
+    * every such duplicate through.) */
   def dedupStream(parsed: DataFrame, idCol: String = "requestid"): DataFrame =
     parsed
       .withColumn("event_time", to_timestamp(col("datetime"), "yyyy-MM-dd'T'HH:mm:ssxxx"))
       .withWatermark("event_time", "2 hours")
-      .dropDuplicates(idCol, "event_time")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Session windows via the built-in `session_window` (gap-based merge
     * handled by Spark's streaming state store): one row per closed

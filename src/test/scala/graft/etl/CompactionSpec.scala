@@ -31,6 +31,31 @@ class CompactionSpec extends SparkSpec {
     assert(after.where("operation = 'REST.GET.OBJECT' and hour = 5").count() == beforeRows / 2)
   }
 
+  test("crash between the swap renames is recoverable — data never lost") {
+    val base = Files.createTempDirectory("graft-compact-crash").toFile.getAbsolutePath
+    val src = s"$base/in"; val dst = s"$base/out"
+    new java.io.File(src).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+    ExportJob.runHour(spark, src, dst, s"$base/track", "2021-07-18-05")
+    val beforeData = spark.read.parquet(dst).orderBy("requestid").collect().toSeq
+
+    // simulate the worst crash point: root renamed away, tmp not yet
+    // renamed in (the state after compact's step 3)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dst),
+      new org.apache.hadoop.fs.Path(s"$dst.pre-compact"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst)))
+
+    assert(Compaction.recover(spark, dst))
+    assert(spark.read.parquet(dst).orderBy("requestid").collect().toSeq == beforeData)
+
+    // recover on a healthy tree is a no-op that reports success
+    assert(Compaction.recover(spark, dst))
+    assert(spark.read.parquet(dst).count() == beforeData.size)
+  }
+
   test("deterministic stratified sample is stable and stratum-scoped") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val fractions = Map("en" -> 0.5, "de" -> 0.1)

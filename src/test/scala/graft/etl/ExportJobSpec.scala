@@ -52,6 +52,16 @@ class ExportJobSpec extends SparkSpec {
     assert(ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-07") == -1L)
     assert(!ExportJob.Tracking.done(spark, tracking, "2021-07-18-07"))
 
+    // marker rows are PER-HOUR, not cumulative: hour 06 appends 1 row to a
+    // dst that already holds 3, and both its return and marker must say 1
+    // (the count comes from observe() on the written frame, not a re-scan
+    // of the accumulated dataset)
+    assert(ExportJob.runHour(spark, src, dst, tracking, "2021-07-18-06") == 1L)
+    assert(spark.read.parquet(dst).count() == 4)
+    val markerPath = java.nio.file.Paths.get(s"$tracking/2021-07-18-06")
+    val marker = new String(Files.readAllBytes(markerPath), "UTF-8")
+    assert(marker == "exported hour=2021-07-18-06 rows=1")
+
     // filename-time extraction (reference parse_time): first 19 chars
     val ft = spark.read.text(s"$src/2021-07-18-05-00-12-ABCDEF0123456789")
       .select(ExportJob.fileTime(input_file_name()).cast("string"))

@@ -50,7 +50,9 @@ class OpsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds a superset-of-threshold subset of exact jaccard pairs") {
-    val exact = Dedup.q25NgramJaccard(spark, dir).collect()
+    // uncapped all-pairs form: q26's verification scores over FULL shingle
+    // sets, so its exact companion must too (q25 itself is now capped)
+    val exact = Dedup.jaccardPairs(graft.Tables.documents(spark, dir), 3, 0.5).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     val lsh = Dedup.q26MinhashLsh(spark, dir).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
@@ -68,14 +70,15 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, f"IVF recall $recall%.2f too low for nprobe=8/16")
   }
 
-  test("LSH ANN results are a subset-consistent approximation of brute force") {
+  test("multi-probe LSH ANN recalls most true neighbors") {
     val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val lsh = Similarity.q29LshTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    // same-bucket candidates re-ranked exactly → any overlap with the true
-    // top-10 is in the same relative order; sanity: both produced results
     assert(bf.size == 50)
-    assert(lsh.nonEmpty)
+    // candidates are exact-reranked, so every LSH hit that IS a true
+    // neighbor ranks identically — recall is the only approximation
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, f"multi-probe LSH recall $recall%.2f < 0.6 vs brute force")
   }
 }

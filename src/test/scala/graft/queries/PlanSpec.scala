@@ -54,4 +54,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("q16_asof_join")
     assert(p.contains("partial_max"), "expected map-side partial aggregation for the argmax")
   }
+
+  test("q33: no window sorts raw rows — every window runs over aggregated input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // sparkPlan (pre-AQE) — the adaptive wrapper hides children from collect
+    val physical = graft.SparkEntry.queries("q33_median_disc")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the two-phase selection's windows in the plan")
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"window over raw (unaggregated) rows — single-task group sort at scale:\n$w")
+    }
+  }
 }

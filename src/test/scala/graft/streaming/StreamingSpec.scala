@@ -53,9 +53,13 @@ class StreamingSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
     val src = s"$base/in"
     new java.io.File(src).mkdirs()
-    // same happy line twice (same requestid) + one distinct line
+    // the same requestid three ways: verbatim duplicate, AND a retry 10
+    // minutes later (same id, different event_time — the normal duplicate
+    // shape); plus one genuinely distinct line. Only id-keyed state
+    // (dropDuplicatesWithinWatermark) drops the retry.
     Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
-      (Fixtures.happyLine + "\n" + Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+      (Fixtures.happyLine + "\n" + Fixtures.happyLine + "\n" +
+        Fixtures.happyRetryLine + "\n" + Fixtures.dashLine).getBytes)
     val lines = spark.readStream.text(src)
     val deduped = Streaming.dedupStream(graft.etl.Enrich.parseLines(lines))
     val q = deduped.writeStream.outputMode(OutputMode.Append)
