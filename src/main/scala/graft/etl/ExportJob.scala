@@ -149,8 +149,35 @@ object ExportJob {
     }
   }
 
+  /** Job-level watchdog — the analogue of the reference's `TIMEOUT` env
+    * (cmd/export.py:259). Documented divergence: the reference passes it
+    * to a condition-variable wait inside a re-check loop (s3access/
+    * wg.py:29-32), so it never actually aborts anything; here the env var
+    * gets teeth as a hard deadline — a wedged S3 read must not silently
+    * eat the cron slot (and the next hour's run) forever. `TIMEOUT=0`
+    * (the default) disables the deadline. Exit code 124, `timeout`(1)
+    * convention. */
+  private[etl] def startWatchdog(spark: SparkSession, timeoutSec: Int): Option[Thread] =
+    if (timeoutSec <= 0) None
+    else {
+      val t = new Thread(() => {
+        val finishedInTime =
+          try { Thread.sleep(timeoutSec * 1000L); false }
+          catch { case _: InterruptedException => true }
+        if (!finishedInTime) {
+          System.err.println(s"""{"error":"export timed out","timeout_sec":$timeoutSec}""")
+          spark.sparkContext.cancelAllJobs()
+          Runtime.getRuntime.halt(124)
+        }
+      }, "graft-export-watchdog")
+      t.setDaemon(true)
+      t.start()
+      Some(t)
+    }
+
   /** Env contract of the reference (cmd/export.py:234-259): SRC, DST,
-    * TRACKING_DST, HOUR (default = previous hour UTC, cmd/export.py:238-241). */
+    * TRACKING_DST, HOUR (default = previous hour UTC, cmd/export.py:238-241),
+    * TIMEOUT (seconds; see `startWatchdog`). */
   def main(args: Array[String]): Unit = {
     val src = sys.env("SRC")
     val dst = sys.env("DST")
@@ -160,11 +187,15 @@ object ExportJob {
       prev.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH"))
     })
     val spark = graft.GraftSession.create()
+    val watchdog = startWatchdog(spark, sys.env.getOrElse("TIMEOUT", "0").toInt)
     try {
       val t0 = System.nanoTime()
       val n = runHour(spark, src, dst, tracking, hour)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"hour":"$hour","rows":$n,"job_sec":$secs%.2f}""")
-    } finally spark.stop()
+    } finally {
+      watchdog.foreach(_.interrupt())
+      spark.stop()
+    }
   }
 }

@@ -62,6 +62,13 @@ class ExportJobSpec extends SparkSpec {
     val marker = new String(Files.readAllBytes(markerPath), "UTF-8")
     assert(marker == "exported hour=2021-07-18-06 rows=1")
 
+    // TIMEOUT watchdog: 0 disables; an interrupted watchdog dies without
+    // firing (the halt path is exercised in packaging tests, not in-JVM)
+    assert(ExportJob.startWatchdog(spark, 0).isEmpty)
+    val wd = ExportJob.startWatchdog(spark, 3600).get
+    wd.interrupt(); wd.join(5000)
+    assert(!wd.isAlive)
+
     // filename-time extraction (reference parse_time): first 19 chars
     val ft = spark.read.text(s"$src/2021-07-18-05-00-12-ABCDEF0123456789")
       .select(ExportJob.fileTime(input_file_name()).cast("string"))
