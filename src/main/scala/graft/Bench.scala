@@ -18,20 +18,28 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One untimed warmup pass (codegen compile, classloading, page-cache
-    // warm) then N timed runs, reporting the per-query median.
+    // warm), then N timed PASSES — each pass sweeps every query once, and
+    // a query's time is its median across passes. Interleaving matters:
+    // timing one query's N runs back-to-back lets a single multi-second
+    // host-contention spike poison all of them (and the median with it);
+    // spread across passes, the spike lands in one pass and the median
+    // discards it.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     val queries = SparkEntry.queries.toSeq
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => return println(
         s"""{"metric":"total","value":-1,"unit":"sec","error":"$name failed"}""") }
     }
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val times = Array.fill(queries.size)(Vector.newBuilder[Double])
+    (1 to runs).foreach { _ =>
+      queries.zipWithIndex.foreach { case ((_, fn), i) =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        times(i) += (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+    }
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+      name -> median(times(i).result())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

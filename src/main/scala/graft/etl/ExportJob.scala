@@ -105,10 +105,19 @@ object ExportJob {
   }
 
   /** Preflight smoke checks (reference cmd/export.py:346-376): read the
-    * first matched input file counting lines; write/read/delete a probe
-    * file under dst. Fails fast before any cluster work is scheduled. */
+    * FIRST matched input file end-to-end counting its lines (the
+    * reference's smoke_read counts len(readlines()) — a full-object read,
+    * catching truncated/permission-broken objects that a first-byte probe
+    * would pass); write/read/delete a probe file under dst. Fails fast
+    * before any cluster work is scheduled. */
   def preflight(spark: SparkSession, src: String, dst: String, hour: String): Boolean = {
-    val ok = readHour(spark, src, hour).forall(df => df.limit(1).count() >= 0)
+    val pattern = new Path(s"${src.stripSuffix("/")}/$hour*")
+    val srcFs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = Option(srcFs.globStatus(pattern)).getOrElse(Array.empty).headOption
+    val ok = first.forall { st =>
+      val lines = spark.read.text(st.getPath.toString).count()
+      lines >= 0 // a zero-line object is readable; unreadable ones throw
+    }
     val probe = new Path(s"${dst.stripSuffix("/")}/.graft-preflight-${java.util.UUID.randomUUID()}")
     val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {

@@ -101,10 +101,10 @@ object ExtensionOracles {
   val q26MinhashLsh: String =
     s"""WITH $shingleCtes,
        |sig AS (SELECT doc_id,
-       |  min(md5(g || '#0')) AS h0, min(md5(g || '#1')) AS h1,
-       |  min(md5(g || '#2')) AS h2, min(md5(g || '#3')) AS h3,
-       |  min(md5(g || '#4')) AS h4, min(md5(g || '#5')) AS h5,
-       |  min(md5(g || '#6')) AS h6, min(md5(g || '#7')) AS h7
+       |  min(substring(md5(g), 1, 8))  AS h0, min(substring(md5(g), 9, 8))  AS h1,
+       |  min(substring(md5(g), 17, 8)) AS h2, min(substring(md5(g), 25, 8)) AS h3,
+       |  min(substring(md5('#' || g), 1, 8))  AS h4, min(substring(md5('#' || g), 9, 8))  AS h5,
+       |  min(substring(md5('#' || g), 17, 8)) AS h6, min(substring(md5('#' || g), 25, 8)) AS h7
        |  FROM sh GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig

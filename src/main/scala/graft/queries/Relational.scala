@@ -364,22 +364,29 @@ object Relational {
   def q33MedianDisc(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val bucket = (c: Column) => floor(c / lit(1024.0))
-    val counts = li.groupBy(col("l_returnflag").as("cf")).agg(count(lit(1)).as("n"))
-      .withColumn("k", ceil(col("n") / lit(2.0)).cast("long"))
-    val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("cnt"))
-    val buckets = hist.groupBy(col("l_returnflag").as("bf"),
+    // coarse histogram straight off the scan: map-side combine collapses
+    // each task's rows to <=#buckets partials, so the shuffle carries
+    // ~hundreds of rows — no per-distinct-value shuffle anywhere
+    val buckets = li.groupBy(col("l_returnflag").as("bf"),
         bucket(col("l_extendedprice")).as("b"))
-      .agg(sum(col("cnt")).as("bc"))
+      .agg(count(lit(1)).as("bc"))
+    val counts = buckets.groupBy(col("bf").as("cf")).agg(sum(col("bc")).as("n"))
+      .withColumn("k", ceil(col("n") / lit(2.0)).cast("long"))
     val wb = Window.partitionBy(col("bf")).orderBy(col("b"))
     val target = buckets.withColumn("cumb", sum(col("bc")).over(wb))
       .join(broadcast(counts), col("bf") === col("cf"))
       .filter(col("cumb") >= col("k") && col("cumb") - col("bc") < col("k"))
       .select(col("bf"), col("b").as("tb"),
         (col("k") - (col("cumb") - col("bc"))).as("kk"), col("n"))
+    // second scan touches only the target bucket's rows (broadcast
+    // semi-filter before any shuffle): the per-value histogram and its
+    // window are over a ~1024-wide price slice per group, bounded
+    // regardless of data size
     val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    hist.join(broadcast(target), col("l_returnflag") === col("bf") &&
+    li.join(broadcast(target), col("l_returnflag") === col("bf") &&
         bucket(col("l_extendedprice")) === col("tb"))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"), col("kk"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("cumv", sum(col("cnt")).over(wv))
       .filter(col("cumv") >= col("kk") && col("cumv") - col("cnt") < col("kk"))
       .select(col("l_returnflag"), col("l_extendedprice").as("median_price"), col("n"))
