@@ -29,20 +29,30 @@ object Dedup {
 
   import TextAnalysis.{normalize, prefixTokens}
 
-  /** Distinct word n-gram shingles per document: explode token positions,
-    * join adjacent tokens. Narrow until the final distinct. */
+  /** Distinct word n-gram shingles per document, fully narrow: the
+    * per-doc shingle list is built and deduplicated IN-ROW
+    * (`array_distinct`, a hash-set pass) before the explode — no
+    * `(doc_id, g)` distinct shuffle at all. Same output set as an
+    * explode+distinct formulation; the oracle's `SELECT DISTINCT` mirrors
+    * the semantics without caring which side dedups.
+    * Guard: Spark's `sequence(1, 0)` counts DOWN to [1, 0]; docs shorter
+    * than n tokens must produce zero shingles, not bogus indices. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // the pipeline below is fully narrow — which means a small-file corpus
+    // (one input split) would tokenize on ONE core. Widen cheap raw docs
+    // first; skip the shuffle when the input is already parallel (at
+    // 100 TB the scan arrives in thousands of splits and this is a no-op)
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism) else docs
+    val toks = wide.select(col("doc_id"),
       regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)).as("l"))
-    // guard: Spark's sequence(1, 0) counts DOWN to [1, 0]; docs shorter
-    // than n tokens must produce zero shingles, not bogus indices
     toks
-      .withColumn("i", explode(
-        when(size(col("l")) >= n, sequence(lit(1), size(col("l")) - (n - 1)))
-          .otherwise(array().cast("array<int>"))))
-      .select(col("doc_id"),
-        array_join(slice(col("l"), col("i"), lit(n)), " ").as("g"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(
+        transform(
+          when(size(col("l")) >= n, sequence(lit(1), size(col("l")) - (n - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => array_join(slice(col("l"), i, lit(n)), " ")))).as("g"))
   }
 
   /** q24: exact dedup on the normalized 8-token prefix (boilerplate key).
@@ -75,12 +85,16 @@ object Dedup {
     * the *informative* shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxDocFreq: Long = 0L): DataFrame = {
-    val all = shingles(docs, n)
     val sh = (if (maxDocFreq > 0L) {
+      // one materialization of the shingle set serves the doc-freq
+      // aggregation AND the stop-shingle join; the capped result is NOT
+      // cached again — its consumers re-probe the cached base through a
+      // cheap broadcast hash join instead of writing a second store
+      val all = shingles(docs, n).cache()
       val rare = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq).select(col("g"))
-      all.join(broadcast(rare), "g").select(col("doc_id"), col("g"))
-    } else all).cache()
+      all.join(broadcast(rare), "g").select(col("doc_id"), col("g")).cache()
+    } else shingles(docs, n).cache())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
