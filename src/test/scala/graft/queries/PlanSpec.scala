@@ -55,6 +55,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), "expected map-side partial aggregation for the argmax")
   }
 
+  test("q25: stop-shingle cap joins broadcast, no cartesian pair generation") {
+    val p = plan("q25_ngram_jaccard")
+    // the rare-shingle filter must reach the probe side as a broadcast —
+    // a shuffle here would defeat the point of the cap
+    assert(p.contains("BroadcastHashJoin"), s"cap join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "all-pairs fallback crept in")
+  }
+
+  test("q29: probe fan-out rides the broadcast side; corpus scanned once") {
+    val p = plan("q29_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), "bucket probe should be a broadcast join")
+    // one corpus pass feeds both the signatures and the candidates — the
+    // embeddings table must not be scanned more than twice (sig + probe)
+    assert(p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("embeddings")) <= 2,
+      s"embeddings scanned repeatedly:\n$p")
+  }
+
   test("q33: no window sorts raw rows — every window runs over aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
