@@ -32,6 +32,10 @@ object Bench {
     }
     val times = Array.fill(queries.size)(Vector.newBuilder[Double])
     (1 to runs).foreach { _ =>
+      // each query invocation builds fresh DataFrames, so caches from the
+      // previous pass are unreachable — drop them or they accrue for the
+      // whole bench (runs × cached queries)
+      spark.catalog.clearCache()
       queries.zipWithIndex.foreach { case ((_, fn), i) =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
