@@ -70,6 +70,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, f"IVF recall $recall%.2f too low for nprobe=8/16")
   }
 
+  test("LSH-bucketed near-dup pairs recall most exact pairs") {
+    val exact = Similarity.q36EmbeddingNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val lsh = Similarity.nearDupPairs(
+        graft.Tables.embeddings(spark, dir), 0.45, planes = 8).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(exact.nonEmpty)
+    // the bucketed scale path must find most of what the exact all-pairs
+    // ground truth finds (missed pairs = signature split across buckets)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, f"near-dup LSH recall $recall%.2f < 0.5 vs exact pairs")
+  }
+
   test("multi-probe LSH ANN recalls most true neighbors") {
     val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
