@@ -87,13 +87,15 @@ object Dedup {
                    maxDocFreq: Long = 0L): DataFrame = {
     val sh = (if (maxDocFreq > 0L) {
       // one materialization of the shingle set serves the doc-freq
-      // aggregation AND the stop-shingle join; the capped result is NOT
-      // cached again — its consumers re-probe the cached base through a
-      // cheap broadcast hash join instead of writing a second store
+      // aggregation AND the stop-shingle filter. The broadcast side is the
+      // STOP set (df > cap) via anti-join, never the rare set: rare
+      // shingles are O(distinct shingles) ≈ O(corpus) — broadcasting them
+      // dies at scale — while the stop set is tiny by construction (only
+      // shingles heavier than the cap).
       val all = shingles(docs, n).cache()
-      val rare = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select(col("g"))
-      all.join(broadcast(rare), "g").select(col("doc_id"), col("g")).cache()
+      val stop = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("g"))
+      all.join(broadcast(stop), Seq("g"), "left_anti").cache()
     } else shingles(docs, n).cache())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")

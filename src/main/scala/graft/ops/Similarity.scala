@@ -23,6 +23,14 @@ import graft.functions.exprs
   */
 object Similarity {
 
+  /** Widen a small (few-split) corpus to the cluster's parallelism before
+    * per-row signature/score work — a single-file corpus otherwise runs
+    * every narrow stage on one core. No-op on already-parallel scans. */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Fast cosine similarity: the native CosineSimilarity expression — one
     * fused codegen loop. Bit-identical to `cosineHof` (same accumulation
     * order), which is kept as the built-ins-only formulation and for the
@@ -53,7 +61,7 @@ object Similarity {
     * vec_id < 5 (self excluded). Queries are broadcast; one scan of the
     * corpus per batch of queries, no shuffle until the final top-k. */
   def q28BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = widen(Tables.embeddings(s, dir))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // two-phase exact ranking (same trick as q36): the fused native float
@@ -113,7 +121,7 @@ object Similarity {
     * each probe then reads ~(planes+1)/2^planes of the data. */
   def q29LshTopK(s: SparkSession, dir: String): DataFrame = {
     val planes = 12
-    val emb = Tables.embeddings(s, dir)
+    val emb = widen(Tables.embeddings(s, dir))
       .withColumn("sig", lshSignature(col("embedding"), 64, planes))
     val masks = array((lit(0L) +: (0 until planes).map(j => lit(1L << j))): _*)
     val q = emb.filter(col("vec_id") < 5)
@@ -204,11 +212,32 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (all-pairs over a bucketed
     * join): docs whose embeddings' cosine ≥ threshold, LSH-bucketed so
-    * only same-signature pairs are compared. */
-  def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
-    val sigs = emb.withColumn("sig", lshSignature(col("embedding"), 64, planes))
-    sigs.as("x").join(sigs.as("y"),
-        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+    * only same-signature pairs are compared.
+    *
+    * The self-join is CHUNK-SPLIT: a dense embedding cluster puts a large
+    * fraction of the corpus into one signature bucket, whose pair count is
+    * quadratic and would otherwise land in a single task (measured on a
+    * 20× soak: a 20k-row hot bucket = 400M pairs = 1 task = the whole
+    * job's wall time). Each left row fans out to `chunks` join keys
+    * (sig, partnerChunk); each right row carries its own (sig, chunk) —
+    * so a hot bucket's pair grid spreads over `chunks` tasks while every
+    * pair is still generated exactly once. Left-side replication costs
+    * chunks×|corpus| shuffled rows — linear, the price of splitting a
+    * quadratic hotspot. The signed corpus is cached: both join sides
+    * consume it, and the signatures (planes × HOF passes per row) are the
+    * second-largest cost. */
+  def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8,
+                   chunks: Int = 0): DataFrame = {
+    val c = if (chunks > 0) chunks
+            else math.max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+    val sigs = widen(emb)
+      .withColumn("sig", lshSignature(col("embedding"), 64, planes))
+      .withColumn("ch", pmod(col("vec_id"), lit(c.toLong))).cache()
+    val x = sigs.withColumn("py",
+      explode(array((0 until c).map(k => lit(k.toLong)): _*)))
+    x.as("x").join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.py") === col("y.ch") &&
+          col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos", cosine(col("x.embedding"), col("y.embedding")))
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cos"))

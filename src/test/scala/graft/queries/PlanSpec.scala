@@ -55,11 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), "expected map-side partial aggregation for the argmax")
   }
 
-  test("q25: stop-shingle cap joins broadcast, no cartesian pair generation") {
+  test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {
     val p = plan("q25_ngram_jaccard")
-    // the rare-shingle filter must reach the probe side as a broadcast —
-    // a shuffle here would defeat the point of the cap
-    assert(p.contains("BroadcastHashJoin"), s"cap join not broadcast:\n$p")
+    // the broadcast side must be the tiny STOP set (anti join) — a
+    // broadcast of the rare set is O(corpus) and dies at scale
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"cap is not a broadcast anti join:\n$p")
     assert(!p.contains("CartesianProduct"), "all-pairs fallback crept in")
   }
 
