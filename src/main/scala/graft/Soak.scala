@@ -59,6 +59,7 @@ object Soak {
     val results = Seq(
       timed("shingles")(Dedup.shingles(docs, 3)),
       timed("jaccard_capped")(Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L)),
+      timed("minhash_lsh")(Dedup.minhashLshPairs(docs)),
       timed("neardup_lsh")(Similarity.nearDupPairs(emb, 0.45, planes = 8)))
 
     val body = results.map { case (l, s, r) =>

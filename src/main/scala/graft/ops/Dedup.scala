@@ -85,18 +85,7 @@ object Dedup {
     * the *informative* shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxDocFreq: Long = 0L): DataFrame = {
-    val sh = (if (maxDocFreq > 0L) {
-      // one materialization of the shingle set serves the doc-freq
-      // aggregation AND the stop-shingle filter. The broadcast side is the
-      // STOP set (df > cap) via anti-join, never the rare set: rare
-      // shingles are O(distinct shingles) ≈ O(corpus) — broadcasting them
-      // dies at scale — while the stop set is tiny by construction (only
-      // shingles heavier than the cap).
-      val all = shingles(docs, n).cache()
-      val stop = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDocFreq).select(col("g"))
-      all.join(broadcast(stop), Seq("g"), "left_anti").cache()
-    } else shingles(docs, n).cache())
+    val sh = cappedShingles(docs, n, maxDocFreq)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -121,6 +110,22 @@ object Dedup {
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.documents(s, dir), 3, 0.5, maxDocFreq = 50L)
 
+  /** Shingle set with the stop-shingle cap applied (document frequency
+    * ≤ maxDocFreq; 0 = uncapped), cached — the shared front end of every
+    * shingle-based dedup operator. One materialization of the raw shingle
+    * set serves the doc-freq aggregation AND the stop-shingle filter. The
+    * broadcast side is the STOP set (df > cap) via anti-join, never the
+    * rare set: rare shingles are O(distinct shingles) ≈ O(corpus) —
+    * broadcasting them dies at scale — while the stop set is tiny by
+    * construction (only shingles heavier than the cap). */
+  private def cappedShingles(docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame =
+    if (maxDocFreq > 0L) {
+      val all = shingles(docs, n).cache()
+      val stop = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("g"))
+      all.join(broadcast(stop), Seq("g"), "left_anti").cache()
+    } else shingles(docs, n).cache()
+
   /** MinHash signature component j: lexicographic min over the doc's
     * shingles of an 8-hex-char (32-bit) slice of a shingle digest.
     * All 8 components derive from TWO md5 evaluations per shingle
@@ -141,8 +146,22 @@ object Dedup {
   /** q26: MinHash + LSH banded dedup, fully verified.
     * k=8 signature components, 4 bands × 2 rows; candidates from band
     * collisions, then exact Jaccard ≥ 0.5 verification on candidates only. */
-  def q26MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir), 3).cache()
+  def q26MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(s, dir))
+
+  /** MinHash+LSH near-dup pairs over any documents frame (doc_id, text).
+    *
+    * The stop-shingle cap applies BEFORE signatures — without it a
+    * boilerplate shingle that happens to hash near the minimum becomes
+    * the min-hash of every document containing it, their band hashes
+    * collide, and candidate generation goes quadratic in that shingle's
+    * document frequency (a 20× soak with salted boilerplate ran the
+    * uncapped form past 10 minutes; capped finishes with the corpus).
+    * Contract: run exact dedup (q24) first — a group of thousands of
+    * IDENTICAL documents legitimately shares every signature and no
+    * banding scheme can keep its candidate count sub-quadratic. */
+  def minhashLshPairs(docs: DataFrame, maxDocFreq: Long = 50L): DataFrame = {
+    val sh = cappedShingles(docs, 3, maxDocFreq)
     val k = 8
     val sig = withDigests(sh).groupBy(col("doc_id")).agg(
       minhashAgg(0), (1 until k).map(minhashAgg): _*)

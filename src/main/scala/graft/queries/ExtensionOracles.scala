@@ -98,14 +98,19 @@ object ExtensionOracles {
        |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Mirrors the stop-shingle cap (maxDocFreq=50) applied BEFORE the
+    * MinHash signatures — same capped shingle set as q25. */
   val q26MinhashLsh: String =
     s"""WITH $shingleCtes,
+       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+       |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |sig AS (SELECT doc_id,
        |  min(substring(md5(g), 1, 8))  AS h0, min(substring(md5(g), 9, 8))  AS h1,
        |  min(substring(md5(g), 17, 8)) AS h2, min(substring(md5(g), 25, 8)) AS h3,
        |  min(substring(md5('#' || g), 1, 8))  AS h4, min(substring(md5('#' || g), 9, 8))  AS h5,
        |  min(substring(md5('#' || g), 17, 8)) AS h6, min(substring(md5('#' || g), 25, 8)) AS h7
-       |  FROM sh GROUP BY doc_id),
+       |  FROM shc GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
@@ -116,14 +121,14 @@ object ExtensionOracles {
        |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        |common AS (SELECT cand.d1, cand.d2, count(*) AS c
        |           FROM cand
-       |           JOIN sh a ON cand.d1 = a.doc_id
-       |           JOIN sh b ON cand.d2 = b.doc_id AND a.g = b.g
+       |           JOIN shc a ON cand.d1 = a.doc_id
+       |           JOIN shc b ON cand.d2 = b.doc_id AND a.g = b.g
        |           GROUP BY 1, 2)
        |SELECT d1, d2,
        |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
        |FROM common
-       |JOIN sz s1 ON d1 = s1.doc_id
-       |JOIN sz s2 ON d2 = s2.doc_id
+       |JOIN szc s1 ON d1 = s1.doc_id
+       |JOIN szc s2 ON d2 = s2.doc_id
        |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 

@@ -50,9 +50,11 @@ class OpsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds a superset-of-threshold subset of exact jaccard pairs") {
-    // uncapped all-pairs form: q26's verification scores over FULL shingle
-    // sets, so its exact companion must too (q25 itself is now capped)
-    val exact = Dedup.jaccardPairs(graft.Tables.documents(spark, dir), 3, 0.5).collect()
+    // capped all-pairs form: q26 now applies the stop-shingle cap before
+    // signatures AND verification, so its exact companion is the capped
+    // jaccard with the same maxDocFreq
+    val exact = Dedup.jaccardPairs(graft.Tables.documents(spark, dir), 3, 0.5,
+      maxDocFreq = 50L).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     val lsh = Dedup.q26MinhashLsh(spark, dir).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
