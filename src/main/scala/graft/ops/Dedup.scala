@@ -56,15 +56,32 @@ object Dedup {
   }
 
   /** q24: exact dedup on the normalized 8-token prefix (boilerplate key).
-    * Emits one row per duplicate group: canonical (min) id, size, members. */
+    * Emits one row per duplicate group: canonical (min) id, size, and the
+    * 20 smallest member ids.
+    *
+    * No agg buffer grows with group size: members come from a two-level
+    * min-k selection — each of 1024 sub-buckets keeps its own sorted
+    * min-20 (buffer ≤ group/1024 before the slice), and the merge level
+    * sees ≤ 20×1024 survivors per group. A flat
+    * `collect_list(all members)` would buffer a billion-duplicate group
+    * in one aggregation state; capping only the OUTPUT wouldn't fix
+    * that. Sub-bucket count is the memory/width knob at larger scale. */
   def q24ExactDedup(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .groupBy(md5(prefixTokens(col("text"), 8)).as("group_key"))
+    val base = Tables.documents(s, dir)
+      .select(md5(prefixTokens(col("text"), 8)).as("group_key"), col("doc_id"))
+    val sub = base
+      .groupBy(col("group_key"), pmod(col("doc_id"), lit(1024L)).as("sb"))
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("m"),
+        count(lit(1)).as("c"))
+    val sizes = sub.groupBy(col("group_key").as("gk"))
+      .agg(sum(col("c")).as("group_size"))
+    sub.select(col("group_key"), explode(col("m")).as("k"))
+      .groupBy(col("group_key"))
       .agg(
-        min(col("doc_id")).as("canonical_id"),
-        count(lit(1)).as("group_size"),
-        array_join(transform(array_sort(collect_list(col("doc_id"))),
+        min(col("k")).as("canonical_id"),
+        array_join(transform(slice(array_sort(collect_list(col("k"))), 1, 20),
           x => x.cast("string")), ",").as("members"))
+      .join(sizes, col("group_key") === col("gk"))
       .filter(col("group_size") >= 2)
       .select(col("group_key"), col("canonical_id"), col("group_size"), col("members"))
       .orderBy(col("group_key"))

@@ -73,7 +73,8 @@ object ExtensionOracles {
       |           ' ')) AS group_key,
       |    min(doc_id) AS canonical_id,
       |    COUNT(*) AS group_size,
-      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+      |    array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+      |      x -> CAST(x AS VARCHAR)), ',') AS members
       |  FROM documents GROUP BY 1) t
       |WHERE group_size >= 2
       |ORDER BY group_key""".stripMargin

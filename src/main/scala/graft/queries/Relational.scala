@@ -422,14 +422,25 @@ object Relational {
 
   /** Ordered collection aggregate (nested-type surface): the 5 smallest
     * order keys per priority, surfaced as a joined string so the physical
-    * representation is engine-neutral. */
+    * representation is engine-neutral.
+    *
+    * Two-level min-k selection, not a flat collect: 1024 sub-buckets each
+    * keep a sorted min-5 (agg buffer ≤ group/1024), the merge level sees
+    * ≤ 5×1024 survivors — min-k is decomposable, so the result is
+    * identical and no aggregation state ever holds a whole group. */
   def q35ArrayAgg(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir)
+    val o = Tables.orders(s, dir)
+    val sub = o.groupBy(col("o_orderpriority"), pmod(col("o_orderkey"), lit(1024L)).as("sb"))
+      .agg(slice(array_sort(collect_list(col("o_orderkey"))), 1, 5).as("m"),
+        count(lit(1)).as("c"))
+    val sizes = sub.groupBy(col("o_orderpriority").as("p"))
+      .agg(sum(col("c")).as("n"))
+    sub.select(col("o_orderpriority"), explode(col("m")).as("k"))
       .groupBy(col("o_orderpriority"))
-      .agg(
-        array_join(transform(slice(array_sort(collect_list(col("o_orderkey"))), 1, 5),
-          x => x.cast("string")), ",").as("first5_orderkeys"),
-        count(lit(1)).as("n"))
+      .agg(array_join(transform(slice(array_sort(collect_list(col("k"))), 1, 5),
+        x => x.cast("string")), ",").as("first5_orderkeys"))
+      .join(sizes, col("o_orderpriority") === col("p"))
+      .select(col("o_orderpriority"), col("first5_orderkeys"), col("n"))
       .orderBy(col("o_orderpriority"))
   }
 
