@@ -73,15 +73,15 @@ object Dedup {
       .groupBy(col("group_key"), pmod(col("doc_id"), lit(1024L)).as("sb"))
       .agg(slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("m"),
         count(lit(1)).as("c"))
-    val sizes = sub.groupBy(col("group_key").as("gk"))
-      .agg(sum(col("c")).as("group_size"))
-    sub.select(col("group_key"), explode(col("m")).as("k"))
+    // group size folds into the same merge agg: each sub-bucket's count is
+    // taken once (at explode position 0) — no separate sizes join
+    sub.select(col("group_key"), col("c"), posexplode(col("m")).as(Seq("pos", "k")))
       .groupBy(col("group_key"))
       .agg(
         min(col("k")).as("canonical_id"),
+        sum(when(col("pos") === 0, col("c")).otherwise(0L)).as("group_size"),
         array_join(transform(slice(array_sort(collect_list(col("k"))), 1, 20),
           x => x.cast("string")), ",").as("members"))
-      .join(sizes, col("group_key") === col("gk"))
       .filter(col("group_size") >= 2)
       .select(col("group_key"), col("canonical_id"), col("group_size"), col("members"))
       .orderBy(col("group_key"))

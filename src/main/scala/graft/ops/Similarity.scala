@@ -65,17 +65,21 @@ object Similarity {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // two-phase exact ranking (same trick as q36): the fused native float
-    // cosine ranks ALL pairs in one codegen pass; the expensive exact-
-    // decimal score then re-ranks only the float top-32 per query. Float
-    // error is <=1e-12 while neighbor score gaps are ~1e-3, so the decimal
-    // top-10 always sits inside the float top-32 — and the oracle hash
-    // check would catch it if it ever didn't.
-    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("fcos", exprs.cosine_similarity(col("qe"), col("embedding")))
-      .withColumn("frank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("fcos").desc, col("vec_id"))))
-      .filter(col("frank") <= 32)
-    cand
+    // cosine scores ALL pairs in one codegen pass, and a bounded-heap
+    // top-k per query — NOT a window, which would sort the whole corpus
+    // through one task per query — keeps the float top-32. The expensive
+    // exact-decimal score then re-ranks only those 32×|queries| survivors
+    // (re-fetched by broadcasting the tiny survivor list against one more
+    // corpus scan). Float error is <=1e-12 while neighbor score gaps are
+    // ~1e-3, so the decimal top-10 always sits inside the float top-32 —
+    // and the oracle hash check would catch it if it ever didn't.
+    val fscored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        exprs.cosine_similarity(col("qe"), col("embedding")).as("fcos"))
+    val survivors = TopKPerGroup.topKPerKey(fscored, "query_id", "fcos", "vec_id", 32)
+      .select(col("key").as("query_id"), col("id").as("cand_id"))
+    emb.join(broadcast(survivors), col("vec_id") === col("cand_id"))
+      .join(broadcast(q.withColumnRenamed("query_id", "qq")), col("query_id") === col("qq"))
       .withColumn("cos",
         decDot(col("qe"), col("embedding")).cast("double") /
           (sqrt(decDot(col("qe"), col("qe")).cast("double")) *
@@ -127,12 +131,16 @@ object Similarity {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(transform(masks, m => col("sig").bitwiseXOR(m))).as("psig"))
-    emb.join(broadcast(q), col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+    // bounded-heap top-10 per query: a hot signature bucket can hold a
+    // large slice of a clustered corpus, and a rank window would sort all
+    // of its candidates through one task per query
+    val scored = emb.join(broadcast(q),
+        col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", 10)
+      .select(col("key").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("score").as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -200,13 +208,15 @@ object Similarity {
       cells.map(c => (qid, qe, c))
     }.toSeq.toDF("query_id", "qe", "qcell")
 
-    assigned.join(broadcast(probeCells),
+    // bounded-heap top-k per query (hot cells hold a large corpus slice;
+    // see q29)
+    val scored = assigned.join(broadcast(probeCells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("score").as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -433,14 +433,14 @@ object Relational {
     val sub = o.groupBy(col("o_orderpriority"), pmod(col("o_orderkey"), lit(1024L)).as("sb"))
       .agg(slice(array_sort(collect_list(col("o_orderkey"))), 1, 5).as("m"),
         count(lit(1)).as("c"))
-    val sizes = sub.groupBy(col("o_orderpriority").as("p"))
-      .agg(sum(col("c")).as("n"))
-    sub.select(col("o_orderpriority"), explode(col("m")).as("k"))
+    // group size folds into the merge agg: each sub-bucket's count is
+    // taken once (explode position 0) — no separate sizes join
+    sub.select(col("o_orderpriority"), col("c"), posexplode(col("m")).as(Seq("pos", "k")))
       .groupBy(col("o_orderpriority"))
-      .agg(array_join(transform(slice(array_sort(collect_list(col("k"))), 1, 5),
-        x => x.cast("string")), ",").as("first5_orderkeys"))
-      .join(sizes, col("o_orderpriority") === col("p"))
-      .select(col("o_orderpriority"), col("first5_orderkeys"), col("n"))
+      .agg(
+        array_join(transform(slice(array_sort(collect_list(col("k"))), 1, 5),
+          x => x.cast("string")), ",").as("first5_orderkeys"),
+        sum(when(col("pos") === 0, col("c")).otherwise(0L)).as("n"))
       .orderBy(col("o_orderpriority"))
   }
 
