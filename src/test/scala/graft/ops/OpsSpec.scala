@@ -85,6 +85,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, f"near-dup LSH recall $recall%.2f < 0.5 vs exact pairs")
   }
 
+  test("chunk-split near-dup join yields exactly the unchunked pair set") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    def pairs(chunks: Int) = Similarity.nearDupPairs(emb, 0.45, 8, chunks).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val unchunked = pairs(1)
+    assert(unchunked.nonEmpty)
+    // 7 deliberately does not divide the corpus evenly
+    assert(pairs(7) == unchunked, "chunk grid lost or duplicated pairs")
+  }
+
   test("multi-probe LSH ANN recalls most true neighbors") {
     val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
