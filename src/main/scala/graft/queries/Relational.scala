@@ -222,7 +222,14 @@ object Relational {
   /** Sessionization: a new session starts after a >30 min gap. lag() +
     * cumulative sum of session-start markers — the classic scalable
     * sessionizer (one window shuffle on user_id, no driver state).
-    * Gap math in epoch millis so Spark (µs) and DuckDB (ns) agree. */
+    * Gap math in epoch millis so Spark (µs) and DuckDB (ns) agree.
+    *
+    * Skew caveat: a single pathological key (a bot with billions of
+    * events) sorts its whole history through one task here — inherent to
+    * any order-dependent per-key batch window. For bot-heavy corpora use
+    * `Streaming.sessionize` (incremental, O(1) state per user) or filter
+    * super-users (`SkewJoin.skewedKeys` diagnoses them) into a separate
+    * pass. */
   def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ms = tsMs
