@@ -88,11 +88,23 @@ object ExportJob {
     * Closes SURVEY §7.4#1; a FileCommitProtocol would do this atomically
     * inside the commit — the rename pass is the simpler equivalent and
     * touches only filesystem metadata. */
-  def renameToReferenceLayout(spark: SparkSession, dst: String): Int = {
+  def renameToReferenceLayout(spark: SparkSession, dst: String,
+                              hour: Option[String] = None): Int = {
     val root = new Path(dst)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.globStatus(new Path(dst +
-      "/bucket_name=*/operation=*/year=*/month=*/day=*/hour=*/part-*.parquet"))
+    // Scoping the glob to one hour keeps the rename pass O(this hour's
+    // partition combos): the unscoped glob walks every partition dir ever
+    // written — a year of appends is ~8,760 hours of dirs listed to
+    // rename a handful of new files. Partition dir values are unpadded
+    // ints (year=2021/month=7/...), so strip the HOUR string's zero pads.
+    val hourGlob = hour match {
+      case Some(h) =>
+        val Array(y, mo, d, hh) = h.split("-").map(_.toInt)
+        s"/bucket_name=*/operation=*/year=$y/month=$mo/day=$d/hour=$hh/part-*.parquet"
+      case None =>
+        "/bucket_name=*/operation=*/year=*/month=*/day=*/hour=*/part-*.parquet"
+    }
+    val parts = Option(fs.globStatus(new Path(dst + hourGlob))).getOrElse(Array.empty)
     parts.map { st =>
       val dir = st.getPath.getParent
       // dir chain: .../bucket_name=B/operation=O/year=Y/month=M/day=D/hour=H
@@ -153,6 +165,16 @@ object ExportJob {
         val obs = org.apache.spark.sql.Observation(s"graft-export-$hour")
         write(parsed.observe(obs, count(lit(1)).as("rows")), dst, tasks)
         val n = obs.get("rows").asInstanceOf[Long]
+        // Reference file-name parity (s3access/parquet.py:89-92) is the
+        // DEFAULT: each partition dir's single file becomes
+        // {bucket}-{op}-{y}-{m}-{d}-{h}.parquet. Only valid in
+        // one-file-per-combo mode (tasks=0); multi-task exports keep
+        // Spark's part-* names (several files would collide on one
+        // target). SPARK_GRAFT_REFERENCE_NAMES=0 opts out. Runs before
+        // the marker so a crash mid-rename leaves the hour unmarked.
+        if (tasks == 0 &&
+            sys.env.getOrElse("SPARK_GRAFT_REFERENCE_NAMES", "1") != "0")
+          renameToReferenceLayout(spark, dst, Some(hour))
         Tracking.mark(spark, trackingDst, hour, s"exported hour=$hour rows=$n")
         n
     }

@@ -40,11 +40,10 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     // the pipeline below is fully narrow — which means a small-file corpus
     // (one input split) would tokenize on ONE core. Widen cheap raw docs
-    // first; skip the shuffle when the input is already parallel (at
-    // 100 TB the scan arrives in thousands of splits and this is a no-op)
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism) else docs
+    // first (Par.widen: decided from the logical plan, no per-query
+    // physical-planning tax); at 100 TB the scan arrives in thousands of
+    // splits and this is a no-op
+    val wide = Par.widen(docs)
     val toks = wide.select(col("doc_id"),
       regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)).as("l"))
     toks

@@ -69,7 +69,11 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf.nonEmpty)
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    assert(recall >= 0.2, f"IVF recall $recall%.2f too low for nprobe=8/16")
+    // same bar as the q29 multi-probe LSH path: spherical k-means cells
+    // (L2-normalized inputs) make euclidean cell assignment monotonic in
+    // cosine, which is what lifted this from the 0.2 the raw-magnitude
+    // quantizer managed
+    assert(recall >= 0.6, f"IVF recall $recall%.2f too low for nprobe=8/16")
   }
 
   test("LSH-bucketed near-dup pairs recall most exact pairs") {

@@ -61,18 +61,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
-  test("post-commit rename produces the reference's deterministic file names") {
+  test("runHour produces the reference's deterministic file names by default") {
     val base = java.nio.file.Files.createTempDirectory("graft-rename").toFile.getAbsolutePath
     val src = s"$base/in"; val dst = s"$base/out"
     new java.io.File(src).mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
       (graft.Fixtures.happyLine + "\n" + graft.Fixtures.dashLine).getBytes)
+    // the rename is wired into runHour itself (SPARK_GRAFT_REFERENCE_NAMES
+    // defaults on) — no manual renameToReferenceLayout call
     graft.etl.ExportJob.runHour(spark, src, dst, s"$base/track", "2021-07-18-05")
-    val n = graft.etl.ExportJob.renameToReferenceLayout(spark, dst)
-    assert(n == 2)
     assert(new java.io.File(
       s"$dst/bucket_name=awsexamplebucket1/operation=REST.GET.OBJECT/year=2021/month=7/day=18/hour=5/" +
         "awsexamplebucket1-REST.GET.OBJECT-2021-7-18-5.parquet").isFile)
+    // a second (manual, unscoped) pass finds nothing left to rename
+    assert(graft.etl.ExportJob.renameToReferenceLayout(spark, dst) == 0)
     // still a valid readable dataset afterwards
     assert(spark.read.parquet(dst).count() == 2)
   }
