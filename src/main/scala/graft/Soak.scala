@@ -50,7 +50,7 @@ object Soak {
     // big the hottest bucket is (its pair count is quadratic and lands
     // in one task unless the join is chunk-split)
     val sigs = emb.withColumn("sig",
-      Similarity.lshSignature(col("embedding"), 64, 8))
+      Similarity.lshSignature(col("embedding"), 64, 4))
     val bucketStats = sigs.groupBy(col("sig")).count()
       .agg(max(col("count")).as("hottest"),
         sum(col("count") * (col("count") - 1) / 2).as("candidates"))
@@ -60,7 +60,7 @@ object Soak {
       timed("shingles")(Dedup.shingles(docs, 3)),
       timed("jaccard_capped")(Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L)),
       timed("minhash_lsh")(Dedup.minhashLshPairs(docs)),
-      timed("neardup_lsh")(Similarity.nearDupPairs(emb, 0.45, planes = 8)))
+      timed("neardup_lsh")(Similarity.nearDupPairs(emb, 0.45)))
 
     val body = results.map { case (l, s, r) =>
       f""""$l":{"sec":$s%.2f,"rows":$r}"""

@@ -80,7 +80,7 @@ class OpsSpec extends SparkSpec {
     val exact = Similarity.q36EmbeddingNearDup(spark, dir).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     val lsh = Similarity.nearDupPairs(
-        graft.Tables.embeddings(spark, dir), 0.45, planes = 8).collect()
+        graft.Tables.embeddings(spark, dir), 0.45).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(exact.nonEmpty)
     // the bucketed scale path must find most of what the exact all-pairs
@@ -91,12 +91,45 @@ class OpsSpec extends SparkSpec {
 
   test("chunk-split near-dup join yields exactly the unchunked pair set") {
     val emb = graft.Tables.embeddings(spark, dir)
-    def pairs(chunks: Int) = Similarity.nearDupPairs(emb, 0.45, 8, chunks).collect()
+    def pairs(chunks: Int) = Similarity.nearDupPairs(emb, 0.45, chunks = chunks).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     val unchunked = pairs(1)
     assert(unchunked.nonEmpty)
     // 7 deliberately does not divide the corpus evenly
     assert(pairs(7) == unchunked, "chunk grid lost or duplicated pairs")
+  }
+
+  test("write-time sig-bucketed layout: pruned probe returns exactly the full-scan q29 result") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-sigbucket")
+      .toFile.getAbsolutePath + "/emb"
+    Similarity.writeSigBucketed(graft.Tables.embeddings(spark, dir), dst)
+    val queries = graft.Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))
+    val bucketed = Similarity.bucketedLshTopK(spark, dst, queries).collect().map(key).toSeq
+    val full = Similarity.q29LshTopK(spark, dir).collect().map(key).toSeq
+    // same planes, same Hamming-1 probe ring, same exact rerank — the
+    // pruned layout must be a pure I/O optimization, not a different
+    // operator: identical rows in identical order (so the q29 recall
+    // >= 0.6 bar carries over verbatim)
+    assert(bucketed == full)
+  }
+
+  test("write-time cell-bucketed (IVF) layout: pruned probe recalls most true neighbors") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-cellbucket")
+      .toFile.getAbsolutePath + "/emb"
+    Similarity.writeCellBucketed(graft.Tables.embeddings(spark, dir), dst)
+    val queries = graft.Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.bucketedIvfTopK(spark, dst, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // the same recall bar as the full-scan paths, at ~nprobe/nlist of
+    // the read cost (pruning asserted in PlanSpec)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, f"cell-bucketed IVF recall $recall%.2f < 0.6 vs brute force")
   }
 
   test("multi-probe LSH ANN recalls most true neighbors") {

@@ -74,6 +74,70 @@ class PlanSpec extends SparkSpec {
       s"embeddings scanned repeatedly:\n$p")
   }
 
+  test("sig-bucketed ANN probe statically prunes to the probe-ring partitions") {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val dst = java.nio.file.Files.createTempDirectory("graft-sigplan")
+      .toFile.getAbsolutePath + "/emb"
+    graft.ops.Similarity.writeSigBucketed(graft.Tables.embeddings(spark, dir), dst)
+    // per-query scan cost is the claim — probe with a single query (a
+    // batch's cost is the union of its rings)
+    val queries = graft.Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val (corpus, q) = graft.ops.Similarity.probedCorpus(spark, dst, queries, 4)
+
+    // planning-time evidence: the probe-signature set lands as a
+    // PARTITION filter on the scan (pruned before file listing), not a
+    // post-scan data filter
+    val p = corpus.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("sig")),
+      s"probe sigs did not become a partition filter:\n$p")
+
+    // behavioral evidence: the scan touches at most the probe-ring
+    // partitions, a strict subset of the layout. (This test is what
+    // caught the degenerate Objects.hash planes: the whole corpus had
+    // collapsed into 2 of 2^planes buckets.)
+    val totalParts = new java.io.File(dst).listFiles().count(_.getName.startsWith("sig="))
+    val probedSigs = q.select(col("psig")).distinct().count()
+    // partition DIRS touched, not files — each dir holds one file per
+    // write task
+    val partsRead = corpus
+      .select(regexp_extract(input_file_name(), "sig=\\d+", 0))
+      .distinct().count()
+    assert(totalParts >= 10, s"layout degenerate: only $totalParts occupied sig partitions")
+    assert(probedSigs <= 11, s"Hamming-2 ring over 4 planes is 11 sigs, got $probedSigs")
+    assert(partsRead <= probedSigs, s"read $partsRead dirs for $probedSigs probe sigs")
+    assert(partsRead < totalParts,
+      s"no pruning: $partsRead of $totalParts partitions read")
+  }
+
+  test("cell-bucketed (IVF) ANN probe reads a bounded fraction of the layout") {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val dst = java.nio.file.Files.createTempDirectory("graft-cellplan")
+      .toFile.getAbsolutePath + "/emb"
+    graft.ops.Similarity.writeCellBucketed(graft.Tables.embeddings(spark, dir), dst)
+    val queries = graft.Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val (corpus, q) =
+      graft.ops.Similarity.probedCellCorpus(spark, dst, queries, nprobe = 12)
+
+    val p = corpus.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+      s"probe cells did not become a partition filter:\n$p")
+
+    val totalParts = new java.io.File(dst).listFiles().count(_.getName.startsWith("cell="))
+    val probedCells = q.select(col("qcell")).distinct().count()
+    val partsRead = corpus
+      .select(regexp_extract(input_file_name(), "cell=\\d+", 0))
+      .distinct().count()
+    assert(totalParts >= 32, s"quantizer degenerate: only $totalParts occupied cells")
+    assert(probedCells <= 12)
+    assert(partsRead <= probedCells, s"read $partsRead dirs for $probedCells probe cells")
+    // the sublinear claim: one query reads at most nprobe/nlist-ish of
+    // the corpus partitions — well under half
+    assert(partsRead * 2 < totalParts,
+      s"pruning too weak: $partsRead of $totalParts partitions read")
+  }
+
   test("q33: no window sorts raw rows — every window runs over aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
