@@ -54,38 +54,82 @@ object Similarity {
       lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
       (acc, e) => (acc + e).cast("decimal(28,18)"))
 
+  /** Upper bound on |fused-float cosine − exact-decimal cosine|: the
+    * per-element products are exact in double, so the only float error is
+    * the 64-term sequential summation in dot and norms (≤ ~63·ε·Σ|p| ≈
+    * 6e-14 on unit-ish vectors) plus the division — 1e-9 is >4 orders of
+    * magnitude above the true bound, and 6+ orders below real corpus
+    * neighbor gaps, so widening never triggers on benign data. */
+  private val FloatGuardBand = 1e-9
+
   /** q28: brute-force exact top-10 cosine neighbors for query vectors
     * vec_id < 5 (self excluded). Queries are broadcast; one scan of the
-    * corpus per batch of queries, no shuffle until the final top-k. */
-  def q28BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = widen(Tables.embeddings(s, dir))
+    * cached corpus per phase, no shuffle until the final top-k. */
+  def q28BruteForceTopK(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(widen(Tables.embeddings(s, dir)), k = 10, kFloat0 = 32)
+
+  /** Two-phase exact top-k (same trick as q36): the fused native float
+    * cosine scores ALL pairs in one codegen pass, and a bounded-heap
+    * top-kf per query — NOT a window, which would sort the whole corpus
+    * through one task per query — keeps the float top-kf. The expensive
+    * exact-decimal score then re-ranks only those kf×|queries| survivors
+    * (re-fetched by broadcasting the tiny survivor list against one more
+    * scan of the now-cached corpus).
+    *
+    * The float cut is GUARDED, not assumed: phase-2 exactness needs the
+    * decimal top-k to sit inside the float top-kf, which holds iff no
+    * CUT candidate can outscore the kept rank-k. Every cut candidate c
+    * has fcos(c) ≤ fcos(rank-kf survivor), so dec(c) ≤ that +
+    * [[FloatGuardBand]]; the check `dec(rank k) − fcos(rank kf) >
+    * FloatGuardBand` therefore PROVES the result exact. On corpora with
+    * ≥kf near-tied neighbors (gaps under the band — where the old
+    * "observed gaps are ~1e-3" assumption silently mis-ranked) the check
+    * fails and kf widens ×4 until it holds or the heap covers the whole
+    * corpus. Guard cost: one tiny |queries|-row aggregate per attempt;
+    * real data passes on the first attempt. */
+  private[ops] def bruteForceTopK(emb0: DataFrame, k: Int, kFloat0: Int,
+                                  guard: Boolean = true): DataFrame = {
+    val emb = emb0.cache()
+    val n = emb.count() // also materializes the cache for the 3 scans below
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    // two-phase exact ranking (same trick as q36): the fused native float
-    // cosine scores ALL pairs in one codegen pass, and a bounded-heap
-    // top-k per query — NOT a window, which would sort the whole corpus
-    // through one task per query — keeps the float top-32. The expensive
-    // exact-decimal score then re-ranks only those 32×|queries| survivors
-    // (re-fetched by broadcasting the tiny survivor list against one more
-    // corpus scan). Float error is <=1e-12 while neighbor score gaps are
-    // ~1e-3, so the decimal top-10 always sits inside the float top-32 —
-    // and the oracle hash check would catch it if it ever didn't.
-    val fscored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        exprs.cosine_similarity(col("qe"), col("embedding")).as("fcos"))
-    val survivors = TopKPerGroup.topKPerKey(fscored, "query_id", "fcos", "vec_id", 32)
-      .select(col("key").as("query_id"), col("id").as("cand_id"))
-    emb.join(broadcast(survivors), col("vec_id") === col("cand_id"))
-      .join(broadcast(q.withColumnRenamed("query_id", "qq")), col("query_id") === col("qq"))
-      .withColumn("cos",
-        decDot(col("qe"), col("embedding")).cast("double") /
-          (sqrt(decDot(col("qe"), col("qe")).cast("double")) *
-           sqrt(decDot(col("embedding"), col("embedding")).cast("double"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy(col("query_id"), col("rank"))
+
+    def reranked(kf: Int): DataFrame = {
+      val fscored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          exprs.cosine_similarity(col("qe"), col("embedding")).as("fcos"))
+      val survivors = TopKPerGroup.topKPerKey(fscored, "query_id", "fcos", "vec_id", kf)
+        .select(col("key").as("query_id"), col("id").as("cand_id"), col("score").as("fcos"))
+      emb.join(broadcast(survivors), col("vec_id") === col("cand_id"))
+        .join(broadcast(q.withColumnRenamed("query_id", "qq")), col("query_id") === col("qq"))
+        .withColumn("cos",
+          decDot(col("qe"), col("embedding")).cast("double") /
+            (sqrt(decDot(col("qe"), col("qe")).cast("double")) *
+             sqrt(decDot(col("embedding"), col("embedding")).cast("double"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+    }
+
+    @annotation.tailrec
+    def attempt(kf: Int): DataFrame = {
+      val r = reranked(kf)
+      val exact = !guard || kf >= n - 1 || {
+        val stats = r.groupBy(col("query_id")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("fcos")).as("fmin"),
+          max(when(col("rank") === k, col("cos"))).as("dk")).collect()
+        stats.forall { row =>
+          row.getAs[Long]("cnt") < kf || // heap never filled: nothing was cut
+            row.getAs[Double]("dk") - row.getAs[Double]("fmin") > FloatGuardBand
+        }
+      }
+      if (exact) {
+        r.filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      } else attempt(kf * 4)
+    }
+    attempt(kFloat0)
   }
 
   /** splitmix64 finalizer — full-avalanche mixing for plane components.

@@ -116,6 +116,45 @@ class OpsSpec extends SparkSpec {
     assert(bucketed == full)
   }
 
+  test("q28 guard band: adversarially near-tied corpus defeats a fixed float cut, " +
+       "guarded widening recovers the exact result") {
+    import spark.implicits._
+    // 40 candidates whose FUSED-FLOAT cosines are bit-identical ties
+    // (adding 2^-53 to an accumulator at 1.0 rounds to even), while the
+    // EXACT dot of vec_id=100 is greater by 2^-52: all components share
+    // one multiset {1, 2^-23, 2^-23} so norms are identical; only id 100
+    // puts its mass where the query has 2^-30s.
+    val e30 = math.pow(2, -30).toFloat
+    val e23 = math.pow(2, -23).toFloat
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, v) => a(i) = v }; a
+    }
+    val rows = Seq(
+      (0L, vec(0 -> 1f, 1 -> e30, 2 -> e30)), // the query (vec_id < 5)
+      (100L, vec(0 -> 1f, 1 -> e23, 2 -> e23)) // true nearest: dot = 1 + 2^-52
+    ) ++ (5L to 43L).map(i => (i, vec(0 -> 1f, 3 -> e23, 4 -> e23))) // 39 decoys: dot = 1
+    val emb = rows.toDF("vec_id", "embedding")
+
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("query_id") === 0).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+
+    // the old fixed-32 float cut, guard off: float sees 40 exact ties,
+    // keeps the 32 smallest ids, silently drops the true best neighbor —
+    // a wrong-but-plausible ranking
+    val naive = top(Similarity.bruteForceTopK(emb, k = 10, kFloat0 = 32, guard = false))
+    assert(!naive.exists(_._2 == 100L),
+      s"expected the unguarded float cut to lose vec 100, got $naive")
+
+    // the guard detects the sub-band margin at the cut and widens until
+    // the heap covers the corpus; exact arithmetic then puts 100 first
+    val guarded = top(Similarity.bruteForceTopK(emb, k = 10, kFloat0 = 32))
+    assert(guarded.head == (1L, 100L), s"guarded top: $guarded")
+    // and the guarded result IS the ground truth (heap over everything)
+    val exact = top(Similarity.bruteForceTopK(emb, k = 10, kFloat0 = 1000, guard = false))
+    assert(guarded == exact)
+  }
+
   test("write-time cell-bucketed (IVF) layout: pruned probe recalls most true neighbors") {
     val dst = java.nio.file.Files.createTempDirectory("graft-cellbucket")
       .toFile.getAbsolutePath + "/emb"

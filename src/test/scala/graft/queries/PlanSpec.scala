@@ -11,6 +11,11 @@ class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
+    // earlier suites may have left frames cached (e.g. q28's corpus);
+    // a substituted InMemoryRelation re-prints its child's Scan lines in
+    // toString, which would double-count scans — assert the standalone
+    // plan shape
+    spark.catalog.clearCache()
     graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
   }
 
