@@ -27,6 +27,42 @@ class OpsSpec extends SparkSpec {
     assert(byId(0L).payload_md5 == sqlMd5)
   }
 
+  test("multimodal: real javax.imageio decode of PNG/JPEG payloads through the pipeline") {
+    import spark.implicits._
+    // deterministic 8x4 checkerboard: half pure white (luma 255), half
+    // pure black (0) → true mean luma exactly 127.5
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    def encode(fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, b)
+      b.toByteArray
+    }
+    val png = encode("png"); val jpg = encode("jpg")
+    val df = Seq(
+      (1L, "image", png), (2L, "image", jpg),
+      (3L, "audio", png), // non-image media: stays on the stub path
+      (4L, "image", Array[Byte](1, 2, 3)) // corrupt image: degrades to stub, no crash
+    ).toDF("doc_id", "media_type", "payload")
+    val m = Multimodal.extractFeatures(df).collect().map(r => r.doc_id -> r).toMap
+
+    assert(m(1L).width == 8 && m(1L).height == 4)
+    assert(math.abs(m(1L).mean_luma - 127.5) < 1e-9) // PNG is lossless
+    assert(m(2L).width == 8 && m(2L).height == 4)
+    assert(math.abs(m(2L).mean_luma - 127.5) < 40.0) // JPEG is lossy
+    assert(m(3L).width == 64 + (png(0) & 0x7f)) // stub's byte-derived "width"
+    assert(m(4L).width == 64 + 1)
+    assert(m(1L).payload_md5 != m(2L).payload_md5)
+
+    // real resize: decode → scale → PNG re-encode roundtrips to the
+    // target dims
+    val resized = Multimodal.resizeImage(png, 4, 2)
+    val rd = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(rd.getWidth == 4 && rd.getHeight == 2)
+  }
+
   test("multimodal: frame sampling explodes rows partition-locally") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, dir), frameSize = 64, everyN = 2)
     val f0 = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
