@@ -27,6 +27,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.where("operation = 'REST.PUT.OBJECT' and hour = 6").count() == 1)
   }
 
+  test("streaming/batch parity: streamingExport and runHour produce identical datasets") {
+    val base = Files.createTempDirectory("graft-parity").toFile.getAbsolutePath
+    val src = s"$base/in"
+    new java.io.File(src).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-00-12-AAAA"),
+      (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-30-44-BBBB"),
+      Fixtures.roleLine.getBytes)
+
+    val dstS = s"$base/out_stream"
+    Streaming.streamingExport(spark, src, dstS, s"$base/ckpt").awaitTermination()
+    val dstB = s"$base/out_batch"
+    graft.etl.ExportJob.runHour(spark, src, dstB, s"$base/track", "2021-07-18-05")
+
+    // both pipelines share Enrich.parseLines and the partition layout —
+    // the ONLY allowed differences are file naming and file count (the
+    // batch path repartitions per combo and renames; the streaming sink
+    // writes per micro-batch task). Same schema, same partition dirs,
+    // same full row set.
+    val s = spark.read.parquet(dstS)
+    val b = spark.read.parquet(dstB)
+    assert(s.columns.sorted.toSeq == b.columns.sorted.toSeq)
+    val cols = s.columns.sorted.map(col).toSeq
+    assert(s.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
+           b.select(cols: _*).exceptAll(s.select(cols: _*)).isEmpty,
+      "streaming and batch exports diverge")
+    assert(s.count() == 3 && b.count() == 3)
+    def partDirs(root: String): Set[String] = {
+      val base = java.nio.file.Paths.get(root)
+      val out = scala.collection.mutable.Set[String]()
+      java.nio.file.Files.walk(base).forEach { p =>
+        val f = p.toFile
+        if (f.isFile && f.getName.endsWith(".parquet"))
+          out += base.relativize(p.getParent).toString
+      }
+      out.toSet
+    }
+    assert(partDirs(dstS) == partDirs(dstB), "partition dir layouts diverge")
+  }
+
   test("watermarked hourly windowed aggregation over the parsed stream") {
     val base = Files.createTempDirectory("graft-stream2").toFile.getAbsolutePath
     val src = s"$base/in"
