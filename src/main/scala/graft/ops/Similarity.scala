@@ -89,8 +89,7 @@ object Similarity {
     * real data passes on the first attempt. */
   private[ops] def bruteForceTopK(emb0: DataFrame, k: Int, kFloat0: Int,
                                   guard: Boolean = true): DataFrame = {
-    val emb = emb0.cache()
-    val n = emb.count() // also materializes the cache for the 3 scans below
+    val emb = emb0.cache() // materialized by the first (float) pass, reused by the rest
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
 
@@ -110,24 +109,34 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
     }
 
+    def finalize(r: DataFrame): DataFrame =
+      r.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+
     @annotation.tailrec
     def attempt(kf: Int): DataFrame = {
-      val r = reranked(kf)
-      val exact = !guard || kf >= n - 1 || {
+      if (!guard) finalize(reranked(kf))
+      else {
+        // cache the reranked frame (tiny: ≤ kf×|queries| rows) so the
+        // corpus-wide float pass runs ONCE — the guard aggregate
+        // materializes it and the returned frame re-reads the cache
+        val r = reranked(kf).cache()
+        // cnt < kf means the heap never filled — nothing was cut, the
+        // result is exact regardless of margins. This also terminates
+        // the widening loop once kf exceeds the candidate count, with no
+        // separate corpus count() action.
         val stats = r.groupBy(col("query_id")).agg(
           count(lit(1)).as("cnt"),
           min(col("fcos")).as("fmin"),
           max(when(col("rank") === k, col("cos"))).as("dk")).collect()
-        stats.forall { row =>
-          row.getAs[Long]("cnt") < kf || // heap never filled: nothing was cut
+        val exact = stats.forall { row =>
+          row.getAs[Long]("cnt") < kf ||
             row.getAs[Double]("dk") - row.getAs[Double]("fmin") > FloatGuardBand
         }
+        if (exact) finalize(r)
+        else { r.unpersist(); attempt(kf * 4) }
       }
-      if (exact) {
-        r.filter(col("rank") <= k)
-          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-          .orderBy(col("query_id"), col("rank"))
-      } else attempt(kf * 4)
     }
     attempt(kFloat0)
   }
