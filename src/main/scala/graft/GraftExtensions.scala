@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHash64)
     e.injectFunction(GraftExtensions.cmsSketch)
     e.injectFunction(GraftExtensions.cmsEstimate)
+    e.injectFunction(GraftExtensions.topK)
   }
 }
 
@@ -76,12 +77,33 @@ object GraftExtensions {
       info("cms_estimate", "cms_estimate(sketch, item) - Point-frequency estimate from a cms_sketch binary."),
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1)))
 
+  /** `top_k(score, id, k)` — k must be an integer literal (it shapes the
+    * aggregation buffer). Bounded-heap alternative to a rank window:
+    * map-side partials cap the shuffle at k rows per group per task. */
+  val topK: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("top_k"),
+      info("top_k",
+        "top_k(score, id, k) - Array of the k (score desc, id asc)-best (score, id) structs per group."),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, i, k) =>
+          val kv = k match {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+              lit.value.asInstanceOf[Int]
+            case _ => throw new IllegalArgumentException(
+              s"top_k: k must be an INT literal, got $k")
+          }
+          graft.ops.TopKPerGroup.TopKAgg(s, i, kv)
+        case other => throw new IllegalArgumentException(
+          s"top_k takes 3 arguments, got ${other.size}")
+      })
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, rollingHash64,
-        cmsSketch, cmsEstimate).foreach {
+        cmsSketch, cmsEstimate, topK).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }

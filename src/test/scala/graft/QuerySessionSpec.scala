@@ -39,6 +39,23 @@ class QuerySessionSpec extends SparkSpec {
     assert(cidr == 1L)
   }
 
+  test("top_k callable from SQL matches the window formulation") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT o_custkey, e.id AS o_orderkey, e.score AS price
+        |FROM (
+        |  SELECT o_custkey, top_k(CAST(o_totalprice AS DOUBLE), o_orderkey, 3) AS top
+        |  FROM parquet.`/root/testdata/sf0.001/orders.parquet`
+        |  GROUP BY o_custkey
+        |) LATERAL VIEW explode(top) AS e""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWindow = graft.queries.Relational
+      .q06TopOrdersPerCustomer(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaWindow)
+  }
+
   test("driver contract: entry() yields rows; every query has a runnable fn") {
     assert(SparkEntry.entry(spark).count() > 0)          // driver's t1 smoke
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
