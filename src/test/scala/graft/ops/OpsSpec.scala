@@ -207,15 +207,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, f"cell-bucketed IVF recall $recall%.2f < 0.6 vs brute force")
   }
 
-  test("multi-probe LSH ANN recalls most true neighbors") {
-    val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val lsh = Similarity.q29LshTopK(spark, dir).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    assert(bf.size == 50)
-    // candidates are exact-reranked, so every LSH hit that IS a true
-    // neighbor ranks identically — recall is the only approximation
-    val recall = bf.intersect(lsh).size.toDouble / bf.size
-    assert(recall >= 0.6, f"multi-probe LSH recall $recall%.2f < 0.6 vs brute force")
+  test("multi-probe LSH ANN recalls most true neighbors (both test SFs)") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val bf = Similarity.q28BruteForceTopK(spark, d).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val lsh = Similarity.q29LshTopK(spark, d).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      assert(bf.size == 50)
+      // candidates are exact-reranked, so every LSH hit that IS a true
+      // neighbor ranks identically — recall is the only approximation
+      val recall = bf.intersect(lsh).size.toDouble / bf.size
+      assert(recall >= 0.6, f"multi-probe LSH recall $recall%.2f < 0.6 vs brute force at $d")
+    }
   }
 }
