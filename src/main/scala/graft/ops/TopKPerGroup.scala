@@ -12,11 +12,15 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Bounded top-k per group — the scale path for "k best rows per key".
-  * The window formulation (`row_number().over(partitionBy(key)
-  * .orderBy(v))`) must shuffle and sort EVERY row of the group; this
-  * aggregate keeps a k-bounded buffer per group, so map-side partial
-  * aggregation caps the shuffle at k rows per key per task and no full
-  * sort ever happens. Same asymptotic win as the reference's layout
+  *
+  * Spark ≥3.5's own optimizer already softens the window formulation
+  * (`filter(row_number().over(partitionBy(key).orderBy(v)) <= k)`): a
+  * Partial `WindowGroupLimit` below the Exchange caps the shuffle at k
+  * rows per key per task. What the window still pays that this aggregate
+  * does not: a FULL local sort of every task's input on both sides of
+  * the exchange (WindowGroupLimit requires sorted input), versus O(n)
+  * heap updates here with no sort buffer; and a sort-based rather than
+  * hash-based final stage. Same asymptotic win as the reference's layout
   * tricks: do the selection before the expensive movement, not after.
   *
   * Implemented as a native `TypedImperativeAggregate` over FLAT PRIMITIVE
