@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{ExtensionOracles, LogParsing, Relational}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,8 @@ object SparkEntry {
     "q34_moment_stats"     -> (Relational.q34MomentStats _),
     "q35_array_agg"        -> (Relational.q35ArrayAgg _),
     "q36_embedding_neardup" -> (Similarity.q36EmbeddingNearDup _),
+    "q37_repetition"       -> (TextAnalysis.q37Repetition _),
+    "q38_quantize"         -> (Quantize.q38Quantize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -315,5 +317,7 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q36_embedding_neardup" -> ExtensionOracles.q36EmbeddingNearDup,
+    "q37_repetition" -> ExtensionOracles.q37Repetition,
+    "q38_quantize" -> ExtensionOracles.q38Quantize,
   )
 }

@@ -111,6 +111,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q37: repetition scoring — the Gopher-style duplicate-n-gram quality
+    * rule (Rae et al. 2021 §A1.1): the fraction of a document's word
+    * 3-grams that are repeats (1 − distinct/total). Boilerplate, spam
+    * and templated pages score high; `flagged` applies the common 0.2
+    * cut. Fully IN-ROW — token list, gram construction, distinct count
+    * all via array HOFs on one projection: no explode, no shuffle; at
+    * 100 TB this is a pure narrow map over the corpus, like every other
+    * TextAnalysis operator.
+    *
+    * Determinism note: dup_frac is one int→double cast per side of a
+    * single IEEE division and subtraction — identical expression trees
+    * on Spark and DuckDB produce identical bits, so the oracle
+    * hash-matches without rounding. */
+  def q37Repetition(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("l", regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)))
+      .withColumn("g",
+        when(size(col("l")) >= 3,
+          transform(sequence(lit(1), size(col("l")) - 2),
+            i => array_join(slice(col("l"), i, lit(3)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+        when(size(col("g")) > 0,
+          lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+            size(col("g")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .withColumn("flagged", col("dup_frac") > 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical text normalization for hashing: lowercase, collapse
     * whitespace runs, trim. */
   def normalize(text: Column): Column =

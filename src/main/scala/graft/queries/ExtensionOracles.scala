@@ -191,6 +191,58 @@ object ExtensionOracles {
       |WHERE cos >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
+  /** Mirrors q37: duplicate-trigram fraction. The dup_frac expression is
+    * one int→double cast per operand of a single IEEE division and
+    * subtraction — identical trees on both engines, so no rounding is
+    * needed for the hash to match. */
+  val q37Repetition: String =
+    s"""WITH $tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM pos),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+       |        FROM g GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_trigrams, 0) AS n_trigrams,
+       |  COALESCE(a.n_distinct, 0) AS n_distinct,
+       |  CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+       |       THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
+       |       ELSE 0.0 END AS dup_frac,
+       |  (CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+       |        THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
+       |        ELSE 0.0 END) > 0.2 AS flagged
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q38: symmetric int8 quantization audit. scale is a single
+    * division (bit-identical across engines); qi is floor over one
+    * division+addition (identical trees → identical floor); only the
+    * multiply-subtract error chain is rounded (FMA fusing differs per
+    * engine, as in q34/q36). */
+  val q38Quantize: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |m AS (SELECT vec_id, MAX(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+      |      FROM x GROUP BY vec_id),
+      |qx AS (SELECT x.vec_id,
+      |         CAST(x.embedding[x.i] AS DOUBLE) AS xi,
+      |         m.maxabs / CAST(127 AS DOUBLE) AS scale,
+      |         CASE WHEN m.maxabs > 0
+      |              THEN CAST(floor(CAST(x.embedding[x.i] AS DOUBLE) /
+      |                     (m.maxabs / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)
+      |              ELSE 0 END AS qi
+      |       FROM x JOIN m ON x.vec_id = m.vec_id)
+      |SELECT vec_id,
+      |  MAX(scale) AS scale,
+      |  CAST(SUM(qi) AS BIGINT) AS q_sum,
+      |  CAST(MIN(qi) AS BIGINT) AS q_min,
+      |  CAST(MAX(qi) AS BIGINT) AS q_max,
+      |  round(MAX(abs(qi * scale - xi)), 12) AS max_err
+      |FROM qx
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

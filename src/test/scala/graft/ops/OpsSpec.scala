@@ -191,6 +191,36 @@ class OpsSpec extends SparkSpec {
     assert(guarded == exact)
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2, cosine recall holds") {
+    // the audit query's own invariant: round-half-up can miss a value by
+    // at most half a quantization step
+    val audit = Quantize.q38Quantize(spark, dir).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val scale = r.getAs[Double]("scale"); val err = r.getAs[Double]("max_err")
+      assert(err <= scale / 2 + 1e-12, s"vec ${r.get(0)}: err $err > scale/2 ${scale / 2}")
+      assert(r.getAs[Long]("q_min") >= -127 && r.getAs[Long]("q_max") <= 127)
+    }
+
+    // cosine is scale-invariant, so the quantized rerank runs on the
+    // integer vectors directly; at int8 precision it must agree with the
+    // exact top-10 on most neighbors (q28 gaps ~1e-3 vs quantization
+    // noise ~4e-3 — measured 0.9+ here)
+    val q = Quantize.quantized(graft.Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("q"))
+    val queries = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = q.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Quantize.quantizedCosine(col("qq"), col("q")).as("qcos"))
+    val qtop = TopKPerGroup.topKPerKey(scored, "query_id", "qcos", "vec_id", 10)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("id"))).toSet
+    val exact = Similarity.q28BruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(qtop).size.toDouble / exact.size
+    assert(recall >= 0.8, f"int8 cosine recall $recall%.2f < 0.8 vs exact")
+  }
+
   test("write-time cell-bucketed (IVF) layout: pruned probe recalls most true neighbors") {
     val dst = java.nio.file.Files.createTempDirectory("graft-cellbucket")
       .toFile.getAbsolutePath + "/emb"
