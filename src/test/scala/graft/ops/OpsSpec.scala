@@ -237,6 +237,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, f"cell-bucketed IVF recall $recall%.2f < 0.6 vs brute force")
   }
 
+  test("int8 cell-bucketed layout: no float column stored, probe recall holds") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-cell8")
+      .toFile.getAbsolutePath + "/emb"
+    Similarity.writeCellBucketed(graft.Tables.embeddings(spark, dir), dst, int8 = true)
+    val stored = spark.read.parquet(dst)
+    // the layout carries the quantized vector only — the probe path reads
+    // 4x fewer payload bytes and scores integer cosine (scales cancel)
+    assert(!stored.columns.contains("embedding"))
+    assert(stored.columns.contains("q") && stored.columns.contains("scale"))
+
+    val queries = graft.Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ivf8 = Similarity.bucketedIvfTopK(spark, dst, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Similarity.q28BruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ivf8).size.toDouble / exact.size
+    assert(recall >= 0.6, f"int8 cell-layout recall $recall%.2f < 0.6 vs exact")
+  }
+
   test("multi-probe LSH ANN recalls most true neighbors (both test SFs)") {
     for (d <- Seq(dir, "/root/testdata/sf0.01")) {
       val bf = Similarity.q28BruteForceTopK(spark, d).collect()
