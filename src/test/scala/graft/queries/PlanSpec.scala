@@ -143,6 +143,19 @@ class PlanSpec extends SparkSpec {
       s"pruning too weak: $partsRead of $totalParts partitions read")
   }
 
+  test("q37/q38: in-row HOF queries plan as pure narrow maps — no hash shuffle") {
+    for (name <- Seq("q37_repetition", "q38_quantize")) {
+      val p = plan(name)
+      // the only allowed exchange is the rangepartitioning for the final
+      // deterministic orderBy; gram construction / distinct / quantization
+      // must all stay in-row
+      val hashEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning"))
+      assert(hashEx == 0, s"$name grew a hash shuffle:\n$p")
+      assert(!p.contains("Generate"), s"$name explodes rows:\n$p")
+    }
+  }
+
   test("q33: no window sorts raw rows — every window runs over aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
