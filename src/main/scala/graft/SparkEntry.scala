@@ -58,6 +58,7 @@ object SparkEntry {
     "q36_embedding_neardup" -> (Similarity.q36EmbeddingNearDup _),
     "q37_repetition"       -> (TextAnalysis.q37Repetition _),
     "q38_quantize"         -> (Quantize.q38Quantize _),
+    "q39_filter_pipeline"  -> (TextAnalysis.q39FilterPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -319,5 +320,6 @@ object SparkEntry {
     "q36_embedding_neardup" -> ExtensionOracles.q36EmbeddingNearDup,
     "q37_repetition" -> ExtensionOracles.q37Repetition,
     "q38_quantize" -> ExtensionOracles.q38Quantize,
+    "q39_filter_pipeline" -> ExtensionOracles.q39FilterPipeline,
   )
 }

@@ -144,6 +144,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q39: the composed keep/drop decision a training-data pipeline
+    * actually runs (C4/Gopher-style): length window, token-shape window,
+    * punctuation cap, repetition cap — evaluated in ONE narrow
+    * projection (no join between the signal operators: every signal is
+    * an in-row expression over the same scan), with the FIRST failing
+    * rule as the machine-readable reject reason. At 100 TB this is one
+    * map over the corpus producing the filter verdict column the
+    * downstream sampler partitions on. */
+  def q39FilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val nChr = charCountNoWs(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("l", regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)))
+      .withColumn("g",
+        when(size(col("l")) >= 3,
+          transform(sequence(lit(1), size(col("l")) - 2),
+            i => array_join(slice(col("l"), i, lit(3)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (nChr.cast("double") / greatest(nTok.cast("double"), lit(1.0))).as("avg_token_len"),
+        punctRatio(col("text")).as("punct_ratio"),
+        when(size(col("g")) > 0,
+          lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+            size(col("g")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 100000, "too_long")
+          .when(col("avg_token_len") < 3.0 || col("avg_token_len") > 10.0, "token_shape")
+          .when(col("punct_ratio") > 0.1, "punct")
+          .when(col("dup_frac") > 0.2, "repetitive")
+          .otherwise(lit("keep")))
+      .withColumn("keep", col("reason") === "keep")
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical text normalization for hashing: lowercase, collapse
     * whitespace runs, trim. */
   def normalize(text: Column): Column =

@@ -215,6 +215,45 @@ object ExtensionOracles {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors q39: the composed filter decision — same signal expressions
+    * as the q21/q37 oracles, same first-failing-rule CASE ladder. All
+    * ratio signals are single IEEE divisions (identical trees → identical
+    * bits), so threshold comparisons land on the same side in both
+    * engines. */
+  val q39FilterPipeline: String =
+    s"""WITH $tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM pos),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+       |        FROM g GROUP BY doc_id),
+       |base AS (SELECT d.doc_id,
+       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS DOUBLE) /
+       |    greatest(CAST(len(regexp_extract_all(d.text, '\\S+')) AS DOUBLE), 1.0) AS avg_token_len,
+       |  CAST(length(regexp_replace(d.text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+       |    greatest(CAST(length(d.text) AS DOUBLE), 1.0) AS punct_ratio,
+       |  CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+       |       THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
+       |       ELSE 0.0 END AS dup_frac
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+       |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, dup_frac,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_tokens > 100000 THEN 'too_long'
+       |       WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'token_shape'
+       |       WHEN punct_ratio > 0.1 THEN 'punct'
+       |       WHEN dup_frac > 0.2 THEN 'repetitive'
+       |       ELSE 'keep' END AS reason,
+       |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |        WHEN n_tokens > 100000 THEN 'too_long'
+       |        WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'token_shape'
+       |        WHEN punct_ratio > 0.1 THEN 'punct'
+       |        WHEN dup_frac > 0.2 THEN 'repetitive'
+       |        ELSE 'keep' END) = 'keep' AS keep
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q38: symmetric int8 quantization audit. scale is a single
     * division (bit-identical across engines); qi is floor over one
     * division+addition (identical trees → identical floor); only the

@@ -143,8 +143,8 @@ class PlanSpec extends SparkSpec {
       s"pruning too weak: $partsRead of $totalParts partitions read")
   }
 
-  test("q37/q38: in-row HOF queries plan as pure narrow maps — no hash shuffle") {
-    for (name <- Seq("q37_repetition", "q38_quantize")) {
+  test("q37/q38/q39: in-row HOF queries plan as pure narrow maps — no hash shuffle") {
+    for (name <- Seq("q37_repetition", "q38_quantize", "q39_filter_pipeline")) {
       val p = plan(name)
       // the only allowed exchange is the rangepartitioning for the final
       // deterministic orderBy; gram construction / distinct / quantization
