@@ -25,18 +25,24 @@ object Bench {
     // spread across passes, the spike lands in one pass and the median
     // discards it.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
-    val queries = SparkEntry.queries.toSeq
+    // Sorted by name: Map iteration order reshuffles whenever a query is
+    // added, which silently re-attributes shared costs across rounds.
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => return println(
         s"""{"metric":"total","value":-1,"unit":"sec","error":"$name failed"}""") }
     }
     val times = Array.fill(queries.size)(Vector.newBuilder[Double])
     (1 to runs).foreach { _ =>
-      // each query invocation builds fresh DataFrames, so caches from the
-      // previous pass are unreachable — drop them or they accrue for the
-      // whole bench (runs × cached queries)
-      spark.catalog.clearCache()
       queries.zipWithIndex.foreach { case ((_, fn), i) =>
+        // clear BETWEEN queries, not just between passes: CacheManager
+        // matches cached plans across queries (q25/q26 share a cached
+        // shingle front end), so whichever ran first paid the
+        // materialization and the per-query attribution lied. Each query
+        // now pays its own full cost. (It also stops caches accruing for
+        // the whole bench — each invocation builds fresh DataFrames, so
+        // the previous query's entries are already unreachable.)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         times(i) += (System.nanoTime() - t0) / 1e9

@@ -93,6 +93,11 @@ object GraftExtensions {
             case _ => throw new IllegalArgumentException(
               s"top_k: k must be an INT literal, got $k")
           }
+          // analysis-time bound check: the buffer allocates Array(2*k), so
+          // k <= 0 would otherwise surface as an executor-side
+          // ArrayIndexOutOfBounds/NegativeArraySize crash at runtime
+          if (kv < 1) throw new IllegalArgumentException(
+            s"top_k: k must be >= 1, got $kv")
           graft.ops.TopKPerGroup.TopKAgg(s, i, kv)
         case other => throw new IllegalArgumentException(
           s"top_k takes 3 arguments, got ${other.size}")

@@ -111,8 +111,19 @@ object ExportJob {
       val values = Iterator.iterate(dir)(_.getParent).take(6).toSeq.reverse
         .map(_.getName.split("=", 2)(1))
       val target = new Path(dir, values.mkString("-") + ".parquet")
-      if (st.getPath != target) fs.rename(st.getPath, target)
-      1
+      if (st.getPath == target) 1
+      else {
+        // Crash-and-rerun idempotency: the rename runs BEFORE the hour's
+        // tracking marker, so a rerun re-exports the complete hour — the
+        // fresh part-* file supersedes any previously-renamed target.
+        // Without the delete, HDFS-semantics rename returns false on an
+        // existing target and both files would survive in the dir
+        // (duplicate rows on read).
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(st.getPath, target)) throw new java.io.IOException(
+          s"renameToReferenceLayout: rename ${st.getPath} -> $target failed")
+        1
+      }
     }.sum
   }
 

@@ -114,9 +114,24 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
 
+    // The result is bounded at k × |queries| rows (tiny by construction),
+    // so materialize it locally and RELEASE both caches before returning —
+    // otherwise every invocation in a long-lived session leaks a cached
+    // corpus into the CacheManager (and into unrelated plans, which
+    // substitute cached subtrees).
+    def emit(r: DataFrame, cached: Option[DataFrame]): DataFrame = {
+      val out = finalize(r)
+      val rows = out.collect()
+      cached.foreach(_.unpersist())
+      emb.unpersist()
+      val s = emb0.sparkSession
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     @annotation.tailrec
     def attempt(kf: Int): DataFrame = {
-      if (!guard) finalize(reranked(kf))
+      if (!guard) emit(reranked(kf), None)
       else {
         // cache the reranked frame (tiny: ≤ kf×|queries| rows) so the
         // corpus-wide float pass runs ONCE — the guard aggregate
@@ -134,7 +149,7 @@ object Similarity {
           row.getAs[Long]("cnt") < kf ||
             row.getAs[Double]("dk") - row.getAs[Double]("fmin") > FloatGuardBand
         }
-        if (exact) finalize(r)
+        if (exact) emit(r, Some(r))
         else { r.unpersist(); attempt(kf * 4) }
       }
     }
@@ -319,7 +334,17 @@ object Similarity {
                         int8: Boolean = false): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     val unit = unitFeatures(widen(emb))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(20).fit(unit)
+    // Fit the quantizer on a BOUNDED sample: centroid quality needs a few
+    // thousand points per cell, not the corpus, so cap the 20-iteration
+    // fit at ~200k rows (count() is parquet-footer metadata, not a scan;
+    // the fraction sample is one narrow pass). The full corpus is only
+    // scanned once — by the assignment + layout write below.
+    val fitCap = 200000L
+    val total = unit.count()
+    val fitSet =
+      if (total <= fitCap) unit
+      else unit.sample(withReplacement = false, fitCap.toDouble / total, seed = 42)
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(20).fit(fitSet)
     val assigned = model.transform(unit).withColumnRenamed("prediction", "cell")
       .drop("features", "nrm")
     // int8=true stores the quantized vector INSTEAD of the float32

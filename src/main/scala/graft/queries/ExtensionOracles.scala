@@ -258,7 +258,10 @@ object ExtensionOracles {
     * division (bit-identical across engines); qi is floor over one
     * division+addition (identical trees → identical floor); only the
     * multiply-subtract error chain is rounded (FMA fusing differs per
-    * engine, as in q34/q36). */
+    * engine, as in q34/q36). The final LEFT JOIN (like q37's from
+    * documents) keeps a row for an EMPTY embedding — the unnest pipeline
+    * would drop it while Spark's in-row HOFs still emit (scale null,
+    * q_sum 0, q_min/q_max/max_err null). */
   val q38Quantize: String =
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
       |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
@@ -271,16 +274,20 @@ object ExtensionOracles {
       |              THEN CAST(floor(CAST(x.embedding[x.i] AS DOUBLE) /
       |                     (m.maxabs / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)
       |              ELSE 0 END AS qi
-      |       FROM x JOIN m ON x.vec_id = m.vec_id)
-      |SELECT vec_id,
-      |  MAX(scale) AS scale,
-      |  CAST(SUM(qi) AS BIGINT) AS q_sum,
-      |  CAST(MIN(qi) AS BIGINT) AS q_min,
-      |  CAST(MAX(qi) AS BIGINT) AS q_max,
-      |  round(MAX(abs(qi * scale - xi)), 12) AS max_err
-      |FROM qx
-      |GROUP BY vec_id
-      |ORDER BY vec_id""".stripMargin
+      |       FROM x JOIN m ON x.vec_id = m.vec_id),
+      |agg AS (SELECT vec_id,
+      |    MAX(scale) AS scale,
+      |    CAST(SUM(qi) AS BIGINT) AS q_sum,
+      |    CAST(MIN(qi) AS BIGINT) AS q_min,
+      |    CAST(MAX(qi) AS BIGINT) AS q_max,
+      |    round(MAX(abs(qi * scale - xi)), 12) AS max_err
+      |  FROM qx
+      |  GROUP BY vec_id)
+      |SELECT e.vec_id, a.scale,
+      |  COALESCE(a.q_sum, 0) AS q_sum,
+      |  a.q_min, a.q_max, a.max_err
+      |FROM e LEFT JOIN agg a ON e.vec_id = a.vec_id
+      |ORDER BY e.vec_id""".stripMargin
 
   val q30MultimodalMeta: String =
     """SELECT doc_id,

@@ -258,33 +258,65 @@ object Relational {
 
   /** As-of join: for each event, the customer's most recent order with
     * o_orderdate <= event ts (ties on date broken by max orderkey).
-    * Implemented as join + filter + window argmax — shuffles once on the
-    * join key and once for the per-event window; left join keeps events
-    * with no qualifying order. */
-  def q16AsOfJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val o = Tables.orders(s, dir)
+    *
+    * Formulated as a MERGED-STREAM WINDOW, not a join: orders and events
+    * are union'd into one per-user timeline, sorted by (time, kind, key),
+    * and each event picks up `last(order) ignore nulls` — the most recent
+    * order at or before it. Cost is linear in (events + orders) per user
+    * with ONE shuffle (the window partition) and ZERO join operators.
+    *
+    * Why not equality-join-then-argmax: a join on `user_id` equality plus
+    * a date inequality makes Spark enumerate every (event, order) pair of
+    * each user before filtering — quadratic compute per key, so a bot
+    * user with 1e6 events and 1e5 orders means 1e11 pair evaluations in
+    * one task. The merged stream is the classic scale-safe as-of plan.
+    *
+    * Sort-order correctness: kind 0 (order) sorts before kind 1 (event)
+    * at equal timestamps, so an order dated exactly at the event time is
+    * visible (`<=` semantics); among same-date orders the largest
+    * orderkey sorts last and therefore wins the carry-forward — the
+    * required tie-break. */
+  def q16AsOfJoin(s: SparkSession, dir: String): DataFrame =
+    asOfOrders(Tables.events(s, dir), Tables.orders(s, dir))
+
+  /** Core of q16, parameterized for spec-level stress with synthetic hot
+    * users. `events` needs (event_id, user_id, ts ns-long); `orders` needs
+    * (o_orderkey, o_custkey, o_orderdate). */
+  def asOfOrders(events: DataFrame, orders: DataFrame): DataFrame = {
     // Compare in epoch millis: orders carry ms precision, so flooring the
     // event's ns timestamp to ms preserves the <= relation exactly.
-    val eMs = e.withColumn("ts_ms", tsMs)
-    val matched = eMs
-      .join(o, eMs("user_id") === o("o_custkey") &&
-        unix_millis(o("o_orderdate").cast("timestamp")) <= eMs("ts_ms"))
-      // argmax via max(struct(date, key)): struct ordering is
-      // field-by-field, so max picks the latest date then the largest
-      // orderkey — same result as a per-event window, but map-side
-      // partial aggregation shrinks the shuffle to one row per event
-      // per task instead of every joined row.
-      .groupBy(col("event_id"))
-      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
-      .select(col("event_id").as("m_event_id"),
-        col("best.o_orderkey").as("o_orderkey"),
-        date_format(col("best.o_orderdate"), "yyyy-MM-dd").as("m_orderdate"))
-    e.select(col("event_id"), col("user_id"))
-      .join(matched, col("event_id") === matched("m_event_id"), "left")
+    val dateType = orders.schema("o_orderdate").dataType
+    val ordRows = orders.select(
+      col("o_custkey").as("user_id"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("t_ms"),
+      lit(0).as("kind"),
+      col("o_orderkey").as("sort_key"),
+      col("o_orderdate").as("ord_date"),
+      col("o_orderkey").as("ord_key"),
+      lit(null).cast("long").as("event_id"))
+    val evtRows = events.select(
+      col("user_id"),
+      tsMs.as("t_ms"),
+      lit(1).as("kind"),
+      col("event_id").as("sort_key"),
+      lit(null).cast(dateType).as("ord_date"),
+      lit(null).cast("long").as("ord_key"),
+      col("event_id"))
+    // ROWS frame (not the default RANGE) so same-timestamp peers that sort
+    // AFTER the current row can never leak into its carry-forward.
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_ms"), col("kind"), col("sort_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ord_date/ord_key are null on exactly the same rows, so the two
+    // ignore-nulls carries always resolve to the same (latest) order row.
+    ordRows.unionByName(evtRows)
+      .withColumn("asof_key", last(col("ord_key"), ignoreNulls = true).over(timeline))
+      .withColumn("asof_date", last(col("ord_date"), ignoreNulls = true).over(timeline))
+      .where(col("kind") === 1)
       .select(col("event_id"), col("user_id"),
-        coalesce(col("o_orderkey"), lit(-1L)).as("asof_orderkey"),
-        coalesce(col("m_orderdate"), lit("1970-01-01")).as("asof_orderdate"))
+        coalesce(col("asof_key"), lit(-1L)).as("asof_orderkey"),
+        coalesce(date_format(col("asof_date"), "yyyy-MM-dd"), lit("1970-01-01"))
+          .as("asof_orderdate"))
       .orderBy(col("event_id"))
   }
 

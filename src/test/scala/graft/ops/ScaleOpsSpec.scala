@@ -98,6 +98,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("as-of join: merged-stream plan, joinless, survives a hot user") {
+    import spark.implicits._
+    // One bot user with 1e4 events and 1e3 orders. The old
+    // equality-join-then-argmax plan evaluates 1e7 (event, order) pairs
+    // for this user; the merged-stream window sorts 11k rows once.
+    val hot = 1L
+    val events = ((1 to 10000).map { i =>
+      (i.toLong, i.toLong * 1000000000L, hot)
+    } ++ (1 to 50).map { i => (100000L + i, i.toLong * 7000000000L, 2L) })
+      .toDF("event_id", "ts", "user_id")
+    val orders = ((1 to 1000).map { i =>
+      (i.toLong, hot, new java.sql.Timestamp(i.toLong * 9000L))
+    } :+ (5000L, 3L, new java.sql.Timestamp(1000L))) // user 3: orders, no events
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val asOf = graft.queries.Relational.asOfOrders(events, orders)
+    // Scale guarantee: the physical plan contains NO join operator at all —
+    // no node can enumerate per-user event x order pairs.
+    val plan = asOf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected a joinless merged-stream plan, got:\n$plan")
+    // Correctness vs the brute-force definition on the same data.
+    val naive = events.join(orders,
+        events("user_id") === orders("o_custkey") &&
+          unix_millis(col("o_orderdate").cast("timestamp")) <= expr("ts DIV 1000000"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("best.o_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(date_format(col("best.o_orderdate"), "yyyy-MM-dd"), lit("1970-01-01"))
+          .as("asof_orderdate"))
+    assert(asOf.count() == 10050L)
+    assert(asOf.exceptAll(naive).isEmpty && naive.exceptAll(asOf).isEmpty)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (if (i % 100 == 0) 1L else i.toLong, s"v$i"))
