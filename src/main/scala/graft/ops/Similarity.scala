@@ -177,7 +177,7 @@ object Similarity {
   /** Component p of plane j of table `table`, in [-0.5, 0.5) —
     * deterministic, no RNG state: every executor derives identical
     * planes, nothing is shipped. */
-  private def planeComponent(table: Int, j: Int, p: Int): Double =
+  private[ops] def planeComponent(table: Int, j: Int, p: Int): Double =
     ((mix64(((table.toLong * 1021L + j) << 20) | p.toLong) & 0xffff).toDouble / 0x10000) - 0.5
 
   /** All XOR masks of Hamming weight ≤ radius over `planes` bits — the
@@ -225,11 +225,16 @@ object Similarity {
     * sig once at write time, and [[bucketedLshTopK]] runs this same
     * query against that layout with the scan statically pruned to the
     * probe ring. */
-  def q29LshTopK(s: SparkSession, dir: String): DataFrame = {
-    val planes = 4
+  def q29LshTopK(s: SparkSession, dir: String): DataFrame =
+    lshTopK(s, dir, planes = 4, radius = 2)
+
+  /** [[q29LshTopK]] with the recall/IO knobs exposed — derive them per
+    * corpus with [[tunedLshTopK]] instead of inheriting q29's constants. */
+  def lshTopK(s: SparkSession, dir: String, planes: Int, radius: Int,
+              k: Int = 10): DataFrame = {
     val emb = widen(Tables.embeddings(s, dir))
       .withColumn("sig", lshSignature(col("embedding"), 64, planes))
-    val masks = array(probeMasks(planes, 2).map(lit): _*)
+    val masks = array(probeMasks(planes, radius).map(lit): _*)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(transform(masks, m => col("sig").bitwiseXOR(m))).as("psig"))
@@ -240,10 +245,29 @@ object Similarity {
         col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", 10)
+    TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", k)
       .select(col("key").as("query_id"), col("rank"),
         col("id").as("neighbor_id"), col("score").as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[lshTopK]] with (planes, radius) DERIVED from a bounded corpus
+    * sample by [[AnnTuner]] — the cheapest probe ring whose estimated
+    * recall clears `targetRecall` on THIS corpus's neighbor geometry.
+    * Returns the chosen knobs alongside the result so callers (and
+    * specs) can see what the tuner decided. */
+  def tunedLshTopK(s: SparkSession, dir: String, targetRecall: Double = 0.7,
+                   k: Int = 10): (DataFrame, AnnTuner.LshKnobs) = {
+    val knobs = AnnTuner.tuneLsh(AnnTuner.sampleUnit(Tables.embeddings(s, dir)), targetRecall, k)
+    (lshTopK(s, dir, knobs.planes, knobs.radius, k), knobs)
+  }
+
+  /** [[ivfTopK]] with (nlist, nprobe) DERIVED from a bounded corpus
+    * sample by [[AnnTuner]] — see [[tunedLshTopK]]. */
+  def tunedIvfTopK(s: SparkSession, dir: String, targetRecall: Double = 0.7,
+                   k: Int = 10): (DataFrame, AnnTuner.IvfKnobs) = {
+    val knobs = AnnTuner.tuneIvf(AnnTuner.sampleUnit(Tables.embeddings(s, dir)), targetRecall, k)
+    (ivfTopK(s, dir, knobs.nlist, knobs.nprobe, k), knobs)
   }
 
   /** Write-time LSH-bucketed corpus layout — the 100 TB read path the

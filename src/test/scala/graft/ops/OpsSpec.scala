@@ -270,4 +270,30 @@ class OpsSpec extends SparkSpec {
       assert(recall >= 0.6, f"multi-probe LSH recall $recall%.2f < 0.6 vs brute force at $d")
     }
   }
+
+  test("auto-tuned ANN knobs: derived from a corpus sample, recall bars hold on both SFs") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val bf = Similarity.q28BruteForceTopK(spark, d).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+      val (lshDf, lshKnobs) = Similarity.tunedLshTopK(spark, d, targetRecall = 0.7)
+      val lsh = lshDf.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val lshRecall = bf.intersect(lsh).size.toDouble / bf.size
+      // the knobs are DERIVED (sample-estimated), not this corpus's
+      // hand-tuned constants — the measured recall must still clear the
+      // same bar the hardcoded path is held to
+      assert(lshRecall >= 0.6, f"tuned LSH $lshKnobs recall $lshRecall%.2f < 0.6 at $d")
+      // and the tuner must have picked a configuration that actually
+      // prunes, not the probe-everything corner
+      assert(lshKnobs.estIoFrac < 0.9, s"tuned LSH knobs degenerate: $lshKnobs")
+
+      val (ivfDf, ivfKnobs) = Similarity.tunedIvfTopK(spark, d, targetRecall = 0.7)
+      val ivf = ivfDf.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ivfRecall = bf.intersect(ivf).size.toDouble / bf.size
+      assert(ivfRecall >= 0.6, f"tuned IVF $ivfKnobs recall $ivfRecall%.2f < 0.6 at $d")
+      assert(ivfKnobs.estIoFrac < 0.6, s"tuned IVF knobs degenerate: $ivfKnobs")
+    }
+  }
 }
