@@ -29,5 +29,32 @@ object QuerySession {
     }
   }
 
+  /** Expose the dedup/similarity PIPELINES to SQL — the Athena-style
+    * user's path to the extension operators, not just the scalar
+    * functions. Each view is a lazy logical plan over the registered
+    * base tables: nothing materializes until queried, and a query's own
+    * predicates/projections compose into the plan (Catalyst prunes and
+    * pushes down through views), so `SELECT ... FROM near_dup_pairs
+    * WHERE cos > 0.9` plans exactly like the Scala-API call.
+    *
+    *  - `doc_shingles(doc_id, shingle)`   — word-3-gram shingle set
+    *  - `jaccard_pairs(d1, d2, n_common, jaccard)` — capped n-gram Jaccard ≥ 0.5
+    *  - `minhash_pairs(d1, d2, jaccard)`  — MinHash+LSH candidates, exact-verified
+    *  - `near_dup_pairs(d1, d2, cos)`     — banded-LSH embedding near-dups
+    *  - `ann_neighbors(query_id, rank, neighbor_id, cos)` — multi-probe LSH top-10
+    */
+  def registerPipelineViews(spark: SparkSession, sfDir: String): Unit = {
+    import graft.ops.{Dedup, Similarity}
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.shingles(docs, 3).withColumnRenamed("g", "shingle")
+      .createOrReplaceTempView("doc_shingles")
+    Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L)
+      .createOrReplaceTempView("jaccard_pairs")
+    Dedup.minhashLshPairs(docs).createOrReplaceTempView("minhash_pairs")
+    Similarity.nearDupPairs(Tables.embeddings(spark, sfDir), 0.45)
+      .createOrReplaceTempView("near_dup_pairs")
+    Similarity.q29LshTopK(spark, sfDir).createOrReplaceTempView("ann_neighbors")
+  }
+
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }

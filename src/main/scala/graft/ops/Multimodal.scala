@@ -13,13 +13,16 @@ import graft.Tables
   * IMAGE decode is REAL: the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF)
   * ships in every JRE with no native dependencies — `decodeImage`
   * produces true dimensions and Rec.601 mean luminance, and
-  * `resizeImage` decodes, rescales, and re-encodes. Audio/video codecs
-  * genuinely do not ship in this container, so those payloads fall back
-  * to `decodeStub`, a deterministic fake that derives "dimensions" and a
-  * "mean luminance" from the raw bytes — as do image payloads ImageIO
-  * cannot parse (the pipeline must not die on one corrupt object). The
-  * Spark-side plumbing (schema, encoders, partition batching, column
-  * pruning) is identical on both paths.
+  * `resizeImage` decodes, rescales, and re-encodes. UNCOMPRESSED AUDIO
+  * decode is REAL too: `javax.sound.sampled` also ships in every JRE,
+  * so `decodeWav` produces true sample rate / channels / duration / RMS
+  * for WAV-PCM payloads. Compressed audio and video codecs genuinely do
+  * not ship in this container, so those payloads fall back to
+  * `decodeStub`, a deterministic fake that derives features from the
+  * raw bytes — as do image/audio payloads the JDK cannot parse (the
+  * pipeline must not die on one corrupt object). The Spark-side
+  * plumbing (schema, encoders, partition batching, column pruning) is
+  * identical on all paths.
   */
 object Multimodal {
 
@@ -30,6 +33,10 @@ object Multimodal {
       width: Int,
       height: Int,
       mean_luma: Double,
+      sample_rate: Double,
+      channels: Int,
+      duration_s: Double,
+      rms: Double,
       payload_md5: String)
 
   private def md5hex(payload: Array[Byte]): String =
@@ -60,14 +67,79 @@ object Multimodal {
     }
   }
 
-  /** Decode dispatch: real ImageIO for decodable image payloads, the
-    * deterministic stub for audio/video (no codecs in the JDK) and for
-    * undecodable images. */
+  /** Real uncompressed-audio decode via the JDK's javax.sound.sampled:
+    * (sample_rate, channels, duration_s, rms) for WAV/AIFF PCM payloads
+    * (8-bit and 16-bit integer). RMS is over all channels interleaved,
+    * normalized to [-1, 1]. None for compressed audio (no codecs in the
+    * JDK) and anything AudioSystem cannot parse — degrade, don't die. */
+  def decodeWav(payload: Array[Byte]): Option[(Double, Int, Double, Double)] = {
+    import javax.sound.sampled.{AudioSystem, AudioFormat}
+    val parsed =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          val pcm = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+          if (pcm && (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16))
+            Some((fmt, ais.getFrameLength, ais.readAllBytes()))
+          else None
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: RuntimeException => None
+      }
+    parsed.map { case (fmt, frames, bytes) =>
+      val bits = fmt.getSampleSizeInBits
+      val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      val big = fmt.isBigEndian
+      val step = bits / 8
+      var sumSq = 0.0
+      var n = 0
+      var i = 0
+      while (i + step <= bytes.length) {
+        val s =
+          if (bits == 8) {
+            val raw = if (signed) bytes(i).toDouble else ((bytes(i) & 0xff) - 128).toDouble
+            raw / 128.0
+          } else {
+            val lo = if (big) bytes(i + 1) else bytes(i)
+            val hi = if (big) bytes(i) else bytes(i + 1)
+            val raw0 = ((hi & 0xff) << 8) | (lo & 0xff)
+            val raw = if (signed) raw0.toShort.toDouble else (raw0 - 32768).toDouble
+            raw / 32768.0
+          }
+        sumSq += s * s
+        n += 1
+        i += step
+      }
+      val dur =
+        if (frames >= 0 && fmt.getFrameRate > 0) frames.toDouble / fmt.getFrameRate
+        else 0.0
+      (fmt.getSampleRate.toDouble, fmt.getChannels,
+        dur, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+    }
+  }
+
+  /** Decode dispatch: real ImageIO for decodable image payloads, real
+    * javax.sound.sampled for decodable WAV-PCM audio payloads, the
+    * deterministic stub for video (no codecs in the JDK) and for
+    * undecodable images/audio. */
   def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta =
-    (if (mediaType == "image") decodeImage(payload) else None) match {
-      case Some((w, h, luma)) =>
-        MediaMeta(docId, mediaType, payload.length.toLong, w, h, luma, md5hex(payload))
-      case None => decodeStub(docId, mediaType, payload)
+    mediaType match {
+      case "image" => decodeImage(payload) match {
+        case Some((w, h, luma)) =>
+          MediaMeta(docId, mediaType, payload.length.toLong, w, h, luma,
+            0.0, 0, 0.0, 0.0, md5hex(payload))
+        case None => decodeStub(docId, mediaType, payload)
+      }
+      case "audio" => decodeWav(payload) match {
+        case Some((rate, ch, dur, rms)) =>
+          MediaMeta(docId, mediaType, payload.length.toLong, 0, 0, 0.0,
+            rate, ch, dur, rms, md5hex(payload))
+        case None => decodeStub(docId, mediaType, payload)
+      }
+      case _ => decodeStub(docId, mediaType, payload)
     }
 
   /** Real image resize: decode → smooth-scale → PNG re-encode (headless
@@ -103,7 +175,10 @@ object Multimodal {
     var i = 0
     while (i < n) { sum += (payload(i) & 0xff); i += 1 }
     val luma = if (n == 0) 0.0 else sum.toDouble / n
-    MediaMeta(docId, mediaType, n.toLong, w, h, luma, md5hex(payload))
+    // audio-shaped fields stay zero on the stub path: fake dimensions are
+    // useful for pipeline-shape tests, fake audio physics are not
+    MediaMeta(docId, mediaType, n.toLong, w, h, luma, 0.0, 0, 0.0, 0.0,
+      md5hex(payload))
   }
 
   /** STUB resize: a real implementation decodes, scales, re-encodes; the

@@ -56,6 +56,38 @@ class QuerySessionSpec extends SparkSpec {
     assert(viaSql == viaWindow)
   }
 
+  test("dedup/similarity pipelines reachable purely via spark.sql") {
+    val dir = "/root/testdata/sf0.001"
+    QuerySession.openTestTables(spark, dir)
+    QuerySession.registerPipelineViews(spark, dir)
+
+    // near-dup pairs joined back to base tables, all in SQL — the
+    // Athena-style user's workflow over the extension operators
+    val sqlPairs = spark.sql(
+      """SELECT p.d1, p.d2, p.cos
+        |FROM near_dup_pairs p
+        |JOIN embeddings e1 ON p.d1 = e1.vec_id
+        |WHERE p.cos >= 0.45
+        |ORDER BY p.d1, p.d2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val apiPairs = graft.ops.Similarity.nearDupPairs(
+        Tables.embeddings(spark, dir), 0.45).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(sqlPairs == apiPairs && sqlPairs.nonEmpty)
+
+    // MinHash candidates and the shingle front end answer too
+    val mh = spark.sql("SELECT count(*) FROM minhash_pairs WHERE jaccard >= 0.5")
+      .collect()(0).getLong(0)
+    assert(mh > 0)
+    val sh = spark.sql(
+      "SELECT count(DISTINCT shingle) FROM doc_shingles WHERE doc_id < 10")
+      .collect()(0).getLong(0)
+    assert(sh > 0)
+    val ann = spark.sql(
+      "SELECT count(*) FROM ann_neighbors WHERE rank <= 10").collect()(0).getLong(0)
+    assert(ann == 50L)
+  }
+
   test("driver contract: entry() yields rows; every query has a runnable fn") {
     assert(SparkEntry.entry(spark).count() > 0)          // driver's t1 smoke
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

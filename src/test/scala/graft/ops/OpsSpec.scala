@@ -63,6 +63,42 @@ class OpsSpec extends SparkSpec {
     assert(rd.getWidth == 4 && rd.getHeight == 2)
   }
 
+  test("multimodal: real javax.sound.sampled WAV decode through the pipeline") {
+    import spark.implicits._
+    // 1 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono 16-bit PCM:
+    // true duration exactly 1.0 s, true RMS = 0.5/sqrt(2)
+    val rate = 8000f
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val samples = Array.tabulate(8000) { i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
+    }
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val df = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", Array[Byte](9, 9, 9)), // not a WAV: degrades to stub
+      (3L, "video", wav)                   // video never hits the audio decoder
+    ).toDF("doc_id", "media_type", "payload")
+    val m = Multimodal.extractFeatures(df).collect().map(r => r.doc_id -> r).toMap
+
+    assert(m(1L).sample_rate == 8000.0 && m(1L).channels == 1)
+    assert(math.abs(m(1L).duration_s - 1.0) < 1e-9)
+    assert(math.abs(m(1L).rms - 0.5 / math.sqrt(2)) < 1e-3,
+      f"WAV RMS ${m(1L).rms}%.4f != ${0.5 / math.sqrt(2)}%.4f")
+    assert(m(2L).sample_rate == 0.0 && m(2L).rms == 0.0) // stub fallback
+    assert(m(3L).sample_rate == 0.0)                     // stub (video)
+  }
+
   test("multimodal: frame sampling explodes rows partition-locally") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, dir), frameSize = 64, everyN = 2)
     val f0 = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
