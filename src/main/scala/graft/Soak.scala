@@ -62,12 +62,59 @@ object Soak {
       timed("minhash_lsh")(Dedup.minhashLshPairs(docs)),
       timed("neardup_lsh")(Similarity.nearDupPairs(emb, 0.45)))
 
+    // Write-time ANN layouts at the soaked scale: ingest (layout write)
+    // cost, probe cost against the written layout, and the fraction of
+    // partition dirs a single probe batch actually reads — the central
+    // 100 TB claim (pruned reads) exercised at volume, not just in the
+    // sf0.001 PlanSpec.
+    val base = java.nio.file.Files.createTempDirectory("graft-soak-ann")
+      .toFile.getAbsolutePath
+    val sigDst = base + "/sig"; val cellDst = base + "/cell"
+    def timedSec(f: => Unit): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val writeSigSec = timedSec(Similarity.writeSigBucketed(emb, sigDst))
+    val writeCellSec = timedSec(Similarity.writeCellBucketed(emb, cellDst))
+    val queries = emb0.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    var lshRows = 0L; var ivfRows = 0L
+    val lshProbeSec = timedSec {
+      lshRows = Similarity.bucketedLshTopK(spark, sigDst, queries).count()
+    }
+    val ivfProbeSec = timedSec {
+      ivfRows = Similarity.bucketedIvfTopK(spark, cellDst, queries).count()
+    }
+    // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
+    // scan cost is the union of its rings/cells and overstates the
+    // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
+    // dirs while a single probe reads its own ring only
+    val oneQuery = queries.filter(col("query_id") === 0)
+    def dirsFrac(dst: String, layout: String, prefix: String): Double = {
+      val total = new java.io.File(dst).listFiles()
+        .count(_.getName.startsWith(prefix + "="))
+      val (corpus, _) =
+        if (layout == "sig") Similarity.probedCorpus(spark, sigDst, oneQuery, 4)
+        else Similarity.probedCellCorpus(spark, cellDst, oneQuery, 12)
+      val read = corpus
+        .select(regexp_extract(input_file_name(), prefix + "=\\d+", 0))
+        .distinct().count()
+      read.toDouble / total
+    }
+    val sigFrac = dirsFrac(sigDst, "sig", "sig")
+    val cellFrac = dirsFrac(cellDst, "cell", "cell")
+
     val body = results.map { case (l, s, r) =>
       f""""$l":{"sec":$s%.2f,"rows":$r}"""
     }.mkString(",")
+    val ann = f""""ann_layouts":{"write_sig_sec":$writeSigSec%.2f,""" +
+      f""""write_cell_sec":$writeCellSec%.2f,"lsh_probe_sec":$lshProbeSec%.2f,""" +
+      f""""ivf_probe_sec":$ivfProbeSec%.2f,"lsh_probe_rows":$lshRows,""" +
+      f""""ivf_probe_rows":$ivfRows,"sig_dirs_read_frac":$sigFrac%.2f,""" +
+      f""""cell_dirs_read_frac":$cellFrac%.2f}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
-      s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body}""")
+      s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")
     spark.stop()
   }
 }

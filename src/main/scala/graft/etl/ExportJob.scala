@@ -138,8 +138,11 @@ object ExportJob {
     val srcFs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val first = Option(srcFs.globStatus(pattern)).getOrElse(Array.empty).headOption
     val ok = first.forall { st =>
-      val lines = spark.read.text(st.getPath.toString).count()
-      lines >= 0 // a zero-line object is readable; unreadable ones throw
+      // the read IS the check: an unreadable/truncated object throws out
+      // of the count; any line count (including zero) means readable —
+      // there is deliberately no predicate on the value
+      spark.read.text(st.getPath.toString).count()
+      true
     }
     val probe = new Path(s"${dst.stripSuffix("/")}/.graft-preflight-${java.util.UUID.randomUUID()}")
     val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)

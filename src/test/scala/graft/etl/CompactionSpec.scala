@@ -10,12 +10,16 @@ class CompactionSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
     val src = s"$base/in"; val dst = s"$base/out"
     new java.io.File(src).mkdirs()
-    // three "hourly runs" into the same partitions → small-file buildup
+    // three "hourly runs" into the same partitions → small-file buildup.
+    // Built via the raw write path (part-* names, like a multi-task
+    // export): runHour's default reference naming now delete-and-replaces
+    // one deterministic file per partition combo, so it can no longer
+    // produce the multi-file dirs compaction exists to fix.
     (1 to 3).foreach { i =>
       Files.write(java.nio.file.Paths.get(s"$src/2021-07-18-05-0$i-00-RUN$i"),
         (Fixtures.happyLine + "\n" + Fixtures.dashLine).getBytes)
-      ExportJob.runHour(spark, src, dst, s"$base/track$i", s"2021-07-18-05")
-      // distinct tracking dirs so each run actually writes (append mode)
+      val lines = ExportJob.readHour(spark, src, "2021-07-18-05").get
+      ExportJob.write(Enrich.parseLines(lines), dst)
     }
     val before = spark.read.parquet(dst)
     val beforeRows = before.count()

@@ -77,6 +77,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(graft.etl.ExportJob.renameToReferenceLayout(spark, dst) == 0)
     // still a valid readable dataset afterwards
     assert(spark.read.parquet(dst).count() == 2)
+
+    // crash-and-rerun: the hour's marker never landed (crash after the
+    // rename, before the mark), so a rerun re-exports the complete hour
+    // into the SAME dirs. The fresh file must REPLACE the reference-named
+    // target — the old ignored-rename-result path left both files in the
+    // dir (duplicate rows on every read)
+    graft.etl.ExportJob.runHour(spark, src, dst, s"$base/track-rerun", "2021-07-18-05")
+    val dir = new java.io.File(
+      s"$dst/bucket_name=awsexamplebucket1/operation=REST.GET.OBJECT/year=2021/month=7/day=18/hour=5")
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      s"rerun left duplicate files: ${dir.listFiles().map(_.getName).mkString(", ")}")
+    assert(spark.read.parquet(dst).count() == 2)
   }
 
   test("bucketed range join equals the nested-loop formulation") {

@@ -55,9 +55,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("q05_anti_join").contains("LeftAnti"))
   }
 
-  test("q16: as-of join aggregates with a partial (map-side) stage") {
+  test("q16: as-of join is a joinless merged-stream window") {
     val p = plan("q16_asof_join")
-    assert(p.contains("partial_max"), "expected map-side partial aggregation for the argmax")
+    // the scale guarantee: NO join operator anywhere — the old
+    // equality-join-then-argmax plan evaluated per-user event x order
+    // cross products (quadratic in a hot user); the merged stream is
+    // union → one per-user window → filter, linear per user
+    assert(!p.contains("Join"), s"as-of regressed to a join plan:\n$p")
+    assert(p.contains("Window"), "expected the carry-forward window")
+    assert(p.contains("Union"), "expected the tagged orders+events union")
   }
 
   test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {

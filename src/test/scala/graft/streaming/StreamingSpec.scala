@@ -122,4 +122,21 @@ class StreamingSpec extends SparkSpec {
     val rows = result.collect().map(u => (u.user_id, u.n_sessions, u.n_events)).toSet
     assert(rows == Set((1L, 2L, 3L), (2L, 1L, 1L)))
   }
+
+  test("streaming sessionize ≡ batch q14 over the real events fixture") {
+    import spark.implicits._
+    // q14's scaladoc points bot-heavy corpora at Streaming.sessionize as
+    // the skew-safe alternative — this proves the two operators agree on
+    // the actual events table, not just a toy sequence
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000").as("ts_ms"), col("value"))
+      .as[Streaming.Event]
+    val streamed = Streaming.sessionize(ev).collect()
+      .map(u => (u.user_id, u.n_sessions, u.n_events)).toSet
+    val batch = graft.queries.Relational.q14Sessionize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
