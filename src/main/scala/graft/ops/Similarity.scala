@@ -393,15 +393,44 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_centroids")
   }
 
+  /** [[writeCellBucketed]] with nlist DERIVED from a bounded corpus
+    * sample ([[AnnTuner]]), and the tuner's recommended nprobe PERSISTED
+    * next to the centroids (`<dst>_knobs`) — the layout carries its own
+    * probe recipe, so any later reader gets the tuned recall/IO point
+    * without refitting or guessing ([[bucketedIvfTopK]] with nprobe=0
+    * reads it back). Returns the chosen knobs. */
+  def writeCellBucketedTuned(emb: DataFrame, dst: String,
+                             targetRecall: Double = 0.7,
+                             int8: Boolean = false): AnnTuner.IvfKnobs = {
+    val knobs = AnnTuner.tuneIvf(AnnTuner.sampleUnit(emb), targetRecall)
+    writeCellBucketed(emb, dst, knobs.nlist, int8)
+    val s = emb.sparkSession
+    import s.implicits._
+    Seq((knobs.nlist, knobs.nprobe, knobs.estRecall, knobs.estIoFrac))
+      .toDF("nlist", "nprobe", "est_recall", "est_io_frac")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_knobs")
+    knobs
+  }
+
   /** IVF top-k over a [[writeCellBucketed]] layout: per query, the
     * nprobe nearest cells (by centroid distance on the unit sphere —
     * driver-side over the tiny persisted centroid table and the small
     * query batch) become a static `cell IN (...)` partition filter;
     * candidates in those cells are exact-reranked. Scan cost is
-    * |probed cells| / nlist of the layout, asserted in PlanSpec. */
+    * |probed cells| / nlist of the layout, asserted in PlanSpec.
+    *
+    * nprobe <= 0 means "use the layout's own recipe": the knob persisted
+    * by [[writeCellBucketedTuned]], falling back to 12 for layouts
+    * written without one. */
   def bucketedIvfTopK(s: SparkSession, bucketedDir: String, queries: DataFrame,
                       nprobe: Int = 12, k: Int = 10): DataFrame = {
-    val (corpus, q) = probedCellCorpus(s, bucketedDir, queries, nprobe)
+    val np =
+      if (nprobe > 0) nprobe
+      else try s.read.parquet(bucketedDir + "_knobs")
+        .select(col("nprobe")).collect()(0).getInt(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 12 }
+    val (corpus, q) = probedCellCorpus(s, bucketedDir, queries, np)
     // an int8 layout carries `q` instead of `embedding`: quantize the
     // query batch the same way and score integer-vs-integer cosine —
     // scales cancel, no dequantization on the probe path

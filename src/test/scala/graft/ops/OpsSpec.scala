@@ -307,6 +307,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("tuned cell layout persists its own probe recipe; recipe probe clears the bar") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-celltuned")
+      .toFile.getAbsolutePath + "/emb"
+    val knobs = Similarity.writeCellBucketedTuned(
+      graft.Tables.embeddings(spark, dir), dst, targetRecall = 0.7)
+    // the layout carries the tuner's pick
+    val stored = spark.read.parquet(dst + "_knobs").collect()(0)
+    assert(stored.getAs[Int]("nlist") == knobs.nlist &&
+      stored.getAs[Int]("nprobe") == knobs.nprobe)
+    // nprobe=0 = "use the layout's recipe" — no caller-side guessing
+    val queries = graft.Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ivf = Similarity.bucketedIvfTopK(spark, dst, queries, nprobe = 0).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, f"recipe-probe recall $recall%.2f < 0.6 ($knobs)")
+  }
+
   test("auto-tuned ANN knobs: derived from a corpus sample, recall bars hold on both SFs") {
     for (d <- Seq(dir, "/root/testdata/sf0.01")) {
       val bf = Similarity.q28BruteForceTopK(spark, d).collect()
