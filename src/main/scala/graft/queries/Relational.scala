@@ -281,7 +281,14 @@ object Relational {
 
   /** Core of q16, parameterized for spec-level stress with synthetic hot
     * users. `events` needs (event_id, user_id, ts ns-long); `orders` needs
-    * (o_orderkey, o_custkey, o_orderdate). */
+    * (o_orderkey, o_custkey, o_orderdate).
+    *
+    * Skew caveat (same as q14's): a single pathological user still sorts
+    * its whole merged timeline through one task — LINEAR work, unlike
+    * the old join's quadratic pair enumeration, but still one task.
+    * Inherent to any order-dependent per-key batch window; for bot-heavy
+    * corpora route super-users (diagnosed by `SkewJoin.skewedKeys`)
+    * through a separate pass or an incremental stateful variant. */
   def asOfOrders(events: DataFrame, orders: DataFrame): DataFrame = {
     // Compare in epoch millis: orders carry ms precision, so flooring the
     // event's ns timestamp to ms preserves the <= relation exactly.
