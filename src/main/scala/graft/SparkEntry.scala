@@ -59,6 +59,7 @@ object SparkEntry {
     "q37_repetition"       -> (TextAnalysis.q37Repetition _),
     "q38_quantize"         -> (Quantize.q38Quantize _),
     "q39_filter_pipeline"  -> (TextAnalysis.q39FilterPipeline _),
+    "q40_neardup_clusters" -> (Dedup.q40NearDupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -321,5 +322,6 @@ object SparkEntry {
     "q37_repetition" -> ExtensionOracles.q37Repetition,
     "q38_quantize" -> ExtensionOracles.q38Quantize,
     "q39_filter_pipeline" -> ExtensionOracles.q39FilterPipeline,
+    "q40_neardup_clusters" -> ExtensionOracles.q40NearDupClusters,
   )
 }

@@ -230,4 +230,81 @@ object Dedup {
         concat((1 to 16).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash16"))
       .orderBy(col("doc_id"))
   }
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (pick one canonical doc
+    * per component, drop the rest): `nodes` is (id), `pairs` is (d1, d2);
+    * returns (id, component) where component = min id reachable.
+    *
+    * Iterative min-label propagation with POINTER JUMPING: each round a
+    * node takes the min of (its label, its neighbors' labels, its
+    * label's label). The neighbor step alone needs diameter rounds (a
+    * 10⁶-long chain of near-dups = 10⁶ shuffles); the label's-label hop
+    * halves label-chain depth each round, so convergence is
+    * O(log diameter) — the classic large-star/small-star bound — at two
+    * extra narrow joins per round.
+    *
+    * Each round's labels are EAGERLY localCheckpoint'ed: an iterative
+    * dataflow must truncate lineage per round — a mere persist leaves
+    * every round's plan referencing the previous round's cache, and
+    * unpersisting that cache recompiles the dependent entry, silently
+    * recomputing the whole history each round (measured: exponential,
+    * 4× per round). Checkpointed partitions are reclaimed by the
+    * ContextCleaner as rounds drop their references; on a real cluster
+    * with executor churn, swap localCheckpoint for a reliable
+    * `checkpoint` dir — same dataflow. Convergence is one aggregate per
+    * round: labels only ever DECREASE (every update is a min), so the
+    * label sum strictly decreases iff anything changed (decimal sum —
+    * 2^63 overflows at ~1e9 nodes × 1e10 ids). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    edges.count() // materialize once; both per-round joins reuse it
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr"))
+        .select(col("a").as("nid"), col("nbr"))
+      val hop = labels
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+      // pointer jumping: follow the (possibly stale) label one more hop
+      val labelOfLabel = labels.select(col("id").as("l_id"), col("component").as("l_comp"))
+      val next = hop.join(labelOfLabel, col("component") === col("l_id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("l_comp"), col("component"))).as("component"))
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** q40: near-duplicate CLUSTERS — connected components over the exact
+    * q36 pair graph, the final step of the dedup pipeline: keep the
+    * canonical (min-id) member of each component, drop the rest. Every
+    * embedding appears (singletons are their own component), so the
+    * output is a total keep/drop decision. */
+  def q40NearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.q36EmbeddingNearDup(s, dir).select(col("d1"), col("d2"))
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    connectedComponents(nodes, pairs)
+      .select(col("id").as("vec_id"), col("component"),
+        (col("id") === col("component")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -191,6 +191,41 @@ object ExtensionOracles {
       |WHERE cos >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
+  /** Mirrors q40: connected components over the exact q36 pair graph via
+    * a recursive transitive-closure CTE (the UNION dedups, so cycles in
+    * the undirected graph terminate), then component = min reachable id.
+    * Reuses the q36 decimal-cosine pair derivation verbatim. */
+  val q40NearDupClusters: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |norms AS (SELECT vec_id,
+      |  SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS nn
+      |  FROM x GROUP BY vec_id),
+      |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS ea, b.embedding AS eb
+      |          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |pe AS (SELECT d1, d2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pairs),
+      |dots AS (SELECT d1, d2,
+      |  SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot
+      |  FROM pe GROUP BY d1, d2),
+      |scored AS (SELECT d1, d2,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))), 12) AS cos
+      |  FROM dots
+      |  JOIN norms n1 ON d1 = n1.vec_id
+      |  JOIN norms n2 ON d2 = n2.vec_id),
+      |p AS (SELECT d1, d2 FROM scored WHERE cos >= 0.45),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM p
+      |          UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+      |reach(v, r) AS (
+      |  SELECT vec_id AS v, vec_id AS r FROM e
+      |  UNION
+      |  SELECT reach.v, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a
+      |),
+      |comp AS (SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v)
+      |SELECT vec_id, component, vec_id = component AS is_canonical
+      |FROM comp
+      |ORDER BY vec_id""".stripMargin
+
   /** Mirrors q37: duplicate-trigram fraction. The dup_frac expression is
     * one int→double cast per operand of a single IEEE division and
     * subtraction — identical trees on both engines, so no rounding is

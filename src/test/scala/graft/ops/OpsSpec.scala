@@ -148,6 +148,47 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, f"IVF recall $recall%.2f too low for nprobe=8/16")
   }
 
+  test("connected components: chains, cliques, singletons — pointer jumping converges") {
+    import spark.implicits._
+    // one 60-node chain (worst diameter/edge ratio: plain neighbor
+    // propagation needs 60 rounds, pointer jumping must do it well under
+    // the 50-iteration cap), one 4-clique with a redundant cycle edge,
+    // and two singletons
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (101L, 102L), (102L, 103L), (100L, 103L), (100L, 102L))
+    val pairs = (chain ++ clique).toDF("d1", "d2")
+    val nodes = ((0L to 59L) ++ (100L to 103L) ++ Seq(200L, 201L)).toDF("id")
+    val comp = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    (0L to 59L).foreach(i => assert(comp(i) == 0L, s"chain node $i -> ${comp(i)}"))
+    (100L to 103L).foreach(i => assert(comp(i) == 100L))
+    assert(comp(200L) == 200L && comp(201L) == 201L)
+    assert(comp.size == 66)
+  }
+
+  test("q40 clusters agree with a brute-force closure of the q36 pairs") {
+    val pairs = Similarity.q36EmbeddingNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    // driver-side union-find ground truth on the tiny fixture graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val q40 = Dedup.q40NearDupClusters(spark, dir).collect()
+    q40.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("component") == find(id),
+        s"vec $id: engine ${r.getAs[Long]("component")} vs union-find ${find(id)}")
+      assert(r.getAs[Boolean]("is_canonical") == (find(id) == id))
+    }
+    assert(q40.length == 500)
+  }
+
   test("LSH-bucketed near-dup pairs recall most exact pairs") {
     val exact = Similarity.q36EmbeddingNearDup(spark, dir).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
