@@ -60,6 +60,7 @@ object SparkEntry {
     "q38_quantize"         -> (Quantize.q38Quantize _),
     "q39_filter_pipeline"  -> (TextAnalysis.q39FilterPipeline _),
     "q40_neardup_clusters" -> (Dedup.q40NearDupClusters _),
+    "q41_tfidf"            -> (TextAnalysis.q41Tfidf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -323,5 +324,6 @@ object SparkEntry {
     "q38_quantize" -> ExtensionOracles.q38Quantize,
     "q39_filter_pipeline" -> ExtensionOracles.q39FilterPipeline,
     "q40_neardup_clusters" -> ExtensionOracles.q40NearDupClusters,
+    "q41_tfidf" -> ExtensionOracles.q41Tfidf,
   )
 }

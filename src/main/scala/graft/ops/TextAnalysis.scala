@@ -182,6 +182,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q41: top-5 TF-IDF terms per document — the classic corpus-statistic
+    * scorer (distinctive-term extraction, keyword-based quality/topic
+    * signals). tfidf = tf · ln(N/df), rounded to 12 digits before
+    * ranking (ln differs by ulps across engines' libm; ties broken by
+    * term, so rank is engine-stable — q34/q36 precedent).
+    *
+    * Scale shape: one shuffle to (doc, term) counts with map-side
+    * partials; document frequency via a count window over the term
+    * partition — same single shuffle a self-join on term would cost but
+    * with NO recomputation of the tokenize subtree (the join formulation
+    * evaluates it once per side); N arrives as a broadcast 1-row cross
+    * join, in-plan. The rank window runs over the aggregated (doc, term)
+    * frame, never raw tokens. */
+  def q41Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val terms = graft.ops.Par.widen(docs).select(col("doc_id"),
+        explode(regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    terms
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 12))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Canonical text normalization for hashing: lowercase, collapse
     * whitespace runs, trim. */
   def normalize(text: Column): Column =

@@ -324,6 +324,26 @@ object ExtensionOracles {
       |FROM e LEFT JOIN agg a ON e.vec_id = a.vec_id
       |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q41: top-5 TF-IDF terms per document. The score is one
+    * multiply of an ln — rounded to 12 digits BEFORE ranking on both
+    * sides (libm ln drifts ulps across engines), ties by term. */
+  val q41Tfidf: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT doc_id, unnest(l) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY doc_id, term),
+       |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.term, tf.tf, d.df,
+       |    round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / CAST(d.df AS DOUBLE)), 12) AS tfidf
+       |  FROM tf JOIN d USING (term) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, tf, df, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

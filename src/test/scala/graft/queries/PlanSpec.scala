@@ -66,6 +66,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), "expected the tagged orders+events union")
   }
 
+  test("q41: tf-idf evaluates the tokenize subtree once") {
+    val p = plan("q41_tfidf")
+    // document frequency comes from a count window over the term
+    // partition, NOT a self-join on term — a join formulation would
+    // re-evaluate the explode+tokenize front end once per side (two
+    // Generate nodes); the window plan carries exactly one
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected exactly one tokenize/explode subtree:\n$p")
+    assert(!p.contains("SortMergeJoin"), "df must not come from a term self-join")
+  }
+
   test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {
     val p = plan("q25_ngram_jaccard")
     // the broadcast side must be the tiny STOP set (anti join) — a
