@@ -61,6 +61,8 @@ object SparkEntry {
     "q39_filter_pipeline"  -> (TextAnalysis.q39FilterPipeline _),
     "q40_neardup_clusters" -> (Dedup.q40NearDupClusters _),
     "q41_tfidf"            -> (TextAnalysis.q41Tfidf _),
+    "q42_seq_packing"      -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q42SequencePacking(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -325,5 +327,6 @@ object SparkEntry {
     "q39_filter_pipeline" -> ExtensionOracles.q39FilterPipeline,
     "q40_neardup_clusters" -> ExtensionOracles.q40NearDupClusters,
     "q41_tfidf" -> ExtensionOracles.q41Tfidf,
+    "q42_seq_packing" -> ExtensionOracles.q42SequencePacking,
   )
 }

@@ -216,6 +216,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q42: sequence packing — the training-data step that concatenates
+    * documents (in doc_id order) into fixed-capacity token chunks and
+    * records where each document lands: chunk id, offset within the
+    * chunk, and whether it spans a chunk boundary. Pure integer
+    * arithmetic over a GLOBAL prefix sum of token counts.
+    *
+    * The prefix sum is distributed, not a single-task global window
+    * (`Window.orderBy` without partitions funnels the corpus through one
+    * task): doc_ids are cut into P ordered buckets by equal-width id
+    * ranges (bucket is monotonic in doc_id, so bucket-local order +
+    * bucket prefix = global order); each bucket computes its local
+    * running sum in parallel, per-bucket totals — P scalars — prefix-scan
+    * on the driver and join back as a broadcast. Two shuffles (bucket
+    * window + final sort), O(P) driver state. */
+  def q42SequencePacking(s: SparkSession, dir: String, capacity: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.ops.Par.widen(Tables.documents(s, dir)).select(col("doc_id"),
+      size(regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+    val Array(minId, maxId) = toks.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val p = s.sparkContext.defaultParallelism.toLong
+    val width = math.max(1L, (maxId - minId + p) / p) // ceil(range/P)
+    // integer DIV: Column./ is floating-point division
+    val bucketed = toks.withColumn("bucket",
+      expr(s"(doc_id - $minId) DIV $width"))
+    // per-bucket totals: P scalars to the driver, prefix-scanned
+    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // offset(b) = sum of totals of buckets < b
+    val prefix = {
+      var acc = 0L
+      (0L to (maxId - minId) / width).map { b =>
+        val o = (b, acc); acc += totals.getOrElse(b, 0L); o
+      }
+    }
+    import s.implicits._
+    val offsetDf = prefix.toDF("bucket_o", "bucket_offset")
+    val localWin = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("local_before", coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
+      .join(broadcast(offsetDf), col("bucket") === col("bucket_o"))
+      .withColumn("tokens_before", col("local_before") + col("bucket_offset"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"tokens_before DIV $capacity").as("chunk_id"),
+        pmod(col("tokens_before"), lit(capacity)).as("chunk_offset"),
+        (pmod(col("tokens_before"), lit(capacity)) + col("n_tokens") > capacity)
+          .as("spans_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical text normalization for hashing: lowercase, collapse
     * whitespace runs, trim. */
   def normalize(text: Column): Column =

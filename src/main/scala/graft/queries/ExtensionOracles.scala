@@ -344,6 +344,23 @@ object ExtensionOracles {
        |FROM ranked WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Mirrors q42: sequence packing over the global token prefix sum —
+    * plain windowed SUM here; the engine's bucketed decomposition must
+    * equal it exactly (pure integer arithmetic, so hash-exact). */
+  val q42SequencePacking: String =
+    s"""WITH $tokCte,
+       |c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM tok),
+       |s AS (SELECT doc_id, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+       |  FROM c)
+       |SELECT doc_id, n_tokens,
+       |  CAST(tokens_before // 2048 AS BIGINT) AS chunk_id,
+       |  CAST(tokens_before % 2048 AS BIGINT) AS chunk_offset,
+       |  (tokens_before % 2048) + n_tokens > 2048 AS spans_chunk
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -77,6 +77,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "df must not come from a term self-join")
   }
 
+  test("q42: global prefix sum is bucket-partitioned, never a single-task window") {
+    val p = plan("q42_seq_packing")
+    // the running sum must shuffle on the bucket column (parallel across
+    // buckets) — an unpartitioned Window.orderBy funnels the corpus
+    // through ONE task and would print SinglePartition here
+    assert(p.contains("hashpartitioning(bucket"),
+      s"prefix-sum window is not bucket-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a single-task exchange crept into the packing plan:\n$p")
+    // bucket offsets ride a broadcast, not a shuffle join
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {
     val p = plan("q25_ngram_jaccard")
     // the broadcast side must be the tiny STOP set (anti join) — a
