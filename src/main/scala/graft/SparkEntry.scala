@@ -63,6 +63,8 @@ object SparkEntry {
     "q41_tfidf"            -> (TextAnalysis.q41Tfidf _),
     "q42_seq_packing"      -> ((s: SparkSession, dir: String) =>
       TextAnalysis.q42SequencePacking(s, dir)),
+    "q43_decontamination"  -> ((s: SparkSession, dir: String) =>
+      Dedup.q43Decontamination(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,5 +330,6 @@ object SparkEntry {
     "q40_neardup_clusters" -> ExtensionOracles.q40NearDupClusters,
     "q41_tfidf" -> ExtensionOracles.q41Tfidf,
     "q42_seq_packing" -> ExtensionOracles.q42SequencePacking,
+    "q43_decontamination" -> ExtensionOracles.q43Decontamination,
   )
 }

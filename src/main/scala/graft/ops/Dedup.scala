@@ -294,6 +294,45 @@ object Dedup {
     labels
   }
 
+  /** q43: benchmark decontamination — for every TEST-split document, how
+    * much of it leaks from the TRAIN split: distinct train docs sharing
+    * ≥ minShared capped 3-gram shingles, the largest single-doc overlap,
+    * and a contaminated verdict. The canonical pre-release check that
+    * evaluation data didn't bleed into training data.
+    *
+    * Splits are q32's pure-function-of-id md5 assignment (engine- and
+    * rerun-stable, no rand()). The shingle overlap is the same capped
+    * inverted-index join as q25 — per-shingle fan-out bounded by the
+    * stop-shingle cap, with the test side a ~10% slice of the corpus. */
+  def q43Decontamination(s: SparkSession, dir: String,
+                         minShared: Long = 5L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // q32's split expression (Relational.q32SplitAssign), applied as a
+    // narrow column — membership is md5(doc_id), so no split table join
+    def splitOf(id: Column): Column = {
+      val h = substring(md5(id.cast("string")), 1, 2)
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    }
+    val sh = cappedShingles(docs, 3, 50L).withColumn("split", splitOf(col("doc_id")))
+    val testSh = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("t_doc"), col("g"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("tr_doc"), col("g"))
+    val overlap = testSh.join(trainSh, "g")
+      .groupBy(col("t_doc"), col("tr_doc")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("t_doc")).agg(
+        count(lit(1)).as("n_train_matches"),
+        max(col("shared")).as("max_shared"))
+    docs.select(col("doc_id")).filter(splitOf(col("doc_id")) === "test")
+      .join(overlap, col("doc_id") === col("t_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("max_shared"), lit(0L)) >= minShared).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q40: near-duplicate CLUSTERS — connected components over the exact
     * q36 pair graph, the final step of the dedup pipeline: keep the
     * canonical (min-id) member of each component, drop the rest. Every

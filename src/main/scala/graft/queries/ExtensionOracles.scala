@@ -344,6 +344,35 @@ object ExtensionOracles {
        |FROM ranked WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Mirrors q43: benchmark decontamination — test-split docs vs
+    * train-split docs over the same capped shingle set as q25, splits by
+    * the q32 md5 assignment. Pure integer counts, hash-exact. */
+  val q43Decontamination: String =
+    s"""WITH $shingleCtes,
+       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |tst AS (SELECT shc.doc_id AS t_doc, shc.g
+       |        FROM shc JOIN sp ON shc.doc_id = sp.doc_id WHERE sp.split = 'test'),
+       |trn AS (SELECT shc.doc_id AS tr_doc, shc.g
+       |        FROM shc JOIN sp ON shc.doc_id = sp.doc_id WHERE sp.split = 'train'),
+       |shared AS (SELECT t_doc, tr_doc, CAST(COUNT(*) AS BIGINT) AS shared
+       |           FROM tst JOIN trn ON tst.g = trn.g GROUP BY 1, 2),
+       |agg AS (SELECT t_doc, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+       |               CAST(MAX(shared) AS BIGINT) AS max_shared
+       |        FROM shared WHERE shared >= 5 GROUP BY t_doc)
+       |SELECT sp.doc_id,
+       |  COALESCE(a.n_train_matches, 0) AS n_train_matches,
+       |  COALESCE(a.max_shared, 0) AS max_shared,
+       |  COALESCE(a.max_shared, 0) >= 5 AS contaminated
+       |FROM sp LEFT JOIN agg a ON sp.doc_id = a.t_doc
+       |WHERE sp.split = 'test'
+       |ORDER BY sp.doc_id""".stripMargin
+
   /** Mirrors q42: sequence packing over the global token prefix sum —
     * plain windowed SUM here; the engine's bucketed decomposition must
     * equal it exactly (pure integer arithmetic, so hash-exact). */
