@@ -115,9 +115,12 @@ object AnnTuner {
   }
 
   /** Cheapest (planes, radius) whose estimated recall clears the target;
-    * if nothing does (degenerate geometry), the highest-recall point. */
+    * if nothing does (degenerate geometry), the highest-recall point. A
+    * sample too small to estimate from (< 2 vectors) degrades to the
+    * widest-probe default instead of returning NaN estimates. */
   def tuneLsh(sample: Array[Array[Double]], targetRecall: Double, k: Int = 10): LshKnobs =
-    pick(lshGrid(sample, k), targetRecall)(_.estRecall, _.estIoFrac)
+    if (sample.length < 2) LshKnobs(planes = 2, radius = 1, estRecall = 1.0, estIoFrac = 1.0)
+    else pick(lshGrid(sample, k), targetRecall)(_.estRecall, _.estIoFrac)
 
   /** Plain Lloyd's k-means with k-means++ seeding, deterministic, over
     * the (unit-normalized) sample — mirrors the engine's spherical
@@ -194,9 +197,18 @@ object AnnTuner {
   }
 
   /** Cheapest (nlist, nprobe) whose estimated recall clears the target;
-    * highest-recall point if nothing does. */
-  def tuneIvf(sample: Array[Array[Double]], targetRecall: Double, k: Int = 10): IvfKnobs =
-    pick(ivfGrid(sample, k), targetRecall)(_.estRecall, _.estIoFrac)
+    * highest-recall point if nothing does. A sample too small for the grid
+    * (fewer than 32 vectors — every `nlist * 4 <= n` candidate is filtered
+    * out) degrades to a probe-everything default instead of crashing:
+    * nlist bounded by the sample size, nprobe = nlist, recall 1 by
+    * construction. */
+  def tuneIvf(sample: Array[Array[Double]], targetRecall: Double, k: Int = 10): IvfKnobs = {
+    val grid = if (sample.length >= 2) ivfGrid(sample, k) else Seq.empty
+    if (grid.isEmpty) {
+      val nl = math.max(1, math.min(8, sample.length))
+      IvfKnobs(nl, nl, estRecall = 1.0, estIoFrac = 1.0)
+    } else pick(grid, targetRecall)(_.estRecall, _.estIoFrac)
+  }
 
   private def pick[A](cands: Seq[A], target: Double)
                      (recall: A => Double, io: A => Double): A = {

@@ -134,13 +134,24 @@ object Dedup {
     * rare set: rare shingles are O(distinct shingles) ≈ O(corpus) —
     * broadcasting them dies at scale — while the stop set is tiny by
     * construction (only shingles heavier than the cap). */
-  private def cappedShingles(docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame =
+  private def cappedShingles(docs: DataFrame, n: Int, maxDocFreq: Long,
+                             checkpoint: Boolean = false): DataFrame = {
+    // Two materialization modes: `cache()` for the bench-measured q25/q26
+    // paths (released by the harness's clearCache between queries), and
+    // eager `localCheckpoint()` for callers embedded in long-lived sessions
+    // (q43) — checkpoint blocks are reclaimed by the ContextCleaner once
+    // the frame is unreferenced, so repeated invocations don't accrue
+    // permanent CacheManager entries (and cached subtrees can't get
+    // substituted into unrelated plans).
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df.cache()
     if (maxDocFreq > 0L) {
-      val all = shingles(docs, n).cache()
+      val all = pin(shingles(docs, n))
       val stop = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select(col("g"))
-      all.join(broadcast(stop), Seq("g"), "left_anti").cache()
-    } else shingles(docs, n).cache()
+      pin(all.join(broadcast(stop), Seq("g"), "left_anti"))
+    } else pin(shingles(docs, n))
+  }
 
   /** MinHash signature component j: lexicographic min over the doc's
     * shingles of an 8-hex-char (32-bit) slice of a shingle digest.
@@ -291,6 +302,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // exhausting maxIters without the label sum stabilizing would mean the
+    // returned components are PARTIAL — wrong clusters with no signal.
+    // Pointer jumping converges in O(log diameter), so 50 rounds covers any
+    // graph a dedup pipeline can produce; if we ever get here, fail loudly
+    // rather than emit silently corrupt dedup decisions.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds — " +
+          "partial components would be silently wrong; raise maxIters")
     labels
   }
 
@@ -307,13 +327,10 @@ object Dedup {
   def q43Decontamination(s: SparkSession, dir: String,
                          minShared: Long = 5L): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // q32's split expression (Relational.q32SplitAssign), applied as a
+    // The shared split expression (Splits.of, also q32), applied as a
     // narrow column — membership is md5(doc_id), so no split table join
-    def splitOf(id: Column): Column = {
-      val h = substring(md5(id.cast("string")), 1, 2)
-      when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
-    }
-    val sh = cappedShingles(docs, 3, 50L).withColumn("split", splitOf(col("doc_id")))
+    val sh = cappedShingles(docs, 3, 50L, checkpoint = true)
+      .withColumn("split", Splits.of(col("doc_id")))
     val testSh = sh.filter(col("split") === "test")
       .select(col("doc_id").as("t_doc"), col("g"))
     val trainSh = sh.filter(col("split") === "train")
@@ -324,7 +341,7 @@ object Dedup {
       .groupBy(col("t_doc")).agg(
         count(lit(1)).as("n_train_matches"),
         max(col("shared")).as("max_shared"))
-    docs.select(col("doc_id")).filter(splitOf(col("doc_id")) === "test")
+    docs.select(col("doc_id")).filter(Splits.of(col("doc_id")) === "test")
       .join(overlap, col("doc_id") === col("t_doc"), "left")
       .select(col("doc_id"),
         coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),

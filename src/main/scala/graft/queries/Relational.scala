@@ -369,10 +369,9 @@ object Relational {
     * standard leakage-safe split for a training pipeline: membership is a
     * pure function of the id, stable across runs, engines and rescans. */
   def q32SplitAssign(s: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+        graft.ops.Splits.of(col("doc_id")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))

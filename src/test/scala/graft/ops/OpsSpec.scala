@@ -393,4 +393,35 @@ class OpsSpec extends SparkSpec {
       assert(ivfKnobs.estIoFrac < 0.6, s"tuned IVF knobs degenerate: $ivfKnobs")
     }
   }
+
+  test("tuners degrade (not crash) on corpora too small for the grid") {
+    // fewer than 32 vectors: every nlist*4 <= n IVF candidate is filtered
+    // out — the tuner must hand back a probe-everything default, not hit
+    // maxBy on an empty grid
+    val tiny = Array.tabulate(5)(i => Array.tabulate(8)(j => math.sin(i * 8 + j + 1)))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val ivf = AnnTuner.tuneIvf(tiny, targetRecall = 0.7)
+    assert(ivf.nlist >= 1 && ivf.nlist <= tiny.length && ivf.nprobe == ivf.nlist)
+    val lshTiny = AnnTuner.tuneLsh(tiny, targetRecall = 0.7)
+    assert(lshTiny.planes >= 2 && lshTiny.radius >= 1)
+    // the degenerate corners: empty and single-vector samples
+    for (s <- Seq(Array.empty[Array[Double]], tiny.take(1))) {
+      val k = AnnTuner.tuneIvf(s, targetRecall = 0.7)
+      assert(k.nlist >= 1 && k.nprobe == k.nlist)
+      val l = AnnTuner.tuneLsh(s, targetRecall = 0.7)
+      assert(l.planes == 2 && l.radius == 1)
+    }
+  }
+
+  test("connected components fail loudly when the iteration cap is exhausted") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("d1", "d2")
+    val nodes = (0L to 2L).toDF("id")
+    // maxIters=0 can never observe a stable label sum — partial components
+    // must be an ERROR, not silently-wrong dedup clusters
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, maxIters = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
