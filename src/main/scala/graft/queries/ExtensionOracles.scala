@@ -390,6 +390,25 @@ object ExtensionOracles {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q44: anonymized per-/24 access summary. The IP synthesis is
+    * q20's (shared `syntheticRemoteIp`); masking and pseudonymization are
+    * pure string/md5 operations both engines agree on byte-for-byte. */
+  val q44IpAnonymize: String =
+    """WITH ips AS (SELECT
+      |    (event_id % 223 + 1) || '.' || (user_id % 256) || '.' ||
+      |      ((event_id * 7) % 256) || '.' || ((event_id * 13) % 256) AS ip,
+      |    (event_id % 223 + 1) || '.' || (user_id % 256) || '.' ||
+      |      ((event_id * 7) % 256) || '.0' AS cidr24
+      |  FROM events)
+      |SELECT cidr24,
+      |  COUNT(*) AS n_requests,
+      |  COUNT(DISTINCT ip) AS n_ips,
+      |  COUNT(DISTINCT substring(md5('graft-salt-v1:' || ip), 1, 16)) AS n_pseudonyms,
+      |  MIN(substring(md5('graft-salt-v1:' || ip), 1, 16)) AS first_pseudonym
+      |FROM ips
+      |GROUP BY cidr24
+      |ORDER BY cidr24""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

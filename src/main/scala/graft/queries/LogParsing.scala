@@ -17,6 +17,17 @@ import graft.etl.Enrich
   */
 object LogParsing {
 
+  /** The deterministic per-event client IP used by the synthesized log
+    * lines — shared with ops.Privacy.q44IpAnonymize so the anonymization
+    * query and the parse query see the same client population (and one
+    * definition can't drift from the other's oracle). */
+  private[graft] def syntheticRemoteIp: org.apache.spark.sql.Column =
+    concat_ws(".",
+      pmod(col("event_id"), lit(223)) + 1,
+      pmod(col("user_id"), lit(256)),
+      pmod(col("event_id") * 7, lit(256)),
+      pmod(col("event_id") * 13, lit(256)))
+
   def q20S3LogEtl(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val tsUs = timestamp_micros(expr("ts DIV 1000"))
@@ -29,11 +40,7 @@ object LogParsing {
       .when(col("event_type") === "click",
         concat(lit("arn:aws:iam::123456789012:user/u"), col("user_id")))
       .otherwise(lit("-"))
-    val remoteip = concat_ws(".",
-      pmod(col("event_id"), lit(223)) + 1,
-      pmod(col("user_id"), lit(256)),
-      pmod(col("event_id") * 7, lit(256)),
-      pmod(col("event_id") * 13, lit(256)))
+    val remoteip = syntheticRemoteIp
 
     val line = concat_ws(" ",
       concat(lit("owner"), pmod(col("user_id"), lit(4))),

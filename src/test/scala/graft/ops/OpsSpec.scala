@@ -424,4 +424,30 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
+    import spark.implicits._
+    val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")
+    val out = ips.select(col("ip"), Privacy.maskIpv4(col("ip")).as("cidr24"),
+      Privacy.pseudonymize(col("ip"), "s1").as("p1"),
+      Privacy.pseudonymize(col("ip"), "s1").as("p1again"),
+      Privacy.pseudonymize(col("ip"), "s2").as("p2")).collect()
+    val byIp = out.map(r => r.getString(0) -> r).toMap
+    assert(byIp("10.1.2.3").getString(1) == "10.1.2.0")
+    assert(byIp("10.1.2.77").getString(1) == "10.1.2.0")
+    assert(byIp("198.51.100.255").getString(1) == "198.51.100.0")
+    // same salt → stable token; rotated salt → unlinked token
+    assert(out.forall(r => r.getString(2) == r.getString(3)))
+    assert(out.forall(r => r.getString(2) != r.getString(4)))
+    assert(out.map(_.getString(2)).distinct.length == 4)
+
+    // the declared query: pseudonymization must not merge distinct clients
+    val q = Privacy.q44IpAnonymize(spark, dir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) == r.getLong(3)),
+      "collision: fewer pseudonyms than distinct IPs in a /24")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.Tables.events(spark, dir).count())
+  }
 }
