@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{ExtensionOracles, LogParsing, Relational}
-import graft.ops.{Dedup, Multimodal, Privacy, Quantize, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Mixing, Multimodal, Privacy, Quantize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,7 @@ object SparkEntry {
     "q43_decontamination"  -> ((s: SparkSession, dir: String) =>
       Dedup.q43Decontamination(s, dir)),
     "q44_ip_anonymize"     -> (Privacy.q44IpAnonymize _),
+    "q45_domain_mix"       -> (Mixing.q45DomainMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,5 +334,6 @@ object SparkEntry {
     "q42_seq_packing" -> ExtensionOracles.q42SequencePacking,
     "q43_decontamination" -> ExtensionOracles.q43Decontamination,
     "q44_ip_anonymize" -> ExtensionOracles.q44IpAnonymize,
+    "q45_domain_mix" -> ExtensionOracles.q45DomainMix,
   )
 }

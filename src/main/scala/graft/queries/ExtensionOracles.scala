@@ -409,6 +409,25 @@ object ExtensionOracles {
       |GROUP BY cidr24
       |ORDER BY cidr24""".stripMargin
 
+  /** Mirrors q45: temperature-flattened source mixing weights. `power`
+    * (libm, the one engine-dependent step) is rounded to 9 digits, the
+    * normalizer is an exact DECIMAL sum, and the final division sees
+    * bit-identical doubles on both engines. */
+  val q45DomainMix: String =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *,
+      |    CAST(round(power(CAST(n_tokens AS DOUBLE), 0.3), 9) AS DECIMAL(20,9)) AS w9
+      |  FROM per),
+      |t AS (SELECT SUM(w9) AS w_total FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12) AS weight,
+      |  CAST(FLOOR(round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12)
+      |       * 100000) AS BIGINT) AS quota_100k
+      |FROM w, t
+      |ORDER BY source""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -425,6 +425,23 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("domain mix: weights normalize to 1 and α=0.3 flattens the token-share spread") {
+    val rows = Mixing.q45DomainMix(spark, dir).collect()
+    assert(rows.length == 20) // 20 synthetic sources
+    val weights = rows.map(_.getDouble(3))
+    val tokens = rows.map(_.getLong(2).toDouble)
+    assert(math.abs(weights.sum - 1.0) < 1e-9)
+    assert(weights.forall(w => w > 0 && w < 1))
+    // temperature flattening: the weight ratio between the biggest and
+    // smallest source must sit strictly inside the raw token-share ratio
+    val wRatio = weights.max / weights.min
+    val tRatio = tokens.max / tokens.min
+    assert(wRatio < tRatio, s"α=0.3 must compress spread: $wRatio vs $tRatio")
+    // and preserve order: more tokens never means less weight
+    val byTokens = rows.sortBy(_.getLong(2))
+    assert(byTokens.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")
