@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{ExtensionOracles, LogParsing, Relational}
-import graft.ops.{Dedup, Mixing, Multimodal, Privacy, Quantize, Similarity, TextAnalysis}
+import graft.ops.{Curriculum, Dedup, Mixing, Multimodal, Privacy, Quantize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,8 @@ object SparkEntry {
       Dedup.q43Decontamination(s, dir)),
     "q44_ip_anonymize"     -> (Privacy.q44IpAnonymize _),
     "q45_domain_mix"       -> (Mixing.q45DomainMix _),
+    "q46_curriculum"       -> ((s: SparkSession, dir: String) =>
+      Curriculum.q46Curriculum(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,5 +337,6 @@ object SparkEntry {
     "q43_decontamination" -> ExtensionOracles.q43Decontamination,
     "q44_ip_anonymize" -> ExtensionOracles.q44IpAnonymize,
     "q45_domain_mix" -> ExtensionOracles.q45DomainMix,
+    "q46_curriculum" -> ExtensionOracles.q46Curriculum,
   )
 }

@@ -428,6 +428,28 @@ object ExtensionOracles {
       |FROM w, t
       |ORDER BY source""".stripMargin
 
+  /** Mirrors q46: 10-stage length curriculum. The oracle uses the plain
+    * single-task `row_number` NTILE (fine at oracle scale); the engine's
+    * three-piece distributed rank must equal it exactly — everything is
+    * integer arithmetic except the final single-division mean. */
+  val q46Curriculum: String =
+    """WITH c AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tok,
+      |    row_number() OVER (ORDER BY n_tok, doc_id) AS rnk,
+      |    COUNT(*) OVER () AS n_total
+      |  FROM c)
+      |SELECT CAST((rnk - 1) * 10 // n_total + 1 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs,
+      |  MIN(n_tok) AS min_tokens,
+      |  MAX(n_tok) AS max_tokens,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM r
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

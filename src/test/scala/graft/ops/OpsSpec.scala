@@ -442,6 +442,31 @@ class OpsSpec extends SparkSpec {
     assert(byTokens.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("curriculum: distributed three-piece rank equals the single-task NTILE exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curriculum.q46Curriculum(spark, dir).collect()
+    // reference: the formulation we refuse to run at scale
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val ref = d
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .crossJoin(d.agg(count(lit(1)).as("n_total")))
+      .withColumn("bin", expr("((rnk - 1) * 10) DIV n_total + 1"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"), sum(col("n_tok")).as("sum_tokens"))
+      .withColumn("avg_tokens",
+        col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("bin")).collect()
+    assert(got.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
+    // equal-population stages: bin sizes differ by at most 1
+    val sizes = got.map(_.getLong(1))
+    assert(got.length == 10 && sizes.max - sizes.min <= 1)
+    // monotone difficulty: stage i's max never exceeds stage i+1's min
+    val pairs = got.sliding(2).toSeq
+    assert(pairs.forall(p => p(0).getLong(3) <= p(1).getLong(2)))
+  }
+
   test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")

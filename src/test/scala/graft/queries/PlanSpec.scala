@@ -90,6 +90,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q46: every unpartitioned window runs over aggregated input; raw rows only see the bounded (count, bucket) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val physical = graft.SparkEntry.queries("q46_curriculum")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.size >= 3, "expected the three-piece rank's windows")
+    windows.foreach { w =>
+      val overAggregate = w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+      // a window straight over raw rows is only allowed when keyed by
+      // BOTH the token count and the id bucket — partition size is then
+      // bounded by the bucket width even if one count dominates
+      val partKeys = w.partitionSpec.map(_.toString).mkString(",")
+      assert(overAggregate ||
+        (partKeys.contains("n_tok") && partKeys.contains("bucket")),
+        s"raw-row window not (count, bucket)-bounded: partitioned by [$partKeys]")
+    }
+  }
+
   test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {
     val p = plan("q25_ngram_jaccard")
     // the broadcast side must be the tiny STOP set (anti join) — a
