@@ -69,6 +69,8 @@ object SparkEntry {
     "q45_domain_mix"       -> (Mixing.q45DomainMix _),
     "q46_curriculum"       -> ((s: SparkSession, dir: String) =>
       Curriculum.q46Curriculum(s, dir)),
+    "q47_semantic_dedup"   -> ((s: SparkSession, dir: String) =>
+      Quantize.q47SemanticDedup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,5 +340,6 @@ object SparkEntry {
     "q44_ip_anonymize" -> ExtensionOracles.q44IpAnonymize,
     "q45_domain_mix" -> ExtensionOracles.q45DomainMix,
     "q46_curriculum" -> ExtensionOracles.q46Curriculum,
+    "q47_semantic_dedup" -> ExtensionOracles.q47SemanticDedup,
   )
 }

@@ -35,14 +35,15 @@ object Quantize {
           .otherwise(transform(col("embedding"), _ => lit(0L))))
       .drop("maxabs")
 
+  /** Integer dot product over quantized vectors (in-row HOF, exact). */
+  def intDot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, e) => acc + e)
+
   /** Cosine over integer-quantized vectors — scales cancel, so this is
     * pure integer dot products fed into one double division. */
-  def quantizedCosine(qa: Column, qb: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, e) => acc + e)
-    dot(qa, qb).cast("double") /
-      (sqrt(dot(qa, qa).cast("double")) * sqrt(dot(qb, qb).cast("double")))
-  }
+  def quantizedCosine(qa: Column, qb: Column): Column =
+    intDot(qa, qb).cast("double") /
+      (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
 
   /** q38: quantization audit over the embeddings table — per vector the
     * scale, integer checksums of the quantized vector, and the max
@@ -62,4 +63,47 @@ object Quantize {
         round(array_max(zip_with(col("q"), col("embedding"),
           (qi, x) => abs(qi * col("scale") - x.cast("double")))), 12).as("max_err"))
       .orderBy(col("vec_id"))
+
+  /** q47: SemDeDup-style semantic dedup DECISION over the int8-quantized
+    * corpus — which vectors to drop, and which kept vector justifies each
+    * drop. A vector is dropped when a smaller-id vector sits within
+    * quantized-cosine ≥ 0.45 of it; `keeper_id` is the smallest such
+    * neighbor, `n_better` how many exist. (Pairwise rule; q40's connected
+    * components turn the same pairs into transitive clusters when a
+    * global canonical is wanted.)
+    *
+    * The similarity test is INTEGER-exact: cos(qa,qb) ≥ 0.45 is evaluated
+    * as `dot > 0 ∧ 400·dot² ≥ 81·‖qa‖²·‖qb‖²` — 64-dim int8 keeps every
+    * term under ~4.3e14, well inside long range, and the oracle needs no
+    * rounding tricks at all. The cheap codegen'd FLOAT cosine prunes the
+    * pair stream first with a 0.03 guard band (measured float-vs-int8
+    * cosine gap on this corpus: ≤ 0.005; the analytic bound for int8 is
+    * ~a few 1e-2) — the oracle carries no prefilter, so a guard-band
+    * violation would surface as a hash mismatch, not stay hidden.
+    *
+    * Scale shape: same two-phase broadcast pair join as q36; at 100 TB
+    * the pair generation composes with the banded-LSH candidate
+    * generator or the IVF cell layout (SemDeDup proper dedups within
+    * coarse clusters — `writeCellBucketed` cells — which bounds the
+    * quadratic term by the cell population). */
+  def q47SemanticDedup(s: SparkSession, dir: String,
+                       num: Int = 400, den: Int = 81): DataFrame = {
+    val q = quantized(Tables.embeddings(s, dir))
+      .withColumn("n2", intDot(col("q"), col("q")))
+      .select(col("vec_id"), col("embedding"), col("q"), col("n2"))
+    val a = q.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("d1"), col("embedding").as("ea"),
+        col("q").as("qa"), col("n2").as("na2"))
+    val b = broadcast(q.select(col("vec_id").as("d2"), col("embedding").as("eb"),
+      col("q").as("qb"), col("n2").as("nb2")))
+    val sim = a.join(b, col("d1") < col("d2"))
+      .filter(graft.functions.exprs.cosine_similarity(col("ea"), col("eb")) >= 0.42)
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        lit(num.toLong) * col("dot") * col("dot") >=
+          lit(den.toLong) * col("na2") * col("nb2"))
+    sim.groupBy(col("d2").as("vec_id"))
+      .agg(min(col("d1")).as("keeper_id"), count(lit(1)).as("n_better"))
+      .orderBy(col("vec_id"))
+  }
 }

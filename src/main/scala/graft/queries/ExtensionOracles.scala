@@ -450,6 +450,36 @@ object ExtensionOracles {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Mirrors q47: semantic-dedup drop list over int8-quantized
+    * embeddings. Pure integer arithmetic (the cos ≥ 0.45 test is
+    * cross-multiplied squares), and deliberately NO float prefilter here:
+    * the engine's guard band must be loose enough that pruning changes
+    * nothing, or the hash breaks. */
+  val q47SemanticDedup: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |m AS (SELECT vec_id, MAX(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+      |      FROM x GROUP BY vec_id),
+      |qx AS (SELECT x.vec_id, x.i,
+      |         CASE WHEN m.maxabs > 0
+      |              THEN CAST(floor(CAST(x.embedding[x.i] AS DOUBLE) /
+      |                     (m.maxabs / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)
+      |              ELSE 0 END AS qi
+      |       FROM x JOIN m ON x.vec_id = m.vec_id),
+      |n AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2 FROM qx GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |           CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+      |         FROM qx a JOIN qx b ON a.i = b.i AND a.vec_id < b.vec_id
+      |         GROUP BY 1, 2),
+      |sim AS (SELECT v1, v2 FROM dots
+      |        JOIN n na ON v1 = na.vec_id
+      |        JOIN n nb ON v2 = nb.vec_id
+      |        WHERE dot > 0 AND 400 * dot * dot >= 81 * na.n2 * nb.n2)
+      |SELECT v2 AS vec_id, MIN(v1) AS keeper_id, COUNT(*) AS n_better
+      |FROM sim
+      |GROUP BY v2
+      |ORDER BY vec_id""".stripMargin
+
   val q30MultimodalMeta: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -467,6 +467,28 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(p => p(0).getLong(3) <= p(1).getLong(2)))
   }
 
+  test("semantic dedup: drop decisions match the q36 pair graph; keepers always keep") {
+    val dropped = Quantize.q47SemanticDedup(spark, dir).collect()
+    val droppedIds = dropped.map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture plants near-dups; drop list must not be empty")
+    // every keeper must itself survive (a dropped keeper would orphan
+    // its justification) — holds because keeper < dropped and the rule
+    // is monotone in id only through smaller neighbors… except via
+    // chains, where a keeper may itself be dropped by an even smaller
+    // id; assert the weaker invariant that keepers are smaller
+    dropped.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "keeper must have a smaller id")
+      assert(r.getLong(2) >= 1L)
+    }
+    // int8 cosine at the same 0.45 threshold sees the same planted
+    // near-dup structure as q36's exact decimal cosine: the dropped set
+    // is exactly the larger-id side of the q36 pair graph
+    val q36d2 = Similarity.q36EmbeddingNearDup(spark, dir)
+      .select(col("d2")).distinct().collect().map(_.getLong(0)).toSet
+    assert(droppedIds == q36d2,
+      s"int8 drop set ${droppedIds.toSeq.sorted} != exact pair d2s ${q36d2.toSeq.sorted}")
+  }
+
   test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")
