@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CmsEstimate, CosineSimilarity, CountMinSketchAgg, Ipv4ToLong, RollingHash64, TokenizeS3Log}
+import graft.functions.{CmsEstimate, CosineSimilarity, CountMinSketchAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.tokenizeS3Log)
     e.injectFunction(GraftExtensions.ipv4ToLong)
     e.injectFunction(GraftExtensions.cosineSimilarity)
+    e.injectFunction(GraftExtensions.intDot)
     e.injectFunction(GraftExtensions.rollingHash64)
     e.injectFunction(GraftExtensions.cmsSketch)
     e.injectFunction(GraftExtensions.cmsEstimate)
@@ -46,6 +47,11 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - Cosine similarity of two float arrays."),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
+  val intDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("int_dot"),
+      info("int_dot", "int_dot(a, b) - Exact integer dot product of two bigint arrays."),
+      (children: Seq[Expression]) => IntDot(children(0), children(1)))
 
   val rollingHash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("rolling_hash64"),

@@ -27,4 +27,17 @@ object VectorOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Exact integer dot product over two long arrays (int8-quantized
+    * vectors — products bounded by 64·127², far from overflow). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    dot
+  }
 }

@@ -115,6 +115,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** Exact integer dot product between two `array<bigint>` columns (the
+  * int8-quantization hot path): one fused codegen'd loop. The
+  * zip_with+aggregate HOF formulation it replaces is CodegenFallback —
+  * interpreted per row, with its whole defining expression tree inlined
+  * into any join condition or filter that references it (measured ~1.6 s
+  * of flat overhead on q47's verify filter vs ~0 for this expression). */
+case class IntDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_dot requires ARRAY<BIGINT> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "int_dot"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -124,6 +153,8 @@ object exprs {
   def ipv4_to_long_strict(c: Column): Column = column(Ipv4ToLong(expression(c), strict = true))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def int_dot(a: Column, b: Column): Column =
+    column(IntDot(expression(a), expression(b)))
   def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
   def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
     column(CountMinSketchAgg(expression(c), depth, width).toAggregateExpression())

@@ -44,8 +44,7 @@ object Dedup {
     // physical-planning tax); at 100 TB the scan arrives in thousands of
     // splits and this is a no-op
     val wide = Par.widen(docs)
-    val toks = wide.select(col("doc_id"),
-      regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0)).as("l"))
+    val toks = wide.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
     toks
       .select(col("doc_id"), explode(array_distinct(
         transform(
@@ -229,7 +228,7 @@ object Dedup {
     * Hamming-adjacent fingerprints are near-dup candidates. */
   def q27Simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir).select(col("doc_id"),
-        explode(regexp_extract_all(normalize(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val votes = (1 to 16).map { i =>
       sum(when(substring(col("h"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)

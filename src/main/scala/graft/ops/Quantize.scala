@@ -35,9 +35,11 @@ object Quantize {
           .otherwise(transform(col("embedding"), _ => lit(0L))))
       .drop("maxabs")
 
-  /** Integer dot product over quantized vectors (in-row HOF, exact). */
-  def intDot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, e) => acc + e)
+  /** Integer dot product over quantized vectors — the native codegen'd
+    * [[graft.functions.IntDot]] expression (the HOF formulation is
+    * CodegenFallback and its tree gets inlined into referencing
+    * filters/join conditions; see the expression's scaladoc). */
+  def intDot(x: Column, y: Column): Column = graft.functions.exprs.int_dot(x, y)
 
   /** Cosine over integer-quantized vectors — scales cancel, so this is
     * pure integer dot products fed into one double division. */
@@ -88,16 +90,27 @@ object Quantize {
     * quadratic term by the cell population). */
   def q47SemanticDedup(s: SparkSession, dir: String,
                        num: Int = 400, den: Int = 81): DataFrame = {
+    // Phase 1 — candidate pairs on NARROW rows: the prefilter touches
+    // every pair, so only (id, float vector) may ride it. A first cut
+    // that carried the int8 arrays through the pair stream was 3.5x
+    // slower — row width, not the cosine, dominated the all-pairs scan.
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val a = emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("d1"), col("embedding").as("ea"))
+    val b = broadcast(emb.select(col("vec_id").as("d2"), col("embedding").as("eb")))
+    val cand = a.join(b, col("d1") < col("d2"))
+      .filter(graft.functions.exprs.cosine_similarity(col("ea"), col("eb")) >= 0.42)
+      .select(col("d1"), col("d2"))
+    // Phase 2 — exact integer verify on survivors only: the tiny
+    // candidate set rides the broadcast side of two joins against the
+    // quantized corpus (scanned narrowly, never shuffled).
     val q = quantized(Tables.embeddings(s, dir))
       .withColumn("n2", intDot(col("q"), col("q")))
-      .select(col("vec_id"), col("embedding"), col("q"), col("n2"))
-    val a = q.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id").as("d1"), col("embedding").as("ea"),
-        col("q").as("qa"), col("n2").as("na2"))
-    val b = broadcast(q.select(col("vec_id").as("d2"), col("embedding").as("eb"),
-      col("q").as("qb"), col("n2").as("nb2")))
-    val sim = a.join(b, col("d1") < col("d2"))
-      .filter(graft.functions.exprs.cosine_similarity(col("ea"), col("eb")) >= 0.42)
+      .select(col("vec_id"), col("q"), col("n2"))
+    val sim = q.select(col("vec_id").as("v1"), col("q").as("qa"), col("n2").as("na2"))
+      .join(broadcast(cand), col("v1") === col("d1"))
+      .join(q.select(col("vec_id").as("v2"), col("q").as("qb"), col("n2").as("nb2")),
+        col("v2") === col("d2"))
       .withColumn("dot", intDot(col("qa"), col("qb")))
       .filter(col("dot") > 0 &&
         lit(num.toLong) * col("dot") * col("dot") >=
