@@ -113,7 +113,7 @@ object GraftExtensions {
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, rollingHash64,
+    Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
         cmsSketch, cmsEstimate, topK).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }

@@ -54,6 +54,8 @@ object QuerySession {
     Similarity.nearDupPairs(Tables.embeddings(spark, sfDir), 0.45)
       .createOrReplaceTempView("near_dup_pairs")
     Similarity.q29LshTopK(spark, sfDir).createOrReplaceTempView("ann_neighbors")
+    graft.ops.Quantize.q47SemanticDedup(spark, sfDir)
+      .createOrReplaceTempView("semantic_dedup_drops")
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Quantize, Similarity}
 
 /** Scale soak for the extension operators: replicate the fixture corpus
   * `mult`× and time the declared 100 TB paths. Small-SF oracles prove
@@ -85,6 +85,12 @@ object Soak {
     val ivfProbeSec = timedSec {
       ivfRows = Similarity.bucketedIvfTopK(spark, cellDst, queries).count()
     }
+    // within-cell SemDeDup over the same cell layout: the per-cell
+    // quadratic at soaked volume — the q47 scale path's cliff check
+    var semRows = 0L
+    val semDedupSec = timedSec {
+      semRows = Quantize.semanticDedupInCells(spark, cellDst).count()
+    }
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -111,7 +117,8 @@ object Soak {
       f""""write_cell_sec":$writeCellSec%.2f,"lsh_probe_sec":$lshProbeSec%.2f,""" +
       f""""ivf_probe_sec":$ivfProbeSec%.2f,"lsh_probe_rows":$lshRows,""" +
       f""""ivf_probe_rows":$ivfRows,"sig_dirs_read_frac":$sigFrac%.2f,""" +
-      f""""cell_dirs_read_frac":$cellFrac%.2f}"""
+      f""""cell_dirs_read_frac":$cellFrac%.2f,""" +
+      f""""semdedup_cells_sec":$semDedupSec%.2f,"semdedup_drops":$semRows}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")

@@ -119,4 +119,42 @@ object Quantize {
       .agg(min(col("d1")).as("keeper_id"), count(lit(1)).as("n_better"))
       .orderBy(col("vec_id"))
   }
+
+  /** SemDeDup proper — the 100 TB path for q47's decision: dedup WITHIN
+    * the coarse k-means cells of a [[Similarity.writeCellBucketed]]
+    * layout (the original SemDeDup recipe: cluster, then drop
+    * near-duplicates inside each cluster). The all-pairs term is bounded
+    * by the cell population ((n/nlist)² per cell instead of n² global),
+    * the join key is the layout's own partition column, and an int8
+    * layout never touches a float on the read path — the whole pairwise
+    * test is [[intDot]] integer arithmetic. Missed cross-cell pairs are
+    * the accepted SemDeDup tradeoff; the spec measures recall against
+    * the exact q47 decision and asserts the detected set is a strict
+    * subset (a within-cell similar pair is globally similar by the same
+    * integer test, so no false drops — only misses).
+    *
+    * Skewed cells (one mega-cluster) are the known hazard: AQE's skew
+    * join splits the probe side, and the layout writer's k-means on
+    * L2-normalized vectors keeps cells balanced by construction. */
+  def semanticDedupInCells(s: SparkSession, bucketedDir: String,
+                           num: Int = 400, den: Int = 81): DataFrame = {
+    val corpus = s.read.parquet(bucketedDir)
+    val q = (if (corpus.columns.contains("q")) corpus
+             else quantized(corpus))
+      .withColumn("n2", intDot(col("q"), col("q")))
+      .select(col("cell"), col("vec_id"), col("q"), col("n2"))
+    val a = q.select(col("cell"), col("vec_id").as("d1"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = q.select(col("cell"), col("vec_id").as("d2"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    val sim = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        lit(num.toLong) * col("dot") * col("dot") >=
+          lit(den.toLong) * col("na2") * col("nb2"))
+    sim.groupBy(col("d2").as("vec_id"))
+      .agg(min(col("d1")).as("keeper_id"), count(lit(1)).as("n_better"))
+      .orderBy(col("vec_id"))
+  }
 }

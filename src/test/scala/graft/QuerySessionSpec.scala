@@ -83,6 +83,16 @@ class QuerySessionSpec extends SparkSpec {
       "SELECT count(DISTINCT shingle) FROM doc_shingles WHERE doc_id < 10")
       .collect()(0).getLong(0)
     assert(sh > 0)
+
+    // semantic-dedup drop decisions, and the native int_dot function,
+    // are SQL-reachable too
+    val drops = spark.sql(
+      "SELECT count(*) FROM semantic_dedup_drops WHERE keeper_id < vec_id")
+      .collect()(0).getLong(0)
+    assert(drops > 0)
+    val dot = spark.sql("SELECT int_dot(array(1L, 2L, 3L), array(4L, 5L, 6L))")
+      .collect()(0).getLong(0)
+    assert(dot == 32L)
     val ann = spark.sql(
       "SELECT count(*) FROM ann_neighbors WHERE rank <= 10").collect()(0).getLong(0)
     assert(ann == 50L)

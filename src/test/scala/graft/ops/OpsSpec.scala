@@ -489,6 +489,33 @@ class OpsSpec extends SparkSpec {
       s"int8 drop set ${droppedIds.toSeq.sorted} != exact pair d2s ${q36d2.toSeq.sorted}")
   }
 
+  test("within-cell SemDeDup: no false drops, useful recall of the exact decision") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-semdedup")
+      .toFile.getAbsolutePath + "/emb"
+    // cell count must track corpus size (the tuner's job in production):
+    // 64 cells over 500 vectors is ~8 vectors/cell and splits most
+    // near-dup pairs across cells (measured recall 0.29); 8 cells keeps
+    // them together while still bounding the per-cell quadratic
+    Similarity.writeCellBucketed(graft.Tables.embeddings(spark, dir), dst,
+      nlist = 8, int8 = true)
+    val cellDrops = Quantize.semanticDedupInCells(spark, dst)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Quantize.q47SemanticDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // soundness: a within-cell similar pair is globally similar under the
+    // SAME integer test — every cell-detected drop must exist exactly
+    cellDrops.foreach { case (id, keeper) =>
+      assert(exact.contains(id), s"false drop $id not in exact decision")
+      assert(exact(id) <= keeper,
+        "exact keeper can only be smaller (cells see a subset of neighbors)")
+    }
+    // recall: cosine-close vectors land in the same spherical k-means
+    // cell most of the time — the SemDeDup tradeoff being bought
+    val recall = cellDrops.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"within-cell recall $recall below 0.5")
+  }
+
   test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")
