@@ -71,6 +71,7 @@ object SparkEntry {
       Curriculum.q46Curriculum(s, dir)),
     "q47_semantic_dedup"   -> ((s: SparkSession, dir: String) =>
       Quantize.q47SemanticDedup(s, dir)),
+    "q48_unigram_logprob"  -> (TextAnalysis.q48UnigramLogprob _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,5 +342,6 @@ object SparkEntry {
     "q45_domain_mix" -> ExtensionOracles.q45DomainMix,
     "q46_curriculum" -> ExtensionOracles.q46Curriculum,
     "q47_semantic_dedup" -> ExtensionOracles.q47SemanticDedup,
+    "q48_unigram_logprob" -> ExtensionOracles.q48UnigramLogprob,
   )
 }

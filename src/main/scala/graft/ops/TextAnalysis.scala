@@ -233,6 +233,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q48: unigram language-model scoring — the perplexity-proxy quality
+    * filter (the CCNet/Gopher recipe uses a KenLM n-gram model; the
+    * unigram LM is its self-contained in-engine stand-in): per document,
+    * the mean token log-probability under the corpus's own unigram
+    * distribution, and bits-per-token. Gibberish and rare-token salad
+    * score low; documents made of common tokens score high — the
+    * standard "does this look like the corpus" signal.
+    *
+    * Dataflow: one tokenize, corpus term frequencies via a count window
+    * over the term partition (q41's shape: one term shuffle, no
+    * self-join), total-token count as a broadcast one-row aggregate.
+    *
+    * Determinism: `ln` is libm, so each per-token logprob is rounded to
+    * 12 digits and summed as DECIMAL(28,12) — exact and order-free —
+    * then the per-doc mean is one division of bit-identical doubles
+    * (the float-sum rule from q01/q34). bits_per_token divides by a
+    * LITERAL ln(2): computing ln(2) at runtime could differ by an ulp
+    * between engines' libm. */
+  def q48UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = 0.6931471805599453
+    val toks = graft.ops.Par.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      .withColumn("avg_logprob",
+        round(col("slp").cast("double") / col("n_tokens").cast("double"), 12))
+      .withColumn("bits_per_token",
+        round(-col("avg_logprob") / lit(ln2), 12))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
+        col("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q42: sequence packing — the training-data step that concatenates
     * documents (in doc_id order) into fixed-capacity token chunks and
     * records where each document lands: chunk id, offset within the

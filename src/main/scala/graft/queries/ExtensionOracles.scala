@@ -344,6 +344,26 @@ object ExtensionOracles {
        |FROM ranked WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Mirrors q48: unigram-LM scoring. Each per-token ln is rounded to 12
+    * digits then summed as DECIMAL(28,12) (exact, order-free) on both
+    * engines; bits_per_token divides by a literal ln(2). */
+  val q48UnigramLogprob: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT doc_id, unnest(l) AS tok FROM tok),
+       |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+       |lp AS (SELECT t.doc_id,
+       |    CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(n.n_total AS DOUBLE)), 12)
+       |         AS DECIMAL(28,12)) AS lp
+       |  FROM t JOIN v USING (tok) CROSS JOIN n),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 12) AS avg_logprob
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, avg_logprob,
+       |  round(-avg_logprob / 0.6931471805599453, 12) AS bits_per_token
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q43: benchmark decontamination — test-split docs vs
     * train-split docs over the same capped shingle set as q25, splits by
     * the q32 md5 assignment. Pure integer counts, hash-exact. */

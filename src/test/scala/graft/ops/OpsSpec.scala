@@ -516,6 +516,38 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"within-cell recall $recall below 0.5")
   }
 
+  test("unigram LM scoring: common-token docs beat rare-token salad; scores are corpus-relative") {
+    val rows = TextAnalysis.q48UnigramLogprob(spark, dir).collect()
+    assert(rows.length == 500)
+    // logprobs are means of ln(p<1): strictly negative, bits positive
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0)
+      assert(r.getDouble(3) > 0.0)
+    }
+    // discrimination: score synthetic docs through the same pipeline —
+    // a doc of the corpus's most common tokens must outscore one full of
+    // near-unique tokens (the gibberish the filter exists to catch)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = Seq(
+      (100001L, "data data table query row the a value"),
+      (100002L, "zxqv9 wqpl7 mnbv3 khgf1 poiu5 ytre8 asdf2 lkjh6")
+    ).toDF("doc_id", "text")
+    val toks = base.unionByName(planted)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val scored = toks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(avg(log(col("cnt").cast("double") / col("n_total").cast("double"))).as("alp"))
+      .filter(col("doc_id") >= 100001L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(100001L) > scored(100002L) + 2.0,
+      s"common-token doc must clearly outscore gibberish: $scored")
+  }
+
   test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")
