@@ -254,9 +254,11 @@ object TextAnalysis {
   def q48UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ln2 = 0.6931471805599453
-    val toks = graft.ops.Par.widen(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    val docs = graft.ops.Par.widen(Tables.documents(s, dir))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // total tokens WITHOUT a second tokenize+explode pass: a narrow
+    // sum-of-sizes over the raw docs (the PlanSpec pins one Generate)
+    val total = docs.agg(sum(size(tokens(col("text")))).as("n_total"))
     toks
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(total))

@@ -109,6 +109,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q44/q45: narrow aggregation queries — no sort-merge joins, totals ride broadcasts") {
+    val p44 = plan("q44_ip_anonymize")
+    // mask + pseudonym are codegen'd column work; the only joins AQE may
+    // introduce are none — distinct-count expands plus one keyed agg
+    assert(!p44.contains("SortMergeJoin") && !p44.contains("CartesianProduct"))
+    assert(p44.contains("Expand"), "two countDistincts should plan as one Expand")
+
+    val p45 = plan("q45_domain_mix")
+    assert(p45.contains("BroadcastExchange"), "the 1-row normalizer must broadcast")
+    assert(!p45.contains("SortMergeJoin") && !p45.contains("CartesianProduct"))
+  }
+
+  test("q47: int8 arrays stay off the all-pairs prefilter stream") {
+    val p = plan("q47_semantic_dedup")
+    // the pair generator is the nested-loop prefilter over narrow
+    // (id, vector) rows; the quantized arrays join in afterwards via
+    // broadcast — a sort-merge join anywhere means the verify side
+    // started shuffling corpus-wide arrays
+    assert(p.contains("BroadcastNestedLoopJoin"), s"prefilter shape changed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"verify joins must broadcast the candidates:\n$p")
+    val bnlLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).get
+    assert(!bnlLine.contains("q#") && !bnlLine.contains("qa") ,
+      "quantized arrays leaked into the pair join")
+  }
+
+  test("q48: every window is term-partitioned; one tokenize subtree") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q48_unigram_logprob")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "unpartitioned window = single-task corpus sort")
+    }
+    val p = physical.toString
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected exactly one tokenize/explode subtree:\n$p")
+  }
+
   test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {
     val p = plan("q25_ngram_jaccard")
     // the broadcast side must be the tiny STOP set (anti join) — a
