@@ -216,4 +216,49 @@ object AnnTuner {
     if (ok.nonEmpty) ok.minBy(c => (io(c), -recall(c)))
     else cands.maxBy(c => (recall(c), -io(c)))
   }
+
+  final case class SemDedupKnobs(nlist: Int, estRecall: Double,
+                                 estPairFrac: Double) {
+    override def toString =
+      f"SemDedupKnobs(nlist=$nlist, estRecall=$estRecall%.2f, estPairFrac=$estPairFrac%.3f)"
+  }
+
+  /** Within-cell SemDeDup cell-count candidates with, per nlist: the
+    * fraction of the sample's true near-dup pairs (cos ≥ threshold)
+    * that land in the SAME k-means cell (= the recall the within-cell
+    * pass can reach), and the per-cell quadratic work as a fraction of
+    * all-pairs (Σ cell² / n²). More cells = cheaper but splits more
+    * pairs — the tradeoff q47's scale path buys. */
+  def semDedupGrid(sample: Array[Array[Double]],
+                   threshold: Double = 0.45): Seq[SemDedupKnobs] = {
+    val n = sample.length
+    val truePairs = for {
+      i <- 0 until n
+      j <- (i + 1) until n
+      if dot(sample(i), sample(j)) >= threshold
+    } yield (i, j)
+    if (truePairs.isEmpty) return Seq.empty
+    Seq(2, 4, 8, 16, 32, 64, 128)
+      .filter(nl => nl.toLong * 4 <= n)
+      .map { nl =>
+        val ctrs = kmeansCenters(sample, nl)
+        val cellOf = sample.map(nearestIdx(_, ctrs))
+        val kept = truePairs.count { case (i, j) => cellOf(i) == cellOf(j) }
+        val counts = cellOf.groupBy(identity).values.map(_.length.toLong)
+        val pairFrac = counts.map(c => c * c).sum.toDouble / (n.toLong * n)
+        SemDedupKnobs(nl, kept.toDouble / truePairs.size, pairFrac)
+      }
+  }
+
+  /** Largest cell count (cheapest quadratic) whose co-location recall
+    * clears the target; degrades to nlist=1 (exact, all-pairs-in-one-
+    * cell) when the sample is too small or nothing clears the bar and
+    * even 2 cells split pairs badly. */
+  def tuneSemDedupCells(sample: Array[Array[Double]],
+                        targetRecall: Double,
+                        threshold: Double = 0.45): SemDedupKnobs = {
+    val grid = if (sample.length >= 8) semDedupGrid(sample, threshold) else Seq.empty
+    if (grid.isEmpty) SemDedupKnobs(1, estRecall = 1.0, estPairFrac = 1.0)
+    else pick(grid, targetRecall)(_.estRecall, _.estPairFrac)
+  }
 }

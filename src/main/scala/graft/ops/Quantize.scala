@@ -157,4 +157,20 @@ object Quantize {
       .agg(min(col("d1")).as("keeper_id"), count(lit(1)).as("n_better"))
       .orderBy(col("vec_id"))
   }
+
+  /** [[semanticDedupInCells]] with the cell count DERIVED from a bounded
+    * corpus sample instead of guessed: [[AnnTuner.tuneSemDedupCells]]
+    * picks the largest nlist (cheapest per-cell quadratic) whose sampled
+    * near-dup pairs stay co-located at the target recall — the knob the
+    * within-cell spec showed must track corpus size (64 cells over 500
+    * vectors split most pairs; 8 kept them together). Writes the int8
+    * cell layout at `dst` and returns the knobs with the decision frame. */
+  def semanticDedupCellsTuned(s: SparkSession, dir: String, dst: String,
+                              targetRecall: Double = 0.7)
+      : (AnnTuner.SemDedupKnobs, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val knobs = AnnTuner.tuneSemDedupCells(AnnTuner.sampleUnit(emb), targetRecall)
+    Similarity.writeCellBucketed(emb, dst, nlist = knobs.nlist, int8 = true)
+    (knobs, semanticDedupInCells(s, dst))
+  }
 }

@@ -548,6 +548,27 @@ class OpsSpec extends SparkSpec {
       s"common-token doc must clearly outscore gibberish: $scored")
   }
 
+  test("tuned within-cell SemDeDup: derived cell count clears the recall bar") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val sample = AnnTuner.sampleUnit(emb)
+    val knobs = AnnTuner.tuneSemDedupCells(sample, targetRecall = 0.7)
+    // at sf0.001 the sample IS the corpus, so the estimate is exact-ish:
+    // the tuner must not hand back the recall-killing fine grid
+    assert(knobs.nlist >= 1 && knobs.estRecall >= 0.5, s"bad knobs: $knobs")
+    val dst = java.nio.file.Files.createTempDirectory("graft-semtune")
+      .toFile.getAbsolutePath + "/emb"
+    val (k2, decisions) = Quantize.semanticDedupCellsTuned(spark, dir, dst)
+    assert(k2 == knobs, "tuner must be deterministic for a fixed corpus")
+    val cellDrops = decisions.collect().map(_.getLong(0)).toSet
+    val exact = Quantize.q47SemanticDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = cellDrops.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"tuned recall $recall below 0.5 at $k2")
+    // the degenerate corner: a tiny sample degrades to one cell (exact)
+    val tiny = AnnTuner.tuneSemDedupCells(sample.take(4), 0.7)
+    assert(tiny.nlist == 1 && tiny.estRecall == 1.0)
+  }
+
   test("IP anonymization: /24 mask drops the host octet, pseudonyms are stable and collision-free") {
     import spark.implicits._
     val ips = Seq("10.1.2.3", "10.1.2.77", "10.1.3.3", "198.51.100.255").toDF("ip")
