@@ -27,7 +27,12 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     // Sorted by name: Map iteration order reshuffles whenever a query is
     // added, which silently re-attributes shared costs across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=q25,q26 restricts to a comma-separated subset
+    // (prefix match) — the iteration loop while tuning one query's plan.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => return println(
         s"""{"metric":"total","value":-1,"unit":"sec","error":"$name failed"}""") }

@@ -102,10 +102,17 @@ object Dedup {
                    maxDocFreq: Long = 0L): DataFrame = {
     val sh = cappedShingles(docs, n, maxDocFreq)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
+    val common =
+      if (maxDocFreq > 0L) coGroupedPairCounts(sh)
+      else {
+        // uncapped: per-shingle doc lists are unbounded, so an in-row pair
+        // build could buffer a boilerplate shingle's whole posting list in
+        // one aggregation state — fall back to the self-join, which spills
+        val a = sh.as("a"); val b = sh.as("b")
+        a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("c"))
+      }
     common
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
@@ -124,6 +131,27 @@ object Dedup {
     * under the cap is asserted in OpsSpec against the uncapped form. */
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.documents(s, dir), 3, 0.5, maxDocFreq = 50L)
+
+  /** Per-pair common-shingle counts from CAPPED shingles, join-free: one
+    * groupBy(g) collects each shingle's (bounded, ≤ cap after the stop
+    * filter) posting list, the ordered pairs are built IN-ROW from the
+    * sorted list, and one more aggregation counts each pair's shared
+    * shingles. Versus the self-join on `g` this drops a whole
+    * shuffle+sort of the shingle set: the join reads the (cached)
+    * shingles twice and sort-merges both sides, while here the posting
+    * list is one map-side-combined aggregation. Per-shingle fan-out is
+    * ≤ cap²/2 pairs — the same bound the join had, but materialized as
+    * array rows instead of a merge of two sorted streams.
+    * PRECONDITION: every shingle's document frequency is ≤ the stop cap
+    * (collect_list state is bounded only then). */
+  private def coGroupedPairCounts(cappedSh: DataFrame): DataFrame =
+    cappedSh.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("c"))
 
   /** Shingle set with the stop-shingle cap applied (document frequency
     * ≤ maxDocFreq; 0 = uncapped), cached — the shared front end of every
@@ -206,17 +234,24 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // exact verification of candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("a"), col("d1") === col("a.doc_id"))
-      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.g") === col("b.g"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+    // exact verification of candidates only — against each candidate
+    // doc's FULL (capped) shingle array, one row per doc: the previous
+    // formulation joined the exploded shingle rows twice (two shuffles of
+    // the whole shingle set) and counted pairs in a third aggregation;
+    // collecting each doc's sorted shingle array once and intersecting
+    // IN-ROW moves the same work to two candidate-sized joins plus an
+    // array intersection. The array is O(doc tokens) — the row already
+    // carried the document text, so per-row state doesn't grow in kind.
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
+    cand
+      .join(docsets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(docsets.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1.gs"), col("s2.gs"))).as("c"),
+        size(col("s1.gs")).as("n1"), size(col("s2.gs")).as("n2"))
       .withColumn("jaccard",
-        col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")).cast("double"))
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
@@ -330,12 +365,21 @@ object Dedup {
     // narrow column — membership is md5(doc_id), so no split table join
     val sh = cappedShingles(docs, 3, 50L, checkpoint = true)
       .withColumn("split", Splits.of(col("doc_id")))
-    val testSh = sh.filter(col("split") === "test")
-      .select(col("doc_id").as("t_doc"), col("g"))
-    val trainSh = sh.filter(col("split") === "train")
-      .select(col("doc_id").as("tr_doc"), col("g"))
-    val overlap = testSh.join(trainSh, "g")
-      .groupBy(col("t_doc"), col("tr_doc")).agg(count(lit(1)).as("shared"))
+    // join-free overlap: ONE groupBy(g) collects each shingle's test-side
+    // and train-side posting lists (each ≤ the stop cap, so the agg state
+    // is bounded; val-split rows turn into nulls, which collect_list
+    // drops), then the test×train pairs are built in-row — the same
+    // shuffle-saving rewrite as coGroupedPairCounts, with the split
+    // filter fused into the collection instead of two filtered scans
+    // feeding a sort-merge join on `g`.
+    val overlap = sh.groupBy(col("g")).agg(
+        collect_list(when(col("split") === "test", col("doc_id"))).as("t_ids"),
+        collect_list(when(col("split") === "train", col("doc_id"))).as("tr_ids"))
+      .select(explode(flatten(transform(col("t_ids"), t =>
+        transform(col("tr_ids"),
+          tr => struct(t.as("t_doc"), tr.as("tr_doc")))))).as("p"))
+      .groupBy(col("p.t_doc").as("t_doc"), col("p.tr_doc").as("tr_doc"))
+      .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .groupBy(col("t_doc")).agg(
         count(lit(1)).as("n_train_matches"),

@@ -158,6 +158,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "all-pairs fallback crept in")
   }
 
+  test("q25/q43: pair generation is join-free — no shuffle join keyed on the shingle") {
+    // the capped pair build is ONE groupBy(g) + in-row pair explode; a
+    // self-join on `g` (two shuffle reads + sort-merge of the shingle set)
+    // regressing in would double the heaviest stage at scale
+    for (q <- Seq("q25_ngram_jaccard", "q43_decontamination")) {
+      val p = plan(q)
+      val joinLines = p.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+      assert(joinLines.forall(!_.matches(""".*\[g#\d+.*""")),
+        s"$q shuffles a join keyed on the shingle column:\n${joinLines.mkString("\n")}")
+    }
+  }
+
   test("q29: probe fan-out rides the broadcast side; corpus scanned once") {
     val p = plan("q29_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), "bucket probe should be a broadcast join")
