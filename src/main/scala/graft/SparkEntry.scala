@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{ExtensionOracles, LogParsing, Relational}
-import graft.ops.{Curriculum, Dedup, Mixing, Multimodal, Privacy, Quantize, Similarity, TextAnalysis}
+import graft.ops.{Curriculum, Dedup, Mixing, Multimodal, Privacy, Quantize, Selection, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +72,16 @@ object SparkEntry {
     "q47_semantic_dedup"   -> ((s: SparkSession, dir: String) =>
       Quantize.q47SemanticDedup(s, dir)),
     "q48_unigram_logprob"  -> (TextAnalysis.q48UnigramLogprob _),
+    "q49_token_budget"     -> ((s: SparkSession, dir: String) =>
+      Selection.q49TokenBudget(s, dir)),
+    "q50_vocab_coverage"   -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q50VocabCoverage(s, dir)),
+    "q51_char_entropy"     -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q51CharEntropy(s, dir)),
+    "q52_stratified_sample" -> ((s: SparkSession, dir: String) =>
+      Selection.q52StratifiedSample(s, dir)),
+    "q53_crossdoc_repetition" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q53CrossDocRepetition(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +353,10 @@ object SparkEntry {
     "q46_curriculum" -> ExtensionOracles.q46Curriculum,
     "q47_semantic_dedup" -> ExtensionOracles.q47SemanticDedup,
     "q48_unigram_logprob" -> ExtensionOracles.q48UnigramLogprob,
+    "q49_token_budget" -> ExtensionOracles.q49TokenBudget,
+    "q50_vocab_coverage" -> ExtensionOracles.q50VocabCoverage,
+    "q51_char_entropy" -> ExtensionOracles.q51CharEntropy,
+    "q52_stratified_sample" -> ExtensionOracles.q52StratifiedSample,
+    "q53_crossdoc_repetition" -> ExtensionOracles.q53CrossDocRepetition,
   )
 }

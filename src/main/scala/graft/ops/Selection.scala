@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-selection operators: which documents make it into the training
+  * set. Two complementary policies:
+  *
+  *  - q49 token-budget selection: rank the corpus by a quality priority
+  *    and keep documents greedily until a global token budget is full —
+  *    the "best N billion tokens" cut every capped training run makes.
+  *  - q52 stratified sampling: a deterministic, rerun-stable k-per-stratum
+  *    sample (eval sets, human-review batches, per-language probes).
+  *
+  * Both are exact global decisions computed without any corpus-sized
+  * single-task stage (the scale traps for each are an unpartitioned
+  * ORDER BY window and a per-stratum row_number respectively).
+  */
+object Selection {
+
+  /** Integer quality priority 0..10 — q21's three quality rules with
+    * integer weights (4/3/3). Integer so every downstream ordering,
+    * grouping and join keys on exact arithmetic. */
+  private def priority(): org.apache.spark.sql.Column = {
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nChr = TextAnalysis.charCountNoWs(col("text"))
+    val avgTokLen = nChr.cast("double") / greatest(nTok.cast("double"), lit(1.0))
+    (when(nTok.between(20, 200), lit(4)).otherwise(lit(0)) +
+      when(avgTokLen.between(3.0, 10.0), lit(3)).otherwise(lit(0)) +
+      when(TextAnalysis.punctRatio(col("text")) <= 0.1, lit(3)).otherwise(lit(0)))
+      .cast("long")
+  }
+
+  /** q49: greedy token-budget selection — documents in (priority desc,
+    * doc_id asc) order, each selected iff it fits entirely inside the
+    * remaining budget-prefix. Output: every document with its exact
+    * token prefix (`tokens_before` = total tokens of all
+    * strictly-earlier documents in the priority order) and the verdict.
+    *
+    * The prefix is the q42/q46 three-piece decomposition, specialised to
+    * a SUM and a composite (priority, doc_id) order — no unpartitioned
+    * window touches raw rows:
+    *
+    *   tokens_before = tokensOfHigherPriorities   — from the per-priority
+    *                   distribution (≤ 11 rows, whatever the corpus)
+    *                 + tokensSamePriorityEarlierIdBuckets — per-(priority,
+    *                   bucket) sums, prefix-summed within the priority
+    *                   (bucket = equal-width doc_id range, monotone in
+    *                   doc_id, so bucket order = id order)
+    *                 + running sum within (priority, bucket) — a window
+    *                   whose partitions are bounded by the bucket width
+    *
+    * Everything is integer arithmetic, so the DuckDB oracle's plain
+    * windowed SUM over (priority DESC, doc_id) hash-matches exactly. */
+  def q49TokenBudget(s: SparkSession, dir: String,
+                     budget: Long = 20000L): DataFrame = {
+    val d = Par.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        priority().as("priority"))
+    val Array(minId, maxId) = d.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val p = s.sparkContext.defaultParallelism.toLong
+    val width = math.max(1L, (maxId - minId + p) / p) // ceil(range/P)
+    val bucketed = d.withColumn("bucket", expr(s"(doc_id - $minId) DIV $width"))
+
+    // piece 1: token mass of strictly-higher priorities (tiny aggregate)
+    val dist = bucketed.groupBy(col("priority")).agg(sum(col("n_tokens")).as("ptok"))
+    val prioWin = Window.orderBy(col("priority").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prioPrefix = dist.select(col("priority").as("c_prio"),
+      coalesce(sum(col("ptok")).over(prioWin), lit(0L)).as("prio_before"))
+
+    // piece 2: same priority, earlier id buckets (aggregated input)
+    val perBucket = bucketed.groupBy(col("priority"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+    val bucketWin = Window.partitionBy(col("priority")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = perBucket.select(
+      col("priority").as("b_prio"), col("bucket").as("b_bucket"),
+      coalesce(sum(col("btok")).over(bucketWin), lit(0L)).as("bucket_before"))
+
+    // piece 3: running sum inside one (priority, bucket) cell — bounded
+    val localWin = Window.partitionBy(col("priority"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("local_before", coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
+      .join(bucketPrefix,
+        col("priority") === col("b_prio") && col("bucket") === col("b_bucket"))
+      .join(broadcast(prioPrefix), col("priority") === col("c_prio"))
+      .withColumn("tokens_before",
+        col("prio_before") + col("bucket_before") + col("local_before"))
+      .select(col("doc_id"), col("priority"), col("n_tokens"), col("tokens_before"),
+        (col("tokens_before") + col("n_tokens") <= budget).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q52: deterministic stratified sample — the k documents per stratum
+    * (language) with the smallest salted content-id hash. A pure
+    * function of (salt, doc_id): rerun-stable, engine-stable, and
+    * adding/removing OTHER documents never evicts a sampled one unless a
+    * smaller hash genuinely arrives (the classic min-hash reservoir
+    * property, same family as q32's split assignment).
+    *
+    * Scale shape: the per-stratum selection is the native bounded top_k
+    * aggregate (≤ 4+16k bytes per stratum on the wire), not a
+    * `row_number() OVER (PARTITION BY lang)` — a whole-corpus sort where
+    * every stratum funnels through one task. The hash's first 13 hex
+    * digits (52 bits) cast exactly to double, so the aggregate's
+    * (score desc, id asc) order mirrors the oracle's
+    * (hash asc, doc_id asc) exactly. */
+  def q52StratifiedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    stratifiedSample(Tables.documents(s, dir), k)
+
+  /** The reusable core: k-per-stratum min-hash sample of any frame with
+    * (lang, doc_id). Spec-tested property: removing non-sampled rows
+    * never changes the sample (hash order is a pure row function). */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val hash52 = conv(
+      substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    docs
+      .groupBy(col("lang"))
+      .agg(TopKPerGroup.topKColumn(-hash52.cast("double"), col("doc_id"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("e.id").as("doc_id"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+}

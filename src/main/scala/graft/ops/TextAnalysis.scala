@@ -327,6 +327,112 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q50: vocabulary coverage — the tokenizer-prep corpus statistic: the
+    * top-V tokens by corpus frequency with each prefix's cumulative
+    * coverage of all token occurrences ("a 50-token vocabulary covers
+    * 83% of the corpus"). The input to every vocab-size decision.
+    *
+    * Scale shape: ONE shuffle to (token → count) with map-side partials;
+    * the top-V cut is a TakeOrdered (per-partition heaps, V rows to the
+    * driver stage — never a global sort of the vocabulary); the running
+    * sum then windows over exactly V aggregated rows, which is the
+    * bounded-output exception where a single-task window is the right
+    * plan (V is a constant; the vocabulary itself may be billions of
+    * hapax strings, and it stays distributed until the cut). Coverage
+    * doubles are single divisions of exact longs — engine-deterministic. */
+  def q50VocabCoverage(s: SparkSession, dir: String, vocabSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Par.widen(Tables.documents(s, dir))
+    val freqs = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = docs.agg(sum(size(tokens(col("text")))).as("n_total"))
+    val top = freqs
+      .orderBy(col("freq").desc, col("token"))
+      .limit(vocabSize)
+    val cumWin = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+      .withColumn("cum_freq", sum(col("freq")).over(cumWin))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"), col("cum_freq"),
+        (col("cum_freq").cast("double") / col("n_total").cast("double")).as("coverage"))
+      .orderBy(col("rank"))
+  }
+
+  /** q51: character-level Shannon entropy per document — the classic
+    * gibberish/degenerate-text signal (mashed keys and single-char runs
+    * score low; natural text sits around 4 bits/char). Fully IN-ROW:
+    * char list, distinct chars, per-char counts and the entropy sum are
+    * array HOFs over one projection — no explode, no shuffle, a pure
+    * narrow map at 100 TB.
+    *
+    * Determinism: each per-char term rounds the libm log2 product to 12
+    * digits and the sum runs over DECIMAL(28,12) — exact and order-free,
+    * so Spark's first-occurrence array order and the oracle's group
+    * order cannot diverge (the q48 float-sum rule). Chars come from
+    * `regexp_extract_all(text, '.')` on BOTH engines ('.' excludes
+    * newlines identically in Java regex and RE2; the corpus has none). */
+  /** Shannon entropy (bits) of a char-list column — the reusable core of
+    * q51 (spec-tested on fixed distributions: 0 bits for a constant
+    * string, 1 bit for a two-char coin flip). */
+  def entropyBits(cs: Column): Column =
+    when(size(cs) > 0,
+      aggregate(
+        transform(array_distinct(cs), c => {
+          val p = size(filter(cs, x => x === c)).cast("double") /
+            size(cs).cast("double")
+          round(-p * log2(p), 12).cast("decimal(28,12)")
+        }),
+        lit(0).cast("decimal(28,12)"),
+        // decimal + widens precision; fold it back to the
+        // accumulator type or aggregate() rejects the lambda
+        (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double"))
+      .otherwise(lit(0.0))
+
+  def q51CharEntropy(s: SparkSession, dir: String, minBits: Double = 3.5): DataFrame = {
+    val chars = regexp_extract_all(col("text"), lit("."), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), chars.as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_chars"),
+        size(array_distinct(col("cs"))).cast("long").as("n_unique_chars"),
+        entropyBits(col("cs")).as("entropy_bits"))
+      .withColumn("flagged", col("entropy_bits") < minBits)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q53: cross-document repetition — the complement of q37's
+    * within-document metric: the fraction of a document's DISTINCT word
+    * 3-grams that appear in at least one OTHER document. High = the
+    * document is made of corpus boilerplate (license headers, templated
+    * pages); the signal Gopher/C4-style pipelines use to drop
+    * boilerplate that per-doc dedup misses.
+    *
+    * Scale shape: q41's — one shuffle to the distinct (doc, gram) set
+    * (built in-row by `shingles`), document frequency via a count window
+    * over the gram partition (no self-join, no second tokenize), then a
+    * per-doc aggregation. A gram's df is computed where its rows already
+    * live; nothing corpus-sized converges on one task (the boilerplate
+    * gram's partition is the skew point, but count-over-partition is a
+    * streaming pass, not a materialized pair blowup). */
+  def q53CrossDocRepetition(s: SparkSession, dir: String,
+                            flagAt: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+    sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+      .withColumn("flagged", col("shared_frac") >= flagAt)
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical text normalization for hashing: lowercase, collapse
     * whitespace runs, trim. */
   def normalize(text: Column): Column =

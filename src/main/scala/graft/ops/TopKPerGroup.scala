@@ -152,17 +152,23 @@ object TopKPerGroup {
     override def prettyName: String = "top_k"
   }
 
+  /** The bounded top-k aggregate as a Column — usable from any groupBy,
+    * whatever the key type (the session need not have the SQL `top_k`
+    * registration). */
+  def topKColumn(score: org.apache.spark.sql.Column,
+                 id: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    Bridge.column(
+      TopKAgg(
+        Bridge.expression(score.cast("double")),
+        Bridge.expression(id.cast("long")),
+        k).toAggregateExpression())
+
   /** Top-k rows per key: input (key, score, id) → one row per kept entry
     * with rank. */
   def topKPerKey(df: DataFrame, keyCol: String, scoreCol: String, idCol: String,
                  k: Int): DataFrame = {
-    val agg = Bridge.column(
-      TopKAgg(
-        Bridge.expression(col(scoreCol).cast("double")),
-        Bridge.expression(col(idCol).cast("long")),
-        k).toAggregateExpression())
     df.groupBy(col(keyCol).cast("long").as("key"))
-      .agg(agg.as("top"))
+      .agg(topKColumn(col(scoreCol), col(idCol), k).as("top"))
       .select(col("key"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
         col("e.score").as("score"), col("e.id").as("id"))

@@ -509,4 +509,106 @@ object ExtensionOracles {
       |  CAST(ascii(text) AS BIGINT) AS head_byte
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q49: greedy token-budget selection. The oracle uses the
+    * plain windowed SUM over (priority DESC, doc_id); the engine's
+    * three-piece distributed prefix must equal it exactly — priority and
+    * token counts are integers, so the match is hash-exact. NOTE the
+    * priority rules are q21's with integer weights; the double
+    * comparisons (avg_token_len/punct_ratio bounds) evaluate identical
+    * expression trees on both engines. */
+  val q49TokenBudget: String =
+    """WITH c AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |      greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS atl,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+      |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_tokens,
+      |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
+      |         CASE WHEN atl BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
+      |         CASE WHEN pr <= 0.1 THEN 3 ELSE 0 END AS BIGINT) AS priority
+      |  FROM c),
+      |p AS (SELECT doc_id, priority, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM s)
+      |SELECT doc_id, priority, n_tokens, tokens_before,
+      |  tokens_before + n_tokens <= 20000 AS selected
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q50: top-50 vocabulary with cumulative corpus coverage.
+    * Counts are exact longs; coverage is one division per row. */
+  val q50VocabCoverage: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT unnest(l) AS token FROM tok),
+       |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY token),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+       |top AS (SELECT token, freq,
+       |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+       |    CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+       |  FROM v)
+       |SELECT rank, token, freq, cum_freq,
+       |  CAST(cum_freq AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+       |FROM top CROSS JOIN n
+       |WHERE rank <= 50
+       |ORDER BY rank""".stripMargin
+
+  /** Mirrors q51: per-document character entropy. Chars come from
+    * regexp '.'-extraction on both engines; each -p·log2(p) term is
+    * rounded to 12 digits and summed as DECIMAL(28,12), so the engines'
+    * different summation orders cannot diverge. */
+  val q51CharEntropy: String =
+    """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      |  FROM documents),
+      |f AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+      |             CAST(COUNT(*) AS BIGINT) AS n_unique FROM f GROUP BY doc_id),
+      |e AS (SELECT f.doc_id,
+      |    SUM(CAST(round(-(CAST(k AS DOUBLE) / CAST(n.n_chars AS DOUBLE)) *
+      |      log2(CAST(k AS DOUBLE) / CAST(n.n_chars AS DOUBLE)), 12)
+      |      AS DECIMAL(28,12))) AS s
+      |  FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY f.doc_id)
+      |SELECT d.doc_id, n.n_chars, n.n_unique AS n_unique_chars,
+      |  CAST(e.s AS DOUBLE) AS entropy_bits,
+      |  CAST(e.s AS DOUBLE) < 3.5 AS flagged
+      |FROM documents d
+      |JOIN n ON d.doc_id = n.doc_id
+      |JOIN e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q52: deterministic stratified sample — k smallest salted
+    * doc-id hashes per language; the 13-hex-digit prefix order equals
+    * the engine's 52-bit numeric order (fixed-width lowercase hex). */
+  val q52StratifiedSample: String =
+    """SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 13),
+      |               doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
+  /** Mirrors q53: cross-document repetition — distinct 3-gram document
+    * frequencies over the q25 shingle CTE; pure integer counts plus one
+    * division. Documents shorter than 3 tokens have no grams and are
+    * absent on both sides. */
+  val q53CrossDocRepetition: String =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g)
+       |SELECT sh.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS shared_frac,
+       |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) >= 0.5 AS flagged
+       |FROM sh JOIN df ON sh.g = df.g
+       |GROUP BY sh.doc_id
+       |ORDER BY sh.doc_id""".stripMargin
 }

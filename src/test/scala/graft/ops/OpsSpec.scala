@@ -594,4 +594,66 @@ class OpsSpec extends SparkSpec {
     val total = rows.map(_.getLong(1)).sum
     assert(total == graft.Tables.events(spark, dir).count())
   }
+
+  test("char entropy: exact bits on known distributions") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "aaaaaaaa"),       // constant → 0 bits
+      (2L, "abababab"),       // fair coin → exactly 1 bit
+      (3L, "aabb"),           // also 1 bit
+      (4L, ""),               // empty → 0 by the guard
+      (5L, "abcd")            // uniform over 4 → exactly 2 bits
+    ).toDF("doc_id", "text")
+    val cs = regexp_extract_all(col("text"), lit("."), lit(0))
+    val got = fx.select(col("doc_id"), TextAnalysis.entropyBits(cs).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 1.0)
+    assert(got(3L) == 1.0)
+    assert(got(4L) == 0.0)
+    assert(got(5L) == 2.0)
+  }
+
+  test("token budget: distributed prefix equals the greedy single-order scan") {
+    val out = Selection.q49TokenBudget(spark, dir, budget = 5000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // recompute the greedy order driver-side
+    val greedy = out.sortBy { case (id, prio, _, _, _) => (-prio, id) }
+    var acc = 0L
+    greedy.foreach { case (_, _, n, before, sel) =>
+      assert(before == acc, "distributed prefix diverged from the scan order")
+      assert(sel == (acc + n <= 5000L))
+      acc += n
+    }
+    // the budget actually cuts somewhere (both verdicts occur)
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
+
+  test("stratified sample: dropping non-sampled rows never changes the sample") {
+    val docs = graft.Tables.documents(spark, dir)
+    val full = Selection.stratifiedSample(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sampledIds = full.map(_._3).toSet
+    // remove half the NON-sampled docs (deterministically: even doc_id)
+    val pruned = docs.filter(col("doc_id").isin(sampledIds.toSeq.map(Long.box): _*) ||
+      col("doc_id") % 2 === 0)
+    val again = Selection.stratifiedSample(pruned, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == again.toSeq,
+      "sample is not stable under removal of non-members")
+  }
+
+  test("cross-doc repetition: near-dup pair members are flagged as sharing grams") {
+    val q53 = TextAnalysis.q53CrossDocRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q53.values.forall(f => f >= 0.0 && f <= 1.0))
+    // members of verified near-dup pairs (jaccard >= 0.5 on capped sets)
+    // must share a positive fraction of their grams corpus-wide
+    val pairMembers = Dedup.q25NgramJaccard(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairMembers.nonEmpty)
+    pairMembers.foreach { id =>
+      assert(q53(id) > 0.0, s"near-dup member $id shows zero cross-doc repetition")
+    }
+  }
 }

@@ -257,6 +257,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q49: unpartitioned windows only over aggregated input; priority prefix broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val physical = graft.SparkEntry.queries("q49_token_budget")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      // a window may touch raw rows only when its partition spec bounds
+      // the partition (the (priority, bucket) cells); an UNPARTITIONED
+      // window must sit above an aggregate or it corpus-sorts one task
+      if (w.partitionSpec.isEmpty) {
+        val aggBelow = w.child.collectFirst { case a: BaseAggregateExec => a }
+        assert(aggBelow.nonEmpty,
+          s"global window over raw rows — whole corpus through one task:\n$w")
+      }
+    }
+    val p = physical.toString
+    assert(p.contains("BroadcastHashJoin"), s"priority prefix is not broadcast:\n$p")
+  }
+
+  test("q50: vocabulary cut is a bounded TakeOrdered, not a global sort") {
+    val p = plan("q50_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut plans as a full sort:\n$p")
+  }
+
+  test("q51: char entropy is a pure narrow map — no hash shuffle, no explode") {
+    val p = plan("q51_char_entropy")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"q51 grew a hash shuffle:\n$p")
+    assert(!p.contains("Generate"), s"q51 explodes rows:\n$p")
+  }
+
+  test("q52: stratified sample is the bounded top_k aggregate, no window, no sort-based rank") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q52_stratified_sample")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(physical.collect { case w: WindowExec => w }.isEmpty,
+      "sample regressed to a row_number window (per-stratum single-task sort)")
+    assert(physical.toString.contains("top_k"), "bounded top_k aggregate missing")
+  }
+
+  test("q53: one tokenize pass, no joins — df comes from a count window over the gram") {
+    val p = plan("q53_crossdoc_repetition")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected exactly one explode subtree:\n$p")
+    assert(!p.contains("Join"), s"q53 grew a join:\n$p")
+  }
+
   test("q33: no window sorts raw rows — every window runs over aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
