@@ -307,11 +307,19 @@ object Dedup {
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
     edges.count() // materialize once; both per-round joins reuse it
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // Iterate ONLY over edge-touched nodes: a node with no edges keeps
+    // label = id forever, so singletons — the overwhelming majority of a
+    // dedup graph (most documents are not near-duplicates of anything) —
+    // would only inflate every round's joins, checkpoints and
+    // convergence aggregates. They rejoin (left, coalesce to self) once,
+    // at the end. The iteration frames are then O(nodes touching an
+    // edge), not O(corpus).
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty edge set
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -345,7 +353,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIters rounds — " +
           "partial components would be silently wrong; raise maxIters")
-    labels
+    // singletons re-enter as their own component
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("id", "t_id"),
+        col("id") === col("t_id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** q43: benchmark decontamination — for every TEST-split document, how
