@@ -82,6 +82,8 @@ object SparkEntry {
       Selection.q52StratifiedSample(s, dir)),
     "q53_crossdoc_repetition" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.q53CrossDocRepetition(s, dir)),
+    "q54_sliding_hourly"   -> (Relational.q54SlidingHourly _),
+    "q55_winsorized"       -> (Relational.q55WinsorizedStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,6 +355,40 @@ object SparkEntry {
     "q46_curriculum" -> ExtensionOracles.q46Curriculum,
     "q47_semantic_dedup" -> ExtensionOracles.q47SemanticDedup,
     "q48_unigram_logprob" -> ExtensionOracles.q48UnigramLogprob,
+    "q54_sliding_hourly" ->
+      """WITH h AS (SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_bucket,
+        |    event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,6))) AS dv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_bucket, event_type, n,
+        |  CAST(dv AS DOUBLE) AS total_value,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_3h,
+        |  CAST(SUM(n) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS avg_n_3h,
+        |  CAST(SUM(dv) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS avg_value_3h
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q55_winsorized" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag,
+        |    MIN(CASE WHEN rn = (n + 19) // 20 THEN l_extendedprice END) AS p05,
+        |    MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN l_extendedprice END) AS p95
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n, MIN(p05) AS p05, MIN(p95) AS p95,
+        |  CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean,
+        |  CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_low,
+        |  CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_high
+        |FROM lineitem l JOIN c ON l.l_returnflag = c.l_returnflag
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+
     "q49_token_budget" -> ExtensionOracles.q49TokenBudget,
     "q50_vocab_coverage" -> ExtensionOracles.q50VocabCoverage,
     "q51_char_entropy" -> ExtensionOracles.q51CharEntropy,

@@ -489,6 +489,98 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q54: sliding event-time window — 3-hour moving average of event
+    * volume and value per event type, the standard monitoring/trend
+    * query over a time-bucketed fact stream.
+    *
+    * Scale shape: the raw stream collapses to (hour, type) partials
+    * FIRST (q17's aggregate — map-side combine, one keyed shuffle); the
+    * sliding window then runs over the aggregated frame, partitioned by
+    * event_type with one row per hour — years of data is ~10⁵ rows per
+    * partition, never raw events. Window sums stay on exact types (long
+    * counts, DECIMAL(28,6) values): a double sliding sum would expose
+    * each engine's window-accumulation order in the last ulps. */
+  def q54SlidingHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("dv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_bucket"))
+      .rowsBetween(-2, 0)
+    hourly
+      .withColumn("n_3h", sum(col("n")).over(w))
+      .withColumn("w_rows", count(lit(1)).over(w))
+      .withColumn("avg_n_3h",
+        col("n_3h").cast("double") / col("w_rows").cast("double"))
+      .withColumn("avg_value_3h",
+        sum(col("dv")).over(w).cast("double") / col("w_rows").cast("double"))
+      .select(col("hour_bucket"), col("event_type"), col("n"),
+        col("dv").cast("double").as("total_value"),
+        col("n_3h"), col("avg_n_3h"), col("avg_value_3h"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  /** q55: winsorized statistics — the robust aggregate a metrics pipeline
+    * runs when a few bot rows would otherwise own the mean: per group,
+    * the exact p05/p95 order statistics and the mean with values clamped
+    * to them, plus how many rows each side clamped.
+    *
+    * Scale shape: q33's two-phase selection generalized to a RANK SET —
+    * one coarse-histogram pass (map-side combined; the shuffle carries
+    * per-bucket partials), the crossing bucket per requested rank found
+    * on the aggregated histogram, and a second scan that builds per-value
+    * histograms ONLY inside the (≤1024-wide) target buckets. No
+    * per-distinct-value shuffle, no full sort; ranks use pure integer
+    * arithmetic (ceil(n/20) = (n+19) DIV 20) so both engines agree
+    * exactly, and the clamped mean goes through the dsum decimal rule. */
+  def q55WinsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bucket = (c: Column) => floor(c / lit(1024.0))
+    val buckets = li.groupBy(col("l_returnflag").as("bf"),
+        bucket(col("l_extendedprice")).as("b"))
+      .agg(count(lit(1)).as("bc"))
+    // the requested rank set: k05 = ceil(n/20), k95 = ceil(19n/20)
+    val counts = buckets.groupBy(col("bf").as("cf")).agg(sum(col("bc")).as("n"))
+    val ranks = counts.select(col("cf"), col("n"),
+        explode(array(
+          struct(lit("p05").as("tag"), expr("(n + 19) DIV 20").as("kk")),
+          struct(lit("p95").as("tag"), expr("(19 * n + 19) DIV 20").as("kk")))).as("r"))
+      .select(col("cf"), col("n"), col("r.tag").as("tag"), col("r.kk").as("kk"))
+    val wb = Window.partitionBy(col("bf")).orderBy(col("b"))
+    val cum = buckets.withColumn("cumb", sum(col("bc")).over(wb))
+    // crossing bucket per (group, rank)
+    val target = cum.join(broadcast(ranks), col("bf") === col("cf"))
+      .filter(col("cumb") >= col("kk") && col("cumb") - col("bc") < col("kk"))
+      .select(col("bf"), col("tag"), col("b").as("tb"),
+        (col("kk") - (col("cumb") - col("bc"))).as("local_k"))
+    // per-value histogram inside each target bucket only
+    val wv = Window.partitionBy(col("l_returnflag"), col("tag"))
+      .orderBy(col("l_extendedprice"))
+    val cuts = li.join(broadcast(target), col("l_returnflag") === col("bf") &&
+        bucket(col("l_extendedprice")) === col("tb"))
+      .groupBy(col("l_returnflag"), col("tag"), col("l_extendedprice"), col("local_k"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cumv", sum(col("cnt")).over(wv))
+      .filter(col("cumv") >= col("local_k") && col("cumv") - col("cnt") < col("local_k"))
+      .groupBy(col("l_returnflag").as("gf"))
+      .agg(
+        min(when(col("tag") === "p05", col("l_extendedprice"))).as("p05"),
+        min(when(col("tag") === "p95", col("l_extendedprice"))).as("p95"))
+    // final pass: clamp to the bounds and aggregate exactly
+    li.join(broadcast(cuts), col("l_returnflag") === col("gf"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"),
+        (dsum(least(greatest(col("l_extendedprice"), col("p05")), col("p95"))) /
+          count(lit(1)).cast("double")).as("winsorized_mean"),
+        sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_clamped_high"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Correlated-aggregate pattern (decorrelated by Catalyst into a join):
     * orders above their customer's average order value. */
   def q18AboveAvgOrders(s: SparkSession, dir: String): DataFrame = {

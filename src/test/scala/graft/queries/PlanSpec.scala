@@ -307,6 +307,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q53 grew a join:\n$p")
   }
 
+  test("q54/q55: every window runs over aggregated input; q55 joins are broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("q54_sliding_hourly", "q55_winsorized")) {
+      val physical = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val windows = physical.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q lost its windows")
+      windows.foreach { w =>
+        val aggBelow = w.child.collectFirst { case a: BaseAggregateExec => a }
+        assert(aggBelow.nonEmpty,
+          s"$q windows raw rows — per-group single-task sort at scale:\n$w")
+      }
+    }
+    val p = plan("q55_winsorized")
+    assert(!p.contains("SortMergeJoin"),
+      s"q55's rank/bound frames should ride broadcasts:\n$p")
+  }
+
   test("q33: no window sorts raw rows — every window runs over aggregated input") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
