@@ -56,6 +56,14 @@ object QuerySession {
     Similarity.q29LshTopK(spark, sfDir).createOrReplaceTempView("ann_neighbors")
     graft.ops.Quantize.q47SemanticDedup(spark, sfDir)
       .createOrReplaceTempView("semantic_dedup_drops")
+    // selection / quality views — the verdict columns a SQL user filters
+    // and joins on when assembling a training set
+    graft.ops.Selection.tokenBudget(docs, 20000L)
+      .createOrReplaceTempView("token_budget_cut")
+    graft.ops.TextAnalysis.q39FilterPipeline(spark, sfDir)
+      .createOrReplaceTempView("filter_verdicts")
+    graft.ops.TextAnalysis.crossDocRepetition(docs)
+      .createOrReplaceTempView("crossdoc_repetition")
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Quantize, Similarity}
+import graft.ops.{Dedup, Quantize, Selection, Similarity, TextAnalysis}
 
 /** Scale soak for the extension operators: replicate the fixture corpus
   * `mult`× and time the declared 100 TB paths. Small-SF oracles prove
@@ -60,7 +60,12 @@ object Soak {
       timed("shingles")(Dedup.shingles(docs, 3)),
       timed("jaccard_capped")(Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L)),
       timed("minhash_lsh")(Dedup.minhashLshPairs(docs)),
-      timed("neardup_lsh")(Similarity.nearDupPairs(emb, 0.45)))
+      timed("neardup_lsh")(Similarity.nearDupPairs(emb, 0.45)),
+      // the two new shuffle-bearing corpus statistics: the distributed
+      // prefix (three keyed pieces) and the gram-df count window — both
+      // must track corpus volume linearly
+      timed("token_budget")(Selection.tokenBudget(docs, 20000L * mult)),
+      timed("crossdoc_rep")(TextAnalysis.crossDocRepetition(docs)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

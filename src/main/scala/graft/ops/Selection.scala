@@ -55,8 +55,14 @@ object Selection {
     * Everything is integer arithmetic, so the DuckDB oracle's plain
     * windowed SUM over (priority DESC, doc_id) hash-matches exactly. */
   def q49TokenBudget(s: SparkSession, dir: String,
-                     budget: Long = 20000L): DataFrame = {
-    val d = Par.widen(Tables.documents(s, dir))
+                     budget: Long = 20000L): DataFrame =
+    tokenBudget(Tables.documents(s, dir), budget)
+
+  /** The reusable core over any (doc_id, text) frame — also the 100×
+    * soak entry point. */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    val d = Par.widen(docs)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         priority().as("priority"))

@@ -35,4 +35,45 @@ object SkewJoin {
   def skewedKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).count().filter(col("count") >= threshold)
       .orderBy(col("count").desc, col(key))
+
+  /** Per-key total attached to every row WITHOUT a window over the key —
+    * the document-frequency idiom (tf-idf, unigram LM, cross-doc
+    * repetition) made hot-key-safe.
+    *
+    * `count().over(Window.partitionBy(key))` routes each key's ENTIRE
+    * partition group through one task's window buffer: a corpus-scale
+    * hot key ("the", a boilerplate shingle — 10¹⁰ rows at 100 TB) is a
+    * single-task, serial, spilling cliff, and AQE cannot split a window
+    * partition. Here the total comes from a map-side-combined aggregate
+    * (per-task partials — no task ever sees a whole key), and rows get
+    * it back through a HEAVY/LIGHT split:
+    *
+    *   - light keys (total < heavyAt) shuffle-join: per-key fan-in is
+    *     bounded by the threshold, so no join partition can blow up;
+    *   - heavy keys number ≤ N/heavyAt BY CONSTRUCTION — a bounded,
+    *     broadcastable set — and their rows broadcast-hash-join where
+    *     they already sit, never repartitioning by the hot key.
+    *
+    * `heavyAt` trades broadcast size against light-side bound: at
+    * N = 10¹³ rows, heavyAt = 10⁶ caps the broadcast at ≤ 10⁷ keys and
+    * every light partition at < 10⁶ rows.
+    *
+    * `weight` sums that column instead of counting rows (the unigram-LM
+    * case, where rows are (doc, token, k) partials).
+    *
+    * The input feeds the aggregate and both join branches, so it is
+    * eagerly localCheckpoint'ed: recomputing a tokenize+explode subtree
+    * three times, or parking cached subtrees in the CacheManager of a
+    * long-lived session, are both worse than one bounded
+    * materialization (blocks are reclaimed by the ContextCleaner when
+    * the frame goes unreferenced). */
+  def withKeyTotal(rows: DataFrame, key: String, totalName: String,
+                   heavyAt: Long, weight: Option[String] = None): DataFrame = {
+    val pinned = rows.localCheckpoint()
+    val agg = weight.map(w => sum(col(w))).getOrElse(count(lit(1)))
+    val totals = pinned.groupBy(col(key)).agg(agg.cast("long").as(totalName))
+    pinned.join(totals.filter(col(totalName) < heavyAt), Seq(key))
+      .unionByName(
+        pinned.join(broadcast(totals.filter(col(totalName) >= heavyAt)), Seq(key)))
+  }
 }

@@ -206,12 +206,14 @@ object TextAnalysis {
     * term, so rank is engine-stable — q34/q36 precedent).
     *
     * Scale shape: one shuffle to (doc, term) counts with map-side
-    * partials; document frequency via a count window over the term
-    * partition — same single shuffle a self-join on term would cost but
-    * with NO recomputation of the tokenize subtree (the join formulation
-    * evaluates it once per side); N arrives as a broadcast 1-row cross
-    * join, in-plan. The rank window runs over the aggregated (doc, term)
-    * frame, never raw tokens. */
+    * partials; document frequency via `SkewJoin.withKeyTotal` — a
+    * map-side-combined aggregate joined back with the heavy/light
+    * split, because a count window over the term partition funnels a
+    * hot term's every row through ONE task's window buffer (the
+    * stopword cliff at 100 TB; AQE cannot split a window partition). N
+    * arrives as a broadcast 1-row cross join, in-plan. The rank window
+    * runs over the (doc-keyed, bounded) aggregated frame, never raw
+    * tokens. */
   def q41Tfidf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -219,8 +221,7 @@ object TextAnalysis {
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    terms
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    SkewJoin.withKeyTotal(terms, "term", "df", heavyAt = 1000L)
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(
         col("tf").cast("double") *
@@ -241,9 +242,11 @@ object TextAnalysis {
     * score low; documents made of common tokens score high — the
     * standard "does this look like the corpus" signal.
     *
-    * Dataflow: one tokenize, corpus term frequencies via a count window
-    * over the term partition (q41's shape: one term shuffle, no
-    * self-join), total-token count as a broadcast one-row aggregate.
+    * Dataflow: one tokenize into (doc, token, k) partials, corpus term
+    * frequencies via `SkewJoin.withKeyTotal` (weighted by k — q41's
+    * hot-key-safe shape; a count window over the token partition would
+    * single-task the stopword at scale), total-token count as a
+    * broadcast one-row aggregate.
     *
     * Determinism: `ln` is libm, so each per-token logprob is rounded to
     * 12 digits and summed as DECIMAL(28,12) — exact and order-free —
@@ -252,21 +255,29 @@ object TextAnalysis {
     * LITERAL ln(2): computing ln(2) at runtime could differ by an ulp
     * between engines' libm. */
   def q48UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ln2 = 0.6931471805599453
     val docs = graft.ops.Par.widen(Tables.documents(s, dir))
+    // (doc, token, k) partials: one tokenize+explode, one keyed shuffle;
+    // k collapses a doc's repeats so the per-row work downstream is per
+    // DISTINCT doc-token pair
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
     // total tokens WITHOUT a second tokenize+explode pass: a narrow
-    // sum-of-sizes over the raw docs (the PlanSpec pins one Generate)
+    // sum-of-sizes over the raw docs
     val total = docs.agg(sum(size(tokens(col("text")))).as("n_total"))
-    toks
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    SkewJoin.withKeyTotal(toks, "tok", "cnt", heavyAt = 1000L, weight = Some("k"))
       .crossJoin(broadcast(total))
       .withColumn("lp",
         round(log(col("cnt").cast("double") / col("n_total").cast("double")), 12)
           .cast("decimal(28,12)"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      // sum(k·lp) ≡ the per-occurrence decimal sum, so the oracle's
+      // per-token formulation hash-matches. k is cast to DECIMAL(9,0):
+      // decimal(28,12) × long would need precision 49, and Spark's
+      // precision-loss rule would silently shrink the scale to 6 —
+      // (28,12)×(9,0) fits 38 exactly, no loss (k ≤ 1e9 tokens/doc)
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("lp") * col("k").cast("decimal(9,0)")).as("slp"))
       .withColumn("avg_logprob",
         round(col("slp").cast("double") / col("n_tokens").cast("double"), 12))
       .withColumn("bits_per_token",
@@ -411,18 +422,19 @@ object TextAnalysis {
     * boilerplate that per-doc dedup misses.
     *
     * Scale shape: q41's — one shuffle to the distinct (doc, gram) set
-    * (built in-row by `shingles`), document frequency via a count window
-    * over the gram partition (no self-join, no second tokenize), then a
-    * per-doc aggregation. A gram's df is computed where its rows already
-    * live; nothing corpus-sized converges on one task (the boilerplate
-    * gram's partition is the skew point, but count-over-partition is a
-    * streaming pass, not a materialized pair blowup). */
+    * (built in-row by `shingles`), gram document frequency via
+    * `SkewJoin.withKeyTotal` (map-side-combined aggregate + heavy/light
+    * join-back; a count window over the gram partition would single-task
+    * the boilerplate gram at scale), then a per-doc aggregation. */
   def q53CrossDocRepetition(s: SparkSession, dir: String,
-                            flagAt: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
-    sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+                            flagAt: Double = 0.5): DataFrame =
+    crossDocRepetition(Tables.documents(s, dir), flagAt)
+
+  /** The reusable core over any (doc_id, text) frame — also the 100×
+    * soak entry point. */
+  def crossDocRepetition(docs: DataFrame, flagAt: Double = 0.5): DataFrame = {
+    val sh = Dedup.shingles(docs, 3)
+    SkewJoin.withKeyTotal(sh, "g", "df", heavyAt = 1000L)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

@@ -96,6 +96,17 @@ class QuerySessionSpec extends SparkSpec {
     val ann = spark.sql(
       "SELECT count(*) FROM ann_neighbors WHERE rank <= 10").collect()(0).getLong(0)
     assert(ann == 50L)
+
+    // the selection/quality views: assemble a training set in ONE SQL
+    // statement — budget-selected docs that also pass the filter pipeline
+    // and aren't boilerplate
+    val kept = spark.sql(
+      """SELECT count(*) FROM token_budget_cut b
+        |JOIN filter_verdicts f USING (doc_id)
+        |JOIN crossdoc_repetition r USING (doc_id)
+        |WHERE b.selected AND f.keep AND r.shared_frac < 0.9""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(kept > 0)
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {

@@ -66,15 +66,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), "expected the tagged orders+events union")
   }
 
-  test("q41: tf-idf evaluates the tokenize subtree once") {
-    val p = plan("q41_tfidf")
-    // document frequency comes from a count window over the term
-    // partition, NOT a self-join on term — a join formulation would
-    // re-evaluate the explode+tokenize front end once per side (two
-    // Generate nodes); the window plan carries exactly one
-    assert(p.linesIterator.count(_.contains("Generate")) == 1,
-      s"expected exactly one tokenize/explode subtree:\n$p")
-    assert(!p.contains("SortMergeJoin"), "df must not come from a term self-join")
+  test("q41/q48/q53: per-key totals are hot-key-safe — no window keyed on the term/gram") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the document-frequency idiom must be SkewJoin.withKeyTotal (a
+    // map-side-combined aggregate + heavy/light join-back), never
+    // count().over(partitionBy(term)): a window partition cannot be
+    // split, so a stopword's every row would funnel through ONE task at
+    // scale. Visible shape: the heavy branch's BroadcastHashJoin plus
+    // the union of the branches; any surviving window is doc-keyed
+    // (q41's rank); the tokenize subtree ran once inside the
+    // checkpointed front end.
+    for (q <- Seq("q41_tfidf", "q48_unigram_logprob", "q53_crossdoc_repetition")) {
+      val physical = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val windows = physical.collect { case w: WindowExec => w }
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        assert(keys.nonEmpty && (keys - "doc_id").isEmpty,
+          s"$q windows on a corpus-frequency key $keys: hot-key cliff")
+      }
+      val p = physical.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost the heavy-key broadcast branch:\n$p")
+      assert(p.contains("Union"), s"$q lost the heavy/light union:\n$p")
+    }
   }
 
   test("q42: global prefix sum is bucket-partitioned, never a single-task window") {
@@ -132,20 +147,6 @@ class PlanSpec extends SparkSpec {
     val bnlLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).get
     assert(!bnlLine.contains("q#") && !bnlLine.contains("qa") ,
       "quantized arrays leaked into the pair join")
-  }
-
-  test("q48: every window is term-partitioned; one tokenize subtree") {
-    import org.apache.spark.sql.execution.window.WindowExec
-    val physical = graft.SparkEntry.queries("q48_unigram_logprob")(spark, dir)
-      .queryExecution.sparkPlan
-    val windows = physical.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      assert(w.partitionSpec.nonEmpty, "unpartitioned window = single-task corpus sort")
-    }
-    val p = physical.toString
-    assert(p.linesIterator.count(_.contains("Generate")) == 1,
-      s"expected exactly one tokenize/explode subtree:\n$p")
   }
 
   test("q25: stop-shingle cap is a broadcast ANTI join, no cartesian pairs") {
@@ -298,13 +299,6 @@ class PlanSpec extends SparkSpec {
     assert(physical.collect { case w: WindowExec => w }.isEmpty,
       "sample regressed to a row_number window (per-stratum single-task sort)")
     assert(physical.toString.contains("top_k"), "bounded top_k aggregate missing")
-  }
-
-  test("q53: one tokenize pass, no joins — df comes from a count window over the gram") {
-    val p = plan("q53_crossdoc_repetition")
-    assert(p.linesIterator.count(_.contains("Generate")) == 1,
-      s"expected exactly one explode subtree:\n$p")
-    assert(!p.contains("Join"), s"q53 grew a join:\n$p")
   }
 
   test("q54/q55: every window runs over aggregated input; q55 joins are broadcast") {
