@@ -84,6 +84,8 @@ object SparkEntry {
       TextAnalysis.q53CrossDocRepetition(s, dir)),
     "q54_sliding_hourly"   -> (Relational.q54SlidingHourly _),
     "q55_winsorized"       -> (Relational.q55WinsorizedStats _),
+    "q56_epoch_shuffle"    -> ((s: SparkSession, dir: String) =>
+      Selection.q56EpochShuffle(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -388,6 +390,18 @@ object SparkEntry {
         |FROM lineitem l JOIN c ON l.l_returnflag = c.l_returnflag
         |GROUP BY l.l_returnflag
         |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q56_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY
+        |      substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 13),
+        |      doc_id) AS position
+        |  FROM documents)
+        |SELECT doc_id, CAST(position AS BIGINT) AS position,
+        |  CAST((position - 1) // 64 AS BIGINT) AS shard_id,
+        |  CAST((position - 1) % 64 AS BIGINT) AS pos_in_shard
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_token_budget" -> ExtensionOracles.q49TokenBudget,
     "q50_vocab_coverage" -> ExtensionOracles.q50VocabCoverage,

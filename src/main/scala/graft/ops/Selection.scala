@@ -103,6 +103,53 @@ object Selection {
       .orderBy(col("doc_id"))
   }
 
+  /** q56: deterministic epoch shuffle + shard assignment — the global
+    * permutation a trainer consumes: every document gets a position in a
+    * pseudo-random order that is a pure function of (epoch, doc_id) —
+    * rerun-stable, engine-stable, different every epoch — plus the shard
+    * the position lands in (fixed docs per shard).
+    *
+    * The permutation key is the 52-bit prefix of md5("epoch<e>:" ++ id);
+    * position = global rank of (key, doc_id). The rank is distributed by
+    * HASH-RANGE bucketing — a third decomposition next to q42's id-range
+    * prefix and q46's distribution+bucket rank: md5 keys are uniform BY
+    * CONSTRUCTION, so P equal-width slices of the hash space are
+    * balanced whatever the doc_id distribution (no histogram pass, no
+    * sampling — the planner's range partitioner needs a sample scan;
+    * this needs none). Per bucket: local row_number (bounded partition),
+    * bucket totals — P scalars — prefix-scanned on the driver, broadcast
+    * back. The oracle's single-task row_number must equal it exactly.
+    *
+    * Shards then are contiguous position ranges: shard = (pos-1) DIV
+    * docsPerShard — the layout a shard-sequential trainer streams. */
+  def q56EpochShuffle(s: SparkSession, dir: String, epoch: Int = 1,
+                      docsPerShard: Long = 64L): DataFrame = {
+    val p = s.sparkContext.defaultParallelism.toLong
+    val width = (1L << 52) / p + 1 // ceil: bucket ids stay < p
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        conv(substring(md5(concat(lit(s"epoch$epoch:"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("bucket", expr(s"h DIV $width"))
+    val totals = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefix = {
+      var acc = 0L
+      (0L until p).map { b => val o = (b, acc); acc += totals.getOrElse(b, 0L); o }
+    }
+    import s.implicits._
+    val offsets = prefix.toDF("bucket_o", "before")
+    val localWin = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("local_rn", row_number().over(localWin).cast("long"))
+      .join(broadcast(offsets), col("bucket") === col("bucket_o"))
+      .select(col("doc_id"),
+        (col("before") + col("local_rn")).as("position"))
+      .withColumn("shard_id", expr(s"(position - 1) DIV $docsPerShard"))
+      .withColumn("pos_in_shard", pmod(col("position") - 1, lit(docsPerShard)))
+      .orderBy(col("doc_id"))
+  }
+
   /** q52: deterministic stratified sample — the k documents per stratum
     * (language) with the smallest salted content-id hash. A pure
     * function of (salt, doc_id): rerun-stable, engine-stable, and

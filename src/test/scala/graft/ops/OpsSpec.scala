@@ -643,6 +643,28 @@ class OpsSpec extends SparkSpec {
       "sample is not stable under removal of non-members")
   }
 
+  test("epoch shuffle: exact permutation, epochs decorrelated, shards contiguous") {
+    val docs = graft.Tables.documents(spark, dir)
+    val n = docs.count()
+    val e1 = Selection.q56EpochShuffle(spark, dir, epoch = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are EXACTLY 1..N — the distributed rank dropped or
+    // duplicated nothing
+    assert(e1.values.toSeq.sorted == (1L to n).toSeq)
+    val e2 = Selection.q56EpochShuffle(spark, dir, epoch = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // different epoch → different permutation (hash-keyed, so agreement
+    // beyond chance means the epoch salt is dead)
+    val agree = e1.count { case (id, pos) => e2(id) == pos }
+    assert(agree < n / 10, s"epochs 1 and 2 agree on $agree/$n positions")
+    // shard = contiguous position range
+    val shards = Selection.q56EpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    shards.foreach { case (pos, shard, inShard) =>
+      assert(shard == (pos - 1) / 64 && inShard == (pos - 1) % 64)
+    }
+  }
+
   test("cross-doc repetition: near-dup pair members are flagged as sharing grams") {
     val q53 = TextAnalysis.q53CrossDocRepetition(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap

@@ -301,6 +301,17 @@ class PlanSpec extends SparkSpec {
     assert(physical.toString.contains("top_k"), "bounded top_k aggregate missing")
   }
 
+  test("q56: permutation rank is hash-range-bucketed, never a single-task window") {
+    val p = plan("q56_epoch_shuffle")
+    // the row_number must shuffle on the (uniform-by-construction) hash
+    // bucket; an unpartitioned ORDER BY window would print SinglePartition
+    assert(p.contains("hashpartitioning(bucket"),
+      s"epoch-shuffle rank is not bucket-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a single-task exchange crept into the shuffle plan:\n$p")
+    assert(p.contains("BroadcastExchange"), "bucket offsets must broadcast")
+  }
+
   test("q54/q55: every window runs over aggregated input; q55 joins are broadcast") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
