@@ -176,7 +176,13 @@ object Dedup {
       val all = pin(shingles(docs, n))
       val stop = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select(col("g"))
-      pin(all.join(broadcast(stop), Seq("g"), "left_anti"))
+      val capped = all.join(broadcast(stop), Seq("g"), "left_anti")
+      // second pin only in cache mode (measured A/B at sf0.1): a lazy
+      // cache of the capped set beats its consumers re-filtering the raw
+      // cache (~-0.6 s each on q25/q26), but an EAGER localCheckpoint of
+      // it costs more than the broadcast-anti re-reads it saves
+      // (~+0.45 s on q43) — checkpoint callers skip it
+      if (checkpoint) capped else capped.cache()
     } else pin(shingles(docs, n))
   }
 
