@@ -169,10 +169,16 @@ object TextAnalysis {
     * rule as the machine-readable reject reason. At 100 TB this is one
     * map over the corpus producing the filter verdict column the
     * downstream sampler partitions on. */
-  def q39FilterPipeline(s: SparkSession, dir: String): DataFrame = {
+  def q39FilterPipeline(s: SparkSession, dir: String): DataFrame =
+    filterVerdicts(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The verdict projection alone (no sort): stateless narrow
+    * expressions, so the SAME operator runs over a document STREAM
+    * (Streaming.qualityFilterStream) — parity spec-checked. */
+  def filterVerdicts(docs: DataFrame): DataFrame = {
     val nTok = tokenCount(col("text"))
     val nChr = charCountNoWs(col("text"))
-    Tables.documents(s, dir)
+    docs
       .withColumn("l", tokens(col("text")))
       .withColumn("g",
         when(size(col("l")) >= 3,
@@ -196,7 +202,6 @@ object TextAnalysis {
           .when(col("dup_frac") > 0.2, "repetitive")
           .otherwise(lit("keep")))
       .withColumn("keep", col("reason") === "keep")
-      .orderBy(col("doc_id"))
   }
 
   /** q41: top-5 TF-IDF terms per document — the classic corpus-statistic

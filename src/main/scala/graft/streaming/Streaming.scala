@@ -34,6 +34,15 @@ object Streaming {
       .start(dst)
   }
 
+  /** Continuous quality filtering: the q39 keep/drop verdict applied to
+    * a DOCUMENT STREAM — the ingestion-time filter a training-data
+    * pipeline runs as data lands, not as a nightly batch. The verdict is
+    * stateless narrow column work, so the batch operator IS the
+    * streaming operator (same expressions, no watermark or state);
+    * parity with batch q39 is spec-asserted. */
+  def qualityFilterStream(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.filterVerdicts(docs)
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

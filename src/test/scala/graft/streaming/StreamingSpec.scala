@@ -139,4 +139,28 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("n_events"))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming quality filter ≡ batch q39 over the documents fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = graft.Tables.documents(spark, dir).schema
+    // a file stream source watches a DIRECTORY; stage the fixture file
+    val watched = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(watched.toString)
+    val q = Streaming.qualityFilterStream(stream)
+      .writeStream.format("memory").queryName("quality_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT doc_id, reason, keep FROM quality_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val batch = graft.ops.TextAnalysis.q39FilterPipeline(spark, dir)
+      .select("doc_id", "reason", "keep")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // both verdicts occur on the fixture — the filter actually filters
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+  }
 }
