@@ -54,9 +54,13 @@ object SkewJoin {
     *     broadcastable set — and their rows broadcast-hash-join where
     *     they already sit, never repartitioning by the hot key.
     *
-    * `heavyAt` trades broadcast size against light-side bound: at
-    * N = 10¹³ rows, heavyAt = 10⁶ caps the broadcast at ≤ 10⁷ keys and
-    * every light partition at < 10⁶ rows.
+    * `heavyAt` trades broadcast size against light-side bound. Pass 0
+    * (the default) to DERIVE it as max(1000, N/10⁶): the heavy set is
+    * then ≤ 10⁶ keys whatever the corpus — a fixed threshold silently
+    * stops being broadcastable when the corpus grows (at N = 10¹³,
+    * heavyAt = 1000 admits up to 10¹⁰ heavy keys). The count behind the
+    * derivation is one cheap action over the already-checkpointed
+    * input.
     *
     * `weight` sums that column instead of counting rows (the unigram-LM
     * case, where rows are (doc, token, k) partials).
@@ -68,12 +72,15 @@ object SkewJoin {
     * materialization (blocks are reclaimed by the ContextCleaner when
     * the frame goes unreferenced). */
   def withKeyTotal(rows: DataFrame, key: String, totalName: String,
-                   heavyAt: Long, weight: Option[String] = None): DataFrame = {
+                   heavyAt: Long = 0L, weight: Option[String] = None): DataFrame = {
     val pinned = rows.localCheckpoint()
+    val cut =
+      if (heavyAt > 0L) heavyAt
+      else math.max(1000L, pinned.count() / 1000000L)
     val agg = weight.map(w => sum(col(w))).getOrElse(count(lit(1)))
     val totals = pinned.groupBy(col(key)).agg(agg.cast("long").as(totalName))
-    pinned.join(totals.filter(col(totalName) < heavyAt), Seq(key))
+    pinned.join(totals.filter(col(totalName) < cut), Seq(key))
       .unionByName(
-        pinned.join(broadcast(totals.filter(col(totalName) >= heavyAt)), Seq(key)))
+        pinned.join(broadcast(totals.filter(col(totalName) >= cut)), Seq(key)))
   }
 }

@@ -226,7 +226,7 @@ object TextAnalysis {
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    SkewJoin.withKeyTotal(terms, "term", "df", heavyAt = 1000L)
+    SkewJoin.withKeyTotal(terms, "term", "df")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(
         col("tf").cast("double") *
@@ -270,7 +270,7 @@ object TextAnalysis {
     // total tokens WITHOUT a second tokenize+explode pass: a narrow
     // sum-of-sizes over the raw docs
     val total = docs.agg(sum(size(tokens(col("text")))).as("n_total"))
-    SkewJoin.withKeyTotal(toks, "tok", "cnt", heavyAt = 1000L, weight = Some("k"))
+    SkewJoin.withKeyTotal(toks, "tok", "cnt", weight = Some("k"))
       .crossJoin(broadcast(total))
       .withColumn("lp",
         round(log(col("cnt").cast("double") / col("n_total").cast("double")), 12)
@@ -439,7 +439,7 @@ object TextAnalysis {
     * soak entry point. */
   def crossDocRepetition(docs: DataFrame, flagAt: Double = 0.5): DataFrame = {
     val sh = Dedup.shingles(docs, 3)
-    SkewJoin.withKeyTotal(sh, "g", "df", heavyAt = 1000L)
+    SkewJoin.withKeyTotal(sh, "g", "df")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
