@@ -86,6 +86,8 @@ object SparkEntry {
     "q55_winsorized"       -> (Relational.q55WinsorizedStats _),
     "q56_epoch_shuffle"    -> ((s: SparkSession, dir: String) =>
       Selection.q56EpochShuffle(s, dir)),
+    "q57_pipeline"         -> ((s: SparkSession, dir: String) =>
+      graft.ops.Pipeline.q57PipelineDecision(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -407,6 +409,7 @@ object SparkEntry {
     "q50_vocab_coverage" -> ExtensionOracles.q50VocabCoverage,
     "q51_char_entropy" -> ExtensionOracles.q51CharEntropy,
     "q52_stratified_sample" -> ExtensionOracles.q52StratifiedSample,
+    "q57_pipeline" -> ExtensionOracles.q57PipelineDecision,
     "q53_crossdoc_repetition" -> ExtensionOracles.q53CrossDocRepetition,
   )
 }

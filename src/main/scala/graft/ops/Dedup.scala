@@ -186,6 +186,12 @@ object Dedup {
     } else pin(shingles(docs, n))
   }
 
+  /** Public capped shingle set over an arbitrary document population
+    * (checkpoint pinning — safe inside long-lived sessions), for
+    * pipeline composition (q57's decontamination stage). */
+  def cappedShingleSet(docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame =
+    cappedShingles(docs, n, maxDocFreq, checkpoint = true)
+
   /** MinHash signature component j: lexicographic min over the doc's
     * shingles of an 8-hex-char (32-bit) slice of a shingle digest.
     * All 8 components derive from TWO md5 evaluations per shingle

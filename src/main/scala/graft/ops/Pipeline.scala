@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** q57: the END-TO-END training-set decision — the pipeline a real
+  * training-data run executes, composed from the engine's own operators
+  * in the canonical order, with the FIRST failing stage as each
+  * document's machine-readable verdict:
+  *
+  *   1. quality filter (q39 rules)              → `quality:<reason>`
+  *   2. exact dedup, q24's 8-token-prefix key   → `exact_dup` (keep min id)
+  *   3. near-dup clusters: q25 capped-Jaccard
+  *      pairs → connected components            → `near_dup` (keep min id)
+  *   4. benchmark decontamination vs the TEST
+  *      split (q43's capped-shingle overlap)    → `contaminated`
+  *   5. greedy token budget (q49's prefix)      → `over_budget`
+  *   6. survivors                               → `keep`
+  *
+  * Output: one verdict row per TRAIN-split document. Each stage's
+  * membership is exactly the previous stage's keepers, so the oracle
+  * replays the whole cascade stage-for-stage (including the recursive
+  * transitive closure) and the verdict column must hash-match.
+  *
+  * Scale: every stage is one of the engine's audited dataflows — no new
+  * shuffle shapes are introduced by composing them; intermediate keeper
+  * sets are id+text projections of the corpus, never collected.
+  */
+object Pipeline {
+
+  def q57PipelineDecision(s: SparkSession, dir: String,
+                          budget: Long = 8000L, minShared: Long = 5L): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val train = docs.filter(Splits.of(col("doc_id")) === "train")
+
+    // 1. quality — verdict over the train docs only (a pure per-row rule)
+    val fv = TextAnalysis.filterVerdicts(train).select(col("doc_id"), col("reason"))
+    val keep1 = train.join(fv.filter(col("reason") === "keep").select("doc_id"), "doc_id")
+
+    // 2. exact dedup on q24's normalized 8-token-prefix key
+    val keyed = keep1.withColumn("gk", md5(TextAnalysis.prefixTokens(col("text"), 8)))
+    val canon = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("can"))
+    val withCan = keyed.join(canon, "gk")
+    val dropExact = withCan.filter(col("doc_id") =!= col("can")).select(col("doc_id"))
+    val keep2 = withCan.filter(col("doc_id") === col("can"))
+      .select(col("doc_id"), col("text"))
+
+    // 3. near-dup clusters among the exact-keepers: capped Jaccard pairs
+    //    (df cap computed over keep2 — the population being deduped),
+    //    components by min-label propagation, keep the canonical member
+    val pairs = Dedup.jaccardPairs(keep2, 3, 0.5, maxDocFreq = 50L)
+      .select(col("d1"), col("d2"))
+    val cc = Dedup.connectedComponents(keep2.select(col("doc_id").as("id")), pairs)
+    val dropNear = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val keep3 = keep2.join(dropNear, Seq("doc_id"), "left_anti")
+
+    // 4. decontamination: capped-shingle overlap vs the WHOLE test split,
+    //    the cap computed over the (keep3 ∪ test) population — drop any
+    //    surviving train doc sharing ≥ minShared informative shingles
+    //    with any benchmark document
+    val testDocs = docs.filter(Splits.of(col("doc_id")) === "test")
+    val sh = Dedup.cappedShingleSet(keep3.unionByName(testDocs), 3, 50L)
+      .withColumn("side",
+        when(Splits.of(col("doc_id")) === "test", "te").otherwise("tr"))
+    val contaminated = sh.groupBy(col("g")).agg(
+        collect_list(when(col("side") === "te", col("doc_id"))).as("t_ids"),
+        collect_list(when(col("side") === "tr", col("doc_id"))).as("tr_ids"))
+      .select(explode(flatten(transform(col("t_ids"), t =>
+        transform(col("tr_ids"),
+          tr => struct(t.as("t_doc"), tr.as("tr_doc")))))).as("p"))
+      .groupBy(col("p.tr_doc").as("doc_id"), col("p.t_doc").as("t_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_id")).distinct()
+    val keep4 = keep3.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. greedy token budget over the survivors
+    val tb = Selection.tokenBudget(keep4, budget)
+      .select(col("doc_id"), col("selected"))
+
+    // verdict assembly: first failing stage wins
+    train.select(col("doc_id"))
+      .join(fv, "doc_id")
+      .join(dropExact.withColumn("xd", lit(true)), Seq("doc_id"), "left")
+      .join(dropNear.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("ct", lit(true)), Seq("doc_id"), "left")
+      .join(tb, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("reason") =!= "keep", concat(lit("quality:"), col("reason")))
+          .when(col("xd"), "exact_dup")
+          .when(col("nd"), "near_dup")
+          .when(col("ct"), "contaminated")
+          .when(!col("selected"), "over_budget")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("verdict"),
+        (col("verdict") === "keep").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+}

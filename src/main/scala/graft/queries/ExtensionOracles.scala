@@ -594,6 +594,136 @@ object ExtensionOracles {
       |WHERE rn <= 20
       |ORDER BY lang, rn""".stripMargin
 
+  /** Mirrors q57: the full training-set cascade, replayed stage-for-stage
+    * — split, quality CASE ladder (q39), exact-dup canonical (q24 key),
+    * capped-Jaccard pairs + recursive transitive closure (q25/q40),
+    * capped-shingle decontamination vs the test split (q43), and the
+    * greedy token budget (q49). Every stage's membership is the previous
+    * stage's keepers; all stage decisions are integer/string-exact. */
+  val q57PipelineDecision: String =
+    """WITH RECURSIVE sp AS (SELECT doc_id, text,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+      |tok1 AS (SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |  FROM tr),
+      |pos1 AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |         FROM tok1 WHERE len(l) >= 3),
+      |g1 AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM pos1),
+      |agg1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+      |                CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_dis
+      |         FROM g1 GROUP BY doc_id),
+      |qual AS (SELECT b.doc_id,
+      |    CASE WHEN n_tokens < 20 THEN 'too_short'
+      |         WHEN n_tokens > 100000 THEN 'too_long'
+      |         WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'token_shape'
+      |         WHEN punct_ratio > 0.1 THEN 'punct'
+      |         WHEN dup_frac > 0.2 THEN 'repetitive'
+      |         ELSE 'keep' END AS reason
+      |  FROM (SELECT d.doc_id,
+      |      CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+      |      CAST(length(regexp_replace(d.text, '\s', '', 'g')) AS DOUBLE) /
+      |        greatest(CAST(len(regexp_extract_all(d.text, '\S+')) AS DOUBLE), 1.0) AS avg_token_len,
+      |      CAST(length(regexp_replace(d.text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+      |        greatest(CAST(length(d.text) AS DOUBLE), 1.0) AS punct_ratio,
+      |      CASE WHEN COALESCE(a.n_tri, 0) > 0
+      |           THEN 1.0 - CAST(a.n_dis AS DOUBLE) / CAST(a.n_tri AS DOUBLE)
+      |           ELSE 0.0 END AS dup_frac
+      |    FROM tr d LEFT JOIN agg1 a ON d.doc_id = a.doc_id) b),
+      |keep1 AS (SELECT tr.doc_id, tr.text FROM tr
+      |          JOIN qual ON tr.doc_id = qual.doc_id WHERE qual.reason = 'keep'),
+      |k2 AS (SELECT doc_id, text,
+      |    md5(array_to_string(
+      |      regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')[1:8],
+      |      ' ')) AS gk
+      |  FROM keep1),
+      |canon AS (SELECT gk, MIN(doc_id) AS can FROM k2 GROUP BY gk),
+      |dropx AS (SELECT k2.doc_id FROM k2 JOIN canon ON k2.gk = canon.gk
+      |          WHERE k2.doc_id <> canon.can),
+      |keep2 AS (SELECT k2.doc_id, k2.text FROM k2 JOIN canon ON k2.gk = canon.gk
+      |          WHERE k2.doc_id = canon.can),
+      |tok2 AS (SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |  FROM keep2),
+      |pos2 AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |         FROM tok2 WHERE len(l) >= 3),
+      |sh2 AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos2),
+      |rare2 AS (SELECT g FROM sh2 GROUP BY g HAVING count(*) <= 50),
+      |shc2 AS (SELECT sh2.doc_id, sh2.g FROM sh2 JOIN rare2 ON sh2.g = rare2.g),
+      |sz2 AS (SELECT doc_id, count(*) AS n FROM shc2 GROUP BY doc_id),
+      |com2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |         FROM shc2 a JOIN shc2 b ON a.g = b.g AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |prs AS (SELECT d1, d2 FROM com2
+      |        JOIN sz2 s1 ON d1 = s1.doc_id JOIN sz2 s2 ON d2 = s2.doc_id
+      |        WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM prs
+      |          UNION ALL SELECT d2 AS a, d1 AS b FROM prs),
+      |reach(v, r) AS (
+      |  SELECT doc_id AS v, doc_id AS r FROM keep2
+      |  UNION
+      |  SELECT reach.v, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a),
+      |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+      |dropn AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+      |keep3 AS (SELECT keep2.doc_id, keep2.text FROM keep2
+      |          LEFT JOIN dropn ON keep2.doc_id = dropn.doc_id
+      |          WHERE dropn.doc_id IS NULL),
+      |pop AS (SELECT doc_id, text FROM keep3
+      |        UNION ALL SELECT doc_id, text FROM sp WHERE split = 'test'),
+      |tokp AS (SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |  FROM pop),
+      |posp AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |         FROM tokp WHERE len(l) >= 3),
+      |shp AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM posp),
+      |rarep AS (SELECT g FROM shp GROUP BY g HAVING count(*) <= 50),
+      |shcp AS (SELECT shp.doc_id, shp.g FROM shp JOIN rarep ON shp.g = rarep.g),
+      |ovl AS (SELECT trn.doc_id AS tr_doc, tst.doc_id AS t_doc, count(*) AS shared
+      |        FROM (SELECT shcp.doc_id, g FROM shcp JOIN sp ON shcp.doc_id = sp.doc_id
+      |              WHERE sp.split <> 'test') trn
+      |        JOIN (SELECT shcp.doc_id, g FROM shcp JOIN sp ON shcp.doc_id = sp.doc_id
+      |              WHERE sp.split = 'test') tst ON trn.g = tst.g
+      |        GROUP BY 1, 2),
+      |contam AS (SELECT DISTINCT tr_doc AS doc_id FROM ovl WHERE shared >= 5),
+      |keep4 AS (SELECT keep3.doc_id, keep3.text FROM keep3
+      |          LEFT JOIN contam ON keep3.doc_id = contam.doc_id
+      |          WHERE contam.doc_id IS NULL),
+      |pq AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+      |                   BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
+      |         CASE WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |                greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)
+      |                   BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
+      |         CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+      |                greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.1
+      |              THEN 3 ELSE 0 END AS BIGINT) AS priority
+      |  FROM keep4),
+      |bsel AS (SELECT doc_id,
+      |    (CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |     + n_tokens) <= 8000 AS selected
+      |  FROM pq),
+      |verdicts AS (SELECT tr.doc_id,
+      |    CASE WHEN qual.reason <> 'keep' THEN 'quality:' || qual.reason
+      |         WHEN dropx.doc_id IS NOT NULL THEN 'exact_dup'
+      |         WHEN dropn.doc_id IS NOT NULL THEN 'near_dup'
+      |         WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+      |         WHEN NOT bsel.selected THEN 'over_budget'
+      |         ELSE 'keep' END AS verdict
+      |  FROM tr
+      |  JOIN qual ON tr.doc_id = qual.doc_id
+      |  LEFT JOIN dropx ON tr.doc_id = dropx.doc_id
+      |  LEFT JOIN dropn ON tr.doc_id = dropn.doc_id
+      |  LEFT JOIN contam ON tr.doc_id = contam.doc_id
+      |  LEFT JOIN bsel ON tr.doc_id = bsel.doc_id)
+      |SELECT doc_id, verdict, verdict = 'keep' AS selected
+      |FROM verdicts
+      |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q53: cross-document repetition — distinct 3-gram document
     * frequencies over the q25 shingle CTE; pure integer counts plus one
     * division. Documents shorter than 3 tokens have no grams and are

@@ -665,6 +665,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline verdict: one row per train doc, budget respected, canonicals kept") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val out = Pipeline.q57PipelineDecision(spark, dir, budget = 5000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val docs = graft.Tables.documents(spark, dir)
+    val nTrain = docs.filter(Splits.of(col("doc_id")) === "train").count()
+    // exactly one verdict per train document
+    assert(out.length == nTrain && out.map(_._1).distinct.length == nTrain)
+    // the cut actually cuts, and something survives every stage
+    val byVerdict = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byVerdict.contains("keep") && byVerdict.contains("over_budget"))
+    // kept docs respect the token budget exactly
+    val keptIds = out.filter(_._3).map(_._1).toSet
+    val tokenOf = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keptIds.map(tokenOf).sum <= 5000L)
+    // every exact_dup doc has a smaller-id prefix-twin that was NOT
+    // dropped as exact_dup (its canonical survived that stage)
+    val gkOf = docs.select(col("doc_id"),
+        md5(TextAnalysis.prefixTokens(col("text"), 8)).as("gk")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verdictOf = out.map(t => t._1 -> t._2).toMap
+    out.filter(_._2 == "exact_dup").foreach { case (id, _, _) =>
+      val twin = out.exists { case (o, v, _) =>
+        o < id && gkOf(o) == gkOf(id) && v != "exact_dup" }
+      assert(twin, s"exact_dup doc $id has no surviving canonical twin")
+    }
+  }
+
   test("cross-doc repetition: near-dup pair members are flagged as sharing grams") {
     val q53 = TextAnalysis.q53CrossDocRepetition(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
