@@ -34,17 +34,27 @@ object Pipeline {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val train = docs.filter(Splits.of(col("doc_id")) === "train")
 
+    // Stage keepers feed MANY downstream consumers (the next stage, the
+    // verdict assembly, and the actions inside CC / the budget prefix).
+    // Without pinning, every consumer re-evaluates the whole composed
+    // lineage — measured 45 s at sf0.1 vs ~4 s pinned. Eager
+    // localCheckpoint (not cache) so a long-lived session reclaims the
+    // blocks via the ContextCleaner, per the engine-wide rule.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
     // 1. quality — verdict over the train docs only (a pure per-row rule)
-    val fv = TextAnalysis.filterVerdicts(train).select(col("doc_id"), col("reason"))
+    val fv = pin(TextAnalysis.filterVerdicts(train)
+      .select(col("doc_id"), col("reason")))
     val keep1 = train.join(fv.filter(col("reason") === "keep").select("doc_id"), "doc_id")
 
     // 2. exact dedup on q24's normalized 8-token-prefix key
     val keyed = keep1.withColumn("gk", md5(TextAnalysis.prefixTokens(col("text"), 8)))
     val canon = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("can"))
     val withCan = keyed.join(canon, "gk")
-    val dropExact = withCan.filter(col("doc_id") =!= col("can")).select(col("doc_id"))
-    val keep2 = withCan.filter(col("doc_id") === col("can"))
-      .select(col("doc_id"), col("text"))
+    val dropExact = pin(withCan.filter(col("doc_id") =!= col("can"))
+      .select(col("doc_id")))
+    val keep2 = pin(withCan.filter(col("doc_id") === col("can"))
+      .select(col("doc_id"), col("text")))
 
     // 3. near-dup clusters among the exact-keepers: capped Jaccard pairs
     //    (df cap computed over keep2 — the population being deduped),
@@ -74,7 +84,8 @@ object Pipeline {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("doc_id")).distinct()
-    val keep4 = keep3.join(contaminated, Seq("doc_id"), "left_anti")
+    val contaminatedPinned = pin(contaminated)
+    val keep4 = pin(keep3.join(contaminatedPinned, Seq("doc_id"), "left_anti"))
 
     // 5. greedy token budget over the survivors
     val tb = Selection.tokenBudget(keep4, budget)
@@ -85,7 +96,7 @@ object Pipeline {
       .join(fv, "doc_id")
       .join(dropExact.withColumn("xd", lit(true)), Seq("doc_id"), "left")
       .join(dropNear.withColumn("nd", lit(true)), Seq("doc_id"), "left")
-      .join(contaminated.withColumn("ct", lit(true)), Seq("doc_id"), "left")
+      .join(contaminatedPinned.withColumn("ct", lit(true)), Seq("doc_id"), "left")
       .join(tb, Seq("doc_id"), "left")
       .withColumn("verdict",
         when(col("reason") =!= "keep", concat(lit("quality:"), col("reason")))
