@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{ExtensionOracles, LogParsing, Relational}
-import graft.ops.{Curriculum, Dedup, Mixing, Multimodal, Privacy, Quantize, Selection, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Curriculum, Dedup, Mixing, Multimodal, Privacy, Quantize, Retrieval, Selection, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +88,13 @@ object SparkEntry {
       Selection.q56EpochShuffle(s, dir)),
     "q57_pipeline"         -> ((s: SparkSession, dir: String) =>
       graft.ops.Pipeline.q57PipelineDecision(s, dir)),
+    "q58_bm25"             -> ((s: SparkSession, dir: String) =>
+      Retrieval.q58Bm25(s, dir)),
+    "q59_chunking"         -> ((s: SparkSession, dir: String) =>
+      Chunking.q59Chunking(s, dir)),
+    "q60_pii_redact"       -> (Privacy.q60PiiRedact _),
+    "q61_source_quota"     -> ((s: SparkSession, dir: String) =>
+      Selection.q61SourceQuota(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -411,5 +418,9 @@ object SparkEntry {
     "q52_stratified_sample" -> ExtensionOracles.q52StratifiedSample,
     "q57_pipeline" -> ExtensionOracles.q57PipelineDecision,
     "q53_crossdoc_repetition" -> ExtensionOracles.q53CrossDocRepetition,
+    "q58_bm25" -> ExtensionOracles.q58Bm25,
+    "q59_chunking" -> ExtensionOracles.q59Chunking,
+    "q60_pii_redact" -> ExtensionOracles.q60PiiRedact,
+    "q61_source_quota" -> ExtensionOracles.q61SourceQuota,
   )
 }

@@ -59,4 +59,65 @@ object Privacy {
         min(col("pseudonym")).as("first_pseudonym"))
       .orderBy(col("cidr24"))
   }
+
+  // --- Free-text PII scan/redaction (q60) ----------------------------
+  //
+  // The scrub a pipeline runs over RAW text before it is retained or
+  // used as training data: find identifier-shaped spans — emails, IPv4
+  // addresses, long digit runs (account/request numbers) — count them,
+  // and rewrite them to typed placeholders. The declared query runs it
+  // over the q20 synthesized S3 access-log lines (the reference's own
+  // privacy surface: client IPs and ARN account ids in every line);
+  // the core scans any text column, and the fixture spec plants emails
+  // to prove that path. All pure codegen'd regex expressions (RE2-safe
+  // subset, so the oracle's regex engine agrees exactly) — a narrow map
+  // fused into the scan at 100 TB, no shuffle, no UDF.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val DigitRunPattern = "[0-9]{4,}"
+
+  def emailCount(x: Column): Column =
+    size(regexp_extract_all(x, lit(EmailPattern), lit(0))).cast("long")
+  def ipCount(x: Column): Column =
+    size(regexp_extract_all(x, lit(Ipv4Pattern), lit(0))).cast("long")
+  /** Digit runs of length ≥ 4 — account-number-shaped spans. Counted on
+    * the raw text (an IP's octets are ≤ 3 digits, so they never double-
+    * count here). */
+  def digitRunCount(x: Column): Column =
+    size(regexp_extract_all(x, lit(DigitRunPattern), lit(0))).cast("long")
+
+  /** Text with every identifier-shaped span replaced by a typed
+    * placeholder. Order matters and is fixed: emails first (their local
+    * part may contain digit runs), then IPs (octet groups must go as a
+    * unit, not as digit fragments), then bare digit runs. */
+  def redactText(x: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(x, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      DigitRunPattern, "<NUM>")
+
+  /** q60: PII scan + redaction over the synthesized access-log lines —
+    * per line: identifier-span counts and the md5 of the redacted line
+    * (the retention-safe fingerprint; equal raw lines ⇔ equal redacted
+    * hashes, so scrubbed-side dedup still works). */
+  def q60PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(s, dir)
+      .select(col("event_id"),
+        graft.queries.LogParsing.syntheticLogLine.as("line"))
+    piiScan(lines, col("line"))
+      .select(col("event_id"), col("n_emails"), col("n_ips"),
+        col("n_digit_runs"), col("redacted_md5"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The reusable core: appends the scan columns to any frame. */
+  def piiScan(df: DataFrame, text: Column): DataFrame =
+    df
+      .withColumn("n_emails", emailCount(text))
+      .withColumn("n_ips", ipCount(text))
+      .withColumn("n_digit_runs", digitRunCount(text))
+      .withColumn("redacted", redactText(text))
+      .withColumn("redacted_md5", md5(col("redacted")))
 }

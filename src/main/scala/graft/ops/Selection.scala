@@ -22,8 +22,9 @@ object Selection {
 
   /** Integer quality priority 0..10 — q21's three quality rules with
     * integer weights (4/3/3). Integer so every downstream ordering,
-    * grouping and join keys on exact arithmetic. */
-  private def priority(): org.apache.spark.sql.Column = {
+    * grouping and join keys on exact arithmetic. Shared by q49 (budget
+    * order) and q61 (per-source quota order). */
+  private[ops] def priority(): org.apache.spark.sql.Column = {
     val nTok = TextAnalysis.tokenCount(col("text"))
     val nChr = TextAnalysis.charCountNoWs(col("text"))
     val avgTokLen = nChr.cast("double") / greatest(nTok.cast("double"), lit(1.0))
@@ -166,6 +167,35 @@ object Selection {
     * (hash asc, doc_id asc) exactly. */
   def q52StratifiedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     stratifiedSample(Tables.documents(s, dir), k)
+
+  /** q61: per-source quota — cap every source (domain/crawl feed) at Q
+    * documents, keeping its BEST by the q49 quality priority (ties by
+    * doc_id): the domain-balancing step that stops one giant source from
+    * swamping the mixture while still taking each source's best slice.
+    * Complements q45 (which computes fractional mixing WEIGHTS;
+    * this enforces a hard per-source COUNT).
+    *
+    * Scale shape: the per-source selection is the native bounded top_k
+    * aggregate — per-group state is ≤ 4+16·Q bytes on the wire whatever
+    * the source's size, with map-side combine — never a
+    * `row_number() OVER (PARTITION BY source)`, which funnels a hot
+    * source's every row through one task's window buffer. The priority
+    * is an 0..10 integer, exact as a double score; the aggregate's
+    * (score desc, id asc) order IS the oracle's
+    * (priority DESC, doc_id) — engine-stable. */
+  def q61SourceQuota(s: SparkSession, dir: String, quota: Int = 50): DataFrame =
+    sourceQuota(Tables.documents(s, dir), quota)
+
+  /** The reusable core over any (source, doc_id, text) frame. */
+  def sourceQuota(docs: DataFrame, quota: Int): DataFrame =
+    docs
+      .select(col("source"), col("doc_id"), priority().as("priority"))
+      .groupBy(col("source"))
+      .agg(TopKPerGroup.topKColumn(col("priority"), col("doc_id"), quota).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("quota_rank"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("priority"))
+      .orderBy(col("source"), col("quota_rank"))
 
   /** The reusable core: k-per-stratum min-hash sample of any frame with
     * (lang, doc_id). Spec-tested property: removing non-sampled rows

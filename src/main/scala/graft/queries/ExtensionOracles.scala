@@ -741,4 +741,133 @@ object ExtensionOracles {
        |FROM sh JOIN df ON sh.g = df.g
        |GROUP BY sh.doc_id
        |ORDER BY sh.doc_id""".stripMargin
+
+  /** Mirrors q58: BM25 top-20 against the fixed query-term set. Every
+    * float rule from q41/q48 applies: idf and each per-term partial are
+    * rounded to 12 digits (libm ln), the per-doc sum runs over
+    * DECIMAL(28,12), and the BM25 constants appear as the same decimal
+    * literals on both sides (2.2 and 0.25 are parsed, never computed).
+    * The arithmetic is the same left-associated expression tree as the
+    * Spark side, so partials are bit-identical. */
+  val q58Bm25: String =
+    s"""WITH $tokCte,
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN ('spark', 'vector', 'merge', 'window')
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.dl,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
+       |  FROM sc GROUP BY doc_id),
+       |topk AS (SELECT * FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+       |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
+       |FROM topk
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q59: sliding 64-token windows at stride 48. Chunk count
+    * and offsets are exact integer arithmetic; the per-chunk hash is md5
+    * of the space-joined clamped slice on both sides. */
+  val q59Chunking: String =
+    s"""WITH $tokCte,
+       |c AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n
+       |      FROM tok WHERE len(l) >= 1),
+       |nc AS (SELECT doc_id, l, n,
+       |    1 + CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END AS n_chunks
+       |  FROM c),
+       |ch AS (SELECT doc_id, l, n,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+       |  FROM nc)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * 48 + 1 AS BIGINT) AS chunk_start,
+       |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(l[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' '))
+       |    AS chunk_md5
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Shared CTE: the q20 synthesized access-log line, rebuilt verbatim
+    * (the q20-oracle field formulas, concatenated in line order with
+    * single-space separators — mirrors LogParsing.syntheticLogLine). */
+  private val logLineCte =
+    """line AS (SELECT event_id,
+      |  'owner' || (user_id % 4) ||
+      |  ' bucket' || (event_id % 3) ||
+      |  ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] ' ||
+      |  (event_id % 223 + 1) || '.' || (user_id % 256) || '.' ||
+      |    ((event_id * 7) % 256) || '.' || ((event_id * 13) % 256) ||
+      |  ' ' || CASE WHEN event_type = 'purchase'
+      |           THEN 'arn:aws:sts::123456789012:assumed-role/Deploy/i-' || event_id
+      |         WHEN event_type = 'click'
+      |           THEN 'arn:aws:iam::123456789012:user/u' || user_id
+      |         ELSE '-' END ||
+      |  ' REQ' || event_id ||
+      |  ' REST.' || upper(event_type) || '.OBJECT' ||
+      |  ' data/k' || (event_id % 50) || '.bin' ||
+      |  ' "GET /bucket' || (event_id % 3) || '/data/k' || (event_id % 50) ||
+      |    '.bin HTTP/1.1"' ||
+      |  ' ' || CASE WHEN value < 10 THEN '404' ELSE '200' END ||
+      |  ' ' || CASE WHEN value < 10 THEN 'NoSuchKey' ELSE '-' END ||
+      |  ' ' || CASE WHEN value < 50 THEN '-'
+      |              ELSE CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) END ||
+      |  ' ' || CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR) ||
+      |  ' 15 5 "-" "Mozilla/5.0 (Test; x64)" - hostIdExample123 SigV4' ||
+      |  ' ECDHE-RSA-AES128-GCM-SHA256 AuthHeader' ||
+      |  ' bucket' || (event_id % 3) || '.s3.us-west-2.amazonaws.com TLSv1.2' AS l
+      |FROM events)""".stripMargin
+
+  /** Mirrors q60: PII scan + redaction over the synthesized log lines.
+    * Same RE2-safe patterns, same fixed redaction order (emails → IPs →
+    * digit runs); DuckDB's regexp_replace needs the explicit 'g' flag to
+    * match Spark's replace-all default. */
+  val q60PiiRedact: String =
+    s"""WITH $logLineCte
+       |SELECT event_id,
+       |  CAST(len(regexp_extract_all(l,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(l,
+       |    '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(l, '[0-9]{4,}')) AS BIGINT) AS n_digit_runs,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(l,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+       |    '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+       |FROM line
+       |ORDER BY event_id""".stripMargin
+
+  /** Mirrors q61: per-source quota by the q49 priority. The oracle's
+    * per-source `row_number` (priority DESC, doc_id) must equal the
+    * engine's bounded top_k aggregate exactly — integer priorities,
+    * deterministic tie-break. */
+  val q61SourceQuota: String =
+    """WITH c AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |      greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS atl,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+      |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
+      |  FROM documents),
+      |s AS (SELECT doc_id, source,
+      |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
+      |         CASE WHEN atl BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
+      |         CASE WHEN pr <= 0.1 THEN 3 ELSE 0 END AS BIGINT) AS priority
+      |  FROM c),
+      |r AS (SELECT source, doc_id, priority,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY priority DESC, doc_id) AS quota_rank
+      |  FROM s)
+      |SELECT source, CAST(quota_rank AS BIGINT) AS quota_rank, doc_id, priority
+      |FROM r WHERE quota_rank <= 50
+      |ORDER BY source, quota_rank""".stripMargin
 }

@@ -28,8 +28,11 @@ object LogParsing {
       pmod(col("event_id") * 7, lit(256)),
       pmod(col("event_id") * 13, lit(256)))
 
-  def q20S3LogEtl(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+  /** The full synthesized S3 access-log line per event row — shared by
+    * q20 (parse path) and ops.Privacy.q60PiiRedact (PII scan over the
+    * same raw lines), so the two queries' oracles mirror ONE line
+    * definition. */
+  private[graft] def syntheticLogLine: org.apache.spark.sql.Column = {
     val tsUs = timestamp_micros(expr("ts DIV 1000"))
     val dtStr = concat(date_format(tsUs, "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000"))
     val bucket = concat(lit("bucket"), pmod(col("event_id"), lit(3)))
@@ -42,7 +45,7 @@ object LogParsing {
       .otherwise(lit("-"))
     val remoteip = syntheticRemoteIp
 
-    val line = concat_ws(" ",
+    concat_ws(" ",
       concat(lit("owner"), pmod(col("user_id"), lit(4))),
       bucket,
       concat(lit("["), dtStr, lit("]")),
@@ -61,8 +64,11 @@ object LogParsing {
       lit("-"), lit("hostIdExample123"), lit("SigV4"),
       lit("ECDHE-RSA-AES128-GCM-SHA256"), lit("AuthHeader"),
       concat(bucket, lit(".s3.us-west-2.amazonaws.com")), lit("TLSv1.2"))
+  }
 
-    Enrich.parseLines(e.select(line.as("value")))
+  def q20S3LogEtl(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    Enrich.parseLines(e.select(syntheticLogLine.as("value")))
       .select(
         col("requestid"), col("bucket_name"), col("requestdatetime"),
         col("remoteip"), col("requester"), col("operation"),

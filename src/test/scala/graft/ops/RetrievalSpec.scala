@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the round-7 surface additions: BM25 retrieval (q58),
+  * token-window chunking (q59), PII scan/redaction (q60) and per-source
+  * quota selection (q61) — the properties the DuckDB oracle can't see:
+  * planted-fixture behavior, window-formulation equivalence, and the
+  * redaction algebra. */
+class RetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  import Retrieval.{bm25TopK}
+
+  test("bm25: top-k is exactly the k best of the full ranking") {
+    val docs = graft.Tables.documents(spark, dir)
+    val q = Seq("spark", "vector", "merge", "window")
+    val full = bm25TopK(docs, q, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val expected = full.sortBy { case (id, sc) => (-sc, id) }.take(20)
+      .map(_._1).toSet
+    val got = bm25TopK(docs, q, k = 20).collect().map(_.getLong(0)).toSet
+    assert(got == expected, "top-20 is not the 20 best-scored documents")
+  }
+
+  test("bm25: more query-term mass at equal length ranks higher; idf favors rare terms") {
+    import spark.implicits._
+    // equal-length docs: d0 has the query term 4x, d1 once, d2 none
+    val docs = Seq(
+      (0L, "spark spark spark spark pad pad pad pad"),
+      (1L, "spark pad pad pad pad pad pad pad"),
+      (2L, "pad pad pad pad pad pad pad pad"),
+      // d3/d4: one hit each of a COMMON vs a RARE query term
+      (3L, "common pad pad pad pad pad pad pad"),
+      (4L, "rare pad pad pad pad pad pad pad"),
+      (5L, "common pad2 pad pad pad pad pad pad"),
+      (6L, "common pad3 pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = bm25TopK(docs, Seq("spark", "common", "rare"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(0L) > out(1L), "4 hits must outscore 1 hit at equal length")
+    assert(!out.contains(2L), "a doc with zero query terms must not be retrieved")
+    assert(out(4L) > out(3L), "a rarer term (df=1) must outscore a common one (df=3)")
+  }
+
+  test("chunking: windows tile every token with the declared overlap; hashes are the slice hashes") {
+    import spark.implicits._
+    // 100 tokens -> chunks [1..64], [49..100]; 64 tokens -> one chunk;
+    // 65 tokens -> [1..64], [49..65]; blank doc -> no chunks
+    val t100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val t64 = (1 to 64).map(i => s"w$i").mkString(" ")
+    val t65 = (1 to 65).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t100), (2L, t64), (3L, t65), (4L, "  ")).toDF("doc_id", "text")
+    val out = Chunking.chunk(docs, maxLen = 64, stride = 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(4L), "blank doc must produce no chunks")
+    assert(byDoc(2L).length == 1 && byDoc(2L)(0)._4 == 64L)
+    assert(byDoc(1L).map(c => (c._3, c._4)).toSeq.sorted == Seq((1L, 64L), (49L, 52L)))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq.sorted == Seq((1L, 64L), (49L, 17L)))
+    // hash of the second chunk of t100 == md5 of tokens 49..100
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest((49 to 100).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byDoc(1L).find(_._2 == 1L).get._5 == exp)
+    // every token is covered: last chunk reaches n, consecutive starts differ by stride
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 48L)
+        case _ =>
+      }
+      val n = Seq(100L, 64L, 65L)(sorted.head._1.toInt - 1)
+      assert(sorted.last._3 + sorted.last._4 - 1 == n, "last chunk must end at the last token")
+    }
+  }
+
+  test("pii: planted identifiers are counted and redacted in the fixed order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+x@ex-ample.org from 10.0.0.1 acct 123456789"),
+      (2L, "digits-in-email a1234567@b.co stay inside <EMAIL>"),
+      (3L, "no identifiers here"),
+      (4L, "two ips 10.0.0.1 192.168.254.254 and run 0007")
+    ).toDF("id", "text")
+    val out = Privacy.piiScan(df, col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).toMap
+    assert(out(1L) == ((1L, 1L, 1L,
+      "contact <EMAIL> from <IP> acct <NUM>")))
+    // the email's digit run is consumed by the email pass, never split
+    assert(out(2L)._4 == "digits-in-email <EMAIL> stay inside <EMAIL>")
+    assert(out(3L) == ((0L, 0L, 0L, "no identifiers here")))
+    assert(out(4L) == ((0L, 2L, 1L, "two ips <IP> <IP> and run <NUM>")))
+    // redaction is idempotent: placeholders carry no identifier shapes
+    val redacted = Privacy.piiScan(
+      df.select(col("id"), Privacy.redactText(col("text")).as("text")), col("text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(redacted.forall(_ == ((0L, 0L, 0L))))
+  }
+
+  test("pii over the log lines: every line carries exactly one client IP") {
+    val out = Privacy.q60PiiRedact(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) == 1L), "each synthesized line has one remoteip")
+    // ARN lines (purchase/click events) carry the 12-digit account id
+    val types = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val arn = Set("purchase", "click").contains(types(r.getLong(0)))
+      assert((r.getLong(3) >= 1L) == arn || !arn,
+        s"digit-run count vs requester shape mismatch on event ${r.getLong(0)}")
+    }
+  }
+
+  test("source quota: equals the window formulation; quota binds per source") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val got = Selection.sourceQuota(docs, quota = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val win = docs
+      .select(col("source"), col("doc_id"), Selection.priority().as("priority"))
+      .withColumn("quota_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+      .filter(col("quota_rank") <= 10)
+      .select(col("source"), col("quota_rank"), col("doc_id"), col("priority"))
+      .orderBy(col("source"), col("quota_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == win.toSeq,
+      "bounded top_k quota diverged from the window formulation")
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"source $src exceeds quota")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+}
