@@ -345,4 +345,41 @@ class PlanSpec extends SparkSpec {
         s"window over raw (unaggregated) rows — single-task group sort at scale:\n$w")
     }
   }
+
+  test("q58: inverted-index shape — query-term filter below the shuffle, df broadcast, bounded top-k") {
+    val p = plan("q58_bm25")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"BM25 top-k plans as a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // the term filter must sit under the first aggregation (only query
+    // postings get shuffled): IN filter appears below the Generate's
+    // consumer side
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("term#") && l.contains(" IN ("))
+    val firstExIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(filterIdx > firstExIdx,
+      "query-term filter does not sit below the posting shuffle")
+  }
+
+  test("q59/q60: chunking and PII redaction are pure narrow maps — no hash shuffle") {
+    for (name <- Seq("q59_chunking", "q60_pii_redact")) {
+      val p = plan(name)
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 0, s"$name grew a hash shuffle:\n$p")
+    }
+    assert(!plan("q60_pii_redact").contains("Generate"),
+      "PII scan explodes rows — regex counting must stay in-row")
+  }
+
+  test("q61: source quota is the bounded top_k aggregate, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q61_source_quota")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(physical.collect { case w: WindowExec => w }.isEmpty,
+      "quota regressed to a row_number window (per-source single-task sort)")
+    val p = physical.toString
+    assert(p.contains("partial_top_k"),
+      s"per-source selection is not map-side combined:\n$p")
+  }
 }
