@@ -58,7 +58,11 @@ object Pipeline {
 
     // 3. near-dup clusters among the exact-keepers: capped Jaccard pairs
     //    (df cap computed over keep2 — the population being deduped),
-    //    components by min-label propagation, keep the canonical member
+    //    components by min-label propagation, keep the canonical member.
+    //    (Measured, not kept: sharing ONE raw shingle pass between this
+    //    stage and stage 4 — keep3 ⊂ keep2, so it looks free — is a
+    //    wash-to-regression at sf0.1 (6.4→7.2 s): materializing the
+    //    shared raw set costs what the saved tokenize pass gains.)
     val pairs = Dedup.jaccardPairs(keep2, 3, 0.5, maxDocFreq = 50L)
       .select(col("d1"), col("d2"))
     val cc = Dedup.connectedComponents(keep2.select(col("doc_id").as("id")), pairs)
