@@ -95,6 +95,8 @@ object SparkEntry {
     "q60_pii_redact"       -> (Privacy.q60PiiRedact _),
     "q61_source_quota"     -> ((s: SparkSession, dir: String) =>
       Selection.q61SourceQuota(s, dir)),
+    "q62_weighted_sample"  -> ((s: SparkSession, dir: String) =>
+      Mixing.q62WeightedSample(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,5 +424,6 @@ object SparkEntry {
     "q59_chunking" -> ExtensionOracles.q59Chunking,
     "q60_pii_redact" -> ExtensionOracles.q60PiiRedact,
     "q61_source_quota" -> ExtensionOracles.q61SourceQuota,
+    "q62_weighted_sample" -> ExtensionOracles.q62WeightedSample,
   )
 }

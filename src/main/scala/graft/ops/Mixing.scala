@@ -26,8 +26,18 @@ object Mixing {
 
   /** q45: per-source token counts and temperature-flattened sampling
     * weights (α = 0.3) with an integer per-100k-document quota. */
-  def q45DomainMix(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(s, dir)
+  def q45DomainMix(s: SparkSession, dir: String): DataFrame =
+    domainWeights(Tables.documents(s, dir))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        floor(col("weight") * 100000).cast("long").as("quota_100k"))
+      .orderBy(col("source"))
+
+  /** The per-source weight table over any (source, text) frame — q45's
+    * output rows plus the normalized `weight` column, reused by q62 as
+    * the per-document sampling weight. */
+  def domainWeights(docs: DataFrame): DataFrame = {
+    val per = docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -39,9 +49,48 @@ object Mixing {
     w.crossJoin(broadcast(total))
       .withColumn("weight",
         round(col("w9").cast("double") / col("w_total").cast("double"), 12))
-      .select(
-        col("source"), col("n_docs"), col("n_tokens"), col("weight"),
-        floor(col("weight") * 100000).cast("long").as("quota_100k"))
-      .orderBy(col("source"))
+  }
+
+  /** q62: weighted corpus sampling — DRAW the epoch's documents to match
+    * the q45 mixture, not just compute its weights: each document gets
+    * the Efraimidis–Spirakis key `-ln(u)/w` (u a salted-hash uniform, w
+    * the per-DOCUMENT weight `weight_source / n_docs_source`, so a
+    * source's expected share of the sample is its mixture weight
+    * whatever its document count) and the k smallest keys win — the
+    * standard one-pass weighted sample without replacement. Which
+    * documents land is a pure function of (salt, doc_id, weight table):
+    * rerun- and engine-stable.
+    *
+    * Scale shape: the weight table is per-source (tiny) and rides a
+    * broadcast join; u and the key are narrow per-row expressions; the
+    * k-smallest cut is `ORDER BY ... LIMIT k` — TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. No corpus-sized state
+    * anywhere.
+    *
+    * Determinism: u = (h52+1)/2^52 is exact dyadic arithmetic on a
+    * 52-bit hash (double-exact); `ln` is libm so ln(u) is rounded to 12
+    * digits before the division, and the key once more after it (the
+    * q41/q48 float rules); the per-doc weight divides two bit-identical
+    * exact values; ties break by doc_id. */
+  def q62WeightedSample(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    weightedSample(Tables.documents(s, dir), k)
+
+  /** The reusable core over any (doc_id, source, text) frame. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val weights = domainWeights(docs)
+      .select(col("source"), col("weight"),
+        (col("weight") / col("n_docs").cast("double")).as("doc_w"))
+    val h52 = conv(
+      substring(md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val u = (h52.cast("double") + 1.0) / lit(4503599627370496.0) // 2^52
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(weights), "source")
+      .withColumn("sample_key",
+        round(-round(log(u), 12) / col("doc_w"), 12))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("weight"), col("sample_key"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -870,4 +870,31 @@ object ExtensionOracles {
       |SELECT source, CAST(quota_rank AS BIGINT) AS quota_rank, doc_id, priority
       |FROM r WHERE quota_rank <= 50
       |ORDER BY source, quota_rank""".stripMargin
+
+  /** Mirrors q62: Efraimidis–Spirakis weighted sample under the q45
+    * weight table (per-doc weight = source weight / source doc count).
+    * u is exact dyadic arithmetic on the 52-bit hash; ln is rounded to
+    * 12 digits before the division and the key after it, mirroring the
+    * Spark expression tree exactly. */
+  val q62WeightedSample: String =
+    """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3), 9) AS DECIMAL(20,9)) AS w9
+      |  FROM per),
+      |tot AS (SELECT SUM(w9) AS w_total FROM w),
+      |ws AS (SELECT source, n_docs,
+      |    round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12) AS weight
+      |  FROM w CROSS JOIN tot),
+      |keyed AS (SELECT d.doc_id, d.source, ws.weight,
+      |    round(-round(ln((CAST(('0x' || substring(md5('wsample:' ||
+      |        CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) + 1.0) /
+      |        4503599627370496.0), 12) /
+      |      (ws.weight / CAST(ws.n_docs AS DOUBLE)), 12) AS sample_key
+      |  FROM documents d JOIN ws USING (source)),
+      |topk AS (SELECT * FROM keyed ORDER BY sample_key, doc_id LIMIT 100)
+      |SELECT doc_id, source, weight, sample_key
+      |FROM topk
+      |ORDER BY doc_id""".stripMargin
 }

@@ -115,6 +115,41 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: keys match the driver-side ES formula; mixture weight drives the draw") {
+    import spark.implicits._
+    // two equal-count sources; B has ~100x the token mass, so after the
+    // α=0.3 flattening w_B ≈ 4x w_A and B must dominate the sample
+    val docs = (0L until 50L).map(i => (i, "a", "tok"))
+      .++((50L until 100L).map(i => (i, "b", Seq.fill(100)("tok").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = Mixing.weightedSample(docs, k = 30).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 30)
+    // driver-side recompute of the full ranking from the collected weights
+    val wBySource = Mixing.domainWeights(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("weight"), r.getAs[Long]("n_docs"))).toMap
+    def key(id: Long, src: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsample:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(13), 16)
+      val u = (h.toDouble + 1.0) / 4503599627370496.0
+      val (w, n) = wBySource(src)
+      val lnU = BigDecimal(math.log(u)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(-lnU.toDouble / (w / n.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (0L until 100L)
+      .map(i => (i, if (i < 50) "a" else "b"))
+      .sortBy { case (id, src) => (key(id, src), id) }.take(30).map(_._1).toSet
+    assert(out.map(_._1).toSet == expected,
+      "engine sample diverged from the driver-side ES ranking")
+    val (wa, wb) = (wBySource("a")._1, wBySource("b")._1)
+    assert(wb > 2 * wa, s"flattened weights not separated: a=$wa b=$wb")
+    val nB = out.count(_._2 == "b")
+    assert(nB > 15, s"higher-weight source drew only $nB/30")
+  }
+
   test("source quota: equals the window formulation; quota binds per source") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
