@@ -43,6 +43,14 @@ object Streaming {
   def qualityFilterStream(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.filterVerdicts(docs)
 
+  /** Continuous PII scrubbing: the q60 scan/redaction applied to a raw
+    * log-line STREAM — redact identifiers as data LANDS, so nothing
+    * un-scrubbed is ever at rest downstream. Stateless narrow regex
+    * work: the batch operator IS the streaming operator; parity with
+    * batch q60 is spec-asserted. */
+  def piiScrubStream(lines: DataFrame, textCol: String = "value"): DataFrame =
+    graft.ops.Privacy.piiScan(lines, col(textCol))
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

@@ -163,4 +163,28 @@ class StreamingSpec extends SparkSpec {
     // both verdicts occur on the fixture — the filter actually filters
     assert(streamed.exists(_._3) && streamed.exists(!_._3))
   }
+
+  test("streaming PII scrub ≡ batch q60 over the synthesized log lines") {
+    val dir = "/root/testdata/sf0.001"
+    // stage the synthesized raw lines as a text file the stream watches
+    val lines = graft.Tables.events(spark, dir)
+      .select(graft.queries.LogParsing.syntheticLogLine.as("value"))
+    val watched = java.nio.file.Files.createTempDirectory("graft-pii-stream")
+    lines.coalesce(1).write.mode("overwrite").text(watched.toString)
+    val stream = spark.readStream.text(watched.toString)
+    val q = Streaming.piiScrubStream(stream)
+      .select(org.apache.spark.sql.functions.col("redacted_md5"),
+        org.apache.spark.sql.functions.col("n_ips"))
+      .writeStream.format("memory").queryName("pii_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT redacted_md5, n_ips FROM pii_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.ops.Privacy.q60PiiRedact(spark, dir)
+      .select("redacted_md5", "n_ips")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed scrub diverged from the batch operator")
+  }
 }
