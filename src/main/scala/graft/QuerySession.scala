@@ -64,6 +64,17 @@ object QuerySession {
       .createOrReplaceTempView("filter_verdicts")
     graft.ops.TextAnalysis.crossDocRepetition(docs)
       .createOrReplaceTempView("crossdoc_repetition")
+    // round-7 surface: chunk inventory, scrubbed-text fingerprints,
+    // per-source quota picks, weighted epoch draw
+    graft.ops.Chunking.chunk(docs, 64, 48)
+      .createOrReplaceTempView("doc_chunks")
+    graft.ops.Privacy.piiScan(docs, org.apache.spark.sql.functions.col("text"))
+      .drop("text", "redacted")
+      .createOrReplaceTempView("pii_scan")
+    graft.ops.Selection.sourceQuota(docs, 50)
+      .createOrReplaceTempView("source_quota_picks")
+    graft.ops.Mixing.weightedSample(docs, 100)
+      .createOrReplaceTempView("weighted_epoch_sample")
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Quantize, Selection, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Mixing, Privacy, Quantize, Retrieval, Selection, Similarity, TextAnalysis}
 
 /** Scale soak for the extension operators: replicate the fixture corpus
   * `mult`× and time the declared 100 TB paths. Small-SF oracles prove
@@ -37,6 +37,7 @@ object Soak {
     val docs = spark.range(mult).crossJoin(docs0).select(
       (col("doc_id") * mult + col("id")).as("doc_id"),
       col("lang"),
+      col("source"),
       regexp_replace(col("text"), lit("\\s+"),
         concat(lit(" z"), col("id"), lit(" "))).as("text"))
 
@@ -65,7 +66,22 @@ object Soak {
       // prefix (three keyed pieces) and the gram-df count window — both
       // must track corpus volume linearly
       timed("token_budget")(Selection.tokenBudget(docs, 20000L * mult)),
-      timed("crossdoc_rep")(TextAnalysis.crossDocRepetition(docs)))
+      timed("crossdoc_rep")(TextAnalysis.crossDocRepetition(docs)),
+      // round-7 additions: the inverted-index retrieval (cost must track
+      // query postings, not vocabulary), the narrow chunk/scrub maps, and
+      // the two bounded-selection ops (top_k quota, broadcast-weight draw)
+      timed("bm25")(Retrieval.bm25TopK(docs,
+        Seq("spark", "vector", "merge", "window"), 20)),
+      // the narrow maps are filtered on their computed columns — a bare
+      // count() would let the optimizer prune the md5/regex work and
+      // time nothing but the scan
+      timed("chunking")(Chunking.chunk(docs, 64, 48)
+        .filter(length(col("chunk_md5")) === 32)),
+      timed("pii_scan")(Privacy.piiScan(docs, col("text"))
+        .filter(length(col("redacted_md5")) === 32 &&
+          col("n_emails") + col("n_ips") + col("n_digit_runs") >= 0)),
+      timed("source_quota")(Selection.sourceQuota(docs, 50)),
+      timed("weighted_sample")(Mixing.weightedSample(docs, 100)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

@@ -107,6 +107,21 @@ class QuerySessionSpec extends SparkSpec {
         |WHERE b.selected AND f.keep AND r.shared_frac < 0.9""".stripMargin)
       .collect()(0).getLong(0)
     assert(kept > 0)
+
+    // the round-7 views: chunk inventory of clean long docs, scrub
+    // fingerprints, quota picks and the weighted epoch draw — composable
+    // in one statement like any warehouse table
+    val chunks = spark.sql(
+      """SELECT count(*) FROM doc_chunks c
+        |JOIN pii_scan p USING (doc_id)
+        |WHERE c.chunk_len = 64 AND p.n_emails = 0""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(chunks > 0)
+    val drawn = spark.sql(
+      """SELECT count(*) FROM weighted_epoch_sample w
+        |JOIN source_quota_picks q USING (doc_id, source)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(drawn > 0, "no weighted-sample doc appears among quota picks")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {

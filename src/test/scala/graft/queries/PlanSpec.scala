@@ -346,20 +346,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q58: inverted-index shape — query-term filter below the shuffle, df broadcast, bounded top-k") {
+  test("q58: postings pre-pruned in-row before the explode; df broadcast; bounded top-k") {
     val p = plan("q58_bm25")
     assert(p.contains("TakeOrderedAndProject(limit=20"),
       s"BM25 top-k plans as a global sort:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"df join is not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"))
-    // the term filter must sit under the first aggregation (only query
-    // postings get shuffled): IN filter appears below the Generate's
-    // consumer side
-    val lines = p.linesIterator.toSeq
-    val filterIdx = lines.indexWhere(l => l.contains("term#") && l.contains(" IN ("))
-    val firstExIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
-    assert(filterIdx > firstExIdx,
-      "query-term filter does not sit below the posting shuffle")
+    // the Generate must explode the FILTERED array (only query-term hits
+    // become rows), never the raw token list — the 36× row-flood guard
+    val gen = p.linesIterator.find(_.contains("Generate explode"))
+    assert(gen.exists(_.contains("array_contains")),
+      s"explode consumes the unfiltered token array:\n$p")
   }
 
   test("q59/q60: chunking and PII redaction are pure narrow maps — no hash shuffle") {
