@@ -97,6 +97,7 @@ object SparkEntry {
       Selection.q61SourceQuota(s, dir)),
     "q62_weighted_sample"  -> ((s: SparkSession, dir: String) =>
       Mixing.q62WeightedSample(s, dir)),
+    "q63_snapshot_diff"    -> (graft.ops.SnapshotDiff.q63SnapshotDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -425,5 +426,6 @@ object SparkEntry {
     "q60_pii_redact" -> ExtensionOracles.q60PiiRedact,
     "q61_source_quota" -> ExtensionOracles.q61SourceQuota,
     "q62_weighted_sample" -> ExtensionOracles.q62WeightedSample,
+    "q63_snapshot_diff" -> ExtensionOracles.q63SnapshotDiff,
   )
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus snapshot diff — the dataset-versioning primitive: given two
+  * versions of a corpus, classify every document as added / removed /
+  * changed / unchanged by content fingerprint, so a pipeline can
+  * re-process ONLY the delta (incremental dedup, incremental index
+  * build) and an audit can see exactly what a release changed.
+  *
+  * Scale shape: one full-outer join on doc_id comparing md5(text) — the
+  * canonical diff dataflow. Both sides project to (id, fingerprint)
+  * before the join, so the shuffle carries 48-byte rows, never document
+  * text; the verdict is a null-pattern case on the joined row. At
+  * 100 TB both snapshots shuffle once on the id — there is no cheaper
+  * general diff (any correct diff must see both sides of every id) —
+  * and if both snapshots are bucketed on doc_id (etl.Bucketing) the
+  * exchange disappears entirely.
+  *
+  * The declared query derives snapshot B from the SAME documents table
+  * deterministically (drop every 11th doc, rewrite every 7th, add a
+  * shifted tail), so the DuckDB oracle replays the whole diff; the core
+  * takes any two (doc_id, text) frames.
+  */
+object SnapshotDiff {
+
+  /** q63: diff the documents table against its deterministically-derived
+    * next version. Output: one row per doc_id present in either
+    * snapshot, with the verdict and both fingerprints. */
+  def q63SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // derived next version:
+    //  - every 11th document is REMOVED
+    //  - every 7th surviving document has its text rewritten (upper)
+    //  - one NEW document per 13th id, appended past the id range
+    val maxId = lit(1000000L)
+    val b = a.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        a.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + maxId).as("doc_id"), col("text")))
+    diff(a, b)
+  }
+
+  /** The reusable core: classify every id in either snapshot. */
+  def diff(a: DataFrame, b: DataFrame): DataFrame = {
+    val fa = a.select(col("doc_id"), md5(col("text")).as("md5_a"))
+    val fb = b.select(col("doc_id"), md5(col("text")).as("md5_b"))
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("md5_a").isNull, "added")
+          .when(col("md5_b").isNull, "removed")
+          .when(col("md5_a") === col("md5_b"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"), col("md5_a"), col("md5_b"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -897,4 +897,28 @@ object ExtensionOracles {
       |SELECT doc_id, source, weight, sample_key
       |FROM topk
       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q63: snapshot diff against the deterministically-derived
+    * next corpus version (drop %11, rewrite %7, append %13 shifted by
+    * 1e6). Pure md5 fingerprint comparison over a full-outer join —
+    * hash-exact by construction. */
+  val q63SnapshotDiff: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS md5_a FROM documents),
+      |b0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |bnew AS (SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |b AS (SELECT doc_id, md5(text) AS md5_b FROM
+      |  (SELECT * FROM b0 UNION ALL SELECT * FROM bnew)),
+      |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.md5_a, b.md5_b
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN md5_a IS NULL THEN 'added'
+      |       WHEN md5_b IS NULL THEN 'removed'
+      |       WHEN md5_a = md5_b THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  md5_a, md5_b
+      |FROM j
+      |ORDER BY doc_id""".stripMargin
 }

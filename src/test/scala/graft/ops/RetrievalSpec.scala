@@ -150,6 +150,27 @@ class RetrievalSpec extends SparkSpec {
     assert(nB > 15, s"higher-weight source drew only $nB/30")
   }
 
+  test("snapshot diff: planted add/remove/change/unchange all classify exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = SnapshotDiff.diff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // the declared query's derivation rules hold on the fixture corpus
+    val q = SnapshotDiff.q63SnapshotDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val by = q.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(by("removed").forall(_ % 11 == 0))
+    assert(by("added").forall(id => id >= 1000000L && (id - 1000000L) % 13 == 0))
+    // changed = rewritten (%7) minus docs whose text upper-cases to
+    // itself (would classify unchanged) — the fixture corpus is
+    // lowercase word salad, so every %7 survivor actually changes
+    assert(by("changed").forall(id => id % 7 == 0 && id % 11 != 0))
+    assert(by.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("source quota: equals the window formulation; quota binds per source") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
