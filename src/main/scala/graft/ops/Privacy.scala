@@ -81,27 +81,29 @@ object Privacy {
     size(regexp_extract_all(x, lit(EmailPattern), lit(0))).cast("long")
   def ipCount(x: Column): Column =
     size(regexp_extract_all(x, lit(Ipv4Pattern), lit(0))).cast("long")
-  /** Digit runs of length ≥ 4 — account-number-shaped spans. Counted on
-    * the raw text (an IP's octets are ≤ 3 digits, so they never double-
-    * count here). */
   def digitRunCount(x: Column): Column =
     size(regexp_extract_all(x, lit(DigitRunPattern), lit(0))).cast("long")
 
+  /** The redaction passes, applied in a fixed order: emails first (their
+    * local part may contain digit runs or IP-shaped spans), then IPs
+    * (octet groups must go as a unit, not as digit fragments), then bare
+    * digit runs. */
+  def redactEmails(x: Column): Column = regexp_replace(x, EmailPattern, "<EMAIL>")
+  def redactIps(x: Column): Column = regexp_replace(x, Ipv4Pattern, "<IP>")
+  def redactDigitRuns(x: Column): Column =
+    regexp_replace(x, DigitRunPattern, "<NUM>")
+
   /** Text with every identifier-shaped span replaced by a typed
-    * placeholder. Order matters and is fixed: emails first (their local
-    * part may contain digit runs), then IPs (octet groups must go as a
-    * unit, not as digit fragments), then bare digit runs. */
+    * placeholder. */
   def redactText(x: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(x, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
-      DigitRunPattern, "<NUM>")
+    redactDigitRuns(redactIps(redactEmails(x)))
 
   /** q60: PII scan + redaction over the synthesized access-log lines —
     * per line: identifier-span counts and the md5 of the redacted line
-    * (the retention-safe fingerprint; equal raw lines ⇔ equal redacted
-    * hashes, so scrubbed-side dedup still works). */
+    * (the retention-safe fingerprint: equal raw lines give equal
+    * redacted hashes; the reverse does NOT hold — lines differing only
+    * inside redacted spans collide by design, which is exactly what
+    * makes the hash safe to retain). */
   def q60PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val lines = Tables.events(s, dir)
       .select(col("event_id"),
@@ -112,12 +114,23 @@ object Privacy {
       .orderBy(col("event_id"))
   }
 
-  /** The reusable core: appends the scan columns to any frame. */
-  def piiScan(df: DataFrame, text: Column): DataFrame =
+  /** The reusable core: appends the scan columns to any frame. Each
+    * class is counted on the text AS ITS REDACTION PASS SEES IT (emails
+    * on raw, IPs after email redaction, digit runs after both), so
+    * every count equals the number of placeholders of that class in the
+    * redacted output — an audit can reconcile counts against
+    * placeholders exactly. Counting everything on the raw text instead
+    * would tally spans nested inside emails (e.g. the digit run in
+    * `a1234567@b.co`) that no placeholder accounts for. */
+  def piiScan(df: DataFrame, text: Column): DataFrame = {
     df
+      .withColumn("after_emails", redactEmails(text))
+      .withColumn("after_ips", redactIps(col("after_emails")))
       .withColumn("n_emails", emailCount(text))
-      .withColumn("n_ips", ipCount(text))
-      .withColumn("n_digit_runs", digitRunCount(text))
-      .withColumn("redacted", redactText(text))
+      .withColumn("n_ips", ipCount(col("after_emails")))
+      .withColumn("n_digit_runs", digitRunCount(col("after_ips")))
+      .withColumn("redacted", redactDigitRuns(col("after_ips")))
       .withColumn("redacted_md5", md5(col("redacted")))
+      .drop("after_emails", "after_ips")
+  }
 }

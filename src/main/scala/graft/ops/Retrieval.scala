@@ -17,11 +17,16 @@ import graft.Tables
   *    explode-then-filter cost 40 s; a fully in-row variant (4
   *    `size(filter(...))` per doc per pass, no explode) cost 69 s —
   *    repeated array scans beat the explode only when the hit rate is
-  *    far lower; filter-then-explode wins at 11 s by paying ONE array
-  *    scan and generating 36× fewer rows;
+  *    far lower; filter-then-explode wins at 11–12 s (isolated / under
+  *    soak load) by paying ONE array scan and generating 36× fewer rows;
   *  - document frequencies and the corpus totals are |query|-row and
   *    1-row aggregates, attached as broadcasts (no second corpus pass
-  *    for dl: the doc-length rides WITH each posting row);
+  *    for dl: the doc-length rides WITH each posting row). dfreq's
+  *    lineage textually repeats the tf aggregation, but ReuseExchange
+  *    dedupes the identical exchange at runtime — folding dfreq and the
+  *    totals into one up-front stats pass was measured at 29–35 s
+  *    (2.5× WORSE: the combined pass defeats column pruning and runs
+  *    the interpreted HOF filter over every row twice);
   *  - the final top-k is `ORDER BY ... LIMIT k` — Spark plans
   *    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
   *    never a global sort.

@@ -35,14 +35,19 @@ object SnapshotDiff {
     //  - every 11th document is REMOVED
     //  - every 7th surviving document has its text rewritten (upper)
     //  - one NEW document per 13th id, appended past the id range
-    val maxId = lit(1000000L)
+    // The append shift is max(doc_id)+1 FROM THE DATA (a broadcast 1-row
+    // aggregate), never a constant: a hardcoded shift collides with real
+    // ids once the corpus outgrows it, duplicating doc_ids in snapshot B
+    // and fanning out the diff join.
+    val mx = a.agg(max(col("doc_id")).as("mx"))
     val b = a.filter(pmod(col("doc_id"), lit(11)) =!= 0)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
           .otherwise(col("text")).as("text"))
       .unionByName(
         a.filter(pmod(col("doc_id"), lit(13)) === 0)
-          .select((col("doc_id") + maxId).as("doc_id"), col("text")))
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("mx") + 1L).as("doc_id"), col("text")))
     diff(a, b)
   }
 

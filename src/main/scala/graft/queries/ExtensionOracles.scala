@@ -22,6 +22,39 @@ object ExtensionOracles {
        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Shared CTE generator: q21's integer quality priority (the 4/3/3
+    * rules) over any (doc_id, text) relation — the ONE SQL definition
+    * backing q49's budget order, q57's budget stage and q61's quota
+    * order; a weight tweak edits exactly one place. `extra` carries
+    * additional pass-through columns (e.g. ", source"). */
+  private def prioCteOver(rel: String, out: String, extra: String = ""): String =
+    s"""$out AS (SELECT doc_id$extra,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(CASE WHEN CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |                   BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
+       |         CASE WHEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+       |                greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0)
+       |                   BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
+       |         CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+       |                greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.1
+       |              THEN 3 ELSE 0 END AS BIGINT) AS priority
+       |  FROM $rel)""".stripMargin
+
+  /** Shared CTEs: the q45 temperature-flattened per-source weight table
+    * (`ws`: source, n_docs, n_tokens, weight) — the ONE SQL definition
+    * backing q45's mix report and q62's per-doc sampling weight. */
+  private val weightCtes =
+    """per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *,
+      |    CAST(round(power(CAST(n_tokens AS DOUBLE), 0.3), 9) AS DECIMAL(20,9)) AS w9
+      |  FROM per),
+      |wt AS (SELECT SUM(w9) AS w_total FROM w),
+      |ws AS (SELECT source, n_docs, n_tokens,
+      |    round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12) AS weight
+      |  FROM w, wt)""".stripMargin
+
   val q21TextStats: String =
     """SELECT doc_id, lang,
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -434,19 +467,11 @@ object ExtensionOracles {
     * normalizer is an exact DECIMAL sum, and the final division sees
     * bit-identical doubles on both engines. */
   val q45DomainMix: String =
-    """WITH per AS (SELECT source, COUNT(*) AS n_docs,
-      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
-      |w AS (SELECT *,
-      |    CAST(round(power(CAST(n_tokens AS DOUBLE), 0.3), 9) AS DECIMAL(20,9)) AS w9
-      |  FROM per),
-      |t AS (SELECT SUM(w9) AS w_total FROM w)
-      |SELECT source, n_docs, n_tokens,
-      |  round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12) AS weight,
-      |  CAST(FLOOR(round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12)
-      |       * 100000) AS BIGINT) AS quota_100k
-      |FROM w, t
-      |ORDER BY source""".stripMargin
+    s"""WITH $weightCtes
+       |SELECT source, n_docs, n_tokens, weight,
+       |  CAST(FLOOR(weight * 100000) AS BIGINT) AS quota_100k
+       |FROM ws
+       |ORDER BY source""".stripMargin
 
   /** Mirrors q46: 10-stage length curriculum. The oracle uses the plain
     * single-task `row_number` NTILE (fine at oracle scale); the engine's
@@ -518,27 +543,16 @@ object ExtensionOracles {
     * comparisons (avg_token_len/punct_ratio bounds) evaluate identical
     * expression trees on both engines. */
   val q49TokenBudget: String =
-    """WITH c AS (SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-      |      greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS atl,
-      |    CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
-      |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
-      |  FROM documents),
-      |s AS (SELECT doc_id, n_tokens,
-      |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
-      |         CASE WHEN atl BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
-      |         CASE WHEN pr <= 0.1 THEN 3 ELSE 0 END AS BIGINT) AS priority
-      |  FROM c),
-      |p AS (SELECT doc_id, priority, n_tokens,
-      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-      |      AS tokens_before
-      |  FROM s)
-      |SELECT doc_id, priority, n_tokens, tokens_before,
-      |  tokens_before + n_tokens <= 20000 AS selected
-      |FROM p
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH ${prioCteOver("documents", "s")},
+       |p AS (SELECT doc_id, priority, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tokens_before
+       |  FROM s)
+       |SELECT doc_id, priority, n_tokens, tokens_before,
+       |  tokens_before + n_tokens <= 20000 AS selected
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
 
   /** Mirrors q50: top-50 vocabulary with cumulative corpus coverage.
     * Counts are exact longs; coverage is one division per row. */
@@ -691,17 +705,7 @@ object ExtensionOracles {
       |keep4 AS (SELECT keep3.doc_id, keep3.text FROM keep3
       |          LEFT JOIN contam ON keep3.doc_id = contam.doc_id
       |          WHERE contam.doc_id IS NULL),
-      |pq AS (SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-      |    CAST(CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
-      |                   BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
-      |         CASE WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-      |                greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)
-      |                   BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
-      |         CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
-      |                greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.1
-      |              THEN 3 ELSE 0 END AS BIGINT) AS priority
-      |  FROM keep4),
+      |""".stripMargin + prioCteOver("keep4", "pq") + """,
       |bsel AS (SELECT doc_id,
       |    (CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -829,21 +833,30 @@ object ExtensionOracles {
 
   /** Mirrors q60: PII scan + redaction over the synthesized log lines.
     * Same RE2-safe patterns, same fixed redaction order (emails → IPs →
-    * digit runs); DuckDB's regexp_replace needs the explicit 'g' flag to
-    * match Spark's replace-all default. */
+    * digit runs), and the same STAGED counting — each class counted on
+    * the text its redaction pass sees, so counts reconcile with
+    * placeholders exactly. DuckDB's regexp_replace needs the explicit
+    * 'g' flag to match Spark's replace-all default. */
   val q60PiiRedact: String =
-    s"""WITH $logLineCte
+    s"""WITH $logLineCte,
+       |staged AS (SELECT event_id, l,
+       |    regexp_replace(l,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+       |      AS after_emails
+       |  FROM line),
+       |staged2 AS (SELECT event_id, l, after_emails,
+       |    regexp_replace(after_emails,
+       |      '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS after_ips
+       |  FROM staged)
        |SELECT event_id,
        |  CAST(len(regexp_extract_all(l,
        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(l,
+       |  CAST(len(regexp_extract_all(after_emails,
        |    '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
-       |  CAST(len(regexp_extract_all(l, '[0-9]{4,}')) AS BIGINT) AS n_digit_runs,
-       |  md5(regexp_replace(regexp_replace(regexp_replace(l,
-       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-       |    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
-       |    '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
-       |FROM line
+       |  CAST(len(regexp_extract_all(after_ips, '[0-9]{4,}')) AS BIGINT)
+       |    AS n_digit_runs,
+       |  md5(regexp_replace(after_ips, '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+       |FROM staged2
        |ORDER BY event_id""".stripMargin
 
   /** Mirrors q61: per-source quota by the q49 priority. The oracle's
@@ -851,25 +864,14 @@ object ExtensionOracles {
     * engine's bounded top_k aggregate exactly — integer priorities,
     * deterministic tie-break. */
   val q61SourceQuota: String =
-    """WITH c AS (SELECT doc_id, source,
-      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-      |      greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS atl,
-      |    CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
-      |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
-      |  FROM documents),
-      |s AS (SELECT doc_id, source,
-      |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 4 ELSE 0 END +
-      |         CASE WHEN atl BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END +
-      |         CASE WHEN pr <= 0.1 THEN 3 ELSE 0 END AS BIGINT) AS priority
-      |  FROM c),
-      |r AS (SELECT source, doc_id, priority,
-      |    row_number() OVER (PARTITION BY source
-      |                       ORDER BY priority DESC, doc_id) AS quota_rank
-      |  FROM s)
-      |SELECT source, CAST(quota_rank AS BIGINT) AS quota_rank, doc_id, priority
-      |FROM r WHERE quota_rank <= 50
-      |ORDER BY source, quota_rank""".stripMargin
+    s"""WITH ${prioCteOver("documents", "s", ", source")},
+       |r AS (SELECT source, doc_id, priority,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY priority DESC, doc_id) AS quota_rank
+       |  FROM s)
+       |SELECT source, CAST(quota_rank AS BIGINT) AS quota_rank, doc_id, priority
+       |FROM r WHERE quota_rank <= 50
+       |ORDER BY source, quota_rank""".stripMargin
 
   /** Mirrors q62: Efraimidis–Spirakis weighted sample under the q45
     * weight table (per-doc weight = source weight / source doc count).
@@ -877,37 +879,30 @@ object ExtensionOracles {
     * 12 digits before the division and the key after it, mirroring the
     * Spark expression tree exactly. */
   val q62WeightedSample: String =
-    """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
-      |w AS (SELECT source, n_docs,
-      |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3), 9) AS DECIMAL(20,9)) AS w9
-      |  FROM per),
-      |tot AS (SELECT SUM(w9) AS w_total FROM w),
-      |ws AS (SELECT source, n_docs,
-      |    round(CAST(w9 AS DOUBLE) / CAST(w_total AS DOUBLE), 12) AS weight
-      |  FROM w CROSS JOIN tot),
-      |keyed AS (SELECT d.doc_id, d.source, ws.weight,
-      |    round(-round(ln((CAST(('0x' || substring(md5('wsample:' ||
-      |        CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) + 1.0) /
-      |        4503599627370496.0), 12) /
-      |      (ws.weight / CAST(ws.n_docs AS DOUBLE)), 12) AS sample_key
-      |  FROM documents d JOIN ws USING (source)),
-      |topk AS (SELECT * FROM keyed ORDER BY sample_key, doc_id LIMIT 100)
-      |SELECT doc_id, source, weight, sample_key
-      |FROM topk
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $weightCtes,
+       |keyed AS (SELECT d.doc_id, d.source, ws.weight,
+       |    round(-round(ln((CAST(('0x' || substring(md5('wsample:' ||
+       |        CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) + 1.0) /
+       |        4503599627370496.0), 12) /
+       |      (ws.weight / CAST(ws.n_docs AS DOUBLE)), 12) AS sample_key
+       |  FROM documents d JOIN ws USING (source)),
+       |topk AS (SELECT * FROM keyed ORDER BY sample_key, doc_id LIMIT 100)
+       |SELECT doc_id, source, weight, sample_key
+       |FROM topk
+       |ORDER BY doc_id""".stripMargin
 
   /** Mirrors q63: snapshot diff against the deterministically-derived
-    * next corpus version (drop %11, rewrite %7, append %13 shifted by
-    * 1e6). Pure md5 fingerprint comparison over a full-outer join —
+    * next corpus version (drop %11, rewrite %7, append %13 shifted past
+    * max(doc_id) — data-derived, so the shift never collides with real
+    * ids). Pure md5 fingerprint comparison over a full-outer join —
     * hash-exact by construction. */
   val q63SnapshotDiff: String =
     """WITH a AS (SELECT doc_id, md5(text) AS md5_a FROM documents),
       |b0 AS (SELECT doc_id,
       |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
       |  FROM documents WHERE doc_id % 11 <> 0),
-      |bnew AS (SELECT doc_id + 1000000 AS doc_id, text
+      |bnew AS (SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |    text
       |  FROM documents WHERE doc_id % 13 = 0),
       |b AS (SELECT doc_id, md5(text) AS md5_b FROM
       |  (SELECT * FROM b0 UNION ALL SELECT * FROM bnew)),

@@ -80,7 +80,7 @@ class RetrievalSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(
       (1L, "contact bob.smith+x@ex-ample.org from 10.0.0.1 acct 123456789"),
-      (2L, "digits-in-email a1234567@b.co stay inside <EMAIL>"),
+      (2L, "digits-in-email a1234567@b.co stay whole"),
       (3L, "no identifiers here"),
       (4L, "two ips 10.0.0.1 192.168.254.254 and run 0007")
     ).toDF("id", "text")
@@ -89,10 +89,17 @@ class RetrievalSpec extends SparkSpec {
         r.getString(5))).toMap
     assert(out(1L) == ((1L, 1L, 1L,
       "contact <EMAIL> from <IP> acct <NUM>")))
-    // the email's digit run is consumed by the email pass, never split
-    assert(out(2L)._4 == "digits-in-email <EMAIL> stay inside <EMAIL>")
+    // the email's digit run is consumed by the email pass, never split —
+    // and NOT counted as a digit run (counts reconcile with placeholders)
+    assert(out(2L) == ((1L, 0L, 0L, "digits-in-email <EMAIL> stay whole")))
     assert(out(3L) == ((0L, 0L, 0L, "no identifiers here")))
     assert(out(4L) == ((0L, 2L, 1L, "two ips <IP> <IP> and run <NUM>")))
+    // count ⇔ placeholder reconciliation holds for every row
+    out.values.foreach { case (ne, ni, nd, red) =>
+      assert(ne == "<EMAIL>".r.findAllIn(red).length &&
+        ni == "<IP>".r.findAllIn(red).length &&
+        nd == "<NUM>".r.findAllIn(red).length)
+    }
     // redaction is idempotent: placeholders carry no identifier shapes
     val redacted = Privacy.piiScan(
       df.select(col("id"), Privacy.redactText(col("text")).as("text")), col("text"))
@@ -100,18 +107,38 @@ class RetrievalSpec extends SparkSpec {
     assert(redacted.forall(_ == ((0L, 0L, 0L))))
   }
 
-  test("pii over the log lines: every line carries exactly one client IP") {
+  test("pii over the log lines: counts equal a driver-side regex recompute") {
     val out = Privacy.q60PiiRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(out.nonEmpty)
-    assert(out.forall(_.getLong(2) == 1L), "each synthesized line has one remoteip")
-    // ARN lines (purchase/click events) carry the 12-digit account id
+    assert(out.values.forall(_._2 == 1L), "each synthesized line has one remoteip")
+    // exact recompute: stage the raw lines driver-side and apply the
+    // same patterns with Java regex — any drift in the line synthesis,
+    // the patterns, or the staged counting fails here
+    val lines = graft.Tables.events(spark, dir)
+      .select(col("event_id"),
+        graft.queries.LogParsing.syntheticLogLine.as("line")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val email = Privacy.EmailPattern.r
+    val ip = Privacy.Ipv4Pattern.r
+    val run = Privacy.DigitRunPattern.r
+    lines.foreach { case (id, l) =>
+      val afterEmails = email.replaceAllIn(l, "<EMAIL>")
+      val afterIps = ip.replaceAllIn(afterEmails, "<IP>")
+      val expected = (email.findAllIn(l).length.toLong,
+        ip.findAllIn(afterEmails).length.toLong,
+        run.findAllIn(afterIps).length.toLong)
+      assert(out(id) == expected, s"scan counts drifted on event $id: $l")
+    }
+    // the 12-digit ARN account id is present exactly on purchase/click
+    // lines — and the exact recompute above already proves it lands in
+    // the digit-run counts
     val types = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    out.foreach { r =>
-      val arn = Set("purchase", "click").contains(types(r.getLong(0)))
-      assert((r.getLong(3) >= 1L) == arn || !arn,
-        s"digit-run count vs requester shape mismatch on event ${r.getLong(0)}")
+    lines.foreach { case (id, l) =>
+      assert(l.contains("123456789012") ==
+        Set("purchase", "click").contains(types(id)))
     }
   }
 
@@ -163,7 +190,9 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     val by = q.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     assert(by("removed").forall(_ % 11 == 0))
-    assert(by("added").forall(id => id >= 1000000L && (id - 1000000L) % 13 == 0))
+    val shift = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    assert(by("added").forall(id => id >= shift && (id - shift) % 13 == 0))
     // changed = rewritten (%7) minus docs whose text upper-cases to
     // itself (would classify unchanged) — the fixture corpus is
     // lowercase word salad, so every %7 survivor actually changes
