@@ -124,10 +124,17 @@ object Selection {
     * Shards then are contiguous position ranges: shard = (pos-1) DIV
     * docsPerShard — the layout a shard-sequential trainer streams. */
   def q56EpochShuffle(s: SparkSession, dir: String, epoch: Int = 1,
-                      docsPerShard: Long = 64L): DataFrame = {
+                      docsPerShard: Long = 64L): DataFrame =
+    epochShuffle(Tables.documents(s, dir), epoch, docsPerShard)
+
+  /** The reusable core over any frame with a doc_id column — also the
+    * shard-assignment half of `Sharding.materializeTrainingSet`. */
+  def epochShuffle(docs: DataFrame, epoch: Int,
+                   docsPerShard: Long): DataFrame = {
+    val s = docs.sparkSession
     val p = s.sparkContext.defaultParallelism.toLong
     val width = (1L << 52) / p + 1 // ceil: bucket ids stay < p
-    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+    val keyed = docs.select(col("doc_id"),
         conv(substring(md5(concat(lit(s"epoch$epoch:"),
           col("doc_id").cast("string"))), 1, 13), 16, 10)
           .cast("long").as("h"))

@@ -200,6 +200,39 @@ class RetrievalSpec extends SparkSpec {
     assert(by.keySet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("shard writer: files hold exactly the keepers, in exact permutation order") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val verdicts = Sharding.materializeTrainingSet(spark, dir, dst,
+      budget = 5000L, epoch = 1, docsPerShard = 16L)
+    val keptIds = verdicts.collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    // expected order: the q56 permutation restricted to the keepers
+    val expected = Selection.epochShuffle(
+        graft.Tables.documents(spark, dir)
+          .filter(col("doc_id").isin(keptIds.toSeq.map(Long.box): _*))
+          .select(col("doc_id")), epoch = 1, docsPerShard = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byShard = expected.groupBy(_._2)
+    // read each shard dir back: same doc set, and file row order == the
+    // permutation's pos_in_shard order (the trainer never sorts)
+    val shardDirs = new java.io.File(dst).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).sortBy(_.getName)
+    assert(shardDirs.length == byShard.size)
+    shardDirs.foreach { d =>
+      val sid = d.getName.stripPrefix("shard_id=").toLong
+      val rows = spark.read.parquet(d.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val exp = byShard(sid).sortBy(_._3).map(_._1).toSeq
+      assert(rows == exp, s"shard $sid order/content diverged")
+      assert(rows.length <= 16)
+    }
+    // every shard but the last is full
+    val sizes = shardDirs.map(d => d.getName.stripPrefix("shard_id=").toLong ->
+      byShard(d.getName.stripPrefix("shard_id=").toLong).length).sortBy(_._1)
+    assert(sizes.init.forall(_._2 == 16))
+  }
+
   test("source quota: equals the window formulation; quota binds per source") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
