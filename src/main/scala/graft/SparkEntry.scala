@@ -98,6 +98,10 @@ object SparkEntry {
     "q62_weighted_sample"  -> ((s: SparkSession, dir: String) =>
       Mixing.q62WeightedSample(s, dir)),
     "q63_snapshot_diff"    -> (graft.ops.SnapshotDiff.q63SnapshotDiff _),
+    // rows-only like q29/q31: no SQL oracle can replay k-means; recall
+    // and determinism are spec-pinned (RetrievalSpec)
+    "q64_pq_ann"           -> ((s: SparkSession, dir: String) =>
+      graft.ops.ProductQuantization.q64PqAnn(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

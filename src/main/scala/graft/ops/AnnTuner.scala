@@ -126,8 +126,8 @@ object AnnTuner {
     * the (unit-normalized) sample — mirrors the engine's spherical
     * quantizer ([[Similarity.ivfTopK]] / [[Similarity.writeCellBucketed]]:
     * Spark ML KMeans over L2-normalized features). */
-  private def kmeansCenters(sample: Array[Array[Double]], kCells: Int,
-                            iters: Int = 20, seed: Long = 42): Array[Array[Double]] = {
+  private[ops] def kmeansCenters(sample: Array[Array[Double]], kCells: Int,
+                                 iters: Int = 20, seed: Long = 42): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val n = sample.length
     val dim = sample(0).length

@@ -233,6 +233,36 @@ class RetrievalSpec extends SparkSpec {
     assert(sizes.init.forall(_._2 == 16))
   }
 
+  test("pq ann: deterministic codes, bounded size, useful recall of the exact top-10") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cb = ProductQuantization.train(emb)
+    // deterministic: re-training yields the identical codebook, and
+    // re-encoding the identical codes (pure function of seed + data)
+    val cb2 = ProductQuantization.train(emb)
+    assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+    val codes = ProductQuantization.encode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes2 = ProductQuantization.encode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == codes2)
+    // every vector gets M codes in [0, K): 8 byte-sized codes vs 64
+    // floats — the 32x compression claim
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // recall vs the exact brute force (q28): the ADC top-50 + re-rank
+    // must recover most of the true top-10
+    val exact = graft.SparkEntry.queries("q28_ann_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = ProductQuantization.q64PqAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    val recall = exact.keys.toSeq.map { q =>
+      (pq(q) & exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.6, f"PQ recall@10 = $recall%.2f below the 0.6 bar")
+  }
+
   test("source quota: equals the window formulation; quota binds per source") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
