@@ -153,6 +153,98 @@ object ProductQuantization {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Write-time IVF,PQ layout — the FAISS composition, materialized the
+    * engine's way: rows are partitioned by the IVF cell (the row-count
+    * prune: a probe reads nprobe/nlist of the files, exactly like
+    * [[Similarity.writeCellBucketed]]) and each row stores only its PQ
+    * CODES (the byte prune: 8 ints vs 64 floats per row). The codebook
+    * and cell centroids persist next to the data, so any later reader
+    * probes without refitting. The float source-of-truth store stays
+    * wherever it lives (the embeddings table) and is touched only for
+    * the re-rank survivors. */
+  def writeCellBucketedPq(emb: DataFrame, dst: String, nlist: Int = 64,
+                          m: Int = 8, k: Int = 16): Codebook = {
+    val cb = train(emb, m, k)
+    val s = emb.sparkSession
+    import s.implicits._
+    // cell assignment: nearest IVF centroid (trained on the same
+    // bounded sample machinery the cell layout uses)
+    val cellCenters = AnnTuner.kmeansCenters(AnnTuner.sampleUnit(emb), nlist)
+    val bcCells = s.sparkContext.broadcast(cellCenters)
+    val coded = encode(emb, cb).as[(Long, Seq[Int])]
+    val unit = Par.widen(emb).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, arr) =>
+        val v = arr.toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = if (n == 0) v else v.map(_ / n)
+        val cs = bcCells.value
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var j = 0
+          while (j < u.length) { val t = u(j) - cs(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        (id, best)
+      }.toDF("vec_id", "cell")
+    coded.toDF("vec_id", "codes").join(unit, "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy("cell")
+      .parquet(dst)
+    cellCenters.zipWithIndex.toSeq.map { case (ctr, i) => (i, ctr) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_centroids")
+    (for { mi <- 0 until cb.m; ki <- 0 until cb.k }
+      yield (mi, ki, cb.centroids(mi)(ki).toSeq)).toDF("m", "k", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_codebook")
+    cb
+  }
+
+  /** Read a persisted codebook back. */
+  def readCodebook(s: SparkSession, dst: String): Codebook = {
+    import s.implicits._
+    val rows = s.read.parquet(dst + "_codebook")
+      .select(col("m"), col("k"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val dsub = rows(0)._3.length
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (mi, ki, c) => cents(mi)(ki) = c.toArray }
+    Codebook(m, k, m * dsub, cents)
+  }
+
+  /** Probe an IVF,PQ layout: per query, the nprobe nearest cells become
+    * a static partition filter (only those files are read, codes only);
+    * ADC scores the candidates; the exact re-rank fetches floats from
+    * `embSource` for just the survivors. */
+  def bucketedPqTopK(s: SparkSession, dst: String, embSource: DataFrame,
+                     queries: Array[(Long, Array[Double])],
+                     nprobe: Int = 12, k: Int = 10, rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    val cb = readCodebook(s, dst)
+    val centers = s.read.parquet(dst + "_centroids")
+      .select(col("cell"), col("centroid")).as[(Int, Seq[Double])].collect()
+    def nearestCells(qv: Array[Double]): Seq[Int] = {
+      val n = math.sqrt(qv.map(x => x * x).sum)
+      val u = if (n == 0) qv else qv.map(_ / n)
+      centers.map { case (i, ctr) =>
+        var d = 0.0; var j = 0
+        while (j < u.length) { val t = u(j) - ctr(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+    val cells = queries.flatMap { case (_, qv) => nearestCells(qv) }
+      .distinct.map(Int.box)
+    val codes = s.read.parquet(dst)
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("vec_id"), col("codes"))
+    adcTopK(embSource, codes, cb, queries, k, rerank)
+  }
+
   /** q64: PQ-compressed ANN — train, encode, ADC-probe, re-rank; the
     * q28/q29 query convention (queries = vec_id < 5, top-10).
     *

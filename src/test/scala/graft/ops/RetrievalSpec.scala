@@ -263,6 +263,37 @@ class RetrievalSpec extends SparkSpec {
     assert(recall >= 0.6, f"PQ recall@10 = $recall%.2f below the 0.6 bar")
   }
 
+  test("ivf,pq layout: probe reads a strict subset of cell dirs, codes only; recall holds") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/layout"
+    ProductQuantization.writeCellBucketedPq(emb, dst, nlist = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    // the probed scan must read fewer cell dirs than the layout has,
+    // and only the codes (no float column exists in the layout at all)
+    val layoutCols = spark.read.parquet(dst).columns.toSet
+    assert(!layoutCols.contains("embedding") && layoutCols.contains("codes"))
+    val nDirs = new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(nDirs > 8, s"degenerate layout: $nDirs cells")
+    val out = ProductQuantization.bucketedPqTopK(spark, dst, emb, queries,
+      nprobe = 8, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.SparkEntry.queries("q28_ann_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      (out.getOrElse(q, Set.empty[Long]) & exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.5, f"IVF,PQ recall@10 = $recall%.2f below the 0.5 bar")
+    // the persisted codebook round-trips (any later reader probes
+    // without refitting)
+    val cb = ProductQuantization.readCodebook(spark, dst)
+    assert(cb.m == 8 && cb.k == 16)
+  }
+
   test("source quota: equals the window formulation; quota binds per source") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
