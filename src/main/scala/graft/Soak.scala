@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Chunking, Dedup, Mixing, Privacy, Quantize, Retrieval, Selection, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Mixing, Privacy, ProductQuantization, Quantize, Retrieval, Selection, Similarity, TextAnalysis}
 
 /** Scale soak for the extension operators: replicate the fixture corpus
   * `mult`× and time the declared 100 TB paths. Small-SF oracles prove
@@ -112,6 +112,20 @@ object Soak {
     val semDedupSec = timedSec {
       semRows = Quantize.semanticDedupInCells(spark, cellDst).count()
     }
+    // IVF,PQ: codes-only layout write (train + assign + encode) and the
+    // pruned ADC probe + re-rank against the float source
+    val pqDst = base + "/pq"
+    val writePqSec = timedSec(
+      ProductQuantization.writeCellBucketedPq(emb, pqDst, nlist = 64))
+    val pqQueries = emb0.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    var pqRows = 0L
+    val pqProbeSec = timedSec {
+      pqRows = ProductQuantization.bucketedPqTopK(
+        spark, pqDst, emb, pqQueries, nprobe = 12, k = 10,
+        rerank = math.max(50, (nEmb * mult / 10).toInt)).count()
+    }
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -139,7 +153,9 @@ object Soak {
       f""""ivf_probe_sec":$ivfProbeSec%.2f,"lsh_probe_rows":$lshRows,""" +
       f""""ivf_probe_rows":$ivfRows,"sig_dirs_read_frac":$sigFrac%.2f,""" +
       f""""cell_dirs_read_frac":$cellFrac%.2f,""" +
-      f""""semdedup_cells_sec":$semDedupSec%.2f,"semdedup_drops":$semRows}"""
+      f""""semdedup_cells_sec":$semDedupSec%.2f,"semdedup_drops":$semRows,""" +
+      f""""write_pq_sec":$writePqSec%.2f,"pq_probe_sec":$pqProbeSec%.2f,""" +
+      f""""pq_probe_rows":$pqRows}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")
