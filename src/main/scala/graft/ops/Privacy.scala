@@ -121,16 +121,21 @@ object Privacy {
     * redacted output — an audit can reconcile counts against
     * placeholders exactly. Counting everything on the raw text instead
     * would tally spans nested inside emails (e.g. the digit run in
-    * `a1234567@b.co`) that no placeholder accounts for. */
+    * `a1234567@b.co`) that no placeholder accounts for.
+    *
+    * The staged intermediates are plain Column expressions, never named
+    * temp columns — a temp column could silently clobber (and then
+    * drop) a caller column of the same name; Catalyst collapses these
+    * projections and codegen's subexpression elimination evaluates each
+    * shared regex pass once. */
   def piiScan(df: DataFrame, text: Column): DataFrame = {
+    val afterEmails = redactEmails(text)
+    val afterIps = redactIps(afterEmails)
     df
-      .withColumn("after_emails", redactEmails(text))
-      .withColumn("after_ips", redactIps(col("after_emails")))
       .withColumn("n_emails", emailCount(text))
-      .withColumn("n_ips", ipCount(col("after_emails")))
-      .withColumn("n_digit_runs", digitRunCount(col("after_ips")))
-      .withColumn("redacted", redactDigitRuns(col("after_ips")))
+      .withColumn("n_ips", ipCount(afterEmails))
+      .withColumn("n_digit_runs", digitRunCount(afterIps))
+      .withColumn("redacted", redactDigitRuns(afterIps))
       .withColumn("redacted_md5", md5(col("redacted")))
-      .drop("after_emails", "after_ips")
   }
 }

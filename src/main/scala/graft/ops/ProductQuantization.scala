@@ -46,8 +46,13 @@ object ProductQuantization {
   /** Train per-subspace codebooks on a bounded unit-normalized sample.
     * Deterministic: seeded sample, k-means++ with fixed seed/iters. */
   def train(emb: DataFrame, m: Int = 8, k: Int = 16,
-            sampleCap: Int = 2000): Codebook = {
-    val sample = AnnTuner.sampleUnit(emb, sampleCap)
+            sampleCap: Int = 2000): Codebook =
+    trainFromSample(AnnTuner.sampleUnit(emb, sampleCap), m, k)
+
+  /** The sample-side half of `train` — callers that need the sample for
+    * other models too (the IVF,PQ write trains cell centers from the
+    * SAME draw) pass it in and pay one sample action, not two. */
+  def trainFromSample(sample: Array[Array[Double]], m: Int, k: Int): Codebook = {
     require(sample.nonEmpty, "empty embeddings table")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -57,6 +62,36 @@ object ProductQuantization {
       AnnTuner.kmeansCenters(sub, k)
     }
     Codebook(m, k, dim, centroids)
+  }
+
+  /** The per-vector kernel: unit-normalize, then per-subspace argmin —
+    * shared by `encode` and the IVF,PQ layout write. Returns the unit
+    * vector (the layout write also needs it for the cell argmin) and
+    * the M codes. */
+  private def encodeVec(c: Codebook, arr: Seq[Float]): (Array[Double], Array[Int]) = {
+    val dsub = c.dim / c.m
+    val v = new Array[Double](c.dim)
+    var n = 0.0
+    var i = 0
+    while (i < c.dim) { val x = arr(i).toDouble; v(i) = x; n += x * x; i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    i = 0; while (i < c.dim) { v(i) *= inv; i += 1 }
+    val codes = new Array[Int](c.m)
+    var mi = 0
+    while (mi < c.m) {
+      var best = 0; var bd = Double.MaxValue
+      var ki = 0
+      while (ki < c.k) {
+        val ctr = c.centroids(mi)(ki)
+        var d = 0.0; var j = 0
+        while (j < dsub) { val t = v(mi * dsub + j) - ctr(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = ki }
+        ki += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    (v, codes)
   }
 
   /** Encode every vector as M codes (0..K-1): one narrow distributed
@@ -70,33 +105,7 @@ object ProductQuantization {
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val c = bc.value
-        val dsub = c.dim / c.m
-        it.map { case (id, arr) =>
-          val v = new Array[Double](c.dim)
-          var n = 0.0
-          var i = 0
-          while (i < c.dim) { val x = arr(i).toDouble; v(i) = x; n += x * x; i += 1 }
-          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-          i = 0; while (i < c.dim) { v(i) *= inv; i += 1 }
-          val codes = new Array[Int](c.m)
-          var mi = 0
-          while (mi < c.m) {
-            var best = 0; var bd = Double.MaxValue
-            var ki = 0
-            while (ki < c.k) {
-              val ctr = c.centroids(mi)(ki)
-              var d = 0.0; var j = 0
-              while (j < dsub) {
-                val t = v(mi * dsub + j) - ctr(j); d += t * t; j += 1
-              }
-              if (d < bd) { bd = d; best = ki }
-              ki += 1
-            }
-            codes(mi) = best
-            mi += 1
-          }
-          (id, codes.toSeq)
-        }
+        it.map { case (id, arr) => (id, encodeVec(c, arr)._2.toSeq) }
       }
       .toDF("vec_id", "codes")
   }
@@ -164,31 +173,36 @@ object ProductQuantization {
     * the re-rank survivors. */
   def writeCellBucketedPq(emb: DataFrame, dst: String, nlist: Int = 64,
                           m: Int = 8, k: Int = 16): Codebook = {
-    val cb = train(emb, m, k)
     val s = emb.sparkSession
     import s.implicits._
-    // cell assignment: nearest IVF centroid (trained on the same
-    // bounded sample machinery the cell layout uses)
-    val cellCenters = AnnTuner.kmeansCenters(AnnTuner.sampleUnit(emb), nlist)
+    // ONE bounded sample seeds BOTH models (per-subspace codebooks and
+    // the IVF cell centers), and ONE narrow pass emits (vec_id, codes,
+    // cell) holding both broadcasts — no second corpus scan, no join:
+    // a codes ⋈ cell co-partitioning join would shuffle the whole
+    // corpus at scale for data that one map already has in hand.
+    val sample = AnnTuner.sampleUnit(emb)
+    val cb = trainFromSample(sample, m, k)
+    val cellCenters = AnnTuner.kmeansCenters(sample, nlist)
+    val bcCb = s.sparkContext.broadcast(cb)
     val bcCells = s.sparkContext.broadcast(cellCenters)
-    val coded = encode(emb, cb).as[(Long, Seq[Int])]
-    val unit = Par.widen(emb).select(col("vec_id"), col("embedding"))
+    Par.widen(emb).select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
-      .map { case (id, arr) =>
-        val v = arr.toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        val u = if (n == 0) v else v.map(_ / n)
-        val cs = bcCells.value
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var j = 0
-          while (j < u.length) { val t = u(j) - cs(c)(j); d += t * t; j += 1 }
-          if (d < bd) { bd = d; best = c }
-          c += 1
+      .mapPartitions { it =>
+        val c = bcCb.value
+        val cells = bcCells.value
+        it.map { case (id, arr) =>
+          val (v, codes) = encodeVec(c, arr)
+          var cell = 0; var cbd = Double.MaxValue; var ci = 0
+          while (ci < cells.length) {
+            var d = 0.0; var j = 0
+            while (j < c.dim) { val t = v(j) - cells(ci)(j); d += t * t; j += 1 }
+            if (d < cbd) { cbd = d; cell = ci }
+            ci += 1
+          }
+          (id, codes.toSeq, cell)
         }
-        (id, best)
-      }.toDF("vec_id", "cell")
-    coded.toDF("vec_id", "codes").join(unit, "vec_id")
+      }
+      .toDF("vec_id", "codes", "cell")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "snappy")
       .partitionBy("cell")

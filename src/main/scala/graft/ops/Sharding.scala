@@ -51,8 +51,13 @@ object Sharding {
                              docsPerShard: Long = 64L): DataFrame = {
     val verdicts = Pipeline.q57PipelineDecision(s, dir, budget)
       .localCheckpoint() // consumed twice (keep join + returned audit)
+    // kept feeds THREE consumers (the shuffle's bucket totals action,
+    // the assignment lineage inside the write, and the write's docs
+    // side) — pin it, or each re-runs the documents ⋈ verdicts join
+    // (the q57 lineage-re-evaluation lesson)
     val kept = Tables.documents(s, dir)
       .join(verdicts.filter(col("selected")).select("doc_id"), "doc_id")
+      .localCheckpoint()
     val assignment = Selection.epochShuffle(kept.select(col("doc_id")),
       epoch, docsPerShard)
     writeShards(kept, assignment, dst)
