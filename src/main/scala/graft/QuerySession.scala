@@ -65,9 +65,11 @@ object QuerySession {
     graft.ops.TextAnalysis.crossDocRepetition(docs)
       .createOrReplaceTempView("crossdoc_repetition")
     // round-7 surface: chunk inventory, scrubbed-text fingerprints,
-    // per-source quota picks, weighted epoch draw
+    // per-source quota picks, weighted epoch draw, PQ-compressed ANN
     graft.ops.Chunking.chunk(docs, 64, 48)
       .createOrReplaceTempView("doc_chunks")
+    graft.ops.ProductQuantization.q64PqAnn(spark, sfDir)
+      .createOrReplaceTempView("pq_neighbors")
     graft.ops.Privacy.piiScan(docs, org.apache.spark.sql.functions.col("text"))
       .drop("text", "redacted")
       .createOrReplaceTempView("pii_scan")

@@ -122,6 +122,9 @@ class QuerySessionSpec extends SparkSpec {
         |JOIN source_quota_picks q USING (doc_id, source)""".stripMargin)
       .collect()(0).getLong(0)
     assert(drawn > 0, "no weighted-sample doc appears among quota picks")
+    val pqn = spark.sql(
+      "SELECT count(*) FROM pq_neighbors WHERE rank <= 10").collect()(0).getLong(0)
+    assert(pqn == 50L, s"PQ ANN view returned $pqn rows")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
