@@ -33,10 +33,18 @@ object Chunking {
     chunk(Tables.documents(s, dir), maxLen, stride)
 
   /** The reusable core over any (doc_id, text) frame. */
-  def chunk(docs: DataFrame, maxLen: Int, stride: Int): DataFrame = {
+  def chunk(docs: DataFrame, maxLen: Int, stride: Int): DataFrame =
+    chunkUnsorted(docs, maxLen, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** `chunk` without the deterministic output sort — the streaming
+    * entry point (streaming sinks reject sorts and don't need them). */
+  def chunkUnsorted(docs: DataFrame, maxLen: Int, stride: Int): DataFrame = {
     require(maxLen > 0 && stride > 0 && stride <= maxLen,
       s"need 0 < stride <= maxLen, got maxLen=$maxLen stride=$stride")
-    Par.widen(docs)
+    // widening inspects input files — batch-only; a micro-batch's
+    // parallelism is the source's to decide
+    (if (docs.isStreaming) docs else Par.widen(docs))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .withColumn("n", size(col("l")).cast("long"))
       .filter(col("n") >= 1L)
@@ -51,6 +59,5 @@ object Chunking {
         md5(array_join(slice(col("l"), col("chunk_start").cast("int"), lit(maxLen)), " ")))
       .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
         col("chunk_len"), col("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 }

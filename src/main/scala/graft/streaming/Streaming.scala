@@ -51,6 +51,14 @@ object Streaming {
   def piiScrubStream(lines: DataFrame, textCol: String = "value"): DataFrame =
     graft.ops.Privacy.piiScan(lines, col(textCol))
 
+  /** Continuous chunking: q59's sliding token windows over a document
+    * STREAM — ingestion-time context-window preparation. Stateless
+    * narrow slice/explode work, so the batch operator IS the streaming
+    * operator (minus its deterministic output sort, which streaming
+    * sinks don't support and don't need); parity is spec-asserted. */
+  def chunkStream(docs: DataFrame, maxLen: Int = 64, stride: Int = 48): DataFrame =
+    graft.ops.Chunking.chunkUnsorted(docs, maxLen, stride)
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

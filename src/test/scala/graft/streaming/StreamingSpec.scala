@@ -187,4 +187,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       "streamed scrub diverged from the batch operator")
   }
+
+  test("streaming chunking ≡ batch q59 over the documents fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = graft.Tables.documents(spark, dir).schema
+    val watched = java.nio.file.Files.createTempDirectory("graft-chunk-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(watched.toString)
+    val q = Streaming.chunkStream(stream)
+      .writeStream.format("memory").queryName("chunk_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT doc_id, chunk_id, chunk_md5 FROM chunk_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.ops.Chunking.q59Chunking(spark, dir)
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed chunks diverged from the batch operator")
+  }
 }
