@@ -43,33 +43,37 @@ object QuerySession {
     *  - `near_dup_pairs(d1, d2, cos)`     — banded-LSH embedding near-dups
     *  - `ann_neighbors(query_id, rank, neighbor_id, cos)` — multi-probe LSH top-10
     */
-  def registerPipelineViews(spark: SparkSession, sfDir: String): Unit = {
-    import graft.ops.{Dedup, Similarity}
-    val docs = Tables.documents(spark, sfDir)
+  def registerPipelineViews(spark: SparkSession, sfDir: String): Unit =
+    registerPipelineViews(spark, Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir))
+
+  /** The frame-based core: given already-read base tables, registration
+    * is strictly metadata-only — it runs ZERO Spark jobs
+    * (QuerySessionSpec asserts this), so session startup can never stall
+    * or fail on view construction. The `sfDir` overload above pays only
+    * the two parquet footer reads. */
+  def registerPipelineViews(spark: SparkSession, docs: DataFrame,
+                            emb: DataFrame): Unit = {
+    import graft.ops.Dedup
     Dedup.shingles(docs, 3).withColumnRenamed("g", "shingle")
       .createOrReplaceTempView("doc_shingles")
     Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L)
       .createOrReplaceTempView("jaccard_pairs")
     Dedup.minhashLshPairs(docs).createOrReplaceTempView("minhash_pairs")
-    Similarity.nearDupPairs(Tables.embeddings(spark, sfDir), 0.45)
+    graft.ops.Similarity.nearDupPairs(emb, 0.45)
       .createOrReplaceTempView("near_dup_pairs")
-    Similarity.q29LshTopK(spark, sfDir).createOrReplaceTempView("ann_neighbors")
-    graft.ops.Quantize.q47SemanticDedup(spark, sfDir)
-      .createOrReplaceTempView("semantic_dedup_drops")
-    // selection / quality views — the verdict columns a SQL user filters
-    // and joins on when assembling a training set
-    graft.ops.Selection.tokenBudget(docs, 20000L)
-      .createOrReplaceTempView("token_budget_cut")
-    graft.ops.TextAnalysis.q39FilterPipeline(spark, sfDir)
+    graft.ops.TextAnalysis.filterVerdicts(docs)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
       .createOrReplaceTempView("filter_verdicts")
-    graft.ops.TextAnalysis.crossDocRepetition(docs)
+    // explicit heavyAt (routing only — results don't depend on it) +
+    // lazy pin keep this view's construction job-free like the rest
+    graft.ops.TextAnalysis.crossDocRepetition(docs,
+        heavyAt = 1000L, eagerPin = false)
       .createOrReplaceTempView("crossdoc_repetition")
     // round-7 surface: chunk inventory, scrubbed-text fingerprints,
-    // per-source quota picks, weighted epoch draw, PQ-compressed ANN
+    // per-source quota picks, weighted epoch draw
     graft.ops.Chunking.chunk(docs, 64, 48)
       .createOrReplaceTempView("doc_chunks")
-    graft.ops.ProductQuantization.q64PqAnn(spark, sfDir)
-      .createOrReplaceTempView("pq_neighbors")
     graft.ops.Privacy.piiScan(docs, org.apache.spark.sql.functions.col("text"))
       .drop("text", "redacted")
       .createOrReplaceTempView("pii_scan")
@@ -77,6 +81,31 @@ object QuerySession {
       .createOrReplaceTempView("source_quota_picks")
     graft.ops.Mixing.weightedSample(docs, 100)
       .createOrReplaceTempView("weighted_epoch_sample")
+  }
+
+  /** The views whose CONSTRUCTION must run Spark jobs — model training
+    * (q47's IVF tuner, q64's PQ codebooks), query-vector collection
+    * (ann_neighbors/pq_neighbors) or a bounds scan (token_budget_cut's
+    * id range). Kept out of [[registerPipelineViews]] so plain session
+    * setup stays metadata-only (a failure here can't break startup, and
+    * nobody pays k-means for views they never query); call this when the
+    * session actually wants the ANN/selection surface in SQL. */
+  def registerMaterializedViews(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.ops.Similarity.q29LshTopK(spark, sfDir)
+      .createOrReplaceTempView("ann_neighbors")
+    graft.ops.Quantize.q47SemanticDedup(spark, sfDir)
+      .createOrReplaceTempView("semantic_dedup_drops")
+    graft.ops.Selection.tokenBudget(docs, 20000L)
+      .createOrReplaceTempView("token_budget_cut")
+    graft.ops.ProductQuantization.q64PqAnn(spark, sfDir)
+      .createOrReplaceTempView("pq_neighbors")
+  }
+
+  /** Everything: the cheap views plus the materialized ones. */
+  def registerAllViews(spark: SparkSession, sfDir: String): Unit = {
+    registerPipelineViews(spark, sfDir)
+    registerMaterializedViews(spark, sfDir)
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)

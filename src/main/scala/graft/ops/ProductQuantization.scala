@@ -114,10 +114,17 @@ object ProductQuantization {
     * cosine from the per-query M×K dot table, keep the top `rerank`
     * candidates per query (bounded top_k aggregate), then score ONLY
     * those with the true float cosine and emit the top `k`.
-    * `queries`: (query_id, qe) with unit-normalizable float vectors. */
+    * `queries`: (query_id, qe) with unit-normalizable float vectors.
+    *
+    * `excludeSelf` drops the code row whose vec_id equals the query id —
+    * right for the q28/q64 convention where queries ARE corpus rows
+    * asking for their neighbors. Pass `false` when the queries live in
+    * their OWN id space: an external query_id that merely collides with
+    * an unrelated vec_id would otherwise silently lose a legitimate
+    * neighbor. */
   def adcTopK(emb: DataFrame, codes: DataFrame, cb: Codebook,
               queries: Array[(Long, Array[Double])],
-              k: Int, rerank: Int): DataFrame = {
+              k: Int, rerank: Int, excludeSelf: Boolean = true): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val dsub = cb.dim / cb.m
@@ -138,7 +145,7 @@ object ProductQuantization {
     val scored = codes.as[(Long, Seq[Int])].mapPartitions { it =>
       val ts = bc.value
       it.flatMap { case (id, cs) =>
-        ts.iterator.filter(_._1 != id).map { case (qid, table) =>
+        ts.iterator.filter(t => !excludeSelf || t._1 != id).map { case (qid, table) =>
           var sc = 0.0; var mi = 0
           while (mi < table.length) { sc += table(mi)(cs(mi)); mi += 1 }
           (qid, id, sc)
@@ -237,7 +244,8 @@ object ProductQuantization {
     * `embSource` for just the survivors. */
   def bucketedPqTopK(s: SparkSession, dst: String, embSource: DataFrame,
                      queries: Array[(Long, Array[Double])],
-                     nprobe: Int = 12, k: Int = 10, rerank: Int = 50): DataFrame = {
+                     nprobe: Int = 12, k: Int = 10, rerank: Int = 50,
+                     excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     val cb = readCodebook(s, dst)
     val centers = s.read.parquet(dst + "_centroids")
@@ -256,7 +264,7 @@ object ProductQuantization {
     val codes = s.read.parquet(dst)
       .filter(col("cell").isin(cells.toSeq: _*))
       .select(col("vec_id"), col("codes"))
-    adcTopK(embSource, codes, cb, queries, k, rerank)
+    adcTopK(embSource, codes, cb, queries, k, rerank, excludeSelf)
   }
 
   /** q64: PQ-compressed ANN — train, encode, ADC-probe, re-rank; the

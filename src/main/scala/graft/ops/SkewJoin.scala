@@ -70,17 +70,34 @@ object SkewJoin {
     * three times, or parking cached subtrees in the CacheManager of a
     * long-lived session, are both worse than one bounded
     * materialization (blocks are reclaimed by the ContextCleaner when
-    * the frame goes unreferenced). */
+    * the frame goes unreferenced). Pass `eagerPin = false` to get a
+    * lazy `cache()` pin instead — combined with an explicit `heavyAt`
+    * (the routing cut does NOT affect results, only which branch a key
+    * takes), construction then runs no job at all, which is what cheap
+    * view registration needs. A LAZY `localCheckpoint(false)` cannot
+    * serve here: `Dataset.checkpoint` calls `queryExecution.toRdd` at
+    * construction regardless of eagerness, and under AQE that
+    * materializes every shuffle stage in the plan — jobs fire anyway
+    * (measured: 2 jobs from the widen-repartition of the shingle set).
+    *
+    * NULL keys are routed with null-safe equality (`<=>`), so a NULL
+    * key forms its own group with its own total — the same semantics as
+    * the count-over-window formulation this replaced (a window
+    * partitions NULLs together); a plain inner equi-join would silently
+    * drop those rows. */
   def withKeyTotal(rows: DataFrame, key: String, totalName: String,
-                   heavyAt: Long = 0L, weight: Option[String] = None): DataFrame = {
-    val pinned = rows.localCheckpoint()
+                   heavyAt: Long = 0L, weight: Option[String] = None,
+                   eagerPin: Boolean = true): DataFrame = {
+    val pinned = if (eagerPin) rows.localCheckpoint() else rows.cache()
     val cut =
       if (heavyAt > 0L) heavyAt
       else math.max(1000L, pinned.count() / 1000000L)
     val agg = weight.map(w => sum(col(w))).getOrElse(count(lit(1)))
     val totals = pinned.groupBy(col(key)).agg(agg.cast("long").as(totalName))
-    pinned.join(totals.filter(col(totalName) < cut), Seq(key))
-      .unionByName(
-        pinned.join(broadcast(totals.filter(col(totalName) >= cut)), Seq(key)))
+      .withColumnRenamed(key, "__kt_key")
+    def back(t: DataFrame) =
+      pinned.join(t, col(key) <=> col("__kt_key")).drop("__kt_key")
+    back(totals.filter(col(totalName) < cut))
+      .unionByName(back(broadcast(totals.filter(col(totalName) >= cut))))
   }
 }

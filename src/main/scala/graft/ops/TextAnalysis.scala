@@ -436,10 +436,14 @@ object TextAnalysis {
     crossDocRepetition(Tables.documents(s, dir), flagAt)
 
   /** The reusable core over any (doc_id, text) frame — also the 100×
-    * soak entry point. */
-  def crossDocRepetition(docs: DataFrame, flagAt: Double = 0.5): DataFrame = {
+    * soak entry point. `heavyAt`/`eagerPin` pass through to
+    * [[SkewJoin.withKeyTotal]]: results are invariant to both (routing
+    * and materialization knobs only), so view registration passes an
+    * explicit cut and a lazy pin to stay job-free at construction. */
+  def crossDocRepetition(docs: DataFrame, flagAt: Double = 0.5,
+                         heavyAt: Long = 0L, eagerPin: Boolean = true): DataFrame = {
     val sh = Dedup.shingles(docs, 3)
-    SkewJoin.withKeyTotal(sh, "g", "df")
+    SkewJoin.withKeyTotal(sh, "g", "df", heavyAt = heavyAt, eagerPin = eagerPin)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

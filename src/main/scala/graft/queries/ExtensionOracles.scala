@@ -575,7 +575,11 @@ object ExtensionOracles {
   /** Mirrors q51: per-document character entropy. Chars come from
     * regexp '.'-extraction on both engines; each -p·log2(p) term is
     * rounded to 12 digits and summed as DECIMAL(28,12), so the engines'
-    * different summation orders cannot diverge. */
+    * different summation orders cannot diverge. The char aggregates are
+    * LEFT-joined with COALESCE: a document whose text yields zero
+    * '.'-extractable chars (empty or newline-only) has no unnest rows,
+    * but the engine still emits it (n_chars=0, entropy 0.0, flagged) —
+    * an inner join here would silently drop it and break hash parity. */
   val q51CharEntropy: String =
     """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
       |  FROM documents),
@@ -587,12 +591,13 @@ object ExtensionOracles {
       |      log2(CAST(k AS DOUBLE) / CAST(n.n_chars AS DOUBLE)), 12)
       |      AS DECIMAL(28,12))) AS s
       |  FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY f.doc_id)
-      |SELECT d.doc_id, n.n_chars, n.n_unique AS n_unique_chars,
-      |  CAST(e.s AS DOUBLE) AS entropy_bits,
-      |  CAST(e.s AS DOUBLE) < 3.5 AS flagged
+      |SELECT d.doc_id, COALESCE(n.n_chars, 0) AS n_chars,
+      |  COALESCE(n.n_unique, 0) AS n_unique_chars,
+      |  CAST(COALESCE(e.s, 0) AS DOUBLE) AS entropy_bits,
+      |  CAST(COALESCE(e.s, 0) AS DOUBLE) < 3.5 AS flagged
       |FROM documents d
-      |JOIN n ON d.doc_id = n.doc_id
-      |JOIN e ON d.doc_id = e.doc_id
+      |LEFT JOIN n ON d.doc_id = n.doc_id
+      |LEFT JOIN e ON d.doc_id = e.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
   /** Mirrors q52: deterministic stratified sample — k smallest salted

@@ -59,7 +59,18 @@ class QuerySessionSpec extends SparkSpec {
   test("dedup/similarity pipelines reachable purely via spark.sql") {
     val dir = "/root/testdata/sf0.001"
     QuerySession.openTestTables(spark, dir)
-    QuerySession.registerPipelineViews(spark, dir)
+    // pipeline-view registration over already-read tables must be
+    // metadata-only: ZERO Spark jobs (the ADVICE r7 session-startup
+    // finding — view construction used to train k-means and checkpoint
+    // corpus-scale frames at init)
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    QuerySession.registerPipelineViews(spark, docs, emb)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore,
+      s"registerPipelineViews ran ${jobsAfter - jobsBefore} Spark job(s)")
+    QuerySession.registerMaterializedViews(spark, dir)
 
     // near-dup pairs joined back to base tables, all in SQL — the
     // Athena-style user's workflow over the extension operators
