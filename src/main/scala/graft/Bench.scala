@@ -56,10 +56,18 @@ object Bench {
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       name -> median(times(i).result())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of output
+    // (BENCH_r07.json's tail field) — full-precision doubles pushed the
+    // 64-query line to ~2900 chars and the front half was lost
+    // (parsed: null). Millisecond precision keeps the line ~1750 chars,
+    // and printing AFTER a silenced spark.stop() guarantees nothing but
+    // sbt's one [success] line follows it inside the tail window.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
