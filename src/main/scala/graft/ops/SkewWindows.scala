@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-key-safe ORDER-DEPENDENT per-key computations — sessionization
+  * and as-of carry-forward — via heavy/light routing plus time-chunked
+  * sub-windows.
+  *
+  * The problem: `Window.partitionBy(key).orderBy(t)` routes each key's
+  * ENTIRE timeline through one task's sort buffer. That is fine for
+  * human users (bounded histories) but a scanner bot with 10⁸ events is
+  * a single-task straggler AQE cannot split (it never splits window
+  * partitions). The fix wired here is the q42 three-piece-prefix idiom
+  * applied per hot key:
+  *
+  *   1. DIAGNOSE: one map-side-combined aggregate computes per-key
+  *      (count, min t, max t); keys with count ≥ `hotAt` are "hot".
+  *      The hot set is ≤ N/hotAt keys BY CONSTRUCTION — bounded and
+  *      broadcastable at any corpus size.
+  *   2. ROUTE: light keys (the overwhelming majority) take the plain
+  *      one-window path, whose partitions are < hotAt rows by
+  *      construction; hot keys broadcast-route to the chunked path.
+  *      Routing uses broadcast semi/anti joins against the bounded hot
+  *      set — rows never repartition by the hot key itself.
+  *   3. CHUNK: a hot key's timeline is split into `nChunks =
+  *      ceil(count / chunkTarget)` equal-width TIME ranges (chunk ids
+  *      are monotone in the window order, the property the prefix
+  *      recombination needs — the q42 doc-id-range trick with time as
+  *      the range). Per (key, chunk): a LOCAL window (bounded rows)
+  *      computes intra-chunk state; a per-chunk aggregate emits one
+  *      summary row; a window over the ≤ nChunks summary rows stitches
+  *      chunk boundaries. No task ever sorts a whole hot timeline.
+  *
+  * Results are invariant to routing and chunking (the cut and the
+  * width change WHERE rows are computed, never WHAT is computed) —
+  * ScaleOpsSpec asserts chunked ≡ plain on a planted bot user, and the
+  * q14/q16 oracle hashes are unchanged with routing wired in.
+  *
+  * Caveat (documented, not hidden): equal-width TIME chunking assumes a
+  * hot key's events spread over its time span. A key that emits its
+  * whole history in one timestamp tick lands in one chunk — for such
+  * data route by a composite (t, tie-hash) range or use the streaming
+  * sessionizer (`Streaming.sessionize`, O(1) state per key).
+  */
+object SkewWindows {
+
+  /** Per-key stats for keys with ≥ `hotAt` rows: row count, time span,
+    * and the derived chunk count/width. Map-side-combined aggregate (no
+    * task ever gathers a whole key); output ≤ N/hotAt rows. */
+  def hotKeyStats(rows: DataFrame, key: String, t: Column,
+                  hotAt: Long, chunkTarget: Long): DataFrame =
+    rows.groupBy(col(key).as("__hk"))
+      .agg(count(lit(1)).as("__cnt"), min(t).as("__tmin"), max(t).as("__tmax"))
+      .filter(col("__cnt") >= hotAt)
+      .withColumn("__nchunks",
+        expr(s"(__cnt + ${chunkTarget - 1}) DIV $chunkTarget"))
+      // ceil((span+1)/nChunks): guarantees chunk = (t-tmin) DIV width
+      // lands in [0, nChunks)
+      .withColumn("__width",
+        expr("greatest(1L, (__tmax - __tmin + __nchunks) DIV __nchunks)"))
+
+  /** q14's sessionization aggregate, hot-key-safe: per key, the number
+    * of sessions (a new session starts at the first event and after any
+    * gap > `gapMs`) and the event count. `tMs` must be epoch millis;
+    * `tie` breaks ordering ties (gap math only reads `tMs`, so the tie
+    * column never changes results — it pins determinism).
+    *
+    * n_sessions is counted as SUM of session-start markers, which
+    * equals the lag+cumsum formulation's max(session_id) — markers sum
+    * chunk-locally, cumsums don't, and the oracle hash is identical. */
+  def sessionCounts(events: DataFrame, key: String, tMs: Column, tie: Column,
+                    gapMs: Long, hotAt: Long = 1000000L,
+                    chunkTarget: Long = 65536L): DataFrame = {
+    val base = events.select(col(key), tMs.as("__t"), tie.as("__tie"))
+    val stats = hotKeyStats(base, key, col("__t"), hotAt, chunkTarget)
+
+    // light: one window per key — partitions < hotAt rows by construction
+    val light = base.join(broadcast(stats.select(col("__hk"))),
+      col(key) === col("__hk"), "left_anti")
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tie"))
+    val lightOut = light
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .groupBy(col(key))
+      .agg(
+        sum(when(col("__prev").isNull || col("__t") - col("__prev") > gapMs, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+
+    // heavy: chunked. Interior gaps resolve inside a (key, chunk) local
+    // window; the chunk's first event compares against the running max
+    // end-time of earlier chunks (time ranges ⇒ that IS the immediately
+    // preceding event's time).
+    val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
+      .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
+    val cw = Window.partitionBy(col(key), col("__chunk"))
+      .orderBy(col("__t"), col("__tie"))
+    val perChunk = chunked
+      .withColumn("__prev", lag(col("__t"), 1).over(cw))
+      .groupBy(col(key), col("__chunk"))
+      .agg(
+        sum(when(col("__prev").isNotNull && col("__t") - col("__prev") > gapMs, 1L)
+          .otherwise(0L)).as("__interior"),
+        min(col("__t")).as("__first"),
+        max(col("__t")).as("__last"),
+        count(lit(1)).as("__n"))
+    val chunkSeq = Window.partitionBy(col(key)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val heavyOut = perChunk
+      .withColumn("__prev_last", max(col("__last")).over(chunkSeq))
+      .withColumn("__starts", col("__interior") +
+        when(col("__prev_last").isNull ||
+          col("__first") - col("__prev_last") > gapMs, 1L).otherwise(0L))
+      .groupBy(col(key))
+      .agg(sum(col("__starts")).as("n_sessions"), sum(col("__n")).as("n_events"))
+
+    lightOut.unionByName(heavyOut)
+  }
+
+  /** q16's as-of carry-forward, hot-key-safe, over a MERGED timeline
+    * frame with columns (`key`, t_ms, kind, sort_key, ord_key,
+    * ord_date, event_id) as built by `Relational.asOfOrders`: kind 0 =
+    * order (payload in ord_key/ord_date), kind 1 = event. Returns one
+    * row per event: (key, event_id, asof_key, asof_date) where the
+    * as-of pick is the latest kind-0 row at or before the event in
+    * (t_ms, kind, sort_key) order.
+    *
+    * Heavy path: the local (key, chunk) window resolves events preceded
+    * by an order in their own chunk; a per-chunk aggregate emits each
+    * chunk's LAST order as max(struct(t_ms, sort_key, payload)) — the
+    * struct order is exactly the timeline tie-break — and a window over
+    * the ≤ nChunks summary rows carries it forward (last ignore-nulls
+    * over STRICTLY EARLIER chunks, so chunks with no orders inherit).
+    * Local rows rejoin the chunk summaries on (key, chunk) — a shuffle
+    * join whose per-key fan-in is one chunk, never a whole hot key. */
+  def asOfCarry(timeline: DataFrame, key: String,
+                hotAt: Long = 1000000L, chunkTarget: Long = 65536L): DataFrame = {
+    val stats = hotKeyStats(timeline, key, col("t_ms"), hotAt, chunkTarget)
+
+    val order = Seq(col("t_ms"), col("kind"), col("sort_key"))
+    val light = timeline.join(broadcast(stats.select(col("__hk"))),
+      col(key) === col("__hk"), "left_anti")
+    val lw = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lightOut = light
+      .withColumn("asof_key", last(col("ord_key"), ignoreNulls = true).over(lw))
+      .withColumn("asof_date", last(col("ord_date"), ignoreNulls = true).over(lw))
+      .where(col("kind") === 1)
+      .select(col(key), col("event_id"), col("asof_key"), col("asof_date"))
+
+    val chunked = timeline.join(broadcast(stats), col(key) === col("__hk"))
+      .withColumn("__chunk", expr("(t_ms - __tmin) DIV __width"))
+    val cw = Window.partitionBy(col(key), col("__chunk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = chunked
+      .withColumn("__lkey", last(col("ord_key"), ignoreNulls = true).over(cw))
+      .withColumn("__ldate", last(col("ord_date"), ignoreNulls = true).over(cw))
+    // one summary row per (key, chunk) — ALL chunks with rows, so the
+    // carry window sees orderless chunks too; __c is null there
+    val chunkLast = chunked.groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
+      .agg(max(when(col("kind") === 0,
+        struct(col("t_ms"), col("sort_key"), col("ord_key"), col("ord_date"))))
+        .as("__c"))
+    val seqW = Window.partitionBy(col("__ck")).orderBy(col("__cc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = chunkLast
+      .withColumn("__prevc", last(col("__c"), ignoreNulls = true).over(seqW))
+      .select(col("__ck"), col("__cc"), col("__prevc"))
+    val heavyOut = local
+      .join(withPrev, col(key) === col("__ck") && col("__chunk") === col("__cc"))
+      .where(col("kind") === 1)
+      .select(col(key), col("event_id"),
+        coalesce(col("__lkey"), col("__prevc.ord_key")).as("asof_key"),
+        coalesce(col("__ldate"), col("__prevc.ord_date")).as("asof_date"))
+
+    lightOut.unionByName(heavyOut)
+  }
+}

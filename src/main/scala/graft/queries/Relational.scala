@@ -219,32 +219,20 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
-  /** Sessionization: a new session starts after a >30 min gap. lag() +
-    * cumulative sum of session-start markers — the classic scalable
-    * sessionizer (one window shuffle on user_id, no driver state).
-    * Gap math in epoch millis so Spark (µs) and DuckDB (ns) agree.
-    *
-    * Skew caveat: a single pathological key (a bot with billions of
-    * events) sorts its whole history through one task here — inherent to
-    * any order-dependent per-key batch window. For bot-heavy corpora use
-    * `Streaming.sessionize` (incremental, O(1) state per user) or filter
-    * super-users (`SkewJoin.skewedKeys` diagnoses them) into a separate
-    * pass. */
-  def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ms = tsMs
-    Tables.events(s, dir)
-      .withColumn("prev_ms", lag(ms, 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ms").isNull.or(ms - col("prev_ms") > 1800000L), 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"))
-      .agg(
-        max(col("session_id")).as("n_sessions"),
-        count(lit(1)).as("n_events"))
+  /** Sessionization: a new session starts after a >30 min gap. Light
+    * keys take the classic lag + session-start-marker window (one
+    * shuffle on user_id, no driver state); hot keys — a bot whose
+    * billion-event history would otherwise sort through ONE task's
+    * window buffer — are diagnosed by a map-side-combined stats
+    * aggregate and routed through `SkewWindows.sessionCounts`'s
+    * time-chunked sub-window path (the q42 three-piece prefix per hot
+    * key). Results are invariant to the routing cut; ScaleOpsSpec
+    * asserts chunked ≡ plain on a planted bot. Gap math in epoch millis
+    * so Spark (µs) and DuckDB (ns) agree. */
+  def q14Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewWindows.sessionCounts(
+        Tables.events(s, dir), "user_id", tsMs, col("event_id"), 1800000L)
       .orderBy(col("user_id"))
-  }
 
   /** Semi-structured extraction: pull integer k out of the JSON props
     * column with a regexp (codegen'd, no UDF) and aggregate. */
@@ -263,7 +251,9 @@ object Relational {
     * are union'd into one per-user timeline, sorted by (time, kind, key),
     * and each event picks up `last(order) ignore nulls` — the most recent
     * order at or before it. Cost is linear in (events + orders) per user
-    * with ONE shuffle (the window partition) and ZERO join operators.
+    * and NO join ever pairs events with orders — the only joins in the
+    * plan are hot-key ROUTING (broadcast, against the bounded hot-key
+    * stats set) and the heavy path's (user, chunk)-keyed summary join.
     *
     * Why not equality-join-then-argmax: a join on `user_id` equality plus
     * a date inequality makes Spark enumerate every (event, order) pair of
@@ -283,13 +273,16 @@ object Relational {
     * users. `events` needs (event_id, user_id, ts ns-long); `orders` needs
     * (o_orderkey, o_custkey, o_orderdate).
     *
-    * Skew caveat (same as q14's): a single pathological user still sorts
-    * its whole merged timeline through one task — LINEAR work, unlike
-    * the old join's quadratic pair enumeration, but still one task.
-    * Inherent to any order-dependent per-key batch window; for bot-heavy
-    * corpora route super-users (diagnosed by `SkewJoin.skewedKeys`)
-    * through a separate pass or an incremental stateful variant. */
-  def asOfOrders(events: DataFrame, orders: DataFrame): DataFrame = {
+    * Hot keys (timeline length ≥ `hotAt`) no longer sort their whole
+    * merged timeline through one task: `SkewWindows.asOfCarry` routes
+    * them through a time-chunked sub-window path — local (user, chunk)
+    * carry-forward, per-chunk last-order summaries, a bounded window
+    * over the summaries to stitch chunk boundaries. Light keys keep the
+    * plain one-window merged-stream plan, whose partitions are < hotAt
+    * rows by construction. Results are invariant to the cut
+    * (ScaleOpsSpec asserts routed ≡ brute-force on a planted bot). */
+  def asOfOrders(events: DataFrame, orders: DataFrame,
+                 hotAt: Long = 1000000L, chunkTarget: Long = 65536L): DataFrame = {
     // Compare in epoch millis: orders carry ms precision, so flooring the
     // event's ns timestamp to ms preserves the <= relation exactly.
     val dateType = orders.schema("o_orderdate").dataType
@@ -309,17 +302,12 @@ object Relational {
       lit(null).cast(dateType).as("ord_date"),
       lit(null).cast("long").as("ord_key"),
       col("event_id"))
-    // ROWS frame (not the default RANGE) so same-timestamp peers that sort
-    // AFTER the current row can never leak into its carry-forward.
-    val timeline = Window.partitionBy(col("user_id"))
-      .orderBy(col("t_ms"), col("kind"), col("sort_key"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ROWS-frame ignore-nulls carry-forward (light keys) / chunked
+    // sub-windows (hot keys) — asOfCarry owns both and the routing;
     // ord_date/ord_key are null on exactly the same rows, so the two
-    // ignore-nulls carries always resolve to the same (latest) order row.
-    ordRows.unionByName(evtRows)
-      .withColumn("asof_key", last(col("ord_key"), ignoreNulls = true).over(timeline))
-      .withColumn("asof_date", last(col("ord_date"), ignoreNulls = true).over(timeline))
-      .where(col("kind") === 1)
+    // carries always resolve to the same (latest) order row.
+    graft.ops.SkewWindows.asOfCarry(
+        ordRows.unionByName(evtRows), "user_id", hotAt, chunkTarget)
       .select(col("event_id"), col("user_id"),
         coalesce(col("asof_key"), lit(-1L)).as("asof_orderkey"),
         coalesce(date_format(col("asof_date"), "yyyy-MM-dd"), lit("1970-01-01"))

@@ -125,10 +125,20 @@ class ScaleOpsSpec extends SparkSpec {
     } :+ (5000L, 3L, new java.sql.Timestamp(1000L))) // user 3: orders, no events
       .toDF("o_orderkey", "o_custkey", "o_orderdate")
     val asOf = graft.queries.Relational.asOfOrders(events, orders)
-    // Scale guarantee: the physical plan contains NO join operator at all —
-    // no node can enumerate per-user event x order pairs.
+    // Scale guarantee: no node can enumerate per-user event x order
+    // pairs — the only joins are hot-key routing (broadcast against the
+    // bounded stats set) and the chunked path's (user, chunk) summary
+    // join. Any shuffle join keyed by the bare user would re-create the
+    // single-task hot partition, so every SMJ/SHJ must carry the chunk
+    // column in its keys; nest-loop/cartesian pairing is banned outright.
     val plan = asOf.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"expected a joinless merged-stream plan, got:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"expected merged-stream + broadcast-routing plan, got:\n$plan")
+    val shuffleJoinKeys =
+      """(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(shuffleJoinKeys.forall(k => k.contains("__chunk") || k.contains("__cc")),
+      s"shuffle join not keyed by (user, chunk): $shuffleJoinKeys\n$plan")
     // Correctness vs the brute-force definition on the same data.
     val naive = events.join(orders,
         events("user_id") === orders("o_custkey") &&
@@ -142,6 +152,53 @@ class ScaleOpsSpec extends SparkSpec {
           .as("asof_orderdate"))
     assert(asOf.count() == 10050L)
     assert(asOf.exceptAll(naive).isEmpty && naive.exceptAll(asOf).isEmpty)
+
+    // force the bot (11k timeline rows) through the CHUNKED heavy path:
+    // same rows out, and the chunked sub-windows are really in the plan
+    val routed = graft.queries.Relational.asOfOrders(events, orders,
+      hotAt = 1000L, chunkTarget = 512L)
+    assert(routed.queryExecution.executedPlan.toString.contains("__chunk"))
+    assert(routed.exceptAll(naive).isEmpty && naive.exceptAll(routed).isEmpty)
+  }
+
+  test("hot-key routing: chunked sessionize equals the plain window on a planted bot") {
+    import spark.implicits._
+    // bot: 100k events a minute apart, with a 2-hour gap every 1000th
+    // event (so sessions = 100 boundaries + 1) plus duplicate-timestamp
+    // ticks to exercise the tie column; two light users alongside
+    val botMs = (1 to 100000).map { i =>
+      i.toLong * 60000L + (i / 1000).toLong * 7200000L
+    }
+    val rows =
+      botMs.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) } ++
+        Seq((1L, botMs.head, 999999L)) ++ // duplicate-ts tie on the bot
+        (1 to 40).map(i => (2L, i.toLong * 1000000L, 200000L + i)) ++
+        Seq((3L, 5L, 300000L))
+    val events = rows.toDF("user_id", "tms", "event_id")
+
+    // with hotAt=1000 the bot routes through the chunked path (200
+    // chunks at chunkTarget=500); light users keep the plain window
+    val routed = SkewWindows.sessionCounts(events, "user_id", col("tms"),
+      col("event_id"), 1800000L, hotAt = 1000L, chunkTarget = 500L)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), s"chunked sub-window path not in plan:\n$plan")
+    assert(SkewWindows.hotKeyStats(
+        events.select(col("user_id"), col("tms").as("__t")),
+        "user_id", col("__t"), 1000L, 500L)
+      .select(col("__nchunks")).as[Long].head() > 100L)
+
+    // ground truth: the plain single-window formulation on everything
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val plain = events
+      .withColumn("prev", lag(col("tms"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1L)
+        .otherwise(0L)).as("n_sessions"), count(lit(1)).as("n_events"))
+    val r = routed.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val p = plain.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == p, s"routed=$r\nplain=$p")
+    assert(r.exists { case (u, s, _) => u == 1L && s == 101L }) // the planted gaps
   }
 
   test("salted join equals plain join on skewed data") {

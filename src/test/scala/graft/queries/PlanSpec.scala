@@ -55,13 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("q05_anti_join").contains("LeftAnti"))
   }
 
-  test("q16: as-of join is a joinless merged-stream window") {
+  test("q16: as-of join is a merged-stream window, never an event x order join") {
     val p = plan("q16_asof_join")
-    // the scale guarantee: NO join operator anywhere — the old
-    // equality-join-then-argmax plan evaluated per-user event x order
-    // cross products (quadratic in a hot user); the merged stream is
-    // union → one per-user window → filter, linear per user
-    assert(!p.contains("Join"), s"as-of regressed to a join plan:\n$p")
+    // the scale guarantee: the old equality-join-then-argmax plan
+    // evaluated per-user event x order cross products (quadratic in a
+    // hot user); the merged stream is union → per-user carry-forward
+    // window → filter, linear per user. Since round 8 the plan DOES
+    // contain joins — hot-key ROUTING (broadcast against the bounded
+    // stats set) and the chunked heavy path's (user, chunk) summary
+    // join — so the assertion is: no nest-loop/cartesian pairing, and
+    // no shuffle join keyed by the bare user (that would re-create the
+    // single-task hot partition routing exists to kill).
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"as-of regressed to a pairing join plan:\n$p")
+    val shuffleJoinKeys =
+      """(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleJoinKeys.forall(k => k.contains("__chunk") || k.contains("__cc")),
+      s"shuffle join keyed by the bare user: $shuffleJoinKeys")
     assert(p.contains("Window"), "expected the carry-forward window")
     assert(p.contains("Union"), "expected the tagged orders+events union")
   }
