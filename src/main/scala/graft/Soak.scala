@@ -126,6 +126,29 @@ object Soak {
         spark, pqDst, emb, pqQueries, nprobe = 12, k = 10,
         rerank = math.max(50, (nEmb * mult / 10).toInt)).count()
     }
+    // posting-list retrieval layout: index write cost (one corpus pass +
+    // one bucket shuffle), probe cost (must track the query's posting
+    // lists — compare bm25 scan-time above, which re-reads the corpus
+    // per query), and the dirs-read fraction of one probe
+    val postDst = base + "/postings"
+    val writePostSec = timedSec(
+      Retrieval.writePostingsBucketed(docs, postDst, nBuckets = 64))
+    var postRows = 0L
+    val postProbeSec = timedSec {
+      postRows = Retrieval.bucketedBm25TopK(spark, postDst,
+        Seq("spark", "vector", "merge", "window"), 20).count()
+    }
+    val postFrac = {
+      val total = new java.io.File(postDst).listFiles()
+        .count(_.getName.startsWith("bucket="))
+      val (tfFrame, _, _) = Retrieval.probedPostings(spark, postDst,
+        Seq("spark", "vector", "merge", "window"))
+      val read = tfFrame
+        .select(regexp_extract(input_file_name(), "bucket=\\d+", 0))
+        .distinct().count()
+      read.toDouble / total
+    }
+
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -155,7 +178,9 @@ object Soak {
       f""""cell_dirs_read_frac":$cellFrac%.2f,""" +
       f""""semdedup_cells_sec":$semDedupSec%.2f,"semdedup_drops":$semRows,""" +
       f""""write_pq_sec":$writePqSec%.2f,"pq_probe_sec":$pqProbeSec%.2f,""" +
-      f""""pq_probe_rows":$pqRows}"""
+      f""""pq_probe_rows":$pqRows,"write_postings_sec":$writePostSec%.2f,""" +
+      f""""bm25_index_probe_sec":$postProbeSec%.2f,"bm25_index_rows":$postRows,""" +
+      f""""postings_dirs_read_frac":$postFrac%.2f}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -30,9 +30,14 @@ import graft.Tables
   *  - the final top-k is `ORDER BY ... LIMIT k` — Spark plans
   *    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
   *    never a global sort.
-  *  - at 100 TB a STANDING retrieval workload would move to a
-  *    write-time posting-list layout (the q29 bucketed pattern);
-  *    scan-time BM25 is the right shape for ad-hoc curation queries.
+  *  - for a STANDING retrieval workload, [[writePostingsBucketed]]
+  *    materializes the inverted index ONCE — postings partitioned by a
+  *    term-hash bucket, document frequencies and corpus totals persisted
+  *    beside the data — and [[bucketedBm25TopK]] answers each query from
+  *    the query terms' buckets only (static partition pruning + a
+  *    term-IN row-group filter), so probe cost tracks the query's
+  *    posting lists, not corpus size. Scan-time BM25 remains the right
+  *    shape for one-off ad-hoc curation queries (no index to maintain).
   *
   * Determinism (the q41/q48 float rules): idf and each per-term partial
   * score are `round(..., 12)` — both engines' `ln` may differ in final
@@ -82,6 +87,16 @@ object Retrieval {
     // Document frequency per query term: ≤ |query| rows.
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+    scoreTopK(tf, dfreq, totals, k)
+  }
+
+  /** The shared BM25 scorer: `tf` rows (doc_id, dl, term, tf) restricted
+    * to the query terms, `dfreq` (term, df) ≤ |query| rows, `totals` one
+    * row (n_docs, n_total). Both the scan-time and the bucketed path end
+    * here, so index-vs-scan parity is BY CONSTRUCTION — same float
+    * rounding, same decimal sum, same tie-break. */
+  private def scoreTopK(tf: DataFrame, dfreq: DataFrame,
+                        totals: DataFrame, k: Int): DataFrame = {
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")
     val avgdl = col("n_total").cast("double") / col("n_docs").cast("double")
@@ -102,5 +117,108 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .orderBy(col("doc_id"))
+  }
+
+  /** Term → partition bucket: the first 52 bits of md5, mod `nBuckets`.
+    * Computed md5-hex-prefix-wise so the DRIVER can derive a literal
+    * bucket set from query terms (static partition pruning happens at
+    * planning, before any file listing) and the EXECUTORS compute the
+    * identical value columnar-wise at write time — both sides hash the
+    * same UTF-8 bytes. */
+  private[graft] def termBucket(term: String, nBuckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(13), 16) % nBuckets).toInt
+  }
+
+  // INT, not long: partition dir values read back as IntegerType, and a
+  // literal set of the same type keeps the isin a STATIC partition
+  // filter (a widening cast on the partition column can defeat pruning)
+  private def termBucketCol(term: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 13), 16, 10).cast("long"),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Write-time inverted-index layout — the standing-retrieval answer
+    * the scan-time path's scaladoc promises. One corpus pass tokenizes
+    * and explodes EVERY term into postings (doc_id, dl, term, tf),
+    * partitioned on disk by [[termBucket]] and sorted by term within
+    * files (parquet min/max row-group stats make the query-time
+    * `term IN (...)` filter skip non-matching row groups). Document
+    * frequencies land beside the data (`<dst>_df`, same bucketing), the
+    * two corpus totals in `<dst>_totals`, and the bucket count in
+    * `<dst>_meta` so any later reader derives the same buckets.
+    *
+    * 100 TB shape: the postings write is ONE shuffle (repartition by
+    * bucket) + a per-task sort; `nBuckets` scales with the cluster (the
+    * per-bucket file count follows shuffle parallelism, so a bucket is
+    * never one giant file). Queries never touch this job again — they
+    * read nBuckets⁻¹-ish of the layout per term. */
+  def writePostingsBucketed(docs: DataFrame, dst: String,
+                            nBuckets: Int = 64): Unit = {
+    val d = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+      .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
+      .filter(size(col("l")) > 0)
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
+    postings
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy("bucket")
+      .parquet(dst)
+    // df per term, bucketed the same way — the probe reads ≤ |query|
+    // rows from the query's buckets. Derived from the WRITTEN postings,
+    // not the in-flight frame: the index is self-consistent even if the
+    // corpus changes between write and read.
+    val s = docs.sparkSession
+    s.read.parquet(dst)
+      .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(dst + "_df")
+    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_totals")
+    import s.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_meta")
+  }
+
+  /** BM25 top-k against a [[writePostingsBucketed]] layout: reads ONLY
+    * the query terms' partition dirs (literal bucket set → static
+    * partition pruning) and, inside them, only the row groups whose
+    * term range overlaps the query (pushed `term IN` filter over the
+    * sorted files). Identical results to [[bm25TopK]] on the same
+    * corpus — RetrievalSpec asserts row-for-row equality. */
+  def bucketedBm25TopK(s: SparkSession, dst: String, query: Seq[String],
+                       k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val (tf, dfreq, totals) = probedPostings(s, dst, query)
+    scoreTopK(tf, dfreq, totals, k)
+  }
+
+  /** The pruned frames behind [[bucketedBm25TopK]], exposed so PlanSpec
+    * can assert pruning on exactly what the query consumes. */
+  private[graft] def probedPostings(s: SparkSession, dst: String,
+                                    query: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
+    val buckets = query.map(termBucket(_, nBuckets)).distinct
+    val tf = s.read.parquet(dst)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(query: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val dfreq = s.read.parquet(dst + "_df")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(query: _*))
+      .select(col("term"), col("df"))
+    (tf, dfreq, s.read.parquet(dst + "_totals"))
   }
 }

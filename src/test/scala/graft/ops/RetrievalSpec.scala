@@ -24,6 +24,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expected, "top-20 is not the 20 best-scored documents")
   }
 
+  test("bm25 posting-list layout: bucketed top-k equals the scan-time ranking row-for-row") {
+    val docs = graft.Tables.documents(spark, dir)
+    val dst = java.nio.file.Files.createTempDirectory("graft-postings")
+      .toFile.getAbsolutePath + "/idx"
+    Retrieval.writePostingsBucketed(docs, dst, nBuckets = 16)
+    // two query shapes: the q58 terms, and a query with a term absent
+    // from the corpus bucket-mates (exercises empty-posting handling)
+    for (q <- Seq(Seq("spark", "vector", "merge", "window"),
+                  Seq("spark", "zzz_not_a_term"))) {
+      val scan = bm25TopK(docs, q, k = 20).collect().toSeq
+      val idx = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
+      assert(idx == scan,
+        s"index != scan for $q:\nidx=${idx.take(5)}\nscan=${scan.take(5)}")
+    }
+    // driver- and executor-side bucket functions agree term-by-term
+    import spark.implicits._
+    val terms = Seq("spark", "vector", "merge", "window", "the", "Ünïcode")
+    val sparkSide = terms.toDF("term")
+      .select(pmod(conv(substring(md5(col("term")), 1, 13), 16, 10).cast("long"),
+        lit(16L)).cast("int"))
+      .as[Int].collect().toSeq
+    assert(sparkSide == terms.map(Retrieval.termBucket(_, 16)))
+  }
+
   test("bm25: more query-term mass at equal length ranks higher; idf favors rare terms") {
     import spark.implicits._
     // equal-length docs: d0 has the query term 4x, d1 once, d2 none

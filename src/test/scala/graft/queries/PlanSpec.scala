@@ -256,6 +256,41 @@ class PlanSpec extends SparkSpec {
       s"pruning too weak: $partsRead of $totalParts partitions read")
   }
 
+  test("posting-list BM25 probe reads only the query terms' buckets") {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val dst = java.nio.file.Files.createTempDirectory("graft-postplan")
+      .toFile.getAbsolutePath + "/idx"
+    graft.ops.Retrieval.writePostingsBucketed(
+      graft.Tables.documents(spark, dir), dst, nBuckets = 16)
+    val query = Seq("spark", "vector", "merge", "window")
+    val (tf, dfreq, _) = graft.ops.Retrieval.probedPostings(spark, dst, query)
+
+    // bucket isin is a STATIC partition filter; term IN reaches parquet
+    for (frame <- Seq(tf, dfreq)) {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("bucket")),
+        s"bucket set did not become a partition filter:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("term")),
+        s"term IN not pushed to the scan:\n$p")
+    }
+
+    // and the files actually read honor it: ≤ |query buckets| dirs, a
+    // strict subset of the layout — probe cost tracks the query's
+    // posting lists, not the corpus
+    val totalParts = new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val queryBuckets = query.map(graft.ops.Retrieval.termBucket(_, 16)).distinct.size
+    val partsRead = tf
+      .select(regexp_extract(input_file_name(), "bucket=\\d+", 0))
+      .distinct().count()
+    assert(totalParts >= 12, s"layout degenerate: $totalParts buckets occupied")
+    assert(partsRead <= queryBuckets, s"read $partsRead dirs for $queryBuckets buckets")
+    assert(partsRead * 2 < totalParts,
+      s"no pruning: $partsRead of $totalParts partitions read")
+  }
+
   test("q37/q38/q39: in-row HOF queries plan as pure narrow maps — no hash shuffle") {
     for (name <- Seq("q37_repetition", "q38_quantize", "q39_filter_pipeline")) {
       val p = plan(name)
