@@ -64,18 +64,22 @@ object ProductQuantization {
     Codebook(m, k, dim, centroids)
   }
 
-  /** The per-vector kernel: unit-normalize, then per-subspace argmin —
-    * shared by `encode` and the IVF,PQ layout write. Returns the unit
-    * vector (the layout write also needs it for the cell argmin) and
-    * the M codes. */
-  private def encodeVec(c: Codebook, arr: Seq[Float]): (Array[Double], Array[Int]) = {
-    val dsub = c.dim / c.m
-    val v = new Array[Double](c.dim)
+  /** Unit-normalized copy of a float vector (the engine's cosine
+    * convention; zero vectors stay zero). */
+  private def unitVec(arr: Seq[Float], dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
     var n = 0.0
     var i = 0
-    while (i < c.dim) { val x = arr(i).toDouble; v(i) = x; n += x * x; i += 1 }
+    while (i < dim) { val x = arr(i).toDouble; v(i) = x; n += x * x; i += 1 }
     val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-    i = 0; while (i < c.dim) { v(i) *= inv; i += 1 }
+    i = 0; while (i < dim) { v(i) *= inv; i += 1 }
+    v
+  }
+
+  /** Per-subspace argmin over an ALREADY-normalized (or residual)
+    * vector — the raw coding kernel. */
+  private def codesFor(c: Codebook, v: Array[Double]): Array[Int] = {
+    val dsub = c.dim / c.m
     val codes = new Array[Int](c.m)
     var mi = 0
     while (mi < c.m) {
@@ -91,7 +95,28 @@ object ProductQuantization {
       codes(mi) = best
       mi += 1
     }
-    (v, codes)
+    codes
+  }
+
+  /** The per-vector kernel: unit-normalize, then per-subspace argmin —
+    * the FLAT (no-IVF) coding used by `encode`/q64. Returns the unit
+    * vector and the M codes. */
+  private def encodeVec(c: Codebook, arr: Seq[Float]): (Array[Double], Array[Int]) = {
+    val v = unitVec(arr, c.dim)
+    (v, codesFor(c, v))
+  }
+
+  /** Argmin cell for a unit vector over the IVF centers. */
+  private def nearestCellOf(cells: Array[Array[Double]], v: Array[Double]): Int = {
+    var cell = 0; var cbd = Double.MaxValue; var ci = 0
+    while (ci < cells.length) {
+      val ctr = cells(ci)
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+      if (d < cbd) { cbd = d; cell = ci }
+      ci += 1
+    }
+    cell
   }
 
   /** Encode every vector as M codes (0..K-1): one narrow distributed
@@ -152,9 +177,62 @@ object ProductQuantization {
         }
       }
     }.toDF("query_id", "vec_id", "ascore")
+    rerankExact(emb, scored, queries, k, rerank)
+  }
+
+  /** ADC over RESIDUAL codes carrying their IVF cell: the approximate
+    * cosine is q·centroid(cell) + Σ_m table(m)(code_m) — the decoded
+    * row is centroid + residual, and the dot distributes. Costs one
+    * extra broadcast array of nlist scalars per query next to the M×K
+    * table; everything else (one codes pass, bounded top_k, exact
+    * re-rank of survivors only) is [[adcTopK]]'s dataflow. */
+  def adcTopKCells(emb: DataFrame, codes: DataFrame, cb: Codebook,
+                   cellCenters: Array[Array[Double]],
+                   queries: Array[(Long, Array[Double])],
+                   k: Int, rerank: Int, excludeSelf: Boolean = true): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val dsub = cb.dim / cb.m
+    val tables = queries.map { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x * x).sum)
+      val u = if (n == 0) qv else qv.map(_ / n)
+      val cellDots = cellCenters.map { ctr =>
+        var d = 0.0; var j = 0
+        while (j < u.length) { d += u(j) * ctr(j); j += 1 }
+        d
+      }
+      val table = Array.tabulate(cb.m, cb.k) { (mi, ki) =>
+        var d = 0.0; var j = 0
+        while (j < dsub) { d += u(mi * dsub + j) * cb.centroids(mi)(ki)(j); j += 1 }
+        d
+      }
+      (qid, cellDots, table)
+    }
+    val bc = s.sparkContext.broadcast(tables)
+    val scored = codes.as[(Long, Seq[Int], Int)].mapPartitions { it =>
+      val ts = bc.value
+      it.flatMap { case (id, cs, cell) =>
+        ts.iterator.filter(t => !excludeSelf || t._1 != id)
+          .map { case (qid, cellDots, table) =>
+            var sc = cellDots(cell); var mi = 0
+            while (mi < table.length) { sc += table(mi)(cs(mi)); mi += 1 }
+            (qid, id, sc)
+          }
+      }
+    }.toDF("query_id", "vec_id", "ascore")
+    rerankExact(emb, scored, queries, k, rerank)
+  }
+
+  /** Bounded per-query top-`rerank` over the ADC scores, then the exact
+    * float re-rank of the survivors only — the shared tail of both ADC
+    * paths (q28's two-phase discipline). */
+  private def rerankExact(emb: DataFrame, scored: DataFrame,
+                          queries: Array[(Long, Array[Double])],
+                          k: Int, rerank: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val cand = TopKPerGroup.topKPerKey(scored, "query_id", "ascore", "vec_id", rerank)
       .select(col("key").as("query_id"), col("id").as("cand_id"))
-    // exact float re-rank of the survivors only
     val qdf = queries.map { case (qid, qv) =>
       (qid, qv.map(_.toFloat).toSeq) }.toSeq.toDF("query_id", "qe")
     emb.join(broadcast(cand), col("vec_id") === col("cand_id"))
@@ -177,19 +255,37 @@ object ProductQuantization {
     * and cell centroids persist next to the data, so any later reader
     * probes without refitting. The float source-of-truth store stays
     * wherever it lives (the embeddings table) and is touched only for
-    * the re-rank survivors. */
+    * the re-rank survivors.
+    *
+    * Codes are RESIDUAL-encoded (x − centroid(cell), the standard FAISS
+    * IVF,PQ composition): within a cell the residual spread is far
+    * smaller than the raw vector spread, so the same 8 bytes quantize
+    * much finer. Measured on the weakly-clustered 2k-vector corpus
+    * (sf0.1, nlist=16): residual codes reach recall@10 =
+    * 0.54 / 0.86 / 0.96 at 2.5% / 10% / 50% re-rank with nprobe=8
+    * (reading HALF the cells) and 0.56 / 0.90 / 1.00 probing all cells,
+    * vs 0.42 / 0.78 / 1.00 for raw-vector codes with no cell loss at
+    * all (the round-7 flat grid) — better recall at every budget while
+    * also paying the IVF prune. The probe-side score adds one
+    * q·centroid(cell) term per (query, probed cell): nlist scalars per
+    * query next to the M×K table. */
   def writeCellBucketedPq(emb: DataFrame, dst: String, nlist: Int = 64,
                           m: Int = 8, k: Int = 16): Codebook = {
     val s = emb.sparkSession
     import s.implicits._
-    // ONE bounded sample seeds BOTH models (per-subspace codebooks and
-    // the IVF cell centers), and ONE narrow pass emits (vec_id, codes,
-    // cell) holding both broadcasts — no second corpus scan, no join:
-    // a codes ⋈ cell co-partitioning join would shuffle the whole
-    // corpus at scale for data that one map already has in hand.
+    // ONE bounded sample seeds BOTH models (the IVF cell centers, then
+    // per-subspace codebooks over the sample's RESIDUALS), and ONE
+    // narrow pass emits (vec_id, codes, cell) holding both broadcasts —
+    // no second corpus scan, no join: a codes ⋈ cell co-partitioning
+    // join would shuffle the whole corpus at scale for data that one
+    // map already has in hand.
     val sample = AnnTuner.sampleUnit(emb)
-    val cb = trainFromSample(sample, m, k)
     val cellCenters = AnnTuner.kmeansCenters(sample, nlist)
+    val residuals = sample.map { v =>
+      val ctr = cellCenters(nearestCellOf(cellCenters, v))
+      Array.tabulate(v.length)(j => v(j) - ctr(j))
+    }
+    val cb = trainFromSample(residuals, m, k)
     val bcCb = s.sparkContext.broadcast(cb)
     val bcCells = s.sparkContext.broadcast(cellCenters)
     Par.widen(emb).select(col("vec_id"), col("embedding"))
@@ -198,15 +294,13 @@ object ProductQuantization {
         val c = bcCb.value
         val cells = bcCells.value
         it.map { case (id, arr) =>
-          val (v, codes) = encodeVec(c, arr)
-          var cell = 0; var cbd = Double.MaxValue; var ci = 0
-          while (ci < cells.length) {
-            var d = 0.0; var j = 0
-            while (j < c.dim) { val t = v(j) - cells(ci)(j); d += t * t; j += 1 }
-            if (d < cbd) { cbd = d; cell = ci }
-            ci += 1
-          }
-          (id, codes.toSeq, cell)
+          val v = unitVec(arr, c.dim)
+          val cell = nearestCellOf(cells, v)
+          val ctr = cells(cell)
+          val r = new Array[Double](c.dim)
+          var j = 0
+          while (j < c.dim) { r(j) = v(j) - ctr(j); j += 1 }
+          (id, codesFor(c, r).toSeq, cell)
         }
       }
       .toDF("vec_id", "codes", "cell")
@@ -263,8 +357,15 @@ object ProductQuantization {
       .distinct.map(Int.box)
     val codes = s.read.parquet(dst)
       .filter(col("cell").isin(cells.toSeq: _*))
-      .select(col("vec_id"), col("codes"))
-    adcTopK(embSource, codes, cb, queries, k, rerank, excludeSelf)
+      .select(col("vec_id"), col("codes"), col("cell"))
+    // dense center array indexed by cell id — the residual score needs
+    // the probed row's cell term
+    val denseCenters = {
+      val arr = new Array[Array[Double]](centers.map(_._1).max + 1)
+      centers.foreach { case (i, ctr) => arr(i) = ctr.toArray }
+      arr
+    }
+    adcTopKCells(embSource, codes, cb, denseCenters, queries, k, rerank, excludeSelf)
   }
 
   /** q64: PQ-compressed ANN — train, encode, ADC-probe, re-rank; the

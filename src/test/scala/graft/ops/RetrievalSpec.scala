@@ -311,7 +311,9 @@ class RetrievalSpec extends SparkSpec {
     val recall = exact.keys.toSeq.map { q =>
       (out.getOrElse(q, Set.empty[Long]) & exact(q)).size.toDouble / exact(q).size
     }.sum / exact.size
-    assert(recall >= 0.5, f"IVF,PQ recall@10 = $recall%.2f below the 0.5 bar")
+    // residual encoding (round 8) lifted this config from 0.74 raw to
+    // 0.94 measured — the bar sits at 0.85 to leave seed-stability slack
+    assert(recall >= 0.85, f"IVF,PQ recall@10 = $recall%.2f below the 0.85 bar")
     // the persisted codebook round-trips (any later reader probes
     // without refitting)
     val cb = ProductQuantization.readCodebook(spark, dst)
