@@ -102,6 +102,8 @@ object SparkEntry {
     // and determinism are spec-pinned (RetrievalSpec)
     "q64_pq_ann"           -> ((s: SparkSession, dir: String) =>
       graft.ops.ProductQuantization.q64PqAnn(s, dir)),
+    "q65_bpe_tokens"       -> ((s: SparkSession, dir: String) =>
+      graft.ops.Bpe.q65BpeTokens(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -431,5 +433,6 @@ object SparkEntry {
     "q61_source_quota" -> ExtensionOracles.q61SourceQuota,
     "q62_weighted_sample" -> ExtensionOracles.q62WeightedSample,
     "q63_snapshot_diff" -> ExtensionOracles.q63SnapshotDiff,
+    "q65_bpe_tokens" -> ExtensionOracles.q65BpeTokens,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -60,12 +60,19 @@ object Selection {
     tokenBudget(Tables.documents(s, dir), budget)
 
   /** The reusable core over any (doc_id, text) frame — also the 100×
-    * soak entry point. */
-  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    * soak entry point. `counter` is the per-document token metric the
+    * budget counts — whitespace tokens by default (the q49 oracle
+    * convention), or `Bpe.bpeCount(col("text"), merges)` to budget
+    * trainer-true subword tokens (BpeSpec shows the cut moves: BPE
+    * counts punctuation/code-heavy docs 2-4× higher, so they exhaust
+    * the budget sooner). The prefix machinery is counter-agnostic —
+    * any deterministic integer column works. */
+  def tokenBudget(docs: DataFrame, budget: Long,
+                  counter: Column = TextAnalysis.tokenCount(col("text"))): DataFrame = {
     val s = docs.sparkSession
     val d = Par.widen(docs)
       .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        counter.as("n_tokens"),
         priority().as("priority"))
     val Array(minId, maxId) = d.agg(min(col("doc_id")), max(col("doc_id")))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray

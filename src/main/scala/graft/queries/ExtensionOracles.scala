@@ -921,4 +921,54 @@ object ExtensionOracles {
       |  md5_a, md5_b
       |FROM j
       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q65: trainer-true BPE token counts, REPLAYED from the
+    * merge table the query persists (merges are data, not code — the
+    * oracle applies the exact same greedy rules). Encoding: a word's
+    * symbol list is a string with every symbol wrapped in chr(31)
+    * markers (`␟sym␟␟sym␟…`), so a merge of (l, r) is a plain
+    * left-to-right `replace` of `␟l␟␟r␟` with `␟lr␟` — string replace
+    * continues scanning AFTER each replacement, which is exactly the
+    * engine's non-overlapping merge pass, and the full wrapping means a
+    * pattern can never straddle a symbol boundary (assumes corpus words
+    * never contain the \\x1F control char — they are \\S+ tokens of
+    * generated prose). Each recursive step applies the LOWEST-rank
+    * applicable merge (ORDER BY rank LIMIT 1 — the engine's pick);
+    * words stop recursing when nothing applies; the surviving symbol
+    * count is half the marker count. Distinct words replay once, then
+    * join back to per-doc occurrences; documents with no words keep a
+    * COALESCE'd zero (the q51 LEFT JOIN lesson). */
+  val q65BpeTokens: String =
+    s"""WITH RECURSIVE
+      |m AS (SELECT "rank" AS mrank,
+      |    chr(31)||l||chr(31)||chr(31)||r||chr(31) AS pat,
+      |    chr(31)||l||r||chr(31) AS rep
+      |  FROM read_parquet('${graft.ops.Bpe.MergesPath}/*.parquet')),
+      |docword AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+      |  FROM documents),
+      |w AS (SELECT DISTINCT word FROM docword),
+      |steps AS (
+      |  SELECT word,
+      |    chr(31)||array_to_string(regexp_extract_all(word, '.'),
+      |      chr(31)||chr(31))||chr(31) AS s
+      |  FROM w
+      |  UNION ALL
+      |  SELECT word, replace(s,
+      |      (SELECT pat FROM m WHERE contains(st.s, pat) ORDER BY mrank LIMIT 1),
+      |      (SELECT rep FROM m WHERE contains(st.s, pat) ORDER BY mrank LIMIT 1)) AS s
+      |  FROM steps st
+      |  WHERE EXISTS (SELECT 1 FROM m WHERE contains(st.s, pat))),
+      |wc AS (SELECT word,
+      |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n
+      |  FROM steps st
+      |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(st.s, pat))),
+      |b AS (SELECT doc_id, SUM(wc.n) AS n
+      |  FROM docword JOIN wc USING (word) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_bpe_tokens
+      |FROM documents d
+      |LEFT JOIN b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }
