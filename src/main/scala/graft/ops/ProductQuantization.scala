@@ -368,6 +368,49 @@ object ProductQuantization {
     adcTopKCells(embSource, codes, cb, denseCenters, queries, k, rerank, excludeSelf)
   }
 
+  /** Incremental append to a [[writeCellBucketedPq]] layout — the same
+    * daily-ingest contract as [[Similarity.appendToCellLayout]]: new
+    * vectors are residual-encoded against the PERSISTED centers and
+    * codebook (no refit — an appended vector gets byte-identical codes
+    * to what a full rewrite with the same models would give it) and
+    * appended as new part files under their cells' dirs only; sidecars
+    * are untouched, so concurrent probes keep working. The occupancy
+    * ratio in the report is the refit signal (quantizer drift). */
+  def appendToCellLayoutPq(newEmb: DataFrame, dst: String,
+                           refitAt: Double = 4.0): Similarity.AnnAppendReport = {
+    val s = newEmb.sparkSession
+    import s.implicits._
+    val cb = readCodebook(s, dst)
+    val centers = s.read.parquet(dst + "_centroids")
+      .select(col("cell"), col("centroid")).as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val bcCb = s.sparkContext.broadcast(cb)
+    val bcCells = s.sparkContext.broadcast(centers)
+    val assigned = Par.widen(newEmb).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val c = bcCb.value
+        val cells = bcCells.value
+        it.map { case (id, arr) =>
+          val v = unitVec(arr, c.dim)
+          val cell = nearestCellOf(cells, v)
+          val ctr = cells(cell)
+          val r = new Array[Double](c.dim)
+          var j = 0
+          while (j < c.dim) { r(j) = v(j) - ctr(j); j += 1 }
+          (id, codesFor(c, r).toSeq, cell)
+        }
+      }
+      .toDF("vec_id", "codes", "cell")
+      .localCheckpoint()
+    assigned
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("cell")
+      .parquet(dst)
+    Similarity.report(s, dst, assigned, centers.length, refitAt)
+  }
+
   /** q64: PQ-compressed ANN — train, encode, ADC-probe, re-rank; the
     * q28/q29 query convention (queries = vec_id < 5, top-10).
     *

@@ -630,4 +630,84 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cos"))
   }
+
+  /** What an incremental layout append did, plus the refit signal: the
+    * max/mean cell occupancy AFTER the append (mean over ALL quantizer
+    * cells, empties included). A ratio near 1 means the frozen
+    * quantizer still balances the data; past `refitAt` the incoming
+    * distribution has drifted — new vectors are piling into few cells,
+    * probes of those cells degrade toward scans — and a refit (full
+    * rewrite) is recommended. */
+  final case class AnnAppendReport(appended: Long, touchedCells: Array[Int],
+                                   maxOccupancyRatio: Double,
+                                   refitRecommended: Boolean)
+
+  /** Incremental append to a [[writeCellBucketed]] layout — the
+    * daily-ingest path that does NOT rewrite the corpus: new vectors
+    * are assigned to the EXISTING persisted centers (broadcast, one
+    * narrow pass — the exact nearest-center metric the original fit
+    * used, so an appended vector lands where a full rewrite with the
+    * same centers would put it) and written with SaveMode.Append,
+    * which only adds part files under the touched cells' dirs; every
+    * other dir keeps its exact file set (OpsSpec asserts both). The
+    * codebook/centroid sidecars are untouched, so existing readers keep
+    * probing mid-append.
+    *
+    * At 100 TB: append cost is one narrow pass + one partitioned write
+    * over the NEW data only — corpus-size-independent. The trade is
+    * quantizer staleness, surfaced by the report's occupancy ratio
+    * rather than silently degrading probes. */
+  def appendToCellLayout(newEmb: DataFrame, dst: String,
+                         refitAt: Double = 4.0): AnnAppendReport = {
+    val s = newEmb.sparkSession
+    import s.implicits._
+    val centers = s.read.parquet(dst + "_centroids")
+      .select(col("cell"), col("centroid")).as[(Int, Array[Double])].collect()
+      .sortBy(_._1).map(_._2)
+    val int8 = !s.read.parquet(dst).columns.contains("embedding")
+    val bc = s.sparkContext.broadcast(centers)
+    val assigned0 = widen(newEmb).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cells = bc.value
+        it.map { case (id, arr) =>
+          val v = arr.map(_.toDouble)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          val u = if (n == 0) v else v.map(_ / n)
+          var cell = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < cells.length) {
+            val ctr = cells(ci)
+            var d = 0.0; var j = 0
+            while (j < u.length) { val t = u(j) - ctr(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; cell = ci }
+            ci += 1
+          }
+          (id, arr.toSeq, cell)
+        }
+      }
+      .toDF("vec_id", "embedding", "cell")
+    val assigned = (if (int8) Quantize.quantized(assigned0).drop("embedding")
+                    else assigned0).localCheckpoint()
+    assigned
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("cell")
+      .parquet(dst)
+    report(s, dst, assigned, centers.length, refitAt)
+  }
+
+  /** Shared occupancy/report tail for the append paths. */
+  private[ops] def report(s: SparkSession, dst: String, assigned: DataFrame,
+                          nlist: Int, refitAt: Double): AnnAppendReport = {
+    import s.implicits._
+    val touched = assigned.select(col("cell")).distinct()
+      .as[Int].collect().sorted
+    val appended = assigned.count()
+    val counts = s.read.parquet(dst).groupBy(col("cell")).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("total"))
+      .collect()(0)
+    val ratio = counts.getLong(0).toDouble /
+      (counts.getLong(1).toDouble / nlist.toDouble)
+    AnnAppendReport(appended, touched, ratio, ratio >= refitAt)
+  }
 }

@@ -314,6 +314,84 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, f"cell-bucketed IVF recall $recall%.2f < 0.6 vs brute force")
   }
 
+  test("cell-layout append: frozen-center assignment, untouched dirs keep their files, recall holds") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val dst = java.nio.file.Files.createTempDirectory("graft-append")
+      .toFile.getAbsolutePath + "/emb"
+    Similarity.writeCellBucketed(first, dst, nlist = 16)
+
+    def filesPerCell: Map[String, Set[String]] =
+      new java.io.File(dst).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = filesPerCell
+    val report = Similarity.appendToCellLayout(rest, dst)
+
+    // every appended row landed; ids are the union of both halves
+    assert(report.appended == rest.count())
+    assert(spark.read.parquet(dst).count() == emb.count())
+    // dirs of untouched cells kept their EXACT file sets — the append
+    // wrote only under its own cells
+    val after = filesPerCell
+    val touched = report.touchedCells.map(c => s"cell=$c").toSet
+    for ((d, fs) <- before if !touched.contains(d))
+      assert(after(d) == fs, s"untouched dir $d changed: $fs -> ${after(d)}")
+    for (d <- touched if before.contains(d))
+      assert(after(d).size > before(d).size, s"touched dir $d gained no file")
+
+    // frozen-center contract: an appended vector's cell equals the
+    // driver-side nearest persisted center (what a rewrite with the
+    // same centers would assign)
+    import spark.implicits._
+    val centers = spark.read.parquet(dst + "_centroids")
+      .select(col("cell"), col("centroid")).as[(Int, Array[Double])].collect()
+    val got = spark.read.parquet(dst)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    val sampleIds = rest.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().take(50)
+    for ((id, arr) <- sampleIds) {
+      val v = arr.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = if (n == 0) v else v.map(_ / n)
+      val expect = centers.minBy { case (_, ctr) =>
+        ctr.zip(u).map { case (a, b) => (a - b) * (a - b) }.sum
+      }._1
+      assert(got(id) == expect, s"vec $id: appended cell ${got(id)} != nearest $expect")
+    }
+
+    // the appended layout probes as well as a from-scratch rewrite of
+    // the full corpus (different centers — the fit saw half vs all — so
+    // equality is recall-level, not row-level)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val bf = Similarity.q28BruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(path: String): Double = {
+      val got = Similarity.bucketedIvfTopK(spark, path, queries).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val full = java.nio.file.Files.createTempDirectory("graft-append-full")
+      .toFile.getAbsolutePath + "/emb"
+    Similarity.writeCellBucketed(emb, full, nlist = 16)
+    val (ra, rf) = (recallOf(dst), recallOf(full))
+    assert(ra >= rf - 0.1 && ra >= 0.6,
+      f"appended-layout recall $ra%.2f vs full rewrite $rf%.2f")
+
+    // occupancy ratio is sane on balanced data; a skew-bombed append
+    // trips the refit trigger
+    assert(report.maxOccupancyRatio >= 1.0 && !report.refitRecommended,
+      s"balanced append misreported: $report")
+    val bomb = emb.limit(1).select(col("embedding")).crossJoin(
+        spark.range(300).select((col("id") + 100000L).as("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    val bombed = Similarity.appendToCellLayout(bomb, dst)
+    assert(bombed.touchedCells.length == 1 && bombed.refitRecommended,
+      s"300 copies of one vector must pile into one cell and trip refit: $bombed")
+  }
+
   test("int8 cell-bucketed layout: no float column stored, probe recall holds") {
     val dst = java.nio.file.Files.createTempDirectory("graft-cell8")
       .toFile.getAbsolutePath + "/emb"

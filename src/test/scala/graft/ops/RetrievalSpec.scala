@@ -320,6 +320,47 @@ class RetrievalSpec extends SparkSpec {
     assert(cb.m == 8 && cb.k == 16)
   }
 
+  test("ivf,pq append: frozen codebook/centers, only touched dirs gain files, recall holds") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivfpq-append")
+      .toString + "/layout"
+    ProductQuantization.writeCellBucketedPq(first, dst, nlist = 16)
+    val sidecarBefore = spark.read.parquet(dst + "_codebook").collect().toSet
+
+    def filesPerCell: Map[String, Set[String]] =
+      new java.io.File(dst).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = filesPerCell
+    val report = ProductQuantization.appendToCellLayoutPq(rest, dst)
+    val after = filesPerCell
+    val touched = report.touchedCells.map(c => s"cell=$c").toSet
+    for ((d, fs) <- before if !touched.contains(d))
+      assert(after(d) == fs, s"untouched dir $d changed")
+    assert(spark.read.parquet(dst).count() == emb.count())
+    // sidecars untouched: readers mid-append keep a consistent model
+    assert(spark.read.parquet(dst + "_codebook").collect().toSet == sidecarBefore)
+
+    // probes over the appended layout hold the recall bar on the FULL
+    // corpus (centers/codebook trained on half — the append trade)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val out = ProductQuantization.bucketedPqTopK(spark, dst, emb, queries,
+        nprobe = 8, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.SparkEntry.queries("q28_ann_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      (out.getOrElse(q, Set.empty[Long]) & exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.75, f"appended IVF,PQ recall@10 = $recall%.2f below 0.75")
+  }
+
   test("source quota: equals the window formulation; quota binds per source") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
