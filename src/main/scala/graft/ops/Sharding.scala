@@ -44,23 +44,83 @@ object Sharding {
   }
 
   /** The end-to-end materialization: run the q57 decision cascade over
-    * the corpus, epoch-shuffle the keepers, write them as shards.
+    * the corpus, epoch-shuffle the keepers, write them as shards —
+    * one permutation PER EPOCH under `dst/epoch=E/shard_id=N/` (q56
+    * keys on (epoch, doc_id), so epoch orders are decorrelated by
+    * construction), plus a `dst/_manifest` parquet with per-(epoch,
+    * shard) row counts and content digests. The manifest is what a
+    * trainer resumes against: it can verify any shard it is about to
+    * stream without trusting the writer ([[validateManifest]] is that
+    * check), and a partial/corrupted materialization is detectable
+    * instead of silently truncating an epoch.
     * Returns the verdict frame (what a run would log/audit). */
   def materializeTrainingSet(s: SparkSession, dir: String, dst: String,
-                             budget: Long = 8000L, epoch: Int = 1,
+                             budget: Long = 8000L, nEpochs: Int = 1,
                              docsPerShard: Long = 64L): DataFrame = {
     val verdicts = Pipeline.q57PipelineDecision(s, dir, budget)
       .localCheckpoint() // consumed twice (keep join + returned audit)
-    // kept feeds THREE consumers (the shuffle's bucket totals action,
-    // the assignment lineage inside the write, and the write's docs
-    // side) — pin it, or each re-runs the documents ⋈ verdicts join
-    // (the q57 lineage-re-evaluation lesson)
+    // kept feeds THREE consumers PER EPOCH (the shuffle's bucket totals
+    // action, the assignment lineage inside the write, and the write's
+    // docs side) — pin it, or each re-runs the documents ⋈ verdicts
+    // join (the q57 lineage-re-evaluation lesson)
     val kept = Tables.documents(s, dir)
       .join(verdicts.filter(col("selected")).select("doc_id"), "doc_id")
       .localCheckpoint()
-    val assignment = Selection.epochShuffle(kept.select(col("doc_id")),
-      epoch, docsPerShard)
-    writeShards(kept, assignment, dst)
+    (1 to nEpochs)
+      .map { e =>
+        val assignment = Selection.epochShuffle(kept.select(col("doc_id")),
+          e, docsPerShard)
+        writeShards(kept, assignment, s"$dst/epoch=$e")
+        // digest FROM THE WRITTEN FILES — the manifest certifies what a
+        // trainer will actually read, not what the writer intended
+        shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
+      }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/_manifest")
     verdicts
+  }
+
+  /** Per-shard row count + content digest of one epoch dir, computed
+    * from the files: content_md5 = md5 over the position-ordered
+    * per-row text digests (bounded per shard by docsPerShard — the
+    * collect_list never exceeds one shard). */
+  def shardManifest(s: SparkSession, epochDir: String): DataFrame =
+    s.read.parquet(epochDir)
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos_in_shard").as("p"),
+              md5(col("text")).as("h")))),
+            x => x.getField("h")),
+          ",")).as("content_md5"))
+
+  /** Re-derive every epoch's manifest from the files on disk and diff
+    * it against the stored `_manifest`: returns the mismatching
+    * (epoch, shard_id) rows — missing shards, extra shards, row-count
+    * or content drift. Empty result = the materialization is exactly
+    * what the manifest promises. */
+  def validateManifest(s: SparkSession, dst: String): DataFrame = {
+    import s.implicits._
+    val stored = s.read.parquet(s"$dst/_manifest")
+      .select(col("epoch").as("s_epoch"), col("shard_id").as("s_shard"),
+        col("n_rows").as("s_rows"), col("content_md5").as("s_md5"))
+    val epochs = stored.select(col("s_epoch")).distinct().as[Int].collect().sorted
+    val actual = epochs
+      .map(e => shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e)))
+      .reduce(_ unionByName _)
+    stored
+      .join(actual,
+        col("s_epoch") === col("epoch") && col("s_shard") === col("shard_id"),
+        "full_outer")
+      .filter(col("s_rows").isNull || col("n_rows").isNull ||
+        col("s_rows") =!= col("n_rows") || col("s_md5") =!= col("content_md5"))
+      .select(
+        coalesce(col("s_epoch"), col("epoch")).as("epoch"),
+        coalesce(col("s_shard"), col("shard_id")).as("shard_id"),
+        col("s_rows").as("manifest_rows"), col("n_rows").as("file_rows"),
+        col("s_md5").as("manifest_md5"), col("content_md5").as("file_md5"))
   }
 }

@@ -225,9 +225,10 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("shard writer: files hold exactly the keepers, in exact permutation order") {
-    val dst = java.nio.file.Files.createTempDirectory("graft-shards").toString
-    val verdicts = Sharding.materializeTrainingSet(spark, dir, dst,
-      budget = 5000L, epoch = 1, docsPerShard = 16L)
+    val base = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val verdicts = Sharding.materializeTrainingSet(spark, dir, base,
+      budget = 5000L, nEpochs = 1, docsPerShard = 16L)
+    val dst = s"$base/epoch=1"
     val keptIds = verdicts.collect()
       .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     assert(keptIds.nonEmpty)
@@ -255,6 +256,52 @@ class RetrievalSpec extends SparkSpec {
     val sizes = shardDirs.map(d => d.getName.stripPrefix("shard_id=").toLong ->
       byShard(d.getName.stripPrefix("shard_id=").toLong).length).sortBy(_._1)
     assert(sizes.init.forall(_._2 == 16))
+  }
+
+  test("multi-epoch shards: decorrelated permutations, manifest certifies the files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-epochs").toString
+    val verdicts = Sharding.materializeTrainingSet(spark, dir, base,
+      budget = 5000L, nEpochs = 2, docsPerShard = 16L)
+    val keptIds = verdicts.collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+
+    // both epochs hold exactly the keeper set, in their own q56 orders
+    def epochOrder(e: Int): Seq[Long] = {
+      val dirs = new java.io.File(s"$base/epoch=$e").listFiles()
+        .filter(_.getName.startsWith("shard_id="))
+        .sortBy(_.getName.stripPrefix("shard_id=").toLong)
+      dirs.flatMap(d => spark.read.parquet(d.toString)
+        .select("doc_id").collect().map(_.getLong(0))).toSeq
+    }
+    val (o1, o2) = (epochOrder(1), epochOrder(2))
+    assert(o1.toSet == keptIds && o2.toSet == keptIds)
+    assert(o1 != o2, "epoch permutations identical")
+    // decorrelated, not merely unequal: few docs keep their position
+    // (the q56 epoch-key property, read back from the FILES)
+    val samePos = o1.zip(o2).count { case (a, b) => a == b }
+    assert(samePos.toDouble / o1.size < 0.2,
+      s"$samePos of ${o1.size} docs kept their position across epochs")
+    // each epoch's in-file order IS its q56 permutation
+    val expected1 = Selection.epochShuffle(
+        graft.Tables.documents(spark, dir)
+          .filter(col("doc_id").isin(keptIds.toSeq.map(Long.box): _*))
+          .select(col("doc_id")), epoch = 1, docsPerShard = 16L)
+      .orderBy(col("position")).collect().map(_.getLong(0)).toSeq
+    assert(o1 == expected1)
+
+    // the manifest matches the files exactly...
+    assert(Sharding.validateManifest(spark, base).isEmpty)
+    val manifest = spark.read.parquet(s"$base/_manifest")
+    assert(manifest.select(sum(col("n_rows"))).collect()(0).getLong(0)
+      == 2L * keptIds.size)
+    // ...and flags a lost shard with its (epoch, shard) coordinates
+    val victim = new java.io.File(s"$base/epoch=2").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).maxBy(_.getName)
+    victim.listFiles().foreach(_.delete()); victim.delete()
+    val bad = Sharding.validateManifest(spark, base).collect()
+    assert(bad.length == 1 && bad(0).getInt(0) == 2 &&
+      bad(0).get(1).toString == victim.getName.stripPrefix("shard_id="),
+      s"validator missed the lost shard: ${bad.toSeq}")
   }
 
   test("pq ann: deterministic codes, bounded size, useful recall of the exact top-10") {
