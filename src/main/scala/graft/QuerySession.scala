@@ -42,6 +42,9 @@ object QuerySession {
     *  - `minhash_pairs(d1, d2, jaccard)`  — MinHash+LSH candidates, exact-verified
     *  - `near_dup_pairs(d1, d2, cos)`     — banded-LSH embedding near-dups
     *  - `ann_neighbors(query_id, rank, neighbor_id, cos)` — multi-probe LSH top-10
+    *  - `bm25_scores(doc_id, n_tokens, n_hit_terms, score)` — q58 default query
+    *  - plus (materialized tier): `pq_neighbors`, `semantic_dedup_drops`,
+    *    `token_budget_cut`, `bpe_token_counts`
     */
   def registerPipelineViews(spark: SparkSession, sfDir: String): Unit =
     registerPipelineViews(spark, Tables.documents(spark, sfDir),
@@ -81,6 +84,13 @@ object QuerySession {
       .createOrReplaceTempView("source_quota_picks")
     graft.ops.Mixing.weightedSample(docs, 100)
       .createOrReplaceTempView("weighted_epoch_sample")
+    // scan-time BM25 against the q58 default query — lazy like the
+    // rest (the scorer's broadcasts materialize only when queried); a
+    // custom query string is a Scala-API call (Retrieval.bm25TopK) or a
+    // standing posting-list layout (writePostingsBucketed)
+    graft.ops.Retrieval.bm25TopK(docs,
+        Seq("spark", "vector", "merge", "window"), 20)
+      .createOrReplaceTempView("bm25_scores")
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training
@@ -100,6 +110,10 @@ object QuerySession {
       .createOrReplaceTempView("token_budget_cut")
     graft.ops.ProductQuantization.q64PqAnn(spark, sfDir)
       .createOrReplaceTempView("pq_neighbors")
+    // trains the BPE merge rules (bounded driver-side loop) — the
+    // trainer-true token counts next to the whitespace ones
+    graft.ops.Bpe.q65BpeTokens(spark, sfDir)
+      .createOrReplaceTempView("bpe_token_counts")
   }
 
   /** Everything: the cheap views plus the materialized ones. */

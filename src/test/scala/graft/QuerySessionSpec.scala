@@ -136,6 +136,25 @@ class QuerySessionSpec extends SparkSpec {
     val pqn = spark.sql(
       "SELECT count(*) FROM pq_neighbors WHERE rank <= 10").collect()(0).getLong(0)
     assert(pqn == 50L, s"PQ ANN view returned $pqn rows")
+
+    // round-8 views: BM25 retrieval parity with the Scala API, and
+    // trainer-true token counts joined against the whitespace ones
+    val sqlBm25 = spark.sql(
+      """SELECT b.doc_id, b.score FROM bm25_scores b
+        |JOIN documents d USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiBm25 = graft.ops.Retrieval.bm25TopK(
+        Tables.documents(spark, dir),
+        Seq("spark", "vector", "merge", "window"), 20)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlBm25 == apiBm25 && sqlBm25.nonEmpty)
+    val bpe = spark.sql(
+      """SELECT count(*) FROM bpe_token_counts
+        |WHERE n_bpe_tokens < n_ws_tokens""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(bpe == 0L, "BPE must never count fewer tokens than whitespace")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
