@@ -209,7 +209,13 @@ object Retrieval {
   }
 
   /** The pruned frames behind [[bucketedBm25TopK]], exposed so PlanSpec
-    * can assert pruning on exactly what the query consumes. */
+    * can assert pruning on exactly what the query consumes.
+    *
+    * The df and totals sidecars are APPEND-ONLY SEGMENT stores: the
+    * probe sums the segments it reads (≤ |query| × segments rows for
+    * df, segments rows for totals), so [[appendToPostings]] never has
+    * to rewrite a corpus-global aggregate — on a freshly-written layout
+    * there is one segment and the sums are identities. */
   private[graft] def probedPostings(s: SparkSession, dst: String,
                                     query: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
     val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
@@ -221,7 +227,57 @@ object Retrieval {
     val dfreq = s.read.parquet(dst + "_df")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .filter(col("term").isin(query: _*))
-      .select(col("term"), col("df"))
-    (tf, dfreq, s.read.parquet(dst + "_totals"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val totals = s.read.parquet(dst + "_totals")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_total")).as("n_total"))
+    (tf, dfreq, totals)
+  }
+
+  /** Incremental append to a [[writePostingsBucketed]] layout — the
+    * daily-ingest path for a standing index: the NEW documents'
+    * postings are tokenized, bucketed and appended as extra part files
+    * under their buckets' dirs (untouched buckets keep their exact file
+    * sets), and the df/totals deltas land as NEW SEGMENTS that probes
+    * sum at read time — nothing corpus-global is ever rewritten, so
+    * append cost is O(new documents) and concurrent probes never see a
+    * half-rewritten sidecar. `newDocs` must be NEW doc_ids (the index
+    * stores one posting row per (doc, term); re-appending an existing
+    * document would double-count it, same as any append-only store).
+    * Returns (appended posting rows, touched buckets). */
+  def appendToPostings(newDocs: DataFrame, dst: String): (Long, Array[Int]) = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
+    val d = Par.widen(newDocs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+      .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
+      .filter(size(col("l")) > 0)
+      .localCheckpoint() // feeds postings AND the totals delta
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
+      .localCheckpoint() // consumed by the write, the df delta, the report
+    postings
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("bucket")
+      .parquet(dst)
+    postings
+      .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(dst + "_df")
+    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals")
+    val touched = postings.select(col("bucket")).distinct()
+      .as[Int].collect().sorted
+    (postings.count(), touched)
   }
 }

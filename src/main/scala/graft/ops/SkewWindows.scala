@@ -118,6 +118,51 @@ object SkewWindows {
     lightOut.unionByName(heavyOut)
   }
 
+  /** q07's per-key running (cumulative) sum, hot-key-safe. `value` is
+    * cast to DECIMAL(28,6) before any accumulation, so chunk-local sums
+    * plus the chunk-prefix recombination are EXACTLY the single-window
+    * cumsum (decimal addition is associative; floats would drift under
+    * regrouping). `t` can be any monotone numeric order column (raw
+    * epoch-nanos are fine — chunk ids only need monotonicity in the
+    * window order). Output: (key, t, tie, running DECIMAL(38,6)). */
+  def runningSum(rows: DataFrame, key: String, t: String, tie: String,
+                 value: String, hotAt: Long = 1000000L,
+                 chunkTarget: Long = 65536L): DataFrame = {
+    val base = rows.select(col(key), col(t), col(tie),
+      col(value).cast("decimal(28,6)").as("__v"))
+    val stats = hotKeyStats(base, key, col(t), hotAt, chunkTarget)
+
+    val light = base.join(broadcast(stats.select(col("__hk"))),
+      col(key) === col("__hk"), "left_anti")
+    val w = Window.partitionBy(col(key)).orderBy(col(t), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lightOut = light
+      .withColumn("running", sum(col("__v")).over(w).cast("decimal(38,6)"))
+
+    val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
+      .withColumn("__chunk", expr(s"($t - __tmin) DIV __width"))
+    val cw = Window.partitionBy(col(key), col("__chunk"))
+      .orderBy(col(t), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = chunked.withColumn("__local", sum(col("__v")).over(cw))
+    val perChunk = chunked.groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
+      .agg(sum(col("__v")).as("__csum"))
+    val seqW = Window.partitionBy(col("__ck")).orderBy(col("__cc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = perChunk
+      .withColumn("__before", sum(col("__csum")).over(seqW))
+      .select(col("__ck"), col("__cc"), col("__before"))
+    val heavyOut = local
+      .join(withPrev, col(key) === col("__ck") && col("__chunk") === col("__cc"))
+      .withColumn("running",
+        (col("__local") + coalesce(col("__before"), lit(0).cast("decimal(28,6)")))
+          .cast("decimal(38,6)"))
+
+    lightOut.select(col(key), col(t), col(tie), col("running"))
+      .unionByName(
+        heavyOut.select(col(key), col(t), col(tie), col("running")))
+  }
+
   /** q16's as-of carry-forward, hot-key-safe, over a MERGED timeline
     * frame with columns (`key`, t_ms, kind, sort_key, ord_key,
     * ord_date, event_id) as built by `Relational.asOfOrders`: kind 0 =

@@ -121,19 +121,19 @@ object Relational {
     * integer DIV to millis keeps full precision (see Tables scaladoc). */
   private def tsMs: Column = expr("ts DIV 1000000")
 
-  /** Running (cumulative) sum per user over the event stream. The running
-    * aggregate uses an exact decimal accumulator so every prefix sum is
-    * order-of-association independent. */
-  def q07RunningSum(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("running_value",
-        sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
-      .select(col("user_id"), col("event_id"), col("running_value"))
+  /** Running (cumulative) sum per user over the event stream, hot-key
+    * routed like q14/q16 (`SkewWindows.runningSum`): light users take
+    * the one-window cumsum, a bot user's stream splits into time chunks
+    * recombined through a bounded chunk-prefix. The accumulator is an
+    * exact DECIMAL, so every prefix sum is order-of-association
+    * independent — the routed plan is bit-identical to the plain one
+    * (oracle hash unchanged, ScaleOpsSpec asserts equality on a bot). */
+  def q07RunningSum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewWindows.runningSum(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("event_id"),
+        col("running").cast("double").as("running_value"))
       .orderBy(col("user_id"), col("event_id"))
-  }
 
   /** ROLLUP aggregation: acctbal totals by region → nation → grand total. */
   def q08Rollup(s: SparkSession, dir: String): DataFrame = {

@@ -48,6 +48,35 @@ class RetrievalSpec extends SparkSpec {
     assert(sparkSide == terms.map(Retrieval.termBucket(_, 16)))
   }
 
+  test("bm25 index append: equals a scan of the unioned corpus; untouched buckets stable") {
+    val docs = graft.Tables.documents(spark, dir)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val dst = java.nio.file.Files.createTempDirectory("graft-postapp")
+      .toFile.getAbsolutePath + "/idx"
+    Retrieval.writePostingsBucketed(first, dst, nBuckets = 16)
+
+    def filesPerBucket: Map[String, Set[String]] =
+      new java.io.File(dst).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = filesPerBucket
+    val (appended, touched) = Retrieval.appendToPostings(rest, dst)
+    assert(appended > 0 && touched.nonEmpty)
+    val after = filesPerBucket
+    val touchedDirs = touched.map(b => s"bucket=$b").toSet
+    for ((d, fs) <- before if !touchedDirs.contains(d))
+      assert(after(d) == fs, s"untouched bucket dir $d changed")
+
+    // the appended index answers EXACTLY like a scan of the full corpus
+    // — df and totals reconcile across the segment sums
+    for (q <- Seq(Seq("spark", "vector", "merge", "window"), Seq("the"))) {
+      val scan = bm25TopK(docs, q, k = 20).collect().toSeq
+      val idx = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
+      assert(idx == scan, s"appended index != full scan for $q")
+    }
+  }
+
   test("bm25: more query-term mass at equal length ranks higher; idf favors rare terms") {
     import spark.implicits._
     // equal-length docs: d0 has the query term 4x, d1 once, d2 none

@@ -201,6 +201,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.exists { case (u, s, _) => u == 1L && s == 101L }) // the planted gaps
   }
 
+  test("hot-key routing: chunked running sum equals the plain window on a planted bot") {
+    import spark.implicits._
+    val rows =
+      (1 to 50000).map { i =>
+        (1L, i.toLong * 1000L, i.toLong, (i % 97).toDouble / 7.0)
+      } ++ (1 to 30).map { i =>
+        (2L, i.toLong * 5000L, 100000L + i, i.toDouble)
+      }
+    val events = rows.toDF("user_id", "ts", "event_id", "value")
+    val routed = SkewWindows.runningSum(events, "user_id", "ts", "event_id",
+      "value", hotAt = 1000L, chunkTarget = 512L)
+    assert(routed.queryExecution.executedPlan.toString.contains("__chunk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val plain = events.withColumn("running",
+      sum(col("value").cast("decimal(28,6)")).over(w).cast("decimal(38,6)"))
+    val r = routed.select(col("event_id"), col("running")).collect()
+      .map(x => (x.getLong(0), x.getDecimal(1))).toMap
+    val p = plain.select(col("event_id"), col("running")).collect()
+      .map(x => (x.getLong(0), x.getDecimal(1))).toMap
+    assert(r == p, "chunked running sums diverged from the single window")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (if (i % 100 == 0) 1L else i.toLong, s"v$i"))
