@@ -104,18 +104,20 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** Window top-k per group: 3 most expensive orders per customer.
-    * Partition key is c_custkey (high cardinality) so the window sort is
-    * distributed; ties broken by o_orderkey for determinism. */
-  def q06TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  /** Top-k per group: 3 most expensive orders per customer, via the
+    * bounded `top_k` TypedImperativeAggregate (map-side k-row heaps,
+    * ≤ k entries per key on the shuffle) instead of a row_number
+    * window — a window's partition sort buffers a hot key's ENTIRE
+    * order history in one task, the aggregate never holds more than k
+    * rows per key anywhere. Ties broken by o_orderkey (the aggregate's
+    * (score desc, id asc) order — ScaleOpsSpec asserts it equals the
+    * window formulation row-for-row). */
+  def q06TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopKPerGroup.topKPerKey(
+        Tables.orders(s, dir), "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .select(col("key").as("o_custkey"), col("id").as("o_orderkey"),
+        col("score").as("o_totalprice"), col("rank").as("rnk"))
       .orderBy(col("o_custkey"), col("rnk"))
-  }
 
   /** events.ts surfaces as epoch-nanos LongType (Tables.NanosAsLongKey);
     * integer DIV to millis keeps full precision (see Tables scaladoc). */
