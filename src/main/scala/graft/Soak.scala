@@ -149,6 +149,20 @@ object Soak {
       read.toDouble / total
     }
 
+    // incremental maintenance at volume: appending a 1% delta onto the
+    // standing layouts must cost O(delta), nowhere near the full-write
+    // numbers above — the central claim of the append paths
+    val deltaDocs = docs.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val postAppendSec = timedSec(
+      graft.ops.Retrieval.appendToPostings(deltaDocs, postDst))
+    val deltaEmb = emb.filter(pmod(col("vec_id"), lit(100L)) === 0L)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
+    val cellAppendSec = timedSec(
+      Similarity.appendToCellLayout(deltaEmb, cellDst))
+    val pqAppendSec = timedSec(
+      ProductQuantization.appendToCellLayoutPq(deltaEmb, pqDst))
+
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -180,7 +194,10 @@ object Soak {
       f""""write_pq_sec":$writePqSec%.2f,"pq_probe_sec":$pqProbeSec%.2f,""" +
       f""""pq_probe_rows":$pqRows,"write_postings_sec":$writePostSec%.2f,""" +
       f""""bm25_index_probe_sec":$postProbeSec%.2f,"bm25_index_rows":$postRows,""" +
-      f""""postings_dirs_read_frac":$postFrac%.2f}"""
+      f""""postings_dirs_read_frac":$postFrac%.2f,""" +
+      f""""append_postings_1pct_sec":$postAppendSec%.2f,""" +
+      f""""append_cell_1pct_sec":$cellAppendSec%.2f,""" +
+      f""""append_pq_1pct_sec":$pqAppendSec%.2f}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")
