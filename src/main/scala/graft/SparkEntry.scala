@@ -104,6 +104,8 @@ object SparkEntry {
       graft.ops.ProductQuantization.q64PqAnn(s, dir)),
     "q65_bpe_tokens"       -> ((s: SparkSession, dir: String) =>
       graft.ops.Bpe.q65BpeTokens(s, dir)),
+    "q66_bigram_logprob"   -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q66BigramLogprob(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,5 +436,6 @@ object SparkEntry {
     "q62_weighted_sample" -> ExtensionOracles.q62WeightedSample,
     "q63_snapshot_diff" -> ExtensionOracles.q63SnapshotDiff,
     "q65_bpe_tokens" -> ExtensionOracles.q65BpeTokens,
+    "q66_bigram_logprob" -> ExtensionOracles.q66BigramLogprob,
   )
 }

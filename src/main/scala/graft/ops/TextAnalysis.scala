@@ -292,6 +292,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q66: bigram language-model scoring — q48's unigram perplexity
+    * proxy upgraded one order: per document, the mean conditional
+    * log-probability ln(c(w1,w2)/c1(w1)) of its bigrams under the
+    * corpus's own bigram distribution, where c1(w1) counts bigram
+    * STARTS (so the conditional sums to 1 over w2 and no smoothing is
+    * needed when scoring the training corpus itself). Word salad with
+    * plausible unigrams but improbable transitions — the case q48
+    * cannot see — scores low here.
+    *
+    * Dataflow: bigrams are built IN-ROW (one sliding transform over the
+    * token array, no positional self-join), collapsed to (doc, w1, w2,
+    * k) partials, then TWO chained `SkewJoin.withKeyTotal` passes
+    * attach the pair total (keyed "w1 w2") and the start total (keyed
+    * w1) — both hot-key-safe: "of the" is a corpus-scale key and must
+    * never funnel through one window task. Determinism follows q48's
+    * rules exactly (per-pair ln rounded to 12 digits, DECIMAL(28,12)
+    * occurrence sums via k-weighting, literal ln(2)). */
+  def q66BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    bigramLogprob(Tables.documents(s, dir))
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val d = graft.ops.Par.widen(docs)
+    val bi = d
+      .select(col("doc_id"), tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("l")) - 1),
+        i => struct(element_at(col("l"), i).as("w1"),
+          element_at(col("l"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+      .withColumn("bkey", concat(col("w1"), lit(" "), col("w2")))
+    val scored = SkewJoin.withKeyTotal(
+        SkewJoin.withKeyTotal(bi, "bkey", "cb", weight = Some("k")),
+        "w1", "c1", weight = Some("k"))
+      .withColumn("lp",
+        round(log(col("cb").cast("double") / col("c1").cast("double")), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("lp") * col("k").cast("decimal(9,0)")).as("slp"))
+      .withColumn("avg_logprob",
+        round(col("slp").cast("double") / col("n_bigrams").cast("double"), 12))
+      .withColumn("bits_per_bigram",
+        round(-col("avg_logprob") / lit(ln2), 12))
+    // every document appears (the q51 lesson): zero-bigram docs carry
+    // zeros, mirrored by the oracle's LEFT JOIN + COALESCE
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"),
+        coalesce(col("bits_per_bigram"), lit(0.0)).as("bits_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q42: sequence packing — the training-data step that concatenates
     * documents (in doc_id order) into fixed-capacity token chunks and
     * records where each document lands: chunk id, offset within the

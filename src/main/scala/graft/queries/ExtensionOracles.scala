@@ -922,6 +922,33 @@ object ExtensionOracles {
       |FROM j
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q66: bigram LM scoring — conditional ln(c(w1,w2)/c1(w1))
+    * where c1 counts bigram STARTS (the conditional sums to 1, no
+    * smoothing needed on the training corpus itself). Per-occurrence
+    * decimal sums + 12-digit rounding + literal ln(2), per q48's rules;
+    * zero-bigram documents kept via LEFT JOIN + COALESCE (q51 lesson). */
+  val q66BigramLogprob: String =
+    s"""WITH $tokCte,
+       |bi AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM tok)),
+       |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY 1, 2),
+       |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+       |lp AS (SELECT bi.doc_id,
+       |    CAST(round(ln(CAST(b.cb AS DOUBLE) / CAST(u.c1 AS DOUBLE)), 12)
+       |         AS DECIMAL(28,12)) AS lp
+       |  FROM bi JOIN b USING (w1, w2) JOIN u USING (w1)),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 12) AS avg_logprob
+       |  FROM lp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(a.avg_logprob, 0.0) AS avg_logprob,
+       |  COALESCE(round(-a.avg_logprob / 0.6931471805599453, 12), 0.0)
+       |    AS bits_per_bigram
+       |FROM documents d
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors q65: trainer-true BPE token counts, REPLAYED from the
     * merge table the query persists (merges are data, not code — the
     * oracle applies the exact same greedy rules). Encoding: a word's

@@ -77,7 +77,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), "expected the tagged orders+events union")
   }
 
-  test("q41/q48/q53: per-key totals are hot-key-safe — no window keyed on the term/gram") {
+  test("q41/q48/q53/q66: per-key totals are hot-key-safe — no window keyed on the term/gram") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the document-frequency idiom must be SkewJoin.withKeyTotal (a
     // map-side-combined aggregate + heavy/light join-back), never
@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
     // the union of the branches; any surviving window is doc-keyed
     // (q41's rank); the tokenize subtree ran once inside the
     // checkpointed front end.
-    for (q <- Seq("q41_tfidf", "q48_unigram_logprob", "q53_crossdoc_repetition")) {
+    for (q <- Seq("q41_tfidf", "q48_unigram_logprob", "q53_crossdoc_repetition",
+                  "q66_bigram_logprob")) {
       val physical = graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.sparkPlan
       val windows = physical.collect { case w: WindowExec => w }
