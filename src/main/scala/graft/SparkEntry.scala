@@ -106,6 +106,8 @@ object SparkEntry {
       graft.ops.Bpe.q65BpeTokens(s, dir)),
     "q66_bigram_logprob"   -> ((s: SparkSession, dir: String) =>
       TextAnalysis.q66BigramLogprob(s, dir)),
+    "q67_data_card"        -> ((s: SparkSession, dir: String) =>
+      graft.ops.DataCard.q67DataCard(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -437,5 +439,6 @@ object SparkEntry {
     "q63_snapshot_diff" -> ExtensionOracles.q63SnapshotDiff,
     "q65_bpe_tokens" -> ExtensionOracles.q65BpeTokens,
     "q66_bigram_logprob" -> ExtensionOracles.q66BigramLogprob,
+    "q67_data_card" -> ExtensionOracles.q67DataCard,
   )
 }

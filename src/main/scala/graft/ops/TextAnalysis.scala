@@ -174,8 +174,11 @@ object TextAnalysis {
 
   /** The verdict projection alone (no sort): stateless narrow
     * expressions, so the SAME operator runs over a document STREAM
-    * (Streaming.qualityFilterStream) — parity spec-checked. */
-  def filterVerdicts(docs: DataFrame): DataFrame = {
+    * (Streaming.qualityFilterStream) — parity spec-checked.
+    * `passThrough` carries extra input columns (e.g. source/lang) into
+    * the output so consumers like q67's data card never re-join the
+    * corpus just to recover attributes the scan already had. */
+  def filterVerdicts(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val nTok = tokenCount(col("text"))
     val nChr = charCountNoWs(col("text"))
     docs
@@ -185,15 +188,14 @@ object TextAnalysis {
           transform(sequence(lit(1), size(col("l")) - 2),
             i => array_join(slice(col("l"), i, lit(3)), " ")))
           .otherwise(array().cast("array<string>")))
-      .select(
-        col("doc_id"),
+      .select((col("doc_id") +: passThrough.map(col)) ++ Seq(
         nTok.as("n_tokens"),
         (nChr.cast("double") / greatest(nTok.cast("double"), lit(1.0))).as("avg_token_len"),
         punctRatio(col("text")).as("punct_ratio"),
         when(size(col("g")) > 0,
           lit(1.0) - size(array_distinct(col("g"))).cast("double") /
             size(col("g")).cast("double"))
-          .otherwise(lit(0.0)).as("dup_frac"))
+          .otherwise(lit(0.0)).as("dup_frac")): _*)
       .withColumn("reason",
         when(col("n_tokens") < 20, "too_short")
           .when(col("n_tokens") > 100000, "too_long")

@@ -949,6 +949,70 @@ object ExtensionOracles {
        |LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors q67: the per-source data card. Reuses q39's verdict
+    * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
+    * for dup_rate, and computes the exact lower median as the
+    * (n+1)//2-th order statistic over the token-count histogram —
+    * integer rank arithmetic on both sides, rates as one IEEE division
+    * rounded to 12 digits. Top language ties break to the smallest
+    * lang code (ORDER BY c DESC, lang ≡ the engine's min over
+    * (-count, lang) structs). */
+  val q67DataCard: String =
+    s"""WITH $tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM pos),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+       |        FROM g GROUP BY doc_id),
+       |base AS (SELECT d.doc_id, d.source, d.lang,
+       |  md5(array_to_string(
+       |    regexp_extract_all(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), '\\S+')[1:8],
+       |    ' ')) AS gk,
+       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS nt,
+       |  CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS DOUBLE) /
+       |    greatest(CAST(len(regexp_extract_all(d.text, '\\S+')) AS DOUBLE), 1.0) AS avg_token_len,
+       |  CAST(length(regexp_replace(d.text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+       |    greatest(CAST(length(d.text) AS DOUBLE), 1.0) AS punct_ratio,
+       |  CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+       |       THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
+       |       ELSE 0.0 END AS dup_frac
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+       |keeps AS (SELECT *,
+       |  (CASE WHEN nt < 20 THEN 'too_short'
+       |        WHEN nt > 100000 THEN 'too_long'
+       |        WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'token_shape'
+       |        WHEN punct_ratio > 0.1 THEN 'punct'
+       |        WHEN dup_frac > 0.2 THEN 'repetitive'
+       |        ELSE 'keep' END) = 'keep' AS keep
+       |  FROM base),
+       |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_uniq,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM keeps GROUP BY source),
+       |lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM keeps GROUP BY source, lang),
+       |top AS (SELECT source, lang AS top_lang, c AS top_cnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+       |    FROM lc) WHERE rn = 1),
+       |hist AS (SELECT source, nt, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM keeps GROUP BY source, nt),
+       |rk AS (SELECT source, (CAST(SUM(c) AS BIGINT) + 1) // 2 AS k
+       |  FROM hist GROUP BY source),
+       |cum AS (SELECT source, nt, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY nt) AS cm FROM hist),
+       |med AS (SELECT cum.source, nt AS median_tokens
+       |  FROM cum JOIN rk USING (source) WHERE cm >= k AND cm - c < k)
+       |SELECT per.source, n_docs, n_langs, top_lang,
+       |  round(CAST(top_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE), 12) AS top_lang_share,
+       |  total_tokens, median_tokens,
+       |  round(1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 12) AS dup_rate,
+       |  round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 12) AS keep_rate
+       |FROM per JOIN top USING (source) JOIN med USING (source)
+       |ORDER BY source""".stripMargin
+
   /** Mirrors q65: trainer-true BPE token counts, REPLAYED from the
     * merge table the query persists (merges are data, not code — the
     * oracle applies the exact same greedy rules). Encoding: a word's

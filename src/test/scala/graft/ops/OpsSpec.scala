@@ -10,6 +10,36 @@ class OpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("data card: planted corpus — tie-break, lower median, dup and keep rates") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("t", 8)
+    val docs = Seq(
+      // source a: en/de tie on count → top_lang must break to "de";
+      // doc 2 and 4 share the 8-token prefix → one dup pair;
+      // token counts [5,10,15,18] → lower median (k=2) = 10; all short → keep_rate 0
+      (1L, words("a", 5), "en", "a"),
+      (2L, shared + " x y", "en", "a"),
+      (3L, words("b", 15), "de", "a"),
+      (4L, shared + " " + words("c", 10), "de", "a"),
+      // source b: one 30-token clean doc → keeps, median 30, no dups
+      (5L, (1 to 30).map(i => f"word$i%04d").mkString(" "), "fr", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = DataCard.dataCard(docs).collect()
+    assert(card.length == 2)
+    val a = card(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4 && a.getLong(2) == 2)
+    assert(a.getString(3) == "de", "top-lang tie must break to the smallest code")
+    assert(a.getDouble(4) == 0.5)
+    assert(a.getLong(5) == 48 && a.getLong(6) == 10)
+    assert(a.getDouble(7) == 0.25, "2 docs sharing the 8-token prefix = 3 uniq of 4")
+    assert(a.getDouble(8) == 0.0)
+    val b = card(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1 && b.getLong(6) == 30)
+    assert(b.getDouble(7) == 0.0 && b.getDouble(8) == 1.0)
+  }
+
   test("multimodal: mapPartitions decode stub preserves schema and values") {
     val meta = Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
     val rows = meta.collect()

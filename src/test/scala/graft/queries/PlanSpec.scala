@@ -393,6 +393,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q67: data card — the median window runs over the histogram, never raw docs") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val physical = graft.SparkEntry.queries("q67_data_card")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the median selection's cumulative window")
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"window over raw (unaggregated) rows — single-task group sort at scale:\n$w")
+    }
+  }
+
   test("q58: postings pre-pruned in-row before the explode; df broadcast; bounded top-k") {
     val p = plan("q58_bm25")
     assert(p.contains("TakeOrderedAndProject(limit=20"),
