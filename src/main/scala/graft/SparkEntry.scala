@@ -108,6 +108,8 @@ object SparkEntry {
       TextAnalysis.q66BigramLogprob(s, dir)),
     "q67_data_card"        -> ((s: SparkSession, dir: String) =>
       graft.ops.DataCard.q67DataCard(s, dir)),
+    "q68_quality_model"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.QualityModel.q68QualityModel(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -440,5 +442,6 @@ object SparkEntry {
     "q65_bpe_tokens" -> ExtensionOracles.q65BpeTokens,
     "q66_bigram_logprob" -> ExtensionOracles.q66BigramLogprob,
     "q67_data_card" -> ExtensionOracles.q67DataCard,
+    "q68_quality_model" -> ExtensionOracles.q68QualityModel,
   )
 }

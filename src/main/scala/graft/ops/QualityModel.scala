@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** q68: a LEARNED quality classifier — full-batch logistic regression
+  * that distills the q39 rule verdicts into a linear scorer over cheap
+  * per-doc signals (the standard pipeline move: distill an expensive
+  * labeler — rules today, an LLM judge in production — into a model
+  * applicable as one narrow projection at corpus scale).
+  *
+  * Training is DISTRIBUTED but deterministic, and — like q65's BPE
+  * merges — fully REPLAYABLE by the oracle: a fixed number of
+  * full-batch gradient steps, each ONE map-side-combined aggregate
+  * whose five gradient sums travel as DECIMAL(28,12) of per-row terms
+  * rounded to 12 digits. The sigmoid is rounded to 9 digits BEFORE it
+  * enters the gradient (exp() differs across libms by an ulp; at 9
+  * digits the round-boundary band is ~4e-7 per value, so both engines
+  * see the same p), and the weight update `round(w - g/n, 12)` is
+  * evaluated INSIDE Spark so both sides use their engine's own round
+  * — the exact pairing every other float query already relies on.
+  *
+  * Scale shape: the feature frame is one narrow projection of the
+  * corpus, cached once; each iteration's job aggregates it with
+  * map-side partials and returns five decimals to the driver —
+  * constant driver state, no per-row data ever collected. At 100 TB:
+  * 15 passes over a cached 5-double projection (persist it to a
+  * parquet scratch table first if memory-pressured); scoring is a
+  * stateless narrow map, streamable like q39's verdicts.
+  */
+object QualityModel {
+
+  val Iters = 15
+  val LearningRate = 4.0
+
+  def q68QualityModel(s: SparkSession, dir: String): DataFrame = {
+    val feats = features(Tables.documents(s, dir))
+    val w = trainLogistic(feats)
+    score(feats, w).orderBy(col("doc_id"))
+  }
+
+  /** Per-doc features from the ONE verdict definition (q39's
+    * `filterVerdicts`): x1 is the length margin nt/20 − 1 — centered at
+    * the rule threshold so the boundary sits near x1=0 and full-batch
+    * GD conditions well; x2..x4 are the remaining quality signals,
+    * already O(1). y distills the composed keep verdict. */
+  def features(docs: DataFrame): DataFrame =
+    TextAnalysis.filterVerdicts(Par.widen(docs))
+      .select(col("doc_id"),
+        (col("n_tokens").cast("double") / lit(20.0) - lit(1.0)).as("x1"),
+        (col("avg_token_len") / lit(10.0)).as("x2"),
+        col("punct_ratio").as("x3"),
+        col("dup_frac").as("x4"),
+        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  private def zOf(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  private def pOf(w: Array[Double]): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-zOf(w))), 9)
+
+  /** `iters` full-batch GD steps from zero weights. Each step is one
+    * aggregate job over the cached features; the update arithmetic
+    * (division, subtraction, 12-digit round) runs in a 1-row Spark
+    * select so its float semantics match every other oracle-paired
+    * query. */
+  def trainLogistic(feats: DataFrame, iters: Int = Iters,
+                    lr: Double = LearningRate): Array[Double] = {
+    val f = feats.cache()
+    val n = f.count().toDouble
+    var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+    for (_ <- 1 to iters) {
+      val p = pOf(w)
+      val grads = xs.zipWithIndex.map { case (x, j) =>
+        sum(round((p - col("y")) * x, 12).cast("decimal(28,12)")).as(s"g$j")
+      }
+      val updated = f.agg(grads.head, grads.tail: _*)
+        .select((0 until 5).map(j =>
+          round(lit(w(j)) - lit(lr) * (col(s"g$j").cast("double") / lit(n)), 12)
+            .as(s"w$j")): _*)
+        .collect()(0)
+      w = Array.tabulate(5)(updated.getDouble)
+    }
+    w
+  }
+
+  /** Stateless scoring projection: score, thresholded prediction, the
+    * rule label it distilled, and per-doc agreement. */
+  def score(feats: DataFrame, w: Array[Double]): DataFrame =
+    feats.select(col("doc_id"),
+        pOf(w).as("score"),
+        (pOf(w) >= lit(0.5)).as("predicted"),
+        (col("y") === lit(1.0)).as("label"))
+      .withColumn("correct", col("predicted") === col("label"))
+}

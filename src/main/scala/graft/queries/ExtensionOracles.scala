@@ -1013,6 +1013,74 @@ object ExtensionOracles {
        |FROM per JOIN top USING (source) JOIN med USING (source)
        |ORDER BY source""".stripMargin
 
+  /** Mirrors q68: the learned quality classifier, with TRAINING replayed
+    * exactly — 15 full-batch gradient steps as 15 generated CTEs (the
+    * fixed iteration count is data, like q65's merges), each one
+    * aggregate over the feature relation. Per-row gradient terms are
+    * rounded to 12 digits into DECIMAL(28,12) sums, the sigmoid to 9
+    * digits before use (libm exp ulp divergence), and the weight update
+    * round(w − 4·(g/n), 12) copies the engine's expression tree
+    * token-for-token, so every iteration's weights are bit-identical. */
+  val q68QualityModel: String = {
+    val z = "(i.w0 + i.w1*f.x1 + i.w2*f.x2 + i.w3*f.x3 + i.w4*f.x4)"
+    val gsum = (j: Int, x: String) =>
+      s"SUM(CAST(round((p - y) * $x, 12) AS DECIMAL(28,12))) AS g$j"
+    val iterCtes = (1 to 15).map { k =>
+      s"""it$k AS (SELECT
+         |  round(w0 - 4.0 * (CAST(g0 AS DOUBLE) / n), 12) AS w0,
+         |  round(w1 - 4.0 * (CAST(g1 AS DOUBLE) / n), 12) AS w1,
+         |  round(w2 - 4.0 * (CAST(g2 AS DOUBLE) / n), 12) AS w2,
+         |  round(w3 - 4.0 * (CAST(g3 AS DOUBLE) / n), 12) AS w3,
+         |  round(w4 - 4.0 * (CAST(g4 AS DOUBLE) / n), 12) AS w4
+         |FROM (SELECT w0, w1, w2, w3, w4, n,
+         |    ${gsum(0, "1.0")}, ${gsum(1, "x1")}, ${gsum(2, "x2")},
+         |    ${gsum(3, "x3")}, ${gsum(4, "x4")}
+         |  FROM (SELECT f.*, i.w0, i.w1, i.w2, i.w3, i.w4, nn.n,
+         |      round(1.0/(1.0 + exp(-$z)), 9) AS p
+         |    FROM feats f CROSS JOIN it${k - 1} i CROSS JOIN nn)
+         |  GROUP BY w0, w1, w2, w3, w4, n))""".stripMargin
+    }.mkString(",\n")
+    val zm = z.replace("i.w", "m.w")
+    s"""WITH $tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM pos),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+       |        FROM g GROUP BY doc_id),
+       |fb AS (SELECT d.doc_id,
+       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS nt,
+       |  CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS DOUBLE) /
+       |    greatest(CAST(len(regexp_extract_all(d.text, '\\S+')) AS DOUBLE), 1.0) AS atl,
+       |  CAST(length(regexp_replace(d.text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+       |    greatest(CAST(length(d.text) AS DOUBLE), 1.0) AS pr,
+       |  CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+       |       THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
+       |       ELSE 0.0 END AS dupf
+       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+       |feats AS (SELECT doc_id,
+       |  CAST(nt AS DOUBLE) / 20.0 - 1.0 AS x1, atl / 10.0 AS x2,
+       |  pr AS x3, dupf AS x4,
+       |  CASE WHEN (CASE WHEN nt < 20 THEN 'too_short'
+       |        WHEN nt > 100000 THEN 'too_long'
+       |        WHEN atl < 3.0 OR atl > 10.0 THEN 'token_shape'
+       |        WHEN pr > 0.1 THEN 'punct'
+       |        WHEN dupf > 0.2 THEN 'repetitive'
+       |        ELSE 'keep' END) = 'keep' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM fb),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+       |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |        CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+       |        CAST(0.0 AS DOUBLE) AS w4),
+       |$iterCtes,
+       |sc AS (SELECT f.doc_id, round(1.0/(1.0 + exp(-$zm)), 9) AS score, f.y
+       |  FROM feats f CROSS JOIN it15 m)
+       |SELECT doc_id, score, score >= 0.5 AS predicted, y = 1.0 AS label,
+       |  (score >= 0.5) = (y = 1.0) AS correct
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors q65: trainer-true BPE token counts, REPLAYED from the
     * merge table the query persists (merges are data, not code — the
     * oracle applies the exact same greedy rules). Encoding: a word's

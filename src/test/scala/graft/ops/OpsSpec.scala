@@ -40,6 +40,24 @@ class OpsSpec extends SparkSpec {
     assert(b.getDouble(7) == 0.0 && b.getDouble(8) == 1.0)
   }
 
+  test("quality model: learns beyond the majority class; weights partition-invariant") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = QualityModel.q68QualityModel(spark, dir).cache()
+    val n = out.count().toDouble
+    val acc = out.filter(col("correct")).count() / n
+    val majority = out.groupBy(col("label")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0) / n
+    assert(acc > majority,
+      s"accuracy $acc does not beat the trivial classifier $majority")
+    assert(acc >= 0.95, s"accuracy $acc below the 0.95 bar")
+    // determinism: the decimal gradient sums make the trained weights a
+    // pure function of the data, not of partitioning or task order
+    val feats = QualityModel.features(docs)
+    val w1 = QualityModel.trainLogistic(feats, iters = 3)
+    val w2 = QualityModel.trainLogistic(feats.repartition(7), iters = 3)
+    assert(w1.sameElements(w2), s"weights drift under repartition:\n${w1.toSeq}\n${w2.toSeq}")
+  }
+
   test("multimodal: mapPartitions decode stub preserves schema and values") {
     val meta = Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
     val rows = meta.collect()
