@@ -199,13 +199,13 @@ object Dedup {
     * the four disjoint slices of one digest are four independent 32-bit
     * hashes, and digest evaluation dominates the map side (measured ~2x
     * on the whole query). */
-  private def minhashAgg(j: Int): Column = {
+  private[ops] def minhashAgg(j: Int): Column = {
     val digest = if (j < 4) col("m1") else col("m2")
     min(substring(digest, 1 + 8 * (j % 4), 8)).as(s"h$j")
   }
 
   /** The two per-shingle digests feeding `minhashAgg`. */
-  private def withDigests(sh: DataFrame): DataFrame =
+  private[ops] def withDigests(sh: DataFrame): DataFrame =
     sh.withColumn("m1", md5(col("g")))
       .withColumn("m2", md5(concat(lit("#"), col("g"))))
 

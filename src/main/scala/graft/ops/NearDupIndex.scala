@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing MinHash-LSH near-dup index — the dedup-on-INGEST path.
+  * q26 finds near-dup pairs within one corpus scan; a 100 TB standing
+  * corpus cannot re-minhash itself for every arriving batch. This
+  * layout freezes the corpus's banded signatures ON DISK once, and a
+  * batch probe touches only the band buckets the batch's own
+  * signatures hash into — O(batch) work against an O(corpus) index,
+  * the same write-time-layout answer as the q29 signature buckets,
+  * the IVF cells and the q58 posting lists.
+  *
+  * Stores (all md5-derived, so write/probe/append agree bit-for-bit):
+  *   dst        — (band, bh, doc_id) partitioned by bucket(bh): the
+  *                LSH candidate join surface, pruned to the batch's
+  *                literal bucket set at probe time;
+  *   dst_docs   — (doc_id, gs) the doc's CAPPED shingle array,
+  *                partitioned by pmod(doc_id): fetched only for docs
+  *                that appear in a candidate pair (exact-Jaccard
+  *                verification never scans the corpus);
+  *   dst_sh_df  — (g, df) shingle document frequencies, partitioned by
+  *                the shingle's term bucket: APPEND-ONLY SEGMENTS that
+  *                probes sum for just the batch's shingles, so the
+  *                batch is capped against corpus+batch df with a
+  *                bucket-pruned read;
+  *   dst_meta   — (n_buckets, max_doc_freq).
+  *
+  * Semantics: q26's — candidates from 4×2 band collisions, then exact
+  * Jaccard ≥ threshold over capped shingle sets. The stop-shingle cap
+  * for a batch counts corpus df (summed segments) + within-batch df;
+  * corpus docs keep the arrays capped at THEIR index time — a shingle
+  * that crosses the cap only through later appends stays in older
+  * docs' arrays until a rewrite (same freshness contract as the IVF
+  * layout's frozen centroids; trigger a rewrite on drift, as
+  * `appendToCellLayout`'s occupancy refit does). With no cap crossing
+  * between write and probe, probe ≡ `minhashLshPairs` on the union
+  * restricted to batch-touching pairs (spec-asserted).
+  *
+  * Batch doc_ids must be disjoint from indexed ids (append-only store,
+  * as `appendToPostings`). Driver state is bounded: literal bucket
+  * sets (≤ n_buckets ints) — never rows.
+  */
+object NearDupIndex {
+
+  private val K = 8      // signature components
+  private val BandsN = 4 // bands of 2 components
+
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  private def docBucket(id: Column, n: Int): Column =
+    pmod(id, lit(n.toLong)).cast("int")
+
+  /** (doc_id, h0..h7) signatures from a capped shingle set. */
+  private def signatures(sh: DataFrame): DataFrame =
+    Dedup.withDigests(sh).groupBy(col("doc_id"))
+      .agg(Dedup.minhashAgg(0), (1 until K).map(Dedup.minhashAgg): _*)
+
+  /** One evaluation of `sig` exploded to (doc_id, band, bh) — q26's
+    * banding, kept identical so index candidates are q26 candidates. */
+  private def bandRows(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until BandsN).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Capped shingle sets for a batch, with the cap counting summed
+    * corpus df segments (bucket-pruned read) + within-batch df. Returns
+    * the capped per-doc arrays, pinned (they feed signatures AND
+    * verification). */
+  private def cappedBatchSets(s: SparkSession, dst: String,
+                              raw: DataFrame, nBuckets: Int,
+                              maxDocFreq: Long): DataFrame = {
+    val dfBatch = raw.groupBy(col("g")).agg(count(lit(1)).as("dfb"))
+      .withColumn("gb", Retrieval.termBucketCol(col("g"), nBuckets))
+    val gBuckets = dfBatch.select(col("gb")).distinct()
+      .collect().map(_.getInt(0))
+    val dfCorpus = s.read.parquet(dst + "_sh_df")
+      .filter(col("bucket").isin(gBuckets.map(Int.box): _*))
+      .groupBy(col("g")).agg(sum(col("df")).as("dfc"))
+    val stop = dfBatch.join(dfCorpus, Seq("g"), "left")
+      .filter(col("dfb") + coalesce(col("dfc"), lit(0L)) > maxDocFreq)
+      .select(col("g"))
+    pin(raw.join(broadcast(stop), Seq("g"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs")))
+  }
+
+  private def jaccardOf(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("gs1"), col("gs2"))).as("c"),
+        size(col("gs1")).as("n1"), size(col("gs2")).as("n2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+
+  /** Index a corpus: one raw shingle pass feeds the df sidecar, the
+    * capped arrays and the band surface. */
+  def writeMinhashLayout(docs: DataFrame, dst: String, nBuckets: Int = 64,
+                         maxDocFreq: Long = 50L): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val raw = pin(Dedup.shingles(Par.widen(docs), 3))
+    val dfG = raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
+    dfG.repartition(col("bucket")).sortWithinPartitions(col("g"))
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+      .partitionBy("bucket").parquet(dst + "_sh_df")
+    val stop = dfG.filter(col("df") > maxDocFreq).select(col("g"))
+    val capped = pin(raw.join(broadcast(stop), Seq("g"), "left_anti"))
+    capped.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
+      .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_docs")
+    bandRows(signatures(capped))
+      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets))
+      .repartition(col("bucket")).sortWithinPartitions(col("bh"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+      .partitionBy("bucket").parquet(dst)
+    Seq((nBuckets, maxDocFreq)).toDF("n_buckets", "max_doc_freq").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dst + "_meta")
+  }
+
+  /** Probe a batch: near-dup pairs (batch × corpus) ∪ (batch × batch)
+    * at Jaccard ≥ `threshold`, reading only the batch's band buckets
+    * and the candidate docs' array buckets. Output (d1, d2, jaccard),
+    * d1 < d2, sorted. */
+  def probeNearDup(s: SparkSession, dst: String, newDocs: DataFrame,
+                   threshold: Double = 0.5): DataFrame = {
+    val meta = s.read.parquet(dst + "_meta").head()
+    val (nBuckets, maxDocFreq) = (meta.getInt(0), meta.getLong(1))
+    val raw = pin(Dedup.shingles(Par.widen(newDocs), 3))
+    val newSets = cappedBatchSets(s, dst, raw, nBuckets, maxDocFreq)
+    val newBands = pin(bandRows(signatures(
+        newSets.select(col("doc_id"), explode(col("gs")).as("g"))))
+      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets)))
+    val bBuckets = newBands.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val corpusBands =
+      if (bBuckets.isEmpty) s.read.parquet(dst).limit(0)
+      else s.read.parquet(dst)
+        .filter(col("bucket").isin(bBuckets.map(Int.box): _*))
+    val candCross = pin(corpusBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("cid"), col("y.doc_id").as("nid"))
+      .distinct())
+    val dBuckets = candCross
+      .select(docBucket(col("cid"), nBuckets).as("db")).distinct()
+      .collect().map(_.getInt(0))
+    val corpusSets =
+      if (dBuckets.isEmpty) s.read.parquet(dst + "_docs").limit(0)
+      else s.read.parquet(dst + "_docs")
+        .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
+    val cross = candCross
+      .join(corpusSets.select(col("doc_id").as("cid"), col("gs").as("gsc")), "cid")
+      .join(newSets.select(col("doc_id").as("nid"), col("gs").as("gsn")), "nid")
+      .select(least(col("cid"), col("nid")).as("d1"),
+        greatest(col("cid"), col("nid")).as("d2"),
+        when(col("cid") < col("nid"), col("gsc")).otherwise(col("gsn")).as("gs1"),
+        when(col("cid") < col("nid"), col("gsn")).otherwise(col("gsc")).as("gs2"))
+    val within = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .join(newSets.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
+      .join(newSets.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
+      .select(col("d1"), col("d2"), col("gs1"), col("gs2"))
+    jaccardOf(cross.unionByName(within), threshold)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Append a batch to the index: band rows and capped arrays land as
+    * extra part files under their buckets' dirs, the batch's shingle
+    * dfs as a NEW SEGMENT of the df sidecar — nothing corpus-global is
+    * rewritten (the `appendToPostings` contract). The batch is capped
+    * against corpus+batch df, exactly as a probe of the same batch
+    * would be. Returns (docs appended, touched band buckets). */
+  def appendToMinhashLayout(newDocs: DataFrame, dst: String): (Long, Array[Int]) = {
+    val s = newDocs.sparkSession
+    val meta = s.read.parquet(dst + "_meta").head()
+    val (nBuckets, maxDocFreq) = (meta.getInt(0), meta.getLong(1))
+    val raw = pin(Dedup.shingles(Par.widen(newDocs), 3))
+    // cap the batch BEFORE its df segment lands — reading the sidecar
+    // after the append would count the batch twice
+    val newSets = cappedBatchSets(s, dst, raw, nBuckets, maxDocFreq)
+    raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
+      .repartition(col("bucket")).sortWithinPartitions(col("g"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("bucket").parquet(dst + "_sh_df")
+    newSets.withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_docs")
+    val bands = pin(bandRows(signatures(
+        newSets.select(col("doc_id"), explode(col("gs")).as("g"))))
+      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets)))
+    bands.repartition(col("bucket")).sortWithinPartitions(col("bh"), col("doc_id"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("bucket").parquet(dst)
+    val touched = bands.select(col("bucket")).distinct().collect().map(_.getInt(0))
+    (newSets.count(), touched.sorted)
+  }
+}

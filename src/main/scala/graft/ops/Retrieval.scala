@@ -138,7 +138,7 @@ object Retrieval {
   // INT, not long: partition dir values read back as IntegerType, and a
   // literal set of the same type keeps the isin a STATIC partition
   // filter (a widening cast on the partition column can defeat pruning)
-  private def termBucketCol(term: Column, nBuckets: Int): Column =
+  private[ops] def termBucketCol(term: Column, nBuckets: Int): Column =
     pmod(conv(substring(md5(term), 1, 13), 16, 10).cast("long"),
       lit(nBuckets.toLong)).cast("int")
 

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Standing MinHash-LSH index: probe ≡ the q26 batch recompute on the
+  * union (restricted to batch-touching pairs), stop-shingle behavior,
+  * incremental append, and bucket pruning of the layout shape. */
+class NearDupIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/idx"
+
+  test("probe equals the union recompute restricted to batch-touching pairs") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // cap high enough that no shingle crosses it between write and probe
+    // (the documented exact-parity precondition)
+    val dst = tmp("mh-parity")
+    NearDupIndex.writeMinhashLayout(corpus, dst, maxDocFreq = 10000L)
+    val got = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.minhashLshPairs(docs, maxDocFreq = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    assert(got.toSet == expected.toSet,
+      s"probe drifted from the union recompute: got ${got.length}, expected ${expected.length}")
+    assert(got.nonEmpty, "degenerate fixture: no near-dup pairs touch the batch")
+  }
+
+  test("stop shingles: corpus-wide boilerplate never generates candidates") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    // 6 corpus docs share the boilerplate (df > cap=3); each has unique filler
+    val corpus = (1L to 6L).map { i =>
+      (i, boiler + " " + (1 to 12).map(j => s"u$i-$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dst = tmp("mh-stop")
+    NearDupIndex.writeMinhashLayout(corpus, dst, maxDocFreq = 3L)
+    // a batch doc that is PURE boilerplate: every shingle it has is
+    // stopped, so it must produce no pairs at all
+    val batch = Seq((100L, boiler)).toDF("doc_id", "text")
+    assert(NearDupIndex.probeNearDup(spark, dst, batch).count() == 0,
+      "boilerplate-only batch doc matched through a stopped shingle")
+    // sanity: a true near-dup of a corpus doc IS found despite sharing
+    // the stopped boilerplate (its unique shingles carry the signature)
+    val nearDup = corpus.filter(col("doc_id") === 1L)
+      .select(lit(101L).as("doc_id"), col("text"))
+    val hits = NearDupIndex.probeNearDup(spark, dst, nearDup).collect()
+    assert(hits.exists(r => r.getLong(0) == 1L && r.getLong(1) == 101L),
+      s"identical-but-for-id batch doc not matched: ${hits.mkString(",")}")
+  }
+
+  test("append extends the index: later probes match both original and appended docs") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val dst = tmp("mh-append")
+    NearDupIndex.writeMinhashLayout(a, dst, maxDocFreq = 10000L)
+    val (nAppended, touched) = NearDupIndex.appendToMinhashLayout(b, dst)
+    assert(nAppended > 0 && touched.nonEmpty)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    val got = NearDupIndex.probeNearDup(spark, dst, c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cIds = c.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.minhashLshPairs(docs, maxDocFreq = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => cIds.contains(p._1) || cIds.contains(p._2))
+    assert(got.toSet == expected.toSet,
+      s"post-append probe drifted: got ${got.length}, expected ${expected.length}")
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bIds = b.select("doc_id").collect().map(_.getLong(0)).toSet
+    def other(p: (Long, Long, Double)) = if (cIds.contains(p._1)) p._2 else p._1
+    assert(got.exists(p => aIds.contains(other(p))), "no match against the original index")
+    assert(got.exists(p => bIds.contains(other(p))), "no match against appended docs")
+  }
+
+  test("band-bucket filter prunes the scan to the touched dirs") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dst = tmp("mh-prune")
+    NearDupIndex.writeMinhashLayout(docs, dst, nBuckets = 16, maxDocFreq = 10000L)
+    val nDirs = new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(nDirs > 4, s"degenerate layout: $nDirs band buckets")
+    val someBuckets = Seq(0, 1, 2).map(Int.box)
+    val pruned = spark.read.parquet(dst).filter(col("bucket").isin(someBuckets: _*))
+    // planning-time evidence: the literal bucket set is a PARTITION
+    // filter (pruned before file listing), not a post-scan data filter
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("bucket")),
+      s"bucket set did not become a partition filter:\n$p")
+    // behavioral evidence: only the filtered bucket dirs are touched
+    val partsRead = pruned
+      .select(regexp_extract(input_file_name(), "bucket=\\d+", 0))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(partsRead.nonEmpty && partsRead.subsetOf(
+        someBuckets.map(b => s"bucket=$b").toSet),
+      s"probe filter read outside its bucket set: $partsRead")
+  }
+}
