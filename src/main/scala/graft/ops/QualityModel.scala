@@ -45,8 +45,8 @@ object QualityModel {
     * the rule threshold so the boundary sits near x1=0 and full-batch
     * GD conditions well; x2..x4 are the remaining quality signals,
     * already O(1). y distills the composed keep verdict. */
-  def features(docs: DataFrame): DataFrame =
-    TextAnalysis.filterVerdicts(Par.widen(docs))
+  def features(docs: DataFrame, widen: Boolean = true): DataFrame =
+    TextAnalysis.filterVerdicts(if (widen) Par.widen(docs) else docs)
       .select(col("doc_id"),
         (col("n_tokens").cast("double") / lit(20.0) - lit(1.0)).as("x1"),
         (col("avg_token_len") / lit(10.0)).as("x2"),

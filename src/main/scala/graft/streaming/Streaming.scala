@@ -43,6 +43,15 @@ object Streaming {
   def qualityFilterStream(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.filterVerdicts(docs)
 
+  /** Continuous learned-quality scoring: q68's trained model applied to
+    * a document STREAM — score-at-ingest with weights trained offline
+    * (the standard split: training is batch, inference is a stateless
+    * narrow projection, so the batch scorer IS the streaming scorer);
+    * parity with batch q68 scoring is spec-asserted. */
+  def qualityScoreStream(docs: DataFrame, weights: Array[Double]): DataFrame =
+    graft.ops.QualityModel.score(
+      graft.ops.QualityModel.features(docs, widen = false), weights)
+
   /** Continuous PII scrubbing: the q60 scan/redaction applied to a raw
     * log-line STREAM — redact identifiers as data LANDS, so nothing
     * un-scrubbed is ever at rest downstream. Stateless narrow regex
@@ -58,6 +67,61 @@ object Streaming {
     * sinks don't support and don't need); parity is spec-asserted. */
   def chunkStream(docs: DataFrame, maxLen: Int = 64, stride: Int = 48): DataFrame =
     graft.ops.Chunking.chunkUnsorted(docs, maxLen, stride)
+
+  /** Continuous near-dup dedup-on-ingest against a standing
+    * [[graft.ops.NearDupIndex]] layout: each micro-batch is PROBED
+    * (O(batch) bucket-pruned reads, never a corpus scan), near-dups are
+    * dropped — first-arrival wins across batches, min doc_id within a
+    * batch — the keepers are APPENDED to the index so later batches
+    * dedup against them, and one verdict row per arriving doc lands in
+    * `verdictDst`. Greedy ingest dedup is inherently arrival-order
+    * dependent (that IS the semantic: the standing corpus was there
+    * first); within-batch ties are made deterministic by the min-id
+    * rule. Batch doc_ids must be globally fresh (the index's
+    * append-only contract). The df sidecar accrues one segment per
+    * batch — compact by rewriting the layout when segment counts grow,
+    * as with the posting-list index.
+    *
+    * The within-batch rule drops any doc with a SMALLER near-dup
+    * neighbor in the same batch (q57's clusters use min-label CC; at
+    * micro-batch size the one-hop rule is the same for mirror/star
+    * shapes and errs toward dropping in longer chains — conservative
+    * for a dedup gate). */
+  def nearDupIngestStream(docs: DataFrame, indexDst: String,
+                          verdictDst: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        if (b.limit(1).count() > 0) {
+          val bIds = b.select(col("doc_id"))
+          // membership by join, never a collected id set — a catch-up
+          // micro-batch can be arbitrarily large
+          val m = graft.ops.NearDupIndex.probeNearDup(s, indexDst, b)
+            .join(bIds.select(col("doc_id").as("d1"), lit(true).as("b1")),
+              Seq("d1"), "left")
+            .join(bIds.select(col("doc_id").as("d2"), lit(true).as("b2")),
+              Seq("d2"), "left")
+          // within-batch pair → the greater id drops; cross pair → the
+          // batch side drops (corpus and batch id spaces are disjoint)
+          val drops = m.select(
+              when(col("b1").isNotNull && col("b2").isNotNull, col("d2"))
+                .when(col("b1").isNotNull, col("d1"))
+                .otherwise(col("d2")).as("doc_id"))
+            .distinct().localCheckpoint()
+          val keepers = b.join(drops, Seq("doc_id"), "left_anti")
+          if (keepers.limit(1).count() > 0)
+            graft.ops.NearDupIndex.appendToMinhashLayout(keepers, indexDst)
+          b.join(drops.withColumn("near_dup", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"), lit(batchId).as("batch_id"),
+              coalesce(col("near_dup"), lit(false)).as("near_dup"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictDst)
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
 
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's

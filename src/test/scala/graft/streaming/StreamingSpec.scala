@@ -164,6 +164,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3) && streamed.exists(!_._3))
   }
 
+  test("streaming learned-quality scoring ≡ batch q68 with offline-trained weights") {
+    val dir = "/root/testdata/sf0.001"
+    // train offline (batch), score the stream with the frozen weights
+    val w = graft.ops.QualityModel.trainLogistic(
+      graft.ops.QualityModel.features(graft.Tables.documents(spark, dir)))
+    val schema = graft.Tables.documents(spark, dir).schema
+    val watched = java.nio.file.Files.createTempDirectory("graft-score-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(watched.toString)
+    val q = Streaming.qualityScoreStream(stream, w)
+      .writeStream.format("memory").queryName("score_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT doc_id, score, predicted FROM score_sink")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = graft.ops.QualityModel.q68QualityModel(spark, dir)
+      .select("doc_id", "score", "predicted")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+  }
+
+  test("streaming ingest dedup: corpus-first, min-id within batch, keepers extend the index") {
+    import spark.implicits._
+    import graft.ops.NearDupIndex
+    def mk(rows: (Long, Seq[String])*) =
+      rows.map { case (id, ws) => (id, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val w1 = (1 to 12).map(i => s"alpha$i")
+    val w2 = (1 to 12).map(i => s"beta$i")
+    val n1 = (1 to 12).map(i => s"gamma$i")
+    val n2 = (1 to 12).map(i => s"delta$i")
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val idx = root.resolve("idx").toString
+    NearDupIndex.writeMinhashLayout(mk(1L -> w1, 2L -> w2), idx)
+    val watched = java.nio.file.Files.createDirectory(root.resolve("in"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmpd = root.resolve(name + "_tmp").toString
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = watched.resolve(name).toFile
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(mtime))
+    }
+    // batch 1: 101 dups the corpus, 102 is novel, 103 dups 102 in-batch;
+    // batch 2 (later mtime): 201 dups the APPENDED 102, 202 is novel
+    val t0 = System.currentTimeMillis()
+    stage("b1.parquet", mk(101L -> w1, 102L -> n1, 103L -> n1), t0 - 120000)
+    stage("b2.parquet", mk(201L -> n1, 202L -> n2), t0 - 60000)
+    val stream = spark.readStream.schema(mk(1L -> w1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+    val verdicts = root.resolve("verdicts").toString
+    val q = Streaming.nearDupIngestStream(stream, idx, verdicts)
+    q.awaitTermination()
+    val v = spark.read.parquet(verdicts).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(v == Map(101L -> true, 102L -> false, 103L -> true,
+      201L -> true, 202L -> false), s"verdicts drifted: $v")
+    // the index now answers for a keeper appended mid-stream
+    val hits = NearDupIndex.probeNearDup(spark, idx, mk(301L -> n2)).collect()
+    assert(hits.exists(r => r.getLong(0) == 202L && r.getLong(1) == 301L),
+      s"appended keeper 202 not indexed: ${hits.mkString(",")}")
+  }
+
   test("streaming PII scrub ≡ batch q60 over the synthesized log lines") {
     val dir = "/root/testdata/sf0.001"
     // stage the synthesized raw lines as a text file the stream watches
