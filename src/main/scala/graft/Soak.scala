@@ -163,6 +163,25 @@ object Soak {
     val pqAppendSec = timedSec(
       ProductQuantization.appendToCellLayoutPq(deltaEmb, pqDst))
 
+    // standing minhash near-dup index: write cost (one shingle pass +
+    // bucket shuffles), probe of a 1% ingest batch (exact copies of
+    // corpus docs under fresh ids — each must find its jaccard-1
+    // partner through the band buckets, never a corpus rescan), and a
+    // 1% append (segment writes, O(delta))
+    val mhDst = base + "/minhash"
+    val writeMinhashSec = timedSec(
+      graft.ops.NearDupIndex.writeMinhashLayout(docs, mhDst))
+    val mhBatch = docs.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    var mhRows = 0L
+    val mhProbeSec = timedSec {
+      mhRows = graft.ops.NearDupIndex.probeNearDup(spark, mhDst, mhBatch).count()
+    }
+    val mhAppendBatch = docs.filter(pmod(col("doc_id"), lit(100L)) === 1L)
+      .withColumn("doc_id", col("doc_id") + lit(3000000000L))
+    val mhAppendSec = timedSec(
+      graft.ops.NearDupIndex.appendToMinhashLayout(mhAppendBatch, mhDst))
+
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -197,7 +216,11 @@ object Soak {
       f""""postings_dirs_read_frac":$postFrac%.2f,""" +
       f""""append_postings_1pct_sec":$postAppendSec%.2f,""" +
       f""""append_cell_1pct_sec":$cellAppendSec%.2f,""" +
-      f""""append_pq_1pct_sec":$pqAppendSec%.2f}"""
+      f""""append_pq_1pct_sec":$pqAppendSec%.2f,""" +
+      f""""write_minhash_sec":$writeMinhashSec%.2f,""" +
+      f""""minhash_probe_1pct_sec":$mhProbeSec%.2f,""" +
+      f""""minhash_probe_rows":$mhRows,""" +
+      f""""append_minhash_1pct_sec":$mhAppendSec%.2f}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")
