@@ -43,8 +43,9 @@ object QuerySession {
     *  - `near_dup_pairs(d1, d2, cos)`     — banded-LSH embedding near-dups
     *  - `ann_neighbors(query_id, rank, neighbor_id, cos)` — multi-probe LSH top-10
     *  - `bm25_scores(doc_id, n_tokens, n_hit_terms, score)` — q58 default query
+    *  - `data_card(source, …)`            — q67 per-source release datasheet
     *  - plus (materialized tier): `pq_neighbors`, `semantic_dedup_drops`,
-    *    `token_budget_cut`, `bpe_token_counts`
+    *    `token_budget_cut`, `bpe_token_counts`, `quality_scores`
     */
   def registerPipelineViews(spark: SparkSession, sfDir: String): Unit =
     registerPipelineViews(spark, Tables.documents(spark, sfDir),
@@ -91,6 +92,11 @@ object QuerySession {
     graft.ops.Retrieval.bm25TopK(docs,
         Seq("spark", "vector", "merge", "window"), 20)
       .createOrReplaceTempView("bm25_scores")
+    // round-8 surface: the release datasheet — a lazy aggregate plan
+    // (Par.widen decides from the logical plan, so this stays job-free
+    // like the shingle views)
+    graft.ops.DataCard.dataCard(docs)
+      .createOrReplaceTempView("data_card")
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training
@@ -114,6 +120,10 @@ object QuerySession {
     // trainer-true token counts next to the whitespace ones
     graft.ops.Bpe.q65BpeTokens(spark, sfDir)
       .createOrReplaceTempView("bpe_token_counts")
+    // trains the q68 logistic scorer (15 aggregate jobs over a cached
+    // feature frame) and freezes the weights into a scoring view
+    graft.ops.QualityModel.q68QualityModel(spark, sfDir)
+      .createOrReplaceTempView("quality_scores")
   }
 
   /** Everything: the cheap views plus the materialized ones. */
