@@ -180,6 +180,15 @@ object NearDupIndex {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Collapse the df sidecar's append segments back to one row per
+    * shingle (sum-preserving, crash-safe via `Compaction.recover`) —
+    * run when segment count grows. The band and array stores need no
+    * row-level compaction (their rows are per-doc facts, not summed
+    * aggregates); small-file hygiene for them is `etl.Compaction`. */
+  def compactIndex(s: SparkSession, dst: String): (Long, Long) =
+    SegmentCompaction.compactSegments(s, dst + "_sh_df",
+      keys = Seq("g"), sums = Seq("df"))
+
   /** Append a batch to the index: band rows and capped arrays land as
     * extra part files under their buckets' dirs, the batch's shingle
     * dfs as a NEW SEGMENT of the df sidecar — nothing corpus-global is

@@ -280,4 +280,19 @@ object Retrieval {
       .as[Int].collect().sorted
     (postings.count(), touched)
   }
+
+  /** Collapse the df and totals sidecars' append segments back to one
+    * row per key (sum-preserving, crash-safe via `Compaction.recover`)
+    * — run when segment count grows; probes sum segments either way,
+    * this restores the fresh-write read amplification and term-sorted
+    * row-group skipping. The posting store itself needs no row-level
+    * compaction (one row per (doc, term) fact); small-file hygiene for
+    * it is `etl.Compaction`. */
+  def compactIndex(s: SparkSession, dst: String): (Long, Long) = {
+    val dfStats = SegmentCompaction.compactSegments(s, dst + "_df",
+      keys = Seq("term"), sums = Seq("df"))
+    SegmentCompaction.compactSegments(s, dst + "_totals",
+      keys = Nil, sums = Seq("n_docs", "n_total"), bucketCol = None)
+    dfStats
+  }
 }

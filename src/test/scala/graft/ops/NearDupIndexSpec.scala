@@ -79,6 +79,32 @@ class NearDupIndexSpec extends SparkSpec {
     assert(got.exists(p => bIds.contains(other(p))), "no match against appended docs")
   }
 
+  test("df-segment compaction: probes unchanged, one row per shingle, crash recovery") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dst = tmp("mh-compact")
+    NearDupIndex.writeMinhashLayout(docs.filter(col("doc_id") % 4 === 0), dst,
+      maxDocFreq = 10000L)
+    NearDupIndex.appendToMinhashLayout(docs.filter(col("doc_id") % 4 === 1), dst)
+    NearDupIndex.appendToMinhashLayout(docs.filter(col("doc_id") % 4 === 2), dst)
+    val batch = docs.filter(col("doc_id") % 4 === 3)
+    val beforePairs = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (rowsBefore, rowsAfter) = NearDupIndex.compactIndex(spark, dst)
+    val distinctG = spark.read.parquet(dst + "_sh_df")
+      .select("g").distinct().count()
+    assert(rowsAfter < rowsBefore && rowsAfter == distinctG,
+      s"compaction left $rowsAfter rows for $distinctG shingles (was $rowsBefore)")
+    val afterPairs = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterPairs == beforePairs, "compaction changed probe results")
+    // a stray tmp from a crashed compaction is cleaned, root survives
+    val fs = new org.apache.hadoop.fs.Path(dst + "_sh_df")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dst + "_sh_df.compact-tmp"))
+    assert(graft.etl.Compaction.recover(spark, dst + "_sh_df"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + "_sh_df.compact-tmp")))
+  }
+
   test("band-bucket filter prunes the scan to the touched dirs") {
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val dst = tmp("mh-prune")

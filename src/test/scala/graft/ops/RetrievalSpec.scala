@@ -75,6 +75,19 @@ class RetrievalSpec extends SparkSpec {
       val idx = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
       assert(idx == scan, s"appended index != full scan for $q")
     }
+
+    // compaction collapses the df/totals segments to one row per key
+    // without changing a single score
+    val (dfBefore, dfAfter) = Retrieval.compactIndex(spark, dst)
+    assert(dfAfter < dfBefore, s"no segment collapse: $dfBefore -> $dfAfter")
+    assert(dfAfter == spark.read.parquet(dst + "_df")
+      .select("term").distinct().count())
+    assert(spark.read.parquet(dst + "_totals").count() == 1)
+    for (q <- Seq(Seq("spark", "vector", "merge", "window"), Seq("the"))) {
+      val scan = bm25TopK(docs, q, k = 20).collect().toSeq
+      val idx = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
+      assert(idx == scan, s"compacted index != full scan for $q")
+    }
   }
 
   test("bm25: more query-term mass at equal length ranks higher; idf favors rare terms") {
