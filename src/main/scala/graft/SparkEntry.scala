@@ -110,6 +110,8 @@ object SparkEntry {
       graft.ops.DataCard.q67DataCard(s, dir)),
     "q68_quality_model"    -> ((s: SparkSession, dir: String) =>
       graft.ops.QualityModel.q68QualityModel(s, dir)),
+    "q69_source_divergence" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q69SourceDivergence(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,5 +445,6 @@ object SparkEntry {
     "q66_bigram_logprob" -> ExtensionOracles.q66BigramLogprob,
     "q67_data_card" -> ExtensionOracles.q67DataCard,
     "q68_quality_model" -> ExtensionOracles.q68QualityModel,
+    "q69_source_divergence" -> ExtensionOracles.q69SourceDivergence,
   )
 }

@@ -24,6 +24,59 @@ import graft.Tables
   */
 object Mixing {
 
+  /** q69: per-source unigram KL divergence from the corpus distribution
+    * — the domain-shift diagnostic behind mixture decisions: a source
+    * whose word distribution sits far from the pooled corpus (high KL)
+    * is the one a temperature-flattened mix is protecting, and a
+    * near-zero KL source is redundant with the pool. KL(source‖corpus)
+    * = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) — finite by construction since
+    * every source term is in the corpus pool (p_c > 0).
+    *
+    * Shape at 100 TB: ONE corpus-scale shuffle — the (source, term)
+    * count aggregate off the token explode, map-side combined. The
+    * per-term corpus count then comes from re-aggregating that frame:
+    * each term has ≤ |sources| aggregated rows, so the second groupBy
+    * is NOT hot-key-prone (no withKeyTotal needed — the hot key was
+    * already collapsed by the first aggregate); totals ride a
+    * broadcast. Determinism: the ln of an exact count cross-ratio is
+    * rounded to 12 digits, each term's contribution p_s·ln(·) again to
+    * 12 into a DECIMAL(28,12) sum (q48's rules); ln(2) is a literal. */
+  def q69SourceDivergence(s: SparkSession, dir: String): DataFrame =
+    sourceDivergence(Tables.documents(s, dir))
+
+  /** The reusable core over any (source, text) frame. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val st = Par.widen(docs)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+    val corpus = st.groupBy(col("w")).agg(sum(col("k")).as("ck"))
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("k")).as("ns"))
+    val corpusTotal = corpus.agg(sum(col("ck")).as("nc"))
+    val contrib = st
+      .join(corpus, "w")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(corpusTotal))
+      // ln over the exact integer cross-ratio: ln((k·nc)/(ns·ck)); the
+      // products stay inside a double's 2^53 integer window at any
+      // realistic corpus (k,ck ≤ nc; guard rails would be decimals)
+      .withColumn("lnterm",
+        round(log((col("k").cast("double") * col("nc").cast("double")) /
+          (col("ns").cast("double") * col("ck").cast("double"))), 12))
+      .withColumn("t",
+        round((col("k").cast("double") / col("ns").cast("double")) * col("lnterm"), 12)
+          .cast("decimal(28,12)"))
+    contrib.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("ns")).as("n_tokens"),
+        sum(col("t")).as("klsum"))
+      .withColumn("kl_nats", round(col("klsum").cast("double"), 12))
+      .withColumn("kl_bits", round(col("kl_nats") / lit(ln2), 12))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        col("kl_nats"), col("kl_bits"))
+      .orderBy(col("source"))
+  }
+
   /** q45: per-source token counts and temperature-flattened sampling
     * weights (α = 0.3) with an integer per-100k-document quota. */
   def q45DomainMix(s: SparkSession, dir: String): DataFrame =

@@ -949,6 +949,36 @@ object ExtensionOracles {
        |LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors q69: per-source unigram KL divergence from the corpus
+    * pool. The ln argument is the exact integer cross-ratio
+    * (k·nc)/(ns·ck) evaluated in the same doubles; ln rounded to 12,
+    * each p·ln contribution rounded to 12 into DECIMAL(28,12) (q48's
+    * rules), ln(2) a literal, kl_bits derived from the ROUNDED nats. */
+  val q69SourceDivergence: String =
+    """WITH st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+      |    SELECT d.source, unnest(regexp_extract_all(
+      |      trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), '\S+')) AS w
+      |    FROM documents d) GROUP BY source, w),
+      |c AS (SELECT w, CAST(SUM(k) AS BIGINT) AS ck FROM st GROUP BY w),
+      |s AS (SELECT source, CAST(SUM(k) AS BIGINT) AS ns FROM st GROUP BY source),
+      |n AS (SELECT CAST(SUM(ck) AS BIGINT) AS nc FROM c),
+      |t AS (SELECT st.source, st.k, s.ns,
+      |    round(ln((CAST(st.k AS DOUBLE) * CAST(n.nc AS DOUBLE)) /
+      |             (CAST(s.ns AS DOUBLE) * CAST(c.ck AS DOUBLE))), 12) AS lnterm
+      |  FROM st JOIN c USING (w) JOIN s USING (source) CROSS JOIN n),
+      |x AS (SELECT source, ns,
+      |    CAST(round((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) * lnterm, 12)
+      |         AS DECIMAL(28,12)) AS t2
+      |  FROM t),
+      |agg AS (SELECT source, MAX(ns) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    round(CAST(SUM(t2) AS DOUBLE), 12) AS kl_nats
+      |  FROM x GROUP BY source)
+      |SELECT source, n_tokens, n_terms, kl_nats,
+      |  round(kl_nats / 0.6931471805599453, 12) AS kl_bits
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
     * for dup_rate, and computes the exact lower median as the
