@@ -63,7 +63,11 @@ object Bench {
     // and printing AFTER a silenced spark.stop() guarantees nothing but
     // sbt's one [success] line follows it inside the tail window.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // Key on the qNN prefix: 69 full names × ~27 chars ≈ 1930 chars of
+    // JSON — over the tail window again. The driver contract's example
+    // uses short keys ("q1":sec); qNN keeps the line ~900 chars with
+    // headroom for many more queries.
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.sparkContext.setLogLevel("ERROR")

@@ -112,6 +112,8 @@ object SparkEntry {
       graft.ops.QualityModel.q68QualityModel(s, dir)),
     "q69_source_divergence" -> ((s: SparkSession, dir: String) =>
       graft.ops.Mixing.q69SourceDivergence(s, dir)),
+    "q70_substring_dup"     -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q70SubstringDup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -446,5 +448,6 @@ object SparkEntry {
     "q67_data_card" -> ExtensionOracles.q67DataCard,
     "q68_quality_model" -> ExtensionOracles.q68QualityModel,
     "q69_source_divergence" -> ExtensionOracles.q69SourceDivergence,
+    "q70_substring_dup" -> ExtensionOracles.q70SubstringDup,
   )
 }

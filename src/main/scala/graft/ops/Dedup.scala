@@ -430,4 +430,76 @@ object Dedup {
         (col("id") === col("component")).as("is_canonical"))
       .orderBy(col("vec_id"))
   }
+
+  /** q70: exact substring-level duplication — the character-granular
+    * complement of q53's token-shingle repetition. A position is
+    * "duplicated" when its k-char gram occurs >= 2 times anywhere in the
+    * corpus (other docs OR elsewhere in the same doc — the classic
+    * repeated-substring dedup criterion), alignment-free because every
+    * position is a window start, which strided shingling can never give
+    * you. Overlapping duplicated windows are merged into maximal spans
+    * per doc, and the report is the duplicated-char fraction — the
+    * number a span-removal pass would delete.
+    *
+    * Shape at 100 TB: the gram frame is the honest cost — one row per
+    * character position. It stays cheap per row because the k-char
+    * strings are hashed IN-ROW before the explode (52-bit md5 here so
+    * DuckDB mirrors it; xxhash64 in production): the corpus-scale
+    * shuffles carry (h, doc_id, pos) at ~24 bytes/char, never the
+    * overlapping strings (k x corpus bytes). Two corpus-scale exchanges:
+    * the gram-count aggregate (map-side combined, so a boilerplate gram
+    * collapses per task before the wire) and the grams-to-dup-hash join
+    * (1:N — the dup side is one row per hash, so a hot gram skews a
+    * reducer but cannot blow up pairs; AQE skew split handles the
+    * residue). The span-merge window partitions by doc_id: per-key work
+    * is bounded by document length — the same bound as holding the
+    * doc's text in one row, so any doc the scan can read, the window
+    * can sort. */
+  def q70SubstringDup(s: SparkSession, dir: String): DataFrame =
+    substringDupStats(Tables.documents(s, dir), 20)
+
+  /** The reusable core over any (doc_id, text) frame; k = window width
+    * (a duplicated run shorter than k is invisible — k is the minimum
+    * match length, 50 in the Lee et al. setup, 20 here for the small
+    * fixture corpus). */
+  def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Par.widen(docs).select(col("doc_id"), col("text"))
+    // (pos, h52) built in-row; sequence guarded because Spark's
+    // sequence(1, 0) counts DOWN instead of yielding empty
+    val grams = d.select(col("doc_id"),
+        explode(when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => struct(i.cast("long").as("pos"),
+              conv(substring(md5(col("text").substr(i, lit(k))), 1, 13), 16, 10)
+                .cast("long").as("h"))))
+          .otherwise(array().cast("array<struct<pos:bigint,h:bigint>>"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val dupPos = grams.join(dupH, "h").select(col("doc_id"), col("pos"))
+    // merge overlapping/adjacent [pos, pos+k-1] windows: a new span
+    // starts when the gap to the previous start exceeds k
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lagPos = lag(col("pos"), 1).over(w)
+    val spans = dupPos
+      .withColumn("brk",
+        when(lagPos.isNull || col("pos") - lagPos > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"),
+        count(lit(1)).as("np"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(sum(col("np")).as("dp"), sum(col("mx") - col("mn") + k).as("dc"))
+    // zero-dup docs survive: LEFT JOIN + COALESCE on BOTH engine and
+    // oracle (the q51 lesson)
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dp"), lit(0L)).as("dup_positions"),
+        coalesce(col("dc"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dc"), lit(0L)).cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double"), 12).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -979,6 +979,45 @@ object ExtensionOracles {
       |FROM agg
       |ORDER BY source""".stripMargin
 
+  /** Mirrors q70: exact substring-level duplication. Same 52-bit-md5
+    * gram hash, same >= 2 corpus-occurrence criterion, same
+    * merge-overlapping-windows span union via gaps-and-islands; all
+    * integer arithmetic until the final exact-ratio round(…, 12).
+    * DuckDB's generate_series rejects lateral column parameters, so the
+    * position axis is a corpus-max-length series joined on
+    * i <= length - 19 — short docs get zero rows and return through the
+    * LEFT JOIN. */
+  val q70SubstringDup: String =
+    """WITH mx AS (SELECT MAX(length(text)) AS m FROM documents),
+      |g AS (
+      |  SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
+      |    ('0x'||substr(md5(substr(d.text, CAST(t.i AS INT), 20)),1,13))::BIGINT AS h
+      |  FROM documents d
+      |  JOIN (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i) t
+      |    ON t.i <= length(d.text) - 19),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+      |b AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL
+      |         OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+      |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |isl AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+      |cov AS (SELECT doc_id, island, MIN(pos) AS mn, MAX(pos) AS mx,
+      |    CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM isl GROUP BY doc_id, island),
+      |per AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS dp,
+      |    CAST(SUM(mx - mn + 20) AS BIGINT) AS dc
+      |  FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  COALESCE(per.dp, 0) AS dup_positions,
+      |  COALESCE(per.dc, 0) AS dup_chars,
+      |  round(CAST(COALESCE(per.dc, 0) AS DOUBLE) /
+      |        CAST(GREATEST(length(d.text), 1) AS DOUBLE), 12) AS dup_frac
+      |FROM documents d
+      |LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
     * for dup_rate, and computes the exact lower median as the

@@ -40,6 +40,42 @@ class OpsSpec extends SparkSpec {
     assert(b.getDouble(7) == 0.0 && b.getDouble(8) == 1.0)
   }
 
+  test("substring dup: planted runs — alignment-free detection, span merge, zero-dup docs") {
+    import spark.implicits._
+    // a 30-char run with no internal 20-gram repeats, shared by docs 1/2
+    // at DIFFERENT offsets (strided shingling would miss the unaligned
+    // copy; every-position windows must not)
+    val run = "0123456789ABCDEFGHIJ0123456789"
+    // a 25-char non-self-similar run repeated TWICE inside doc 3 (the
+    // same-doc duplication criterion), separated by > k unique chars
+    val rep = "abcdefghijklmnopqrstuvwxy"
+    // boundary chars around each planted occurrence are all DISTINCT —
+    // a shared boundary char would extend the duplicated run one char
+    // past the plant (the straddling window matches too; the operator
+    // is right to count it, the fixture just pins exact numbers)
+    val docs = Seq(
+      (1L, "PAD-ONE-LEFT(" + run + ")PAD-ONE-RIGHT-FILLER"),
+      (2L, "Q2<" + run + ">SECOND-DOC-TAIL-PADDING-UNIQUE"),
+      (3L, "u1-start[" + rep + "]MIDDLE-SEPARATOR-LONG-ENOUGH{" + rep + "}u3-end"),
+      (4L, "totally unique text with no repeated twenty char spans at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, 20).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // docs 1/2: 11 duplicated window starts merging to one 30-char span
+    for (id <- Seq(1L, 2L)) {
+      assert(byId(id).getLong(2) == 11, s"doc $id dup_positions")
+      assert(byId(id).getLong(3) == 30, s"doc $id dup_chars: the merged run, not 11*20")
+    }
+    // doc 3: two islands of 6 windows each -> 2 * 25 duplicated chars
+    assert(byId(3L).getLong(2) == 12 && byId(3L).getLong(3) == 50)
+    // doc 4: zero everywhere, but the row must still be emitted
+    assert(byId(4L).getLong(2) == 0 && byId(4L).getLong(3) == 0
+      && byId(4L).getDouble(4) == 0.0)
+    assert(byId(1L).getDouble(4) ==
+      BigDecimal(30.0 / byId(1L).getLong(1)).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("quality model: learns beyond the majority class; weights partition-invariant") {
     val docs = graft.Tables.documents(spark, dir)
     val out = QualityModel.q68QualityModel(spark, dir).cache()
