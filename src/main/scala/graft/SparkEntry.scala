@@ -114,6 +114,8 @@ object SparkEntry {
       graft.ops.Mixing.q69SourceDivergence(s, dir)),
     "q70_substring_dup"     -> ((s: SparkSession, dir: String) =>
       graft.ops.Dedup.q70SubstringDup(s, dir)),
+    "q71_hard_negatives"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.Retrieval.q71HardNegatives(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,5 +451,6 @@ object SparkEntry {
     "q68_quality_model" -> ExtensionOracles.q68QualityModel,
     "q69_source_divergence" -> ExtensionOracles.q69SourceDivergence,
     "q70_substring_dup" -> ExtensionOracles.q70SubstringDup,
+    "q71_hard_negatives" -> ExtensionOracles.q71HardNegatives,
   )
 }

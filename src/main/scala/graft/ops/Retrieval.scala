@@ -98,21 +98,28 @@ object Retrieval {
     * row (n_docs, n_total). Both the scan-time and the bucketed path end
     * here, so index-vs-scan parity is BY CONSTRUCTION — same float
     * rounding, same decimal sum, same tie-break. */
-  private def scoreTopK(tf: DataFrame, dfreq: DataFrame,
-                        totals: DataFrame, k: Int): DataFrame = {
+  /** One term's BM25 contribution over cols (tf, dl, df, n_docs,
+    * n_total) — THE scorer definition: the scan-time, bucketed-index and
+    * hard-negative paths all close over this single expression, so their
+    * scores agree to the last bit (same libm rounding, same decimal
+    * width) by construction. */
+  private def bm25Part: Column = {
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")
     val avgdl = col("n_total").cast("double") / col("n_docs").cast("double")
     val idf = round(log(
       (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
         (col("df").cast("double") + 0.5) + 1.0), 12)
+    round(idf * (tfD * K1Plus1) /
+        (tfD + lit(K1) * (lit(OneMinusB) + lit(B) * dlD / avgdl)), 12)
+      .cast("decimal(28,12)")
+  }
 
+  private def scoreTopK(tf: DataFrame, dfreq: DataFrame,
+                        totals: DataFrame, k: Int): DataFrame = {
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(totals))
-      .withColumn("part", round(
-        idf * (tfD * K1Plus1) /
-          (tfD + lit(K1) * (lit(OneMinusB) + lit(B) * dlD / avgdl)), 12)
-        .cast("decimal(28,12)"))
+      .withColumn("part", bm25Part)
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("part")).as("sc"))
       .select(col("doc_id"), col("dl").as("n_tokens"), col("n_hit_terms"),
@@ -120,6 +127,78 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .orderBy(col("doc_id"))
+  }
+
+  /** q71: hard-negative mining for retrieval/embedding training — for
+    * each query document, the top-k BM25-scored documents that are
+    * lexically close but NOT near-duplicates: self and MinHash-LSH
+    * near-dup partners (q26's audited pair stage) are excluded, so what
+    * remains is exactly the "looks relevant, isn't the same document"
+    * set a contrastive trainer wants as negatives. */
+  def q71HardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.documents(s, dir), col("doc_id") % 100 === 0)
+
+  /** The reusable core: `isQuery` marks the query documents (a BOUNDED
+    * sample — everything driver-free below is bounded by |queries|).
+    * Query terms are each query doc's distinct tokens; `dfCap > 0`
+    * additionally drops terms above that corpus document frequency —
+    * idf already ranks common terms near zero, so the cap costs little
+    * signal, but it is the SKEW control: an uncapped boilerplate term
+    * fans the (term)-keyed probe out to every document containing it
+    * (the same reason the shingle paths cap df). The oracle query runs
+    * uncapped because this fixture's synthetic vocabulary is uniform
+    * (31 terms, median df = 78% of docs — any cutoff keeps all or
+    * none); the cap's semantics are spec-pinned on a planted corpus.
+    *
+    * Shape at 100 TB: one corpus tokenize feeding a per-token
+    * broadcast-hash probe against the query-term union (a hash lookup
+    * per token beats an O(|terms|) in-row array scan once the union is
+    * thousands wide — the q58 literal-array trick stops paying there),
+    * then every shuffle is hits-scale (rows whose term some query
+    * uses), never corpus-scale: tf aggregate, df re-aggregate
+    * (<= |terms| rows, broadcast back), near-dup anti-join, and the
+    * bounded top_k aggregate for the final cut — no per-query window
+    * over the corpus anywhere. */
+  def hardNegatives(docs: DataFrame, isQuery: Column, k: Int = 10,
+                    dfCap: Long = 0L): DataFrame = {
+    val d = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+      .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
+    val totals = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+    // (query_id, term): each query doc's distinct tokens, in-row dedup
+    val qterms = Par.widen(docs).filter(isQuery)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+    val qset = qterms.select(col("term")).distinct()
+    // tf restricted to the query-term union; df over it IS corpus df
+    // (count of docs containing the term)
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
+      .join(broadcast(qset), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val inform0 = qterms.join(broadcast(dfreq), "term")
+    val inform = (if (dfCap > 0L) inform0.filter(col("df") <= dfCap)
+                  else inform0).select(col("term"), col("query_id"), col("df"))
+    val scored = tf
+      .join(broadcast(inform), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("part", bm25Part)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("sc"))
+      .select(col("query_id"), col("doc_id"),
+        col("sc").cast("double").as("score"))
+    // near-dup partners of a query are "same document in a trenchcoat",
+    // not negatives — exclude both orientations of the pair list
+    val pairs = Dedup.minhashLshPairs(docs).select(col("d1"), col("d2"))
+    val excl = pairs.select(col("d1").as("query_id"), col("d2").as("doc_id"))
+      .union(pairs.select(col("d2").as("query_id"), col("d1").as("doc_id")))
+    val kept = scored.join(excl, Seq("query_id", "doc_id"), "left_anti")
+    TopKPerGroup.topKPerKey(kept, "query_id", "score", "doc_id", k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("id").as("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Term → partition bucket: the first 52 bits of md5, mod `nBuckets`.

@@ -132,32 +132,39 @@ object ExtensionOracles {
        |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Shared CTE chain (requires `shingleCtes`): the MinHash-LSH stages
+    * from the stop-shingle cap (maxDocFreq=50, same capped set as q25)
+    * through exact common-shingle counts of band-collision candidates —
+    * q26 reports the verified pairs, q71 uses them as an exclusion set. */
+  private val lshCtes =
+    """rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+      |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+      |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |  min(substring(md5(g), 1, 8))  AS h0, min(substring(md5(g), 9, 8))  AS h1,
+      |  min(substring(md5(g), 17, 8)) AS h2, min(substring(md5(g), 25, 8)) AS h3,
+      |  min(substring(md5('#' || g), 1, 8))  AS h4, min(substring(md5('#' || g), 9, 8))  AS h5,
+      |  min(substring(md5('#' || g), 17, 8)) AS h6, min(substring(md5('#' || g), 25, 8)) AS h7
+      |  FROM shc GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |common AS (SELECT cand.d1, cand.d2, count(*) AS c
+      |           FROM cand
+      |           JOIN shc a ON cand.d1 = a.doc_id
+      |           JOIN shc b ON cand.d2 = b.doc_id AND a.g = b.g
+      |           GROUP BY 1, 2)""".stripMargin
+
   /** Mirrors the stop-shingle cap (maxDocFreq=50) applied BEFORE the
     * MinHash signatures — same capped shingle set as q25. */
   val q26MinhashLsh: String =
     s"""WITH $shingleCtes,
-       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
-       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
-       |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |sig AS (SELECT doc_id,
-       |  min(substring(md5(g), 1, 8))  AS h0, min(substring(md5(g), 9, 8))  AS h1,
-       |  min(substring(md5(g), 17, 8)) AS h2, min(substring(md5(g), 25, 8)) AS h3,
-       |  min(substring(md5('#' || g), 1, 8))  AS h4, min(substring(md5('#' || g), 9, 8))  AS h5,
-       |  min(substring(md5('#' || g), 17, 8)) AS h6, min(substring(md5('#' || g), 25, 8)) AS h7
-       |  FROM shc GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
-       |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-       |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
-       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |         FROM bands x JOIN bands y
-       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |common AS (SELECT cand.d1, cand.d2, count(*) AS c
-       |           FROM cand
-       |           JOIN shc a ON cand.d1 = a.doc_id
-       |           JOIN shc b ON cand.d2 = b.doc_id AND a.g = b.g
-       |           GROUP BY 1, 2)
+       |$lshCtes
        |SELECT d1, d2,
        |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
        |FROM common
@@ -1017,6 +1024,57 @@ object ExtensionOracles {
       |FROM documents d
       |LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q71: hard negatives = BM25 top-10 per query doc (query
+    * terms = the doc's distinct tokens, uncapped — this fixture's
+    * uniform vocabulary makes any df cutoff keep-all-or-none; idf does
+    * the downweighting), minus self and minus MinHash-LSH near-dup
+    * partners (the shared `lshCtes` chain). The per-term part is q58's
+    * exact formula — same double rounding, same DECIMAL(28,12) sum;
+    * rank ties break by doc_id, matching the engine's top_k
+    * (score desc, id asc) order. */
+  val q71HardNegatives: String =
+    s"""WITH $shingleCtes,
+       |$lshCtes,
+       |pairs AS (SELECT d1, d2 FROM common
+       |  JOIN szc s1 ON common.d1 = s1.doc_id
+       |  JOIN szc s2 ON common.d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(l) AS term
+       |       FROM d WHERE doc_id % 100 = 0),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN (SELECT term FROM qt)
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |inform AS (SELECT qt.query_id, qt.term FROM qt JOIN dfreq USING (term)),
+       |parts AS (SELECT i.query_id, tf.doc_id,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN inform i USING (term) JOIN dfreq USING (term) CROSS JOIN tot
+       |  WHERE tf.doc_id <> i.query_id),
+       |scored AS (SELECT query_id, doc_id, SUM(part) AS sc
+       |           FROM parts GROUP BY query_id, doc_id),
+       |kept AS (SELECT s.query_id, s.doc_id, s.sc FROM scored s
+       |  LEFT JOIN (SELECT d1 AS a, d2 AS b FROM pairs
+       |             UNION ALL SELECT d2, d1 FROM pairs) e
+       |    ON s.query_id = e.a AND s.doc_id = e.b
+       |  WHERE e.a IS NULL),
+       |rk AS (SELECT query_id, doc_id, CAST(sc AS DOUBLE) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(sc AS DOUBLE) DESC, doc_id) AS BIGINT) AS rank
+       |  FROM kept)
+       |SELECT query_id, rank, doc_id, score FROM rk
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key

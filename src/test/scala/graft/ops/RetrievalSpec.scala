@@ -110,6 +110,32 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L) > out(3L), "a rarer term (df=1) must outscore a common one (df=3)")
   }
 
+  test("hard negatives: near-dups excluded, no-overlap docs absent, df cap drops boilerplate") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon boiler one two three"), // the query
+      (1L, "alpha beta gamma delta epsilon boiler one two three"), // exact dup -> excluded
+      (2L, "alpha beta gamma delta epsilon boiler c1 c2 c3"),      // close but jaccard 0.4 -> rank 1
+      (3L, "epsilon boiler d1x d2x d3x d4x d5x d6x d7x"),          // two shared terms
+      (4L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),                          // nothing shared -> absent
+      (5L, "boiler e1x e2x e3x e4x e5x e6x e7x e8x"))              // boilerplate-only overlap
+      .toDF("doc_id", "text")
+    val isQ = col("doc_id") === 0L
+    val un = Retrieval.hardNegatives(docs, isQ).collect()
+    val unIds = un.map(_.getLong(2))
+    assert(unIds.sorted.sameElements(Array(2L, 3L, 5L)),
+      s"uncapped negatives: got ${unIds.toSeq} — self (0) and its near-dup (1) " +
+        "must be excluded, the no-overlap doc (4) absent")
+    assert(un.minBy(_.getLong(1)).getLong(2) == 2L,
+      "the 6-shared-term doc must rank first")
+    // dfCap = 4 drops 'boiler' (df 5): the boilerplate-only candidate
+    // disappears; candidates carried by informative terms survive
+    val capped = Retrieval.hardNegatives(docs, isQ, dfCap = 4L)
+      .collect().map(_.getLong(2))
+    assert(capped.sorted.sameElements(Array(2L, 3L)),
+      s"capped negatives: got ${capped.toSeq}")
+  }
+
   test("chunking: windows tile every token with the declared overlap; hashes are the slice hashes") {
     import spark.implicits._
     // 100 tokens -> chunks [1..64], [49..100]; 64 tokens -> one chunk;
