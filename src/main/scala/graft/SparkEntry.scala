@@ -116,6 +116,8 @@ object SparkEntry {
       graft.ops.Dedup.q70SubstringDup(s, dir)),
     "q71_hard_negatives"    -> ((s: SparkSession, dir: String) =>
       graft.ops.Retrieval.q71HardNegatives(s, dir)),
+    "q72_leakage_split"     -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q72LeakageSafeSplit(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,5 +454,6 @@ object SparkEntry {
     "q69_source_divergence" -> ExtensionOracles.q69SourceDivergence,
     "q70_substring_dup" -> ExtensionOracles.q70SubstringDup,
     "q71_hard_negatives" -> ExtensionOracles.q71HardNegatives,
+    "q72_leakage_split" -> ExtensionOracles.q72LeakageSafeSplit,
   )
 }

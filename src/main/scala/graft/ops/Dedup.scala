@@ -431,6 +431,42 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** q72: leakage-safe train/eval splits — the cross-split complement
+    * of q43's decontamination: q43 screens against an EXTERNAL eval
+    * suite, this screens the corpus's own held-out splits. A train doc
+    * that is a MinHash-LSH near-dup partner (q26's audited pair stage)
+    * of any val/test doc is a leak — its eval twin would be memorized,
+    * so it is quarantined from train; eval membership itself never
+    * moves (dropping from eval would bias the benchmark, and
+    * `Splits.of` must stay a pure function of the id).
+    *
+    * Shape at 100 TB: pair generation is the banded-LSH path (bounded
+    * per-doc work, no all-pairs); everything after is sparse-edge
+    * scale — symmetrize the pair list, semi-restrict to eval partners,
+    * one map-combined count per doc, LEFT JOIN back to the (narrow)
+    * split projection. No windows, no corpus-scale driver state. */
+  def q72LeakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(Tables.documents(s, dir))
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs).select(col("d1"), col("d2"))
+    val sym = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val withSplit = docs.select(col("doc_id"),
+      graft.ops.Splits.of(col("doc_id")).as("split"))
+    val evalIds = withSplit.filter(col("split") =!= "train")
+      .select(col("doc_id").as("b"))
+    val leaks = sym.join(evalIds, "b")
+      .groupBy(col("a")).agg(count(lit(1)).as("n"))
+      .select(col("a").as("doc_id"), col("n"))
+    withSplit.join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n"), lit(0L)).as("n_eval_partners"),
+        (!(col("split") === "train" && coalesce(col("n"), lit(0L)) > 0L)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q70: exact substring-level duplication — the character-granular
     * complement of q53's token-shingle repetition. A position is
     * "duplicated" when its k-char gram occurs >= 2 times anywhere in the

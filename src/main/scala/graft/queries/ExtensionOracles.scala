@@ -1076,6 +1076,34 @@ object ExtensionOracles {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors q72: leakage-safe splits — q32's split CASE, the shared
+    * `lshCtes` pair chain, symmetrized edges restricted to eval
+    * partners, and a LEFT JOIN + COALESCE so leak-free docs keep their
+    * row. All integers/strings — hash-exact by construction. */
+  val q72LeakageSafeSplit: String =
+    s"""WITH $shingleCtes,
+       |$lshCtes,
+       |pairs AS (SELECT d1, d2 FROM common
+       |  JOIN szc s1 ON common.d1 = s1.doc_id
+       |  JOIN szc s2 ON common.d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |        UNION ALL SELECT d2, d1 FROM pairs),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |leaks AS (SELECT sym.a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sym JOIN sp ON sym.b = sp.doc_id AND sp.split <> 'train'
+       |  GROUP BY sym.a)
+       |SELECT sp.doc_id, sp.split,
+       |  COALESCE(leaks.n, 0) AS n_eval_partners,
+       |  NOT (sp.split = 'train' AND COALESCE(leaks.n, 0) > 0) AS keep
+       |FROM sp
+       |LEFT JOIN leaks ON sp.doc_id = leaks.doc_id
+       |ORDER BY sp.doc_id""".stripMargin
+
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
     * for dup_rate, and computes the exact lower median as the
