@@ -44,6 +44,10 @@ object QuerySession {
     *  - `ann_neighbors(query_id, rank, neighbor_id, cos)` — multi-probe LSH top-10
     *  - `bm25_scores(doc_id, n_tokens, n_hit_terms, score)` — q58 default query
     *  - `data_card(source, …)`            — q67 per-source release datasheet
+    *  - `source_divergence(source, …)`    — q69 unigram KL vs the corpus pool
+    *  - `substring_dup_spans(doc_id, …)`  — q70 duplicated-char spans/fractions
+    *  - `hard_negatives(query_id, rank, doc_id, score)` — q71 negative mining
+    *  - `leakage_split(doc_id, split, n_eval_partners, keep)` — q72 quarantine
     *  - plus (materialized tier): `pq_neighbors`, `semantic_dedup_drops`,
     *    `token_budget_cut`, `bpe_token_counts`, `quality_scores`
     */
@@ -97,6 +101,19 @@ object QuerySession {
     // like the shingle views)
     graft.ops.DataCard.dataCard(docs)
       .createOrReplaceTempView("data_card")
+    // round-8 wave 2: per-source KL divergence, char-level dup spans,
+    // retrieval hard negatives (q71 default query sample) and the
+    // leakage-safe split — all pure lazy plans (no collect/train
+    // anywhere in their dataflows)
+    graft.ops.Mixing.sourceDivergence(docs)
+      .createOrReplaceTempView("source_divergence")
+    Dedup.substringDupStats(docs, 20)
+      .createOrReplaceTempView("substring_dup_spans")
+    graft.ops.Retrieval.hardNegatives(docs,
+        org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+      .createOrReplaceTempView("hard_negatives")
+    Dedup.leakageSafeSplit(docs)
+      .createOrReplaceTempView("leakage_split")
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training

@@ -81,7 +81,21 @@ object Soak {
         .filter(length(col("redacted_md5")) === 32 &&
           col("n_emails") + col("n_ips") + col("n_digit_runs") >= 0)),
       timed("source_quota")(Selection.sourceQuota(docs, 50)),
-      timed("weighted_sample")(Mixing.weightedSample(docs, 100)))
+      timed("weighted_sample")(Mixing.weightedSample(docs, 100)),
+      // round-8 additions. substring_dup is the one op whose row volume
+      // is per-CHARACTER (the honest cost note in its scaladoc) — its
+      // time must track total corpus chars linearly; the replica salt
+      // breaks cross-replica char runs, so true dup structure scales
+      // ×mult. hard_negatives holds |queries| fixed (~5) while the
+      // corpus scales — probe cost must track hits, not queries×corpus.
+      // The filters reference computed columns so Catalyst can't prune
+      // the aggregation/join work under count().
+      timed("substring_dup")(Dedup.substringDupStats(docs, 20)
+        .filter(col("dup_frac") >= 0.0)),
+      timed("hard_negatives")(Retrieval.hardNegatives(docs,
+        pmod(col("doc_id"), lit(100L * mult)) === 0L)),
+      timed("leakage_split")(Dedup.leakageSafeSplit(docs)
+        .filter(col("n_eval_partners") >= 0L)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

@@ -155,6 +155,28 @@ class QuerySessionSpec extends SparkSpec {
         |WHERE n_bpe_tokens < n_ws_tokens""".stripMargin)
       .collect()(0).getLong(0)
     assert(bpe == 0L, "BPE must never count fewer tokens than whitespace")
+
+    // round-8 wave 2 views: cross-view invariants a warehouse user
+    // could rely on, each stated purely in SQL
+    val kl = spark.sql(
+      "SELECT count(*) FROM source_divergence WHERE kl_nats >= 0.0")
+      .collect()(0).getLong(0)
+    assert(kl > 0, "KL(source‖corpus) must be defined and non-negative")
+    val spans = spark.sql(
+      "SELECT count(*) FROM substring_dup_spans WHERE dup_chars > n_chars")
+      .collect()(0).getLong(0)
+    assert(spans == 0L, "a doc cannot have more duplicated chars than chars")
+    val hn = spark.sql(
+      """SELECT count(*) FROM hard_negatives h
+        |JOIN minhash_pairs p
+        |  ON (h.query_id = p.d1 AND h.doc_id = p.d2)
+        |  OR (h.query_id = p.d2 AND h.doc_id = p.d1)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(hn == 0L, "a near-dup partner leaked into the hard negatives")
+    val leak = spark.sql(
+      "SELECT count(*) FROM leakage_split WHERE NOT keep AND split <> 'train'")
+      .collect()(0).getLong(0)
+    assert(leak == 0L, "only train docs may be quarantined")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
