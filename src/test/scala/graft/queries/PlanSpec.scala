@@ -430,6 +430,53 @@ class PlanSpec extends SparkSpec {
       "PII scan explodes rows — regex counting must stay in-row")
   }
 
+  test("q69: divergence is windowless; per-source totals ride broadcasts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q69_source_divergence")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(physical.collect { case w: WindowExec => w }.isEmpty,
+      "KL aggregation grew a window — totals must come from re-aggregation")
+    val p = physical.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"source totals / corpus total are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q70: substring-dup span windows are doc-partitioned, never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q70_substring_dup")(spark, dir)
+      .queryExecution.sparkPlan
+    val wins = physical.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "span merge should plan as window functions")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"a span window lost its doc_id partition (single-task corpus sort):\n$w")
+    }
+    assert(!physical.toString.contains("CartesianProduct"))
+  }
+
+  test("q71: hard-negative probe rides broadcasts; final cut is bounded top_k") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q71_hard_negatives")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(physical.collect { case w: WindowExec => w }.isEmpty,
+      "ranking regressed to a per-query window over the corpus")
+    val p = physical.toString
+    assert(p.contains("partial_top_k"),
+      s"per-query cut is not the map-side-combined top_k aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term probe is not a broadcast-hash join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q72: leakage split is windowless sparse-edge joins, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q72_leakage_split")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(physical.collect { case w: WindowExec => w }.isEmpty)
+    assert(!physical.toString.contains("CartesianProduct"))
+  }
+
   test("q61: source quota is the bounded top_k aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val physical = graft.SparkEntry.queries("q61_source_quota")(spark, dir)
