@@ -118,6 +118,8 @@ object SparkEntry {
       graft.ops.Retrieval.q71HardNegatives(s, dir)),
     "q72_leakage_split"     -> ((s: SparkSession, dir: String) =>
       graft.ops.Dedup.q72LeakageSafeSplit(s, dir)),
+    "q73_mixture_interleave" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q73MixtureInterleave(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,5 +457,6 @@ object SparkEntry {
     "q70_substring_dup" -> ExtensionOracles.q70SubstringDup,
     "q71_hard_negatives" -> ExtensionOracles.q71HardNegatives,
     "q72_leakage_split" -> ExtensionOracles.q72LeakageSafeSplit,
+    "q73_mixture_interleave" -> ExtensionOracles.q73MixtureInterleave,
   )
 }

@@ -104,6 +104,82 @@ object Mixing {
         round(col("w9").cast("double") / col("w_total").cast("double"), 12))
   }
 
+  /** q73: stride-scheduled mixture interleaving — the deterministic
+    * ORDER a trainer consumes the mixture in, not just its weights
+    * (q45) or a sampled subset (q62): source s's i-th document (in a
+    * salted-hash shuffle order) is emitted at virtual time
+    * (i − 0.5) / w_s, and the global stream is everything sorted by
+    * that key — classic stride scheduling, whose prefix counts track
+    * t·w_s within ±1 for EVERY prefix (spec-asserted), so the trainer
+    * sees the target mixture from the first batch, not just in
+    * expectation.
+    *
+    * Shape at 100 TB: the within-source rank is the q56 bucket-prefix
+    * idiom keyed per source — local row_number inside bounded
+    * (source, hash-range-bucket) partitions, per-(source, bucket)
+    * totals (≤ |sources| × P scalars) prefix-scanned on the driver and
+    * broadcast back. No per-source corpus window: a giant source costs
+    * P bounded sorts, not one task. The weight table rides a
+    * broadcast; the emitted prefix is TakeOrderedAndProject (bounded
+    * heaps), and the only unpartitioned window numbers the LIMITed
+    * result. A full-corpus interleave would drop the limit and write
+    * shard-sorted files instead (`Sharding.materializeTrainingSet`'s
+    * per-task sort) — positions are only needed per shard. */
+  def q73MixtureInterleave(s: SparkSession, dir: String): DataFrame =
+    mixtureInterleave(Tables.documents(s, dir), 200)
+
+  /** The reusable core over any (doc_id, source, text) frame: the
+    * first `n` documents of the stride-scheduled mixture stream. */
+  def mixtureInterleave(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = docs.sparkSession
+    val p = sess.sparkContext.defaultParallelism.toLong
+    val width = (1L << 52) / p + 1 // ceil: bucket ids stay < p
+    val keyed = docs.select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          1, 13), 16, 10).cast("long").as("h"))
+      .withColumn("bucket", expr(s"h DIV $width"))
+    // ≤ |sources| × P scalars — sources are a low-cardinality dimension
+    // (domains/feeds), so this driver state is bounded by construction
+    val totals = keyed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val prefix = totals.keys.map(_._1).toSeq.distinct.sorted.flatMap { src =>
+      var acc = 0L
+      (0L until p).map { b =>
+        val o = (src, b, acc); acc += totals.getOrElse((src, b), 0L); o
+      }
+    }
+    import sess.implicits._
+    val offsets = prefix.toDF("source_o", "bucket_o", "before")
+    val localWin = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = keyed
+      .withColumn("local_rn", row_number().over(localWin).cast("long"))
+      .join(broadcast(offsets),
+        col("source") === col("source_o") && col("bucket") === col("bucket_o"))
+      .select(col("doc_id"), col("source"),
+        (col("before") + col("local_rn")).as("src_rank"))
+    val weights = domainWeights(docs).select(col("source"), col("weight"))
+    // the RAW IEEE quotient, not round(·,12): rank and weight are
+    // bit-identical on both engines, so the division is too — while a
+    // 12-digit re-round can land on a decimal tie that Spark (exact
+    // BigDecimal of the binary value) and DuckDB (scaled-double round)
+    // resolve differently (observed: 1e-12 flip at sf0.01 row 112)
+    val topn = ranked.join(broadcast(weights), "source")
+      .withColumn("mix_key",
+        (col("src_rank").cast("double") - 0.5) / col("weight"))
+      .orderBy(col("mix_key"), col("source"), col("doc_id"))
+      .limit(n)
+    topn
+      .withColumn("global_pos", row_number().over(
+          Window.orderBy(col("mix_key"), col("source"), col("doc_id")))
+        .cast("long"))
+      .select(col("global_pos"), col("doc_id"), col("source"),
+        col("src_rank"), col("mix_key"))
+      .orderBy(col("global_pos"))
+  }
+
   /** q62: weighted corpus sampling — DRAW the epoch's documents to match
     * the q45 mixture, not just compute its weights: each document gets
     * the Efraimidis–Spirakis key `-ln(u)/w` (u a salted-hash uniform, w

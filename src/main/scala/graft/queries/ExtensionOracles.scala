@@ -1104,6 +1104,29 @@ object ExtensionOracles {
        |LEFT JOIN leaks ON sp.doc_id = leaks.doc_id
        |ORDER BY sp.doc_id""".stripMargin
 
+  /** Mirrors q73: stride-scheduled mixture interleave. Reuses the q45
+    * weight CTEs; the per-source shuffle order is the salted 52-bit md5
+    * (single-task ROW_NUMBER here mirrors the engine's bucket-prefix
+    * rank exactly); mix_key = (rank − 0.5) / weight as the RAW double
+    * quotient — rank and weight are bit-identical on both sides, so
+    * the division is too, while a 12-digit re-round can land on a
+    * decimal tie the two engines resolve differently. */
+  val q73MixtureInterleave: String =
+    s"""WITH $weightCtes,
+       |r AS (SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,13))::BIGINT,
+       |        doc_id) AS BIGINT) AS src_rank
+       |  FROM documents),
+       |k AS (SELECT r.doc_id, r.source, r.src_rank,
+       |    (CAST(r.src_rank AS DOUBLE) - 0.5) / ws.weight AS mix_key
+       |  FROM r JOIN ws USING (source)),
+       |topn AS (SELECT * FROM k ORDER BY mix_key, source, doc_id LIMIT 200)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY mix_key, source, doc_id) AS BIGINT)
+       |    AS global_pos,
+       |  doc_id, source, src_rank, mix_key
+       |FROM topn ORDER BY global_pos""".stripMargin
+
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
     * for dup_rate, and computes the exact lower median as the

@@ -76,6 +76,36 @@ class OpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("mixture interleave: every prefix tracks the target mixture; ranks contiguous") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = Mixing.mixtureInterleave(docs, 200).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to out.length).toSeq,
+      "global positions must be 1..n with no gaps")
+    val weights = Mixing.domainWeights(docs).select(col("source"), col("weight"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the stride-scheduling guarantee: after ANY prefix of t emissions,
+    // each source's count sits within ~1 of t·w — the trainer sees the
+    // target mixture from the first batch (bound: 0.5 phase slack +
+    // w·m/2 from virtual-time skew across m sources)
+    val m = weights.size
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    out.zipWithIndex.foreach { case (r, i) =>
+      counts(r.getString(2)) += 1
+      val t = i + 1
+      weights.foreach { case (s, w) =>
+        val dev = math.abs(counts(s) - t * w)
+        assert(dev <= 0.5 + w * m / 2.0 + 1e-9,
+          s"prefix $t: source $s count ${counts(s)} vs target ${t * w}")
+      }
+    }
+    // each source's emitted ranks are its own 1..k in stream order —
+    // the per-source shuffle order is consumed without skips
+    out.groupBy(_.getString(2)).foreach { case (s, rows) =>
+      val ranks = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(ranks == (1L to ranks.length.toLong), s"source $s ranks: $ranks")
+    }
+  }
+
   test("quality model: learns beyond the majority class; weights partition-invariant") {
     val docs = graft.Tables.documents(spark, dir)
     val out = QualityModel.q68QualityModel(spark, dir).cache()
