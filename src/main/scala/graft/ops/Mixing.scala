@@ -128,19 +128,21 @@ object Mixing {
   def q73MixtureInterleave(s: SparkSession, dir: String): DataFrame =
     mixtureInterleave(Tables.documents(s, dir), 200)
 
-  /** The reusable core over any (doc_id, source, text) frame: the
-    * first `n` documents of the stride-scheduled mixture stream. */
-  def mixtureInterleave(docs: DataFrame, n: Int): DataFrame = {
+  /** Within-source shuffle rank — the q56 bucket-prefix idiom keyed per
+    * source: local row_number inside bounded (source, hash-range-bucket)
+    * partitions, per-(source, bucket) totals (≤ |sources| × P scalars —
+    * sources are a low-cardinality dimension, so this driver state is
+    * bounded by construction) prefix-scanned on the driver and broadcast
+    * back. Returns (doc_id, source, src_rank). */
+  private[ops] def sourceRanks(docs: DataFrame, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sess = docs.sparkSession
     val p = sess.sparkContext.defaultParallelism.toLong
     val width = (1L << 52) / p + 1 // ceil: bucket ids stay < p
     val keyed = docs.select(col("doc_id"), col("source"),
-        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+        conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
           1, 13), 16, 10).cast("long").as("h"))
       .withColumn("bucket", expr(s"h DIV $width"))
-    // ≤ |sources| × P scalars — sources are a low-cardinality dimension
-    // (domains/feeds), so this driver state is bounded by construction
     val totals = keyed.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("t"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -154,12 +156,19 @@ object Mixing {
     val offsets = prefix.toDF("source_o", "bucket_o", "before")
     val localWin = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
-    val ranked = keyed
+    keyed
       .withColumn("local_rn", row_number().over(localWin).cast("long"))
       .join(broadcast(offsets),
         col("source") === col("source_o") && col("bucket") === col("bucket_o"))
       .select(col("doc_id"), col("source"),
         (col("before") + col("local_rn")).as("src_rank"))
+  }
+
+  /** The reusable core over any (doc_id, source, text) frame: the
+    * first `n` documents of the stride-scheduled mixture stream. */
+  def mixtureInterleave(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sourceRanks(docs, "mix:")
     val weights = domainWeights(docs).select(col("source"), col("weight"))
     // the RAW IEEE quotient, not round(·,12): rank and weight are
     // bit-identical on both engines, so the division is too — while a
@@ -178,6 +187,37 @@ object Mixing {
       .select(col("global_pos"), col("doc_id"), col("source"),
         col("src_rank"), col("mix_key"))
       .orderBy(col("global_pos"))
+  }
+
+  /** Full-corpus mixture shard assignment — q73's stream cut into
+    * trainer shards WITHOUT any global rank: the stride stream emits
+    * exactly one document per unit of virtual time (the per-source
+    * rates w_s sum to 1), so cutting the time axis at multiples of
+    * docsPerShard yields shards of ~docsPerShard docs (±ones of jitter)
+    * whose CONCATENATION is the mixture stream — shard_id =
+    * floor(mix_key / docsPerShard) is a narrow per-row expression, and
+    * pos_in_shard needs only a per-shard window bounded by the shard
+    * size. Compare q56's epoch shuffle, which needs the bucket-prefix
+    * trick for exact global positions; here the virtual-time axis IS
+    * the global order, for free. `epoch` salts the per-source shuffle,
+    * so epoch streams are decorrelated while every epoch keeps the
+    * mixture guarantee. Output is `writeShards`-shaped
+    * (doc_id, shard_id, pos_in_shard). */
+  def mixedShardAssignment(docs: DataFrame, epoch: Int,
+                           docsPerShard: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sourceRanks(docs, s"mix:e$epoch:")
+    val weights = domainWeights(docs).select(col("source"), col("weight"))
+    ranked.join(broadcast(weights), "source")
+      .withColumn("mix_key",
+        (col("src_rank").cast("double") - 0.5) / col("weight"))
+      .withColumn("shard_id",
+        floor(col("mix_key") / lit(docsPerShard.toDouble)).cast("long"))
+      .withColumn("pos_in_shard",
+        (row_number().over(Window.partitionBy(col("shard_id"))
+          .orderBy(col("mix_key"), col("source"), col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("mix_key"),
+        col("shard_id"), col("pos_in_shard"))
   }
 
   /** q62: weighted corpus sampling — DRAW the epoch's documents to match

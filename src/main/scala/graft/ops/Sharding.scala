@@ -81,6 +81,35 @@ object Sharding {
     verdicts
   }
 
+  /** Like [[materializeTrainingSet]], but shards are laid out in q73's
+    * STRIDE-MIXTURE order (`Mixing.mixedShardAssignment`) instead of
+    * the hash permutation: a trainer streaming `shard_id=0,1,2,…`
+    * sequentially consumes the q45 target mixture from the first batch
+    * — no loader-side interleaving, the layout IS the schedule. Epochs
+    * stay decorrelated via the epoch-salted per-source shuffle, and
+    * the manifest machinery (write, validate, resume) is shared
+    * unchanged. */
+  def materializeMixedTrainingSet(s: SparkSession, dir: String, dst: String,
+                                  budget: Long = 8000L, nEpochs: Int = 1,
+                                  docsPerShard: Long = 64L): DataFrame = {
+    val verdicts = Pipeline.q57PipelineDecision(s, dir, budget)
+      .localCheckpoint()
+    val kept = Tables.documents(s, dir)
+      .join(verdicts.filter(col("selected")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    (1 to nEpochs)
+      .map { e =>
+        val assignment = Mixing.mixedShardAssignment(
+          kept.select(col("doc_id"), col("source"), col("text")), e, docsPerShard)
+        writeShards(kept, assignment, s"$dst/epoch=$e")
+        shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
+      }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/_manifest")
+    verdicts
+  }
+
   /** Per-shard row count + content digest of one epoch dir, computed
     * from the files: content_md5 = md5 over the position-ordered
     * per-row text digests (bounded per shard by docsPerShard — the

@@ -326,6 +326,66 @@ class RetrievalSpec extends SparkSpec {
     assert(sizes.init.forall(_._2 == 16))
   }
 
+  test("mixed shards: concatenation is the stride stream; every shard holds the mixture") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mixshards").toString
+    val verdicts = Sharding.materializeMixedTrainingSet(spark, dir, base,
+      budget = 5000L, nEpochs = 1, docsPerShard = 16L)
+    val keptIds = verdicts.collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    val keptDocs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(keptIds.toSeq.map(Long.box): _*))
+    // expected: the deterministic mixed assignment over the keepers
+    val expected = Mixing.mixedShardAssignment(
+        keptDocs.select(col("doc_id"), col("source"), col("text")),
+        epoch = 1, docsPerShard = 16L)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(4), r.getLong(5)))
+    val byShard = expected.groupBy(_._3)
+    val shardDirs = new java.io.File(s"$base/epoch=1").listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+      .sortBy(_.getName.stripPrefix("shard_id=").toLong)
+    assert(shardDirs.length == byShard.size)
+    // file order within each shard == mix_key order; shard time-cuts
+    // mean concatenating shards in id order IS the global stride stream
+    var prevMax = Double.NegativeInfinity
+    shardDirs.foreach { d =>
+      val sid = d.getName.stripPrefix("shard_id=").toLong
+      val rows = spark.read.parquet(d.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val exp = byShard(sid).sortBy(_._4)
+      assert(rows == exp.map(_._1).toSeq, s"shard $sid order/content diverged")
+      assert(exp.head._2 >= prevMax,
+        s"shard $sid overlaps the previous shard's virtual time")
+      prevMax = exp.last._2
+    }
+    // mixture guarantee per shard: each shard is a 16-unit virtual-time
+    // window, so it receives ~w_s·16 docs of each source (±1 phase
+    // error) — shard SIZES jitter (the errors sum across m sources),
+    // the per-source rates do not. The bound holds until the first
+    // source exhausts its documents (after (n_s−0.5)/w_s the stream
+    // legitimately stops receiving s) — check the windows before that.
+    val weights = Mixing.domainWeights(
+        keptDocs.select(col("doc_id"), col("source"), col("text")))
+      .select(col("source"), col("weight"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val srcOf = Mixing.sourceRanks(keptDocs, "mix:e1:")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nPerSource = srcOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val tEnd = weights.map { case (s, w) => (nPerSource(s) - 0.5) / w }.min
+    val eligible = expected.groupBy(_._3)
+      .filter { case (sid, _) => (sid + 1) * 16.0 <= tEnd }
+    assert(eligible.nonEmpty, s"no complete window before first exhaustion ($tEnd)")
+    eligible.foreach { case (sid, rows) =>
+      val counts = rows.groupBy(r => srcOf(r._1)).view.mapValues(_.length).toMap
+      weights.foreach { case (s, w) =>
+        val dev = math.abs(counts.getOrElse(s, 0) - 16 * w)
+        assert(dev <= 1.0 + 1e-9,
+          s"shard $sid: source $s count ${counts.getOrElse(s, 0)} vs ${16 * w}")
+      }
+    }
+  }
+
   test("multi-epoch shards: decorrelated permutations, manifest certifies the files") {
     val base = java.nio.file.Files.createTempDirectory("graft-epochs").toString
     val verdicts = Sharding.materializeTrainingSet(spark, dir, base,
