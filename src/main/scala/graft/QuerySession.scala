@@ -101,17 +101,15 @@ object QuerySession {
     // like the shingle views)
     graft.ops.DataCard.dataCard(docs)
       .createOrReplaceTempView("data_card")
-    // round-8 wave 2: per-source KL divergence, char-level dup spans,
-    // retrieval hard negatives (q71 default query sample) and the
-    // leakage-safe split — all pure lazy plans (no collect/train
-    // anywhere in their dataflows)
+    // round-8 wave 2: per-source KL divergence, char-level dup spans
+    // and the leakage-safe split — pure lazy plans (no collect/train
+    // anywhere in their dataflows); hard_negatives lives in the
+    // materialized tier (its bounded result is collected so its caches
+    // can be released, the q28 pattern)
     graft.ops.Mixing.sourceDivergence(docs)
       .createOrReplaceTempView("source_divergence")
     Dedup.substringDupStats(docs, 20)
       .createOrReplaceTempView("substring_dup_spans")
-    graft.ops.Retrieval.hardNegatives(docs,
-        org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
-      .createOrReplaceTempView("hard_negatives")
     Dedup.leakageSafeSplit(docs)
       .createOrReplaceTempView("leakage_split")
   }
@@ -141,6 +139,10 @@ object QuerySession {
     // feature frame) and freezes the weights into a scoring view
     graft.ops.QualityModel.q68QualityModel(spark, sfDir)
       .createOrReplaceTempView("quality_scores")
+    // q71: bounded (k × |queries|) result, collected so the op can
+    // release its caches — eager by design, so it lives here
+    graft.ops.Retrieval.q71HardNegatives(spark, sfDir)
+      .createOrReplaceTempView("hard_negatives")
   }
 
   /** Everything: the cheap views plus the materialized ones. */

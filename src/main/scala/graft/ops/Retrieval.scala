@@ -161,6 +161,26 @@ object Retrieval {
     * over the corpus anywhere. */
   def hardNegatives(docs: DataFrame, isQuery: Column, k: Int = 10,
                     dfCap: Long = 0L): DataFrame = {
+    val (out, caches) = hardNegativesLazy(docs, isQuery, k, dfCap)
+    // the result is bounded at k × |queries| rows: materialize it and
+    // RELEASE the caches — otherwise every invocation in a long-lived
+    // session leaks cached plans into the CacheManager (q28's emit
+    // lesson)
+    val rows = out.collect()
+    caches.foreach(_.unpersist())
+    val sess = docs.sparkSession
+    sess.createDataFrame(sess.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The lazy dataflow behind [[hardNegatives]] plus the frames it
+    * caches (twice-referenced subplans) — package-visible so PlanSpec
+    * can audit the REAL plan, which the public wrapper's bounded
+    * collect-and-release otherwise hides behind a local relation. */
+  private[graft] def hardNegativesLazy(
+      docs: DataFrame, isQuery: Column, k: Int,
+      dfCap: Long): (DataFrame, Seq[DataFrame]) = {
     val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
@@ -207,18 +227,22 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         col("sc").cast("double").as("score"))
     // near-dup partners of a query are "same document in a trenchcoat",
-    // not negatives — exclude both orientations of the pair list.
-    // cache(): the union references the pair plan twice and exchange
-    // reuse does not cross union branches — uncached, the whole banded
-    // minhash dataflow executes twice (measured 4.3 s → 2.5 s at sf0.1)
-    val pairs = Dedup.minhashLshPairs(docs).select(col("d1"), col("d2")).cache()
-    val excl = pairs.select(col("d1").as("query_id"), col("d2").as("doc_id"))
-      .union(pairs.select(col("d2").as("query_id"), col("d1").as("doc_id")))
+    // not negatives — exclude both orientations of the pair list,
+    // symmetrized by IN-ROW explode: a self-union would reference the
+    // pair plan twice and exchange reuse does not cross union branches,
+    // so the banded minhash dataflow would execute twice (measured
+    // 4.3 s vs 2.5 s at sf0.1)
+    val excl = Dedup.minhashLshPairs(docs)
+      .select(explode(array(
+        struct(col("d1").as("query_id"), col("d2").as("doc_id")),
+        struct(col("d2").as("query_id"), col("d1").as("doc_id")))).as("e"))
+      .select(col("e.query_id").as("query_id"), col("e.doc_id").as("doc_id"))
     val kept = scored.join(excl, Seq("query_id", "doc_id"), "left_anti")
-    TopKPerGroup.topKPerKey(kept, "query_id", "score", "doc_id", k)
+    val out = TopKPerGroup.topKPerKey(kept, "query_id", "score", "doc_id", k)
       .select(col("key").as("query_id"), col("rank"),
         col("id").as("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
+    (out, Seq(tf, qterms))
   }
 
   /** Term → partition bucket: the first 52 bits of md5, mod `nBuckets`.

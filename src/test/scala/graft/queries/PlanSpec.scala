@@ -457,8 +457,14 @@ class PlanSpec extends SparkSpec {
 
   test("q71: hard-negative probe rides broadcasts; final cut is bounded top_k") {
     import org.apache.spark.sql.execution.window.WindowExec
-    val physical = graft.SparkEntry.queries("q71_hard_negatives")(spark, dir)
-      .queryExecution.sparkPlan
+    // audit the lazy dataflow — the public wrapper collects the bounded
+    // result to release its caches, which hides the plan behind a
+    // local relation
+    val (lazyOut, caches) = graft.ops.Retrieval.hardNegativesLazy(
+      graft.Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("doc_id") % 100 === 0, 10, 0L)
+    val physical = lazyOut.queryExecution.sparkPlan
+    caches.foreach(_.unpersist())
     assert(physical.collect { case w: WindowExec => w }.isEmpty,
       "ranking regressed to a per-query window over the corpus")
     val p = physical.toString
