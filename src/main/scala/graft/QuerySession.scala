@@ -112,6 +112,10 @@ object QuerySession {
       .createOrReplaceTempView("substring_dup_spans")
     Dedup.leakageSafeSplit(docs)
       .createOrReplaceTempView("leakage_split")
+    Dedup.sourceOverlap(docs)
+      .createOrReplaceTempView("source_overlap")
+    Dedup.sourceDiversity(docs)
+      .createOrReplaceTempView("source_diversity")
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training

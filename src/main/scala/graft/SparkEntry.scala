@@ -120,6 +120,10 @@ object SparkEntry {
       graft.ops.Dedup.q72LeakageSafeSplit(s, dir)),
     "q73_mixture_interleave" -> ((s: SparkSession, dir: String) =>
       graft.ops.Mixing.q73MixtureInterleave(s, dir)),
+    "q74_source_overlap"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q74SourceOverlap(s, dir)),
+    "q75_source_diversity"  -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q75SourceDiversity(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,5 +462,7 @@ object SparkEntry {
     "q71_hard_negatives" -> ExtensionOracles.q71HardNegatives,
     "q72_leakage_split" -> ExtensionOracles.q72LeakageSafeSplit,
     "q73_mixture_interleave" -> ExtensionOracles.q73MixtureInterleave,
+    "q74_source_overlap" -> ExtensionOracles.q74SourceOverlap,
+    "q75_source_diversity" -> ExtensionOracles.q75SourceDiversity,
   )
 }

@@ -475,6 +475,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q74: the cross-source duplication matrix — for each unordered
+    * source pair, how many near-dup pairs straddle it (plus the
+    * within-source diagonal): the provenance diagnostic that tells you
+    * WHICH feeds are re-crawling each other before you pick quotas or
+    * drop a redundant source. Pure composition over the audited
+    * MinHash pair stage: two broadcast-sized source lookups (the
+    * (doc_id, source) projection is corpus-scale, so those joins
+    * shuffle pair-scale rows — pairs are sparse — against it), one
+    * tiny aggregate. */
+  def q74SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(s, dir))
+
+  /** The reusable core over any (doc_id, source, text) frame. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs).select(col("d1"), col("d2"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q75: per-source shingle diversity — distinct 3-grams over total
+    * (doc-distinct) 3-gram occurrences: the type/token ratio that drops
+    * toward 0 when a feed mode-collapses (synthetic data repeating
+    * itself, a crawler stuck in a template farm), while healthy text
+    * stays high. Complements q74: that says who duplicates WHOM, this
+    * says who duplicates THEMSELVES even below the near-dup threshold.
+    *
+    * Shape: one (source, gram) distinct shuffle — gram-keyed like every
+    * shingle op; the per-source counts are map-side-combined count
+    * aggregates (a hot source collapses per task, no list state), and
+    * sources with zero shingles (all docs under 3 tokens) survive via
+    * LEFT JOIN + COALESCE (the q51 rule). */
+  def q75SourceDiversity(s: SparkSession, dir: String): DataFrame =
+    sourceDiversity(Tables.documents(s, dir))
+
+  /** The reusable core over any (doc_id, source, text) frame. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val withSrc = shingles(docs, 3)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val tot = withSrc.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val dis = withSrc.select(col("source"), col("g")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(tot, Seq("source"), "left")
+      .join(dis, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (coalesce(col("n_distinct"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"))
+          .as("distinct_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** q70: exact substring-level duplication — the character-granular
     * complement of q53's token-shingle repetition. A position is
     * "duplicated" when its k-char gram occurs >= 2 times anywhere in the

@@ -1127,6 +1127,48 @@ object ExtensionOracles {
        |  doc_id, source, src_rank, mix_key
        |FROM topn ORDER BY global_pos""".stripMargin
 
+  /** Mirrors q74: the cross-source near-dup matrix — the shared
+    * `lshCtes` verified pairs, source-labeled on both ends, unordered
+    * via least/greatest. Pure integers — hash-exact. */
+  val q74SourceOverlap: String =
+    s"""WITH $shingleCtes,
+       |$lshCtes,
+       |pairs AS (SELECT d1, d2 FROM common
+       |  JOIN szc s1 ON common.d1 = s1.doc_id
+       |  JOIN szc s2 ON common.d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |lab AS (SELECT least(a.source, b.source) AS source_a,
+       |               greatest(a.source, b.source) AS source_b
+       |  FROM pairs
+       |  JOIN documents a ON pairs.d1 = a.doc_id
+       |  JOIN documents b ON pairs.d2 = b.doc_id)
+       |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM lab
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Mirrors q75: per-source shingle diversity. Same doc-distinct
+    * shingle set; zero-shingle sources survive via LEFT JOIN +
+    * COALESCE on BOTH sides (the q51 rule); the ratio is an exact
+    * integer quotient. */
+  val q75SourceDiversity: String =
+    s"""WITH $shingleCtes,
+       |j AS (SELECT sh.doc_id, sh.g, d.source
+       |      FROM sh JOIN documents d USING (doc_id)),
+       |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+       |      FROM j GROUP BY source),
+       |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM documents GROUP BY source)
+       |SELECT nd.source, nd.n_docs,
+       |  COALESCE(t.n_grams, 0) AS n_grams,
+       |  COALESCE(t.n_distinct, 0) AS n_distinct,
+       |  CAST(COALESCE(t.n_distinct, 0) AS DOUBLE) /
+       |    CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS DOUBLE) AS distinct_ratio
+       |FROM nd
+       |LEFT JOIN t ON nd.source = t.source
+       |ORDER BY nd.source""".stripMargin
+
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
     * for dup_rate, and computes the exact lower median as the

@@ -177,6 +177,19 @@ class QuerySessionSpec extends SparkSpec {
       "SELECT count(*) FROM leakage_split WHERE NOT keep AND split <> 'train'")
       .collect()(0).getLong(0)
     assert(leak == 0L, "only train docs may be quarantined")
+    // the provenance diagnostics agree with the pair view they derive
+    // from, and diversity ratios are well-formed
+    val mx = spark.sql(
+      """SELECT (SELECT CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT) FROM source_overlap)
+        |     = (SELECT COUNT(*) FROM minhash_pairs)""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(mx, "source_overlap cells must sum to the pair count")
+    val dv = spark.sql(
+      """SELECT count(*) FROM source_diversity
+        |WHERE distinct_ratio < 0 OR distinct_ratio > 1
+        |   OR n_distinct > n_grams""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(dv == 0L, "diversity ratios out of range")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
