@@ -167,6 +167,41 @@ object Streaming {
         col("n_events"), col("total_value"))
   }
 
+  case class DocIn(doc_id: Long, source: String)
+  case class QuotaState(admitted: Long)
+  case class QuotaVerdict(doc_id: Long, source: String, admitted: Boolean,
+                          admit_rank: Long)
+
+  /** Streaming per-source quota — ADMISSION CONTROL at ingest: each
+    * source admits at most `quota` documents across the whole stream,
+    * with the counter carried in per-source state (O(sources), a few
+    * bytes each). Deliberate divergence from batch q61, documented:
+    * the batch operator sees the whole corpus and keeps each source's
+    * BEST `quota` docs by quality priority; a stream cannot un-admit,
+    * so it takes the FIRST `quota` arrivals (doc_id order within a
+    * micro-batch, for rerun determinism). Same cap, different
+    * selection — the price of deciding online. Rejected docs are
+    * emitted with admitted=false so a downstream sink can audit what
+    * the cap cost. */
+  def sourceQuotaStream(docs: Dataset[DocIn],
+                        quota: Long): Dataset[QuotaVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[DocIn], state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val admit = n < quota
+            if (admit) n += 1
+            QuotaVerdict(d.doc_id, source, admit, if (admit) n else -1L)
+          }
+          state.update(QuotaState(n))
+          out.iterator
+      }
+  }
+
   case class Event(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(sessionCount: Long, lastMs: Long, eventCount: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

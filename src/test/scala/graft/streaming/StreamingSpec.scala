@@ -231,6 +231,47 @@ class StreamingSpec extends SparkSpec {
       s"appended keeper 202 not indexed: ${hits.mkString(",")}")
   }
 
+  test("streaming source quota: the admission counter survives micro-batch boundaries") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-quota")
+    val watched = java.nio.file.Files.createDirectory(root.resolve("in"))
+    def stage(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val tmpd = root.resolve(name + "_tmp").toString
+      rows.toDF("doc_id", "source").coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = watched.resolve(name).toFile
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    // batch 1: a fills its quota of 2 (doc 12 arrives "before" 11 by id
+    // order? no — admission is doc_id-ordered within the batch); batch 2:
+    // a is already full, b still has room
+    stage("b1.parquet", Seq((12L, "a"), (11L, "a"), (13L, "a"), (21L, "b")),
+      t0 - 120000)
+    stage("b2.parquet", Seq((14L, "a"), (22L, "b")), t0 - 60000)
+    val stream = spark.readStream
+      .schema(Seq((1L, "x")).toDF("doc_id", "source").schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+      .as[Streaming.DocIn]
+    val out = root.resolve("out").toString
+    val q = Streaming.sourceQuotaStream(stream, quota = 2L)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val v = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(v == Map(
+      11L -> (true, 1L), 12L -> (true, 2L), 13L -> (false, -1L),
+      21L -> (true, 1L),
+      14L -> (false, -1L),   // source a was filled in batch 1
+      22L -> (true, 2L)), s"verdicts drifted: $v")
+  }
+
   test("streaming PII scrub ≡ batch q60 over the synthesized log lines") {
     val dir = "/root/testdata/sf0.001"
     // stage the synthesized raw lines as a text file the stream watches
