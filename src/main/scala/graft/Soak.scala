@@ -95,7 +95,16 @@ object Soak {
       timed("hard_negatives")(Retrieval.hardNegatives(docs,
         pmod(col("doc_id"), lit(100L * mult)) === 0L)),
       timed("leakage_split")(Dedup.leakageSafeSplit(docs)
-        .filter(col("n_eval_partners") >= 0L)))
+        .filter(col("n_eval_partners") >= 0L)),
+      // provenance diagnostics: pair-scale joins over the minhash stage
+      // (their delta over minhash_lsh above IS the claim), and the
+      // mixture assignment whose only non-narrow pieces are the
+      // (source × bucket) prefix and per-shard windows
+      timed("source_overlap")(Dedup.sourceOverlap(docs)),
+      timed("source_diversity")(Dedup.sourceDiversity(docs)),
+      timed("mixed_assignment")(graft.ops.Mixing.mixedShardAssignment(
+        docs.select(col("doc_id"), col("source"), col("text")), 1, 1024L)
+        .filter(col("pos_in_shard") >= 0L)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of
