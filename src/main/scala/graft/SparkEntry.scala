@@ -124,6 +124,8 @@ object SparkEntry {
       graft.ops.Dedup.q74SourceOverlap(s, dir)),
     "q75_source_diversity"  -> ((s: SparkSession, dir: String) =>
       graft.ops.Dedup.q75SourceDiversity(s, dir)),
+    "q76_embedding_negatives" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.q76EmbeddingNegatives(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,5 +466,6 @@ object SparkEntry {
     "q73_mixture_interleave" -> ExtensionOracles.q73MixtureInterleave,
     "q74_source_overlap" -> ExtensionOracles.q74SourceOverlap,
     "q75_source_diversity" -> ExtensionOracles.q75SourceDiversity,
+    "q76_embedding_negatives" -> ExtensionOracles.q76EmbeddingNegatives,
   )
 }

@@ -480,11 +480,61 @@ object Similarity {
     (corpus, q)
   }
 
+  /** q76: embedding-space hard negatives — the semantic counterpart of
+    * q71's lexical mining: for each query vector, the exact top-k
+    * cosine neighbors EXCLUDING near-duplicate partners (q36's pair
+    * stage). What survives is "close in embedding space but not the
+    * same content" — the negative a contrastive trainer wants.
+    *
+    * Exactness without ranking the full corpus twice: the guarded
+    * two-phase q28 machinery retrieves top-k' where k' = k + (max
+    * near-dup partners over the queries — a bounded aggregate);
+    * partners removed from a top-k' list can never promote anything
+    * beyond original rank k', so re-ranking the survivors of the
+    * bounded list and cutting at k equals the full ranking minus
+    * partners. The exclusion re-rank runs over ≤ k' rows per query —
+    * a bounded window on an already-collected local relation. */
+  def q76EmbeddingNegatives(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // positives bar 0.30, deliberately below the 0.45 near-dup bar:
+    // a candidate can be too close to train against without being a
+    // duplicate — on this corpus every query then has 1-6 exclusions
+    // (at 0.45 none would, and the exclusion path would be vacuous)
+    val partners = exactCosinePairs(s, dir, 0.30)
+      .select(explode(array(
+        struct(col("d1").as("query_id"), col("d2").as("neighbor_id")),
+        struct(col("d2").as("query_id"), col("d1").as("neighbor_id")))).as("e"))
+      .select(col("e.query_id").as("query_id"),
+        col("e.neighbor_id").as("neighbor_id"))
+      .filter(col("query_id") < 5)
+      .localCheckpoint() // consumed twice (margin count + anti join); tiny
+    val maxPartners = partners.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val kPrime = k + maxPartners.toInt
+    val ranked = bruteForceTopK(widen(Tables.embeddings(s, dir)),
+      kPrime, kFloat0 = math.max(32, 4 * kPrime))
+    ranked.join(partners, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("rank2", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))).cast("long"))
+      .filter(col("rank2") <= k)
+      .select(col("query_id"), col("rank2").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q36: embedding-cosine near-duplicate pairs, exact all-pairs with
     * decimal-exact scoring (oracle-mirrorable). The LSH-bucketed
     * `nearDupPairs` below is the 100 TB path; this is its exact
     * ground-truth companion. Norms computed once per vector. */
-  def q36EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  def q36EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    exactCosinePairs(s, dir, 0.45)
+
+  /** The parameterized exact pair stage behind q36 (near-dup threshold
+    * 0.45) and q76's positive-pair exclusion (a LOWER bar — "too close
+    * to be a negative" is a different knob than "same content"). */
+  def exactCosinePairs(s: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
     // the corpus arrives as one small file = one partition; without the
@@ -501,12 +551,12 @@ object Similarity {
       // one codegen pass; the expensive exact-decimal score runs only on
       // survivors. The 1e-4 guard band vastly exceeds the ≤1e-12 float
       // error, so the final result set is unchanged.
-      .filter(exprs.cosine_similarity(col("ea"), col("eb")) >= 0.4499)
+      .filter(exprs.cosine_similarity(col("ea"), col("eb")) >= threshold - 1e-4)
       // round(…,12): the dot and norms are bit-identical across engines,
       // but the final fused multiply-divide drifts 1 ulp (see q34)
       .withColumn("cos", round(
         decDot(col("ea"), col("eb")).cast("double") / (col("na") * col("nb")), 12))
-      .filter(col("cos") >= 0.45)
+      .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), col("cos"))
       .orderBy(col("d1"), col("d2"))
   }

@@ -1169,6 +1169,59 @@ object ExtensionOracles {
        |LEFT JOIN t ON nd.source = t.source
        |ORDER BY nd.source""".stripMargin
 
+  /** Mirrors q76: embedding hard negatives — q28's exact decimal
+    * cosine ranking (full corpus, so the engine's k' margin construction
+    * must land on identical rows), minus cos ≥ 0.30 POSITIVE partners
+    * of the query vectors (q36's pair derivation at the lower
+    * too-close-to-be-a-negative bar), re-ranked in original-rank
+    * order. */
+  val q76EmbeddingNegatives: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |cand AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS emb
+      |         FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |expl AS (SELECT query_id, vec_id, qe, emb,
+      |           unnest(generate_series(1, len(qe))) AS i
+      |         FROM cand),
+      |dots AS (SELECT query_id, vec_id,
+      |  SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot,
+      |  SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS qq,
+      |  SUM(CAST(CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18))) AS ee
+      |  FROM expl GROUP BY 1, 2),
+      |scored AS (SELECT query_id, vec_id,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(ee AS DOUBLE))) AS cos
+      |  FROM dots),
+      |e2 AS (SELECT vec_id, embedding FROM embeddings),
+      |x2 AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e2),
+      |norms2 AS (SELECT vec_id,
+      |  SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS nn
+      |  FROM x2 GROUP BY vec_id),
+      |pr2 AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS ea, b.embedding AS eb
+      |        FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id),
+      |pe2 AS (SELECT d1, d2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pr2),
+      |dots2 AS (SELECT d1, d2,
+      |  SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot
+      |  FROM pe2 GROUP BY d1, d2),
+      |nd AS (SELECT d1, d2 FROM (SELECT d1, d2,
+      |    round(CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))), 12) AS cos
+      |  FROM dots2
+      |  JOIN norms2 n1 ON d1 = n1.vec_id
+      |  JOIN norms2 n2 ON d2 = n2.vec_id) s WHERE cos >= 0.30),
+      |part AS (SELECT d1 AS query_id, d2 AS neighbor_id FROM nd WHERE d1 < 5
+      |         UNION ALL SELECT d2, d1 FROM nd WHERE d2 < 5),
+      |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r0
+      |  FROM scored),
+      |kept AS (SELECT r.query_id, r.neighbor_id, r.r0 FROM ranked r
+      |  LEFT JOIN part p ON r.query_id = p.query_id AND r.neighbor_id = p.neighbor_id
+      |  WHERE p.query_id IS NULL)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY r0) AS BIGINT) AS rank
+      |  FROM kept) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Mirrors q67: the per-source data card. Reuses q39's verdict
     * expressions verbatim for keep_rate, q24's md5 8-token-prefix key
     * for dup_rate, and computes the exact lower median as the
