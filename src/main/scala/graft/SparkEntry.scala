@@ -126,6 +126,14 @@ object SparkEntry {
       graft.ops.Dedup.q75SourceDiversity(s, dir)),
     "q76_embedding_negatives" -> ((s: SparkSession, dir: String) =>
       graft.ops.Similarity.q76EmbeddingNegatives(s, dir)),
+    "q77_dsir_importance"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.Importance.q77DsirImportance(s, dir)),
+    "q78_temporal_drift"    -> ((s: SparkSession, dir: String) =>
+      Mixing.q78TemporalDrift(s, dir)),
+    "q79_length_buckets"    -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q79LengthBuckets(s, dir)),
+    "q80_canonical_docs"    -> ((s: SparkSession, dir: String) =>
+      Dedup.q80CanonicalDocs(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,5 +475,9 @@ object SparkEntry {
     "q74_source_overlap" -> ExtensionOracles.q74SourceOverlap,
     "q75_source_diversity" -> ExtensionOracles.q75SourceDiversity,
     "q76_embedding_negatives" -> ExtensionOracles.q76EmbeddingNegatives,
+    "q77_dsir_importance" -> ExtensionOracles.q77DsirImportance,
+    "q78_temporal_drift" -> ExtensionOracles.q78TemporalDrift,
+    "q79_length_buckets" -> ExtensionOracles.q79LengthBuckets,
+    "q80_canonical_docs" -> ExtensionOracles.q80CanonicalDocs,
   )
 }

@@ -431,6 +431,50 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** q80: canonical-document selection — the step that turns near-dup
+    * CLUSTERS into a concrete replacement map: within each MinHash-LSH
+    * cluster (q26's audited pair stage + q40's connected components),
+    * keep the LARGEST member (max n_chars, ties to the smallest
+    * doc_id — "longest version wins" is the standard crawl-dedup
+    * policy, since truncated mirrors are the common duplicate) and map
+    * every other member onto it. The output is total over the corpus:
+    * one row per document with its cluster, its canonical replacement,
+    * and the keep verdict — exactly the frame a downstream pipeline
+    * joins against to drop duplicates without losing provenance.
+    *
+    * Contrast with q40's `is_canonical`: there the representative is
+    * the min-id member (a label artifact of the CC algorithm); here it
+    * is a POLICY choice computed from document properties, which is
+    * what a real pipeline wants (min-id keeps an arbitrary copy;
+    * max-size keeps the most complete one).
+    *
+    * Shape at 100 TB: pair generation is banded LSH (bounded per-doc);
+    * CC runs on edge-touched nodes only; per-cluster selection is a
+    * map-side-combinable `min(struct(-n_chars, id))` aggregate — an
+    * argmax without any window, so a monster cluster is a combiner
+    * tree, not a single-task sort. The join back to members shuffles
+    * on component; a pathological component is AQE-skew-split (it is a
+    * plain equi-join, the splittable kind). */
+  def q80CanonicalDocs(s: SparkSession, dir: String): DataFrame =
+    canonicalDocs(Tables.documents(s, dir))
+
+  /** The reusable core over any (doc_id, text, n_chars) frame. */
+  def canonicalDocs(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs).select(col("d1"), col("d2"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    val members = connectedComponents(nodes, pairs)
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+    val winners = members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg"), col("id").as("cid"))).as("m"))
+      .select(col("component"), col("n_members"), col("m.cid").as("canonical_id"))
+    members
+      .join(winners, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("canonical_id"),
+        col("n_members"), (col("id") === col("canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q72: leakage-safe train/eval splits — the cross-split complement
     * of q43's decontamination: q43 screens against an EXTERNAL eval
     * suite, this screens the corpus's own held-out splits. A train doc

@@ -46,16 +46,27 @@ object Mixing {
 
   /** The reusable core over any (source, text) frame. */
   def sourceDivergence(docs: DataFrame): DataFrame = {
-    val ln2 = 0.6931471805599453
     val st = Par.widen(docs)
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+    klFromCounts(st, "source")
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        col("kl_nats"), col("kl_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** KL(group‖pool) from an aggregated (grp, w, k) count frame — the
+    * divergence engine shared by q69 (source vs corpus) and q78 (day vs
+    * history). Input must already be aggregated per (grp, w); output has
+    * one row per grp: (grp, n_tokens, n_terms, kl_nats, kl_bits). */
+  private[ops] def klFromCounts(st: DataFrame, grp: String): DataFrame = {
+    val ln2 = 0.6931471805599453
     val corpus = st.groupBy(col("w")).agg(sum(col("k")).as("ck"))
-    val srcTotals = st.groupBy(col("source")).agg(sum(col("k")).as("ns"))
+    val grpTotals = st.groupBy(col(grp)).agg(sum(col("k")).as("ns"))
     val corpusTotal = corpus.agg(sum(col("ck")).as("nc"))
     val contrib = st
       .join(corpus, "w")
-      .join(broadcast(srcTotals), "source")
+      .join(broadcast(grpTotals), grp)
       .crossJoin(broadcast(corpusTotal))
       // ln over the exact integer cross-ratio: ln((k·nc)/(ns·ck)); the
       // products stay inside a double's 2^53 integer window at any
@@ -66,15 +77,40 @@ object Mixing {
       .withColumn("t",
         round((col("k").cast("double") / col("ns").cast("double")) * col("lnterm"), 12)
           .cast("decimal(28,12)"))
-    contrib.groupBy(col("source"))
+    contrib.groupBy(col(grp))
       .agg(count(lit(1)).as("n_terms"),
         max(col("ns")).as("n_tokens"),
         sum(col("t")).as("klsum"))
       .withColumn("kl_nats", round(col("klsum").cast("double"), 12))
       .withColumn("kl_bits", round(col("kl_nats") / lit(ln2), 12))
-      .select(col("source"), col("n_tokens"), col("n_terms"),
-        col("kl_nats"), col("kl_bits"))
-      .orderBy(col("source"))
+  }
+
+  /** q78: temporal drift — per-UTC-day KL divergence of the event-type
+    * distribution from the all-time pool, the monitoring statistic that
+    * catches a collection pipeline silently changing its mix (a scraper
+    * source dying, a bot flood, a schema migration reshaping event
+    * types). Identical mathematics to q69 with (source → day,
+    * token → event_type), so it shares `klFromCounts` verbatim.
+    *
+    * Shape at 100 TB: the (day, event_type) aggregate is tiny no matter
+    * the event volume (days × types rows) and map-side combines on the
+    * scan; everything downstream operates on that reduced frame. Day
+    * arithmetic is integer epoch-ns division (`ts` surfaces as epoch
+    * nanos under [[graft.Tables.NanosAsLongKey]]) — no float time math,
+    * no timezone dependence. */
+  def q78TemporalDrift(s: SparkSession, dir: String): DataFrame =
+    temporalDrift(Tables.events(s, dir))
+
+  /** The reusable core over any (ts epoch-nanos, event_type) frame. */
+  def temporalDrift(events: DataFrame): DataFrame = {
+    val st = Par.widen(events)
+      .select(expr("ts DIV 86400000000000").as("day"),
+        col("event_type").as("w"))
+      .groupBy(col("day"), col("w")).agg(count(lit(1)).as("k"))
+    klFromCounts(st, "day")
+      .select(col("day"), col("n_tokens").as("n_events"),
+        col("n_terms").as("n_types"), col("kl_nats"), col("kl_bits"))
+      .orderBy(col("day"))
   }
 
   /** q45: per-source token counts and temperature-flattened sampling

@@ -403,6 +403,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q79: padding efficiency under length-bucketed batching — the
+    * planning statistic behind dynamic batching: group documents into
+    * fixed-width token-length buckets (width 64), pad every sequence in
+    * a bucket to the bucket cap, batch B=8 sequences (ragged last batch
+    * padded to a full one, the accelerator-shape convention), and report
+    * how many padded tokens each bucket spends per real token. The
+    * complement of q42: packing eliminates padding by splitting
+    * documents; bucketed batching keeps documents intact and pays
+    * padding — this query prices that trade per bucket.
+    *
+    * Shape at 100 TB: one map-side-combined groupBy onto bucket ids
+    * (≤ max_len/64 distinct keys regardless of corpus size); every
+    * derived column is integer arithmetic on the aggregated rows. The
+    * single float op is one IEEE division of bit-identical integers, so
+    * no rounding is needed for the oracle hash (q37's rule).
+    * `greatest(n−1, 0)` keeps the empty-doc bucket non-negative —
+    * Spark's `DIV` truncates toward zero while DuckDB's `//` floors, so
+    * a negative dividend would diverge between engines. */
+  def q79LengthBuckets(s: SparkSession, dir: String): DataFrame =
+    lengthBuckets(Tables.documents(s, dir))
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def lengthBuckets(docs: DataFrame, width: Long = 64L,
+                    batch: Long = 8L): DataFrame = {
+    Par.widen(docs)
+      .select(tokenCount(col("text")).as("n"))
+      .select(expr(s"greatest(n - 1, 0) DIV $width").as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("bucket_cap", (col("bucket") + 1) * width)
+      .withColumn("padded_tokens",
+        expr(s"((n_docs + ${batch - 1}) DIV $batch) * $batch") * col("bucket_cap"))
+      .withColumn("efficiency",
+        col("n_tokens").cast("double") / col("padded_tokens").cast("double"))
+      .select(col("bucket"), col("bucket_cap"), col("n_docs"),
+        col("n_tokens"), col("padded_tokens"), col("efficiency"))
+      .orderBy(col("bucket"))
+  }
+
   /** q50: vocabulary coverage — the tokenizer-prep corpus statistic: the
     * top-V tokens by corpus frequency with each prefix's cumulative
     * coverage of all token occurrences ("a 50-token vocabulary covers

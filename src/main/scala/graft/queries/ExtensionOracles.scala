@@ -1403,4 +1403,125 @@ object ExtensionOracles {
       |FROM documents d
       |LEFT JOIN b ON d.doc_id = b.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q77: DSIR hashed-feature importance weights. Features are
+    * unigrams plus space-joined bigrams of the normalized token list;
+    * the bucket is the 52-bit md5-prefix integer mod 128 (both operands
+    * non-negative, so `%` matches Spark's `pmod`). Determinism: the
+    * per-bucket log ratio is ln of an exact integer cross-ratio rounded
+    * to 12 into DECIMAL(28,12); per-doc sums weight the decimal by the
+    * integer occurrence count (q66's k-weighting), and the top-50 cut
+    * breaks weight ties by doc_id. */
+  val q77DsirImportance: String =
+    s"""WITH $tokCte,
+       |uni AS (SELECT doc_id, unnest(l) AS f FROM tok),
+       |big AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM tok)),
+       |fb AS (SELECT doc_id,
+       |    ('0x' || substr(md5(f), 1, 13))::BIGINT % 128 AS b
+       |  FROM (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM big)),
+       |fbs AS (SELECT fb.doc_id, d.source, fb.b FROM fb
+       |        JOIN documents d ON fb.doc_id = d.doc_id),
+       |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM fbs
+       |       WHERE source = 'src0' GROUP BY b),
+       |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fbs
+       |       WHERE source <> 'src0' GROUP BY b),
+       |nt AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tc),
+       |nr AS (SELECT COALESCE(SUM(cr), 0) AS nr FROM rc),
+       |lm AS (SELECT gs.b,
+       |    CAST(round(ln((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * CAST(nr.nr + 128 AS DOUBLE)) /
+       |                  (CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE) * CAST(nt.nt + 128 AS DOUBLE))), 12)
+       |         AS DECIMAL(28,12)) AS lnterm
+       |  FROM (SELECT unnest(range(0, 128)) AS b) gs
+       |  LEFT JOIN tc ON gs.b = tc.b LEFT JOIN rc ON gs.b = rc.b
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |dk AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM fbs WHERE source <> 'src0' GROUP BY doc_id, source, b),
+       |w AS (SELECT dk.doc_id, CAST(SUM(dk.k) AS BIGINT) AS n_feats,
+       |    round(CAST(SUM(lm.lnterm * CAST(dk.k AS DECIMAL(9,0))) AS DOUBLE), 12) AS logweight
+       |  FROM dk JOIN lm ON dk.b = lm.b GROUP BY dk.doc_id)
+       |SELECT w.doc_id, d.source, w.n_feats, w.logweight
+       |FROM w JOIN documents d ON w.doc_id = d.doc_id
+       |ORDER BY w.logweight DESC, w.doc_id
+       |LIMIT 50""".stripMargin
+
+  /** Mirrors q78: per-UTC-day event-type KL vs the all-time pool — the
+    * q69 math with (source → day, token → event_type). The day is
+    * integer floor-division of epoch nanos (non-negative on this data,
+    * so DuckDB's floor `//` equals Spark's truncating `DIV`). */
+  val q78TemporalDrift: String =
+    """WITH st AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    event_type AS w, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT w, CAST(SUM(k) AS BIGINT) AS ck FROM st GROUP BY w),
+      |s AS (SELECT day, CAST(SUM(k) AS BIGINT) AS ns FROM st GROUP BY day),
+      |n AS (SELECT CAST(SUM(ck) AS BIGINT) AS nc FROM c),
+      |t AS (SELECT st.day, st.k, s.ns,
+      |    round(ln((CAST(st.k AS DOUBLE) * CAST(n.nc AS DOUBLE)) /
+      |             (CAST(s.ns AS DOUBLE) * CAST(c.ck AS DOUBLE))), 12) AS lnterm
+      |  FROM st JOIN c USING (w) JOIN s USING (day) CROSS JOIN n),
+      |x AS (SELECT day, ns,
+      |    CAST(round((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) * lnterm, 12)
+      |         AS DECIMAL(28,12)) AS t2
+      |  FROM t),
+      |agg AS (SELECT day, MAX(ns) AS n_events,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    round(CAST(SUM(t2) AS DOUBLE), 12) AS kl_nats
+      |  FROM x GROUP BY day)
+      |SELECT day, n_events, n_types, kl_nats,
+      |  round(kl_nats / 0.6931471805599453, 12) AS kl_bits
+      |FROM agg
+      |ORDER BY day""".stripMargin
+
+  /** Mirrors q79: padding efficiency under width-64 length buckets with
+    * batch-of-8 padding. All-integer until the single IEEE division
+    * (identical operands on both engines — q37's no-rounding rule);
+    * `greatest(n-1, 0)` keeps the dividend non-negative so floor and
+    * truncating division agree. */
+  val q79LengthBuckets: String =
+    """WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+      |  FROM documents),
+      |a AS (SELECT greatest(n - 1, 0) // 64 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY 1)
+      |SELECT bucket, (bucket + 1) * 64 AS bucket_cap, n_docs, n_tokens,
+      |  ((n_docs + 7) // 8) * 8 * ((bucket + 1) * 64) AS padded_tokens,
+      |  CAST(n_tokens AS DOUBLE) /
+      |    CAST(((n_docs + 7) // 8) * 8 * ((bucket + 1) * 64) AS DOUBLE) AS efficiency
+      |FROM a
+      |ORDER BY bucket""".stripMargin
+
+  /** Mirrors q80: canonical selection over MinHash-LSH clusters — the
+    * q26 pair stage, a recursive-CTE closure seeded from every document
+    * (q40's pattern), then the max-n_chars/min-doc_id winner per
+    * component via a windowed rank. */
+  val q80CanonicalDocs: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$lshCtes,
+       |p AS (SELECT d1, d2 FROM common
+       |  JOIN szc s1 ON common.d1 = s1.doc_id
+       |  JOIN szc s2 ON common.d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p
+       |          UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+       |reach(v, r) AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.v, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+       |cj AS (SELECT comp.doc_id, comp.component, d.n_chars
+       |       FROM comp JOIN documents d ON comp.doc_id = d.doc_id),
+       |sz2 AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       |        FROM cj GROUP BY component),
+       |r AS (SELECT doc_id, component,
+       |    ROW_NUMBER() OVER (PARTITION BY component
+       |                       ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM cj),
+       |can AS (SELECT component, doc_id AS canonical_id FROM r WHERE rn = 1)
+       |SELECT cj.doc_id, cj.component, can.canonical_id, sz2.n_members,
+       |  cj.doc_id = can.canonical_id AS keep
+       |FROM cj
+       |JOIN can ON cj.component = can.component
+       |JOIN sz2 ON cj.component = sz2.component
+       |ORDER BY cj.doc_id""".stripMargin
 }

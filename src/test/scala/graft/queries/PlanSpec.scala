@@ -483,6 +483,50 @@ class PlanSpec extends SparkSpec {
     assert(!physical.toString.contains("CartesianProduct"))
   }
 
+  test("q77: DSIR model join is broadcast, top-K bounded, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // audit the lazy dataflow — the public wrapper collects the bounded
+    // result to release its cache (q71's pattern)
+    val (lazyOut, cache) = graft.ops.Importance.dsirTopKLazy(spark,
+      graft.Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("source") === "src0", 50)
+    val physical = lazyOut.queryExecution.sparkPlan
+    cache.unpersist()
+    assert(physical.collect { case w: WindowExec => w }.isEmpty,
+      "DSIR scoring grew a window")
+    val p = physical.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 128-row model table is not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K selection is a global sort, not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q78/q79: drift and length-bucket aggregates are windowless partial aggs") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q78_temporal_drift", "q79_length_buckets")) {
+      val physical = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      assert(physical.collect { case w: WindowExec => w }.isEmpty, s"$q grew a window")
+      assert(!physical.toString.contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+    // q79's whole dataflow is ONE aggregation exchange plus the
+    // presentation sort — any extra shuffle is a regression
+    val p79 = graft.SparkEntry.queries("q79_length_buckets")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(p79.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2, p79)
+  }
+
+  test("q80: canonical selection is an aggregate argmax, never a per-cluster window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = graft.SparkEntry.queries("q80_canonical_docs")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(physical.collect { case w: WindowExec => w }.isEmpty,
+      "cluster winner regressed to a row_number window (single-task monster clusters)")
+    assert(!physical.toString.contains("CartesianProduct"))
+  }
+
   test("q61: source quota is the bounded top_k aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val physical = graft.SparkEntry.queries("q61_source_quota")(spark, dir)
