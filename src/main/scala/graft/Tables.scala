@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish star schema
   * (see TESTDATA.md). One parquet file per table under `sfDir`.
@@ -26,7 +28,22 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  def events(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/events.parquet")
+  /** events.ts is normalized to epoch-nanos LongType regardless of how the
+    * parquet encodes it: TIMESTAMP(NANOS) files surface as LongType already
+    * (via [[NanosAsLongKey]]); TIMESTAMP(MICROS) files surface as a native
+    * timestamp and are widened to nanos here. Downstream event-time math is
+    * integer arithmetic on epoch-nanos either way, and the DuckDB oracle is
+    * unaffected (it reads both encodings as a timestamp natively). The cast
+    * through TimestampType is exact because the session timezone is pinned
+    * to UTC (GraftSession). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts"))
+    }
+  }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 }
