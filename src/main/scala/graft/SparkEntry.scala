@@ -134,6 +134,10 @@ object SparkEntry {
       TextAnalysis.q79LengthBuckets(s, dir)),
     "q80_canonical_docs"    -> ((s: SparkSession, dir: String) =>
       Dedup.q80CanonicalDocs(s, dir)),
+    "q81_embedding_clusters" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q81EmbeddingClusters(s, dir)),
+    "q82_span_removal"      -> ((s: SparkSession, dir: String) =>
+      Dedup.q82SpanRemoval(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -479,5 +483,7 @@ object SparkEntry {
     "q78_temporal_drift" -> ExtensionOracles.q78TemporalDrift,
     "q79_length_buckets" -> ExtensionOracles.q79LengthBuckets,
     "q80_canonical_docs" -> ExtensionOracles.q80CanonicalDocs,
+    "q81_embedding_clusters" -> ExtensionOracles.q81EmbeddingClusters,
+    "q82_span_removal" -> ExtensionOracles.q82SpanRemoval,
   )
 }

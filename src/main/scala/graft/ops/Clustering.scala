@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space document clustering — the topic-balancing primitive a
+  * training-data pipeline runs before mixing (cluster the corpus, inspect
+  * per-cluster mass, up/down-weight topics). k-means itself is not
+  * SQL-replayable (like q64's PQ codebooks), so the oracle contract follows
+  * the q65 pattern: the TRAINED CENTROIDS ARE DATA — persisted next to the
+  * run — and the per-vector assignment is an exact integer computation both
+  * engines replay bit-identically.
+  *
+  * Determinism across engines: every float path is closed off. Vectors and
+  * centroids are snapped to a fixed-point grid (`floor(x·1000 + 0.5)`, one
+  * correctly-rounded IEEE multiply each — identical in Spark and DuckDB),
+  * and the argmin runs on INTEGER squared distances with ties broken by the
+  * smaller cluster id. No float sum ever crosses an engine boundary, so
+  * there is no summation-order ulp drift to round away (the q36/q47 lesson,
+  * applied to assignment instead of cosine).
+  *
+  * Shape at 100 TB: training collects a BOUNDED sample (≤2048 vectors — the
+  * AnnTuner precedent; the corpus is never collected) and runs Lloyd's on
+  * the driver; assignment broadcasts K·D integer literals into the plan and
+  * is one narrow codegen'd pass over the embeddings — no shuffle, no join,
+  * no UDF. K here is topic-scale (8), not ANN-cell-scale; for K in the
+  * thousands the same layout as [[Similarity.writeCellBucketed]] applies.
+  */
+object Clustering {
+
+  /** Where q81 persists its trained centroids (fixed-point ints) so the
+    * DuckDB oracle can replay the assignment — merges-table pattern,
+    * [[Bpe.MergesPath]]. */
+  val CentroidsPath = "/tmp/graft_kmeans_centroids.parquet"
+
+  /** Fixed-point grid: 3 decimal digits. Embedding components are O(1), so
+    * snapped values are O(10^3) and a 64-dim squared distance is ≤ ~10^9 —
+    * integer math with no overflow headroom concerns. */
+  val Grid = 1000.0
+
+  /** Bounded deterministic raw-vector sample (no normalization — plain L2
+    * k-means over the raw space; mirrors [[AnnTuner.sampleUnit]]'s shape). */
+  private def sampleRaw(emb: DataFrame, cap: Int, seed: Long): Array[Array[Double]] = {
+    val total = emb.count()
+    val base = emb.select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+    val picked =
+      if (total <= cap) base
+      else base.sample(withReplacement = false, math.min(1.0, cap * 1.2 / total), seed)
+        .limit(cap)
+    picked.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+  }
+
+  /** Train k centroids on a bounded sample and snap them to the grid. */
+  def trainCentroids(emb: DataFrame, k: Int = 8, iters: Int = 10,
+                     sampleCap: Int = 2048, seed: Long = 42): Array[Array[Long]] = {
+    val sample = sampleRaw(emb, sampleCap, seed)
+    require(sample.nonEmpty, "cannot train k-means on an empty embeddings table")
+    AnnTuner.kmeansCenters(sample, k, iters, seed)
+      .map(_.map(x => math.floor(x * Grid + 0.5).toLong))
+  }
+
+  def persistCentroids(s: SparkSession, centroids: Array[Array[Long]],
+                       path: String): Unit = {
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (qc, cid) => (cid, qc.toSeq) }.toSeq
+      .toDF("cluster", "qc")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Fixed-point snap of a float-array column. */
+  def snapped(embedding: Column): Column =
+    transform(embedding, x => floor(x.cast("double") * lit(Grid) + lit(0.5)).cast("long"))
+
+  /** Assign every vector to its nearest centroid under integer squared L2.
+    * One narrow pass: the K distances are literal-array zip_with/aggregate
+    * expressions and the argmin is `array_min` over (dist, cluster) structs
+    * — lexicographic, so ties go to the smaller cluster id on both engines.
+    * An empty embedding has distance 0 to every centroid and lands in
+    * cluster 0 (the tie-break), which is also what the oracle's COALESCE
+    * emits. */
+  def assign(emb: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    val qx = snapped(col("embedding"))
+    // zip_with pads a length mismatch with nulls; coalescing each term to 0
+    // mirrors the oracle exactly (its generate_series never visits missing
+    // positions and DuckDB's SUM skips NULL terms), so an empty embedding is
+    // distance 0 to everything and lands in cluster 0 via the tie-break
+    val dists = centroids.zipWithIndex.map { case (qc, cid) =>
+      struct(
+        aggregate(
+          zip_with(qx, typedlit(qc.toSeq),
+            (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+          lit(0L), (acc, e) => acc + e).as("d"),
+        lit(cid).as("cluster"))
+    }
+    emb
+      .withColumn("best", array_min(array(dists: _*)))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.d").as("sq_dist"))
+  }
+
+  /** q81: k-means topic clustering over the embeddings table. Trains on a
+    * bounded sample, persists the grid-snapped centroids to
+    * [[CentroidsPath]], and emits the exact integer assignment the oracle
+    * replays from that table. */
+  def q81EmbeddingClusters(s: SparkSession, dir: String, k: Int = 8,
+                           iters: Int = 10): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, k, iters)
+    persistCentroids(s, centroids, CentroidsPath)
+    assign(emb, centroids).orderBy(col("vec_id"))
+  }
+}

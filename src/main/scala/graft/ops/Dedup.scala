@@ -606,11 +606,13 @@ object Dedup {
   def q70SubstringDup(s: SparkSession, dir: String): DataFrame =
     substringDupStats(Tables.documents(s, dir), 20)
 
-  /** The reusable core over any (doc_id, text) frame; k = window width
-    * (a duplicated run shorter than k is invisible — k is the minimum
-    * match length, 50 in the Lee et al. setup, 20 here for the small
-    * fixture corpus). */
-  def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
+  /** Merged maximal duplicated spans per document: (doc_id, mn, mx, np)
+    * where mn/mx are the first/last duplicated WINDOW-START positions of
+    * the span (1-indexed; the span's character extent is [mn, mx+k-1])
+    * and np the number of duplicated positions inside it. The shared
+    * core of q70 (measurement) and q82 (removal) — see q70's scaladoc
+    * for the 100 TB shape of each stage. */
+  def dupSpans(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Par.widen(docs).select(col("doc_id"), col("text"))
     // (pos, h52) built in-row; sequence guarded because Spark's
@@ -630,13 +632,22 @@ object Dedup {
     // starts when the gap to the previous start exceeds k
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val lagPos = lag(col("pos"), 1).over(w)
-    val spans = dupPos
+    dupPos
       .withColumn("brk",
         when(lagPos.isNull || col("pos") - lagPos > k, 1L).otherwise(0L))
       .withColumn("island", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"),
         count(lit(1)).as("np"))
+      .drop("island")
+  }
+
+  /** The reusable core over any (doc_id, text) frame; k = window width
+    * (a duplicated run shorter than k is invisible — k is the minimum
+    * match length, 50 in the Lee et al. setup, 20 here for the small
+    * fixture corpus). */
+  def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
+    val spans = dupSpans(docs, k)
     val per = spans.groupBy(col("doc_id"))
       .agg(sum(col("np")).as("dp"), sum(col("mx") - col("mn") + k).as("dc"))
     // zero-dup docs survive: LEFT JOIN + COALESCE on BOTH engine and
@@ -648,6 +659,51 @@ object Dedup {
         coalesce(col("dc"), lit(0L)).as("dup_chars"),
         round(coalesce(col("dc"), lit(0L)).cast("double") /
           greatest(col("n_chars"), lit(1L)).cast("double"), 12).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q82: duplicate-span REMOVAL — the rewrite q70 only measures. Every
+    * merged duplicated span (char range [mn, mx+k-1]) is cut out of the
+    * document and the surviving segments are re-concatenated — the Lee et
+    * al. "Deduplicating Training Data Makes Language Models Better" edit,
+    * applied to ALL occurrences (both copies of a duplicated run sit in
+    * duplicated windows, so both are cut; the policy that keeps the
+    * pipeline's provenance simple and the one their public tooling ships).
+    * Emits per-doc sizes plus the md5 of the cleaned text so the oracle
+    * hash pins the exact rewritten bytes, not just the arithmetic.
+    *
+    * Shape at 100 TB: rides [[dupSpans]] (q70's audited stages) and adds
+    * one per-doc `collect_list` of spans — bounded by document length,
+    * the same bound as the text column itself — then a single codegen'd
+    * `aggregate` fold that slices the original text between consecutive
+    * spans. No new corpus-scale shuffle beyond q70's two: the span frame
+    * is already partitioned by doc_id when it is collected. */
+  def q82SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    spanRemoved(Tables.documents(s, dir), 20)
+
+  /** The reusable rewrite over any (doc_id, text) frame. */
+  def spanRemoved(docs: DataFrame, k: Int): DataFrame = {
+    val sp = dupSpans(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("mn"), col("mx")))).as("sp"))
+    docs.select(col("doc_id"), col("text"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"), array().cast("array<struct<mn:bigint,mx:bigint>>")))
+      .withColumn("clean", expr(
+        s"""aggregate(sp,
+           |  struct(CAST(1 AS BIGINT) AS cur, '' AS acc),
+           |  (st, x) -> struct(x.mx + $k AS cur,
+           |    concat(st.acc, substring(text, CAST(st.cur AS INT),
+           |                             CAST(x.mn - st.cur AS INT))) AS acc),
+           |  st -> concat(st.acc, substring(text, CAST(st.cur AS INT),
+           |    CAST(length(text) - st.cur + 1 AS INT))))""".stripMargin))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("sp")).cast("long").as("n_spans"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        (length(col("text")) - length(col("clean"))).cast("long").as("removed_chars"),
+        md5(col("clean")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 }

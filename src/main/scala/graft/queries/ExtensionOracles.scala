@@ -1524,4 +1524,86 @@ object ExtensionOracles {
        |JOIN can ON cj.component = can.component
        |JOIN sz2 ON cj.component = sz2.component
        |ORDER BY cj.doc_id""".stripMargin
+
+  /** Mirrors q81: k-means assignment REPLAYED from the centroid table the
+    * query persists (centroids are data, not code — the q65 merges
+    * pattern). Both engines snap vectors to the same fixed-point grid
+    * (`floor(x·1000 + 0.5)` — one correctly-rounded IEEE multiply each)
+    * and the argmin runs on exact INTEGER squared distances, ties to the
+    * smaller cluster id; no float sum exists on either side. A vector
+    * with an empty embedding never reaches the distance CTE, so the
+    * LEFT JOIN + COALESCE lands it in cluster 0 at distance 0 — the same
+    * outcome as the engine's all-ties argmin. */
+  val q81EmbeddingClusters: String =
+    s"""WITH c AS (SELECT cluster, qc
+       |  FROM read_parquet('${graft.ops.Clustering.CentroidsPath}/*.parquet')),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |x AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM e),
+       |q AS (SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
+       |  FROM x),
+       |d AS (SELECT q.vec_id, c.cluster,
+       |    CAST(SUM((q.qi - c.qc[CAST(q.i AS INT)]) *
+       |             (q.qi - c.qc[CAST(q.i AS INT)])) AS BIGINT) AS d
+       |  FROM q CROSS JOIN c
+       |  GROUP BY q.vec_id, c.cluster),
+       |r AS (SELECT vec_id, cluster, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM d)
+       |SELECT e.vec_id,
+       |  CAST(COALESCE(r.cluster, 0) AS INT) AS cluster,
+       |  COALESCE(r.d, 0) AS sq_dist
+       |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** Mirrors q82: duplicate-span removal. The span CTEs are q70's chain
+    * verbatim (k = 20); the rewrite slices the text between consecutive
+    * spans — each gap segment starts where the previous span's character
+    * extent ends (prev mx + k) — plus the tail after the last span, and
+    * re-concatenates them in position order. md5 of the cleaned text pins
+    * the exact bytes; spanless documents pass through via COALESCE. */
+  val q82SpanRemoval: String =
+    """WITH mx AS (SELECT MAX(length(text)) AS m FROM documents),
+      |g AS (
+      |  SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos,
+      |    ('0x'||substr(md5(substr(d.text, CAST(t.i AS INT), 20)),1,13))::BIGINT AS h
+      |  FROM documents d
+      |  JOIN (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i) t
+      |    ON t.i <= length(d.text) - 19),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      |p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+      |b AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL
+      |         OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+      |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |isl AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+      |cov AS (SELECT doc_id, island, MIN(pos) AS mn, MAX(pos) AS mx
+      |  FROM isl GROUP BY doc_id, island),
+      |seg AS (SELECT doc_id, mn,
+      |    COALESCE(lag(mx) OVER (PARTITION BY doc_id ORDER BY mn), 1 - 20) + 20 AS cur
+      |  FROM cov),
+      |tl AS (SELECT doc_id, MAX(mx) + 20 AS st FROM cov GROUP BY doc_id),
+      |segs AS (
+      |  SELECT doc_id, cur AS st, mn - cur AS ln FROM seg
+      |  UNION ALL
+      |  SELECT t.doc_id, t.st, length(d.text) - t.st + 1 AS ln
+      |  FROM tl t JOIN documents d USING (doc_id)),
+      |cl AS (SELECT s.doc_id,
+      |    string_agg(substr(d.text, CAST(s.st AS INT), CAST(s.ln AS INT)),
+      |               '' ORDER BY s.st) AS clean,
+      |    CAST(COUNT(*) - 1 AS BIGINT) AS n_spans
+      |  FROM segs s JOIN documents d USING (doc_id)
+      |  GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  COALESCE(cl.n_spans, 0) AS n_spans,
+      |  CAST(length(COALESCE(cl.clean, d.text)) AS BIGINT) AS clean_chars,
+      |  CAST(length(d.text) - length(COALESCE(cl.clean, d.text)) AS BIGINT)
+      |    AS removed_chars,
+      |  md5(COALESCE(cl.clean, d.text)) AS clean_md5
+      |FROM documents d
+      |LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }
