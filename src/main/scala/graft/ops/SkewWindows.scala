@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *   1. DIAGNOSE: one map-side-combined aggregate computes per-key
   *      (count, min t, max t); keys with count ≥ `hotAt` are "hot".
   *      The hot set is ≤ N/hotAt keys BY CONSTRUCTION — bounded and
-  *      broadcastable at any corpus size.
+  *      broadcastable at any corpus size. It is collected to the
+  *      driver (the AnnTuner boundedness argument), and when EMPTY the
+  *      operator keeps the plain one-window plan — a corpus with no
+  *      hot keys pays one diagnose pass and zero routing joins (the
+  *      window analogue of AQE's runtime skew-join decision; measured
+  *      3-4× on q07/q14/q16 at sf0.1, where no key is hot).
   *   2. ROUTE: light keys (the overwhelming majority) take the plain
   *      one-window path, whose partitions are < hotAt rows by
   *      construction; hot keys broadcast-route to the chunked path.
@@ -61,6 +66,28 @@ object SkewWindows {
       .withColumn("__width",
         expr("greatest(1L, (__tmax - __tmin + __nchunks) DIV __nchunks)"))
 
+  /** The ADAPTIVE gate: materialize the bounded hot set on the driver
+    * (≤ N/hotAt rows by construction — the same boundedness argument as
+    * AnnTuner's knob collection). None = no hot keys, so the caller
+    * keeps the plain one-window plan and pays ZERO routing joins — the
+    * diagnose aggregate is the only extra cost, and it is one map-side-
+    * combined pass. Some(stats) = the collected rows re-wrapped as a
+    * 1-partition local DataFrame, so the light/heavy broadcasts never
+    * recompute the aggregate. This mirrors what AQE does for skew
+    * JOINS (runtime stats pick the plan) for the window case AQE cannot
+    * handle. */
+  private def hotStatsLocal(rows: DataFrame, key: String, t: Column,
+                            hotAt: Long, chunkTarget: Long): Option[DataFrame] = {
+    val stats = hotKeyStats(rows, key, t, hotAt, chunkTarget)
+    val collected = stats.collect()
+    if (collected.isEmpty) None
+    else {
+      val s = rows.sparkSession
+      Some(s.createDataFrame(
+        s.sparkContext.parallelize(collected.toIndexedSeq, 1), stats.schema))
+    }
+  }
+
   /** q14's sessionization aggregate, hot-key-safe: per key, the number
     * of sessions (a new session starts at the first event and after any
     * gap > `gapMs`) and the event count. `tMs` must be epoch millis;
@@ -74,13 +101,11 @@ object SkewWindows {
                     gapMs: Long, hotAt: Long = 1000000L,
                     chunkTarget: Long = 65536L): DataFrame = {
     val base = events.select(col(key), tMs.as("__t"), tie.as("__tie"))
-    val stats = hotKeyStats(base, key, col("__t"), hotAt, chunkTarget)
 
-    // light: one window per key — partitions < hotAt rows by construction
-    val light = base.join(broadcast(stats.select(col("__hk"))),
-      col(key) === col("__hk"), "left_anti")
+    // plain one-window path: partitions < hotAt rows when routed away
+    // from hot keys, and the whole corpus when no key is hot
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tie"))
-    val lightOut = light
+    def plainOver(src: DataFrame): DataFrame = src
       .withColumn("__prev", lag(col("__t"), 1).over(w))
       .groupBy(col(key))
       .agg(
@@ -88,34 +113,42 @@ object SkewWindows {
           .otherwise(0L)).as("n_sessions"),
         count(lit(1)).as("n_events"))
 
-    // heavy: chunked. Interior gaps resolve inside a (key, chunk) local
-    // window; the chunk's first event compares against the running max
-    // end-time of earlier chunks (time ranges ⇒ that IS the immediately
-    // preceding event's time).
-    val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
-      .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
-    val cw = Window.partitionBy(col(key), col("__chunk"))
-      .orderBy(col("__t"), col("__tie"))
-    val perChunk = chunked
-      .withColumn("__prev", lag(col("__t"), 1).over(cw))
-      .groupBy(col(key), col("__chunk"))
-      .agg(
-        sum(when(col("__prev").isNotNull && col("__t") - col("__prev") > gapMs, 1L)
-          .otherwise(0L)).as("__interior"),
-        min(col("__t")).as("__first"),
-        max(col("__t")).as("__last"),
-        count(lit(1)).as("__n"))
-    val chunkSeq = Window.partitionBy(col(key)).orderBy(col("__chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val heavyOut = perChunk
-      .withColumn("__prev_last", max(col("__last")).over(chunkSeq))
-      .withColumn("__starts", col("__interior") +
-        when(col("__prev_last").isNull ||
-          col("__first") - col("__prev_last") > gapMs, 1L).otherwise(0L))
-      .groupBy(col(key))
-      .agg(sum(col("__starts")).as("n_sessions"), sum(col("__n")).as("n_events"))
+    hotStatsLocal(base, key, col("__t"), hotAt, chunkTarget) match {
+      case None => plainOver(base)
+      case Some(stats) =>
+        val light = base.join(broadcast(stats.select(col("__hk"))),
+          col(key) === col("__hk"), "left_anti")
+        val lightOut = plainOver(light)
 
-    lightOut.unionByName(heavyOut)
+        // heavy: chunked. Interior gaps resolve inside a (key, chunk)
+        // local window; the chunk's first event compares against the
+        // running max end-time of earlier chunks (time ranges ⇒ that IS
+        // the immediately preceding event's time).
+        val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
+          .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
+        val cw = Window.partitionBy(col(key), col("__chunk"))
+          .orderBy(col("__t"), col("__tie"))
+        val perChunk = chunked
+          .withColumn("__prev", lag(col("__t"), 1).over(cw))
+          .groupBy(col(key), col("__chunk"))
+          .agg(
+            sum(when(col("__prev").isNotNull && col("__t") - col("__prev") > gapMs, 1L)
+              .otherwise(0L)).as("__interior"),
+            min(col("__t")).as("__first"),
+            max(col("__t")).as("__last"),
+            count(lit(1)).as("__n"))
+        val chunkSeq = Window.partitionBy(col(key)).orderBy(col("__chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val heavyOut = perChunk
+          .withColumn("__prev_last", max(col("__last")).over(chunkSeq))
+          .withColumn("__starts", col("__interior") +
+            when(col("__prev_last").isNull ||
+              col("__first") - col("__prev_last") > gapMs, 1L).otherwise(0L))
+          .groupBy(col(key))
+          .agg(sum(col("__starts")).as("n_sessions"), sum(col("__n")).as("n_events"))
+
+        lightOut.unionByName(heavyOut)
+    }
   }
 
   /** q07's per-key running (cumulative) sum, hot-key-safe. `value` is
@@ -130,37 +163,42 @@ object SkewWindows {
                  chunkTarget: Long = 65536L): DataFrame = {
     val base = rows.select(col(key), col(t), col(tie),
       col(value).cast("decimal(28,6)").as("__v"))
-    val stats = hotKeyStats(base, key, col(t), hotAt, chunkTarget)
 
-    val light = base.join(broadcast(stats.select(col("__hk"))),
-      col(key) === col("__hk"), "left_anti")
     val w = Window.partitionBy(col(key)).orderBy(col(t), col(tie))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lightOut = light
+    def plainOver(src: DataFrame): DataFrame = src
       .withColumn("running", sum(col("__v")).over(w).cast("decimal(38,6)"))
+      .select(col(key), col(t), col(tie), col("running"))
 
-    val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
-      .withColumn("__chunk", expr(s"($t - __tmin) DIV __width"))
-    val cw = Window.partitionBy(col(key), col("__chunk"))
-      .orderBy(col(t), col(tie))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = chunked.withColumn("__local", sum(col("__v")).over(cw))
-    val perChunk = chunked.groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
-      .agg(sum(col("__v")).as("__csum"))
-    val seqW = Window.partitionBy(col("__ck")).orderBy(col("__cc"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withPrev = perChunk
-      .withColumn("__before", sum(col("__csum")).over(seqW))
-      .select(col("__ck"), col("__cc"), col("__before"))
-    val heavyOut = local
-      .join(withPrev, col(key) === col("__ck") && col("__chunk") === col("__cc"))
-      .withColumn("running",
-        (col("__local") + coalesce(col("__before"), lit(0).cast("decimal(28,6)")))
-          .cast("decimal(38,6)"))
+    hotStatsLocal(base, key, col(t), hotAt, chunkTarget) match {
+      case None => plainOver(base)
+      case Some(stats) =>
+        val light = base.join(broadcast(stats.select(col("__hk"))),
+          col(key) === col("__hk"), "left_anti")
+        val lightOut = plainOver(light)
 
-    lightOut.select(col(key), col(t), col(tie), col("running"))
-      .unionByName(
-        heavyOut.select(col(key), col(t), col(tie), col("running")))
+        val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
+          .withColumn("__chunk", expr(s"($t - __tmin) DIV __width"))
+        val cw = Window.partitionBy(col(key), col("__chunk"))
+          .orderBy(col(t), col(tie))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = chunked.withColumn("__local", sum(col("__v")).over(cw))
+        val perChunk = chunked.groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
+          .agg(sum(col("__v")).as("__csum"))
+        val seqW = Window.partitionBy(col("__ck")).orderBy(col("__cc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withPrev = perChunk
+          .withColumn("__before", sum(col("__csum")).over(seqW))
+          .select(col("__ck"), col("__cc"), col("__before"))
+        val heavyOut = local
+          .join(withPrev, col(key) === col("__ck") && col("__chunk") === col("__cc"))
+          .withColumn("running",
+            (col("__local") + coalesce(col("__before"), lit(0).cast("decimal(28,6)")))
+              .cast("decimal(38,6)"))
+          .select(col(key), col(t), col(tie), col("running"))
+
+        lightOut.unionByName(heavyOut)
+    }
   }
 
   /** q16's as-of carry-forward, hot-key-safe, over a MERGED timeline
@@ -181,18 +219,22 @@ object SkewWindows {
     * join whose per-key fan-in is one chunk, never a whole hot key. */
   def asOfCarry(timeline: DataFrame, key: String,
                 hotAt: Long = 1000000L, chunkTarget: Long = 65536L): DataFrame = {
-    val stats = hotKeyStats(timeline, key, col("t_ms"), hotAt, chunkTarget)
-
     val order = Seq(col("t_ms"), col("kind"), col("sort_key"))
-    val light = timeline.join(broadcast(stats.select(col("__hk"))),
-      col(key) === col("__hk"), "left_anti")
     val lw = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lightOut = light
+    def plainOver(src: DataFrame): DataFrame = src
       .withColumn("asof_key", last(col("ord_key"), ignoreNulls = true).over(lw))
       .withColumn("asof_date", last(col("ord_date"), ignoreNulls = true).over(lw))
       .where(col("kind") === 1)
       .select(col(key), col("event_id"), col("asof_key"), col("asof_date"))
+
+    val statsOpt = hotStatsLocal(timeline, key, col("t_ms"), hotAt, chunkTarget)
+    if (statsOpt.isEmpty) return plainOver(timeline)
+    val stats = statsOpt.get
+
+    val lightOut = plainOver(
+      timeline.join(broadcast(stats.select(col("__hk"))),
+        col(key) === col("__hk"), "left_anti"))
 
     val chunked = timeline.join(broadcast(stats), col(key) === col("__hk"))
       .withColumn("__chunk", expr("(t_ms - __tmin) DIV __width"))
