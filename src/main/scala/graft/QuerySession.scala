@@ -116,6 +116,10 @@ object QuerySession {
       .createOrReplaceTempView("source_overlap")
     Dedup.sourceDiversity(docs)
       .createOrReplaceTempView("source_diversity")
+    // round-8 wave 3: the q82 rewrite next to the q70 measurement —
+    // a pure lazy plan (span detection + one codegen'd fold)
+    Dedup.spanRemoved(docs, 20)
+      .createOrReplaceTempView("span_removed")
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training
@@ -147,6 +151,10 @@ object QuerySession {
     // release its caches — eager by design, so it lives here
     graft.ops.Retrieval.q71HardNegatives(spark, sfDir)
       .createOrReplaceTempView("hard_negatives")
+    // q81: trains k-means on a bounded sample (driver-side Lloyd's) and
+    // persists the centroid table — training jobs put it in this tier
+    graft.ops.Clustering.q81EmbeddingClusters(spark, sfDir)
+      .createOrReplaceTempView("embedding_clusters")
   }
 
   /** Everything: the cheap views plus the materialized ones. */

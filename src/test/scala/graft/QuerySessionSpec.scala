@@ -190,6 +190,25 @@ class QuerySessionSpec extends SparkSpec {
         |   OR n_distinct > n_grams""".stripMargin)
       .collect()(0).getLong(0)
     assert(dv == 0L, "diversity ratios out of range")
+
+    // round-8 wave 3 views: the q82 rewrite agrees with the q70
+    // measurement it shares a span core with, and the q81 clustering is
+    // total over the embeddings with well-formed assignments
+    val rw = spark.sql(
+      """SELECT count(*) FROM span_removed r
+        |JOIN substring_dup_spans s USING (doc_id)
+        |WHERE r.clean_chars + r.removed_chars <> r.n_chars
+        |   OR r.removed_chars <> s.dup_chars""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(rw == 0L, "span_removed disagrees with substring_dup_spans")
+    val cl = spark.sql(
+      """SELECT (SELECT count(*) FROM embedding_clusters) =
+        |       (SELECT count(*) FROM embeddings)
+        |   AND (SELECT count(*) FROM embedding_clusters
+        |        WHERE cluster < 0 OR cluster >= 8 OR sq_dist < 0) = 0
+        |   AND (SELECT count(DISTINCT cluster) FROM embedding_clusters) >= 2""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(cl, "embedding_clusters not total or malformed")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
