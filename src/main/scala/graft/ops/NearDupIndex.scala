@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *                probes sum for just the batch's shingles, so the
   *                batch is capped against corpus+batch df with a
   *                bucket-pruned read;
-  *   dst_meta   — (n_buckets, max_doc_freq).
+  *   dst_meta   — (n_buckets, max_doc_freq);
+  *   dst_tombstones — (doc_id) DELETED ids, masked by every probe
+  *                immediately and dropped physically by
+  *                `purgeTombstones` (touched dirs only).
   *
   * Semantics: q26's — candidates from 4×2 band collisions, then exact
   * Jaccard ≥ threshold over capped shingle sets. The stop-shingle cap
@@ -148,11 +151,15 @@ object NearDupIndex {
       if (bBuckets.isEmpty) s.read.parquet(dst).limit(0)
       else s.read.parquet(dst)
         .filter(col("bucket").isin(bBuckets.map(Int.box): _*))
+    // tombstoned docs are masked HERE — before the dBuckets collection,
+    // so a deleted doc costs neither an array fetch nor a verification
     val candCross = pin(corpusBands.as("x")
       .join(newBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("cid"), col("y.doc_id").as("nid"))
-      .distinct())
+      .distinct()
+      .join(tombstones(s, dst).withColumnRenamed("doc_id", "cid"),
+        Seq("cid"), "left_anti"))
     val dBuckets = candCross
       .select(docBucket(col("cid"), nBuckets).as("db")).distinct()
       .collect().map(_.getInt(0))
@@ -188,6 +195,159 @@ object NearDupIndex {
   def compactIndex(s: SparkSession, dst: String): (Long, Long) =
     SegmentCompaction.compactSegments(s, dst + "_sh_df",
       keys = Seq("g"), sums = Seq("df"))
+
+  // ------------------------------------------------------------ deletes
+
+  private def tombPath(dst: String) = dst + "_tombstones"
+
+  private def pathExists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** The distinct tombstoned doc_ids (empty frame when none). */
+  def tombstones(s: SparkSession, dst: String): DataFrame =
+    if (pathExists(s, tombPath(dst)))
+      s.read.parquet(tombPath(dst)).select(col("doc_id")).distinct()
+    else {
+      import s.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }
+
+  /** Mark indexed documents DELETED without touching the index stores:
+    * appends (doc_id, dbucket) rows to the `_tombstones` sidecar.
+    * Probes mask tombstoned docs immediately (their band rows stay on
+    * disk but never reach verification); [[purgeTombstones]] later
+    * drops the rows physically. Idempotent — duplicate tombstones
+    * collapse at read. Re-adding a tombstoned id requires a purge
+    * first (the append contract's id-disjointness extends to deleted
+    * ids — a re-added twin would be masked by the standing tombstone).
+    * Composes with [[SnapshotDiff]]: feed its `removed` ids here and
+    * its `added` docs to [[appendToMinhashLayout]] to keep a standing
+    * index tracking a living corpus. Returns tombstones written. */
+  def tombstone(ids: DataFrame, dst: String): Long = {
+    val s = ids.sparkSession
+    val meta = s.read.parquet(dst + "_meta").head()
+    val nBuckets = meta.getInt(0)
+    val rows = ids.select(col("doc_id")).distinct()
+      .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+    rows.coalesce(1)
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("dbucket").parquet(tombPath(dst))
+    rows.count()
+  }
+
+  /** Physically drop tombstoned docs from the index — the compaction
+    * half of the delete path. Only TOUCHED partition dirs are
+    * rewritten: the dead docs' band buckets are recomputed from their
+    * STORED capped arrays (no text needed — signatures are md5-pure),
+    * so the rewrite reads `_docs` pruned to the dead dbuckets and the
+    * band store pruned to the dead band buckets, never the corpus. A
+    * negative df segment (from the stored arrays) keeps the `_sh_df`
+    * sums equal to a fresh rewrite for every shingle still in an
+    * array; shingles already stopped at the dead docs' index time
+    * carry no correction — the same freshness contract as append-time
+    * caps (exact again after [[compactIndex]] + a layout rewrite).
+    *
+    * Crash contract: each touched dir is swapped via rename-to-`.bak`
+    * → rename-tmp-in → drop-`.bak`, and the tombstone sidecar is
+    * cleared LAST — a crash anywhere leaves tombstones standing, so
+    * probes stay correct and a re-run finishes the job (the pre-pass
+    * restores any `.bak` left by a mid-swap crash).
+    *
+    * Returns (docs purged, band buckets rewritten). */
+  def purgeTombstones(s: SparkSession, dst: String): (Long, Array[Int]) = {
+    recoverBakDirs(s, dst)
+    recoverBakDirs(s, dst + "_docs")
+    val dead = tombstones(s, dst)
+    val deadIds = dead.collect().map(_.getLong(0))
+    if (deadIds.isEmpty) return (0L, Array.empty)
+    val meta = s.read.parquet(dst + "_meta").head()
+    val nBuckets = meta.getInt(0)
+
+    // dead docs' stored arrays (pruned read: only their dbuckets —
+    // docBucket is pmod(id, n), replicated here driver-side)
+    val dBuckets = deadIds.map(id =>
+      math.floorMod(id, nBuckets.toLong).toInt).distinct
+    val deadDocs = pin(s.read.parquet(dst + "_docs")
+      .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
+      .filter(col("doc_id").isin(deadIds.map(java.lang.Long.valueOf): _*)))
+
+    // recompute the dead docs' band buckets from the stored arrays and
+    // rewrite exactly those dirs
+    val deadBands = bandRows(signatures(
+        deadDocs.select(col("doc_id"), explode(col("gs")).as("g"))))
+      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets))
+    val bBuckets = deadBands.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    rewriteBuckets(s, dst, "bucket", bBuckets,
+      keep = _.filter(!col("doc_id").isin(deadIds.map(java.lang.Long.valueOf): _*)),
+      sortCols = Seq("bh", "doc_id"))
+    rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
+      keep = _.filter(!col("doc_id").isin(deadIds.map(java.lang.Long.valueOf): _*)),
+      sortCols = Seq("doc_id"))
+
+    // negative df segment from the PINNED arrays — probes' sums drop
+    // the dead docs' contributions without touching existing segments.
+    // Written AFTER the store rewrites so a crash-rerun (which re-reads
+    // _docs and finds no dead rows) can never decrement twice; the
+    // one crash window (rewrites done, segment unwritten) leaves df
+    // conservatively HIGH — caps trigger earlier, never later
+    deadDocs.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg((-count(lit(1))).as("df"))
+      .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
+      .repartition(col("bucket")).sortWithinPartitions(col("g"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("bucket").parquet(dst + "_sh_df")
+
+    // clear the sidecar LAST — any crash above leaves probes correct
+    val tp = new org.apache.hadoop.fs.Path(tombPath(dst))
+    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+    (deadIds.length.toLong, bBuckets)
+  }
+
+  /** Restore any `<dir>.bak` left by a crash between the two renames of
+    * a bucket swap: if the live dir is missing, the bak IS the live
+    * data; if both exist the swap completed and the bak is surplus. */
+  private def recoverBakDirs(s: SparkSession, root: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return
+    fs.listStatus(rp).filter(_.getPath.getName.endsWith(".bak")).foreach { st =>
+      val live = new org.apache.hadoop.fs.Path(root,
+        st.getPath.getName.stripSuffix(".bak"))
+      if (!fs.exists(live)) fs.rename(st.getPath, live)
+      else fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Swap-rewrite the named bucket dirs of a partitioned store with
+    * `keep` applied. Buckets whose every row is dropped end up with no
+    * dir — exactly what a fresh write would produce. */
+  private def rewriteBuckets(s: SparkSession, root: String, bucketCol: String,
+                             buckets: Array[Int],
+                             keep: DataFrame => DataFrame,
+                             sortCols: Seq[String]): Unit = {
+    if (buckets.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = root + ".purge-tmp"
+    keep(s.read.parquet(root)
+        .filter(col(bucketCol).isin(buckets.map(Int.box): _*)))
+      .repartition(col(bucketCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+      .partitionBy(bucketCol).parquet(tmp)
+    buckets.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b")
+      val bak = new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b.bak")
+      val fresh = new org.apache.hadoop.fs.Path(tmp, s"$bucketCol=$b")
+      if (fs.exists(live)) fs.rename(live, bak)
+      if (fs.exists(fresh)) fs.rename(fresh, live)
+      fs.delete(bak, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 
   /** Append a batch to the index: band rows and capped arrays land as
     * extra part files under their buckets' dirs, the batch's shingle

@@ -128,4 +128,72 @@ class NearDupIndexSpec extends SparkSpec {
         someBuckets.map(b => s"bucket=$b").toSet),
       s"probe filter read outside its bucket set: $partsRead")
   }
+
+  test("tombstones mask deleted docs immediately; purge drops them physically") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dst = tmp("mh-tomb")
+    NearDupIndex.writeMinhashLayout(corpus, dst, maxDocFreq = 10000L)
+
+    // delete every corpus doc ≡ 1 (mod 10): ids that near-dup the batch
+    // in the parity fixture, so masking is actually exercised
+    val dead = corpus.filter(col("doc_id") % 10 === 1).select("doc_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(NearDupIndex.tombstone(dead, dst) == deadIds.size)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    def touching(pairs: Array[(Long, Long, Double)]) =
+      pairs.filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)).toSet
+    val live = docs.filter(!col("doc_id").isin(deadIds.toSeq.map(Long.box): _*))
+    val expected = touching(Dedup.minhashLshPairs(live, maxDocFreq = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val withDead = touching(Dedup.minhashLshPairs(docs, maxDocFreq = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    assert(expected != withDead,
+      "degenerate fixture: no deleted doc ever paired with the batch")
+
+    val masked = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(masked == expected, "tombstoned docs still reach probe results")
+
+    val (nPurged, rewritten) = NearDupIndex.purgeTombstones(spark, dst)
+    assert(nPurged == deadIds.size && rewritten.nonEmpty)
+    // physically gone from both stores, sidecar cleared
+    val deadBoxed = deadIds.toSeq.map(Long.box)
+    assert(spark.read.parquet(dst)
+      .filter(col("doc_id").isin(deadBoxed: _*)).count() == 0)
+    assert(spark.read.parquet(dst + "_docs")
+      .filter(col("doc_id").isin(deadBoxed: _*)).count() == 0)
+    assert(!new java.io.File(dst + "_tombstones").exists())
+    // probe unchanged by the physical drop; a purge re-run is a no-op
+    val after = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == expected, "purge changed probe results")
+    val (reN, reBuckets) = NearDupIndex.purgeTombstones(spark, dst)
+    assert(reN == 0L && reBuckets.isEmpty, "purge re-run was not a no-op")
+    // the negative df segment kept sums ≥ 0 and dropped the dead docs'
+    // contributions: no shingle of a purged doc can sum below zero
+    val negSum = spark.read.parquet(dst + "_sh_df")
+      .groupBy("g").agg(sum("df").as("df")).filter(col("df") < 0).count()
+    assert(negSum == 0, "df segments sum below zero after purge")
+  }
+
+  test("purge recovery: a .bak dir left by a mid-swap crash is restored") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val dst = tmp("mh-bak")
+    NearDupIndex.writeMinhashLayout(docs, dst, nBuckets = 8, maxDocFreq = 10000L)
+    val root = new java.io.File(dst)
+    val bucketDir = root.listFiles().filter(_.getName.startsWith("bucket=")).head
+    // simulate a crash between rename-to-bak and rename-tmp-in
+    val bak = new java.io.File(root, bucketDir.getName + ".bak")
+    assert(bucketDir.renameTo(bak))
+    // any purge entry restores it before touching data
+    val (bakN, bakBuckets) = NearDupIndex.purgeTombstones(spark, dst)
+    assert(bakN == 0L && bakBuckets.isEmpty)
+    assert(new java.io.File(root, bak.getName.stripSuffix(".bak")).exists()
+      && !bak.exists(), "crash leftover not restored")
+  }
 }
