@@ -381,4 +381,42 @@ object NearDupIndex {
     val touched = bands.select(col("bucket")).distinct().collect().map(_.getInt(0))
     (newSets.count(), touched.sorted)
   }
+
+  /** One-call maintenance of the index against a living corpus: classify
+    * `newDocs` vs the indexed snapshot `oldDocs` ([[SnapshotDiff.diff]])
+    * and apply each verdict with the cheapest correct mechanism:
+    *
+    *   changed — tombstone + PHYSICAL purge, then re-append the new
+    *             text. The purge is mandatory here: the append
+    *             contract's id-disjointness extends to tombstoned ids,
+    *             so a standing tombstone would mask the re-added twin.
+    *   removed — tombstone ONLY. Probes mask immediately; the physical
+    *             drop rides a later [[purgeTombstones]] (an operator's
+    *             compaction window), so steady-state deletion churn
+    *             costs O(ids), not O(bucket rewrites).
+    *   added   — [[appendToMinhashLayout]], O(new-data).
+    *
+    * The eager purge collapses EVERY standing tombstone (including
+    * earlier lazily-masked removals) — always correct, occasionally
+    * more work than the changed set alone. Unchanged docs cost one
+    * md5-projection join row and nothing else. Returns
+    * (docs purged, removals masked, docs appended). */
+  def sync(oldDocs: DataFrame, newDocs: DataFrame, dst: String): (Long, Long, Long) = {
+    val s = newDocs.sparkSession
+    // narrow (id, status) projection, pinned: consumed by up to three
+    // downstream actions, and the full-outer diff should run once
+    val d = pin(SnapshotDiff.diff(oldDocs, newDocs)
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status")))
+    val changed = d.filter(col("status") === "changed").select("doc_id")
+    val removed = d.filter(col("status") === "removed").select("doc_id")
+    val purged =
+      if (changed.isEmpty) 0L
+      else { tombstone(changed, dst); purgeTombstones(s, dst)._1 }
+    val masked = if (removed.isEmpty) 0L else tombstone(removed, dst)
+    val toAdd = newDocs.join(
+      d.filter(col("status") =!= "removed").select("doc_id"), Seq("doc_id"))
+    val appended = if (toAdd.isEmpty) 0L else appendToMinhashLayout(toAdd, dst)._1
+    (purged, masked, appended)
+  }
 }

@@ -48,10 +48,14 @@ object SnapshotDiff {
         a.filter(pmod(col("doc_id"), lit(13)) === 0)
           .crossJoin(broadcast(mx))
           .select((col("doc_id") + col("mx") + 1L).as("doc_id"), col("text")))
-    diff(a, b)
+    // the declared query pins row order; the reusable core stays
+    // sort-free so index maintenance can consume it at corpus scale
+    diff(a, b).orderBy(col("doc_id"))
   }
 
-  /** The reusable core: classify every id in either snapshot. */
+  /** The reusable core: classify every id in either snapshot.
+    * Unordered — callers needing a deterministic row order sort the
+    * 20-byte (id, status, md5s) projection themselves. */
   def diff(a: DataFrame, b: DataFrame): DataFrame = {
     val fa = a.select(col("doc_id"), md5(col("text")).as("md5_a"))
     val fb = b.select(col("doc_id"), md5(col("text")).as("md5_b"))
@@ -62,6 +66,5 @@ object SnapshotDiff {
           .when(col("md5_a") === col("md5_b"), "unchanged")
           .otherwise("changed"))
       .select(col("doc_id"), col("status"), col("md5_a"), col("md5_b"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -180,6 +180,48 @@ class NearDupIndexSpec extends SparkSpec {
     assert(negSum == 0, "df segments sum below zero after purge")
   }
 
+  test("sync tracks a living corpus: removed masked, changed re-indexed, added appended") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 5 =!= 0)       // indexed snapshot
+    val batch = docs.filter(col("doc_id") % 5 === 0)   // probe set, never indexed
+    val dst = tmp("mh-sync")
+    NearDupIndex.writeMinhashLayout(a, dst, maxDocFreq = 10000L)
+
+    // next snapshot: ids ≡1 (mod 10) removed, ids ≡3 (mod 10) rewritten,
+    // twins of the batch docs added under shifted ids (so the probe must
+    // find matches that ONLY exist via the added path)
+    val b = a.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" synced suffix marker edit")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(batch.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val nRemoved = a.filter(col("doc_id") % 10 === 1).count()
+    val nChanged = a.filter(col("doc_id") % 10 === 3).count()
+    val nAdded = batch.count()
+
+    val (purged, masked, appended) = NearDupIndex.sync(a, b, dst)
+    assert(purged == nChanged, s"purged $purged, expected the changed set $nChanged")
+    assert(masked == nRemoved && appended == nChanged + nAdded)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    def touching(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)).toSet
+    val expected = touching(Dedup.minhashLshPairs(
+      b.unionByName(batch), maxDocFreq = 10000L).collect())
+    val stale = touching(Dedup.minhashLshPairs(
+      a.unionByName(batch), maxDocFreq = 10000L).collect())
+    assert(expected != stale, "degenerate fixture: sync changed nothing the probe sees")
+    val got = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "synced probe drifted from the live-corpus recompute")
+    // the added twins are reachable: every batch doc pairs with its shifted copy
+    assert(batchIds.forall(id => got.contains((id, id + 100000L, 1.0))
+        || got.contains((id + 100000L, id, 1.0))),
+      "an added twin was not matched by the probe")
+  }
+
   test("purge recovery: a .bak dir left by a mid-swap crash is restored") {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).limit(50)
