@@ -138,6 +138,8 @@ object SparkEntry {
       graft.ops.Clustering.q81EmbeddingClusters(s, dir)),
     "q82_span_removal"      -> ((s: SparkSession, dir: String) =>
       Dedup.q82SpanRemoval(s, dir)),
+    "q83_cluster_sample"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q83ClusterSample(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -485,5 +487,6 @@ object SparkEntry {
     "q80_canonical_docs" -> ExtensionOracles.q80CanonicalDocs,
     "q81_embedding_clusters" -> ExtensionOracles.q81EmbeddingClusters,
     "q82_span_removal" -> ExtensionOracles.q82SpanRemoval,
+    "q83_cluster_sample" -> ExtensionOracles.q83ClusterSample,
   )
 }

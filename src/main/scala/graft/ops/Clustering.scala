@@ -111,4 +111,43 @@ object Clustering {
     persistCentroids(s, centroids, CentroidsPath)
     assign(emb, centroids).orderBy(col("vec_id"))
   }
+
+  /** Where q83 persists its centroids — its own path, so the oracle replay
+    * never depends on whether/when q81 ran. */
+  val SampleCentroidsPath = "/tmp/graft_kmeans_centroids_sample.parquet"
+
+  /** q83: cluster-balanced sampling — the diversity-stratified draw a
+    * curation pipeline runs to eyeball (or train on) an even topic slice:
+    * q52's salted min-hash reservoir with the stratum = the LEARNED topic
+    * cluster instead of a metadata column. Equal k per cluster is the
+    * point — a metadata-stratified sample inherits the corpus's topical
+    * skew, this one doesn't.
+    *
+    * Shape at 100 TB: assignment is q81's narrow codegen'd pass (no
+    * shuffle, no join), and the per-cluster draw is the bounded `top_k`
+    * aggregate (≤ 4+16k bytes per cluster on the wire, map-side
+    * combined) — never a per-cluster row_number window; the q52
+    * stability property carries over verbatim (removing a non-sampled
+    * vector can never change the sample). */
+  def q83ClusterSample(s: SparkSession, dir: String, k: Int = 20,
+                       nClusters: Int = 8, iters: Int = 10): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, nClusters, iters)
+    persistCentroids(s, centroids, SampleCentroidsPath)
+    clusterSample(assign(emb, centroids), k)
+  }
+
+  /** The reusable core over any (vec_id, cluster) frame. */
+  def clusterSample(assigned: DataFrame, k: Int): DataFrame = {
+    val hash52 = conv(
+      substring(md5(concat(lit("csample:"), col("vec_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    assigned
+      .groupBy(col("cluster"))
+      .agg(TopKPerGroup.topKColumn(-hash52.cast("double"), col("vec_id"), k).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("e.id").as("vec_id"))
+      .orderBy(col("cluster"), col("sample_rank"))
+  }
 }

@@ -1557,6 +1557,38 @@ object ExtensionOracles {
        |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q83: cluster-balanced sample — q81's centroid-replayed
+    * assignment (from the query's OWN persisted centroid table) feeding
+    * q52's salted min-hash reservoir, stratum = cluster. The 13-hex-digit
+    * md5 prefix order equals the engine's 52-bit numeric order. */
+  val q83ClusterSample: String =
+    s"""WITH c AS (SELECT cluster, qc
+       |  FROM read_parquet('${graft.ops.Clustering.SampleCentroidsPath}/*.parquet')),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |x AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM e),
+       |q AS (SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
+       |  FROM x),
+       |d AS (SELECT q.vec_id, c.cluster,
+       |    CAST(SUM((q.qi - c.qc[CAST(q.i AS INT)]) *
+       |             (q.qi - c.qc[CAST(q.i AS INT)])) AS BIGINT) AS d
+       |  FROM q CROSS JOIN c
+       |  GROUP BY q.vec_id, c.cluster),
+       |r AS (SELECT vec_id, cluster, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |  FROM d),
+       |a AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cluster
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |s AS (SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY substring(md5('csample:' || CAST(vec_id AS VARCHAR)), 1, 13),
+       |               vec_id) AS rn
+       |  FROM a)
+       |SELECT cluster, CAST(rn AS BIGINT) AS sample_rank, vec_id
+       |FROM s WHERE rn <= 20
+       |ORDER BY cluster, rn""".stripMargin
+
   /** Mirrors q82: duplicate-span removal. The span CTEs are q70's chain
     * verbatim (k = 20); the rewrite slices the text between consecutive
     * spans — each gap segment starts where the previous span's character

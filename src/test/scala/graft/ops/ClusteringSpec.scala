@@ -53,6 +53,37 @@ class ClusteringSpec extends SparkSpec {
   private def filler(tag: String, n: Int): String =
     Iterator.continually(tag).flatten.take(n).mkString
 
+  test("q83 clusterSample: equal-k draw per cluster, window-equivalent, removal-stable") {
+    // 3 clusters with 30/5/12 members — unbalanced on purpose
+    val assigned = ((0L until 30L).map((_, 0)) ++ (100L until 105L).map((_, 1))
+      ++ (200L until 212L).map((_, 2))).toDF("vec_id", "cluster")
+    val k = 8
+    val got = Clustering.clusterSample(assigned, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // min(k, |cluster|) rows per cluster — the balance property
+    val perCluster = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCluster == Map(0 -> 8, 1 -> 5, 2 -> 8), s"allocation: $perCluster")
+    // ≡ the row_number window formulation (the oracle's shape)
+    val hash52 = conv(substring(
+      md5(concat(lit("csample:"), col("vec_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(hash52, col("vec_id"))
+    val expected = assigned
+      .withColumn("sample_rank", row_number().over(win).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("cluster"), col("sample_rank"), col("vec_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == expected, "bounded top_k drifted from the window formulation")
+    // q52's reservoir property: dropping non-sampled vectors never
+    // changes the sample
+    val sampledIds = got.map(_._3).toSet
+    val pruned = assigned.filter(col("vec_id").isin(sampledIds.toSeq.map(Long.box): _*))
+    val again = Clustering.clusterSample(pruned, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got.toSet, "sample changed when non-sampled rows were removed")
+  }
+
   test("q82: a cross-doc shared run is cut from BOTH documents, exactly") {
     val s = "SHARED-RUN-0123456789-ABCDEFGHIJKLMNOPQR" // 40 chars
     assert(s.length === 40)
