@@ -140,6 +140,8 @@ object SparkEntry {
       Dedup.q82SpanRemoval(s, dir)),
     "q83_cluster_sample"    -> ((s: SparkSession, dir: String) =>
       graft.ops.Clustering.q83ClusterSample(s, dir)),
+    "q84_rollup_maintenance" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Rollup.q84RollupMaintenance(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -488,5 +490,6 @@ object SparkEntry {
     "q81_embedding_clusters" -> ExtensionOracles.q81EmbeddingClusters,
     "q82_span_removal" -> ExtensionOracles.q82SpanRemoval,
     "q83_cluster_sample" -> ExtensionOracles.q83ClusterSample,
+    "q84_rollup_maintenance" -> ExtensionOracles.q84RollupMaintenance,
   )
 }

@@ -1589,6 +1589,21 @@ object ExtensionOracles {
        |FROM s WHERE rn <= 20
        |ORDER BY cluster, rn""".stripMargin
 
+  /** Mirrors q84: the daily rollup computed DIRECTLY over raw events —
+    * the engine answers from its materialized hourly partials, so hash
+    * equality proves the maintenance is lossless. Decimal sum / q17's
+    * epoch-day idiom; the HLL estimate column is excluded (sketch
+    * internals — q31's rule). */
+  val q84RollupMaintenance: String =
+    """SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** Mirrors q82: duplicate-span removal. The span CTEs are q70's chain
     * verbatim (k = 20); the rewrite slices the text between consecutive
     * spans — each gap segment starts where the previous span's character
