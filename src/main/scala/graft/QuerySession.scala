@@ -24,9 +24,13 @@ object QuerySession {
   def openTestTables(spark: SparkSession, sfDir: String): Unit = {
     GraftExtensions.register(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
+    // events goes through the normalizing reader: SQL sees the same
+    // epoch-nanos LongType `ts` the engine queries do, whichever
+    // parquet timestamp encoding the table shipped with (Tables.events)
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
   }
 
   /** Expose the dedup/similarity PIPELINES to SQL — the Athena-style
@@ -155,6 +159,13 @@ object QuerySession {
     // persists the centroid table — training jobs put it in this tier
     graft.ops.Clustering.q81EmbeddingClusters(spark, sfDir)
       .createOrReplaceTempView("embedding_clusters")
+    // q83: same training cost, stratum-balanced draw on top
+    graft.ops.Clustering.q83ClusterSample(spark, sfDir)
+      .createOrReplaceTempView("cluster_sample")
+    // q84: materializes the hourly partials store (two write jobs) and
+    // serves the daily rollup from it
+    graft.ops.Rollup.q84RollupMaintenance(spark, sfDir)
+      .createOrReplaceTempView("daily_rollup")
   }
 
   /** Everything: the cheap views plus the materialized ones. */

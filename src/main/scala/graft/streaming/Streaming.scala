@@ -123,6 +123,24 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** Maintain the q84 rollup partials from a stream: each micro-batch
+    * reduces to its mergeable partial rows and appends — the batch
+    * reducer IS the stream reducer (`Rollup.appendPartials`), so
+    * `Rollup.mergedDaily` serves identically whether the partials came
+    * from backfill batches or a live stream. Per-batch work is O(batch)
+    * with map-side combine; the store grows by O(hours), never
+    * rewritten. */
+  def rollupStream(events: DataFrame, partialsDst: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0)
+          graft.ops.Rollup.appendPartials(batch, partialsDst)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

@@ -209,6 +209,27 @@ class QuerySessionSpec extends SparkSpec {
         |   AND (SELECT count(DISTINCT cluster) FROM embedding_clusters) >= 2""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(cl, "embedding_clusters not total or malformed")
+    // the cluster-balanced sample draws only assigned vectors, ranks
+    // contiguously from 1, and never exceeds k per cluster
+    val cs = spark.sql(
+      """SELECT (SELECT count(*) FROM cluster_sample s
+        |        LEFT JOIN embedding_clusters c USING (vec_id)
+        |        WHERE c.vec_id IS NULL) = 0
+        |   AND (SELECT count(*) FROM cluster_sample
+        |        WHERE sample_rank < 1 OR sample_rank > 20) = 0
+        |   AND (SELECT max(cnt) FROM (SELECT count(*) AS cnt
+        |        FROM cluster_sample GROUP BY cluster)) <= 20""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(cs, "cluster_sample malformed")
+    // the rollup view reconciles with a direct SQL aggregate over events
+    val ro = spark.sql(
+      """SELECT count(*) FROM daily_rollup r
+        |JOIN (SELECT ts DIV 86400000000000 AS day, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+        |      FROM events GROUP BY 1) d USING (day)
+        |WHERE r.n_events <> d.n OR r.sum_value <> d.sv""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(ro == 0L, "daily_rollup disagrees with the direct aggregate")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {

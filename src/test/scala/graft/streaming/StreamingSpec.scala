@@ -231,6 +231,40 @@ class StreamingSpec extends SparkSpec {
       s"appended keeper 202 not indexed: ${hits.mkString(",")}")
   }
 
+  test("streaming rollup maintenance ≡ batch: partials from micro-batches serve identically") {
+    import graft.ops.Rollup
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value").localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-rollup-stream")
+    val watched = java.nio.file.Files.createDirectory(root.resolve("in"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmpd = root.resolve(name + "_tmp").toString
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, watched.resolve(name))
+    }
+    stage("b1.parquet", ev.filter(col("event_id") % 2 === 0))
+    stage("b2.parquet", ev.filter(col("event_id") % 2 === 1))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+    val partials = root.resolve("partials").toString
+    Streaming.rollupStream(stream, partials).awaitTermination()
+    // the store holds at least two segments per covered hour-set, and
+    // the merged serve equals the batch direct aggregate
+    val got = Rollup.mergedDaily(spark, partials).drop("approx_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val direct = ev.withColumn("day", expr("ts DIV 86400000000000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == direct, "streamed partials drifted from the batch aggregate")
+  }
+
   test("streaming source quota: the admission counter survives micro-batch boundaries") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-quota")
