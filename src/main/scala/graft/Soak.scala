@@ -104,7 +104,15 @@ object Soak {
       timed("source_diversity")(Dedup.sourceDiversity(docs)),
       timed("mixed_assignment")(graft.ops.Mixing.mixedShardAssignment(
         docs.select(col("doc_id"), col("source"), col("text")), 1, 1024L)
-        .filter(col("pos_in_shard") >= 0L)))
+        .filter(col("pos_in_shard") >= 0L)),
+      // the snapshot diff's 48-byte-row claim at volume: a full-outer
+      // join of (id, md5) projections over the soaked corpus vs a
+      // mutated twin — cost must track row count, never text volume
+      timed("snapshot_diff")(graft.ops.SnapshotDiff.diff(docs,
+        docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+            .otherwise(col("text")).as("text")))
+        .filter(col("status").isNotNull)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of
@@ -205,6 +213,37 @@ object Soak {
     val mhAppendSec = timedSec(
       graft.ops.NearDupIndex.appendToMinhashLayout(mhAppendBatch, mhDst))
 
+    // tombstone delete of a 1% slice: the mask itself is O(ids); the
+    // physical purge recomputes the DEAD docs' bands from their stored
+    // arrays and rewrites only the touched dirs. (At 1% of 500k docs the
+    // dead bands statistically touch every one of the 64 default
+    // buckets, so this measures the purge's upper envelope — production
+    // layouts run thousands of buckets, where touched ≪ total.)
+    val deadIds = docs.filter(pmod(col("doc_id"), lit(100L)) === 2L)
+      .select(col("doc_id"))
+    val mhTombSec = timedSec(graft.ops.NearDupIndex.tombstone(deadIds, mhDst))
+    var purgedN = 0L; var purgedBuckets = 0
+    val mhPurgeSec = timedSec {
+      val (n, bs) = graft.ops.NearDupIndex.purgeTombstones(spark, mhDst)
+      purgedN = n; purgedBuckets = bs.length
+    }
+
+    // rollup maintenance at volume: one partials pass over mult× events,
+    // the O(hours) merged serve, and a 1% append
+    val ev0 = Tables.events(spark, sfDir)
+    val nEv = ev0.count()
+    val ev = spark.range(mult).crossJoin(ev0).select(
+      (col("event_id") * mult + col("id")).as("event_id"),
+      col("ts"), col("user_id"), col("value"))
+    val ruDst = base + "/rollup"
+    val ruWriteSec = timedSec(graft.ops.Rollup.appendPartials(ev, ruDst))
+    var ruDays = 0L
+    val ruServeSec = timedSec {
+      ruDays = graft.ops.Rollup.mergedDaily(spark, ruDst).count()
+    }
+    val ruAppendSec = timedSec(graft.ops.Rollup.appendPartials(
+      ev.filter(pmod(col("event_id"), lit(100L)) === 0L), ruDst))
+
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -243,7 +282,13 @@ object Soak {
       f""""write_minhash_sec":$writeMinhashSec%.2f,""" +
       f""""minhash_probe_1pct_sec":$mhProbeSec%.2f,""" +
       f""""minhash_probe_rows":$mhRows,""" +
-      f""""append_minhash_1pct_sec":$mhAppendSec%.2f}"""
+      f""""append_minhash_1pct_sec":$mhAppendSec%.2f,""" +
+      f""""tombstone_1pct_sec":$mhTombSec%.2f,""" +
+      f""""purge_1pct_sec":$mhPurgeSec%.2f,"purged_docs":$purgedN,""" +
+      f""""purged_buckets":$purgedBuckets,""" +
+      f""""rollup_partials_sec":$ruWriteSec%.2f,""" +
+      f""""rollup_serve_sec":$ruServeSec%.2f,"rollup_days":$ruDays,""" +
+      f""""rollup_append_1pct_sec":$ruAppendSec%.2f,"events":${nEv * mult}}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")

@@ -142,6 +142,7 @@ object SparkEntry {
       graft.ops.Clustering.q83ClusterSample(s, dir)),
     "q84_rollup_maintenance" -> ((s: SparkSession, dir: String) =>
       graft.ops.Rollup.q84RollupMaintenance(s, dir)),
+    "q85_event_funnel"      -> (Relational.q85EventFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,5 +492,6 @@ object SparkEntry {
     "q82_span_removal" -> ExtensionOracles.q82SpanRemoval,
     "q83_cluster_sample" -> ExtensionOracles.q83ClusterSample,
     "q84_rollup_maintenance" -> ExtensionOracles.q84RollupMaintenance,
+    "q85_event_funnel" -> ExtensionOracles.q85EventFunnel,
   )
 }

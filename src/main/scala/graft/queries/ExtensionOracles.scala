@@ -1557,6 +1557,33 @@ object ExtensionOracles {
        |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q85: the ordered conversion funnel — stage k's earliest
+    * time strictly after the user's stage-(k−1) time, chained min
+    * aggregates exactly as the engine computes them; epoch-nanos BIGINT
+    * on both sides. */
+  val q85EventFunnel: String =
+    """WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+      |  GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |  GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN c.user_id IS NOT NULL THEN 2
+      |            WHEN v.user_id IS NOT NULL THEN 1
+      |            ELSE 0 END AS BIGINT) AS stage
+      |FROM u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin
+
   /** Mirrors q83: cluster-balanced sample — q81's centroid-replayed
     * assignment (from the query's OWN persisted centroid table) feeding
     * q52's salted min-hash reservoir, stratum = cluster. The 13-hex-digit

@@ -583,4 +583,57 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q85: ordered-funnel analysis — per user, the earliest completion
+    * time of each stage of the sequence view → click → purchase, where
+    * stage k only counts events STRICTLY AFTER the user's stage-(k−1)
+    * time (the product-analytics conversion funnel; a click before the
+    * first view is not a conversion click).
+    *
+    * Shape at 100 TB: K chained conditional-min aggregates, every one
+    * keyed on user_id — never an ordered window, so a scanner bot's
+    * timeline is a combiner tree, not a single-task sort (the q14/q16
+    * hot-key lesson applied by construction). Each stage joins the
+    * previous stage's ONE ROW PER USER back to that stage's filtered
+    * events: same join key as the aggregation, so the shuffles align,
+    * and the per-stage frames shrink monotonically (stage k's users ⊆
+    * stage k−1's). K is the funnel definition's length (3), a constant.
+    *
+    * Determinism: epoch-nanos integer mins, stage count cast to long —
+    * nothing floats. */
+  def q85EventFunnel(s: SparkSession, dir: String): DataFrame =
+    eventFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+
+  /** The reusable core over any (user_id, event_type, ts) frame. */
+  def eventFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val stageTimes = stages.zipWithIndex.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, (st, i)) =>
+        val tCol = s"t_$st"
+        val mine = e.filter(col("event_type") === st)
+        val cur =
+          if (i == 0)
+            mine.groupBy(col("user_id")).agg(min(col("ts")).as(tCol))
+          else {
+            val (prevCol, prev) = acc.head
+            mine.join(prev.select(col("user_id"), col(prevCol)), Seq("user_id"))
+              .filter(col("ts") > col(prevCol))
+              .groupBy(col("user_id")).agg(min(col("ts")).as(tCol))
+          }
+        (tCol, cur) :: acc
+    }.reverse
+    val users = e.select(col("user_id")).distinct()
+    val joined = stageTimes.foldLeft(users) { case (acc, (tCol, df)) =>
+      acc.join(df.select(col("user_id"), col(tCol)), Seq("user_id"), "left")
+    }
+    // deepest non-null stage wins: ascending fold leaves the LAST
+    // stage's `when` outermost
+    val stageCol = stageTimes.map(_._1).zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (tCol, i)) => when(col(tCol).isNotNull, lit(i + 1L)).otherwise(acc)
+    }
+    joined
+      .withColumn("stage", stageCol)
+      .orderBy(col("user_id"))
+  }
 }

@@ -233,6 +233,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r == p, "chunked running sums diverged from the single window")
   }
 
+  test("event funnel: ordering is strict, earliest-first, no windows in the plan") {
+    import spark.implicits._
+    val events = Seq(
+      // full conversion in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // click only BEFORE the first view → stuck at stage 1
+      (2L, "click", 5L), (2L, "view", 10L),
+      // purchase before the qualifying click → stage 2
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      // no view at all → stage 0 whatever else happened
+      (4L, "purchase", 5L),
+      // min view wins: the view@2 qualifies the click@5
+      (5L, "view", 10L), (5L, "view", 2L), (5L, "click", 5L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.queries.Relational
+      .eventFunnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((Some(10L), Some(20L), Some(30L), 3L)),
+      2L -> ((Some(10L), None, None, 1L)),
+      3L -> ((Some(10L), Some(20L), None, 2L)),
+      4L -> ((None, None, None, 0L)),
+      5L -> ((Some(2L), Some(5L), None, 2L))), s"funnel drifted: $got")
+    // hot-key safety by construction: no window operator anywhere
+    val plan = graft.queries.Relational
+      .eventFunnel(events, Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"funnel plan grew a window:\n$plan")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (if (i % 100 == 0) 1L else i.toLong, s"v$i"))
