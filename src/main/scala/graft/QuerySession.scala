@@ -156,9 +156,12 @@ object QuerySession {
     graft.ops.Retrieval.q71HardNegatives(spark, sfDir)
       .createOrReplaceTempView("hard_negatives")
     // q81: trains k-means on a bounded sample (driver-side Lloyd's) and
-    // persists the centroid table — training jobs put it in this tier
-    graft.ops.Clustering.q81EmbeddingClusters(spark, sfDir)
-      .createOrReplaceTempView("embedding_clusters")
+    // persists the centroid table — training jobs put it in this tier.
+    // The mix view shares the one trained assignment.
+    val clusters = graft.ops.Clustering.q81EmbeddingClusters(spark, sfDir)
+    clusters.createOrReplaceTempView("embedding_clusters")
+    graft.ops.Clustering.clusterMix(clusters)
+      .createOrReplaceTempView("cluster_mix")
     // q83: same training cost, stratum-balanced draw on top
     graft.ops.Clustering.q83ClusterSample(spark, sfDir)
       .createOrReplaceTempView("cluster_sample")

@@ -221,6 +221,17 @@ class QuerySessionSpec extends SparkSpec {
         |        FROM cluster_sample GROUP BY cluster)) <= 20""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(cs, "cluster_sample malformed")
+    // the topic-rebalancing weights are total over the assignment,
+    // normalized, and temperature-compressed vs the raw mass share
+    val cm = spark.sql(
+      """SELECT abs((SELECT sum(weight) FROM cluster_mix) - 1.0) < 1e-9
+        |   AND (SELECT sum(n_vectors) FROM cluster_mix) =
+        |       (SELECT count(*) FROM embeddings)
+        |   AND (SELECT max(weight) FROM cluster_mix) <
+        |       (SELECT max(n_vectors) * 1.0 / sum(n_vectors) FROM cluster_mix)
+        |       + 1e-12""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(cm, "cluster_mix not normalized or not compressed")
     // the rollup view reconciles with a direct SQL aggregate over events
     val ro = spark.sql(
       """SELECT count(*) FROM daily_rollup r
