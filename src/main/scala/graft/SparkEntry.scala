@@ -143,6 +143,7 @@ object SparkEntry {
     "q84_rollup_maintenance" -> ((s: SparkSession, dir: String) =>
       graft.ops.Rollup.q84RollupMaintenance(s, dir)),
     "q85_event_funnel"      -> (Relational.q85EventFunnel _),
+    "q86_retention_cohorts" -> (Relational.q86RetentionCohorts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -493,5 +494,6 @@ object SparkEntry {
     "q83_cluster_sample" -> ExtensionOracles.q83ClusterSample,
     "q84_rollup_maintenance" -> ExtensionOracles.q84RollupMaintenance,
     "q85_event_funnel" -> ExtensionOracles.q85EventFunnel,
+    "q86_retention_cohorts" -> ExtensionOracles.q86RetentionCohorts,
   )
 }

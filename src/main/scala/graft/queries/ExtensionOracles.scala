@@ -1584,6 +1584,21 @@ object ExtensionOracles {
       |LEFT JOIN p ON u.user_id = p.user_id
       |ORDER BY u.user_id""".stripMargin
 
+  /** Mirrors q86: cohort retention — distinct user-day grain, cohort =
+    * first active day, exact long counts per (cohort, offset) cell. */
+  val q86RetentionCohorts: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events),
+      |co AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+      |sz AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM co GROUP BY 1)
+      |SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+      |  sz.n_cohort, COUNT(*) AS n_active
+      |FROM ud u
+      |JOIN co c ON u.user_id = c.user_id
+      |JOIN sz ON sz.cohort_day = c.cohort_day
+      |GROUP BY 1, 2, 3
+      |ORDER BY c.cohort_day, day_offset""".stripMargin
+
   /** Mirrors q83: cluster-balanced sample — q81's centroid-replayed
     * assignment (from the query's OWN persisted centroid table) feeding
     * q52's salted min-hash reservoir, stratum = cluster. The 13-hex-digit

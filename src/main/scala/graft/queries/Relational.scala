@@ -604,6 +604,33 @@ object Relational {
   def q85EventFunnel(s: SparkSession, dir: String): DataFrame =
     eventFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
 
+  /** q86: cohort retention — the companion analytics to q85's funnel:
+    * users are cohorted by their FIRST active day, and each
+    * (cohort_day, day_offset) cell counts how many of that cohort were
+    * active offset days later, next to the cohort's size (the consumer
+    * divides; the engine ships exact longs, no float crosses the
+    * oracle boundary).
+    *
+    * Shape at 100 TB: the user-day grain is ONE distinct (the only
+    * corpus-scale shuffle); cohorts and cells are keyed aggregates on
+    * top of it, and because the grain is already distinct the cell
+    * count is a plain `count`, not a `count(DISTINCT)` — no two-phase
+    * expansion. A bot user contributes one row per active day whatever
+    * its event volume. */
+  def q86RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    ud.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_cohort"), col("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** The reusable core over any (user_id, event_type, ts) frame. */
   def eventFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

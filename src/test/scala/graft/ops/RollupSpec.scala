@@ -46,6 +46,26 @@ class RollupSpec extends SparkSpec {
     assert(got == direct, "materialized rollup drifted from the direct aggregate")
   }
 
+  test("a day-ranged serve prunes the partials scan to the asked-for day dirs") {
+    val ev = graft.Tables.events(spark, dir)
+    val dst = tmp()
+    Rollup.appendPartials(ev, dst)
+    val days = new java.io.File(dst).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+    assert(days.length > 3, s"degenerate fixture: ${days.length} day dirs")
+    val want = days.take(2).map(_.stripPrefix("day=").toInt)
+    val pruned = spark.read.parquet(dst)
+      .filter(col("day").isin(want.map(Int.box): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("day")),
+      s"day range is not a partition filter:\n$plan")
+    val read = pruned.select(regexp_extract(input_file_name(), "day=\\d+", 0))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(read == want.map(d => s"day=$d").toSet,
+      s"serve read outside its day range: $read")
+  }
+
   test("HLL user estimate: union of partials is merge-lossless and near exact") {
     val ev = graft.Tables.events(spark, dir)
     val dst = tmp()
