@@ -144,6 +144,8 @@ object SparkEntry {
       graft.ops.Rollup.q84RollupMaintenance(s, dir)),
     "q85_event_funnel"      -> (Relational.q85EventFunnel _),
     "q86_retention_cohorts" -> (Relational.q86RetentionCohorts _),
+    "q87_tokenizer_fertility" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Bpe.q87TokenizerFertility(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -495,5 +497,6 @@ object SparkEntry {
     "q84_rollup_maintenance" -> ExtensionOracles.q84RollupMaintenance,
     "q85_event_funnel" -> ExtensionOracles.q85EventFunnel,
     "q86_retention_cohorts" -> ExtensionOracles.q86RetentionCohorts,
+    "q87_tokenizer_fertility" -> ExtensionOracles.q87TokenizerFertility,
   )
 }

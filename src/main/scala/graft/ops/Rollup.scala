@@ -93,7 +93,9 @@ object Rollup {
     val p = new org.apache.hadoop.fs.Path(PartialsPath)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     // cut point from the data, never a constant (q63's shift lesson)
-    val cut = withGrain(ev).agg(min(col("day"))).head().getLong(0) + 15L
+    val minRow = withGrain(ev).agg(min(col("day"))).head()
+    require(!minRow.isNullAt(0), "events table is empty — nothing to roll up")
+    val cut = minRow.getLong(0) + 15L
     appendPartials(withGrain(ev).filter(col("day") < cut).drop("day", "hour"), PartialsPath)
     appendPartials(withGrain(ev).filter(col("day") >= cut).drop("day", "hour"), PartialsPath)
     mergedDaily(s, PartialsPath)

@@ -1370,7 +1370,10 @@ object ExtensionOracles {
     * count is half the marker count. Distinct words replay once, then
     * join back to per-doc occurrences; documents with no words keep a
     * COALESCE'd zero (the q51 LEFT JOIN lesson). */
-  val q65BpeTokens: String =
+  /** The shared BPE-replay CTE chain (merges-from-data greedy
+    * application, per-doc subword totals in `b`) — the q65 tail reads
+    * per-doc rows from it, the q87 tail aggregates per language. */
+  private val bpeReplayCtes: String =
     s"""WITH RECURSIVE
       |m AS (SELECT "rank" AS mrank,
       |    chr(31)||l||chr(31)||chr(31)||r||chr(31) AS pat,
@@ -1396,13 +1399,32 @@ object ExtensionOracles {
       |  FROM steps st
       |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(st.s, pat))),
       |b AS (SELECT doc_id, SUM(wc.n) AS n
-      |  FROM docword JOIN wc USING (word) GROUP BY doc_id)
+      |  FROM docword JOIN wc USING (word) GROUP BY doc_id)""".stripMargin
+
+  val q65BpeTokens: String =
+    s"""$bpeReplayCtes
       |SELECT d.doc_id,
       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws_tokens,
       |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_bpe_tokens
       |FROM documents d
       |LEFT JOIN b ON d.doc_id = b.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q87: per-language tokenizer fertility — the q65 replay
+    * aggregated by lang; fertility is one IEEE double divide of two
+    * exact longs, rounded 9 (the q45 pattern). */
+  val q87TokenizerFertility: String =
+    s"""$bpeReplayCtes
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS BIGINT) AS n_ws_tokens,
+      |  CAST(SUM(COALESCE(b.n, 0)) AS BIGINT) AS n_bpe_tokens,
+      |  round(CAST(SUM(COALESCE(b.n, 0)) AS DOUBLE) /
+      |        CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS DOUBLE), 9)
+      |    AS fertility
+      |FROM documents d
+      |LEFT JOIN b ON d.doc_id = b.doc_id
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
 
   /** Mirrors q77: DSIR hashed-feature importance weights. Features are
     * unigrams plus space-joined bigrams of the normalized token list;
