@@ -398,9 +398,14 @@ object NearDupIndex {
     *
     * The eager purge collapses EVERY standing tombstone (including
     * earlier lazily-masked removals) — always correct, occasionally
-    * more work than the changed set alone. Unchanged docs cost one
-    * md5-projection join row and nothing else. Returns
-    * (docs purged, removals masked, docs appended). */
+    * more work than the changed set alone. It runs whenever an incoming
+    * id is currently tombstoned, not only for this sync's changed set:
+    * a doc removed in one sync (lazily masked) and re-added in a LATER
+    * sync arrives as `added` while its old tombstone still stands, and
+    * appending under a standing tombstone would mask the new twin
+    * forever. Unchanged docs cost one md5-projection join row and
+    * nothing else. Returns (docs purged, removals masked,
+    * docs appended). */
   def sync(oldDocs: DataFrame, newDocs: DataFrame, dst: String): (Long, Long, Long) = {
     val s = newDocs.sparkSession
     // narrow (id, status) projection, pinned: consumed by up to three
@@ -410,12 +415,16 @@ object NearDupIndex {
       .select(col("doc_id"), col("status")))
     val changed = d.filter(col("status") === "changed").select("doc_id")
     val removed = d.filter(col("status") === "removed").select("doc_id")
+    val toAddIds = d.filter(col("status") =!= "removed").select("doc_id")
+    val maskedIncoming = tombstones(s, dst).join(toAddIds, Seq("doc_id"))
     val purged =
-      if (changed.isEmpty) 0L
-      else { tombstone(changed, dst); purgeTombstones(s, dst)._1 }
+      if (changed.isEmpty && maskedIncoming.isEmpty) 0L
+      else {
+        if (!changed.isEmpty) tombstone(changed, dst)
+        purgeTombstones(s, dst)._1
+      }
     val masked = if (removed.isEmpty) 0L else tombstone(removed, dst)
-    val toAdd = newDocs.join(
-      d.filter(col("status") =!= "removed").select("doc_id"), Seq("doc_id"))
+    val toAdd = newDocs.join(toAddIds, Seq("doc_id"))
     val appended = if (toAdd.isEmpty) 0L else appendToMinhashLayout(toAdd, dst)._1
     (purged, masked, appended)
   }

@@ -1556,9 +1556,12 @@ object ExtensionOracles {
     * with an empty embedding never reaches the distance CTE, so the
     * LEFT JOIN + COALESCE lands it in cluster 0 at distance 0 — the same
     * outcome as the engine's all-ties argmin. */
-  val q81EmbeddingClusters: String =
-    s"""WITH c AS (SELECT cluster, qc
-       |  FROM read_parquet('${graft.ops.Clustering.CentroidsPath}/*.parquet')),
+  /** The shared k-means-assignment CTE chain (centroids-from-data exact
+    * integer argmin) — q81 and q83 replay the same assignment, each
+    * against the centroid table its own query persisted. */
+  private def kmeansAssignCtes(centroidsPath: String): String =
+    s"""c AS (SELECT cluster, qc
+       |  FROM read_parquet('$centroidsPath/*.parquet')),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |x AS (SELECT vec_id, embedding,
        |    unnest(generate_series(1, len(embedding))) AS i FROM e),
@@ -1572,7 +1575,10 @@ object ExtensionOracles {
        |  GROUP BY q.vec_id, c.cluster),
        |r AS (SELECT vec_id, cluster, d,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-       |  FROM d)
+       |  FROM d)""".stripMargin
+
+  val q81EmbeddingClusters: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.Clustering.CentroidsPath)}
        |SELECT e.vec_id,
        |  CAST(COALESCE(r.cluster, 0) AS INT) AS cluster,
        |  COALESCE(r.d, 0) AS sq_dist
@@ -1626,22 +1632,7 @@ object ExtensionOracles {
     * q52's salted min-hash reservoir, stratum = cluster. The 13-hex-digit
     * md5 prefix order equals the engine's 52-bit numeric order. */
   val q83ClusterSample: String =
-    s"""WITH c AS (SELECT cluster, qc
-       |  FROM read_parquet('${graft.ops.Clustering.SampleCentroidsPath}/*.parquet')),
-       |e AS (SELECT vec_id, embedding FROM embeddings),
-       |x AS (SELECT vec_id, embedding,
-       |    unnest(generate_series(1, len(embedding))) AS i FROM e),
-       |q AS (SELECT vec_id, i,
-       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
-       |  FROM x),
-       |d AS (SELECT q.vec_id, c.cluster,
-       |    CAST(SUM((q.qi - c.qc[CAST(q.i AS INT)]) *
-       |             (q.qi - c.qc[CAST(q.i AS INT)])) AS BIGINT) AS d
-       |  FROM q CROSS JOIN c
-       |  GROUP BY q.vec_id, c.cluster),
-       |r AS (SELECT vec_id, cluster, d,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-       |  FROM d),
+    s"""WITH ${kmeansAssignCtes(graft.ops.Clustering.SampleCentroidsPath)},
        |a AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cluster
        |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
        |s AS (SELECT cluster, vec_id,

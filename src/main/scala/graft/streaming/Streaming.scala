@@ -131,15 +131,25 @@ object Streaming {
     * with map-side combine; the store grows by O(hours), never
     * rewritten. */
   def rollupStream(events: DataFrame, partialsDst: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    events.writeStream
+                   checkpoint: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.limit(1).count() > 0)
-          graft.ops.Rollup.appendPartials(batch, partialsDst)
+        // pin once: the emptiness probe and the partial aggregation must
+        // not each re-read the batch's files (the nearDupIngestStream
+        // pattern)
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.Rollup.appendPartials(b, partialsDst)
         ()
       }
       .trigger(trigger)
-      .start()
+    // duplicates CORRUPT an aggregate store (unlike an idempotent export),
+    // so production restarts need durable offsets: pass a checkpoint dir
+    // or a restart replays the source into double-counted partials
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's

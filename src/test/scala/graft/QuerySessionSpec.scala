@@ -232,15 +232,19 @@ class QuerySessionSpec extends SparkSpec {
         |       + 1e-12""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(cm, "cluster_mix not normalized or not compressed")
-    // the rollup view reconciles with a direct SQL aggregate over events
+    // the rollup view reconciles with a direct SQL aggregate over events;
+    // the day-count equality makes the check total (an inner join alone
+    // would let a silently-dropped day pass)
     val ro = spark.sql(
-      """SELECT count(*) FROM daily_rollup r
-        |JOIN (SELECT ts DIV 86400000000000 AS day, count(*) AS n,
-        |        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
-        |      FROM events GROUP BY 1) d USING (day)
-        |WHERE r.n_events <> d.n OR r.sum_value <> d.sv""".stripMargin)
-      .collect()(0).getLong(0)
-    assert(ro == 0L, "daily_rollup disagrees with the direct aggregate")
+      """SELECT (SELECT count(*) FROM daily_rollup r
+        |   JOIN (SELECT ts DIV 86400000000000 AS day, count(*) AS n,
+        |           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+        |         FROM events GROUP BY 1) d USING (day)
+        |   WHERE r.n_events <> d.n OR r.sum_value <> d.sv) = 0
+        |  AND (SELECT count(*) FROM daily_rollup) =
+        |      (SELECT count(DISTINCT ts DIV 86400000000000) FROM events)""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(ro, "daily_rollup disagrees with (or doesn't cover) the direct aggregate")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {

@@ -222,6 +222,39 @@ class NearDupIndexSpec extends SparkSpec {
       "an added twin was not matched by the probe")
   }
 
+  test("sync: a doc removed in one sync and re-added later becomes probe-visible again") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dst = tmp("mh-readd")
+    NearDupIndex.writeMinhashLayout(a, dst, maxDocFreq = 10000L)
+
+    val comeback = a.filter(col("doc_id") % 10 === 1)
+    val b1 = a.filter(col("doc_id") % 10 =!= 1)
+    val (_, m1, app1) = NearDupIndex.sync(a, b1, dst)
+    assert(m1 == comeback.count() && app1 == 0L)
+    // the removal is a lazy mask: tombstones stand, nothing purged yet
+    assert(NearDupIndex.tombstones(spark, dst).count() == m1)
+
+    // second sync re-adds the same ids with the same text — the standing
+    // tombstones must be collapsed or the re-added twins stay invisible
+    val (p2, m2, app2) = NearDupIndex.sync(b1, a, dst)
+    assert(p2 == m1 && m2 == 0L && app2 == comeback.count(),
+      s"re-add sync did ($p2, $m2, $app2)")
+    assert(NearDupIndex.tombstones(spark, dst).count() == 0)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.minhashLshPairs(docs, maxDocFreq = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)).toSet
+    val got = NearDupIndex.probeNearDup(spark, dst, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "re-added docs still masked (or index drifted)")
+    val cbIds = comeback.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.exists(p => cbIds.contains(p._1) || cbIds.contains(p._2)),
+      "degenerate fixture: no pair touches a re-added doc")
+  }
+
   test("purge recovery: a .bak dir left by a mid-swap crash is restored") {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).limit(50)
