@@ -231,7 +231,10 @@ object NearDupIndex {
     val nBuckets = meta.getInt(0)
     val rows = ids.select(col("doc_id")).distinct()
       .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
-    rows.coalesce(1)
+    // partition-aligned write, not coalesce(1): a mass delete (a whole
+    // source at once) must not serialize through one task; the sidecar
+    // is transient (cleared at purge), so small-file buildup is bounded
+    rows.repartition(col("dbucket"))
       .write.mode(SaveMode.Append).option("compression", "snappy")
       .partitionBy("dbucket").parquet(tombPath(dst))
     rows.count()
@@ -255,23 +258,28 @@ object NearDupIndex {
     * probes stay correct and a re-run finishes the job (the pre-pass
     * restores any `.bak` left by a mid-swap crash).
     *
-    * Returns (docs purged, band buckets rewritten). */
+    * Returns (docs purged, band buckets rewritten). The dead-id SET
+    * never materializes on the driver — membership is by anti-join
+    * against the pinned tombstone frame, so a mass delete (every id of
+    * a decommissioned source at once) stays executor-side; the only
+    * driver lists are bucket numbers, bounded by the layout's nBuckets
+    * whatever the delete volume. */
   def purgeTombstones(s: SparkSession, dst: String): (Long, Array[Int]) = {
     recoverBakDirs(s, dst)
     recoverBakDirs(s, dst + "_docs")
-    val dead = tombstones(s, dst)
-    val deadIds = dead.collect().map(_.getLong(0))
-    if (deadIds.isEmpty) return (0L, Array.empty)
+    val dead = pin(tombstones(s, dst))
+    if (dead.isEmpty) return (0L, Array.empty)
+    val nDead = dead.count()
     val meta = s.read.parquet(dst + "_meta").head()
     val nBuckets = meta.getInt(0)
 
     // dead docs' stored arrays (pruned read: only their dbuckets —
-    // docBucket is pmod(id, n), replicated here driver-side)
-    val dBuckets = deadIds.map(id =>
-      math.floorMod(id, nBuckets.toLong).toInt).distinct
+    // bounded ≤ nBuckets driver scalars however many docs die)
+    val dBuckets = dead.select(docBucket(col("doc_id"), nBuckets).as("db"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val deadDocs = pin(s.read.parquet(dst + "_docs")
       .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
-      .filter(col("doc_id").isin(deadIds.map(java.lang.Long.valueOf): _*)))
+      .join(dead, Seq("doc_id"), "left_semi"))
 
     // recompute the dead docs' band buckets from the stored arrays and
     // rewrite exactly those dirs
@@ -281,10 +289,10 @@ object NearDupIndex {
     val bBuckets = deadBands.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     rewriteBuckets(s, dst, "bucket", bBuckets,
-      keep = _.filter(!col("doc_id").isin(deadIds.map(java.lang.Long.valueOf): _*)),
+      keep = _.join(dead, Seq("doc_id"), "left_anti"),
       sortCols = Seq("bh", "doc_id"))
     rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
-      keep = _.filter(!col("doc_id").isin(deadIds.map(java.lang.Long.valueOf): _*)),
+      keep = _.join(dead, Seq("doc_id"), "left_anti"),
       sortCols = Seq("doc_id"))
 
     // negative df segment from the PINNED arrays — probes' sums drop
@@ -303,7 +311,7 @@ object NearDupIndex {
     // clear the sidecar LAST — any crash above leaves probes correct
     val tp = new org.apache.hadoop.fs.Path(tombPath(dst))
     tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
-    (deadIds.length.toLong, bBuckets)
+    (nDead, bBuckets)
   }
 
   /** Restore any `<dir>.bak` left by a crash between the two renames of
