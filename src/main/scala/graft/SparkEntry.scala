@@ -146,6 +146,8 @@ object SparkEntry {
     "q86_retention_cohorts" -> (Relational.q86RetentionCohorts _),
     "q87_tokenizer_fertility" -> ((s: SparkSession, dir: String) =>
       graft.ops.Bpe.q87TokenizerFertility(s, dir)),
+    "q88_length_quantiles"  -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.q88LengthQuantiles(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -498,5 +500,6 @@ object SparkEntry {
     "q85_event_funnel" -> ExtensionOracles.q85EventFunnel,
     "q86_retention_cohorts" -> ExtensionOracles.q86RetentionCohorts,
     "q87_tokenizer_fertility" -> ExtensionOracles.q87TokenizerFertility,
+    "q88_length_quantiles" -> ExtensionOracles.q88LengthQuantiles,
   )
 }

@@ -442,6 +442,38 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** q88: per-source length quantile bands — exact p50/p90/p99 token
+    * counts per source, the distribution summary a curation dashboard
+    * shows next to the q67 data card's single median. Exactness without
+    * a per-row sort: token counts live on a SMALL integer domain, so
+    * ONE map-side-combined histogram to (source, count) rows suffices;
+    * the cumulative window runs over those aggregated rows (the q67
+    * median shape), and each quantile is `min(v WHERE cum ≥ k)` with
+    * k = ceil(q·n) computed in exact integer arithmetic
+    * ((q·n + d − 1) DIV d) — one aggregate, no per-quantile re-scan,
+    * nothing floats until nothing is left to decide. */
+  def q88LengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    lengthQuantiles(Tables.documents(s, dir))
+
+  /** The reusable core over any (source, text) frame. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Par.widen(docs)
+      .select(col("source"), tokenCount(col("text")).as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("source").as("ts")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(totals), col("source") === col("ts"))
+      .groupBy(col("source"), col("n").as("n_docs"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("p50"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("v"))).as("p90"),
+        min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v"))).as("p99"))
+      .orderBy(col("source"))
+  }
+
   /** q50: vocabulary coverage — the tokenizer-prep corpus statistic: the
     * top-V tokens by corpus frequency with each prefix's cumulative
     * coverage of all token occurrences ("a 50-token vocabulary covers

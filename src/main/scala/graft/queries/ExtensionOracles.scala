@@ -1585,6 +1585,26 @@ object ExtensionOracles {
        |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q88: per-source exact length quantiles — histogram +
+    * cumulative window over aggregated (source, count) rows, each band
+    * picked as MIN(v) where cum ≥ k with integer-exact k = ceil(q·n). */
+  val q88LengthQuantiles: String =
+    """WITH h AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+      |    COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT h.source, h.v, h.c, t.n,
+      |    SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS cum
+      |  FROM h JOIN t USING (source))
+      |SELECT source, n AS n_docs,
+      |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+      |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90,
+      |  MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p99
+      |FROM cum
+      |GROUP BY source, n
+      |ORDER BY source""".stripMargin
+
   /** Mirrors q85: the ordered conversion funnel — stage k's earliest
     * time strictly after the user's stage-(k−1) time, chained min
     * aggregates exactly as the engine computes them; epoch-nanos BIGINT
