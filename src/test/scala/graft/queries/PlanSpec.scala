@@ -136,6 +136,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q88: the quantile window runs over aggregated histogram rows only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val physical = graft.SparkEntry.queries("q88_length_quantiles")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the cumulative histogram window")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"quantile window reads raw rows:\n$w")
+    }
+  }
+
   test("q44/q45: narrow aggregation queries — no sort-merge joins, totals ride broadcasts") {
     val p44 = plan("q44_ip_anonymize")
     // mask + pseudonym are codegen'd column work; the only joins AQE may
