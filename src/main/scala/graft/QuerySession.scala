@@ -52,12 +52,25 @@ object QuerySession {
     *  - `substring_dup_spans(doc_id, …)`  — q70 duplicated-char spans/fractions
     *  - `hard_negatives(query_id, rank, doc_id, score)` — q71 negative mining
     *  - `leakage_split(doc_id, split, n_eval_partners, keep)` — q72 quarantine
+    *  - `event_funnel` / `retention_cohorts` / `length_quantiles` —
+    *    q85/q86/q88 analytics (sfDir overload)
     *  - plus (materialized tier): `pq_neighbors`, `semantic_dedup_drops`,
-    *    `token_budget_cut`, `bpe_token_counts`, `quality_scores`
+    *    `token_budget_cut`, `bpe_token_counts`, `tokenizer_fertility`,
+    *    `quality_scores`, `cluster_sample`, `cluster_mix`, `daily_rollup`
     */
-  def registerPipelineViews(spark: SparkSession, sfDir: String): Unit =
+  def registerPipelineViews(spark: SparkSession, sfDir: String): Unit = {
     registerPipelineViews(spark, Tables.documents(spark, sfDir),
       Tables.embeddings(spark, sfDir))
+    // event/corpus analytics views — pure lazy plans like the rest
+    // (chained aggregates and an aggregated-histogram window; no
+    // training, no collect)
+    graft.queries.Relational.q85EventFunnel(spark, sfDir)
+      .createOrReplaceTempView("event_funnel")
+    graft.queries.Relational.q86RetentionCohorts(spark, sfDir)
+      .createOrReplaceTempView("retention_cohorts")
+    graft.ops.TextAnalysis.q88LengthQuantiles(spark, sfDir)
+      .createOrReplaceTempView("length_quantiles")
+  }
 
   /** The frame-based core: given already-read base tables, registration
     * is strictly metadata-only — it runs ZERO Spark jobs
@@ -144,9 +157,13 @@ object QuerySession {
     graft.ops.ProductQuantization.q64PqAnn(spark, sfDir)
       .createOrReplaceTempView("pq_neighbors")
     // trains the BPE merge rules (bounded driver-side loop) — the
-    // trainer-true token counts next to the whitespace ones
+    // trainer-true token counts next to the whitespace ones, plus the
+    // per-language fertility rollup over the same (deterministically
+    // retrained) rules
     graft.ops.Bpe.q65BpeTokens(spark, sfDir)
       .createOrReplaceTempView("bpe_token_counts")
+    graft.ops.Bpe.q87TokenizerFertility(spark, sfDir)
+      .createOrReplaceTempView("tokenizer_fertility")
     // trains the q68 logistic scorer (15 aggregate jobs over a cached
     // feature frame) and freezes the weights into a scoring view
     graft.ops.QualityModel.q68QualityModel(spark, sfDir)

@@ -70,7 +70,25 @@ class QuerySessionSpec extends SparkSpec {
     val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(jobsAfter == jobsBefore,
       s"registerPipelineViews ran ${jobsAfter - jobsBefore} Spark job(s)")
+    QuerySession.registerPipelineViews(spark, dir) // + event analytics views
     QuerySession.registerMaterializedViews(spark, dir)
+
+    // the event-analytics views are total and internally consistent
+    val ev = spark.sql(
+      """SELECT (SELECT count(*) FROM event_funnel) =
+        |       (SELECT count(DISTINCT user_id) FROM events)
+        |   AND (SELECT count(*) FROM event_funnel
+        |        WHERE stage NOT BETWEEN 0 AND 3) = 0
+        |   AND (SELECT count(*) FROM retention_cohorts
+        |        WHERE day_offset = 0 AND n_active <> n_cohort) = 0
+        |   AND (SELECT count(*) FROM retention_cohorts) > 0
+        |   AND (SELECT count(*) FROM length_quantiles
+        |        WHERE p50 IS NULL OR p50 > p90 OR p90 > p99) = 0
+        |   AND (SELECT count(*) FROM length_quantiles) > 0
+        |   AND (SELECT count(*) FROM tokenizer_fertility
+        |        WHERE fertility < 1.0) = 0""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(ev, "event_funnel/retention_cohorts/length_quantiles/fertility malformed")
 
     // near-dup pairs joined back to base tables, all in SQL — the
     // Athena-style user's workflow over the extension operators
