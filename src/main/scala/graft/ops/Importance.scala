@@ -44,33 +44,42 @@ object Importance {
 
   /** 52-bit md5 prefix → bucket id; mirrors the DuckDB idiom
     * `('0x'||substr(md5(f),1,13))::BIGINT % B` (both operands
-    * non-negative, so `%` and `pmod` agree). */
+    * non-negative, so `%` and `pmod` agree). Same hash idiom as
+    * `Retrieval.termBucketCol`, kept separate only for the LONG output
+    * type this module's hash-verified q77 expression tree carries. */
   private def bucketOf(f: Column): Column =
     pmod(conv(substring(md5(f), 1, 13), 16, 10).cast("long"), lit(Buckets))
 
   /** Per-document hashed-feature bucket counts: one row per (doc_id,
-    * source, bucket) with the occurrence count `k`. Features are the
-    * document's unigrams plus space-joined bigrams, bucketed IN-ROW
-    * (one `transform` over the token array) before the single explode —
-    * the exploded row carries only a long, not the feature string. */
-  private[ops] def docBuckets(docs: DataFrame): DataFrame = {
+    * source, bucket) with the occurrence count `k`; `carry` names
+    * per-document columns of the input to thread through (they join the
+    * group-by, so they must be functionally dependent on doc_id).
+    * Features are the document's unigrams plus space-joined bigrams,
+    * bucketed IN-ROW (one `transform` over the token array) before the
+    * single explode — the exploded row carries only a long, not the
+    * feature string. */
+  private[ops] def docBuckets(docs: DataFrame,
+                              carry: Seq[String] = Nil): DataFrame = {
     val l = TextAnalysis.tokens(col("text"))
     val bigrams = when(size(col("l")) >= 2,
       transform(sequence(lit(1), size(col("l")) - 1),
         i => concat(element_at(col("l"), i), lit(" "),
           element_at(col("l"), i + 1))))
       .otherwise(array().cast("array<string>"))
+    val keep = Seq(col("doc_id"), col("source")) ++ carry.map(col)
     Par.widen(docs)
-      .select(col("doc_id"), col("source"), l.as("l"))
-      .select(col("doc_id"), col("source"),
-        explode(transform(concat(col("l"), bigrams), f => bucketOf(f))).as("b"))
-      .groupBy(col("doc_id"), col("source"), col("b"))
+      .select(keep :+ l.as("l"): _*)
+      .select(keep :+
+        explode(transform(concat(col("l"), bigrams), f => bucketOf(f))).as("b"): _*)
+      .groupBy(keep :+ col("b"): _*)
       .agg(count(lit(1)).as("k"))
   }
 
-  /** q77: score every non-target document against `source = 'src0'` as
+  /** q77: score the non-target documents against `source = 'src0'` as
     * the target distribution; emit the top 50 by log importance weight
-    * (ties broken by doc_id). */
+    * (ties broken by doc_id). A document with no features (empty/null
+    * text) never reaches scoring on either engine — it has no
+    * likelihood ratio to sum — so it cannot appear in the top-K. */
   def q77DsirImportance(s: SparkSession, dir: String): DataFrame =
     dsirTopK(s, Tables.documents(s, dir), col("source") === "src0", 50)
 
@@ -85,9 +94,11 @@ object Importance {
     val (out, dbk) = dsirTopKLazy(s, docs, isTarget, topK)
     // bounded result (topK rows): materialize, RELEASE the cache, and
     // re-emit as a local frame so long-lived sessions don't accumulate
-    // cached plans (q71's emit lesson, Retrieval.scala:165-170)
-    val rows = out.collect()
-    dbk.unpersist(blocking = false)
+    // cached plans (q71's emit lesson, Retrieval.scala:165-170); the
+    // release rides a finally so a failed job can't strand the cache
+    val rows =
+      try out.collect()
+      finally dbk.unpersist(blocking = false)
     s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy(col("logweight").desc, col("doc_id"))
   }
@@ -97,7 +108,11 @@ object Importance {
     * audit/consume this and unpersist the cache themselves. */
   def dsirTopKLazy(s: SparkSession, docs: DataFrame, isTarget: Column,
                    topK: Int): (DataFrame, DataFrame) = {
-    val dbk = docBuckets(docs).withColumn("is_t", isTarget).cache()
+    // the predicate is evaluated on the CALLER'S frame (it may name any
+    // document column, e.g. text-content predicates), then threads
+    // through the bucket counts as a carried flag
+    val dbk = docBuckets(docs.withColumn("is_t", isTarget),
+      carry = Seq("is_t")).cache()
     // bucket histograms for both models — tiny (≤B rows each)
     val tc = dbk.filter(col("is_t")).groupBy(col("b")).agg(sum(col("k")).as("ct"))
     val rc = dbk.filter(!col("is_t")).groupBy(col("b")).agg(sum(col("k")).as("cr"))
@@ -115,14 +130,16 @@ object Importance {
             ((coalesce(col("cr"), lit(0L)) + 1).cast("double") *
               (col("nt") + Buckets).cast("double"))), 12)
             .cast("decimal(28,12)").as("lnterm"))
+    // source is functionally dependent on doc_id and already rides dbk,
+    // so it joins the group-by — no second corpus scan/shuffle to
+    // recover it (the header's one-corpus-shuffle claim, kept honest)
     val w = dbk.filter(!col("is_t"))
         .join(broadcast(lm), Seq("b"))
-        .groupBy(col("doc_id"))
+        .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("k")).as("n_feats"),
           sum(col("lnterm") * col("k").cast("decimal(9,0)")).as("slw"))
         .withColumn("logweight", round(col("slw").cast("double"), 12))
-    val sources = docs.select(col("doc_id"), col("source"))
-    val out = w.join(sources, Seq("doc_id"))
+    val out = w
       .select(col("doc_id"), col("source"), col("n_feats"), col("logweight"))
       .orderBy(col("logweight").desc, col("doc_id"))
       .limit(topK)

@@ -165,9 +165,11 @@ object Retrieval {
     // the result is bounded at k × |queries| rows: materialize it and
     // RELEASE the caches — otherwise every invocation in a long-lived
     // session leaks cached plans into the CacheManager (q28's emit
-    // lesson)
-    val rows = out.collect()
-    caches.foreach(_.unpersist())
+    // lesson); the release rides a finally so a failed job can't
+    // strand them
+    val rows =
+      try out.collect()
+      finally caches.foreach(_.unpersist())
     val sess = docs.sparkSession
     sess.createDataFrame(sess.sparkContext.parallelize(rows.toIndexedSeq, 1),
         out.schema)

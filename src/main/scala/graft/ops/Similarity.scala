@@ -121,9 +121,9 @@ object Similarity {
     // substitute cached subtrees).
     def emit(r: DataFrame, cached: Option[DataFrame]): DataFrame = {
       val out = finalize(r)
-      val rows = out.collect()
-      cached.foreach(_.unpersist())
-      emb.unpersist()
+      val rows =
+        try out.collect()
+        finally { cached.foreach(_.unpersist()); emb.unpersist() }
       val s = emb0.sparkSession
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
         .orderBy(col("query_id"), col("rank"))

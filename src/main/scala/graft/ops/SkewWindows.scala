@@ -116,15 +116,20 @@ object SkewWindows {
     hotStatsLocal(base, key, col("__t"), hotAt, chunkTarget) match {
       case None => plainOver(base)
       case Some(stats) =>
+        // routing joins are NULL-SAFE (<=>): the diagnose aggregate
+        // groups null keys into their own (possibly hot) group, and a
+        // plain === would strand a hot null key on the light path —
+        // silently voiding the scale guarantee for exactly the garbage
+        // key most likely to be hot
         val light = base.join(broadcast(stats.select(col("__hk"))),
-          col(key) === col("__hk"), "left_anti")
+          col(key) <=> col("__hk"), "left_anti")
         val lightOut = plainOver(light)
 
         // heavy: chunked. Interior gaps resolve inside a (key, chunk)
         // local window; the chunk's first event compares against the
         // running max end-time of earlier chunks (time ranges ⇒ that IS
         // the immediately preceding event's time).
-        val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
+        val chunked = base.join(broadcast(stats), col(key) <=> col("__hk"))
           .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
         val cw = Window.partitionBy(col(key), col("__chunk"))
           .orderBy(col("__t"), col("__tie"))
@@ -161,26 +166,31 @@ object SkewWindows {
   def runningSum(rows: DataFrame, key: String, t: String, tie: String,
                  value: String, hotAt: Long = 1000000L,
                  chunkTarget: Long = 65536L): DataFrame = {
-    val base = rows.select(col(key), col(t), col(tie),
+    // order columns ride fixed internal aliases (the sessionCounts
+    // pattern): the chunk expr below is built from literal identifiers,
+    // never by splicing a caller-supplied column name into SQL text
+    val base = rows.select(col(key), col(t).as("__t"), col(tie).as("__tie"),
       col(value).cast("decimal(28,6)").as("__v"))
 
-    val w = Window.partitionBy(col(key)).orderBy(col(t), col(tie))
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def plainOver(src: DataFrame): DataFrame = src
       .withColumn("running", sum(col("__v")).over(w).cast("decimal(38,6)"))
-      .select(col(key), col(t), col(tie), col("running"))
+      .select(col(key), col("__t").as(t), col("__tie").as(tie), col("running"))
 
-    hotStatsLocal(base, key, col(t), hotAt, chunkTarget) match {
+    hotStatsLocal(base, key, col("__t"), hotAt, chunkTarget) match {
       case None => plainOver(base)
       case Some(stats) =>
+        // null-safe routing — see sessionCounts; here a plain === would
+        // also DROP null-key rows at the heavy-path rejoin below
         val light = base.join(broadcast(stats.select(col("__hk"))),
-          col(key) === col("__hk"), "left_anti")
+          col(key) <=> col("__hk"), "left_anti")
         val lightOut = plainOver(light)
 
-        val chunked = base.join(broadcast(stats), col(key) === col("__hk"))
-          .withColumn("__chunk", expr(s"($t - __tmin) DIV __width"))
+        val chunked = base.join(broadcast(stats), col(key) <=> col("__hk"))
+          .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
         val cw = Window.partitionBy(col(key), col("__chunk"))
-          .orderBy(col(t), col(tie))
+          .orderBy(col("__t"), col("__tie"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = chunked.withColumn("__local", sum(col("__v")).over(cw))
         val perChunk = chunked.groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
@@ -191,11 +201,11 @@ object SkewWindows {
           .withColumn("__before", sum(col("__csum")).over(seqW))
           .select(col("__ck"), col("__cc"), col("__before"))
         val heavyOut = local
-          .join(withPrev, col(key) === col("__ck") && col("__chunk") === col("__cc"))
+          .join(withPrev, col(key) <=> col("__ck") && col("__chunk") === col("__cc"))
           .withColumn("running",
             (col("__local") + coalesce(col("__before"), lit(0).cast("decimal(28,6)")))
               .cast("decimal(38,6)"))
-          .select(col(key), col(t), col(tie), col("running"))
+          .select(col(key), col("__t").as(t), col("__tie").as(tie), col("running"))
 
         lightOut.unionByName(heavyOut)
     }
@@ -232,11 +242,13 @@ object SkewWindows {
     if (statsOpt.isEmpty) return plainOver(timeline)
     val stats = statsOpt.get
 
+    // null-safe routing — see sessionCounts; a plain === would also
+    // DROP null-key rows at the heavy-path rejoin below
     val lightOut = plainOver(
       timeline.join(broadcast(stats.select(col("__hk"))),
-        col(key) === col("__hk"), "left_anti"))
+        col(key) <=> col("__hk"), "left_anti"))
 
-    val chunked = timeline.join(broadcast(stats), col(key) === col("__hk"))
+    val chunked = timeline.join(broadcast(stats), col(key) <=> col("__hk"))
       .withColumn("__chunk", expr("(t_ms - __tmin) DIV __width"))
     val cw = Window.partitionBy(col(key), col("__chunk")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -255,7 +267,7 @@ object SkewWindows {
       .withColumn("__prevc", last(col("__c"), ignoreNulls = true).over(seqW))
       .select(col("__ck"), col("__cc"), col("__prevc"))
     val heavyOut = local
-      .join(withPrev, col(key) === col("__ck") && col("__chunk") === col("__cc"))
+      .join(withPrev, col(key) <=> col("__ck") && col("__chunk") === col("__cc"))
       .where(col("kind") === 1)
       .select(col(key), col("event_id"),
         coalesce(col("__lkey"), col("__prevc.ord_key")).as("asof_key"),

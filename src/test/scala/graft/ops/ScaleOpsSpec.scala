@@ -264,6 +264,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"funnel plan grew a window:\n$plan")
   }
 
+  test("a hot NULL key routes through the chunked path and loses no rows") {
+    import spark.implicits._
+    // 5000 null-key events (the hot "garbage" key) + two light users
+    val rows = (1 to 5000).map(i =>
+        (None: Option[Long], i.toLong * 1000, i.toLong, 1.5)) ++
+      (1 to 10).map(i => (Some(7L), i.toLong * 1000, 10000L + i, 2.0)) ++
+      (1 to 10).map(i => (Some(8L), i.toLong * 1000, 20000L + i, 3.0))
+    val events = rows.toDF("user_id", "ts", "event_id", "value")
+    val routed = SkewWindows.runningSum(events, "user_id", "ts", "event_id",
+      "value", hotAt = 1000L, chunkTarget = 512L)
+    // the null key IS routed (chunk machinery in the plan) and the
+    // result equals the plain single-window formulation row for row
+    assert(routed.queryExecution.executedPlan.toString.contains("__chunk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val plain = events.withColumn("running",
+      sum(col("value").cast("decimal(28,6)")).over(w).cast("decimal(38,6)"))
+    val r = routed.select(col("event_id"), col("running")).collect()
+      .map(x => (x.getLong(0), x.getDecimal(1))).toMap
+    val p = plain.select(col("event_id"), col("running")).collect()
+      .map(x => (x.getLong(0), x.getDecimal(1))).toMap
+    assert(r.size == 5020 && r == p,
+      s"null-key routing lost rows or drifted: ${r.size} rows")
+    // and the hot null key's rows were NOT all computed in one window
+    // partition: the per-(key, chunk) windows cap partition size
+    val sc = SkewWindows.sessionCounts(events, "user_id", col("ts"),
+      col("event_id"), gapMs = 10000L, hotAt = 1000L, chunkTarget = 512L)
+      .collect().map(x => (Option(x.get(0)), x.getLong(1), x.getLong(2)))
+    assert(sc.exists(x => x._1.isEmpty && x._3 == 5000L),
+      s"null-key session counts missing: ${sc.mkString(",")}")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     val left = (1 to 10000).map(i => (if (i % 100 == 0) 1L else i.toLong, s"v$i"))
