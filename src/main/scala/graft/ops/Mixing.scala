@@ -68,9 +68,13 @@ object Mixing {
       .join(corpus, "w")
       .join(broadcast(grpTotals), grp)
       .crossJoin(broadcast(corpusTotal))
-      // ln over the exact integer cross-ratio: ln((k·nc)/(ns·ck)); the
-      // products stay inside a double's 2^53 integer window at any
-      // realistic corpus (k,ck ≤ nc; guard rails would be decimals)
+      // ln of the cross-ratio (k·nc)/(ns·ck). The products are exact
+      // integers only while they stay under 2^53 (true at tested SFs;
+      // at 100 TB token counts k·nc can reach ~1e24 and the products
+      // round) — determinism still holds because IEEE multiply/divide
+      // round identically on both engines bit-for-bit, and the ~1e-16
+      // relative error sits far below the 12-digit round; just don't
+      // read "exact" as an overflow guarantee
       .withColumn("lnterm",
         round(log((col("k").cast("double") * col("nc").cast("double")) /
           (col("ns").cast("double") * col("ck").cast("double"))), 12))
@@ -169,7 +173,12 @@ object Mixing {
     * partitions, per-(source, bucket) totals (≤ |sources| × P scalars —
     * sources are a low-cardinality dimension, so this driver state is
     * bounded by construction) prefix-scanned on the driver and broadcast
-    * back. Returns (doc_id, source, src_rank). */
+    * back. Returns (doc_id, source, src_rank).
+    *
+    * Precondition: `source` is non-null (the documents schema's
+    * contract) — the driver prefix scan sorts source keys and a null
+    * would NPE there, same precondition as `SkewJoin.withKeyTotal`'s
+    * documented one. */
   private[ops] def sourceRanks(docs: DataFrame, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sess = docs.sparkSession
@@ -212,6 +221,7 @@ object Mixing {
     // BigDecimal of the binary value) and DuckDB (scaled-double round)
     // resolve differently (observed: 1e-12 flip at sf0.01 row 112)
     val topn = ranked.join(broadcast(weights), "source")
+      .filter(col("weight") > 0.0) // see mixedShardAssignment's guard
       .withColumn("mix_key",
         (col("src_rank").cast("double") - 0.5) / col("weight"))
       .orderBy(col("mix_key"), col("source"), col("doc_id"))
@@ -240,11 +250,21 @@ object Mixing {
     * mixture guarantee. Output is `writeShards`-shaped
     * (doc_id, shard_id, pos_in_shard). */
   def mixedShardAssignment(docs: DataFrame, epoch: Int,
-                           docsPerShard: Long): DataFrame = {
+                           docsPerShard: Long,
+                           weightsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = sourceRanks(docs, s"mix:e$epoch:")
-    val weights = domainWeights(docs).select(col("source"), col("weight"))
+    // the weight table is epoch-INVARIANT: a multi-epoch materializer
+    // computes it once (one corpus tokenization pass) and passes it in,
+    // instead of re-deriving it per epoch
+    val weights = weightsOpt.getOrElse(
+      domainWeights(docs).select(col("source"), col("weight")))
     ranked.join(broadcast(weights), "source")
+      // a zero-weight source (no tokens at all) has no place on the
+      // virtual-time axis — (rank-0.5)/0 is Infinity, which would cast
+      // to a Long.MaxValue garbage shard; such docs are excluded from
+      // the mixture stream (there is nothing to train on)
+      .filter(col("weight") > 0.0)
       .withColumn("mix_key",
         (col("src_rank").cast("double") - 0.5) / col("weight"))
       .withColumn("shard_id",
@@ -291,6 +311,13 @@ object Mixing {
     val u = (h52.cast("double") + 1.0) / lit(4503599627370496.0) // 2^52
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(weights), "source")
+      // a zero-weight source's doc_w is 0 → key = +Infinity → sorts
+      // last and can never enter the sample, which is the right draw
+      // semantics. NOTE the outer round of a quotient is the q73-
+      // documented decimal-tie hazard; it is kept here because the
+      // oracle replays this exact rounded tree and the k-th-key
+      // boundary has never landed on a 1e-12 tie in the gate — if it
+      // ever does, both sides drop the outer round together.
       .withColumn("sample_key",
         round(-round(log(u), 12) / col("doc_w"), 12))
       .orderBy(col("sample_key"), col("doc_id"))

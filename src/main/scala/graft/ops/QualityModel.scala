@@ -68,23 +68,30 @@ object QualityModel {
     * query. */
   def trainLogistic(feats: DataFrame, iters: Int = Iters,
                     lr: Double = LearningRate): Array[Double] = {
+    // cache released in finally: training is the only consumer, and a
+    // long-lived session must not accumulate pinned feature frames
+    // (the engine-wide cache-hygiene rule; Similarity/Retrieval/
+    // Importance all release the same way)
     val f = feats.cache()
-    val n = f.count().toDouble
-    var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
-    val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
-    for (_ <- 1 to iters) {
-      val p = pOf(w)
-      val grads = xs.zipWithIndex.map { case (x, j) =>
-        sum(round((p - col("y")) * x, 12).cast("decimal(28,12)")).as(s"g$j")
+    try {
+      val n = f.count().toDouble
+      require(n > 0, "cannot train the quality model on an empty feature frame")
+      var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+      val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+      for (_ <- 1 to iters) {
+        val p = pOf(w)
+        val grads = xs.zipWithIndex.map { case (x, j) =>
+          sum(round((p - col("y")) * x, 12).cast("decimal(28,12)")).as(s"g$j")
+        }
+        val updated = f.agg(grads.head, grads.tail: _*)
+          .select((0 until 5).map(j =>
+            round(lit(w(j)) - lit(lr) * (col(s"g$j").cast("double") / lit(n)), 12)
+              .as(s"w$j")): _*)
+          .collect()(0)
+        w = Array.tabulate(5)(updated.getDouble)
       }
-      val updated = f.agg(grads.head, grads.tail: _*)
-        .select((0 until 5).map(j =>
-          round(lit(w(j)) - lit(lr) * (col(s"g$j").cast("double") / lit(n)), 12)
-            .as(s"w$j")): _*)
-        .collect()(0)
-      w = Array.tabulate(5)(updated.getDouble)
-    }
-    w
+      w
+    } finally f.unpersist(blocking = false)
   }
 
   /** Stateless scoring projection: score, thresholded prediction, the

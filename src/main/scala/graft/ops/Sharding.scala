@@ -56,7 +56,39 @@ object Sharding {
     * Returns the verdict frame (what a run would log/audit). */
   def materializeTrainingSet(s: SparkSession, dir: String, dst: String,
                              budget: Long = 8000L, nEpochs: Int = 1,
-                             docsPerShard: Long = 64L): DataFrame = {
+                             docsPerShard: Long = 64L): DataFrame =
+    materialize(s, dir, dst, budget, nEpochs)((kept, e) =>
+      Selection.epochShuffle(kept.select(col("doc_id")), e, docsPerShard))
+
+  /** Like [[materializeTrainingSet]], but shards are laid out in q73's
+    * STRIDE-MIXTURE order (`Mixing.mixedShardAssignment`) instead of
+    * the hash permutation: a trainer streaming `shard_id=0,1,2,…`
+    * sequentially consumes the q45 target mixture from the first batch
+    * — no loader-side interleaving, the layout IS the schedule. Epochs
+    * stay decorrelated via the epoch-salted per-source shuffle, and
+    * the manifest machinery (write, validate, resume) is shared
+    * unchanged. The epoch-invariant weight table is computed ONCE and
+    * reused across epochs (one corpus tokenization pass, not one per
+    * epoch). */
+  def materializeMixedTrainingSet(s: SparkSession, dir: String, dst: String,
+                                  budget: Long = 8000L, nEpochs: Int = 1,
+                                  docsPerShard: Long = 64L): DataFrame = {
+    var weights: DataFrame = null
+    materialize(s, dir, dst, budget, nEpochs) { (kept, e) =>
+      if (weights == null)
+        weights = Mixing.domainWeights(kept)
+          .select(col("source"), col("weight")).localCheckpoint()
+      Mixing.mixedShardAssignment(
+        kept.select(col("doc_id"), col("source"), col("text")), e,
+        docsPerShard, Some(weights))
+    }
+  }
+
+  /** The shared materialization loop — the assignment builder is the
+    * only per-flavor code. */
+  private def materialize(s: SparkSession, dir: String, dst: String,
+                          budget: Long, nEpochs: Int)(
+                          assignFn: (DataFrame, Int) => DataFrame): DataFrame = {
     val verdicts = Pipeline.q57PipelineDecision(s, dir, budget)
       .localCheckpoint() // consumed twice (keep join + returned audit)
     // kept feeds THREE consumers PER EPOCH (the shuffle's bucket totals
@@ -68,40 +100,9 @@ object Sharding {
       .localCheckpoint()
     (1 to nEpochs)
       .map { e =>
-        val assignment = Selection.epochShuffle(kept.select(col("doc_id")),
-          e, docsPerShard)
-        writeShards(kept, assignment, s"$dst/epoch=$e")
+        writeShards(kept, assignFn(kept, e), s"$dst/epoch=$e")
         // digest FROM THE WRITTEN FILES — the manifest certifies what a
         // trainer will actually read, not what the writer intended
-        shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
-      }
-      .reduce(_ unionByName _)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dst/_manifest")
-    verdicts
-  }
-
-  /** Like [[materializeTrainingSet]], but shards are laid out in q73's
-    * STRIDE-MIXTURE order (`Mixing.mixedShardAssignment`) instead of
-    * the hash permutation: a trainer streaming `shard_id=0,1,2,…`
-    * sequentially consumes the q45 target mixture from the first batch
-    * — no loader-side interleaving, the layout IS the schedule. Epochs
-    * stay decorrelated via the epoch-salted per-source shuffle, and
-    * the manifest machinery (write, validate, resume) is shared
-    * unchanged. */
-  def materializeMixedTrainingSet(s: SparkSession, dir: String, dst: String,
-                                  budget: Long = 8000L, nEpochs: Int = 1,
-                                  docsPerShard: Long = 64L): DataFrame = {
-    val verdicts = Pipeline.q57PipelineDecision(s, dir, budget)
-      .localCheckpoint()
-    val kept = Tables.documents(s, dir)
-      .join(verdicts.filter(col("selected")).select("doc_id"), "doc_id")
-      .localCheckpoint()
-    (1 to nEpochs)
-      .map { e =>
-        val assignment = Mixing.mixedShardAssignment(
-          kept.select(col("doc_id"), col("source"), col("text")), e, docsPerShard)
-        writeShards(kept, assignment, s"$dst/epoch=$e")
         shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
       }
       .reduce(_ unionByName _)
@@ -130,15 +131,37 @@ object Sharding {
     * it against the stored `_manifest`: returns the mismatching
     * (epoch, shard_id) rows — missing shards, extra shards, row-count
     * or content drift. Empty result = the materialization is exactly
-    * what the manifest promises. */
+    * what the manifest promises. Epochs come from the UNION of the
+    * manifest and the dirs on disk, and a wholly missing epoch dir is
+    * reported as its shards' mismatch rows (null file side), never an
+    * exception — a stray `epoch=` dir the manifest doesn't know is
+    * likewise flagged (null manifest side), not silently passed. */
   def validateManifest(s: SparkSession, dst: String): DataFrame = {
     import s.implicits._
     val stored = s.read.parquet(s"$dst/_manifest")
       .select(col("epoch").as("s_epoch"), col("shard_id").as("s_shard"),
         col("n_rows").as("s_rows"), col("content_md5").as("s_md5"))
-    val epochs = stored.select(col("s_epoch")).distinct().as[Int].collect().sorted
+    val root = new org.apache.hadoop.fs.Path(dst)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val onDisk =
+      if (!fs.exists(root)) Set.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).toSet
+    val epochs = (stored.select(col("s_epoch")).distinct().as[Int].collect().toSet
+      ++ onDisk).toSeq.sorted
     val actual = epochs
-      .map(e => shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e)))
+      .map { e =>
+        val m =
+          if (onDisk.contains(e))
+            shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
+          else
+            Seq.empty[(Long, Long, String)].toDF("shard_id", "n_rows", "content_md5")
+              .withColumn("epoch", lit(e))
+        // normalize: the real branch's shard_id is partition-inferred
+        m.select(col("shard_id").cast("long").as("shard_id"),
+          col("n_rows").cast("long").as("n_rows"), col("content_md5"),
+          col("epoch").cast("int").as("epoch"))
+      }
       .reduce(_ unionByName _)
     stored
       .join(actual,
