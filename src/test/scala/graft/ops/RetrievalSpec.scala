@@ -430,6 +430,19 @@ class RetrievalSpec extends SparkSpec {
     assert(bad.length == 1 && bad(0).getInt(0) == 2 &&
       bad(0).get(1).toString == victim.getName.stripPrefix("shard_id="),
       s"validator missed the lost shard: ${bad.toSeq}")
+    // a WHOLLY missing epoch dir is reported per shard (null file side),
+    // never an exception; a stray epoch dir unknown to the manifest is
+    // flagged too (null manifest side)
+    val e2 = new java.io.File(s"$base/epoch=2")
+    val e9 = new java.io.File(s"$base/epoch=9")
+    assert(e2.renameTo(e9))
+    val worse = Sharding.validateManifest(spark, base).collect()
+    val missing2 = worse.filter(r => r.getInt(0) == 2)
+    val stray9 = worse.filter(r => r.getInt(0) == 9)
+    assert(missing2.nonEmpty && missing2.forall(_.isNullAt(3)),
+      s"missing epoch not reported with null file side: ${missing2.toSeq}")
+    assert(stray9.nonEmpty && stray9.forall(_.isNullAt(2)),
+      s"stray epoch dir not flagged with null manifest side: ${stray9.toSeq}")
   }
 
   test("pq ann: deterministic codes, bounded size, useful recall of the exact top-10") {
