@@ -39,11 +39,10 @@ object Curriculum {
   def q46Curriculum(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
     val d = Par.widen(Tables.documents(s, dir))
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
-    val Array(minId, maxId) = d.agg(min(col("doc_id")), max(col("doc_id")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val p = s.sparkContext.defaultParallelism.toLong
-    val width = math.max(1L, (maxId - minId + p) / p) // ceil(range/P)
-    val bucketed = d.withColumn("bucket", expr(s"(doc_id - $minId) DIV $width"))
+    // equal-DEPTH buckets, monotone in doc_id (Selection.idDepthBuckets
+    // — equal-width collapses under sparse/clustered ids)
+    val bucketed = d.withColumn("bucket",
+      Selection.idDepthBuckets(d, s.sparkContext.defaultParallelism))
 
     // distinct-count distribution: tiny whatever the corpus size
     val dist = bucketed.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))

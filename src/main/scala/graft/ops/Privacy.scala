@@ -25,16 +25,32 @@ import graft.Tables
   */
 object Privacy {
 
-  /** Zero the last octet: `a.b.c.d` → `a.b.c.0` (the /24 network). */
-  def maskIpv4(ip: Column): Column =
-    concat(regexp_extract(ip, "^(\\d+\\.\\d+\\.\\d+)\\.", 1), lit(".0"))
+  /** Zero the last octet: `a.b.c.d` → `a.b.c.0` (the /24 network).
+    * A value that is not dotted-quad-shaped (IPv6, `-`, a hostname)
+    * masks to NULL — not to a garbage `".0"` token that would silently
+    * merge every non-IPv4 client into one fake network group. */
+  def maskIpv4(ip: Column): Column = {
+    val prefix = regexp_extract(ip, "^(\\d+\\.\\d+\\.\\d+)\\.", 1)
+    when(prefix =!= "", concat(prefix, lit(".0")))
+  }
 
   /** Stable salted pseudonym: 16 hex chars of md5(salt:ip). Stable for a
     * fixed salt (joinable across runs/days), unlinkable once the salt
     * rotates. 64 bits keeps birthday collisions negligible below ~2^32
-    * distinct clients. */
+    * distinct clients.
+    *
+    * SECURITY NOTE: the protection is only as strong as the salt's
+    * secrecy — the IPv4 space is enumerable, so a leaked salt lets
+    * anyone reverse every pseudonym by brute force. Production deploys
+    * must inject the salt from secret storage ([[saltFromEnv]]); the
+    * committed default exists for the deterministic test oracle only. */
   def pseudonymize(ip: Column, salt: String): Column =
     substring(md5(concat(lit(salt), lit(":"), ip)), 1, 16)
+
+  /** The deployment salt: `GRAFT_PSEUDONYM_SALT` from the environment
+    * when set (the secret path), else the test default `fallback`. */
+  def saltFromEnv(fallback: String): String =
+    sys.env.getOrElse("GRAFT_PSEUDONYM_SALT", fallback)
 
   /** q44: anonymized per-/24 access summary over the synthesized event
     * log stream (same deterministic IP synthesis as q20, so the oracle
@@ -114,7 +130,12 @@ object Privacy {
       .orderBy(col("event_id"))
   }
 
-  /** The reusable core: appends the scan columns to any frame. Each
+  /** The reusable core: appends the scan columns to any frame. The five
+    * output names (n_emails, n_ips, n_digit_runs, redacted,
+    * redacted_md5) REPLACE same-named caller columns if present —
+    * callers carrying any of them must rename before routing through
+    * (the q60 oracle contract pins these names, so they cannot be
+    * prefixed away engine-side). Each
     * class is counted on the text AS ITS REDACTION PASS SEES IT (emails
     * on raw, IPs after email redaction, digit runs after both), so
     * every count equals the number of placeholders of that class in the

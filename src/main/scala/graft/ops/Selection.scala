@@ -59,6 +59,24 @@ object Selection {
                      budget: Long = 20000L): DataFrame =
     tokenBudget(Tables.documents(s, dir), budget)
 
+  /** Equal-DEPTH doc_id buckets from approximate quantiles: bucket ids
+    * stay MONOTONE in doc_id (the property every three-piece prefix
+    * recombination needs) while populations track ~N/p whatever the id
+    * DISTRIBUTION. Equal-width bucketing over (max−min)/p — the naive
+    * alternative — collapses for sparse or clustered ids (timestamp
+    * ids plus one far sentinel put the whole corpus in one bucket,
+    * recreating the single-task window). Results never depend on the
+    * cut (spec-asserted invariance), so the sketch's ±0.1% boundary
+    * error and any run-to-run boundary drift are harmless — only
+    * partition sizing moves. One narrow doc_id-only pass. */
+  private[ops] def idDepthBuckets(d: DataFrame, p: Int): Column = {
+    val probs = (1 until p).map(_.toDouble / p).toArray
+    val bounds = d.select(col("doc_id")).stat
+      .approxQuantile("doc_id", probs, 0.001)
+      .map(_.toLong).distinct.sorted
+    size(filter(typedlit(bounds.toSeq), b => b <= col("doc_id")))
+  }
+
   /** The reusable core over any (doc_id, text) frame — also the 100×
     * soak entry point. `counter` is the per-document token metric the
     * budget counts — whitespace tokens by default (the q49 oracle
@@ -74,11 +92,8 @@ object Selection {
       .select(col("doc_id"),
         counter.as("n_tokens"),
         priority().as("priority"))
-    val Array(minId, maxId) = d.agg(min(col("doc_id")), max(col("doc_id")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val p = s.sparkContext.defaultParallelism.toLong
-    val width = math.max(1L, (maxId - minId + p) / p) // ceil(range/P)
-    val bucketed = d.withColumn("bucket", expr(s"(doc_id - $minId) DIV $width"))
+    val bucketed = d.withColumn("bucket",
+      idDepthBuckets(d, s.sparkContext.defaultParallelism))
 
     // piece 1: token mass of strictly-higher priorities (tiny aggregate)
     val dist = bucketed.groupBy(col("priority")).agg(sum(col("n_tokens")).as("ptok"))
@@ -135,7 +150,15 @@ object Selection {
     epochShuffle(Tables.documents(s, dir), epoch, docsPerShard)
 
   /** The reusable core over any frame with a doc_id column — also the
-    * shard-assignment half of `Sharding.materializeTrainingSet`. */
+    * shard-assignment half of `Sharding.materializeTrainingSet`.
+    *
+    * Precondition: `docs` must be DETERMINISTIC across evaluations (a
+    * table scan, or a pinned frame — `localCheckpoint` as
+    * `Sharding.materialize` does). The bucket totals are collected in
+    * one job and the ranking runs in a later one; a nondeterministic
+    * input (an unpinned `.sample`, a recomputed nondeterministic
+    * lineage) would let the two passes see different rows, yielding
+    * colliding or gapped positions with no error. */
   def epochShuffle(docs: DataFrame, epoch: Int,
                    docsPerShard: Long): DataFrame = {
     val s = docs.sparkSession
@@ -202,7 +225,7 @@ object Selection {
 
   /** The reusable core over any (source, doc_id, text) frame. */
   def sourceQuota(docs: DataFrame, quota: Int): DataFrame =
-    docs
+    Par.widen(docs) // priority() = three regex passes/row — same widen rationale as tokenBudget
       .select(col("source"), col("doc_id"), priority().as("priority"))
       .groupBy(col("source"))
       .agg(TopKPerGroup.topKColumn(col("priority"), col("doc_id"), quota).as("top"))

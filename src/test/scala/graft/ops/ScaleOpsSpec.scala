@@ -264,6 +264,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"funnel plan grew a window:\n$plan")
   }
 
+  test("id-depth buckets stay balanced and monotone under sparse clustered ids") {
+    import spark.implicits._
+    // timestamp-like ids clustered in a narrow range + one far sentinel:
+    // equal-WIDTH bucketing would put everything in one bucket
+    val ids = (1 to 2000).map(i => 1700000000000L + i) :+ Long.MaxValue / 2
+    val d = ids.toDF("doc_id")
+    val p = spark.sparkContext.defaultParallelism
+    val bucketed = d.withColumn("b", Selection.idDepthBuckets(d, p))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // monotone in doc_id (the prefix-recombination requirement)
+    val sorted = bucketed.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, b1), (_, b2)) => b1 <= b2 })
+    // balanced: no bucket holds more than ~3x its fair share
+    val maxPop = bucketed.groupBy(_._2).map(_._2.length).max
+    assert(maxPop <= 3 * (ids.size / p + 1),
+      s"bucket population $maxPop for fair share ~${ids.size / p}")
+  }
+
   test("a hot NULL key routes through the chunked path and loses no rows") {
     import spark.implicits._
     // 5000 null-key events (the hot "garbage" key) + two light users
