@@ -82,9 +82,14 @@ object QuerySession {
     import graft.ops.Dedup
     Dedup.shingles(docs, 3).withColumnRenamed("g", "shingle")
       .createOrReplaceTempView("doc_shingles")
-    Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L)
+    // pin = "none" throughout: a standing view must not plant a cache
+    // nothing can release (and registration must stay job-free, ruling
+    // out the eager checkpoint mode) — an interactive query pays one
+    // extra shingle pass instead of leaking corpus-scale storage memory
+    Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = 50L, pin = "none")
       .createOrReplaceTempView("jaccard_pairs")
-    Dedup.minhashLshPairs(docs).createOrReplaceTempView("minhash_pairs")
+    Dedup.minhashLshPairs(docs, pin = "none")
+      .createOrReplaceTempView("minhash_pairs")
     graft.ops.Similarity.nearDupPairs(emb, 0.45)
       .createOrReplaceTempView("near_dup_pairs")
     graft.ops.TextAnalysis.filterVerdicts(docs)
@@ -127,9 +132,9 @@ object QuerySession {
       .createOrReplaceTempView("source_divergence")
     Dedup.substringDupStats(docs, 20)
       .createOrReplaceTempView("substring_dup_spans")
-    Dedup.leakageSafeSplit(docs)
+    Dedup.leakageSafeSplit(docs, pin = "none")
       .createOrReplaceTempView("leakage_split")
-    Dedup.sourceOverlap(docs)
+    Dedup.sourceOverlap(docs, pin = "none")
       .createOrReplaceTempView("source_overlap")
     Dedup.sourceDiversity(docs)
       .createOrReplaceTempView("source_diversity")

@@ -41,8 +41,11 @@ object Clustering {
   /** Bounded deterministic raw-vector sample (no normalization — plain L2
     * k-means over the raw space; mirrors [[AnnTuner.sampleUnit]]'s shape). */
   private def sampleRaw(emb: DataFrame, cap: Int, seed: Long): Array[Array[Double]] = {
-    val total = emb.count()
-    val base = emb.select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+    // null/empty vectors can't train (no dimensionality); assignment
+    // still covers them — all-ties argmin to cluster 0 at distance 0
+    val usable = emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val total = usable.count()
+    val base = usable.select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
     val picked =
       if (total <= cap) base
       else base.sample(withReplacement = false, math.min(1.0, cap * 1.2 / total), seed)
@@ -88,10 +91,13 @@ object Clustering {
     // distance 0 to everything and lands in cluster 0 via the tie-break
     val dists = centroids.zipWithIndex.map { case (qc, cid) =>
       struct(
-        aggregate(
+        // outer coalesce: a NULL embedding (not just empty) must land
+        // in cluster 0 at distance 0 like the oracle's COALESCE path,
+        // not propagate NULL distances into the argmin
+        coalesce(aggregate(
           zip_with(qx, typedlit(qc.toSeq),
             (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-          lit(0L), (acc, e) => acc + e).as("d"),
+          lit(0L), (acc, e) => acc + e), lit(0L)).as("d"),
         lit(cid).as("cluster"))
     }
     emb

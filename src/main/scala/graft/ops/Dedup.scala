@@ -99,8 +99,8 @@ object Dedup {
     * size used in the Jaccard denominator — scores are then Jaccard over
     * the *informative* shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   maxDocFreq: Long = 0L): DataFrame = {
-    val sh = cappedShingles(docs, n, maxDocFreq)
+                   maxDocFreq: Long = 0L, pin: String = "cache"): DataFrame = {
+    val sh = cappedShingles(docs, n, maxDocFreq, pin)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common =
       if (maxDocFreq > 0L) coGroupedPairCounts(sh)
@@ -162,18 +162,27 @@ object Dedup {
     * broadcasting them dies at scale — while the stop set is tiny by
     * construction (only shingles heavier than the cap). */
   private def cappedShingles(docs: DataFrame, n: Int, maxDocFreq: Long,
-                             checkpoint: Boolean = false): DataFrame = {
-    // Two materialization modes: `cache()` for the bench-measured q25/q26
-    // paths (released by the harness's clearCache between queries), and
-    // eager `localCheckpoint()` for callers embedded in long-lived sessions
-    // (q43) — checkpoint blocks are reclaimed by the ContextCleaner once
-    // the frame is unreferenced, so repeated invocations don't accrue
-    // permanent CacheManager entries (and cached subtrees can't get
-    // substituted into unrelated plans).
-    def pin(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df.cache()
+                             pin: String = "cache"): DataFrame = {
+    // Three materialization modes for the twice-referenced shingle set:
+    //  - "cache": the bench-measured q25/q26 paths — released by the
+    //    harness's clearCache between queries; NOT for long-lived
+    //    sessions (CacheManager entries are never auto-reclaimed and
+    //    cached subtrees substitute into unrelated plans).
+    //  - "checkpoint": eager localCheckpoint for operators embedded in
+    //    long-lived pipelines (q43) — blocks are reclaimed by the
+    //    ContextCleaner once the frame is unreferenced.
+    //  - "none": no pinning at all — the set recomputes per consumer.
+    //    The mode for LAZY standing views (QuerySession): registration
+    //    must stay job-free (rules out checkpoint) and must not plant a
+    //    cache no caller can ever release (rules out cache); an
+    //    interactive query pays one extra shingle pass instead.
+    def pinF(df: DataFrame): DataFrame = pin match {
+      case "checkpoint" => df.localCheckpoint()
+      case "cache" => df.cache()
+      case _ => df
+    }
     if (maxDocFreq > 0L) {
-      val all = pin(shingles(docs, n))
+      val all = pinF(shingles(docs, n))
       val stop = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select(col("g"))
       val capped = all.join(broadcast(stop), Seq("g"), "left_anti")
@@ -182,15 +191,15 @@ object Dedup {
       // cache (~-0.6 s each on q25/q26), but an EAGER localCheckpoint of
       // it costs more than the broadcast-anti re-reads it saves
       // (~+0.45 s on q43) — checkpoint callers skip it
-      if (checkpoint) capped else capped.cache()
-    } else pin(shingles(docs, n))
+      if (pin == "cache") capped.cache() else capped
+    } else pinF(shingles(docs, n))
   }
 
   /** Public capped shingle set over an arbitrary document population
     * (checkpoint pinning — safe inside long-lived sessions), for
     * pipeline composition (q57's decontamination stage). */
   def cappedShingleSet(docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame =
-    cappedShingles(docs, n, maxDocFreq, checkpoint = true)
+    cappedShingles(docs, n, maxDocFreq, pin = "checkpoint")
 
   /** MinHash signature component j: lexicographic min over the doc's
     * shingles of an 8-hex-char (32-bit) slice of a shingle digest.
@@ -226,8 +235,9 @@ object Dedup {
     * Contract: run exact dedup (q24) first — a group of thousands of
     * IDENTICAL documents legitimately shares every signature and no
     * banding scheme can keep its candidate count sub-quadratic. */
-  def minhashLshPairs(docs: DataFrame, maxDocFreq: Long = 50L): DataFrame = {
-    val sh = cappedShingles(docs, 3, maxDocFreq)
+  def minhashLshPairs(docs: DataFrame, maxDocFreq: Long = 50L,
+                      pin: String = "cache"): DataFrame = {
+    val sh = cappedShingles(docs, 3, maxDocFreq, pin)
     val k = 8
     val sig = withDigests(sh).groupBy(col("doc_id")).agg(
       minhashAgg(0), (1 until k).map(minhashAgg): _*)
@@ -272,17 +282,22 @@ object Dedup {
   /** q27: 16-bit SimHash per document. Bit i of the fingerprint is the
     * sign of a vote: each token contributes +1 if hex digit i of its md5
     * is ≥ 8 (top bit set), else -1. Output is the 16-char bitstring —
-    * Hamming-adjacent fingerprints are near-dup candidates. */
+    * Hamming-adjacent fingerprints are near-dup candidates. Total over
+    * the corpus (the q51 rule): a tokenless document's votes are all
+    * absent, so every bit falls to the `otherwise` and it fingerprints
+    * as all-zeros instead of vanishing from the output. */
   def q27Simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir).select(col("doc_id"),
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val votes = (1 to 16).map { i =>
       sum(when(substring(col("h"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"v$i")
     }
-    toks.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+    docs.select(col("doc_id"))
+      .join(toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat((1 to 16).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash16"))
       .orderBy(col("doc_id"))
@@ -387,7 +402,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     // The shared split expression (Splits.of, also q32), applied as a
     // narrow column — membership is md5(doc_id), so no split table join
-    val sh = cappedShingles(docs, 3, 50L, checkpoint = true)
+    val sh = cappedShingles(docs, 3, 50L, pin = "checkpoint")
       .withColumn("split", Splits.of(col("doc_id")))
     // join-free overlap: ONE groupBy(g) collects each shingle's test-side
     // and train-side posting lists (each ≤ the stop cap, so the agg state
@@ -458,9 +473,26 @@ object Dedup {
   def q80CanonicalDocs(s: SparkSession, dir: String): DataFrame =
     canonicalDocs(Tables.documents(s, dir))
 
+  /** Star edges over EXACT duplicate groups: (min id of the group, id)
+    * for every other member — linear in group size, so a 10⁶-copy
+    * boilerplate group is 10⁶−1 edges, never a quadratic pair list.
+    * These close the MinHash cap's one blind spot: a duplicate group
+    * larger than maxDocFreq has every shared shingle stopped, so the
+    * banded path emits NO pairs for exactly the most-duplicated content
+    * — the star edges recover those groups from the md5 key (the q24
+    * mechanism) regardless of the cap. */
+  private def exactDupStarEdges(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("k"))
+    val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("m"))
+    keyed.join(reps, Seq("k"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("d1"), col("doc_id").as("d2"))
+  }
+
   /** The reusable core over any (doc_id, text, n_chars) frame. */
-  def canonicalDocs(docs: DataFrame): DataFrame = {
-    val pairs = minhashLshPairs(docs).select(col("d1"), col("d2"))
+  def canonicalDocs(docs: DataFrame, pin: String = "cache"): DataFrame = {
+    val pairs = minhashLshPairs(docs, pin = pin).select(col("d1"), col("d2"))
+      .unionByName(exactDupStarEdges(docs))
     val nodes = docs.select(col("doc_id").as("id"))
     val members = connectedComponents(nodes, pairs)
       .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
@@ -493,14 +525,14 @@ object Dedup {
     leakageSafeSplit(Tables.documents(s, dir))
 
   /** The reusable core over any (doc_id, text) frame. */
-  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+  def leakageSafeSplit(docs: DataFrame, pin: String = "cache"): DataFrame = {
     // symmetrize by IN-ROW explode, not a self-union: a union would
     // reference the pair plan twice and exchange reuse does not cross
     // union branches, so the whole banded minhash dataflow would
     // execute twice (measured 4.3 s vs 2.5 s at sf0.1); the explode
     // emits both directed edges from ONE pass, cache-free — the split
     // of the partner rides along so no second edge join is needed
-    val pairs = minhashLshPairs(docs).select(col("d1"), col("d2"))
+    val pairs = minhashLshPairs(docs, pin = pin).select(col("d1"), col("d2"))
     val withSplit = docs.select(col("doc_id"),
       graft.ops.Splits.of(col("doc_id")).as("split"))
     val sym = pairs
@@ -512,10 +544,26 @@ object Dedup {
     val leaks = sym.filter(col("bsplit") =!= "train")
       .groupBy(col("a")).agg(count(lit(1)).as("n"))
       .select(col("a").as("doc_id"), col("n"))
+    // exact-twin eval count — a GROUP-LEVEL scalar (linear at any group
+    // size), closing the MinHash cap's blind spot: a duplicate group
+    // above maxDocFreq emits no banded pairs at all, yet an exact eval
+    // twin is the starkest memorization leak there is. A twin also
+    // reachable through a band counts on both legs (documented
+    // double-count in the diagnostic; the quarantine decision — any
+    // partner at all — is unaffected).
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("k"),
+      graft.ops.Splits.of(col("doc_id")).as("msplit"))
+    val grp = keyed.groupBy(col("k"))
+      .agg(sum(when(col("msplit") =!= "train", 1L).otherwise(0L)).as("ge"))
+    val exactN = keyed.join(grp, Seq("k"))
+      .select(col("doc_id"),
+        (col("ge") - when(col("msplit") =!= "train", 1L).otherwise(0L)).as("ne"))
     withSplit.join(leaks, Seq("doc_id"), "left")
+      .join(exactN, Seq("doc_id"))
+      .withColumn("n_all", coalesce(col("n"), lit(0L)) + col("ne"))
       .select(col("doc_id"), col("split"),
-        coalesce(col("n"), lit(0L)).as("n_eval_partners"),
-        (!(col("split") === "train" && coalesce(col("n"), lit(0L)) > 0L)).as("keep"))
+        col("n_all").as("n_eval_partners"),
+        (!(col("split") === "train" && col("n_all") > 0L)).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -532,8 +580,8 @@ object Dedup {
     sourceOverlap(Tables.documents(s, dir))
 
   /** The reusable core over any (doc_id, source, text) frame. */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
-    val pairs = minhashLshPairs(docs).select(col("d1"), col("d2"))
+  def sourceOverlap(docs: DataFrame, pin: String = "cache"): DataFrame = {
+    val pairs = minhashLshPairs(docs, pin = pin).select(col("d1"), col("d2"))
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")

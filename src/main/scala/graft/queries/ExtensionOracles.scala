@@ -184,7 +184,9 @@ object ExtensionOracles {
        |v AS (SELECT doc_id,
        |  $votes
        |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, $bits AS simhash16 FROM v ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, $bits AS simhash16
+       |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   val q28BruteForceTopK: String =
@@ -1096,12 +1098,21 @@ object ExtensionOracles {
        |  FROM documents),
        |leaks AS (SELECT sym.a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM sym JOIN sp ON sym.b = sp.doc_id AND sp.split <> 'train'
-       |  GROUP BY sym.a)
+       |  GROUP BY sym.a),
+       |ex AS (SELECT d.doc_id, md5(d.text) AS k, sp.split
+       |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id),
+       |ge AS (SELECT k,
+       |    SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS ge
+       |  FROM ex GROUP BY k),
+       |exn AS (SELECT ex.doc_id,
+       |    ge.ge - CASE WHEN ex.split <> 'train' THEN 1 ELSE 0 END AS ne
+       |  FROM ex JOIN ge USING (k))
        |SELECT sp.doc_id, sp.split,
-       |  COALESCE(leaks.n, 0) AS n_eval_partners,
-       |  NOT (sp.split = 'train' AND COALESCE(leaks.n, 0) > 0) AS keep
+       |  CAST(COALESCE(leaks.n, 0) + exn.ne AS BIGINT) AS n_eval_partners,
+       |  NOT (sp.split = 'train' AND COALESCE(leaks.n, 0) + exn.ne > 0) AS keep
        |FROM sp
        |LEFT JOIN leaks ON sp.doc_id = leaks.doc_id
+       |JOIN exn ON sp.doc_id = exn.doc_id
        |ORDER BY sp.doc_id""".stripMargin
 
   /** Mirrors q73: stride-scheduled mixture interleave. Reuses the q45
@@ -1524,8 +1535,13 @@ object ExtensionOracles {
        |  JOIN szc s1 ON common.d1 = s1.doc_id
        |  JOIN szc s2 ON common.d2 = s2.doc_id
        |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p
-       |          UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+       |xk AS (SELECT doc_id, md5(text) AS k FROM documents),
+       |xr AS (SELECT k, MIN(doc_id) AS m FROM xk GROUP BY k),
+       |xe AS (SELECT xr.m AS d1, xk.doc_id AS d2
+       |  FROM xk JOIN xr USING (k) WHERE xk.doc_id <> xr.m),
+       |pu AS (SELECT d1, d2 FROM p UNION ALL SELECT d1, d2 FROM xe),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pu
+       |          UNION ALL SELECT d2 AS a, d1 AS b FROM pu),
        |reach(v, r) AS (
        |  SELECT doc_id AS v, doc_id AS r FROM documents
        |  UNION
