@@ -90,7 +90,7 @@ object QuerySession {
       .createOrReplaceTempView("jaccard_pairs")
     Dedup.minhashLshPairs(docs, pin = "none")
       .createOrReplaceTempView("minhash_pairs")
-    graft.ops.Similarity.nearDupPairs(emb, 0.45)
+    graft.ops.Similarity.nearDupPairs(emb, 0.45, pin = "none")
       .createOrReplaceTempView("near_dup_pairs")
     graft.ops.TextAnalysis.filterVerdicts(docs)
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, size}
 
 /** Sample-driven auto-tuner for the ANN knobs.
   *
@@ -39,7 +40,10 @@ object AnnTuner {
     * parquet-footer metadata; the sample is one narrow pass; the collect
     * is capped at `cap` rows regardless of corpus size. */
   def sampleUnit(emb: DataFrame, cap: Int = 2000, seed: Long = 42): Array[Array[Double]] = {
-    val base = emb.select("vec_id", "embedding")
+    // null/empty vectors can't inform knobs and would NPE the collect
+    // (the Clustering.sampleRaw guard, applied at the shared sampler)
+    val base = emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select("vec_id", "embedding")
     val total = base.count()
     val picked =
       if (total <= cap) base

@@ -126,7 +126,12 @@ object ProductQuantization {
     val s = emb.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(cb)
-    Par.widen(emb).select(col("vec_id"), col("embedding"))
+    // a null/empty vector has no subspaces to quantize — excluded here
+    // rather than NPE-ing the whole encode job in an executor (the SQL
+    // scoring paths tolerate such rows; the typed kernel must too)
+    Par.widen(emb)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val c = bc.value
@@ -288,7 +293,9 @@ object ProductQuantization {
     val cb = trainFromSample(residuals, m, k)
     val bcCb = s.sparkContext.broadcast(cb)
     val bcCells = s.sparkContext.broadcast(cellCenters)
-    Par.widen(emb).select(col("vec_id"), col("embedding"))
+    Par.widen(emb)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val c = bcCb.value
@@ -386,7 +393,9 @@ object ProductQuantization {
       .sortBy(_._1).map(_._2.toArray)
     val bcCb = s.sparkContext.broadcast(cb)
     val bcCells = s.sparkContext.broadcast(centers)
-    val assigned = Par.widen(newEmb).select(col("vec_id"), col("embedding"))
+    val assigned = Par.widen(newEmb)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val c = bcCb.value
@@ -428,7 +437,9 @@ object ProductQuantization {
     val emb = Tables.embeddings(s, dir)
     val cb = train(emb, m, k16)
     val codes = encode(emb, cb).localCheckpoint()
-    val rerank = math.max(50L, emb.count() / 10L).toInt
+    // clamped: a bare .toInt wraps negative past ~21B rows and would
+    // size a negative heap (or silently rerank almost nothing)
+    val rerank = math.min(math.max(50L, emb.count() / 10L), Int.MaxValue.toLong).toInt
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))

@@ -282,13 +282,22 @@ object Similarity {
     * measured recall/pruning tradeoff on this corpus. More planes → more
     * dirs → harder pruning (2^planes dirs is metastore-comfortable up to
     * ~12 planes), at a steep recall cost for weakly-clustered data. */
-  def writeSigBucketed(emb: DataFrame, dst: String, planes: Int = 4): Unit =
+  def writeSigBucketed(emb: DataFrame, dst: String, planes: Int = 4): Unit = {
     widen(emb)
       .withColumn("sig", lshSignature(col("embedding"), 64, planes))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "snappy")
       .partitionBy("sig")
       .parquet(dst)
+    // persist the write-time plane count next to the data (the IVF
+    // `_knobs` pattern): a probe whose planes disagree with the layout
+    // computes signatures in a different bucket space and silently
+    // collapses recall — the sidecar turns that into a hard error
+    val s = emb.sparkSession
+    import s.implicits._
+    Seq(planes).toDF("planes").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_meta")
+  }
 
   /** Multi-probe LSH top-k over a [[writeSigBucketed]] layout. Same
     * candidate set and scoring as [[q29LshTopK]] (same planes, same
@@ -319,6 +328,16 @@ object Similarity {
     * at planning, before any file is listed into tasks. */
   private[graft] def probedCorpus(s: SparkSession, bucketedDir: String,
                                   queries: DataFrame, planes: Int): (DataFrame, DataFrame) = {
+    // refuse a probe whose plane count disagrees with the layout's
+    // persisted one — the signatures would live in a different bucket
+    // space and recall would collapse with no error (pre-sidecar
+    // layouts carry no meta and keep the caller's value)
+    val metaPath = new org.apache.hadoop.fs.Path(bucketedDir + "_meta")
+    if (metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)) {
+      val wrote = s.read.parquet(bucketedDir + "_meta").head().getInt(0)
+      require(wrote == planes,
+        s"probe planes=$planes but the layout was written with planes=$wrote")
+    }
     val masks = array(probeMasks(planes, 2).map(lit): _*)
     val q = queries
       .withColumn("qsig", lshSignature(col("qe"), 64, planes))
@@ -542,9 +561,13 @@ object Similarity {
     // dot products) would run in a single task (measured 30x slower).
     // defaultParallelism, not a constant: 32 would be wrong on any
     // differently-sized cluster
-    val a = emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // zero-norm (and null) vectors have no defined cosine; without this
+    // filter their NaN scores would pass every >= filter (Spark ranks
+    // NaN above all doubles) and pair them with the whole corpus
+    val scorable = emb.filter(col("nrm") > 0)
+    val a = scorable.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = broadcast(emb
+    val b = broadcast(scorable
       .select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb")))
     a.join(b, col("d1") < col("d2"))
       // two-phase scoring: the fused native cosine prunes ~all pairs in
@@ -655,13 +678,27 @@ object Similarity {
     * cached: both join sides consume it, and the signatures
     * (tables×planes HOF passes per row) are the second-largest cost. */
   def nearDupPairs(emb: DataFrame, threshold: Double, tables: Int = 4,
-                   planes: Int = 4, chunks: Int = 0): DataFrame = {
+                   planes: Int = 4, chunks: Int = 0,
+                   pin: String = "cache"): DataFrame = {
     val c = if (chunks > 0) chunks
             else math.max(emb.sparkSession.sparkContext.defaultParallelism, 8)
-    val sigs = widen(emb)
+    // pin modes (the Dedup.cappedShingles contract): "cache" for
+    // harness-released bench/operator calls (the output is unbounded,
+    // so collect-and-release can't apply — callers in long-lived
+    // sessions should prefer "checkpoint", whose blocks the
+    // ContextCleaner reclaims once unreferenced, at the cost of eager
+    // evaluation); "none" for standing views (registration must stay
+    // job-free and must not plant an unreleasable cache — both join
+    // sides then re-evaluate the signatures)
+    val sigs0 = widen(emb)
       .withColumn("sigs", array(
         (0 until tables).map(t => lshSignature(col("embedding"), 64, planes, t)): _*))
-      .withColumn("ch", pmod(col("vec_id"), lit(c.toLong))).cache()
+      .withColumn("ch", pmod(col("vec_id"), lit(c.toLong)))
+    val sigs = pin match {
+      case "checkpoint" => sigs0.localCheckpoint()
+      case "cache" => sigs0.cache()
+      case _ => sigs0
+    }
     val y = sigs.select(col("vec_id"), col("embedding"), col("sigs"), col("ch"),
       posexplode(col("sigs")).as(Seq("t", "sig")))
     val x = sigs.select(col("vec_id"), col("embedding"), col("sigs"),
@@ -677,7 +714,10 @@ object Similarity {
           col("x.py") === col("y.ch") && col("x.vec_id") < col("y.vec_id") &&
           !earlierMatch)
       .withColumn("cos", cosine(col("x.embedding"), col("y.embedding")))
-      .filter(col("cos") >= threshold)
+      // !isnan: a zero-norm vector's cosine is NaN, which Spark ranks
+      // ABOVE every double — without the guard it would "near-dup" every
+      // bucket-mate it collides with
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cos"))
   }
 
@@ -716,7 +756,10 @@ object Similarity {
       .sortBy(_._1).map(_._2)
     val int8 = !s.read.parquet(dst).columns.contains("embedding")
     val bc = s.sparkContext.broadcast(centers)
-    val assigned0 = widen(newEmb).select(col("vec_id"), col("embedding"))
+    // null/empty vectors can't be assigned — drop, don't NPE (encode rule)
+    val assigned0 = widen(newEmb)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cells = bc.value
