@@ -98,7 +98,7 @@ object QuerySession {
     // explicit heavyAt (routing only — results don't depend on it) +
     // lazy pin keep this view's construction job-free like the rest
     graft.ops.TextAnalysis.crossDocRepetition(docs,
-        heavyAt = 1000L, eagerPin = false)
+        heavyAt = 1000L, pin = "none")
       .createOrReplaceTempView("crossdoc_repetition")
     // round-7 surface: chunk inventory, scrubbed-text fingerprints,
     // per-source quota picks, weighted epoch draw

@@ -63,7 +63,10 @@ object Pipeline {
     //    stage and stage 4 — keep3 ⊂ keep2, so it looks free — is a
     //    wash-to-regression at sf0.1 (6.4→7.2 s): materializing the
     //    shared raw set costs what the saved tokenize pass gains.)
-    val pairs = Dedup.jaccardPairs(keep2, 3, 0.5, maxDocFreq = 50L)
+    // pin = "checkpoint": this function's own rule — caches would
+    // outlive the query in a long-lived session
+    val pairs = Dedup.jaccardPairs(keep2, 3, 0.5, maxDocFreq = 50L,
+      pin = "checkpoint")
       .select(col("d1"), col("d2"))
     val cc = Dedup.connectedComponents(keep2.select(col("doc_id").as("id")), pairs)
     val dropNear = cc.filter(col("id") =!= col("component"))

@@ -68,8 +68,11 @@ object Retrieval {
     bm25TopK(Tables.documents(s, dir), query, k)
 
   /** The reusable core over any (doc_id, text) frame. */
-  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
-    require(query.nonEmpty, "empty query")
+  def bm25TopK(docs: DataFrame, query0: Seq[String], k: Int): DataFrame = {
+    require(query0.nonEmpty, "empty query")
+    // the corpus tokenizer lowercases; an unnormalized query term would
+    // silently match nothing — normalize here so "Spark" finds "spark"
+    val query = query0.map(_.toLowerCase)
     val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
@@ -234,7 +237,7 @@ object Retrieval {
     // pair plan twice and exchange reuse does not cross union branches,
     // so the banded minhash dataflow would execute twice (measured
     // 4.3 s vs 2.5 s at sf0.1)
-    val excl = Dedup.minhashLshPairs(docs)
+    val excl = Dedup.minhashLshPairs(docs, pin = "checkpoint")
       .select(explode(array(
         struct(col("d1").as("query_id"), col("d2").as("doc_id")),
         struct(col("d2").as("query_id"), col("d1").as("doc_id")))).as("e"))
@@ -284,10 +287,15 @@ object Retrieval {
     * read nBuckets⁻¹-ish of the layout per term. */
   def writePostingsBucketed(docs: DataFrame, dst: String,
                             nBuckets: Int = 64): Unit = {
-    val d = Par.widen(docs)
+    // dAll feeds the _totals sidecar and keeps EMPTY docs: scan-time
+    // bm25TopK counts every document in n_docs/avgdl, and the index
+    // must agree or every idf shifts on a corpus with one blank doc
+    // (row-for-row parity is the layout's contract); only the postings
+    // themselves drop tokenless docs (they have nothing to post)
+    val dAll = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
-      .filter(size(col("l")) > 0)
+    val d = dAll.filter(size(col("l")) > 0)
     val postings = d
       .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -312,7 +320,7 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(dst + "_df")
-    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+    dAll.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_totals")
     import s.implicits._
@@ -342,7 +350,8 @@ object Retrieval {
     * to rewrite a corpus-global aggregate — on a freshly-written layout
     * there is one segment and the sums are identities. */
   private[graft] def probedPostings(s: SparkSession, dst: String,
-                                    query: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+                                    query0: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val query = query0.map(_.toLowerCase) // the bm25TopK normalization rule
     val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
     val buckets = query.map(termBucket(_, nBuckets)).distinct
     val tf = s.read.parquet(dst)

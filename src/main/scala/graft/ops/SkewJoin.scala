@@ -70,11 +70,12 @@ object SkewJoin {
     * three times, or parking cached subtrees in the CacheManager of a
     * long-lived session, are both worse than one bounded
     * materialization (blocks are reclaimed by the ContextCleaner when
-    * the frame goes unreferenced). Pass `eagerPin = false` to get a
-    * lazy `cache()` pin instead — combined with an explicit `heavyAt`
-    * (the routing cut does NOT affect results, only which branch a key
-    * takes), construction then runs no job at all, which is what cheap
-    * view registration needs. A LAZY `localCheckpoint(false)` cannot
+    * the frame goes unreferenced). Pass `pin = "none"` for standing
+    * views — combined with an explicit `heavyAt` (the routing cut does
+    * NOT affect results, only which branch a key takes), construction
+    * then runs no job at all AND plants no cache nothing can release;
+    * the input just re-evaluates per branch. `pin = "cache"` remains
+    * for harness-released bench paths. A LAZY `localCheckpoint(false)` cannot
     * serve here: `Dataset.checkpoint` calls `queryExecution.toRdd` at
     * construction regardless of eagerness, and under AQE that
     * materializes every shuffle stage in the plan — jobs fire anyway
@@ -87,8 +88,17 @@ object SkewJoin {
     * drop those rows. */
   def withKeyTotal(rows: DataFrame, key: String, totalName: String,
                    heavyAt: Long = 0L, weight: Option[String] = None,
-                   eagerPin: Boolean = true): DataFrame = {
-    val pinned = if (eagerPin) rows.localCheckpoint() else rows.cache()
+                   pin: String = "checkpoint"): DataFrame = {
+    // "checkpoint" (default): eager localCheckpoint — ContextCleaner
+    // reclaims the blocks. "cache": lazy, for harness-released bench
+    // paths only. "none": no pinning — the input re-evaluates for the
+    // totals and the join-back; the mode for standing views, which must
+    // neither run jobs at registration nor plant unreleasable caches.
+    val pinned = pin match {
+      case "checkpoint" => rows.localCheckpoint()
+      case "cache" => rows.cache()
+      case _ => rows
+    }
     val cut =
       if (heavyAt > 0L) heavyAt
       else math.max(1000L, pinned.count() / 1000000L)

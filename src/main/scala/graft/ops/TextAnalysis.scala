@@ -291,6 +291,13 @@ object TextAnalysis {
         round(-col("avg_logprob") / lit(ln2), 12))
       .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
         col("bits_per_token"))
+      // every document appears (the q51 lesson, q66's convention):
+      // tokenless docs carry zeros via LEFT JOIN + COALESCE
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"),
+        coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
       .orderBy(col("doc_id"))
   }
 
@@ -567,14 +574,14 @@ object TextAnalysis {
     crossDocRepetition(Tables.documents(s, dir), flagAt)
 
   /** The reusable core over any (doc_id, text) frame — also the 100×
-    * soak entry point. `heavyAt`/`eagerPin` pass through to
+    * soak entry point. `heavyAt`/`pin` pass through to
     * [[SkewJoin.withKeyTotal]]: results are invariant to both (routing
     * and materialization knobs only), so view registration passes an
     * explicit cut and a lazy pin to stay job-free at construction. */
   def crossDocRepetition(docs: DataFrame, flagAt: Double = 0.5,
-                         heavyAt: Long = 0L, eagerPin: Boolean = true): DataFrame = {
+                         heavyAt: Long = 0L, pin: String = "checkpoint"): DataFrame = {
     val sh = Dedup.shingles(docs, 3)
-    SkewJoin.withKeyTotal(sh, "g", "df", heavyAt = heavyAt, eagerPin = eagerPin)
+    SkewJoin.withKeyTotal(sh, "g", "df", heavyAt = heavyAt, pin = pin)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

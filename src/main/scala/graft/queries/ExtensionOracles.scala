@@ -401,10 +401,14 @@ object ExtensionOracles {
        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 12) AS avg_logprob
        |  FROM lp GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, avg_logprob,
-       |  round(-avg_logprob / 0.6931471805599453, 12) AS bits_per_token
-       |FROM agg
-       |ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |  COALESCE(agg.avg_logprob, 0.0) AS avg_logprob,
+       |  COALESCE(round(-agg.avg_logprob / 0.6931471805599453, 12), 0.0)
+       |    AS bits_per_token
+       |FROM documents d
+       |LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Mirrors q43: benchmark decontamination — test-split docs vs
     * train-split docs over the same capped shingle set as q25, splits by
