@@ -148,6 +148,8 @@ object SparkEntry {
       graft.ops.Bpe.q87TokenizerFertility(s, dir)),
     "q88_length_quantiles"  -> ((s: SparkSession, dir: String) =>
       TextAnalysis.q88LengthQuantiles(s, dir)),
+    "q89_index_probe"       -> ((s: SparkSession, dir: String) =>
+      graft.ops.NearDupIndex.q89IndexProbe(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,5 +503,6 @@ object SparkEntry {
     "q86_retention_cohorts" -> ExtensionOracles.q86RetentionCohorts,
     "q87_tokenizer_fertility" -> ExtensionOracles.q87TokenizerFertility,
     "q88_length_quantiles" -> ExtensionOracles.q88LengthQuantiles,
+    "q89_index_probe" -> ExtensionOracles.q89IndexProbe,
   )
 }

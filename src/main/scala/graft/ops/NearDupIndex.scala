@@ -390,6 +390,25 @@ object NearDupIndex {
     (newSets.count(), touched.sorted)
   }
 
+  /** q89: the standing index as a DECLARED query — the write→probe path
+    * proven in the driver gate, not only in specs: index the %5≠0 slice
+    * of documents, probe with the %5=0 slice, emit the verified
+    * near-dup pairs. maxDocFreq = 10000 (uncrossed at gate scale) makes
+    * the capped arrays equal the full shingle sets, so the oracle
+    * replays the probe exactly as the batch-touching restriction of the
+    * whole-corpus banded chain at the same cap (the documented
+    * exact-parity precondition). */
+  def q89IndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = new org.apache.hadoop.fs.Path("/tmp/graft_neardup_index")
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    val dst = "/tmp/graft_neardup_index/idx"
+    writeMinhashLayout(docs.filter(col("doc_id") % 5 =!= 0), dst,
+      maxDocFreq = 10000L)
+    probeNearDup(s, dst, docs.filter(col("doc_id") % 5 === 0))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** One-call maintenance of the index against a living corpus: classify
     * `newDocs` vs the indexed snapshot `oldDocs` ([[SnapshotDiff.diff]])
     * and apply each verdict with the cheapest correct mechanism:

@@ -136,8 +136,11 @@ object ExtensionOracles {
     * from the stop-shingle cap (maxDocFreq=50, same capped set as q25)
     * through exact common-shingle counts of band-collision candidates —
     * q26 reports the verified pairs, q71 uses them as an exclusion set. */
-  private val lshCtes =
-    """rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+  /** The banded-MinHash chain at a given stop-shingle cap — q26 uses the
+    * production cap (50); q89 replays the standing-index probe at the
+    * parity cap (10000, uncrossed at gate scale). */
+  private def lshCtesAt(cap: Long): String =
+    s"""rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= $cap),
       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
       |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
       |sig AS (SELECT doc_id,
@@ -159,6 +162,23 @@ object ExtensionOracles {
       |           JOIN shc a ON cand.d1 = a.doc_id
       |           JOIN shc b ON cand.d2 = b.doc_id AND a.g = b.g
       |           GROUP BY 1, 2)""".stripMargin
+
+  private val lshCtes = lshCtesAt(50)
+
+  /** Mirrors q89: the standing-index probe ≡ the batch-touching
+    * restriction of the whole-corpus banded chain at the same cap —
+    * the write→probe path proven in the gate, not only in specs. */
+  val q89IndexProbe: String =
+    s"""WITH $shingleCtes,
+       |${lshCtesAt(10000L)}
+       |SELECT d1, d2,
+       |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN szc s1 ON d1 = s1.doc_id
+       |JOIN szc s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+       |  AND (d1 % 5 = 0 OR d2 % 5 = 0)
+       |ORDER BY d1, d2""".stripMargin
 
   /** Mirrors the stop-shingle cap (maxDocFreq=50) applied BEFORE the
     * MinHash signatures — same capped shingle set as q25. */
