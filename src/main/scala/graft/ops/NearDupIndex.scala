@@ -397,7 +397,13 @@ object NearDupIndex {
     * the capped arrays equal the full shingle sets, so the oracle
     * replays the probe exactly as the batch-touching restriction of the
     * whole-corpus banded chain at the same cap (the documented
-    * exact-parity precondition). */
+    * exact-parity precondition).
+    *
+    * Cost note: the declared query REBUILDS the layout every run
+    * (~0.8 of its bench time) so the gate can never read an index
+    * stale against regenerated testdata; a standing deployment pays
+    * the write once and every subsequent call is the probe alone
+    * (measured ~0.2 of the query's bench time). */
   def q89IndexProbe(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val root = new org.apache.hadoop.fs.Path("/tmp/graft_neardup_index")
