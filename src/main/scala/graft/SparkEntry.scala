@@ -150,6 +150,10 @@ object SparkEntry {
       TextAnalysis.q88LengthQuantiles(s, dir)),
     "q89_index_probe"       -> ((s: SparkSession, dir: String) =>
       graft.ops.NearDupIndex.q89IndexProbe(s, dir)),
+    "q90_staged_pipeline"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.Pipeline.q90StagedPipeline(s, dir)),
+    "q91_token_ids"         -> ((s: SparkSession, dir: String) =>
+      graft.ops.Bpe.q91TokenIds(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -504,5 +508,9 @@ object SparkEntry {
     "q87_tokenizer_fertility" -> ExtensionOracles.q87TokenizerFertility,
     "q88_length_quantiles" -> ExtensionOracles.q88LengthQuantiles,
     "q89_index_probe" -> ExtensionOracles.q89IndexProbe,
+    // the staged (resumable) execution path must produce EXACTLY the
+    // in-session cascade's verdicts — same oracle by construction
+    "q90_staged_pipeline" -> ExtensionOracles.q57PipelineDecision,
+    "q91_token_ids" -> ExtensionOracles.q91TokenIds,
   )
 }

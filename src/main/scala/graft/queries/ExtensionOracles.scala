@@ -1461,6 +1461,42 @@ object ExtensionOracles {
       |GROUP BY d.lang
       |ORDER BY d.lang""".stripMargin
 
+  /** Mirrors q91: the token-ID sequences — the q65 replay carried one
+    * step further. Each word's terminal symbol string (the recursion's
+    * fixed point) splits back into its symbols (strip the outer
+    * markers, split on the doubled one), each symbol joins its id from
+    * the PERSISTED vocab table (OOV → -1, the engine's unk sentinel),
+    * per-word id lists concatenate in word order. Positions ride
+    * DuckDB's zipped parallel unnest (list + its range — same-length
+    * lists unnest in lockstep). */
+  val q91TokenIds: String =
+    s"""$bpeReplayCtes,
+      |vocab AS (SELECT id, tok
+      |  FROM read_parquet('${graft.ops.Bpe.VocabPath}/*.parquet')),
+      |wfin AS (SELECT word, s FROM steps st
+      |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(st.s, pat))),
+      |wsyms AS (SELECT word,
+      |    string_split(substr(s, 2, length(s) - 2), chr(31)||chr(31)) AS syms
+      |  FROM wfin),
+      |wsym AS (SELECT word, unnest(syms) AS sym,
+      |    unnest(range(1, len(syms) + 1)) AS spos
+      |  FROM wsyms),
+      |wids AS (SELECT word, list(COALESCE(v.id, -1) ORDER BY spos) AS ids
+      |  FROM wsym LEFT JOIN vocab v ON wsym.sym = v.tok
+      |  GROUP BY word),
+      |dwp AS (SELECT doc_id, unnest(wl) AS word,
+      |    unnest(range(1, len(wl) + 1)) AS wpos
+      |  FROM (SELECT doc_id,
+      |      regexp_extract_all(lower(text), '\\S+') AS wl FROM documents)),
+      |docids AS (SELECT dwp.doc_id,
+      |    flatten(list(wids.ids ORDER BY wpos)) AS ids
+      |  FROM dwp JOIN wids USING (word) GROUP BY dwp.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(di.ids, CAST([] AS INTEGER[])) AS token_ids,
+      |  CAST(len(COALESCE(di.ids, CAST([] AS INTEGER[]))) AS BIGINT) AS n_tokens
+      |FROM documents d LEFT JOIN docids di ON d.doc_id = di.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Mirrors q77: DSIR hashed-feature importance weights. Features are
     * unigrams plus space-joined bigrams of the normalized token list;
     * the bucket is the 52-bit md5-prefix integer mod 128 (both operands

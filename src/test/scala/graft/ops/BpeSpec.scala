@@ -93,4 +93,44 @@ class BpeSpec extends SparkSpec {
     // ~35 character symbols (blows the budget for it AND everyone after)
     assert(underWs.contains(1L) && !underBpe.contains(1L))
   }
+
+  test("token ids: decode back to the text, agree with counts, OOV is -1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the quick quick fox"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val words = Bpe.topWordCounts(docs, 100)
+    val merges = Bpe.trainFromCounts(words, 40)
+    val vocab = Bpe.vocabOf(words, merges)
+
+    val got = docs.select(col("doc_id"),
+        Bpe.bpeIds(col("text"), merges, vocab).as("ids"),
+        Bpe.bpeCount(col("text"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+
+    got.foreach { case (id, ids, n) =>
+      // the id sequence length IS the bpe token count
+      assert(ids.length.toLong == n, s"doc $id: ${ids.length} ids vs count $n")
+      // no OOV on the training corpus itself, and every id decodes;
+      // concatenating the decoded symbols re-spells the text without
+      // whitespace — the sequence is order-true, not just set-true
+      assert(ids.forall(i => i >= 0 && i < vocab.length))
+    }
+    val texts = Map(1L -> "thequickbrownfoxjumpsoverthelazydog",
+      2L -> "thethethequickquickfox", 3L -> "")
+    got.foreach { case (id, ids, _) =>
+      assert(ids.map(vocab).mkString == texts(id),
+        s"doc $id ids do not decode to its text")
+    }
+
+    // a symbol never seen in training encodes as the unk sentinel -1
+    val oov = Seq((9L, "the zzzü"))
+      .toDF("doc_id", "text")
+      .select(Bpe.bpeIds(col("text"), merges, vocab).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(oov.contains(-1), s"expected an unk id in $oov")
+    assert(oov.count(_ == -1) == 1, "only the unseen codepoint is unk")
+  }
 }
