@@ -84,10 +84,36 @@ object Sharding {
     }
   }
 
+  /** Like [[materializeTrainingSet]], but each shard row ALSO carries
+    * `token_ids` — the q91 encoding under a BPE vocabulary trained on
+    * the KEPT corpus itself (trainer-true: the tokenizer sees exactly
+    * the distribution it will be trained on, not documents the cascade
+    * rejected). The merge and id tables persist under
+    * `dst/_tokenizer/` beside the shards, so a loader (or an audit)
+    * re-derives any sequence from data alone. Encoding is the narrow
+    * codegen'd pass — it rides the existing keeper pin, adding zero
+    * shuffles to the materialization. */
+  def materializeTokenizedTrainingSet(s: SparkSession, dir: String, dst: String,
+                                      budget: Long = 8000L, nEpochs: Int = 1,
+                                      docsPerShard: Long = 64L,
+                                      nMerges: Int = 200,
+                                      vocabCap: Int = 5000): DataFrame =
+    materialize(s, dir, dst, budget, nEpochs, enrich = { kept =>
+      val words = Bpe.topWordCounts(kept, vocabCap)
+      val merges = Bpe.trainFromCounts(words, nMerges)
+      val vocab = Bpe.vocabOf(words, merges)
+      Bpe.persistMerges(s, merges, s"$dst/_tokenizer/merges")
+      Bpe.persistVocab(s, vocab, s"$dst/_tokenizer/vocab")
+      kept.withColumn("token_ids", Bpe.bpeIds(col("text"), merges, vocab))
+    })((kept, e) =>
+      Selection.epochShuffle(kept.select(col("doc_id")), e, docsPerShard))
+
   /** The shared materialization loop — the assignment builder is the
-    * only per-flavor code. */
+    * only per-flavor code; `enrich` lets a flavor add columns to the
+    * keeper frame (inside the pin, so per-epoch consumers reuse it). */
   private def materialize(s: SparkSession, dir: String, dst: String,
-                          budget: Long, nEpochs: Int)(
+                          budget: Long, nEpochs: Int,
+                          enrich: DataFrame => DataFrame = identity)(
                           assignFn: (DataFrame, Int) => DataFrame): DataFrame = {
     val verdicts = Pipeline.q57PipelineDecision(s, dir, budget)
       .localCheckpoint() // consumed twice (keep join + returned audit)
@@ -95,8 +121,8 @@ object Sharding {
     // action, the assignment lineage inside the write, and the write's
     // docs side) — pin it, or each re-runs the documents ⋈ verdicts
     // join (the q57 lineage-re-evaluation lesson)
-    val kept = Tables.documents(s, dir)
-      .join(verdicts.filter(col("selected")).select("doc_id"), "doc_id")
+    val kept = enrich(Tables.documents(s, dir)
+      .join(verdicts.filter(col("selected")).select("doc_id"), "doc_id"))
       .localCheckpoint()
     (1 to nEpochs)
       .map { e =>

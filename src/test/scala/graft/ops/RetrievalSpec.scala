@@ -326,6 +326,36 @@ class RetrievalSpec extends SparkSpec {
     assert(sizes.init.forall(_._2 == 16))
   }
 
+  test("tokenized shards: rows carry ids that re-derive from the persisted tokenizer tables") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tokshards").toString
+    val verdicts = Sharding.materializeTokenizedTrainingSet(spark, dir, base,
+      budget = 5000L, nEpochs = 1, docsPerShard = 16L, nMerges = 80, vocabCap = 1000)
+    val keptIds = verdicts.collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+
+    // the tokenizer is DATA next to the shards — re-derive every row's
+    // ids from the persisted merges + vocab and demand equality
+    val merges = Bpe.readMerges(spark, s"$base/_tokenizer/merges")
+    assert(merges.nonEmpty)
+    val vocab = spark.read.parquet(s"$base/_tokenizer/vocab")
+      .orderBy(col("id")).collect().map(_.getString(1))
+    val enc = new Bpe.IdEncoder(merges, vocab)
+    val rows = spark.read.parquet(s"$base/epoch=1")
+      .select("doc_id", "text", "token_ids").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2)))
+    assert(rows.map(_._1).toSet == keptIds, "shards must hold exactly the keepers")
+    rows.foreach { case (id, text, ids) =>
+      val expect = enc.idsText(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toIntArray().toSeq
+      assert(ids == expect, s"doc $id shard ids diverge from the persisted tokenizer")
+      assert(ids.nonEmpty)
+    }
+    // the manifest machinery is shared — a clean materialization validates
+    assert(Sharding.validateManifest(spark, base).count() == 0)
+  }
+
   test("mixed shards: concatenation is the stride stream; every shard holds the mixture") {
     val base = java.nio.file.Files.createTempDirectory("graft-mixshards").toString
     val verdicts = Sharding.materializeMixedTrainingSet(spark, dir, base,
