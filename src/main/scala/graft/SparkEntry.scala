@@ -154,6 +154,8 @@ object SparkEntry {
       graft.ops.Pipeline.q90StagedPipeline(s, dir)),
     "q91_token_ids"         -> ((s: SparkSession, dir: String) =>
       graft.ops.Bpe.q91TokenIds(s, dir)),
+    "q92_random_projection" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Projection.q92RandomProjection(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,5 +514,6 @@ object SparkEntry {
     // in-session cascade's verdicts — same oracle by construction
     "q90_staged_pipeline" -> ExtensionOracles.q57PipelineDecision,
     "q91_token_ids" -> ExtensionOracles.q91TokenIds,
+    "q92_random_projection" -> ExtensionOracles.q92RandomProjection,
   )
 }

@@ -386,6 +386,40 @@ object ExtensionOracles {
       |FROM e LEFT JOIN agg a ON e.vec_id = a.vec_id
       |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q92: JL random projection of the int8-quantized vectors.
+    * The quantization replay is q38's verbatim; the sign matrix is
+    * DERIVED on both sides — +1 iff the 32nd hex digit of
+    * md5('rp:j:i') < '8' (j the 0-based output dim, i the 0-based
+    * input dim) — so no side-channel table exists; every projected
+    * coordinate is an exact BIGINT sum, hash-stable by construction.
+    * Null/empty embeddings project to an empty list on both sides. */
+  val q92RandomProjection: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |m AS (SELECT vec_id, MAX(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+      |      FROM x GROUP BY vec_id),
+      |qx AS (SELECT x.vec_id, x.i,
+      |         m.maxabs / CAST(127 AS DOUBLE) AS scale,
+      |         CASE WHEN m.maxabs > 0
+      |              THEN CAST(floor(CAST(x.embedding[x.i] AS DOUBLE) /
+      |                     (m.maxabs / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)
+      |              ELSE 0 END AS qi
+      |       FROM x JOIN m ON x.vec_id = m.vec_id),
+      |py AS (SELECT qx.vec_id, j.j,
+      |    CAST(SUM(CASE WHEN substring(md5('rp:' || CAST(j.j AS VARCHAR) || ':' ||
+      |        CAST(qx.i - 1 AS VARCHAR)), 32, 1) < '8'
+      |      THEN qx.qi ELSE -qx.qi END) AS INTEGER) AS y
+      |  FROM qx CROSS JOIN range(0, 24) j(j)
+      |  GROUP BY qx.vec_id, j.j),
+      |proj AS (SELECT vec_id, list(y ORDER BY j) AS proj FROM py GROUP BY vec_id)
+      |SELECT e.vec_id,
+      |  m.maxabs / CAST(127 AS DOUBLE) AS scale,
+      |  COALESCE(p.proj, CAST([] AS INTEGER[])) AS proj
+      |FROM e
+      |LEFT JOIN m ON e.vec_id = m.vec_id
+      |LEFT JOIN proj p ON e.vec_id = p.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
   /** Mirrors q41: top-5 TF-IDF terms per document. The score is one
     * multiply of an ln — rounded to 12 digits BEFORE ranking on both
     * sides (libm ln drifts ulps across engines), ties by term. */
