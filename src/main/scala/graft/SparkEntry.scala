@@ -156,6 +156,8 @@ object SparkEntry {
       graft.ops.Bpe.q91TokenIds(s, dir)),
     "q92_random_projection" -> ((s: SparkSession, dir: String) =>
       graft.ops.Projection.q92RandomProjection(s, dir)),
+    "q93_semantic_decontamination" -> ((s: SparkSession, dir: String) =>
+      Similarity.q93SemanticDecontamination(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -515,5 +517,6 @@ object SparkEntry {
     "q90_staged_pipeline" -> ExtensionOracles.q57PipelineDecision,
     "q91_token_ids" -> ExtensionOracles.q91TokenIds,
     "q92_random_projection" -> ExtensionOracles.q92RandomProjection,
+    "q93_semantic_decontamination" -> ExtensionOracles.q93SemanticDecontamination,
   )
 }

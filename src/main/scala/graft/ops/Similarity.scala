@@ -549,6 +549,50 @@ object Similarity {
   def q36EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     exactCosinePairs(s, dir, 0.45)
 
+  /** q93: SEMANTIC decontamination — the embedding-space complement of
+    * q43's n-gram overlap: a train vector whose cosine to ANY val/test
+    * vector clears the near-dup bar is a paraphrased benchmark leak
+    * that shares no shingles. Per train vector: how many eval partners,
+    * the max (round-12, decimal-exact) cosine, and the quarantine
+    * verdict. Split assignment is `Splits.of` on vec_id — eval
+    * membership never moves (the q72 rule).
+    *
+    * Scale shape: the eval suite is the SMALL side by construction
+    * (benchmarks are thousands of rows, the corpus is the 100 TB side)
+    * — it broadcasts, the train side streams through one codegen'd
+    * float prefilter pass (the exactCosinePairs two-phase trick), and
+    * the per-train aggregate is map-combinable. Zero-norm/null vectors
+    * can't score (NaN would pass every filter) but keep their audit row
+    * via the final LEFT JOIN: 0 partners, NULL max_cos. */
+  def q93SemanticDecontamination(s: SparkSession, dir: String,
+                                 threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("split", Splits.of(col("vec_id")))
+    val withNorm = emb.withColumn("nrm",
+      sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
+    val scorable = withNorm.filter(col("nrm") > 0)
+    val train = scorable.filter(col("split") === "train")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val evalSide = broadcast(scorable.filter(col("split") =!= "train")
+      .select(col("vec_id").as("e_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")))
+    val partners = train.join(evalSide,
+        exprs.cosine_similarity(col("ea"), col("eb")) >= threshold - 1e-4)
+      .withColumn("cos", round(
+        decDot(col("ea"), col("eb")).cast("double") / (col("na") * col("nb")), 12))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_partners"), max(col("cos")).as("max_cos"))
+    emb.filter(col("split") === "train").select(col("vec_id"))
+      .join(partners, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_partners"), lit(0L)).as("n_eval_partners"),
+        col("max_cos"),
+        (coalesce(col("n_eval_partners"), lit(0L)) > 0).as("quarantined"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The parameterized exact pair stage behind q36 (near-dup threshold
     * 0.45) and q76's positive-pair exclusion (a LOWER bar — "too close
     * to be a negative" is a different knob than "same content"). */

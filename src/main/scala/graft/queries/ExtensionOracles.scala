@@ -253,6 +253,45 @@ object ExtensionOracles {
       |WHERE cos >= 0.45
       |ORDER BY d1, d2""".stripMargin
 
+  /** Mirrors q93: semantic decontamination — q36's decimal-exact cosine
+    * machinery applied to train × (val ∪ test) pairs, aggregated per
+    * train vector. Zero-norm sides are excluded from scoring (the
+    * engine's NaN rule) but every train vector keeps its audit row via
+    * the final LEFT JOIN. */
+  val q93SemanticDecontamination: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |norms AS (SELECT vec_id,
+      |  SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,18))) AS nn
+      |  FROM x GROUP BY vec_id),
+      |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS ea, b.embedding AS eb
+      |          FROM e a JOIN e b ON a.split = 'train' AND b.split <> 'train'),
+      |pe AS (SELECT d1, d2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pairs),
+      |dots AS (SELECT d1, d2,
+      |  SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot
+      |  FROM pe GROUP BY d1, d2),
+      |scored AS (SELECT d1, d2,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))), 12) AS cos
+      |  FROM dots
+      |  JOIN norms n1 ON d1 = n1.vec_id
+      |  JOIN norms n2 ON d2 = n2.vec_id
+      |  WHERE CAST(n1.nn AS DOUBLE) > 0 AND CAST(n2.nn AS DOUBLE) > 0),
+      |agg AS (SELECT d1 AS vec_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_eval_partners, MAX(cos) AS max_cos
+      |  FROM scored WHERE cos >= 0.45 GROUP BY d1)
+      |SELECT t.vec_id,
+      |  COALESCE(a.n_eval_partners, 0) AS n_eval_partners,
+      |  a.max_cos,
+      |  COALESCE(a.n_eval_partners, 0) > 0 AS quarantined
+      |FROM (SELECT vec_id FROM e WHERE split = 'train') t
+      |LEFT JOIN agg a ON t.vec_id = a.vec_id
+      |ORDER BY t.vec_id""".stripMargin
+
   /** Mirrors q40: connected components over the exact q36 pair graph via
     * a recursive transitive-closure CTE (the UNION dedups, so cycles in
     * the undirected graph terminate), then component = min reachable id.
