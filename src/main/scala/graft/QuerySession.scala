@@ -70,6 +70,13 @@ object QuerySession {
       .createOrReplaceTempView("retention_cohorts")
     graft.ops.TextAnalysis.q88LengthQuantiles(spark, sfDir)
       .createOrReplaceTempView("length_quantiles")
+    // round-8 wave 5: the JL-projected vector table (the sign matrix is
+    // derived driver-side arithmetic, no job) and the embedding-space
+    // decontamination verdicts — both pure lazy plans
+    graft.ops.Projection.q92RandomProjection(spark, sfDir)
+      .createOrReplaceTempView("random_projection")
+    graft.ops.Similarity.q93SemanticDecontamination(spark, sfDir)
+      .createOrReplaceTempView("semantic_decontamination")
   }
 
   /** The frame-based core: given already-read base tables, registration
@@ -169,6 +176,10 @@ object QuerySession {
       .createOrReplaceTempView("bpe_token_counts")
     graft.ops.Bpe.q87TokenizerFertility(spark, sfDir)
       .createOrReplaceTempView("tokenizer_fertility")
+    // q91: same bounded training, then the id sequences themselves —
+    // the table a trainer-side loader would SELECT from
+    graft.ops.Bpe.q91TokenIds(spark, sfDir)
+      .createOrReplaceTempView("token_ids")
     // trains the q68 logistic scorer (15 aggregate jobs over a cached
     // feature frame) and freezes the weights into a scoring view
     graft.ops.QualityModel.q68QualityModel(spark, sfDir)

@@ -263,6 +263,31 @@ class QuerySessionSpec extends SparkSpec {
         |      (SELECT count(DISTINCT ts DIV 86400000000000) FROM events)""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(ro, "daily_rollup disagrees with (or doesn't cover) the direct aggregate")
+
+    // round-8 wave 5 views: token-id sequences reconcile with the BPE
+    // counts view (same retrained rules), the projected table is total
+    // with the declared width, and semantic decontamination only ever
+    // quarantines train vectors with a scoring partner
+    val ti = spark.sql(
+      """SELECT count(*) FROM token_ids t
+        |JOIN bpe_token_counts b USING (doc_id)
+        |WHERE t.n_tokens <> b.n_bpe_tokens""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(ti == 0L, "token_ids length disagrees with bpe_token_counts")
+    val rp = spark.sql(
+      """SELECT (SELECT count(*) FROM random_projection) =
+        |       (SELECT count(*) FROM embeddings)
+        |   AND (SELECT count(*) FROM random_projection
+        |        WHERE size(proj) NOT IN (0, 24)) = 0""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(rp, "random_projection not total or wrong width")
+    val sd = spark.sql(
+      """SELECT (SELECT count(*) FROM semantic_decontamination
+        |        WHERE quarantined AND (max_cos IS NULL OR max_cos < 0.45)) = 0
+        |   AND (SELECT count(*) FROM semantic_decontamination
+        |        WHERE NOT quarantined AND n_eval_partners > 0) = 0""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(sd, "semantic_decontamination verdicts inconsistent")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
