@@ -68,6 +68,21 @@ object Streaming {
   def chunkStream(docs: DataFrame, maxLen: Int = 64, stride: Int = 48): DataFrame =
     graft.ops.Chunking.chunkUnsorted(docs, maxLen, stride)
 
+  /** Continuous tokenization: q91's token-ID encoding applied to a
+    * document STREAM — tokenize-at-ingest under rules TRAINED OFFLINE
+    * and frozen (the q68 split: training is batch, application is a
+    * stateless narrow codegen'd map, so the batch encoder IS the stream
+    * encoder). The merges/vocab arrive as driver data (read from the
+    * persisted tables a q91 run wrote), never retrained mid-stream — a
+    * tokenizer that drifts under the trainer invalidates every
+    * previously emitted sequence; parity with batch encoding is
+    * spec-asserted. */
+  def tokenizeStream(docs: DataFrame, merges: Array[(String, String)],
+                     vocab: Array[String]): DataFrame =
+    docs.withColumn("token_ids",
+        graft.ops.Bpe.bpeIds(col("text"), merges, vocab))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+
   /** Continuous near-dup dedup-on-ingest against a standing
     * [[graft.ops.NearDupIndex]] layout: each micro-batch is PROBED
     * (O(batch) bucket-pruned reads, never a corpus scan), near-dups are

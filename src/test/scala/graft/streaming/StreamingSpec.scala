@@ -352,4 +352,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       "streamed chunks diverged from the batch operator")
   }
+
+  test("streaming tokenization ≡ batch q91 under the same frozen rules") {
+    val dir = "/root/testdata/sf0.001"
+    // batch run trains + persists the rules and is the parity target
+    val batch = graft.ops.Bpe.q91TokenIds(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    // the stream applies the PERSISTED tables — frozen rules, the
+    // operator's contract (a mid-stream retrain would invalidate every
+    // previously emitted sequence)
+    val merges = graft.ops.Bpe.readMerges(spark, graft.ops.Bpe.MergesPath)
+    val vocab = spark.read.parquet(graft.ops.Bpe.VocabPath)
+      .orderBy(org.apache.spark.sql.functions.col("id"))
+      .collect().map(_.getString(1))
+    val schema = graft.Tables.documents(spark, dir).schema
+    val watched = java.nio.file.Files.createTempDirectory("graft-tok-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(watched.toString)
+    val q = Streaming.tokenizeStream(stream, merges, vocab)
+      .select("doc_id", "token_ids")
+      .writeStream.format("memory").queryName("tok_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT doc_id, token_ids FROM tok_sink")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed token ids diverged from the batch encoding")
+  }
 }
