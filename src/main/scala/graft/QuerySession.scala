@@ -54,9 +54,12 @@ object QuerySession {
     *  - `leakage_split(doc_id, split, n_eval_partners, keep)` — q72 quarantine
     *  - `event_funnel` / `retention_cohorts` / `length_quantiles` —
     *    q85/q86/q88 analytics (sfDir overload)
+    *  - `random_projection(vec_id, scale, proj)` — q92 JL coordinates
+    *  - `semantic_decontamination(vec_id, …, quarantined)` — q93 verdicts
     *  - plus (materialized tier): `pq_neighbors`, `semantic_dedup_drops`,
-    *    `token_budget_cut`, `bpe_token_counts`, `tokenizer_fertility`,
-    *    `quality_scores`, `cluster_sample`, `cluster_mix`, `daily_rollup`
+    *    `token_budget_cut`, `bpe_token_counts`, `token_ids`,
+    *    `tokenizer_fertility`, `quality_scores`, `cluster_sample`,
+    *    `cluster_mix`, `daily_rollup`
     */
   def registerPipelineViews(spark: SparkSession, sfDir: String): Unit = {
     registerPipelineViews(spark, Tables.documents(spark, sfDir),

@@ -112,7 +112,34 @@ object Soak {
         docs.select(col("doc_id"),
           when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
             .otherwise(col("text")).as("text")))
-        .filter(col("status").isNotNull)))
+        .filter(col("status").isNotNull)),
+      // round-8 wave 5: the JL projection (narrow integer map over the
+      // soaked corpus) and semantic decon with the eval suite held
+      // FIXED while the train side scales — the claimed broadcast
+      // shape: cost = |train| x |eval|, linear in the corpus. (Soaked
+      // embeddings are exact replicas, so every replica of a matching
+      // train vector quarantines — output rows scale xmult, work per
+      // row stays flat.)
+      timed("random_projection")(Quantize.quantized(emb)
+        .select(col("vec_id"), graft.ops.Projection.projectQ(col("q"),
+          graft.ops.Projection.signMatrix(24, 64)).as("proj"))
+        .filter(size(col("proj")) === 24)),
+      timed("semantic_decon")(Similarity.semanticDecontamination(
+        emb, emb0.filter(pmod(col("vec_id"), lit(5)) === 0))
+        .filter(col("n_eval_partners") >= 0L)),
+      // trainer-true encoding: training is the bounded path (one word
+      // aggregate + driver loop), application ONE narrow codegen pass —
+      // trained inside the timed block because a standing run retrains
+      // per corpus snapshot
+      {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val (merges, vocab) = graft.ops.Bpe.trainWithVocab(docs)
+        val rows = docs.select(col("doc_id"),
+            graft.ops.Bpe.bpeIds(col("text"), merges, vocab).as("ids"))
+          .filter(size(col("ids")) >= 0).count()
+        ("token_ids", (System.nanoTime() - t0) / 1e9, rows)
+      })
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of
@@ -263,6 +290,15 @@ object Soak {
     val sigFrac = dirsFrac(sigDst, "sig", "sig")
     val cellFrac = dirsFrac(cellDst, "cell", "cell")
 
+    // JL reduce-then-rerank probe: 5 fixed queries against the soaked
+    // corpus — the coarse pass scans 96-byte projected rows, the exact
+    // re-rank touches `rerank` float vectors per query
+    var jlRows = 0L
+    val jlProbeSec = timedSec {
+      jlRows = graft.ops.Projection.projectedTopK(emb,
+        emb0.filter(col("vec_id") < 5)).count()
+    }
+
     val body = results.map { case (l, s, r) =>
       f""""$l":{"sec":$s%.2f,"rows":$r}"""
     }.mkString(",")
@@ -288,7 +324,8 @@ object Soak {
       f""""purged_buckets":$purgedBuckets,""" +
       f""""rollup_partials_sec":$ruWriteSec%.2f,""" +
       f""""rollup_serve_sec":$ruServeSec%.2f,"rollup_days":$ruDays,""" +
-      f""""rollup_append_1pct_sec":$ruAppendSec%.2f,"events":${nEv * mult}}"""
+      f""""rollup_append_1pct_sec":$ruAppendSec%.2f,"events":${nEv * mult},""" +
+      f""""jl_probe_sec":$jlProbeSec%.2f,"jl_probe_rows":$jlRows}"""
     println(s"""{"mult":$mult,"docs":${nDocs * mult},"embeddings":${nEmb * mult},""" +
       s""""lsh_hottest_bucket":${bucketStats.getLong(0)},""" +
       s""""lsh_candidates":${bucketStats.getAs[Any](1)},$body,$ann}""")

@@ -158,6 +158,8 @@ object SparkEntry {
       graft.ops.Projection.q92RandomProjection(s, dir)),
     "q93_semantic_decontamination" -> ((s: SparkSession, dir: String) =>
       Similarity.q93SemanticDecontamination(s, dir)),
+    "q94_cluster_purity"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q94ClusterPurity(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -518,5 +520,6 @@ object SparkEntry {
     "q91_token_ids" -> ExtensionOracles.q91TokenIds,
     "q92_random_projection" -> ExtensionOracles.q92RandomProjection,
     "q93_semantic_decontamination" -> ExtensionOracles.q93SemanticDecontamination,
+    "q94_cluster_purity" -> ExtensionOracles.q94ClusterPurity,
   )
 }

@@ -122,6 +122,48 @@ object Clustering {
     * never depends on whether/when q81 ran. */
   val SampleCentroidsPath = "/tmp/graft_kmeans_centroids_sample.parquet"
 
+  /** q94's own centroid path (same independence rule as q83). */
+  val PurityCentroidsPath = "/tmp/graft_kmeans_centroids_purity.parquet"
+
+  /** q94: cluster–label agreement — the clustering-quality diagnostic a
+    * curation pipeline reads before trusting learned topics for
+    * balancing: per cluster, its size, the majority ground-truth label
+    * (the embeddings table's `label` column — ties to the smaller
+    * label, the q67 top-lang rule) and the purity = majority fraction.
+    * A cluster whose purity sits at the label prior means the learned
+    * structure is noise; this corpus's separable labels should score
+    * well above it.
+    *
+    * Shape at 100 TB: q81's narrow assignment pass + ONE map-combined
+    * (cluster, label) count aggregate (≤ k·|labels| rows), then a tiny
+    * per-cluster argmax — no window over corpus rows anywhere. */
+  def q94ClusterPurity(s: SparkSession, dir: String, k: Int = 8,
+                       iters: Int = 10): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, k, iters)
+    persistCentroids(s, centroids, PurityCentroidsPath)
+    purityTable(assign(emb, centroids)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id"))
+  }
+
+  /** The aggregation core of q94 over an already-labeled assignment
+    * ((…, cluster, label) rows). */
+  private[ops] def purityTable(joined: DataFrame): DataFrame = {
+    val counts = joined
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("cluster"))
+      .agg(sum(col("c")).as("n_vectors"),
+        min(struct((-col("c")).as("negc"), col("label").as("lab"))).as("m"))
+      .select(col("cluster"),
+        col("n_vectors"),
+        col("m.lab").as("top_label"),
+        (-col("m.negc")).as("n_top"),
+        round((-col("m.negc")).cast("double") /
+          col("n_vectors").cast("double"), 9).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
   /** q83: cluster-balanced sampling — the diversity-stratified draw a
     * curation pipeline runs to eyeball (or train on) an even topic slice:
     * q52's salted min-hash reservoir with the stratum = the LEARNED topic

@@ -53,14 +53,21 @@ object Pipeline {
   private[ops] def keep1Of(train: DataFrame, fv: DataFrame): DataFrame =
     train.join(fv.filter(col("reason") === "keep").select("doc_id"), "doc_id")
 
-  /** Stage 2: ids dropped as exact duplicates of a smaller-id
-    * 8-token-prefix twin among the quality keepers. */
-  private[ops] def stageExactDrop(keep1: DataFrame): DataFrame = {
+  /** Stage 2 core: every quality keeper with its exact-dup canonical
+    * (`can` = min doc_id sharing the 8-token-prefix key). The in-session
+    * path splits this ONE frame into dropped/kept (no re-evaluation of
+    * keep1); the staged path persists only the dropped ids. */
+  private[ops] def stageExactSplit(keep1: DataFrame): DataFrame = {
     val keyed = keep1.withColumn("gk", md5(TextAnalysis.prefixTokens(col("text"), 8)))
     val canon = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("can"))
-    keyed.join(canon, "gk").filter(col("doc_id") =!= col("can"))
-      .select(col("doc_id"))
+    keyed.join(canon, "gk")
   }
+
+  /** Stage 2: ids dropped as exact duplicates of a smaller-id
+    * 8-token-prefix twin among the quality keepers. */
+  private[ops] def stageExactDrop(keep1: DataFrame): DataFrame =
+    stageExactSplit(keep1).filter(col("doc_id") =!= col("can"))
+      .select(col("doc_id"))
 
   /** Stage 3: non-canonical members of near-dup clusters among the
     * exact-keepers — capped Jaccard pairs (df cap computed over keep2,
@@ -134,8 +141,10 @@ object Pipeline {
 
     val fv = pin(stageQuality(train))
     val keep1 = keep1Of(train, fv)
-    val dropExact = pin(stageExactDrop(keep1))
-    val keep2 = pin(keep1.join(dropExact, Seq("doc_id"), "left_anti")
+    val wc = stageExactSplit(keep1)
+    val dropExact = pin(wc.filter(col("doc_id") =!= col("can"))
+      .select(col("doc_id")))
+    val keep2 = pin(wc.filter(col("doc_id") === col("can"))
       .select(col("doc_id"), col("text")))
     val dropNear = stageNearDrop(keep2)
     val keep3 = keep2.join(dropNear, Seq("doc_id"), "left_anti")

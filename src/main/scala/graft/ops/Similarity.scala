@@ -568,13 +568,27 @@ object Similarity {
                                  threshold: Double = 0.45): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .withColumn("split", Splits.of(col("vec_id")))
-    val withNorm = emb.withColumn("nrm",
+    semanticDecontamination(
+      emb.filter(col("split") === "train").select(col("vec_id"), col("embedding")),
+      emb.filter(col("split") =!= "train").select(col("vec_id"), col("embedding")),
+      threshold)
+  }
+
+  /** The frame-level q93 core: `train0`/`eval0` are (vec_id, embedding)
+    * tables (id spaces may overlap — eval ids never appear in the
+    * output). Exposed so a standing deployment can decontaminate
+    * against an EXTERNAL benchmark suite, and so the soak can hold the
+    * eval side fixed while the train side scales (the claimed shape:
+    * cost = |train| × |eval-broadcast|, linear in the corpus). */
+  def semanticDecontamination(train0: DataFrame, eval0: DataFrame,
+                              threshold: Double = 0.45): DataFrame = {
+    val sc = train0.sparkSession.sparkContext
+    def withNorm(df: DataFrame) = df.withColumn("nrm",
       sqrt(decDot(col("embedding"), col("embedding")).cast("double")))
-    val scorable = withNorm.filter(col("nrm") > 0)
-    val train = scorable.filter(col("split") === "train")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val train = withNorm(train0).filter(col("nrm") > 0)
+      .repartition(sc.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
-    val evalSide = broadcast(scorable.filter(col("split") =!= "train")
+    val evalSide = broadcast(withNorm(eval0).filter(col("nrm") > 0)
       .select(col("vec_id").as("e_id"), col("embedding").as("eb"),
         col("nrm").as("nb")))
     val partners = train.join(evalSide,
@@ -584,7 +598,7 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_partners"), max(col("cos")).as("max_cos"))
-    emb.filter(col("split") === "train").select(col("vec_id"))
+    train0.select(col("vec_id"))
       .join(partners, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("n_eval_partners"), lit(0L)).as("n_eval_partners"),

@@ -1734,6 +1734,26 @@ object ExtensionOracles {
        |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q94: cluster–label purity — the q81 assignment replay (from
+    * q94's OWN persisted centroid table) joined to the ground-truth
+    * labels, the per-cluster majority picked by (count DESC, label) —
+    * the engine's min(struct(-c, label)) total order. */
+  val q94ClusterPurity: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.Clustering.PurityCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cluster
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |lc AS (SELECT a.cluster, b.label, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM asg a JOIN embeddings b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT cluster, label, c,
+       |    CAST(SUM(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_vectors,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+       |  FROM lc)
+       |SELECT cluster, n_vectors, label AS top_label, c AS n_top,
+       |  round(CAST(c AS DOUBLE) / CAST(n_vectors AS DOUBLE), 9) AS purity
+       |FROM rk WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+
   /** Mirrors q88: per-source exact length quantiles — histogram +
     * cumulative window over aggregated (source, count) rows, each band
     * picked as MIN(v) where cum ≥ k with integer-exact k = ceil(q·n). */

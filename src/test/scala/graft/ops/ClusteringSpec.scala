@@ -46,6 +46,24 @@ class ClusteringSpec extends SparkSpec {
     assert(row.getAs[Long]("sq_dist") === 0L)
   }
 
+  test("q94 purity: aligned labels score 1.0; a flipped member drops it; ties break low") {
+    import spark.implicits._
+    // two clusters; labels aligned with cluster membership
+    val joined = Seq(
+      (0, 7), (0, 7), (0, 7),            // cluster 0: pure label 7
+      (1, 3), (1, 3), (1, 9))            // cluster 1: majority 3, one stray 9
+      .toDF("cluster", "label")
+    val got = Clustering.purityTable(joined).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0, 3L, 7, 3L, 1.0),
+      (1, 3L, 3, 2L, 0.666666667)), s"purity table diverged: ${got.toSeq}")
+    // exact tie on counts -> the SMALLER label must win (the pinned order)
+    val tied = Seq((5, 4), (5, 2), (5, 4), (5, 2)).toDF("cluster", "label")
+    val t = Clustering.purityTable(tied).collect().head
+    assert(t.getInt(2) == 2 && t.getLong(3) == 2L)
+  }
+
   // ---------------------------------------------------------------- q82
 
   /** ≥20-char unique filler built from a tag — no 20-gram repeats across
