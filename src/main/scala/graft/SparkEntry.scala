@@ -160,6 +160,8 @@ object SparkEntry {
       Similarity.q93SemanticDecontamination(s, dir)),
     "q94_cluster_purity"    -> ((s: SparkSession, dir: String) =>
       graft.ops.Clustering.q94ClusterPurity(s, dir)),
+    "q95_mixture_allocation" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q95MixtureAllocation(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,5 +523,6 @@ object SparkEntry {
     "q92_random_projection" -> ExtensionOracles.q92RandomProjection,
     "q93_semantic_decontamination" -> ExtensionOracles.q93SemanticDecontamination,
     "q94_cluster_purity" -> ExtensionOracles.q94ClusterPurity,
+    "q95_mixture_allocation" -> ExtensionOracles.q95MixtureAllocation,
   )
 }

@@ -325,4 +325,87 @@ object Mixing {
       .select(col("doc_id"), col("source"), col("weight"), col("sample_key"))
       .orderBy(col("doc_id"))
   }
+
+  /** q95: mixture allocation under AVAILABILITY CAPS — classic
+    * water-filling. q45 says what mixture you WANT; this says what you
+    * can actually HAVE: allocating a token budget proportionally to
+    * target weights over-asks small groups (a language with 13% of the
+    * tokens cannot fill a 20% share), so exhausted groups saturate at
+    * their availability and the freed budget re-spreads over the rest —
+    * the loop every real data-mix plan runs when temperature flattening
+    * meets a finite crawl.
+    *
+    * Computed in CLOSED FORM, not iteratively: groups saturate in
+    * increasing availability/weight ratio, so sort by the ratio, prefix
+    * the sums, and m* = the smallest saturation count whose implied
+    * water level c_m = (B − satA_m)/W_rem is ≤ the next group's ratio
+    * (a synthetic m = 0 row covers "nobody saturates"; B ≥ Σa
+    * degenerates to everything saturated). Every comparison is on IEEE
+    * divides of exact longs and every emitted allocation is ONE such
+    * divide rounded 9 (the q87 rule), so the oracle lands on identical
+    * bytes.
+    *
+    * Scale shape: ONE map-combined corpus aggregate (per-lang token
+    * totals); everything after runs on ≤|langs| rows — the windows
+    * below are over the aggregate, never the corpus (the q33/q55
+    * shape). Budget = 80% of total tokens (derived, so the declared
+    * query stays sf-independent); target weights uniform — the
+    * parameterized overload takes any integer weight table. */
+  def q95MixtureAllocation(s: SparkSession, dir: String): DataFrame =
+    mixtureAllocation(
+      Tables.documents(s, dir).groupBy(col("lang"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("a"))
+        .withColumn("w", lit(1L)))
+
+  /** Core over an aggregated (lang, a = available, w = integer target
+    * weight) frame; budget defaults to (8·Σa) div 10. */
+  def mixtureAllocation(avail: DataFrame, budgetOverride: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = avail.agg(
+      sum(col("a")).as("tot_a"), sum(col("w")).as("tot_w"),
+      count(lit(1)).as("n_groups"))
+    val budgeted = avail.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        if (budgetOverride >= 0) lit(budgetOverride)
+        else expr("tot_a * 8 div 10"))
+      // saturation order: availability per unit of target weight
+      .withColumn("ratio", col("a").cast("double") / col("w").cast("double"))
+    val byRatio = Window.orderBy(col("ratio"), col("lang"))
+    val ranked = budgeted
+      .withColumn("rk", row_number().over(byRatio).cast("long"))
+      .withColumn("satA", sum(col("a")).over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("satW", sum(col("w")).over(
+        byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_ratio",
+        lead(col("ratio"), 1, Double.PositiveInfinity).over(byRatio))
+    // candidate water levels for m = 0..n; m = 0 is the synthetic
+    // "nobody saturates" row (satA = 0, all weight remaining)
+    val candidates = ranked.select(col("rk").as("m"), col("satA"), col("satW"),
+        col("budget"), col("tot_w"), col("n_groups"), col("next_ratio"))
+      .unionByName(ranked.filter(col("rk") === 1L)
+        .select(lit(0L).as("m"), lit(0L).as("satA"), lit(0L).as("satW"),
+          col("budget"), col("tot_w"), col("n_groups"),
+          col("ratio").as("next_ratio")))
+      .withColumn("c", (col("budget") - col("satA")).cast("double") /
+        (col("tot_w") - col("satW")).cast("double"))
+      // valid m: the implied level saturates exactly the first m groups —
+      // i.e. it does NOT reach the next ratio. m = n (everything
+      // saturated, level undefined) is valid only when the budget covers
+      // the whole corpus.
+      .filter((col("m") === col("n_groups") && col("budget") >= col("satA")) ||
+        (col("m") < col("n_groups") && col("c") <= col("next_ratio")))
+    val mStar = candidates.agg(min(struct(col("m"), col("satA"), col("satW"))).as("s"))
+      .select(col("s.m").as("m_star"), col("s.satA").as("sat_a"),
+        col("s.satW").as("sat_w"))
+    ranked.crossJoin(broadcast(mStar))
+      .withColumn("saturated", col("rk") <= col("m_star"))
+      .withColumn("allocated",
+        when(col("saturated"), col("a").cast("double"))
+          .otherwise(round((col("w") * (col("budget") - col("sat_a"))).cast("double") /
+            (col("tot_w") - col("sat_w")).cast("double"), 9)))
+      .select(col("lang"), col("a").as("n_avail"), col("budget"),
+        col("saturated"), col("allocated"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1734,6 +1734,50 @@ object ExtensionOracles {
        |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q95: water-filling mixture allocation — the closed form
+    * replayed move-for-move: per-lang token totals, saturation order by
+    * availability/weight ratio (an IEEE divide of exact longs — both
+    * engines sort identical doubles), prefix sums, the synthetic m = 0
+    * candidate, smallest valid saturation count, and the one rounded-9
+    * divide per unsaturated allocation. */
+  val q95MixtureAllocation: String =
+    """WITH a AS (SELECT lang,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS a,
+      |    CAST(1 AS BIGINT) AS w
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(a) AS BIGINT) AS tot_a, CAST(SUM(w) AS BIGINT) AS tot_w,
+      |    CAST(COUNT(*) AS BIGINT) AS n_groups FROM a),
+      |r AS (SELECT a.lang, a.a, a.w, t.tot_a, t.tot_w, t.n_groups,
+      |    t.tot_a * 8 // 10 AS budget,
+      |    CAST(a.a AS DOUBLE) / CAST(a.w AS DOUBLE) AS ratio
+      |  FROM a CROSS JOIN t),
+      |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY ratio, lang) AS BIGINT) AS rk,
+      |    CAST(SUM(a) OVER (ORDER BY ratio, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS satA,
+      |    CAST(SUM(w) OVER (ORDER BY ratio, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS satW,
+      |    lead(ratio, 1, CAST('infinity' AS DOUBLE))
+      |      OVER (ORDER BY ratio, lang) AS next_ratio
+      |  FROM r),
+      |cand AS (
+      |  SELECT rk AS m, satA, satW, budget, tot_w, n_groups, next_ratio FROM rk
+      |  UNION ALL
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    budget, tot_w, n_groups, ratio FROM rk WHERE rk = 1),
+      |valid AS (SELECT m, satA, satW FROM cand
+      |  WHERE (m = n_groups AND budget >= satA)
+      |     OR (m < n_groups AND
+      |         CAST(budget - satA AS DOUBLE) / CAST(tot_w - satW AS DOUBLE)
+      |           <= next_ratio)),
+      |ms AS (SELECT m, satA, satW FROM valid ORDER BY m LIMIT 1)
+      |SELECT rk.lang, rk.a AS n_avail, rk.budget,
+      |  rk.rk <= ms.m AS saturated,
+      |  CASE WHEN rk.rk <= ms.m THEN CAST(rk.a AS DOUBLE)
+      |       ELSE round(CAST(rk.w * (rk.budget - ms.satA) AS DOUBLE) /
+      |                  CAST(rk.tot_w - ms.satW AS DOUBLE), 9) END AS allocated
+      |FROM rk CROSS JOIN ms
+      |ORDER BY rk.lang""".stripMargin
+
   /** Mirrors q94: cluster–label purity — the q81 assignment replay (from
     * q94's OWN persisted centroid table) joined to the ground-truth
     * labels, the per-cluster majority picked by (count DESC, label) —

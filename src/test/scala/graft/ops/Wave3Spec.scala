@@ -127,4 +127,27 @@ class Wave3Spec extends SparkSpec {
     val out = Dedup.canonicalDocs(docs).collect()
     assert(out.forall(_.getLong(2) === 3L))
   }
+
+  test("q95 water-filling: saturation, re-spread, degenerate budgets, weighted targets") {
+    import spark.implicits._
+    def alloc(rows: Seq[(String, Long, Long)], budget: Long): Map[String, (Boolean, Double)] =
+      Mixing.mixtureAllocation(rows.toDF("lang", "a", "w"), budget).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(3), r.getDouble(4))).toMap
+
+    // small group saturates, freed budget re-spreads onto the big one
+    val m1 = alloc(Seq(("s", 10L, 1L), ("b", 100L, 1L)), 60L)
+    assert(m1 == Map("s" -> (true, 10.0), "b" -> (false, 50.0)), s"$m1")
+    // budget covers everything -> all saturated at availability
+    val m2 = alloc(Seq(("s", 10L, 1L), ("b", 100L, 1L)), 200L)
+    assert(m2 == Map("s" -> (true, 10.0), "b" -> (true, 100.0)), s"$m2")
+    // nobody saturates -> plain proportional split (the m = 0 candidate)
+    val m3 = alloc(Seq(("s", 10L, 1L), ("b", 100L, 1L)), 16L)
+    assert(m3 == Map("s" -> (false, 8.0), "b" -> (false, 8.0)), s"$m3")
+    // integer target weights shift both the order and the spread
+    val m4 = alloc(Seq(("s", 10L, 3L), ("b", 100L, 1L)), 40L)
+    assert(m4 == Map("s" -> (true, 10.0), "b" -> (false, 30.0)), s"$m4")
+    // conservation: when the budget is binding, allocations sum to it
+    assert(m1.values.map(_._2).sum == 60.0 && m3.values.map(_._2).sum == 16.0
+      && m4.values.map(_._2).sum == 40.0)
+  }
 }
