@@ -80,6 +80,10 @@ object QuerySession {
       .createOrReplaceTempView("random_projection")
     graft.ops.Similarity.q93SemanticDecontamination(spark, sfDir)
       .createOrReplaceTempView("semantic_decontamination")
+    // the budget-vs-availability plan — windows run over a ≤|langs|-row
+    // aggregate, so the view stays a cheap lazy plan
+    graft.ops.Mixing.q95MixtureAllocation(spark, sfDir)
+      .createOrReplaceTempView("mixture_allocation")
   }
 
   /** The frame-based core: given already-read base tables, registration
@@ -201,6 +205,9 @@ object QuerySession {
     // q83: same training cost, stratum-balanced draw on top
     graft.ops.Clustering.q83ClusterSample(spark, sfDir)
       .createOrReplaceTempView("cluster_sample")
+    // q94: trains its own centroids, then one tiny labeled aggregate
+    graft.ops.Clustering.q94ClusterPurity(spark, sfDir)
+      .createOrReplaceTempView("cluster_purity")
     // q84: materializes the hourly partials store (two write jobs) and
     // serves the daily rollup from it
     graft.ops.Rollup.q84RollupMaintenance(spark, sfDir)

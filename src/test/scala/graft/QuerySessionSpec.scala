@@ -288,6 +288,22 @@ class QuerySessionSpec extends SparkSpec {
         |        WHERE NOT quarantined AND n_eval_partners > 0) = 0""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(sd, "semantic_decontamination verdicts inconsistent")
+    // purity is total over the clusters and bounded; the allocation view
+    // conserves the budget (binding here: budget = 80% of availability)
+    val cp = spark.sql(
+      """SELECT (SELECT count(*) FROM cluster_purity
+        |        WHERE n_top > n_vectors OR purity <= 0 OR purity > 1) = 0
+        |   AND (SELECT CAST(sum(n_vectors) AS BIGINT) FROM cluster_purity) =
+        |       (SELECT count(*) FROM embeddings)""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(cp, "cluster_purity malformed or not total")
+    val ma = spark.sql(
+      """SELECT abs((SELECT sum(allocated) FROM mixture_allocation) -
+        |           (SELECT max(budget) FROM mixture_allocation)) < 1e-6
+        |   AND (SELECT count(*) FROM mixture_allocation
+        |        WHERE allocated > n_avail + 1e-9) = 0""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(ma, "mixture_allocation breaks conservation or caps")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {

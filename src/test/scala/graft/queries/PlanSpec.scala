@@ -540,6 +540,37 @@ class PlanSpec extends SparkSpec {
     assert(!physical.toString.contains("CartesianProduct"))
   }
 
+  test("q92: the JL projection is a pure narrow map — no hash shuffle, no join") {
+    val p = plan("q92_random_projection")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"projection grew a hash shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection grew a join:\n$p")
+    assert(!p.contains("Generate"), s"projection explodes rows:\n$p")
+  }
+
+  test("q93: eval side broadcasts; no sort-merge join, no corpus window") {
+    val p = plan("q93_semantic_decontamination")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"eval suite must ride a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the scoring join must not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("q95: windows only over the per-lang aggregate, never the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val physical = graft.SparkEntry.queries("q95_mixture_allocation")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the ranked prefix windows")
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"window over raw (unaggregated) rows:\n$w")
+    }
+  }
+
   test("q61: source quota is the bounded top_k aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val physical = graft.SparkEntry.queries("q61_source_quota")(spark, dir)
