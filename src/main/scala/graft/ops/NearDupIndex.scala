@@ -317,7 +317,7 @@ object NearDupIndex {
   /** Restore any `<dir>.bak` left by a crash between the two renames of
     * a bucket swap: if the live dir is missing, the bak IS the live
     * data; if both exist the swap completed and the bak is surplus. */
-  private def recoverBakDirs(s: SparkSession, root: String): Unit = {
+  private[ops] def recoverBakDirs(s: SparkSession, root: String): Unit = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(rp)) return
@@ -332,7 +332,7 @@ object NearDupIndex {
   /** Swap-rewrite the named bucket dirs of a partitioned store with
     * `keep` applied. Buckets whose every row is dropped end up with no
     * dir — exactly what a fresh write would produce. */
-  private def rewriteBuckets(s: SparkSession, root: String, bucketCol: String,
+  private[ops] def rewriteBuckets(s: SparkSession, root: String, bucketCol: String,
                              buckets: Array[Int],
                              keep: DataFrame => DataFrame,
                              sortCols: Seq[String]): Unit = {

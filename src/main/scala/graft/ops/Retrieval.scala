@@ -326,7 +326,31 @@ object Retrieval {
     import s.implicits._
     Seq(nBuckets).toDF("n_buckets").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_meta")
+    // per-doc sidecars for the DELETE path: document lengths (ALL docs,
+    // the totals convention — empty docs count) bucketed by doc id, and
+    // each doc's distinct posting buckets (≤ nBuckets ints/doc) — the
+    // reverse map that lets a purge find its touched dirs without
+    // scanning the store
+    Par.widen(docs).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("dl"))
+      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_dl")
+    s.read.parquet(dst).select(col("doc_id"), col("bucket")).distinct()
+      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_docbuckets")
   }
+
+  /** Doc id → sidecar partition bucket (plain modulo — ids are already
+    * uniform enough for file sizing, and the purge only needs pruning,
+    * not balance guarantees). */
+  private def docBucketCol(id: Column, nBuckets: Int): Column =
+    pmod(id, lit(nBuckets.toLong)).cast("int")
 
   /** BM25 top-k against a [[writePostingsBucketed]] layout: reads ONLY
     * the query terms' partition dirs (literal bucket set → static
@@ -354,17 +378,131 @@ object Retrieval {
     val query = query0.map(_.toLowerCase) // the bm25TopK normalization rule
     val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
     val buckets = query.map(termBucket(_, nBuckets)).distinct
-    val tf = s.read.parquet(dst)
+    val tf0 = s.read.parquet(dst)
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .filter(col("term").isin(query: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val dfreq = s.read.parquet(dst + "_df")
+    val dfreq0 = s.read.parquet(dst + "_df")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .filter(col("term").isin(query: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val totals = s.read.parquet(dst + "_totals")
+    val totals0 = s.read.parquet(dst + "_totals")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_total")).as("n_total"))
-    (tf, dfreq, totals)
+    if (!pathExists(s, dst + "_tombstones")) (tf0, dfreq0, totals0)
+    else {
+      // masked probe: tombstoned docs vanish from the ranking AND from
+      // every statistic (df, n_docs, avgdl) — a masked index must score
+      // exactly like one freshly built from the surviving corpus
+      // (RetrievalSpec asserts that equality). Corrections cost:
+      // the df fix reuses the rows this probe already read; the totals
+      // fix reads the dead doc-length rows pruned to the tombstones'
+      // dbuckets (O(deleted) until the purge collapses it to zero).
+      val tombRaw = s.read.parquet(dst + "_tombstones")
+      val tomb = tombRaw.select(col("doc_id")).distinct()
+      val dBuckets = tombRaw.select(col("dbucket")).distinct()
+        .collect().map(_.getInt(0))
+      val tf = tf0.join(tomb, Seq("doc_id"), "left_anti")
+      val deadDf = tf0.join(tomb, Seq("doc_id"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+      val dfreq = dfreq0.join(deadDf, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      val deadTotals = s.read.parquet(dst + "_dl")
+        .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
+        .join(tomb, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("dn"), coalesce(sum(col("dl")), lit(0L)).as("ddl"))
+      val totals = totals0.crossJoin(deadTotals)
+        .select((col("n_docs") - col("dn")).as("n_docs"),
+          (col("n_total") - col("ddl")).as("n_total"))
+      (tf, dfreq, totals)
+    }
+  }
+
+  private def pathExists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Mark indexed documents DELETED without touching the posting store:
+    * appends (doc_id, dbucket) rows to the `_tombstones` sidecar. Every
+    * probe masks them immediately — ranking, df and totals all behave
+    * as if the index had been rebuilt without the dead docs — and
+    * [[purgePostingTombstones]] later drops the rows physically.
+    * Idempotent (duplicates collapse at read); partition-aligned write,
+    * so a mass delete never serializes through one task. Composes with
+    * [[graft.ops.SnapshotDiff]] exactly like the near-dup index's
+    * delete path. Returns tombstones written. */
+  def tombstonePostings(ids: DataFrame, dst: String): Long = {
+    val s = ids.sparkSession
+    val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
+    val rows = ids.select(col("doc_id")).distinct()
+      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+    rows.repartition(col("dbucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_tombstones")
+    rows.count()
+  }
+
+  /** Physically drop tombstoned docs from the posting layout. Touched
+    * posting buckets come from the `_docbuckets` reverse map (pruned to
+    * the dead ids' dbuckets — never a store scan); each touched dir is
+    * swap-rewritten via the shared bak-swap machinery, then negative
+    * df/totals segments (computed from the dead rows PINNED before the
+    * rewrite) keep the probe-time sums equal to a fresh rebuild. The
+    * sidecar is cleared LAST: a crash anywhere leaves tombstones
+    * standing and probes correct, and a re-run finishes the job —
+    * re-read stores hold no dead rows, so corrections can never apply
+    * twice (the one crash window, rewrites-done-segments-unwritten,
+    * leaves df/totals conservatively HIGH — idf shades down, rankings
+    * never include a deleted doc; the near-dup purge's same trade).
+    * Returns (docs purged, posting buckets rewritten). */
+  def purgePostingTombstones(s: SparkSession, dst: String): (Long, Array[Int]) = {
+    NearDupIndex.recoverBakDirs(s, dst)
+    NearDupIndex.recoverBakDirs(s, dst + "_docbuckets")
+    NearDupIndex.recoverBakDirs(s, dst + "_dl")
+    if (!pathExists(s, dst + "_tombstones")) return (0L, Array.empty)
+    val dead = s.read.parquet(dst + "_tombstones")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val nDead = dead.count()
+    if (nDead == 0) return (0L, Array.empty)
+    val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
+    val dBuckets = dead.select(docBucketCol(col("doc_id"), nBuckets).as("db"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val touched = s.read.parquet(dst + "_docbuckets")
+      .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
+      .join(dead, Seq("doc_id"), "left_semi")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
+    // pin the dead rows BEFORE the rewrites drop them — they become the
+    // correction segments below
+    val deadPost = s.read.parquet(dst)
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .join(dead, Seq("doc_id"), "left_semi")
+      .select(col("term")).localCheckpoint()
+    val deadDl = s.read.parquet(dst + "_dl")
+      .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
+      .join(dead, Seq("doc_id"), "left_semi")
+      .select(col("dl")).localCheckpoint()
+    NearDupIndex.rewriteBuckets(s, dst, "bucket", touched,
+      _.join(dead, Seq("doc_id"), "left_anti"), Seq("term", "doc_id"))
+    NearDupIndex.rewriteBuckets(s, dst + "_docbuckets", "dbucket", dBuckets,
+      _.join(dead, Seq("doc_id"), "left_anti"), Seq("doc_id"))
+    NearDupIndex.rewriteBuckets(s, dst + "_dl", "dbucket", dBuckets,
+      _.join(dead, Seq("doc_id"), "left_anti"), Seq("doc_id"))
+    deadPost.groupBy(col("term")).agg((-count(lit(1))).as("df"))
+      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
+      .repartition(col("bucket")).sortWithinPartitions(col("term"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("bucket").parquet(dst + "_df")
+    deadDl.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("n_total"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals")
+    // clear the sidecar LAST — any crash above leaves probes correct
+    val tp = new org.apache.hadoop.fs.Path(dst + "_tombstones")
+    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+    (nDead, touched)
   }
 
   /** Incremental append to a [[writePostingsBucketed]] layout — the
@@ -382,11 +520,13 @@ object Retrieval {
     val s = newDocs.sparkSession
     import s.implicits._
     val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)
-    val d = Par.widen(newDocs)
+    // ALL new docs (empty ones included — the write-time totals
+    // convention): feeds the totals delta and the _dl sidecar
+    val dAll = Par.widen(newDocs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
-      .filter(size(col("l")) > 0)
-      .localCheckpoint() // feeds postings AND the totals delta
+      .localCheckpoint()
+    val d = dAll.filter(size(col("l")) > 0)
     val postings = d
       .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -407,9 +547,22 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket")
       .parquet(dst + "_df")
-    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+    dAll.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals")
+    // delete-path sidecars ride the append too
+    dAll.select(col("doc_id"), col("dl"))
+      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_dl")
+    postings.select(col("doc_id"), col("bucket")).distinct()
+      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("dbucket").parquet(dst + "_docbuckets")
     val touched = postings.select(col("bucket")).distinct()
       .as[Int].collect().sorted
     (postings.count(), touched)

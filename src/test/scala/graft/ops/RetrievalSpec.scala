@@ -48,6 +48,55 @@ class RetrievalSpec extends SparkSpec {
     assert(sparkSide == terms.map(Retrieval.termBucket(_, 16)))
   }
 
+  test("bm25 index deletes: masked probe ≡ survivor rebuild; purge physical; re-run no-op") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val dst = java.nio.file.Files.createTempDirectory("graft-postings-del")
+      .toFile.getAbsolutePath + "/idx"
+    Retrieval.writePostingsBucketed(docs, dst, nBuckets = 16)
+    val q = Seq("spark", "vector", "merge", "window")
+
+    // delete a slice that includes docs HOLDING query terms (so df and
+    // rankings must actually move, not just the totals)
+    val deadIds = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val nTomb = Retrieval.tombstonePostings(deadIds, dst)
+    assert(nTomb > 0)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+    val expect = bm25TopK(survivors, q, k = 20).collect().toSeq
+    assert(expect != bm25TopK(docs, q, k = 20).collect().toSeq,
+      "fixture too weak: the deleted slice does not change the ranking")
+
+    // masked probe ≡ an index freshly built from the survivors
+    val masked = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
+    assert(masked == expect, "masked probe diverged from a survivor rebuild")
+
+    // physical purge: same answers, no tombstone sidecar, no dead rows
+    val (purged, touched) = Retrieval.purgePostingTombstones(spark, dst)
+    assert(purged == nTomb && touched.nonEmpty)
+    assert(!new java.io.File(dst + "_tombstones").exists)
+    val afterPurge = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
+    assert(afterPurge == expect, "post-purge probe diverged")
+    val deadLeft = spark.read.parquet(dst)
+      .join(deadIds, Seq("doc_id"), "left_semi").count()
+    assert(deadLeft == 0, s"$deadLeft dead posting rows survived the purge")
+
+    // purge re-run is a no-op; answers stable
+    val (rerunN, rerunBuckets) = Retrieval.purgePostingTombstones(spark, dst)
+    assert(rerunN == 0L && rerunBuckets.isEmpty)
+    assert(Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq == expect)
+
+    // delete-then-append composes: append fresh docs after the purge,
+    // the index answers like a scan of (survivors ∪ appended)
+    val appended = survivors.limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Retrieval.appendToPostings(appended, dst)
+    val unioned = survivors.select(col("doc_id"), col("text"))
+      .unionByName(appended)
+    val scanU = bm25TopK(unioned, q, k = 20).collect().toSeq
+    val idxU = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
+    assert(idxU == scanU, "post-purge append diverged from the unioned scan")
+  }
+
   test("bm25 index append: equals a scan of the unioned corpus; untouched buckets stable") {
     val docs = graft.Tables.documents(spark, dir)
     val first = docs.filter(col("doc_id") % 2 === 0)
