@@ -162,6 +162,8 @@ object SparkEntry {
       graft.ops.Clustering.q94ClusterPurity(s, dir)),
     "q95_mixture_allocation" -> ((s: SparkSession, dir: String) =>
       graft.ops.Mixing.q95MixtureAllocation(s, dir)),
+    "q96_index_delete_probe" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Retrieval.q96IndexDeleteProbe(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -524,5 +526,6 @@ object SparkEntry {
     "q93_semantic_decontamination" -> ExtensionOracles.q93SemanticDecontamination,
     "q94_cluster_purity" -> ExtensionOracles.q94ClusterPurity,
     "q95_mixture_allocation" -> ExtensionOracles.q95MixtureAllocation,
+    "q96_index_delete_probe" -> ExtensionOracles.q96IndexDeleteProbe,
   )
 }

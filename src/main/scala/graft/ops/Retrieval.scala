@@ -423,6 +423,28 @@ object Retrieval {
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** q96: the postings DELETE path as a DECLARED query — the
+    * write→tombstone→masked-probe chain hash-proven in the driver gate
+    * (the q89 rule: the layout rebuilds from scratch each run so the
+    * gate can never read an index stale against regenerated testdata):
+    * index ALL documents, tombstone the %5=0 slice, rank the q58 query
+    * against the masked index. The oracle is q58's own SQL restricted
+    * to the surviving documents — totals, df and rankings must all
+    * behave as if the dead docs never existed.
+    *
+    * Cost note: like q89, the declared query pays the full index write
+    * every run; a standing deployment pays it once and each probe is
+    * the ~2 s masked read (the wave-5 soak's split). */
+  def q96IndexDeleteProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = new org.apache.hadoop.fs.Path("/tmp/graft_postings_delete")
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    val dst = "/tmp/graft_postings_delete/idx"
+    writePostingsBucketed(docs, dst)
+    tombstonePostings(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), dst)
+    bucketedBm25TopK(s, dst, Seq("spark", "vector", "merge", "window"), 20)
+  }
+
   /** Mark indexed documents DELETED without touching the posting store:
     * appends (doc_id, dbucket) rows to the `_tombstones` sidecar. Every
     * probe masks them immediately — ranking, df and totals all behave

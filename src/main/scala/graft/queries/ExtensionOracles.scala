@@ -891,6 +891,37 @@ object ExtensionOracles {
        |FROM topk
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q96: q58's BM25 replay restricted to the SURVIVING
+    * documents — a tombstone-masked index must rank, count df and
+    * average dl exactly as if the dead docs never existed. */
+  val q96IndexDeleteProbe: String =
+    s"""WITH $tokCte,
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok
+       |      WHERE doc_id % 5 <> 0),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN ('spark', 'vector', 'merge', 'window')
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.dl,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
+       |  FROM sc GROUP BY doc_id),
+       |topk AS (SELECT * FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+       |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
+       |FROM topk
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q59: sliding 64-token windows at stride 48. Chunk count
     * and offsets are exact integer arithmetic; the per-chunk hash is md5
     * of the space-joined clamped slice on both sides. */
