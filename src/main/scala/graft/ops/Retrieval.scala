@@ -423,6 +423,15 @@ object Retrieval {
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** The distinct tombstoned doc_ids (typed empty frame when none). */
+  def postingTombstones(s: SparkSession, dst: String): DataFrame =
+    if (pathExists(s, dst + "_tombstones"))
+      s.read.parquet(dst + "_tombstones").select(col("doc_id")).distinct()
+    else {
+      import s.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }
+
   /** q96: the postings DELETE path as a DECLARED query — the
     * write→tombstone→masked-probe chain hash-proven in the driver gate
     * (the q89 rule: the layout rebuilds from scratch each run so the
@@ -464,6 +473,39 @@ object Retrieval {
       .option("compression", "snappy")
       .partitionBy("dbucket").parquet(dst + "_tombstones")
     rows.count()
+  }
+
+  /** One-call maintenance of a standing posting index against a living
+    * corpus — the [[NearDupIndex.sync]] contract applied here: classify
+    * `newDocs` vs the indexed snapshot `oldDocs` (SnapshotDiff) and
+    * apply the cheapest correct mechanism per verdict — changed →
+    * tombstone + eager purge + re-append; removed → tombstone only
+    * (mask now, purge in a later compaction window); added → append.
+    * The eager purge fires whenever an INCOMING id is currently
+    * tombstoned (a doc removed in one sync and re-added later must not
+    * stay masked — appending under a standing tombstone would hide the
+    * new twin forever). Returns (purged, masked, appended). */
+  def syncPostings(oldDocs: DataFrame, newDocs: DataFrame,
+                   dst: String): (Long, Long, Long) = {
+    val s = newDocs.sparkSession
+    val d = SnapshotDiff.diff(oldDocs, newDocs)
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .localCheckpoint()
+    val changed = d.filter(col("status") === "changed").select("doc_id")
+    val removed = d.filter(col("status") === "removed").select("doc_id")
+    val toAddIds = d.filter(col("status") =!= "removed").select("doc_id")
+    val maskedIncoming = postingTombstones(s, dst).join(toAddIds, Seq("doc_id"))
+    val purged =
+      if (changed.isEmpty && maskedIncoming.isEmpty) 0L
+      else {
+        if (!changed.isEmpty) tombstonePostings(changed, dst)
+        purgePostingTombstones(s, dst)._1
+      }
+    val masked = if (removed.isEmpty) 0L else tombstonePostings(removed, dst)
+    val toAdd = newDocs.join(toAddIds, Seq("doc_id"))
+    val appended = if (toAdd.isEmpty) 0L else appendToPostings(toAdd, dst)._1
+    (purged, masked, appended)
   }
 
   /** Physically drop tombstoned docs from the posting layout. Touched

@@ -87,7 +87,7 @@ class RetrievalSpec extends SparkSpec {
 
     // delete-then-append composes: append fresh docs after the purge,
     // the index answers like a scan of (survivors ∪ appended)
-    val appended = survivors.limit(20)
+    val appended = survivors.orderBy(col("doc_id")).limit(20)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     Retrieval.appendToPostings(appended, dst)
     val unioned = survivors.select(col("doc_id"), col("text"))
@@ -95,6 +95,41 @@ class RetrievalSpec extends SparkSpec {
     val scanU = bm25TopK(unioned, q, k = 20).collect().toSeq
     val idxU = Retrieval.bucketedBm25TopK(spark, dst, q, k = 20).collect().toSeq
     assert(idxU == scanU, "post-purge append diverged from the unioned scan")
+  }
+
+  test("bm25 index sync: add/remove/change/re-add all land; index ≡ scan of the new corpus") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dst = java.nio.file.Files.createTempDirectory("graft-postings-sync")
+      .toFile.getAbsolutePath + "/idx"
+    Retrieval.writePostingsBucketed(docs, dst, nBuckets = 16)
+    val q = Seq("spark", "vector", "merge", "window")
+
+    // corpus v2: %7==0 docs removed, %7==1 docs changed (text mutated so
+    // the ranking must move), 20 fresh docs added
+    val removedIds = docs.filter(col("doc_id") % 7 === 0)
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        org.apache.spark.sql.functions.when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" spark spark window"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 2)
+        .orderBy(col("doc_id")).limit(20)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val (purged, masked, appended) = Retrieval.syncPostings(docs, v2, dst)
+    assert(purged > 0 && masked > 0 && appended > 0,
+      s"sync must exercise all three verdicts: $purged/$masked/$appended")
+    assert(Retrieval.bucketedBm25TopK(spark, dst, q, 20).collect().toSeq ==
+      bm25TopK(v2, q, 20).collect().toSeq,
+      "synced index diverged from a scan of the new corpus")
+
+    // re-add a lazily-removed doc in a LATER sync: the standing
+    // tombstone must not mask the returning twin
+    val readd = removedIds.orderBy(col("doc_id")).limit(5)
+    val v3 = v2.unionByName(readd)
+    Retrieval.syncPostings(v2, v3, dst)
+    assert(Retrieval.bucketedBm25TopK(spark, dst, q, 20).collect().toSeq ==
+      bm25TopK(v3, q, 20).collect().toSeq,
+      "re-added docs stayed masked after a lazy removal sync")
   }
 
   test("bm25 index append: equals a scan of the unioned corpus; untouched buckets stable") {
