@@ -185,6 +185,29 @@ object Retrieval {
     * collect-and-release otherwise hides behind a local relation. */
   private[graft] def hardNegativesLazy(
       docs: DataFrame, isQuery: Column, k: Int,
+      dfCap: Long): (DataFrame, Seq[DataFrame]) =
+    hardNegativesLazyFrom(docs, _.filter(isQuery), k, dfCap)
+
+  /** [[hardNegatives]] with the query set given as a doc_id FRAME (the
+    * anchor list a contrastive materialization computes) instead of a
+    * column predicate — membership rides a semi-join, so a dynamic
+    * anchor set never becomes a driver-side id list. */
+  def hardNegativesFor(docs: DataFrame, queryIds: DataFrame, k: Int = 10,
+                       dfCap: Long = 0L): DataFrame = {
+    val (out, caches) = hardNegativesLazyFrom(docs,
+      _.join(queryIds.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      k, dfCap)
+    val rows =
+      try out.collect()
+      finally caches.foreach(_.unpersist())
+    val sess = docs.sparkSession
+    sess.createDataFrame(sess.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private[graft] def hardNegativesLazyFrom(
+      docs: DataFrame, selectQueries: DataFrame => DataFrame, k: Int,
       dfCap: Long): (DataFrame, Seq[DataFrame]) = {
     val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
@@ -193,7 +216,7 @@ object Retrieval {
     // (query_id, term): each query doc's distinct tokens, in-row dedup.
     // cache(): consumed twice (qset below, inform's probe side) — tiny
     // rows, but each uncached reference re-scans the corpus
-    val qterms = Par.widen(docs).filter(isQuery)
+    val qterms = selectQueries(Par.widen(docs))
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
       .cache()

@@ -108,6 +108,64 @@ object Sharding {
     })((kept, e) =>
       Selection.epochShuffle(kept.select(col("doc_id")), e, docsPerShard))
 
+  /** Contrastive training-set materialization — the (anchor, positive,
+    * negatives) triples a retrieval/embedding trainer consumes, laid
+    * out as position-ordered shards:
+    *
+    *   - anchors: a BOUNDED deterministic draw (the q52 salted-min-hash
+    *     rule, `maxAnchors` smallest keys) from the docs that HAVE a
+    *     MinHash near-dup partner — an anchor without a positive can't
+    *     form a triple;
+    *   - positive: the anchor's min-id near-dup partner ("same content,
+    *     different bytes" — the classic weak-supervision positive);
+    *   - negatives: q71's BM25 hard negatives FOR those anchors
+    *     (term-overlapping but near-dup-excluded — lexically close
+    *     enough to be hard, provably not the same document), rank-
+    *     ordered, ≤ kNeg per anchor;
+    *   - layout: the standard epoch-shuffled shard writer + manifest.
+    *
+    * Scale: the anchor cut is a TakeOrdered over the partner aggregate;
+    * the negative probe costs corpus-hits × |anchors| (q71's documented
+    * trade — `maxAnchors` is the knob); everything else is bounded
+    * joins on the anchor set. Returns the triple frame for audit. */
+  def materializeContrastiveSet(s: SparkSession, dir: String, dst: String,
+                                kNeg: Int = 4, maxAnchors: Int = 64,
+                                docsPerShard: Long = 16L,
+                                nEpochs: Int = 1): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sym = Dedup.minhashLshPairs(docs, pin = "checkpoint")
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("p")),
+        struct(col("d2").as("a"), col("d1").as("p")))).as("e"))
+      .select(col("e.a").as("doc_id"), col("e.p").as("pos_id"))
+    val partners = sym.groupBy(col("doc_id")).agg(min(col("pos_id")).as("pos_id"))
+    val anchors = partners
+      .withColumn("skey", md5(concat(lit("contrastive:"), col("doc_id"))))
+      .orderBy(col("skey"), col("doc_id")).limit(maxAnchors)
+      .select(col("doc_id"), col("pos_id"))
+      .localCheckpoint() // feeds the probe, the triple join, the shuffle
+    val negs = Retrieval.hardNegativesFor(docs, anchors.select(col("doc_id")), kNeg)
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("rank").as("r"), col("doc_id").as("n"))).as("ns"))
+      .select(col("query_id").as("doc_id"),
+        transform(array_sort(col("ns")), x => x.getField("n")).as("neg_ids"))
+    val rows = anchors.join(docs, "doc_id")
+      .join(negs, Seq("doc_id"), "left")
+      .withColumn("neg_ids",
+        coalesce(col("neg_ids"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .localCheckpoint()
+    (1 to nEpochs)
+      .map { e =>
+        writeShards(rows, Selection.epochShuffle(
+          rows.select(col("doc_id")), e, docsPerShard), s"$dst/epoch=$e")
+        shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
+      }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/_manifest")
+    rows.orderBy(col("doc_id"))
+  }
+
   /** The shared materialization loop — the assignment builder is the
     * only per-flavor code; `enrich` lets a flavor add columns to the
     * keeper frame (inside the pin, so per-epoch consumers reuse it). */

@@ -410,6 +410,43 @@ class RetrievalSpec extends SparkSpec {
     assert(sizes.init.forall(_._2 == 16))
   }
 
+  test("contrastive shards: positives are true partners, negatives dup-free, draw deterministic") {
+    val base = java.nio.file.Files.createTempDirectory("graft-contrastive").toString
+    val rows = Sharding.materializeContrastiveSet(spark, dir, base,
+        kNeg = 4, maxAnchors = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3)))
+    assert(rows.nonEmpty && rows.length <= 16)
+
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val partnerOf = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (a, p, negs) =>
+      assert(partnerOf(a).contains(p), s"anchor $a: positive $p is not a partner")
+      assert(p == partnerOf(a).min, s"anchor $a: positive must be the min partner")
+      assert(negs.length <= 4 && !negs.contains(a))
+      negs.foreach(n => assert(!partnerOf(a).contains(n),
+        s"anchor $a: negative $n is a near-dup partner"))
+    }
+
+    // the anchor draw is the q52 salted-hash rule — recompute driver-side
+    def skey(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"contrastive:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expectAnchors = partnerOf.keySet.toSeq.sortBy(id => (skey(id), id))
+      .take(16).toSet
+    assert(rows.map(_._1).toSet == expectAnchors, "anchor draw not deterministic")
+
+    // shard read-back: exactly the anchors, and the manifest certifies it
+    val shardIds = spark.read.parquet(s"$base/epoch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardIds == expectAnchors)
+    assert(Sharding.validateManifest(spark, base).count() == 0)
+  }
+
   test("tokenized shards: rows carry ids that re-derive from the persisted tokenizer tables") {
     val base = java.nio.file.Files.createTempDirectory("graft-tokshards").toString
     val verdicts = Sharding.materializeTokenizedTrainingSet(spark, dir, base,
