@@ -164,6 +164,8 @@ object SparkEntry {
       graft.ops.Mixing.q95MixtureAllocation(s, dir)),
     "q96_index_delete_probe" -> ((s: SparkSession, dir: String) =>
       graft.ops.Retrieval.q96IndexDeleteProbe(s, dir)),
+    "q97_quality_calibration" -> ((s: SparkSession, dir: String) =>
+      graft.ops.QualityModel.q97QualityCalibration(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,5 +529,6 @@ object SparkEntry {
     "q94_cluster_purity" -> ExtensionOracles.q94ClusterPurity,
     "q95_mixture_allocation" -> ExtensionOracles.q95MixtureAllocation,
     "q96_index_delete_probe" -> ExtensionOracles.q96IndexDeleteProbe,
+    "q97_quality_calibration" -> ExtensionOracles.q97QualityCalibration,
   )
 }

@@ -40,6 +40,29 @@ object QualityModel {
     score(feats, w).orderBy(col("doc_id"))
   }
 
+  /** q97: the model-TRUST table next to the model — reliability
+    * calibration of the q68 scorer: per predicted-probability decile,
+    * how many docs land there, the mean predicted probability and the
+    * empirical keep rate. A well-calibrated scorer has the two close in
+    * every populated bin; a gap says "don't threshold here". Bins are
+    * floor(score·10) with 1.0 folded into the top bin; the mean rides a
+    * DECIMAL sum of the round-9 scores (accumulation-order-free), one
+    * rounded divide at the end. One aggregate over the scored frame —
+    * the training cost is q68's, the calibration itself is ~free. */
+  def q97QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val feats = features(Tables.documents(s, dir))
+    val w = trainLogistic(feats)
+    feats.select(pOf(w).as("score"), col("y"))
+      .withColumn("bin", least(floor(col("score") * 10), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(20,9)")).cast("double") /
+          count(lit(1)).cast("double"), 12).as("mean_score"),
+        round(sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 12).as("keep_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-doc features from the ONE verdict definition (q39's
     * `filterVerdicts`): x1 is the length margin nt/20 − 1 — centered at
     * the rule threshold so the boundary sits near x1=0 and full-batch

@@ -1433,7 +1433,10 @@ object ExtensionOracles {
     * digits before use (libm exp ulp divergence), and the weight update
     * round(w − 4·(g/n), 12) copies the engine's expression tree
     * token-for-token, so every iteration's weights are bit-identical. */
-  val q68QualityModel: String = {
+  /** The shared q68 CTE chain (feature build + the 15 replayed GD
+    * iterations + per-doc round-9 scores in `sc`) — q68 reads per-doc
+    * rows from it, q97 bins them into a calibration table. */
+  private val q68ScoredCtes: String = {
     val z = "(i.w0 + i.w1*f.x1 + i.w2*f.x2 + i.w3*f.x3 + i.w4*f.x4)"
     val gsum = (j: Int, x: String) =>
       s"SUM(CAST(round((p - y) * $x, 12) AS DECIMAL(28,12))) AS g$j"
@@ -1486,12 +1489,33 @@ object ExtensionOracles {
        |        CAST(0.0 AS DOUBLE) AS w4),
        |$iterCtes,
        |sc AS (SELECT f.doc_id, round(1.0/(1.0 + exp(-$zm)), 9) AS score, f.y
-       |  FROM feats f CROSS JOIN it15 m)
+       |  FROM feats f CROSS JOIN it15 m)""".stripMargin
+  }
+
+  val q68QualityModel: String =
+    s"""$q68ScoredCtes
        |SELECT doc_id, score, score >= 0.5 AS predicted, y = 1.0 AS label,
        |  (score >= 0.5) = (y = 1.0) AS correct
        |FROM sc
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** Mirrors q97: reliability-calibration bins over the q68 scores —
+    * per score decile, how many docs, the mean predicted probability
+    * (DECIMAL-summed round-9 scores, one final rounded divide) and the
+    * empirical keep rate. floor(score*10) is one IEEE multiply+floor of
+    * a round-9 double — identical bins on both engines; score = 1.0
+    * folds into the top bin. */
+  val q97QualityCalibration: String =
+    s"""$q68ScoredCtes,
+       |b AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+       |    CAST(score AS DECIMAL(20,9)) AS sd, y
+       |  FROM sc)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  round(CAST(SUM(sd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12) AS mean_score,
+       |  round(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(COUNT(*) AS DOUBLE), 12) AS keep_rate
+       |FROM b GROUP BY bin
+       |ORDER BY bin""".stripMargin
 
   /** Mirrors q65: trainer-true BPE token counts, REPLAYED from the
     * merge table the query persists (merges are data, not code — the
