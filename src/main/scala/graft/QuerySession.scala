@@ -188,9 +188,12 @@ object QuerySession {
     graft.ops.Bpe.q91TokenIds(spark, sfDir)
       .createOrReplaceTempView("token_ids")
     // trains the q68 logistic scorer (15 aggregate jobs over a cached
-    // feature frame) and freezes the weights into a scoring view
+    // feature frame) and freezes the weights into a scoring view,
+    // plus its q97 reliability-calibration rollup
     graft.ops.QualityModel.q68QualityModel(spark, sfDir)
       .createOrReplaceTempView("quality_scores")
+    graft.ops.QualityModel.q97QualityCalibration(spark, sfDir)
+      .createOrReplaceTempView("quality_calibration")
     // q71: bounded (k × |queries|) result, collected so the op can
     // release its caches — eager by design, so it lives here
     graft.ops.Retrieval.q71HardNegatives(spark, sfDir)

@@ -304,6 +304,17 @@ class QuerySessionSpec extends SparkSpec {
         |        WHERE allocated > n_avail + 1e-9) = 0""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(ma, "mixture_allocation breaks conservation or caps")
+    // calibration bins reconcile with the per-doc score view they share
+    // a trained model with
+    val qc = spark.sql(
+      """SELECT (SELECT CAST(sum(n_docs) AS BIGINT) FROM quality_calibration) =
+        |       (SELECT count(*) FROM quality_scores)
+        |   AND (SELECT count(*) FROM quality_calibration
+        |        WHERE keep_rate < 0 OR keep_rate > 1
+        |           OR mean_score < CAST(bin AS DOUBLE) / 10 - 1e-9
+        |           OR mean_score > CAST(bin + 1 AS DOUBLE) / 10 + 1e-9) = 0""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(qc, "quality_calibration inconsistent with quality_scores")
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
