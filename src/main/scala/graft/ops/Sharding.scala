@@ -166,6 +166,65 @@ object Sharding {
     rows.orderBy(col("doc_id"))
   }
 
+  /** [[materializeContrastiveSet]] served FROM THE STANDING INDEXES —
+    * the form a 100 TB curation stack actually runs: the candidate draw
+    * probes the near-dup index (O(batch), positives + exclusions from
+    * ONE probe), negatives come from the posting layout's term buckets
+    * ([[Retrieval.hardNegativesIndexed]]), and nothing re-tokenizes or
+    * re-pairs the corpus. Candidates without a near-dup partner drop
+    * out (no positive → no triple), so `maxCandidates` bounds the draw,
+    * not the yield. Same shard/manifest layout as the scan flavor. */
+  def materializeContrastiveSetIndexed(s: SparkSession, dir: String,
+                                       postingsDst: String, minhashDst: String,
+                                       dst: String, kNeg: Int = 4,
+                                       maxCandidates: Int = 64,
+                                       docsPerShard: Long = 16L,
+                                       nEpochs: Int = 1): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cands = docs
+      .withColumn("skey", md5(concat(lit("contrastive:"), col("doc_id"))))
+      .orderBy(col("skey"), col("doc_id")).limit(maxCandidates)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // feeds the two probes, the triple join, the shuffle
+    // one index probe yields BOTH the positives and the negative
+    // exclusions (an indexed candidate matches its own stored bands —
+    // drop the self-pairs)
+    val probePairs = NearDupIndex.probeNearDup(s, minhashDst, cands)
+      .filter(col("d1") =!= col("d2"))
+      .localCheckpoint()
+    val sym = probePairs.select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("p")),
+        struct(col("d2").as("a"), col("d1").as("p")))).as("e"))
+      .select(col("e.a").as("doc_id"), col("e.p").as("pos_id"))
+    val anchors = cands.join(
+        sym.groupBy(col("doc_id")).agg(min(col("pos_id")).as("pos_id")),
+        "doc_id")
+      .localCheckpoint()
+    val excl = sym.select(col("doc_id").as("query_id"),
+      col("pos_id").as("doc_id"))
+    val negs = Retrieval.hardNegativesIndexed(s, postingsDst,
+        anchors.select(col("doc_id"), col("text")), excl, kNeg)
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("rank").as("r"), col("doc_id").as("n"))).as("ns"))
+      .select(col("query_id").as("doc_id"),
+        transform(array_sort(col("ns")), x => x.getField("n")).as("neg_ids"))
+    val rows = anchors.select(col("doc_id"), col("pos_id"), col("text"))
+      .join(negs, Seq("doc_id"), "left")
+      .withColumn("neg_ids",
+        coalesce(col("neg_ids"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .localCheckpoint()
+    (1 to nEpochs)
+      .map { e =>
+        writeShards(rows, Selection.epochShuffle(
+          rows.select(col("doc_id")), e, docsPerShard), s"$dst/epoch=$e")
+        shardManifest(s, s"$dst/epoch=$e").withColumn("epoch", lit(e))
+      }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/_manifest")
+    rows.orderBy(col("doc_id"))
+  }
+
   /** The shared materialization loop — the assignment builder is the
     * only per-flavor code; `enrich` lets a flavor add columns to the
     * keeper frame (inside the pin, so per-epoch consumers reuse it). */

@@ -447,6 +447,29 @@ class RetrievalSpec extends SparkSpec {
     assert(Sharding.validateManifest(spark, base).count() == 0)
   }
 
+  test("indexed contrastive set ≡ the scan flavor when the draw covers every doc") {
+    val base = java.nio.file.Files.createTempDirectory("graft-contrastive-idx").toString
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pDst = s"$base/postings"
+    val mDst = s"$base/minhash"
+    Retrieval.writePostingsBucketed(docs, pDst, nBuckets = 16)
+    NearDupIndex.writeMinhashLayout(docs, mDst)
+
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3))).toSeq
+    // a draw bound above the corpus size makes BOTH flavors' anchor set
+    // "every doc with a partner" — the whole dataflow must then agree
+    // row-for-row: positives (probe pairs ≡ full pairs restricted),
+    // negatives (index BM25 ≡ scan BM25, same exclusions), layout
+    val scan = triples(Sharding.materializeContrastiveSet(
+      spark, dir, s"$base/scan", kNeg = 4, maxAnchors = 10000))
+    val idx = triples(Sharding.materializeContrastiveSetIndexed(
+      spark, dir, pDst, mDst, s"$base/idx", kNeg = 4, maxCandidates = 10000))
+    assert(scan.nonEmpty)
+    assert(idx == scan, s"indexed flavor diverged:\nidx=${idx.take(3)}\nscan=${scan.take(3)}")
+    assert(Sharding.validateManifest(spark, s"$base/idx").count() == 0)
+  }
+
   test("tokenized shards: rows carry ids that re-derive from the persisted tokenizer tables") {
     val base = java.nio.file.Files.createTempDirectory("graft-tokshards").toString
     val verdicts = Sharding.materializeTokenizedTrainingSet(spark, dir, base,
