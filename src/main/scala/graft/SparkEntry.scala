@@ -166,6 +166,8 @@ object SparkEntry {
       graft.ops.Retrieval.q96IndexDeleteProbe(s, dir)),
     "q97_quality_calibration" -> ((s: SparkSession, dir: String) =>
       graft.ops.QualityModel.q97QualityCalibration(s, dir)),
+    "q98_contrastive_set"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.Sharding.q98ContrastiveSet(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,5 +532,6 @@ object SparkEntry {
     "q95_mixture_allocation" -> ExtensionOracles.q95MixtureAllocation,
     "q96_index_delete_probe" -> ExtensionOracles.q96IndexDeleteProbe,
     "q97_quality_calibration" -> ExtensionOracles.q97QualityCalibration,
+    "q98_contrastive_set" -> ExtensionOracles.q98ContrastiveSet,
   )
 }

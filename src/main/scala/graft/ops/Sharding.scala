@@ -166,6 +166,19 @@ object Sharding {
     rows.orderBy(col("doc_id"))
   }
 
+  /** q98: the contrastive materialization as a DECLARED query — the
+    * (anchor, positive, negatives) triples hash-proven in the driver
+    * gate (the q89 staleness rule: rebuilt from scratch each run; the
+    * shard layout itself is spec territory, the TRIPLES are the
+    * oracle's). */
+  def q98ContrastiveSet(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path("/tmp/graft_contrastive")
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    materializeContrastiveSet(s, dir, "/tmp/graft_contrastive",
+        kNeg = 4, maxAnchors = 64)
+      .select(col("doc_id"), col("pos_id"), col("neg_ids"))
+  }
+
   /** [[materializeContrastiveSet]] served FROM THE STANDING INDEXES —
     * the form a 100 TB curation stack actually runs: the candidate draw
     * probes the near-dup index (O(batch), positives + exclusions from

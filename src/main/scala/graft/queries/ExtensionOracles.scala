@@ -1206,6 +1206,59 @@ object ExtensionOracles {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors q98: the contrastive triples — the q71 BM25+exclusion
+    * machinery with the query set being the SALTED-DRAW anchors (docs
+    * with a MinHash partner, 64 smallest md5('contrastive:'||id) keys),
+    * positives = min partner, negatives = the rank-ordered top-4 kept
+    * scores assembled into a list. */
+  val q98ContrastiveSet: String =
+    s"""WITH $shingleCtes,
+       |$lshCtes,
+       |pairs AS (SELECT d1, d2 FROM common
+       |  JOIN szc s1 ON common.d1 = s1.doc_id
+       |  JOIN szc s2 ON common.d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |sym AS (SELECT d1 AS a, d2 AS p FROM pairs
+       |        UNION ALL SELECT d2, d1 FROM pairs),
+       |anch AS (SELECT a AS doc_id, MIN(p) AS pos_id FROM sym GROUP BY a
+       |         ORDER BY md5('contrastive:'||CAST(a AS VARCHAR)), a LIMIT 64),
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |qt AS (SELECT DISTINCT an.doc_id AS query_id, unnest(d.l) AS term
+       |       FROM anch an JOIN d ON an.doc_id = d.doc_id),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN (SELECT term FROM qt)
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |inform AS (SELECT qt.query_id, qt.term FROM qt JOIN dfreq USING (term)),
+       |parts AS (SELECT i.query_id, tf.doc_id,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN inform i USING (term) JOIN dfreq USING (term) CROSS JOIN tot
+       |  WHERE tf.doc_id <> i.query_id),
+       |scored AS (SELECT query_id, doc_id, SUM(part) AS sc
+       |           FROM parts GROUP BY query_id, doc_id),
+       |kept AS (SELECT s.query_id, s.doc_id, s.sc FROM scored s
+       |  LEFT JOIN sym e ON s.query_id = e.a AND s.doc_id = e.p
+       |  WHERE e.a IS NULL),
+       |rk AS (SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(sc AS DOUBLE) DESC, doc_id) AS BIGINT) AS rank
+       |  FROM kept),
+       |negs AS (SELECT query_id, list(doc_id ORDER BY rank) AS neg_ids
+       |  FROM rk WHERE rank <= 4 GROUP BY query_id)
+       |SELECT a.doc_id, a.pos_id,
+       |  COALESCE(n.neg_ids, CAST([] AS BIGINT[])) AS neg_ids
+       |FROM anch a LEFT JOIN negs n ON a.doc_id = n.query_id
+       |ORDER BY a.doc_id""".stripMargin
+
   /** Mirrors q72: leakage-safe splits — q32's split CASE, the shared
     * `lshCtes` pair chain, symmetrized edges restricted to eval
     * partners, and a LEFT JOIN + COALESCE so leak-free docs keep their
