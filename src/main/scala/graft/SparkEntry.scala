@@ -168,6 +168,8 @@ object SparkEntry {
       graft.ops.QualityModel.q97QualityCalibration(s, dir)),
     "q98_contrastive_set"   -> ((s: SparkSession, dir: String) =>
       graft.ops.Sharding.q98ContrastiveSet(s, dir)),
+    "q99_rollup_quantiles"  -> ((s: SparkSession, dir: String) =>
+      graft.ops.Rollup.q99RollupQuantiles(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -533,5 +535,6 @@ object SparkEntry {
     "q96_index_delete_probe" -> ExtensionOracles.q96IndexDeleteProbe,
     "q97_quality_calibration" -> ExtensionOracles.q97QualityCalibration,
     "q98_contrastive_set" -> ExtensionOracles.q98ContrastiveSet,
+    "q99_rollup_quantiles" -> ExtensionOracles.q99RollupQuantiles,
   )
 }

@@ -80,6 +80,70 @@ object Rollup {
         col("min_value"), col("max_value"),
         hll_sketch_estimate(col("u")).as("approx_users"))
 
+  /** Where q99 materializes its value-histogram partials. */
+  val HistogramPath = "/tmp/graft_rollup_vhist.parquet"
+
+  /** Value-histogram partial rows — the MERGEABLE state behind exact
+    * percentile serving: (day, bin = floor(value·100), count). Bins
+    * compose by addition, so quantiles of the cent-binned value served
+    * from partials are EXACT (unlike sketch quantiles) — the declared
+    * metric is "percentile at cent granularity", and floor(value·100)
+    * is one IEEE multiply+floor both engines compute identically (the
+    * q97 bin rule; a round() here would sit on half-cent ties the two
+    * engines break differently). */
+  def histogramRows(events: DataFrame): DataFrame =
+    withGrain(events)
+      .withColumn("bin", floor(col("value") * 100).cast("long"))
+      .groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Append a batch's histogram partials — O(batch), no rewrite. */
+  def appendHistograms(events: DataFrame, dst: String): Unit =
+    histogramRows(events)
+      .repartition(col("day"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("day").parquet(dst)
+
+  /** Exact per-day p50/p95 cent bins served from the partials:
+    * re-sum the (day, bin) rows (append slices collapse here), one
+    * cumulative window over the AGGREGATED histogram (the q88
+    * selection — never a per-event sort), k = ceil(q·n) in exact
+    * integer arithmetic. */
+  def servedQuantiles(s: SparkSession, dst: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = s.read.parquet(dst)
+      .groupBy(col("day").cast("long").as("day"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val t = h.groupBy(col("day")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("day")).orderBy(col("bin"))
+    h.join(t, "day")
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("day"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))).as("p50_cents"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("bin"))).as("p95_cents"))
+      .select(col("day"), col("n").as("n_events"),
+        col("p50_cents"), col("p95_cents"))
+  }
+
+  /** q99: exact percentile serving from mergeable partials — the q84
+    * loop with order statistics: two-batch ingest (backfill + append),
+    * then per-day p50/p95 answered FROM THE HISTOGRAM STORE. The
+    * oracle computes the same cent-binned percentiles from raw events —
+    * hash equality proves the partials lose nothing the declared
+    * metric needs. */
+  def q99RollupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val p = new org.apache.hadoop.fs.Path(HistogramPath)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val minRow = withGrain(ev).agg(min(col("day"))).head()
+    require(!minRow.isNullAt(0), "events table is empty — nothing to roll up")
+    val cut = minRow.getLong(0) + 15L
+    appendHistograms(withGrain(ev).filter(col("day") < cut).drop("day", "hour"), HistogramPath)
+    appendHistograms(withGrain(ev).filter(col("day") >= cut).drop("day", "hour"), HistogramPath)
+    servedQuantiles(s, HistogramPath).orderBy(col("day"))
+  }
+
   /** q84: the maintenance loop end-to-end — ingest the events table in
     * two batches (a backfill and an append, so the declared query itself
     * exercises the no-rewrite append path), then answer the daily

@@ -1990,6 +1990,27 @@ object ExtensionOracles {
     * equality proves the maintenance is lossless. Decimal sum / q17's
     * epoch-day idiom; the HLL estimate column is excluded (sketch
     * internals — q31's rule). */
+  /** Mirrors q99: per-day exact p50/p95 of the cent-binned value — the
+    * q88 histogram selection over floor(value·100) bins (one IEEE
+    * multiply+floor, identical on both engines), k = ceil(q·n) integer
+    * arithmetic. The engine answers from its appended histogram
+    * partials; this aggregates raw events — equality proves the
+    * partials lossless for the declared metric. */
+  val q99RollupQuantiles: String =
+    """WITH e AS (SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+      |    CAST(floor(value * 100) AS BIGINT) AS bin
+      |  FROM events),
+      |h AS (SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |t AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT h.day, h.bin, h.c, t.n,
+      |    SUM(h.c) OVER (PARTITION BY h.day ORDER BY h.bin) AS cum
+      |  FROM h JOIN t USING (day))
+      |SELECT day, n AS n_events,
+      |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) AS p50_cents,
+      |  MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bin END) AS p95_cents
+      |FROM cum GROUP BY day, n
+      |ORDER BY day""".stripMargin
+
   val q84RollupMaintenance: String =
     """SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
       |  COUNT(*) AS n_events,

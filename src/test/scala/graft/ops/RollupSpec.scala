@@ -46,6 +46,38 @@ class RollupSpec extends SparkSpec {
     assert(got == direct, "materialized rollup drifted from the direct aggregate")
   }
 
+  test("quantile partials: sliced appends serve the same exact percentiles as one pass") {
+    val ev = graft.Tables.events(spark, dir)
+    val withDay = ev.withColumn("day", expr("ts DIV 86400000000000"))
+    val cut = withDay.agg(min(col("day"))).head().getLong(0) + 10L
+
+    // one-pass store vs a three-slice appended store
+    val one = tmp(); val sliced = tmp()
+    Rollup.appendHistograms(ev, one)
+    Rollup.appendHistograms(withDay.filter(col("day") < cut).drop("day"), sliced)
+    Rollup.appendHistograms(withDay.filter(col("day") >= cut && col("day") < cut + 10L)
+      .drop("day"), sliced)
+    Rollup.appendHistograms(withDay.filter(col("day") >= cut + 10L).drop("day"), sliced)
+    def served(dst: String) = Rollup.servedQuantiles(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = served(one); val b = served(sliced)
+    assert(a == b && a.nonEmpty, "sliced appends drifted from the one-pass store")
+
+    // the served bins ARE the exact order statistics of the binned values
+    // (k = ceil(q·n), 1-indexed — recomputed driver-side from raw events)
+    val exact = withDay
+      .withColumn("bin", floor(col("value") * 100).cast("long"))
+      .select(col("day"), col("bin"))
+      .collect().groupBy(_.getLong(0)).map { case (day, rows) =>
+        val bins = rows.map(_.getLong(1)).sorted
+        val n = bins.length
+        (day, n.toLong,
+          bins(((n + 1) / 2 - 1).toInt),
+          bins((((19L * n + 19) / 20) - 1).toInt))
+      }.toSet
+    assert(a == exact, "served quantiles are not the exact binned order statistics")
+  }
+
   test("a day-ranged serve prunes the partials scan to the asked-for day dirs") {
     val ev = graft.Tables.events(spark, dir)
     val dst = tmp()
