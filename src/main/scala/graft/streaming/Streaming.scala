@@ -166,6 +166,27 @@ object Streaming {
     w.start()
   }
 
+  /** Maintain the q99 value-histogram partials from a stream — the
+    * [[rollupStream]] contract for exact percentile serving: each
+    * micro-batch reduces to its (day, cent-bin, count) rows and
+    * appends, so `Rollup.servedQuantiles` answers identically from
+    * backfill or live partials. Same duplicate caveat: pass a
+    * checkpoint in production or a restart double-counts bins. */
+  def histogramStream(events: DataFrame, histDst: String,
+                      checkpoint: Option[String] = None,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.Rollup.appendHistograms(b, histDst)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

@@ -263,6 +263,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
     assert(got == direct, "streamed partials drifted from the batch aggregate")
+
+    // the histogram partials stream the same way: micro-batch bins serve
+    // the exact percentiles a one-pass batch store serves
+    val stream2 = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+    val hist = root.resolve("vhist").toString
+    Streaming.histogramStream(stream2, hist).awaitTermination()
+    val oneShot = root.resolve("vhist_batch").toString
+    Rollup.appendHistograms(ev, oneShot)
+    def served(d: String) = Rollup.servedQuantiles(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sq = served(hist)
+    assert(sq == served(oneShot) && sq.nonEmpty,
+      "streamed histogram partials drifted from the batch store")
   }
 
   test("streaming source quota: the admission counter survives micro-batch boundaries") {
