@@ -170,6 +170,8 @@ object SparkEntry {
       graft.ops.Sharding.q98ContrastiveSet(s, dir)),
     "q99_rollup_quantiles"  -> ((s: SparkSession, dir: String) =>
       graft.ops.Rollup.q99RollupQuantiles(s, dir)),
+    "q100_index_sync_probe" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Retrieval.q100IndexSyncProbe(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -536,5 +538,6 @@ object SparkEntry {
     "q97_quality_calibration" -> ExtensionOracles.q97QualityCalibration,
     "q98_contrastive_set" -> ExtensionOracles.q98ContrastiveSet,
     "q99_rollup_quantiles" -> ExtensionOracles.q99RollupQuantiles,
+    "q100_index_sync_probe" -> ExtensionOracles.q100IndexSyncProbe,
   )
 }

@@ -558,6 +558,33 @@ object Retrieval {
     bucketedBm25TopK(s, dst, Seq("spark", "vector", "merge", "window"), 20)
   }
 
+  /** q100: the one-call INDEX SYNC as a DECLARED query — the full
+    * maintenance surface (removed → mask, changed → purge+re-append,
+    * added → append) hash-proven in the driver gate. Corpus v2 derives
+    * deterministically from the data (the q63 rule — never constants):
+    * %7=0 docs removed, %7=1 docs changed (query terms appended, so
+    * rankings must move), %7=2 docs re-added as fresh ids shifted by
+    * max(doc_id)+1 (mutated likewise). The oracle replays the v2
+    * derivation in SQL and runs q58's chain over it — the synced index
+    * must answer exactly like a fresh build of the new corpus. */
+  def q100IndexSyncProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = new org.apache.hadoop.fs.Path("/tmp/graft_postings_sync_gate")
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    val dst = "/tmp/graft_postings_sync_gate/idx"
+    writePostingsBucketed(docs, dst)
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" spark spark window"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + shift).as("doc_id"),
+          concat(col("text"), lit(" merge vector")).as("text")))
+    syncPostings(docs, v2, dst)
+    bucketedBm25TopK(s, dst, Seq("spark", "vector", "merge", "window"), 20)
+  }
+
   /** Mark indexed documents DELETED without touching the posting store:
     * appends (doc_id, dbucket) rows to the `_tombstones` sidecar. Every
     * probe masks them immediately — ranking, df and totals all behave

@@ -922,6 +922,49 @@ object ExtensionOracles {
        |FROM topk
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q100: q58's BM25 replay over the DERIVED v2 corpus —
+    * the synced index must rank exactly like a fresh build of it.
+    * v2 replays the engine's derivation: %7=0 removed, %7=1 changed
+    * (query terms appended), %7=2 re-added at max(doc_id)+1-shifted
+    * ids with a different mutation. */
+  val q100IndexSyncProbe: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 1 THEN text || ' spark spark window'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+      |    text || ' merge vector'
+      |  FROM documents WHERE doc_id % 7 = 2),
+      |tok AS (SELECT doc_id,
+      |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |FROM v2),
+      |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+      |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+      |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM t WHERE term IN ('spark', 'vector', 'merge', 'window')
+      |       GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.dl,
+      |    CAST(round(
+      |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+      |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+      |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+      |      AS DECIMAL(28,12)) AS part
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
+      |  FROM sc GROUP BY doc_id),
+      |topk AS (SELECT * FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+      |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
+      |FROM topk
+      |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q59: sliding 64-token windows at stride 48. Chunk count
     * and offsets are exact integer arithmetic; the per-chunk hash is md5
     * of the space-joined clamped slice on both sides. */
