@@ -172,6 +172,12 @@ object SparkEntry {
       graft.ops.Rollup.q99RollupQuantiles(s, dir)),
     "q100_index_sync_probe" -> ((s: SparkSession, dir: String) =>
       graft.ops.Retrieval.q100IndexSyncProbe(s, dir)),
+    "q101_url_canonicalize" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Web.q101UrlCanonicalize(s, dir)),
+    "q102_gap_fill"         -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q102GapFill(s, dir)),
+    "q103_grouping_sets"    -> (Relational.q103GroupingSets _),
+    "q104_k_anonymity"      -> (Privacy.q104KAnonymity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -539,5 +545,9 @@ object SparkEntry {
     "q98_contrastive_set" -> ExtensionOracles.q98ContrastiveSet,
     "q99_rollup_quantiles" -> ExtensionOracles.q99RollupQuantiles,
     "q100_index_sync_probe" -> ExtensionOracles.q100IndexSyncProbe,
+    "q101_url_canonicalize" -> ExtensionOracles.q101UrlCanonicalize,
+    "q102_gap_fill" -> ExtensionOracles.q102GapFill,
+    "q103_grouping_sets" -> ExtensionOracles.q103GroupingSets,
+    "q104_k_anonymity" -> ExtensionOracles.q104KAnonymity,
   )
 }

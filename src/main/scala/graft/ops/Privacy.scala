@@ -159,4 +159,49 @@ object Privacy {
       .withColumn("redacted", redactDigitRuns(afterIps))
       .withColumn("redacted_md5", md5(col("redacted")))
   }
+
+  // --- k-anonymous aggregate release (q104) ---------------------------
+  //
+  // The release gate for SHARING aggregates derived from user activity
+  // (a public data card, a partner report): a cell computed from fewer
+  // than k distinct users re-identifies — classic small-cell disclosure
+  // — so its measures are suppressed (nulled) while the cell's
+  // existence and grain stay visible for coverage accounting. This is
+  // the aggregate-side complement of the row-side redaction above:
+  // q60 scrubs identifiers out of retained rows, q104 keeps released
+  // STATISTICS from functioning as identifiers.
+
+  /** Per-cell aggregates with small-cell suppression: cells with fewer
+    * than `k` distinct contributing users release NULL measures and
+    * `suppressed = true`. One hash aggregate over the grain (the
+    * distinct-user count rides the same shuffle as the other measures
+    * via partial aggregation); the suppression itself is a narrow
+    * post-aggregate projection — at 100 TB the cost IS the one
+    * aggregate, and the released frame is O(cells), safe to collect or
+    * publish. */
+  def kAnonymousRelease(events: DataFrame, k: Int): DataFrame = {
+    // DIV: exact long division — `/` on epoch-nanos longs is double
+    // division and loses sub-second precision (Tables.events contract).
+    val cells = events
+      .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day_idx"))
+      .agg(
+        countDistinct(col("user_id")).as("nu"),
+        count(lit(1)).as("ne"),
+        sum(col("value").cast("decimal(28,6)")).as("tv"))
+    val ok = col("nu") >= k
+    cells.select(
+      col("event_type"), col("day_idx"),
+      when(ok, col("nu")).as("n_users"),
+      when(ok, col("ne")).as("n_events"),
+      when(ok, col("tv").cast("double")).as("total_value"),
+      (!ok).as("suppressed"))
+  }
+
+  /** q104: the k=50 anonymous release of the per-(event_type, day)
+    * activity summary. At sf0.01 the 42..67-user cells straddle the
+    * threshold, so both released and suppressed rows are exercised;
+    * the oracle replays the suppression rule exactly. */
+  def q104KAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonymousRelease(Tables.events(s, dir), k = 50)
+      .orderBy(col("event_type"), col("day_idx"))
 }

@@ -2113,4 +2113,104 @@ object ExtensionOracles {
       |FROM documents d
       |LEFT JOIN cl ON d.doc_id = cl.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q101 (`ops.Web`): the same deterministic messy-URL
+    * synthesis from (doc_id, source, lang), then the canonicalization
+    * rules replayed step-for-step in DuckDB's regex/list functions —
+    * lowercase scheme+host, strip `www.` and default ports, drop
+    * trailing slash and fragment, remove tracking params, sort and
+    * rejoin survivors. */
+  val q101UrlCanonicalize: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' ELSE 'http' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+      |    || upper(source) || '.Example.com'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN
+      |          (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END) ELSE '' END)
+      |    || '/docs/' || doc_id
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&ref=' || lang
+      |                        WHEN 1 THEN '?b=2&a=1&utm_campaign=x' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url_raw
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url_raw,
+      |    lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+      |    regexp_extract(url_raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |    regexp_extract(url_raw, '\?([^#]*)', 1) AS q
+      |  FROM raw),
+      |norm AS (
+      |  SELECT doc_id, url_raw, scheme,
+      |    regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
+      |                   '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    CASE WHEN path = '' THEN '/'
+      |         ELSE regexp_replace(path, '(.+)/$', '\1') END AS cpath,
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+      |      '&') AS cq,
+      |    regexp_matches(q, '(^|&)(utm_[^=]*|fbclid|gclid)=') AS had_tracking
+      |  FROM parts)
+      |SELECT doc_id, url_raw,
+      |  scheme || '://' || host
+      |    || (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+      |                                   OR (scheme = 'http' AND port = '80'))
+      |             THEN ':' || port ELSE '' END)
+      |    || cpath
+      |    || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
+      |  host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, had_tracking
+      |FROM norm ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q102 (`ops.TimeSeries`): per-user hourly aggregate, a
+    * generate_series spine over each user's [first, last] hour, LEFT
+    * JOIN, and LAST_VALUE IGNORE NULLS forward fill — hour index in
+    * exact integer division (`epoch_us // 3.6e9` ≡ engine's nanos DIV). */
+  val q102GapFill: String =
+    """WITH hr AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_idx,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS hv
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(hour_idx) mn, MAX(hour_idx) mx FROM hr GROUP BY 1),
+      |spine AS (SELECT user_id, UNNEST(generate_series(mn, mx)) AS hour_idx FROM span),
+      |joined AS (
+      |  SELECT s.user_id, s.hour_idx,
+      |    COALESCE(h.n_events, 0) AS n_events, h.hv
+      |  FROM spine s LEFT JOIN hr h
+      |    ON s.user_id = h.user_id AND s.hour_idx = h.hour_idx)
+      |SELECT user_id, hour_idx, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(LAST_VALUE(hv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY hour_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value,
+      |  (n_events = 0) AS is_gap
+      |FROM joined ORDER BY user_id, hour_idx""".stripMargin
+
+  /** Mirrors q103: DuckDB GROUPING SETS with GROUPING(source, lang) as
+    * the same bit-composed grouping id Spark's grouping_id() emits. */
+  val q103GroupingSets: String =
+    """SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+      |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  /** Mirrors q104 (`ops.Privacy.kAnonymousRelease`, k=50): measures
+    * released only when the cell's distinct-user count clears k. */
+  val q104KAnonymity: String =
+    """WITH cells AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
+      |    CAST(COUNT(*) AS BIGINT) AS ne,
+      |    SUM(CAST(value AS DECIMAL(28,6))) AS tv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day_idx,
+      |  CASE WHEN nu >= 50 THEN nu END AS n_users,
+      |  CASE WHEN nu >= 50 THEN ne END AS n_events,
+      |  CASE WHEN nu >= 50 THEN CAST(tv AS DOUBLE) END AS total_value,
+      |  (nu < 50) AS suppressed
+      |FROM cells ORDER BY event_type, day_idx""".stripMargin
 }

@@ -631,6 +631,29 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q103: explicit GROUPING SETS over the documents corpus — the
+    * fourth member of the multi-grain aggregation family (q08 rollup,
+    * q19 cube): per-source, per-lang, per-(source,lang) and the grand
+    * total in ONE pass. Catalyst expands the sets into a single Expand
+    * + hash aggregate — one scan, one shuffle keyed on the expanded
+    * grouping id, exactly the plan a UNION ALL of four GROUP BYs would
+    * need four scans for. `gid` (Spark's `grouping_id()` ≡ DuckDB's
+    * `GROUPING(source, lang)`) disambiguates a real NULL group value
+    * from a rolled-up one — the standard consumer contract. */
+  def q103GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs
+      .groupingSets(
+        Seq(Seq(col("source")), Seq(col("lang")),
+            Seq(col("source"), col("lang")), Seq()),
+        col("source"), col("lang"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("gid"), asc_nulls_first("source"), asc_nulls_first("lang"))
+  }
+
   /** The reusable core over any (user_id, event_type, ts) frame. */
   def eventFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavioral specs for the wave-6 operators (q101–q104): URL
+  * canonicalization edge cases the synthesized fixture can't reach,
+  * gap-fill fill semantics and its skew bound, small-cell suppression,
+  * grouping-sets ≡ union-of-group-bys. */
+class Wave6Spec extends SparkSpec {
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(Web.canonicalizeUrl(col("u"))).head().getString(0)
+  }
+
+  test("URL canonicalization: case, www, default ports, slash, fragment, tracking params") {
+    assert(canon("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag")
+      === "https://example.com/a/b?a=2&z=1")
+    // non-default port survives; default port for the OTHER scheme survives
+    assert(canon("http://example.com:8080/x") === "http://example.com:8080/x")
+    assert(canon("http://example.com:443/x") === "http://example.com:443/x")
+    assert(canon("https://example.com:80/x") === "https://example.com:80/x")
+    // tracking-only query drops the '?' entirely; empty path becomes root
+    assert(canon("https://example.com?fbclid=abc") === "https://example.com/")
+    assert(canon("http://a.example.com/") === "http://a.example.com/")
+    // already-canonical URLs are fixed points (idempotence)
+    for (u <- Seq("https://example.com/", "http://e.co:8080/x?a=1&b=2",
+                  "https://sub.example.com/docs/7"))
+      assert(canon(u) === u, s"not a fixed point: $u")
+  }
+
+  test("URL canonicalization: two referrer-decorated spellings collide, distinct pages don't") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://WWW.Shop.example.com/item/9?utm_campaign=mail&gclid=Z"),
+      (2L, "https://shop.example.com/item/9/"),
+      (3L, "https://shop.example.com/item/10"))
+      .toDF("id", "u")
+      .select(col("id"), Web.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(urls(1L) === urls(2L))
+    assert(urls(1L) !== urls(3L))
+  }
+
+  test("gap fill: gaps carry the last observed value; spine is span-bounded, not event-bounded") {
+    import spark.implicits._
+    val h = 3600000000000L
+    // user 1: hours 10 and 13 active (gap at 11, 12); user 2: single hour
+    // — and user 2's hour has 1000 events (the 'bot'): its spine stays 1 row
+    val ev = Seq((1L, 10 * h + 5L, 2.0), (1L, 10 * h + 9L, 3.0), (1L, 13 * h, 7.0)) ++
+      (1 to 1000).map(i => (2L, 20 * h + i.toLong, 1.0))
+    val out = TimeSeries.hourlyGapFill(ev.toDF("user_id", "ts", "value"))
+      .orderBy("user_id", "hour_idx").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(1)).toList === List(10L, 11L, 12L, 13L))
+    assert(u1.map(_.getLong(2)).toList === List(2L, 0L, 0L, 1L))
+    assert(u1.map(_.getDouble(3)).toList === List(5.0, 5.0, 5.0, 7.0))
+    assert(u1.map(_.getBoolean(4)).toList === List(false, true, true, false))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getLong(2) === 1000L)
+    // distributed formulation: invariant to input partitioning
+    val re = TimeSeries.hourlyGapFill(ev.toDF("user_id", "ts", "value").repartition(7))
+      .orderBy("user_id", "hour_idx").collect()
+    assert(re.map(_.toSeq).toList === out.map(_.toSeq).toList)
+  }
+
+  test("k-anonymity: cells below k release NULL measures, cells at/above k release exact values") {
+    import spark.implicits._
+    val d = 86400000000000L
+    val ev = // day 1 'click': 3 users; day 1 'view': 2 users (k = 3)
+      Seq((1L, "click", 10.0), (2L, "click", 20.0), (3L, "click", 30.0),
+          (1L, "view", 1.0), (2L, "view", 2.0), (1L, "view", 4.0))
+        .map { case (u, t, v) => (d + u * 1000L, u, t, v) }
+    val out = Privacy.kAnonymousRelease(ev.toDF("ts", "user_id", "event_type", "value"), 3)
+      .orderBy("event_type").collect()
+    val click = out(0); val view = out(1)
+    assert(!click.getBoolean(5) && click.getLong(2) === 3L &&
+      click.getLong(3) === 3L && click.getDouble(4) === 60.0)
+    assert(view.getBoolean(5) && view.isNullAt(2) && view.isNullAt(3) && view.isNullAt(4))
+  }
+
+  test("grouping sets ≡ union of the four separate GROUP BYs") {
+    val dir = "/root/testdata/sf0.001"
+    val gs = graft.queries.Relational.q103GroupingSets(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+    val bySrc = docs.groupBy("source").agg(count(lit(1)), sum("n_chars")).count()
+    val byLang = docs.groupBy("lang").agg(count(lit(1))).count()
+    val byBoth = docs.groupBy("source", "lang").agg(count(lit(1))).count()
+    assert(gs.count() === bySrc + byLang + byBoth + 1)
+    // the grand-total row carries the corpus totals
+    val total = gs.filter(col("gid") === 3L).collect()
+    assert(total.length === 1 && total.head.getLong(3) === docs.count())
+  }
+}
