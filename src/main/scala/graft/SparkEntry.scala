@@ -178,6 +178,10 @@ object SparkEntry {
       graft.ops.TimeSeries.q102GapFill(s, dir)),
     "q103_grouping_sets"    -> (Relational.q103GroupingSets _),
     "q104_k_anonymity"      -> (Privacy.q104KAnonymity _),
+    "q105_hourly_anomaly"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q105HourlyAnomaly(s, dir)),
+    "q106_url_dedup"        -> ((s: SparkSession, dir: String) =>
+      graft.ops.Web.q106UrlDedup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,5 +553,7 @@ object SparkEntry {
     "q102_gap_fill" -> ExtensionOracles.q102GapFill,
     "q103_grouping_sets" -> ExtensionOracles.q103GroupingSets,
     "q104_k_anonymity" -> ExtensionOracles.q104KAnonymity,
+    "q105_hourly_anomaly" -> ExtensionOracles.q105HourlyAnomaly,
+    "q106_url_dedup" -> ExtensionOracles.q106UrlDedup,
   )
 }

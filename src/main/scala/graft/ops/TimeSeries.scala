@@ -34,7 +34,16 @@ object TimeSeries {
     * exact decimal `sum(value)`, carried forward over gaps), `is_gap`.
     * `DIV` keeps the hour index in exact long arithmetic — `/` on
     * longs is double division, and epoch-nanos magnitudes exceed the
-    * 2^53 mantissa (the [[graft.Tables.events]] contract). */
+    * 2^53 mantissa (the [[graft.Tables.events]] contract).
+    *
+    * Plan note: the spine bounds and the hourly measures are separate
+    * aggregates over the raw scan (Catalyst folds the bounds into ONE
+    * direct min/max-of-hour aggregate, but the raw table is still read
+    * twice). A standing 100 TB deployment feeds this from a
+    * materialized hourly table ([[graft.ops.Rollup]]'s partial store
+    * is exactly that shape), which drops both scans to O(user-hours);
+    * the join stays broadcast while user-hours fit, and AQE falls back
+    * to a (user, hour)-keyed shuffle join beyond that. */
   def hourlyGapFill(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("user_id"), expr("ts DIV 3600000000000").as("hour_idx"))
@@ -59,5 +68,58 @@ object TimeSeries {
   /** q102: the dense gap-filled hourly series, oracle-ordered. */
   def q102GapFill(s: SparkSession, dir: String): DataFrame =
     hourlyGapFill(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("hour_idx"))
+
+  // --- Trailing-window anomaly detection (q105) -----------------------
+
+  /** Per-user hourly anomaly flags: an hour is anomalous when its value
+    * deviates more than `zThreshold` sample standard deviations from
+    * the user's TRAILING window (`RANGE lookbackHours PRECEDING AND 1
+    * PRECEDING` on the hour index — calendar hours, so inactive hours
+    * thin the window instead of silently stretching it, and the current
+    * hour never contaminates its own baseline). Hours with fewer than
+    * `minObs` baseline observations, or a degenerate (zero-variance)
+    * baseline, release a NULL z-score — "don't know" stays distinct
+    * from "normal".
+    *
+    * Float-determinism contract (the q34 idiom): window sums ride
+    * exact DECIMAL, moments are computed from the sums in double, the
+    * variance is rounded to 12 digits BEFORE both the positivity guard
+    * and the sqrt (an ulp-level negative from engine-specific FMA
+    * fusion must not flip the guard on one engine only), and the final
+    * z is rounded to 12 digits.
+    *
+    * Scale shape: identical to [[hourlyGapFill]] — everything after
+    * the one map-side-combined hourly aggregate runs on the hourly
+    * grain, so the trailing window is bounded by span-hours per key
+    * and needs no skew routing. */
+  def hourlyAnomalies(events: DataFrame, lookbackHours: Int = 24,
+                      minObs: Int = 8, zThreshold: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), expr("ts DIV 3600000000000").as("hour_idx"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("hv"))
+    val w = Window.partitionBy("user_id").orderBy("hour_idx")
+      .rangeBetween(-lookbackHours, -1)
+    val x   = col("hv").cast("double")
+    val n   = count(col("hv")).over(w)
+    val sx  = sum(col("hv")).over(w).cast("double")
+    val sxx = sum((x * x).cast("decimal(28,6)")).over(w).cast("double")
+    val withMoments = hourly.select(
+      col("user_id"), col("hour_idx"), x.as("value"),
+      n.as("n_obs"), sx.as("sx"), sxx.as("sxx"))
+    val nn   = col("n_obs")
+    val mean = col("sx") / nn
+    val vr   = round((col("sxx") - col("sx") * col("sx") / nn) / (nn - 1), 12)
+    val z    = round((col("value") - mean) / sqrt(vr), 12)
+    withMoments.select(
+      col("user_id"), col("hour_idx"), col("value"), col("n_obs"),
+      when(nn >= minObs && vr > 0, z).as("z"),
+      coalesce(when(nn >= minObs && vr > 0, abs(z) > zThreshold),
+        lit(false)).as("is_anomaly"))
+  }
+
+  /** q105: the trailing-24h z-score anomaly scan, oracle-ordered. */
+  def q105HourlyAnomaly(s: SparkSession, dir: String): DataFrame =
+    hourlyAnomalies(Tables.events(s, dir))
       .orderBy(col("user_id"), col("hour_idx"))
 }

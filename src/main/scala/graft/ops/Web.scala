@@ -112,6 +112,48 @@ object Web {
       lit("/docs/"), docId, slash, query, frag)
   }
 
+  /** q106 fixture: two decorated spellings of the SAME page per page id
+    * (`doc_id DIV 2`) — variant 0 case-shifted with `www.`, an explicit
+    * default port, a trailing slash, a tracking param and a fragment;
+    * variant 1 lowercase with a different tracking param — so every
+    * page pair collides after canonicalization and NO pair collides
+    * before it. The shared-page host is deliberately source-free
+    * (mirror.example.com): the point is URL-keyed dedup, and pairing
+    * across doc ids must not depend on the docs' source assignment. */
+  def syntheticMirrorUrl(docId: Column): Column = {
+    // doc ids are small positives: double division by 2 + truncation is
+    // the exact DIV (no epoch-nanos magnitude concern here)
+    val page = (docId / 2).cast("long")
+    when(docId % 2 === 0,
+      concat(lit("HTTPS://WWW.Mirror.Example.com:443/page/"), page,
+        lit("/?utm_source=a&x=1#top")))
+      .otherwise(concat(lit("https://mirror.example.com/page/"), page,
+        lit("?x=1&gclid=g")))
+  }
+
+  /** q106: URL-keyed exact dedup AFTER canonicalization — the operation
+    * q101 exists to enable. Per canonical URL: the number of raw
+    * spellings collapsed, the keeper (min doc_id — q24/q80's keeper
+    * rule), and whether any spelling carried tracking decoration.
+    * Shape: one narrow canonicalize projection, one hash aggregate
+    * keyed on the canonical URL — at 100 TB this is exactly the q24
+    * exact-dedup plan with the canonical key computed in the map
+    * stage. */
+  def q106UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"), syntheticMirrorUrl(col("doc_id")).as("url_raw"))
+    raw.select(col("doc_id"), col("url_raw"),
+        canonicalizeUrl(col("url_raw")).as("canonical_url"),
+        hasTracking(col("url_raw")).as("had_tracking"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("url_raw")).as("n_spellings"),
+        min(col("doc_id")).as("keeper_doc_id"),
+        bool_or(col("had_tracking")).as("any_tracking"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** q101: URL canonicalization over the documents table — per doc the
     * raw synthesized URL, its canonical form, the canonical host, the
     * registered domain, and whether tracking decoration was present.

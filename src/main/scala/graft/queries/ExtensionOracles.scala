@@ -2198,6 +2198,84 @@ object ExtensionOracles {
       |GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
       |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
+  /** Mirrors q105 (`ops.TimeSeries.hourlyAnomalies`): hourly decimal
+    * sums, trailing RANGE 24..1 PRECEDING window moments, the q34
+    * determinism idiom — variance rounded to 12 digits before both the
+    * guard and the sqrt, z rounded to 12. */
+  val q105HourlyAnomaly: String =
+    """WITH hr AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_idx,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS hv
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, hour_idx, CAST(hv AS DOUBLE) AS value,
+      |    CAST(COUNT(hv) OVER tw AS BIGINT) AS n_obs,
+      |    CAST(SUM(hv) OVER tw AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE) AS DECIMAL(28,6)))
+      |         OVER tw AS DOUBLE) AS sxx
+      |  FROM hr
+      |  WINDOW tw AS (PARTITION BY user_id ORDER BY hour_idx
+      |                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |sc AS (
+      |  SELECT user_id, hour_idx, value, n_obs,
+      |    round((sxx - sx * sx / n_obs) / (n_obs - 1), 12) AS vr,
+      |    sx / n_obs AS mean
+      |  FROM m)
+      |SELECT user_id, hour_idx, value, n_obs,
+      |  CASE WHEN n_obs >= 8 AND vr > 0
+      |       THEN round((value - mean) / sqrt(vr), 12) END AS z,
+      |  COALESCE(CASE WHEN n_obs >= 8 AND vr > 0
+      |       THEN abs(round((value - mean) / sqrt(vr), 12)) > 3.0 END,
+      |    FALSE) AS is_anomaly
+      |FROM sc ORDER BY user_id, hour_idx""".stripMargin
+
+  /** Mirrors q106 (`ops.Web.q106UrlDedup`): the mirrored two-spelling
+    * synthesis, canonicalization, and the per-canonical-URL collapse. */
+  val q106UrlDedup: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'HTTPS://WWW.Mirror.Example.com:443/page/' || (doc_id // 2)
+      |           || '/?utm_source=a&x=1#top'
+      |      ELSE 'https://mirror.example.com/page/' || (doc_id // 2)
+      |           || '?x=1&gclid=g' END AS url_raw
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url_raw,
+      |    lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+      |    regexp_extract(url_raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |    regexp_extract(url_raw, '\?([^#]*)', 1) AS q
+      |  FROM raw),
+      |norm AS (
+      |  SELECT doc_id, url_raw, scheme,
+      |    regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
+      |                   '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    CASE WHEN path = '' THEN '/'
+      |         ELSE regexp_replace(path, '(.+)/$', '\1') END AS cpath,
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+      |      '&') AS cq,
+      |    regexp_matches(q, '(^|&)(utm_[^=]*|fbclid|gclid)=') AS had_tracking
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id, url_raw, had_tracking,
+      |    scheme || '://' || host
+      |      || (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+      |                                     OR (scheme = 'http' AND port = '80'))
+      |               THEN ':' || port ELSE '' END)
+      |      || cpath
+      |      || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url
+      |  FROM norm)
+      |SELECT canonical_url,
+      |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+      |  CAST(COUNT(DISTINCT url_raw) AS BIGINT) AS n_spellings,
+      |  MIN(doc_id) AS keeper_doc_id,
+      |  bool_or(had_tracking) AS any_tracking
+      |FROM canon GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin
+
   /** Mirrors q104 (`ops.Privacy.kAnonymousRelease`, k=50): measures
     * released only when the cell's distinct-user count clears k. */
   val q104KAnonymity: String =

@@ -80,6 +80,39 @@ class Wave6Spec extends SparkSpec {
     assert(view.getBoolean(5) && view.isNullAt(2) && view.isNullAt(3) && view.isNullAt(4))
   }
 
+  test("anomaly: a spike against a steady baseline flags; thin or flat baselines release NULL z") {
+    import spark.implicits._
+    val h = 3600000000000L
+    // user 1: 24 steady-ish hours (alternating 10/12), then a 100.0 spike
+    val u1 = (0 until 24).map(i => (1L, i * h + 1L, if (i % 2 == 0) 10.0 else 12.0)) :+
+      ((1L, 24 * h + 1L, 100.0))
+    // user 2: only 3 observed hours — never enough baseline
+    val u2 = (0 until 3).map(i => (2L, i * h + 1L, 5.0))
+    // user 3: 24 perfectly flat hours then a spike — zero variance, z undefined
+    val u3 = (0 until 24).map(i => (3L, i * h + 1L, 7.0)) :+ ((3L, 24 * h + 1L, 99.0))
+    val out = TimeSeries.hourlyAnomalies((u1 ++ u2 ++ u3).toDF("user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val spike = out((1L, 24L))
+    assert(spike.getBoolean(5) && spike.getDouble(4) > 3.0)
+    // the steady hours are not anomalous
+    assert((8 until 24).forall(i => !out((1L, i.toLong)).getBoolean(5)))
+    assert(out((2L, 2L)).isNullAt(4) && !out((2L, 2L)).getBoolean(5))
+    val flat = out((3L, 24L))
+    assert(flat.isNullAt(4) && !flat.getBoolean(5))
+  }
+
+  test("URL dedup: decorated spellings collapse to one canonical page, keeper is min doc_id") {
+    val out = Web.q106UrlDedup(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // every synthesized pair collapses: 2 raw urls, 2 distinct spellings,
+    // the even (smaller) doc id keeps, and the tracking decoration is seen
+    assert(out.forall(r => r.getLong(1) === 2L && r.getLong(2) === 2L))
+    assert(out.forall(r => r.getLong(3) % 2 === 0L))
+    assert(out.forall(_.getBoolean(4)))
+    // and no two pages share a canonical URL
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+  }
+
   test("grouping sets ≡ union of the four separate GROUP BYs") {
     val dir = "/root/testdata/sf0.001"
     val gs = graft.queries.Relational.q103GroupingSets(spark, dir)
