@@ -84,6 +84,16 @@ object QuerySession {
     // aggregate, so the view stays a cheap lazy plan
     graft.ops.Mixing.q95MixtureAllocation(spark, sfDir)
       .createOrReplaceTempView("mixture_allocation")
+    // round-8 wave 6: the dense/filled and anomaly-scored hourly
+    // series, and the k-anonymous release — all lazy window/aggregate
+    // plans over the events view's grain (skew-bounded by the hourly
+    // grain itself, see TimeSeries scaladoc)
+    graft.ops.TimeSeries.hourlyGapFill(Tables.events(spark, sfDir))
+      .createOrReplaceTempView("hourly_filled")
+    graft.ops.TimeSeries.hourlyAnomalies(Tables.events(spark, sfDir))
+      .createOrReplaceTempView("hourly_anomalies")
+    graft.ops.Privacy.kAnonymousRelease(Tables.events(spark, sfDir), 50)
+      .createOrReplaceTempView("k_anon_release")
   }
 
   /** The frame-based core: given already-read base tables, registration
@@ -156,6 +166,18 @@ object QuerySession {
     // a pure lazy plan (span detection + one codegen'd fold)
     Dedup.spanRemoved(docs, 20)
       .createOrReplaceTempView("span_removed")
+    // round-8 wave 6: the canonical-URL projection (q101's synthesized
+    // fixture urls; a real deployment maps a url column) — a narrow
+    // codegen'd map, trivially lazy
+    locally {
+      import org.apache.spark.sql.functions.col
+      val u = graft.ops.Web.syntheticUrl(col("doc_id"), col("source"), col("lang"))
+      docs.select(col("doc_id"), u.as("url_raw"),
+          graft.ops.Web.canonicalizeUrl(u).as("canonical_url"),
+          graft.ops.Web.registeredDomain(graft.ops.Web.canonicalHost(u)).as("domain"),
+          graft.ops.Web.hasTracking(u).as("had_tracking"))
+        .createOrReplaceTempView("url_canonical")
+    }
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training

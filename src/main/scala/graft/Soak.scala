@@ -271,6 +271,28 @@ object Soak {
     val ruAppendSec = timedSec(graft.ops.Rollup.appendPartials(
       ev.filter(pmod(col("event_id"), lit(100L)) === 0L), ruDst))
 
+    // wave 6: time-series regularization at raw-event volume — the
+    // replicated events multiply RAW rows ×mult while the user×hour
+    // grain stays FIXED, so the hourly aggregate must absorb the whole
+    // volume and the spine/fill/anomaly window cost stays flat (the
+    // skew-bound claim in TimeSeries' scaladoc, exercised at volume).
+    // url_dedup is the narrow canonicalize map + one hash aggregate
+    // over the soaked doc ids. Filters reference computed columns so
+    // count() can't prune the window/regex work.
+    val wave6 = Seq(
+      timed("gap_fill")(graft.ops.TimeSeries.hourlyGapFill(ev)
+        .filter(abs(col("filled_value")) >= 0.0)),
+      timed("hourly_anomaly")(graft.ops.TimeSeries.hourlyAnomalies(ev)
+        .filter(coalesce(col("z"), lit(0.0)) >= -1e18)),
+      timed("url_dedup")(docs
+        .select(col("doc_id"), graft.ops.Web.syntheticMirrorUrl(col("doc_id")).as("u"))
+        .select(col("doc_id"), graft.ops.Web.canonicalizeUrl(col("u")).as("c"),
+          graft.ops.Web.hasTracking(col("u")).as("t"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"),
+          bool_or(col("t")).as("any_t"))
+        .filter(col("n") >= 1L)))
+
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -299,7 +321,7 @@ object Soak {
         emb0.filter(col("vec_id") < 5)).count()
     }
 
-    val body = results.map { case (l, s, r) =>
+    val body = (results ++ wave6).map { case (l, s, r) =>
       f""""$l":{"sec":$s%.2f,"rows":$r}"""
     }.mkString(",")
     val ann = f""""ann_layouts":{"write_sig_sec":$writeSigSec%.2f,""" +

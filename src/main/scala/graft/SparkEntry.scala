@@ -182,6 +182,8 @@ object SparkEntry {
       graft.ops.TimeSeries.q105HourlyAnomaly(s, dir)),
     "q106_url_dedup"        -> ((s: SparkSession, dir: String) =>
       graft.ops.Web.q106UrlDedup(s, dir)),
+    "q107_hourly_store_serve" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q107HourlyStoreServe(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -555,5 +557,8 @@ object SparkEntry {
     "q104_k_anonymity" -> ExtensionOracles.q104KAnonymity,
     "q105_hourly_anomaly" -> ExtensionOracles.q105HourlyAnomaly,
     "q106_url_dedup" -> ExtensionOracles.q106UrlDedup,
+    // q102's SQL verbatim: serving from the three-slice store must hash
+    // identically to a fresh scan of raw history
+    "q107_hourly_store_serve" -> ExtensionOracles.q102GapFill,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -10,45 +10,78 @@ import graft.Tables
   * pipeline consumes: every hour between a key's first and last
   * activity gets a row, activity-free hours carry the last observed
   * value forward (gap filling / forward fill, the `LOCF` of every
-  * time-series stack).
+  * time-series stack), and a trailing-window z-score flags the hours
+  * that break their own baseline.
   *
   * Scale shape — the part that matters at 100 TB: the spine is
   * generated from the PER-KEY AGGREGATE (one row per key → `sequence`
   * + `explode` bounded by the corpus hour span), never from raw
-  * events, and the forward-fill window runs over the HOURLY grain. So
-  * a scanner bot with 100M raw events still contributes at most
-  * `span_hours` rows (720 for a 30-day corpus) to the window — the raw
-  * volume is absorbed by the map-side-combined hourly aggregate, and
-  * no per-key path grows with event count. That makes this one of the
-  * few ordered-window operators that needs NO [[SkewWindows]] routing:
-  * the grain itself is the skew bound.
+  * events, and every window runs over the HOURLY grain. So a scanner
+  * bot with 100M raw events still contributes at most `span_hours`
+  * rows (720 for a 30-day corpus) to any window — the raw volume is
+  * absorbed by the map-side-combined hourly aggregate, and no per-key
+  * path grows with event count. That makes these some of the few
+  * ordered-window operators that need NO [[SkewWindows]] routing: the
+  * grain itself is the skew bound.
+  *
+  * A standing deployment maintains the hourly grain as a MERGEABLE
+  * partial store (the [[Rollup]] pattern, one finer key):
+  * [[appendUserHourly]] reduces each ingest batch to (day, user, hour,
+  * count, decimal sum) rows and appends under `day=` dirs;
+  * [[mergedUserHourly]] re-sums the append slices — decimal addition
+  * is exact and associative, so gap fill and anomaly scoring served
+  * from the store are IDENTICAL to a fresh scan of raw history
+  * (spec-asserted), while costing O(user-hours), not O(events).
+  * `Streaming.userHourlyStream` maintains the same store live.
   *
   * Event time is epoch-nanos integer arithmetic throughout
-  * ([[Tables.events]]); the hour index is `ts / 3.6e12` in exact long
-  * division, mirrored by the oracle as `epoch_us // 3.6e9`.
+  * ([[Tables.events]]); the hour index is `ts DIV 3.6e12` in exact
+  * long division (`/` on longs is double division, and epoch-nanos
+  * magnitudes exceed the 2^53 mantissa), mirrored by the oracle as
+  * `epoch_us // 3.6e9`.
   */
 object TimeSeries {
 
-  /** Dense per-user hourly series over events: `hour_idx` (epoch
-    * hours), `n_events` (0 on gap hours), `filled_value` (the hour's
-    * exact decimal `sum(value)`, carried forward over gaps), `is_gap`.
-    * `DIV` keeps the hour index in exact long arithmetic — `/` on
-    * longs is double division, and epoch-nanos magnitudes exceed the
-    * 2^53 mantissa (the [[graft.Tables.events]] contract).
-    *
-    * Plan note: the spine bounds and the hourly measures are separate
-    * aggregates over the raw scan (Catalyst folds the bounds into ONE
-    * direct min/max-of-hour aggregate, but the raw table is still read
-    * twice). A standing 100 TB deployment feeds this from a
-    * materialized hourly table ([[graft.ops.Rollup]]'s partial store
-    * is exactly that shape), which drops both scans to O(user-hours);
-    * the join stays broadcast while user-hours fit, and AQE falls back
-    * to a (user, hour)-keyed shuffle join beyond that. */
-  def hourlyGapFill(events: DataFrame): DataFrame = {
-    val hourly = events
-      .groupBy(col("user_id"), expr("ts DIV 3600000000000").as("hour_idx"))
-      .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(28,6)")).as("hv"))
+  /** The hourly grain from raw events: one map-side-combined aggregate
+    * to (user_id, hour_idx, n_events, exact-decimal hv). */
+  def userHourly(events: DataFrame): DataFrame = events
+    .groupBy(col("user_id"), expr("ts DIV 3600000000000").as("hour_idx"))
+    .agg(count(lit(1)).as("n_events"),
+         sum(col("value").cast("decimal(28,6)")).as("hv"))
+
+  // --- the standing store (mergeable partials, Rollup pattern) --------
+
+  /** Reduce one ingest batch to its mergeable per-user-hour partials
+    * (day-keyed for the partitioned layout). */
+  def userHourlyRows(events: DataFrame): DataFrame = events
+    .groupBy(expr("ts DIV 86400000000000").as("day"),
+             col("user_id"), expr("ts DIV 3600000000000").as("hour_idx"))
+    .agg(count(lit(1)).as("n"),
+         sum(col("value").cast("decimal(28,6)")).as("hv"))
+
+  /** Append a batch's partials to the standing store — O(batch) work,
+    * no existing file touched; `day=` dirs give the serve path
+    * partition pruning. */
+  def appendUserHourly(events: DataFrame, dst: String): Unit =
+    userHourlyRows(events)
+      .repartition(col("day"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .partitionBy("day").parquet(dst)
+
+  /** Serve the hourly grain from the store: append slices collapse
+    * under exact long/decimal re-summation, so this frame is
+    * row-for-row the [[userHourly]] of the full raw history. */
+  def mergedUserHourly(s: SparkSession, dst: String): DataFrame =
+    s.read.parquet(dst)
+      .groupBy(col("user_id"), col("hour_idx"))
+      .agg(sum(col("n")).as("n_events"), sum(col("hv")).as("hv"))
+
+  // --- gap fill / forward fill (q102) ---------------------------------
+
+  /** [[hourlyGapFill]] over an already-aggregated hourly frame
+    * (user_id, hour_idx, n_events, hv) — the standing-store serve path
+    * (O(user-hours), no raw scan). */
+  def gapFillFromHourly(hourly: DataFrame): DataFrame = {
     // One row per user; sequence() materializes the spine per key.
     val spine = hourly.groupBy(col("user_id"))
       .agg(min("hour_idx").as("mn"), max("hour_idx").as("mx"))
@@ -65,6 +98,21 @@ object TimeSeries {
       (coalesce(col("n_events"), lit(0L)) === 0L).as("is_gap"))
   }
 
+  /** Dense per-user hourly series over raw events: `hour_idx` (epoch
+    * hours), `n_events` (0 on gap hours), `filled_value` (the hour's
+    * exact decimal `sum(value)`, carried forward over gaps), `is_gap`.
+    *
+    * Plan note: the spine bounds and the hourly measures are separate
+    * aggregates over the raw scan (Catalyst folds the bounds into ONE
+    * direct min/max-of-hour aggregate, but the raw table is still read
+    * twice). The standing deployment serves from the partial store
+    * instead — `gapFillFromHourly(mergedUserHourly(...))` — which
+    * drops both scans to O(user-hours); the join stays broadcast while
+    * user-hours fit, and AQE falls back to a (user, hour)-keyed
+    * shuffle join beyond that. */
+  def hourlyGapFill(events: DataFrame): DataFrame =
+    gapFillFromHourly(userHourly(events))
+
   /** q102: the dense gap-filled hourly series, oracle-ordered. */
   def q102GapFill(s: SparkSession, dir: String): DataFrame =
     hourlyGapFill(Tables.events(s, dir))
@@ -72,32 +120,10 @@ object TimeSeries {
 
   // --- Trailing-window anomaly detection (q105) -----------------------
 
-  /** Per-user hourly anomaly flags: an hour is anomalous when its value
-    * deviates more than `zThreshold` sample standard deviations from
-    * the user's TRAILING window (`RANGE lookbackHours PRECEDING AND 1
-    * PRECEDING` on the hour index — calendar hours, so inactive hours
-    * thin the window instead of silently stretching it, and the current
-    * hour never contaminates its own baseline). Hours with fewer than
-    * `minObs` baseline observations, or a degenerate (zero-variance)
-    * baseline, release a NULL z-score — "don't know" stays distinct
-    * from "normal".
-    *
-    * Float-determinism contract (the q34 idiom): window sums ride
-    * exact DECIMAL, moments are computed from the sums in double, the
-    * variance is rounded to 12 digits BEFORE both the positivity guard
-    * and the sqrt (an ulp-level negative from engine-specific FMA
-    * fusion must not flip the guard on one engine only), and the final
-    * z is rounded to 12 digits.
-    *
-    * Scale shape: identical to [[hourlyGapFill]] — everything after
-    * the one map-side-combined hourly aggregate runs on the hourly
-    * grain, so the trailing window is bounded by span-hours per key
-    * and needs no skew routing. */
-  def hourlyAnomalies(events: DataFrame, lookbackHours: Int = 24,
-                      minObs: Int = 8, zThreshold: Double = 3.0): DataFrame = {
-    val hourly = events
-      .groupBy(col("user_id"), expr("ts DIV 3600000000000").as("hour_idx"))
-      .agg(sum(col("value").cast("decimal(28,6)")).as("hv"))
+  /** [[hourlyAnomalies]] over an already-aggregated hourly frame — the
+    * standing-store serve path. */
+  def anomaliesFromHourly(hourly: DataFrame, lookbackHours: Int = 24,
+                          minObs: Int = 8, zThreshold: Double = 3.0): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("hour_idx")
       .rangeBetween(-lookbackHours, -1)
     val x   = col("hv").cast("double")
@@ -118,8 +144,56 @@ object TimeSeries {
         lit(false)).as("is_anomaly"))
   }
 
+  /** Per-user hourly anomaly flags: an hour is anomalous when its value
+    * deviates more than `zThreshold` sample standard deviations from
+    * the user's TRAILING window (`RANGE lookbackHours PRECEDING AND 1
+    * PRECEDING` on the hour index — calendar hours, so inactive hours
+    * thin the window instead of silently stretching it, and the current
+    * hour never contaminates its own baseline). Hours with fewer than
+    * `minObs` baseline observations, or a degenerate (zero-variance)
+    * baseline, release a NULL z-score — "don't know" stays distinct
+    * from "normal".
+    *
+    * Float-determinism contract (the q34 idiom): window sums ride
+    * exact DECIMAL, moments are computed from the sums in double, the
+    * variance is rounded to 12 digits BEFORE both the positivity guard
+    * and the sqrt (an ulp-level negative from engine-specific FMA
+    * fusion must not flip the guard on one engine only), and the final
+    * z is rounded to 12 digits. */
+  def hourlyAnomalies(events: DataFrame, lookbackHours: Int = 24,
+                      minObs: Int = 8, zThreshold: Double = 3.0): DataFrame =
+    anomaliesFromHourly(
+      userHourly(events).drop("n_events"), lookbackHours, minObs, zThreshold)
+
   /** q105: the trailing-24h z-score anomaly scan, oracle-ordered. */
   def q105HourlyAnomaly(s: SparkSession, dir: String): DataFrame =
     hourlyAnomalies(Tables.events(s, dir))
       .orderBy(col("user_id"), col("hour_idx"))
+
+  /** Where q107 materializes its store (q84's path precedent). */
+  val UserHourlyPath = "/tmp/graft_user_hourly.parquet"
+
+  /** q107: the standing-store claim as a DECLARED query (the q84/q100
+    * precedent — maintenance paths belong in the oracle gate, not just
+    * specs): build the per-user-hour store in three day-sliced appends
+    * (cut points from the data, q63's shift lesson), then serve the
+    * gap-filled series FROM THE STORE. The oracle is q102's SQL
+    * verbatim over raw history — hash equality IS the losslessness
+    * proof (append slices collapse exactly; serving never re-reads
+    * raw). */
+  def q107HourlyStoreServe(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = new org.apache.hadoop.fs.Path(UserHourlyPath)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = expr("ts DIV 86400000000000")
+    val minRow = ev.agg(min(d)).head()
+    require(!minRow.isNullAt(0), "events table is empty — nothing to store")
+    val cut1 = minRow.getLong(0) + 10L
+    val cut2 = minRow.getLong(0) + 20L
+    appendUserHourly(ev.filter(d < cut1), UserHourlyPath)
+    appendUserHourly(ev.filter(d >= cut1 && d < cut2), UserHourlyPath)
+    appendUserHourly(ev.filter(d >= cut2), UserHourlyPath)
+    gapFillFromHourly(mergedUserHourly(s, UserHourlyPath))
+      .orderBy(col("user_id"), col("hour_idx"))
+  }
 }

@@ -187,6 +187,29 @@ object Streaming {
     w.start()
   }
 
+  /** Maintain the per-user-hour partial store behind the q102/q105
+    * serve paths from a stream — the [[rollupStream]] contract at the
+    * (user, hour) grain: each micro-batch reduces to its mergeable
+    * (day, user, hour, count, decimal sum) rows and appends, so
+    * `TimeSeries.gapFillFromHourly` / `anomaliesFromHourly` over
+    * `mergedUserHourly` answer identically from backfill or live
+    * ingest. Same duplicate caveat: pass a checkpoint in production or
+    * a restart double-counts hours. */
+  def userHourlyStream(events: DataFrame, dst: String,
+                       checkpoint: Option[String] = None,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.TimeSeries.appendUserHourly(b, dst)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

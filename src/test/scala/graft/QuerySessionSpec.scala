@@ -317,6 +317,47 @@ class QuerySessionSpec extends SparkSpec {
     assert(qc, "quality_calibration inconsistent with quality_scores")
   }
 
+  test("wave-6 views: filled series, anomalies, k-anon release, canonical urls — cross-consistent in pure SQL") {
+    val dir = "/root/testdata/sf0.001"
+    QuerySession.openTestTables(spark, dir)
+    QuerySession.registerPipelineViews(spark, dir)
+    val ok = spark.sql(
+      """SELECT
+        |  -- filled series: active-hour event counts reconcile with raw
+        |  (SELECT CAST(sum(n_events) AS BIGINT) FROM hourly_filled) =
+        |    (SELECT count(*) FROM events)
+        |  -- gaps carry a value and never carry events
+        |  AND (SELECT count(*) FROM hourly_filled
+        |       WHERE is_gap AND (n_events <> 0 OR filled_value IS NULL)) = 0
+        |  -- spine is dense: per-user rows = span hours
+        |  AND (SELECT count(*) FROM (
+        |         SELECT user_id FROM hourly_filled GROUP BY user_id
+        |         HAVING count(*) <> max(hour_idx) - min(hour_idx) + 1)) = 0
+        |  -- anomaly view shares the hourly grain and values with the
+        |  -- filled view's active hours
+        |  AND (SELECT count(*) FROM hourly_anomalies a
+        |       JOIN hourly_filled f USING (user_id, hour_idx)
+        |       WHERE NOT f.is_gap AND a.value <> f.filled_value) = 0
+        |  AND (SELECT count(*) FROM hourly_anomalies) =
+        |      (SELECT count(*) FROM hourly_filled WHERE NOT is_gap)
+        |  -- k-anon: suppressed cells release nothing, kept cells clear k
+        |  AND (SELECT count(*) FROM k_anon_release
+        |       WHERE suppressed AND (n_users IS NOT NULL
+        |          OR n_events IS NOT NULL OR total_value IS NOT NULL)) = 0
+        |  AND (SELECT count(*) FROM k_anon_release
+        |       WHERE NOT suppressed AND n_users < 50) = 0
+        |  -- canonical urls: no tracking params, fragments, or case noise
+        |  -- survive; the fixture exercises the tracking branch
+        |  AND (SELECT count(*) FROM url_canonical
+        |       WHERE canonical_url LIKE '%utm%'
+        |          OR canonical_url LIKE '%#%'
+        |          OR canonical_url <> lower(canonical_url)) = 0
+        |  AND (SELECT count(*) FROM url_canonical WHERE had_tracking) > 0
+        |""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(ok, "wave-6 views inconsistent")
+  }
+
   test("driver contract: entry() yields rows; every query has a runnable fn") {
     assert(SparkEntry.entry(spark).count() > 0)          // driver's t1 smoke
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -277,6 +277,26 @@ class StreamingSpec extends SparkSpec {
     val sq = served(hist)
     assert(sq == served(oneShot) && sq.nonEmpty,
       "streamed histogram partials drifted from the batch store")
+
+    // the per-user-hour store streams the same way: gap fill and
+    // anomaly scoring served from streamed partials must equal the
+    // direct raw-history computation (wave 6's standing-store claim)
+    import graft.ops.TimeSeries
+    val stream3 = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+    val uh = root.resolve("user_hourly").toString
+    Streaming.userHourlyStream(stream3, uh).awaitTermination()
+    val servedFill = TimeSeries.gapFillFromHourly(
+        TimeSeries.mergedUserHourly(spark, uh))
+      .collect().map(_.toSeq).toSet
+    val directFill = TimeSeries.hourlyGapFill(ev).collect().map(_.toSeq).toSet
+    assert(servedFill == directFill && servedFill.nonEmpty,
+      "gap fill served from streamed partials drifted from raw history")
+    val servedZ = TimeSeries.anomaliesFromHourly(
+        TimeSeries.mergedUserHourly(spark, uh).drop("n_events"))
+      .collect().map(_.toSeq).toSet
+    val directZ = TimeSeries.hourlyAnomalies(ev).collect().map(_.toSeq).toSet
+    assert(servedZ == directZ, "anomalies served from streamed partials drifted")
   }
 
   test("streaming source quota: the admission counter survives micro-batch boundaries") {
