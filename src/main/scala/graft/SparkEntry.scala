@@ -184,6 +184,9 @@ object SparkEntry {
       graft.ops.Web.q106UrlDedup(s, dir)),
     "q107_hourly_store_serve" -> ((s: SparkSession, dir: String) =>
       graft.ops.TimeSeries.q107HourlyStoreServe(s, dir)),
+    "q108_snapshot_apply"   -> (graft.ops.SnapshotDiff.q108SnapshotApply _),
+    "q109_fuzzy_dedup"      -> ((s: SparkSession, dir: String) =>
+      graft.ops.Fuzzy.q109FuzzyDedup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,5 +563,7 @@ object SparkEntry {
     // q102's SQL verbatim: serving from the three-slice store must hash
     // identically to a fresh scan of raw history
     "q107_hourly_store_serve" -> ExtensionOracles.q102GapFill,
+    "q108_snapshot_apply" -> ExtensionOracles.q108SnapshotApply,
+    "q109_fuzzy_dedup" -> ExtensionOracles.q109FuzzyDedup,
   )
 }

@@ -53,6 +53,53 @@ object SnapshotDiff {
     diff(a, b).orderBy(col("doc_id"))
   }
 
+  /** The changelog a downstream store applies: one row per DELTA id —
+    * `op = 'delete'` for removed ids, `op = 'upsert'` (with the new
+    * text) for added/changed ids; unchanged ids are absent. The text
+    * join is against the delta ids only, so full document text rides
+    * the shuffle O(delta), never O(corpus) — the diff itself stays on
+    * 48-byte fingerprint rows. */
+  def changelog(a: DataFrame, b: DataFrame): DataFrame =
+    diff(a, b).filter(col("status") =!= "unchanged")
+      .select(col("doc_id"),
+        when(col("status") === "removed", "delete").otherwise("upsert").as("op"))
+      .join(b.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+
+  /** Apply a changelog to a base snapshot: drop every changelog id from
+    * the base (delete AND upsert — an upsert replaces), then union the
+    * upsert rows. One anti-join + union keyed on the id — MERGE
+    * semantics as two relational operators, Exchange-free when both
+    * sides are bucketed on doc_id (`etl.Bucketing`). Applying
+    * [[changelog]](a, b) to `a` reconstructs `b` exactly — q108 proves
+    * it by hash. */
+  def applyChangelog(base: DataFrame, log: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("text"))
+      .join(log.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(log.filter(col("op") === "upsert")
+        .select(col("doc_id"), col("text")))
+
+  /** q108: the CDC round trip as a DECLARED query (the q100/q107
+    * precedent) — derive snapshot B (q63's derivation), extract the
+    * changelog, apply it to A, and emit (doc_id, fingerprint) of the
+    * RECONSTRUCTED snapshot. The oracle replays the B derivation
+    * directly: hash equality proves apply ∘ changelog = identity on
+    * versions, end to end. */
+  def q108SnapshotApply(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mx = a.agg(max(col("doc_id")).as("mx"))
+    val b = a.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        a.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("mx") + 1L).as("doc_id"), col("text")))
+    applyChangelog(a, changelog(a, b))
+      .select(col("doc_id"), md5(col("text")).as("md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The reusable core: classify every id in either snapshot.
     * Unordered — callers needing a deterministic row order sort the
     * 20-byte (id, status, md5s) projection themselves. */

@@ -80,7 +80,11 @@ object Web {
   def hasTracking(url: Column): Column =
     urlQuery(url).rlike("(^|&)(utm_[^=]*|fbclid|gclid)=")
 
-  /** The full canonical URL (see object doc for the rules). */
+  /** The full canonical URL (see object doc for the rules). A value
+    * that is not URL-shaped (no `scheme://host` prefix) canonicalizes
+    * to NULL — the [[Privacy.maskIpv4]] totality rule: a garbage
+    * `"://"` token must not become a mergeable dedup key that silently
+    * collapses every malformed row into one group. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = urlScheme(url)
     val host   = canonicalHost(url)
@@ -90,7 +94,8 @@ object Web {
     val portPart  = when(port =!= "" && !defaultPort, concat(lit(":"), port)).otherwise("")
     val query     = canonicalQuery(url)
     val queryPart = when(query =!= "", concat(lit("?"), query)).otherwise("")
-    concat(scheme, lit("://"), host, portPart, canonicalPath(url), queryPart)
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, portPart, canonicalPath(url), queryPart))
   }
 
   /** Deterministic messy-URL synthesis over the documents table — the

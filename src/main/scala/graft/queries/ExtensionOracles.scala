@@ -2276,6 +2276,40 @@ object ExtensionOracles {
       |FROM canon GROUP BY canonical_url
       |ORDER BY canonical_url""".stripMargin
 
+  /** Mirrors q108 (`ops.SnapshotDiff.applyChangelog`): the oracle
+    * replays q63's snapshot-B derivation DIRECTLY — the engine must
+    * reconstruct it through changelog extraction + merge apply, so
+    * hash equality proves the CDC round trip is the identity. */
+  val q108SnapshotApply: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT m FROM mx) + 1, text
+      |  FROM documents WHERE doc_id % 13 = 0)
+      |SELECT doc_id, md5(text) AS md5 FROM b ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q109 (`ops.Fuzzy`): the tweak-keyed titles, the
+    * tweak-stable block slice, the ≤64 block cap, and exact
+    * Levenshtein ≤ 2 within blocks. */
+  val q109FuzzyDedup: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN 'x' || substr(text, 2, 31)
+      |         WHEN doc_id % 5 = 2 THEN substr(text, 1, 32) || 'q'
+      |         ELSE substr(text, 1, 32) END AS title
+      |  FROM documents),
+      |b AS (SELECT doc_id, title, substr(title, 9, 8) AS blk FROM t),
+      |ok AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= 64)
+      |SELECT l.doc_id AS d1, r.doc_id AS d2,
+      |  CAST(levenshtein(l.title, r.title) AS BIGINT) AS dist
+      |FROM b l JOIN ok ON l.blk = ok.blk
+      |JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+      |WHERE levenshtein(l.title, r.title) <= 2
+      |ORDER BY d1, d2""".stripMargin
+
   /** Mirrors q104 (`ops.Privacy.kAnonymousRelease`, k=50): measures
     * released only when the cell's distinct-user count clears k. */
   val q104KAnonymity: String =

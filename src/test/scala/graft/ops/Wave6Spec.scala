@@ -28,6 +28,12 @@ class Wave6Spec extends SparkSpec {
     for (u <- Seq("https://example.com/", "http://e.co:8080/x?a=1&b=2",
                   "https://sub.example.com/docs/7"))
       assert(canon(u) === u, s"not a fixed point: $u")
+    // non-URL-shaped input canonicalizes to NULL, not a '://' token
+    // that would merge every malformed row into one dedup group
+    import spark.implicits._
+    val bad = Seq("not a url", "", "ftp-ish:/one-slash", "//proto-relative.example.com/x")
+      .toDF("u").select(Web.canonicalizeUrl(col("u"))).collect()
+    assert(bad.forall(_.isNullAt(0)))
   }
 
   test("URL canonicalization: two referrer-decorated spellings collide, distinct pages don't") {
@@ -111,6 +117,41 @@ class Wave6Spec extends SparkSpec {
     assert(out.forall(_.getBoolean(4)))
     // and no two pages share a canonical URL
     assert(out.map(_.getString(0)).distinct.length === out.length)
+  }
+
+  test("CDC: changelog carries only the delta; applying it reconstructs the target snapshot") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "BETA"), (4L, "delta"), (9L, "new"))
+      .toDF("doc_id", "text") // 2 changed, 3 removed, 9 added
+    val log = SnapshotDiff.changelog(a, b).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(log.keySet === Set(2L, 3L, 9L))
+    assert(log(2L) === (("upsert", "BETA")))
+    assert(log(3L) === (("delete", null)))
+    assert(log(9L) === (("upsert", "new")))
+    val v2 = SnapshotDiff.applyChangelog(a, SnapshotDiff.changelog(a, b))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 === b.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("fuzzy dedup: distance bound and block cap both gate pairs") {
+    import spark.implicits._
+    // titles share the stable block slice (chars 9..16 = 'BLOCKSLC')
+    val mk = (s: String) => "12345678BLOCKSLC" + s
+    val titled = Seq(
+      (1L, mk("same")), (2L, mk("samq")),      // dist 1 -> pair
+      (3L, mk("saqq")),                        // dist 2 from #1 -> pair
+      (4L, mk("zzzz")),                        // dist 4 from #1 -> dropped
+      (5L, "XXXXXXXXOTHERBLK" + "same"))       // different block -> no pair with #1
+      .toDF("doc_id", "title")
+    val pairs = Fuzzy.fuzzyPairs(titled, maxDist = 2, maxBlock = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
+    // a hot block (cap 3 < 4 members) drops entirely — the q25 rule
+    val capped = Fuzzy.fuzzyPairs(titled, maxDist = 2, maxBlock = 3L).collect()
+    assert(capped.isEmpty)
   }
 
   test("grouping sets ≡ union of the four separate GROUP BYs") {
