@@ -187,6 +187,8 @@ object SparkEntry {
     "q108_snapshot_apply"   -> (graft.ops.SnapshotDiff.q108SnapshotApply _),
     "q109_fuzzy_dedup"      -> ((s: SparkSession, dir: String) =>
       graft.ops.Fuzzy.q109FuzzyDedup(s, dir)),
+    "q110_pagerank"         -> ((s: SparkSession, dir: String) =>
+      graft.ops.Graph.q110PageRank(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,5 +567,6 @@ object SparkEntry {
     "q107_hourly_store_serve" -> ExtensionOracles.q102GapFill,
     "q108_snapshot_apply" -> ExtensionOracles.q108SnapshotApply,
     "q109_fuzzy_dedup" -> ExtensionOracles.q109FuzzyDedup,
+    "q110_pagerank" -> ExtensionOracles.q110PageRank,
   )
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics — the second graph family next to
+  * [[Dedup.connectedComponents]]: PageRank-style authority scoring
+  * over a link graph (domain/page authority is a standard quality
+  * prior in web-corpus curation — a page linked by many authoritative
+  * pages is likelier worth keeping, and rank-weighted sampling is a
+  * common curation knob).
+  *
+  * Scale shape: each iteration is ONE join of the static
+  * (src, dst, deg) edge-share table against the current rank vector
+  * (shuffle keyed on src) and ONE aggregate keyed on dst — O(E) rows
+  * per round, never materializing anything driver-side beyond two
+  * scalar aggregates (N and the dangling mass, both 1-row). The edge
+  * table and degree join are loop-invariant and computed once.
+  * Long-running iteration counts truncate lineage every `pinEvery`
+  * rounds (the [[Dedup.connectedComponents]] localCheckpoint rule);
+  * the declared 3-round query never hits it.
+  *
+  * Float-determinism contract (the q34 idiom, applied per round):
+  * per-edge shares are double-divided then ROUNDED to 12 digits and
+  * summed as exact DECIMAL (double summation order is
+  * engine/partitioning-dependent; decimal addition is not), the
+  * teleport/damping combine happens in double on those exact sums, and
+  * the round's final rank is rounded to 12 digits — so N rounds replay
+  * bit-identically in any engine that follows the same recipe (the
+  * oracle unrolls it as chained CTEs).
+  */
+object Graph {
+
+  /** PageRank over (id) nodes and (src, dst) edges. Nodes with no
+    * out-edges are dangling: their mass redistributes uniformly each
+    * round (the standard correction — dropping it leaks mass and the
+    * ranks no longer sum to 1). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               damping: Double = 0.85, pinEvery: Int = 8): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgeShare = edges.join(deg, Seq("src"))
+    val danglingIds = nodes.select(col("id"))
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+    var ranks = nodes.select(col("id"), round(lit(1.0 / n), 12).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = edgeShare
+        .join(ranks, edgeShare("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          round(col("rank") / col("deg"), 12).cast("decimal(28,12)").as("c"))
+      val summed = contribs.groupBy(col("id")).agg(sum(col("c")).as("sc"))
+      val dangling = danglingIds.join(ranks, Seq("id"))
+        .agg(coalesce(sum(col("rank").cast("decimal(28,12)")),
+          lit(0).cast("decimal(28,12)")).as("dm"))
+      ranks = nodes.select(col("id"))
+        .join(summed, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          round(lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("sc").cast("double"), lit(0.0)) +
+             col("dm").cast("double") / n), 12).as("rank"))
+      if (pinEvery > 0 && i % pinEvery == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** q110's deterministic link synthesis over the documents corpus:
+    * every doc outside the `%17` dangling set links to two arithmetic
+    * targets mod the id range (targets semi-joined against real ids —
+    * no edge may point outside the graph), DISTINCT (the two rules can
+    * coincide). The `%17` docs have NO out-links, so the dangling
+    * branch is exercised, not just implemented. */
+  def syntheticLinks(nodes: DataFrame, mx: Long): DataFrame = {
+    val src = nodes.filter(col("id") % 17 =!= 0)
+    val e = src.select(col("id").as("src"), ((col("id") * 7 + 13) % (mx + 1)).as("dst"))
+      .unionByName(src.select(col("id").as("src"),
+        ((col("id") * 31 + 101) % (mx + 1)).as("dst")))
+    e.join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi").distinct()
+  }
+
+  /** q110: 3-round PageRank over the synthesized doc link graph,
+    * oracle-ordered. Mass conservation (ranks sum to 1 within
+    * rounding) is the built-in sanity check, asserted spec-side. */
+  def q110PageRank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val mx = nodes.agg(max(col("id"))).head().getLong(0)
+    pageRank(nodes, syntheticLinks(nodes, mx), iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+}

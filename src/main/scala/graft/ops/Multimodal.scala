@@ -228,6 +228,110 @@ object Multimodal {
       .mapPartitions(_.map { case (id, mt, bytes) => decode(id, mt, bytes) })
   }
 
+  // --- Perceptual-hash image dedup ------------------------------------
+  //
+  // Exact dedup (md5 of the payload) misses the commonest image
+  // duplicate of all: THE SAME PIXELS RE-ENCODED (png vs bmp, different
+  // compressor settings, stripped metadata). The standard cheap answer
+  // is a perceptual hash over the DECODED pixels — aHash: average-pool
+  // to an 8×8 grayscale, set bit i when cell i is brighter than the
+  // mean — so re-encodes collide exactly and small local edits land
+  // within a few bits.
+  //
+  // Scale shape: hashing is one partition-local decode pass (64 bits
+  // per image on the shuffle, never pixels). Pairing uses the q26
+  // banding idea with a DETERMINISTIC guarantee instead of a
+  // probabilistic one: split the 64 bits into 4 × 16-bit bands and
+  // join on (band index, band bits) — by pigeonhole, any pair at
+  // Hamming distance ≤ 3 has at least one band with zero differing
+  // bits, so recall at the declared radius is EXACT, not estimated.
+  // The band join collides only plausible candidates; a codegen'd
+  // `bit_count(xor)` verifies the true distance.
+
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** 64-bit average hash of a decodable image; None for payloads
+    * ImageIO cannot parse (corrupt objects degrade, never kill the
+    * partition — the [[decodeImage]] rule). */
+  def aHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    Option(img).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          // integer cell boxes; images narrower than 8px fall back to
+          // the nearest pixel so the hash stays total
+          val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          var sum = 0.0; var n = 0; var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = im.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64
+      var bits = 0L; var i = 0
+      while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+      bits
+    }
+  }
+
+  /** Per-image perceptual hashes: partition-local decode, 8 bytes per
+    * image on the wire. Rows whose payload does not decode are absent
+    * (they have no pixels to hash; exact dedup still covers them). */
+  def imageHashes(df: DataFrame): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aHash(bytes).map(ImageHash(id, _))
+      })
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxDist` over
+    * the aHash — EXACT recall for `maxDist ≤ nBands - 1` by the
+    * pigeonhole banding above. One shuffle on the band key, pair
+    * volume bounded by band-bucket occupancy, `bit_count(xor)` verify. */
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 3,
+                        nBands: Int = 4): DataFrame = {
+    require(maxDist <= nBands - 1,
+      s"pigeonhole guarantee needs maxDist <= nBands - 1 ($maxDist vs $nBands)")
+    val width = 64 / nBands
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ahash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val l = banded.select(col("band"), col("bits"),
+      col("doc_id").as("d1"), col("ahash").as("h1"))
+    val r = banded.select(col("band"), col("bits"),
+      col("doc_id").as("d2"), col("ahash").as("h2"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Synthesizes a media table from `documents` (text bytes stand in for
     * an encoded payload) — the container has no real media files. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =

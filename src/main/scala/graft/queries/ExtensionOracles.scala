@@ -2310,6 +2310,42 @@ object ExtensionOracles {
       |WHERE levenshtein(l.title, r.title) <= 2
       |ORDER BY d1, d2""".stripMargin
 
+  /** Mirrors q110 (`ops.Graph.pageRank`, 3 rounds): the link synthesis
+    * replayed, then each round unrolled as a CTE block following the
+    * exact determinism recipe — per-edge share double-divided, rounded
+    * to 12, summed as DECIMAL; teleport+damping combined in double on
+    * the exact sums; round result rounded to 12. */
+  val q110PageRank: String = {
+    def iter(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS id, CAST(round(r.rank / e.deg, 12) AS DECIMAL(28,12)) AS c
+         |  FROM r${i - 1} r JOIN es e ON r.id = e.src),
+         |dm$i AS (SELECT COALESCE(SUM(CAST(r.rank AS DECIMAL(28,12))), 0) AS dm
+         |  FROM r${i - 1} r LEFT JOIN deg d ON r.id = d.src WHERE d.src IS NULL),
+         |r$i AS (SELECT n.id,
+         |    round(0.15 / (SELECT n FROM nn) + 0.85 *
+         |      (COALESCE(CAST(s.sc AS DOUBLE), 0.0) +
+         |       CAST((SELECT dm FROM dm$i) AS DOUBLE) / (SELECT n FROM nn)), 12) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT id, SUM(c) AS sc FROM c$i GROUP BY id) s ON n.id = s.id)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(id) AS mx FROM nodes),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id * 7 + 13) % ((SELECT mx FROM nn) + 1) AS dst
+       |    FROM nodes WHERE id % 17 <> 0
+       |    UNION ALL
+       |    SELECT id AS src, (id * 31 + 101) % ((SELECT mx FROM nn) + 1) AS dst
+       |    FROM nodes WHERE id % 17 <> 0)
+       |  WHERE dst IN (SELECT id FROM nodes)),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |es AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+       |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors q104 (`ops.Privacy.kAnonymousRelease`, k=50): measures
     * released only when the cell's distinct-user count clears k. */
   val q104KAnonymity: String =

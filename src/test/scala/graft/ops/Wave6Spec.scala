@@ -154,6 +154,75 @@ class Wave6Spec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("pagerank: cycle symmetry, dangling redistribution, mass conservation, partition invariance") {
+    import spark.implicits._
+    // 3-cycle: perfectly symmetric, every round leaves ranks at 1/3
+    val cyc = Graph.pageRank(Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iters = 4)
+      .collect().map(_.getDouble(1))
+    assert(cyc.forall(_ === 0.333333333333))
+    // dangling node: 1 -> 2, node 2 has no out-links; hand-computed round 1
+    val d = Graph.pageRank(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(1L) === 0.2875 && d(2L) === 0.7125)
+    // the declared graph: mass conserved after 3 rounds, and the result
+    // is invariant to input partitioning
+    val out = Graph.q110PageRank(spark, "/root/testdata/sf0.001")
+    val mass = out.agg(sum(col("rank").cast("decimal(28,12)"))).head().getDecimal(0)
+    assert((mass.doubleValue - 1.0).abs < 1e-6, s"mass leaked: $mass")
+    val nodes = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id")).repartition(7)
+    val mx = nodes.agg(max(col("id"))).head().getLong(0)
+    val re = Graph.pageRank(nodes, Graph.syntheticLinks(nodes, mx), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.collect().forall(r => re(r.getLong(0)) === r.getDouble(1)))
+  }
+
+  test("image perceptual dedup: re-encodes collide exactly, small edits land nearby, distinct images stay apart") {
+    import spark.implicits._
+    // deterministic 32x32 gradient image, bright left / dark right
+    def base(): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = 255 - x * 8 max 0
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, b)
+      b.toByteArray
+    }
+    val a = base()                       // png
+    val b = base()                       // SAME pixels, bmp encoding
+    val c = base()                       // one 4x4 block flipped bright
+    for (y <- 0 until 4; x <- 28 until 32) c.setRGB(x, y, 0xFFFFFF)
+    val d = base()                       // mirrored gradient: far
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = 255 - (31 - x) * 8 max 0
+      d.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val media = Seq(
+      (1L, enc(a, "png")), (2L, enc(b, "bmp")), (3L, enc(c, "png")),
+      (4L, enc(d, "png")), (5L, Array[Byte](9, 9, 9)) /* corrupt: absent */ )
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imageHashes(media)
+    val hm = hashes.collect().map(ih => ih.doc_id -> ih.ahash).toMap
+    // exact dedup (payload md5) CANNOT see 1≡2 — the hash must
+    assert(hm(1L) === hm(2L))
+    assert(java.lang.Long.bitCount(hm(1L) ^ hm(3L)) <= 3)
+    assert(java.lang.Long.bitCount(hm(1L) ^ hm(4L)) > 3)
+    assert(!hm.contains(5L))
+    val pairs = Multimodal.imageNearDupPairs(hashes.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("grouping sets ≡ union of the four separate GROUP BYs") {
     val dir = "/root/testdata/sf0.001"
     val gs = graft.queries.Relational.q103GroupingSets(spark, dir)
