@@ -223,6 +223,61 @@ class Wave6Spec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("property: canonical URL is idempotent and invariant under random decoration (500 seeded cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def mixCase(s: String) = s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    // one page spec -> one DECORATED spelling (decoration must not
+    // change the canonical form)
+    def decorate(scheme: String, host: String, path: String,
+                 params: Seq[String]): String = {
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val port = if (rnd.nextBoolean()) (if (scheme == "https") ":443" else ":80") else ""
+      val slash = if (path.nonEmpty && rnd.nextBoolean()) "/" else ""
+      val tracking = Seq("utm_source=x", "utm_b=2", "gclid=g", "fbclid=f")
+        .filter(_ => rnd.nextBoolean())
+      val q = rnd.shuffle(params ++ tracking).mkString("&")
+      val qs = if (q.nonEmpty) "?" + q else ""
+      val frag = if (rnd.nextBoolean()) "#frag" else ""
+      s"${mixCase(scheme)}://${mixCase(www + host)}$port$path$slash$qs$frag"
+    }
+    val cases = (0 until 500).map { i =>
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val host = s"h$i.example.com"
+      val path = rnd.nextInt(3) match {
+        case 0 => ""
+        case n => (1 to n).map(k => s"/p$k").mkString
+      }
+      val params = Seq("a=1", "b=2", "c=3").take(rnd.nextInt(4))
+      (i.toLong, decorate(scheme, host, path, params),
+        decorate(scheme, host, path, params))
+    }
+    val out = cases.toDF("id", "u1", "u2").select(
+        Web.canonicalizeUrl(col("u1")).as("c1"),
+        Web.canonicalizeUrl(Web.canonicalizeUrl(col("u1"))).as("cc1"),
+        Web.canonicalizeUrl(col("u2")).as("c2"))
+      .collect()
+    assert(out.forall(r => !r.isNullAt(0)))
+    assert(out.forall(r => r.getString(0) === r.getString(1)), "not idempotent")
+    assert(out.forall(r => r.getString(0) === r.getString(2)),
+      "decoration leaked into the canonical form")
+  }
+
+  test("property: pagerank conserves mass on random graphs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0L until 50L).toDF("id")
+      val edges = (0L until 50L).flatMap { s =>
+        (0 until rnd.nextInt(4)).map(_ => (s, rnd.nextInt(50).toLong))
+      }.distinct
+      val ranks = Graph.pageRank(nodes, edges.toDF("src", "dst"), iters = 3)
+      val mass = ranks.agg(sum(col("rank").cast("decimal(28,12)"))).head()
+        .getDecimal(0).doubleValue
+      assert((mass - 1.0).abs < 1e-6, s"seed $seed leaked mass: $mass")
+    }
+  }
+
   test("grouping sets ≡ union of the four separate GROUP BYs") {
     val dir = "/root/testdata/sf0.001"
     val gs = graft.queries.Relational.q103GroupingSets(spark, dir)
