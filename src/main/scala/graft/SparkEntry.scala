@@ -189,6 +189,10 @@ object SparkEntry {
       graft.ops.Fuzzy.q109FuzzyDedup(s, dir)),
     "q110_pagerank"         -> ((s: SparkSession, dir: String) =>
       graft.ops.Graph.q110PageRank(s, dir)),
+    "q111_interval_overlap" -> ((s: SparkSession, dir: String) =>
+      graft.ops.RangeJoin.q111IntervalOverlap(s, dir)),
+    "q113_exact_jaccard"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.SetSimilarity.q113ExactJaccard(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -568,5 +572,7 @@ object SparkEntry {
     "q108_snapshot_apply" -> ExtensionOracles.q108SnapshotApply,
     "q109_fuzzy_dedup" -> ExtensionOracles.q109FuzzyDedup,
     "q110_pagerank" -> ExtensionOracles.q110PageRank,
+    "q111_interval_overlap" -> ExtensionOracles.q111IntervalOverlap,
+    "q113_exact_jaccard" -> ExtensionOracles.q113ExactJaccard,
   )
 }

@@ -2346,6 +2346,39 @@ object ExtensionOracles {
        |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors q113 (`ops.SetSimilarity.prefixFilterJoin`): exact
+    * distinct-shingle-set Jaccard ≥ 0.6 pairs. The oracle pays the
+    * all-pairs quadratic the prefix filter prunes; both sides compute
+    * jaccard as int/int in double, threshold on the unrounded value,
+    * and round to 6 only for the emitted column. */
+  val q113ExactJaccard: String =
+    s"""WITH $shingleCtes,
+       |d AS (SELECT doc_id, list(g) AS toks FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    len(list_intersect(a.toks, b.toks)) AS inter,
+       |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+       |  round(inter * 1.0 / uni, 6) AS jac
+       |FROM p WHERE inter * 1.0 / uni >= 0.6
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Mirrors q111 (`ops.RangeJoin.intervalOverlap`): the deterministic
+    * per-event windows, then a plain inequality join — the oracle pays
+    * the quadratic the bucketed engine path avoids. Floor-seconds via
+    * `epoch_us // 1000000` (DuckDB's double cast would round). */
+  val q111IntervalOverlap: String =
+    """WITH iv AS (SELECT event_id, event_type,
+      |    epoch_us(ts) // 1000000 AS s,
+      |    epoch_us(ts) // 1000000 + 60 + event_id % 240 AS e
+      |  FROM events)
+      |SELECT a.event_id AS a_id, b.event_id AS b_id, a.event_type,
+      |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+      |FROM iv a JOIN iv b
+      |  ON a.event_type = b.event_type AND a.s <= b.e AND b.s <= a.e
+      |WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Mirrors q104 (`ops.Privacy.kAnonymousRelease`, k=50): measures
     * released only when the cell's distinct-user count clears k. */
   val q104KAnonymity: String =
