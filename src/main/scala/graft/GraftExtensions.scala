@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CmsEstimate, CosineSimilarity, CountMinSketchAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
+import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CosineSimilarity, CountMinSketchAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cmsSketch)
     e.injectFunction(GraftExtensions.cmsEstimate)
     e.injectFunction(GraftExtensions.topK)
+    e.injectFunction(GraftExtensions.bloomAgg)
+    e.injectFunction(GraftExtensions.bloomMightContain)
   }
 }
 
@@ -109,12 +111,41 @@ object GraftExtensions {
           s"top_k takes 3 arguments, got ${other.size}")
       })
 
+  /** `bloom_agg(col)` or `bloom_agg(col, numBits, k)` — numBits/k must be
+    * integer literals (they shape the aggregation buffer). */
+  val bloomAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(col[, numBits, k]) - Bloom filter of a bigint key column as binary."),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => BloomAgg(c)
+        case Seq(c, b, k) =>
+          def intLit(e: Expression, name: String): Int = e match {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+              lit.value.asInstanceOf[Int]
+            case _ => throw new IllegalArgumentException(
+              s"bloom_agg: $name must be an INT literal, got $e")
+          }
+          val bits = intLit(b, "numBits"); val kk = intLit(k, "k")
+          if (bits < 64 || kk < 1) throw new IllegalArgumentException(
+            s"bloom_agg: need numBits >= 64 and k >= 1, got ($bits, $kk)")
+          BloomAgg(c, bits, kk)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg takes 1 or 3 arguments, got ${other.size}")
+      })
+
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, key) - false = definitely absent; true = present or false positive."),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1)))
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
-        cmsSketch, cmsEstimate, topK).foreach {
+        cmsSketch, cmsEstimate, topK, bloomAgg, bloomMightContain).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }

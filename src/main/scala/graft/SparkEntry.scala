@@ -191,6 +191,8 @@ object SparkEntry {
       graft.ops.Graph.q110PageRank(s, dir)),
     "q111_interval_overlap" -> ((s: SparkSession, dir: String) =>
       graft.ops.RangeJoin.q111IntervalOverlap(s, dir)),
+    "q112_bloom_semi_join"  -> ((s: SparkSession, dir: String) =>
+      graft.ops.BloomPrune.q112BloomSemiJoin(s, dir)),
     "q113_exact_jaccard"    -> ((s: SparkSession, dir: String) =>
       graft.ops.SetSimilarity.q113ExactJaccard(s, dir)),
   )
@@ -573,6 +575,13 @@ object SparkEntry {
     "q109_fuzzy_dedup" -> ExtensionOracles.q109FuzzyDedup,
     "q110_pagerank" -> ExtensionOracles.q110PageRank,
     "q111_interval_overlap" -> ExtensionOracles.q111IntervalOverlap,
+    "q112_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q113_exact_jaccard" -> ExtensionOracles.q113ExactJaccard,
   )
 }

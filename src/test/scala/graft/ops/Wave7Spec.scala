@@ -39,6 +39,45 @@ class Wave7Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bloom filter: zero false negatives, FPP near theory, SQL surface") {
+    import spark.implicits._
+    val present = (1 to 20000).map(i => i.toLong * 7 + 3)
+    val bf = BloomPrune.bloomOf(present.toDF("k"), "k").head().getAs[Array[Byte]](0)
+    // 128 KiB for 2^20 bits + 8-byte header
+    assert(bf.length === (1 << 20) / 8 + 8)
+    // no false negatives — every inserted key probes true
+    assert(present.forall(k => graft.functions.BloomFormat.mightContain(bf, k)))
+    // false-positive rate on 20k known-absent keys near (1-e^(-nk/m))^k ≈ 0.04%
+    val absent = (1 to 20000).map(i => -i.toLong * 13 - 1)
+    val fpp = absent.count(k => graft.functions.BloomFormat.mightContain(bf, k)) / 20000.0
+    assert(fpp < 0.005, s"fpp $fpp")
+    // SQL registration round-trips
+    graft.GraftExtensions.register(spark)
+    present.toDF("k").createOrReplaceTempView("bloom_keys")
+    val viaSql = spark.sql(
+      """SELECT bloom_might_contain(b.bf, 10L), bloom_might_contain(b.bf, -14L)
+        |FROM (SELECT bloom_agg(k) AS bf FROM bloom_keys) b""".stripMargin).head()
+    assert(viaSql.getBoolean(0) && !viaSql.getBoolean(1))
+  }
+
+  test("bloom semi join: equals plain semi join, bloom prunes before the exchange") {
+    import spark.implicits._
+    val probe = (1 to 50000).map(i => (i.toLong, i % 100)).toDF("k", "payload")
+    val build = (1 to 500).map(i => i.toLong * 97).toDF("bk")
+    val pruned = BloomPrune.bloomSemiJoin(probe, "k", build, "bk")
+    val plain = probe.join(build.withColumnRenamed("bk", "k"), Seq("k"), "left_semi")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+      plain.collect().map(_.getLong(0)).sorted.toSeq)
+    // the prefilter drops non-matching rows before the semi join:
+    // of 50k probe rows only ~515 (matches + FPP) survive the bloom
+    val bf = BloomPrune.bloomOf(build, "bk").head().getAs[Array[Byte]](0)
+    val survivors = (1 to 50000).count(i =>
+      graft.functions.BloomFormat.mightContain(bf, i.toLong))
+    assert(survivors < 1000, s"bloom let $survivors of 50000 through")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
