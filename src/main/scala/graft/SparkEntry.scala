@@ -195,6 +195,8 @@ object SparkEntry {
       graft.ops.BloomPrune.q112BloomSemiJoin(s, dir)),
     "q113_exact_jaccard"    -> ((s: SparkSession, dir: String) =>
       graft.ops.SetSimilarity.q113ExactJaccard(s, dir)),
+    "q114_triangle_count"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.Graph.q114TriangleCount(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -583,5 +585,6 @@ object SparkEntry {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q113_exact_jaccard" -> ExtensionOracles.q113ExactJaccard,
+    "q114_triangle_count" -> ExtensionOracles.q114TriangleCount,
   )
 }

@@ -81,6 +81,83 @@ object Graph {
     e.join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi").distinct()
   }
 
+  /** Per-node triangle counts over an undirected edge list — the
+    * clustering/community signal (a node's triangle count is the core
+    * of its clustering coefficient; corpus-side it flags tightly
+    * interlinked boilerplate families the PageRank prior misses).
+    *
+    * The scale problem is wedge explosion: joining edges on their
+    * shared endpoint generates deg(u)² wedges at u, and one celebrity
+    * node with deg 10⁶ means 10¹² wedges. The classic fix (degree
+    * ordering / forward counting — Chiba & Nishizeki 1985, the
+    * MapReduce form in Suri & Vassilvitskii WWW 2011): orient every
+    * edge from its lower-(deg, id) endpoint to the higher one. Every
+    * out-degree in the oriented graph is then O(√E), wedge volume is
+    * Σ outdeg(u)² ≤ E^1.5 worst-case regardless of skew, and each
+    * triangle appears exactly once (at its lowest-order apex) — no
+    * dedup pass. Three shuffles total: degrees, the wedge self-join,
+    * the closing-edge semi check.
+    *
+    * Input edges may be directed/duplicated/self-looped; they are
+    * normalized to simple undirected form first. */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b): total order, so exactly
+    // one direction survives per edge
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the lowest-order apex u; (v, w) ordered by the SAME
+    // total order via the oriented closing edge, so each triangle is
+    // one (u, v, w) row
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wedges.join(
+        oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x").as("v"), col("y").as("w"))
+    val perNode = tri.select(col("u").as("id"))
+      .unionAll(tri.select(col("v").as("id")))
+      .unionAll(tri.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** q114's deterministic community graph: docs link to the next 1, 2
+    * and 3 ids inside their 25-doc block — offsets {1,2,3} close
+    * (1+2=3 and 1+1=2) so interior nodes sit in several triangles,
+    * block edges in none (the %17 arithmetic graph of q110 is
+    * triangle-free, measured — useless for this query). */
+  def communityLinks(nodes: DataFrame): DataFrame = {
+    val offs = Seq(1L, 2L, 3L)
+    offs.map { o =>
+      nodes.select(col("id").as("src"), (col("id") + o).as("dst"))
+        .filter(expr("src DIV 25") === expr("dst DIV 25"))
+    }.reduce(_.unionByName(_))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+  }
+
+  /** q114: per-doc triangle counts over the community graph (0 for
+    * triangle-free docs — total over the corpus, the q51 rule). */
+  def q114TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    triangleCounts(nodes, communityLinks(nodes))
+      .select(col("id").as("doc_id"), col("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q110: 3-round PageRank over the synthesized doc link graph,
     * oracle-ordered. Mass conservation (ranks sum to 1 within
     * rounding) is the built-in sanity check, asserted spec-side. */

@@ -2363,6 +2363,32 @@ object ExtensionOracles {
        |FROM p WHERE inter * 1.0 / uni >= 0.6
        |ORDER BY d1, d2""".stripMargin
 
+  /** Mirrors q114 (`ops.Graph.triangleCounts`): the block-community
+    * link synthesis, then naive a<b<c triple-join triangle
+    * enumeration — the oracle is orientation-free; the engine's
+    * degree-ordered orientation must produce the same per-node
+    * counts. */
+  val q114TriangleCount: String =
+    """WITH nodes AS (SELECT doc_id AS id FROM documents),
+      |e AS (
+      |  SELECT src, dst FROM (
+      |    SELECT id AS src, id + 1 AS dst FROM nodes
+      |    UNION ALL SELECT id, id + 2 FROM nodes
+      |    UNION ALL SELECT id, id + 3 FROM nodes)
+      |  WHERE src // 25 = dst // 25 AND dst IN (SELECT id FROM nodes)),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM e WHERE src <> dst),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pern AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT x AS id FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY id)
+      |SELECT n.id AS doc_id, COALESCE(pern.n, 0) AS n_triangles
+      |FROM nodes n LEFT JOIN pern ON n.id = pern.id
+      |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q111 (`ops.RangeJoin.intervalOverlap`): the deterministic
     * per-event windows, then a plain inequality join — the oracle pays
     * the quadratic the bucketed engine path avoids. Floor-seconds via

@@ -78,6 +78,25 @@ class Wave7Spec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"), plan)
   }
 
+  test("triangle counts: K4 plus pendant, orientation handles a hub without wedge explosion") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 (0)
+    // + hub 100 connected to 20 leaves (star: no triangles at all)
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val star = (6 to 25).map(i => (100L, i.toLong))
+    val edges = (k4 ++ Seq((4L, 5L)) ++ star).toDF("src", "dst")
+    val nodes = ((1 to 5) ++ (6 to 25) ++ Seq(100)).map(_.toLong).toDF("id")
+    val got = Graph.triangleCounts(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 3 && got(2L) === 3 && got(3L) === 3 && got(4L) === 3)
+    assert(got(5L) === 0 && got(100L) === 0 && got(10L) === 0)
+    // duplicate/reversed/self-loop edges don't change counts
+    val dirty = edges.unionAll(Seq((2L, 1L), (1L, 1L), (3L, 1L)).toDF("src", "dst"))
+    val got2 = Graph.triangleCounts(nodes, dirty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
