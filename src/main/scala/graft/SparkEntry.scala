@@ -197,6 +197,10 @@ object SparkEntry {
       graft.ops.SetSimilarity.q113ExactJaccard(s, dir)),
     "q114_triangle_count"   -> ((s: SparkSession, dir: String) =>
       graft.ops.Graph.q114TriangleCount(s, dir)),
+    "q115_markov_transitions" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q115MarkovTransitions(s, dir)),
+    "q116_frequent_pairs"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.Baskets.q116FrequentPairs(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -586,5 +590,7 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
     "q113_exact_jaccard" -> ExtensionOracles.q113ExactJaccard,
     "q114_triangle_count" -> ExtensionOracles.q114TriangleCount,
+    "q115_markov_transitions" -> ExtensionOracles.q115MarkovTransitions,
+    "q116_frequent_pairs" -> ExtensionOracles.q116FrequentPairs,
   )
 }

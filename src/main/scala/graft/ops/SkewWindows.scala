@@ -211,6 +211,62 @@ object SkewWindows {
     }
   }
 
+  /** Hot-key-safe consecutive-pair extraction — the generalized
+    * `lead`/`lag`: for rows (key, t, tie, v) emit one row per ADJACENT
+    * pair in (t, tie) order within a key: (key, cur, nxt). The
+    * building block for transition matrices (q115), inter-arrival
+    * gaps, next-action attribution.
+    *
+    * Heavy path: interior pairs resolve in a (key, chunk) local
+    * window; the ≤ nChunks boundary pairs come from a per-chunk
+    * summary (first = min(struct(t, tie, v)), last = max — the struct
+    * order IS the window order) led by one window over the summary
+    * rows. Chunks exist only where rows exist, so `lead(1)` of the
+    * summary is exactly the next NON-EMPTY chunk — no gap handling.
+    * Chunk ids partition time ranges, so every cross-chunk adjacency
+    * is a (last_i, first_{i+1}) pair, and tie groups never split
+    * (equal t ⇒ equal chunk). */
+  def adjacentPairs(rows: DataFrame, key: String, t: String, tie: String,
+                    v: String, hotAt: Long = 1000000L,
+                    chunkTarget: Long = 65536L): DataFrame = {
+    val base = rows.select(col(key), col(t).as("__t"), col(tie).as("__tie"),
+      col(v).as("__v"))
+
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tie"))
+    def plainOver(src: DataFrame): DataFrame = src
+      .withColumn("__nxt", lead(col("__v"), 1).over(w))
+      .where(col("__nxt").isNotNull)
+      .select(col(key), col("__v").as("cur"), col("__nxt").as("nxt"))
+
+    hotStatsLocal(base, key, col("__t"), hotAt, chunkTarget) match {
+      case None => plainOver(base)
+      case Some(stats) =>
+        // null-safe routing — see sessionCounts
+        val light = base.join(broadcast(stats.select(col("__hk"))),
+          col(key) <=> col("__hk"), "left_anti")
+        val lightOut = plainOver(light)
+
+        val chunked = base.join(broadcast(stats), col(key) <=> col("__hk"))
+          .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
+        val cw = Window.partitionBy(col(key), col("__chunk"))
+          .orderBy(col("__t"), col("__tie"))
+        val interior = chunked
+          .withColumn("__nxt", lead(col("__v"), 1).over(cw))
+          .where(col("__nxt").isNotNull)
+          .select(col(key), col("__v").as("cur"), col("__nxt").as("nxt"))
+        val edges = chunked.groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
+          .agg(min(struct(col("__t"), col("__tie"), col("__v"))).as("__first"),
+            max(struct(col("__t"), col("__tie"), col("__v"))).as("__last"))
+        val seqW = Window.partitionBy(col("__ck")).orderBy(col("__cc"))
+        val boundary = edges
+          .withColumn("__nf", lead(col("__first"), 1).over(seqW))
+          .where(col("__nf").isNotNull)
+          .select(col("__ck").as(key), col("__last.__v").as("cur"),
+            col("__nf.__v").as("nxt"))
+        lightOut.unionByName(interior).unionByName(boundary)
+    }
+  }
+
   /** q16's as-of carry-forward, hot-key-safe, over a MERGED timeline
     * frame with columns (`key`, t_ms, kind, sort_key, ord_key,
     * ord_date, event_id) as built by `Relational.asOfOrders`: kind 0 =

@@ -196,4 +196,27 @@ object TimeSeries {
     gapFillFromHourly(mergedUserHourly(s, UserHourlyPath))
       .orderBy(col("user_id"), col("hour_idx"))
   }
+
+  /** q115: first-order Markov transition matrix over per-user event
+    * streams — P(next event type | current), the standard behavioral
+    * fingerprint (bot sequences and broken funnels show up as rank-one
+    * transition rows). Adjacent pairs come from
+    * [[SkewWindows.adjacentPairs]], so a scanner bot's million-event
+    * timeline chunks instead of sorting through one task; the matrix
+    * itself is |types|² rows — a trivially small aggregate of a
+    * corpus-scale pair stream. Probabilities divide exact longs and
+    * round to 6 (the q34/q110 float-determinism idiom). */
+  def q115MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val pairs = SkewWindows.adjacentPairs(
+      Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type")),
+      "user_id", "ts", "event_id", "event_type")
+    val counts = pairs.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cur")).agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
 }

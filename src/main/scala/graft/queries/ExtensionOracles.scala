@@ -2389,6 +2389,32 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN pern ON n.id = pern.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q115 (`ops.TimeSeries.q115MarkovTransitions` via
+    * `SkewWindows.adjacentPairs`): the one-window lead formulation the
+    * chunked engine path must reproduce exactly. */
+  val q115MarkovTransitions: String =
+    """WITH o AS (SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      |      FROM o WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      |t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY cur)
+      |SELECT c.cur, c.nxt, c.n, round(c.n * 1.0 / t.tot, 6) AS p
+      |FROM c JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin
+
+  /** Mirrors q116 (`ops.Baskets.frequentPairs`): the self-join
+    * formulation of in-row pair generation; support and the (absent
+    * here) basket cap mirror the engine parameters. */
+  val q116FrequentPairs: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ok AS (SELECT l_orderkey FROM p GROUP BY l_orderkey
+      |       HAVING count(*) BETWEEN 2 AND 1024)
+      |SELECT a.l_partkey AS i1, b.l_partkey AS i2, CAST(count(*) AS BIGINT) AS n
+      |FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |JOIN ok ON a.l_orderkey = ok.l_orderkey
+      |GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 3
+      |ORDER BY i1, i2""".stripMargin
+
   /** Mirrors q111 (`ops.RangeJoin.intervalOverlap`): the deterministic
     * per-event windows, then a plain inequality join — the oracle pays
     * the quadratic the bucketed engine path avoids. Floor-seconds via

@@ -97,6 +97,48 @@ class Wave7Spec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("adjacent pairs: chunked heavy path equals plain window under a planted bot") {
+    import spark.implicits._
+    // bot user 1: 50k events; light users 2..20: 40 events each.
+    // hotAt=1000 routes ONLY the bot through the chunked path.
+    val bot = (1 to 50000).map(i => (1L, i.toLong * 10, i.toLong, s"t${i % 7}"))
+    val light = for (u <- 2 to 20; i <- 1 to 40)
+      yield (u.toLong, i.toLong * 1000, (u * 100 + i).toLong, s"t${(u + i) % 5}")
+    val rows = (bot ++ light).toDF("user_id", "ts", "event_id", "v")
+    val routed = SkewWindows.adjacentPairs(rows, "user_id", "ts", "event_id", "v",
+      hotAt = 1000L, chunkTarget = 4096L)
+    val plain = SkewWindows.adjacentPairs(rows, "user_id", "ts", "event_id", "v",
+      hotAt = Long.MaxValue)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id", "cur", "nxt").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(counts(routed) === counts(plain))
+    // pair cardinality: n-1 per user
+    assert(routed.count() === 50000 - 1 + 19 * (40 - 1))
+  }
+
+  test("frequent pairs: in-row generation equals self-join; mega-basket capped") {
+    import spark.implicits._
+    val rows = Seq(
+      // baskets: {1,2,3} x3 -> pairs (1,2),(1,3),(2,3) support 3
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L), (12L, 3L), // dup item ignored
+      // {1,2} once more -> (1,2) support 4
+      (13L, 1L), (13L, 2L),
+      // singleton basket contributes nothing
+      (14L, 9L)).toDF("b", "i")
+    val got = Baskets.frequentPairs(rows, "b", "i", minSupport = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 4L, (1L, 3L) -> 3L, (2L, 3L) -> 3L))
+    // a basket over maxBasket vanishes entirely instead of exploding
+    val mega = (1 to 50).map(i => (99L, i.toLong)).toDF("b", "i")
+    val capped = Baskets.frequentPairs(rows.unionAll(mega), "b", "i",
+      minSupport = 3L, maxBasket = 40)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      === Map((1L, 2L) -> 4L, (1L, 3L) -> 3L, (2L, 3L) -> 3L))
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
