@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CosineSimilarity, CountMinSketchAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
+import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CmsJoinSize, CosineSimilarity, CountMinSketchAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.topK)
     e.injectFunction(GraftExtensions.bloomAgg)
     e.injectFunction(GraftExtensions.bloomMightContain)
+    e.injectFunction(GraftExtensions.cmsJoinSize)
   }
 }
 
@@ -140,12 +141,19 @@ object GraftExtensions {
         "bloom_might_contain(bloom, key) - false = definitely absent; true = present or false positive."),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1)))
 
+  val cmsJoinSize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cms_join_size"),
+      info("cms_join_size",
+        "cms_join_size(sketchA, sketchB) - Equi-join cardinality estimate from two same-shape cms_sketch binaries (never underestimates)."),
+      (children: Seq[Expression]) => CmsJoinSize(children(0), children(1)))
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
-        cmsSketch, cmsEstimate, topK, bloomAgg, bloomMightContain).foreach {
+        cmsSketch, cmsEstimate, topK, bloomAgg, bloomMightContain,
+        cmsJoinSize).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }

@@ -94,6 +94,21 @@ object QuerySession {
       .createOrReplaceTempView("hourly_anomalies")
     graft.ops.Privacy.kAnonymousRelease(Tables.events(spark, sfDir), 50)
       .createOrReplaceTempView("k_anon_release")
+    // round-8 wave 7: activity-window overlaps, the behavioral
+    // transition matrix, co-occurring part pairs, exact near-dup pairs
+    // and per-doc triangle counts — all lazy join/aggregate plans (the
+    // prefix-filter join's df ordering and the triangle orientation are
+    // plan-internal aggregates, not session-init work)
+    graft.ops.RangeJoin.q111IntervalOverlap(spark, sfDir)
+      .createOrReplaceTempView("interval_overlaps")
+    graft.ops.TimeSeries.q115MarkovTransitions(spark, sfDir)
+      .createOrReplaceTempView("markov_transitions")
+    graft.ops.Baskets.q116FrequentPairs(spark, sfDir)
+      .createOrReplaceTempView("frequent_pairs")
+    graft.ops.SetSimilarity.q113ExactJaccard(spark, sfDir)
+      .createOrReplaceTempView("exact_jaccard_pairs")
+    graft.ops.Graph.q114TriangleCount(spark, sfDir)
+      .createOrReplaceTempView("triangle_counts")
   }
 
   /** The frame-based core: given already-read base tables, registration

@@ -261,7 +261,8 @@ object Soak {
     val nEv = ev0.count()
     val ev = spark.range(mult).crossJoin(ev0).select(
       (col("event_id") * mult + col("id")).as("event_id"),
-      col("ts"), col("user_id"), col("value"))
+      col("ts"), col("user_id"), col("value"),
+      col("event_type"), col("id").as("__replica"))
     val ruDst = base + "/rollup"
     val ruWriteSec = timedSec(graft.ops.Rollup.appendPartials(ev, ruDst))
     var ruDays = 0L
@@ -293,6 +294,45 @@ object Soak {
           bool_or(col("t")).as("any_t"))
         .filter(col("n") >= 1L)))
 
+    // wave 7. interval_overlap: replicas share timestamps, so an
+    // unsalted soak would square the TRUE overlap volume — the type is
+    // salted per replica (replicas never pair) to keep per-type density
+    // fixed and output ×mult; time then measures the bucketed join, not
+    // an output explosion. markov: users salted per replica (timeline
+    // shape preserved, user count ×mult — the window path at volume).
+    // exact_jaccard: the prefix-filter join over the shingle-salted
+    // docs — candidates must track true pair structure (×mult), with
+    // the hot boilerplate shingles excluded by rarest-first prefixes,
+    // not by a cap. triangle_count: the community graph over soaked doc
+    // ids, edges and triangles both ×mult.
+    val wave7 = {
+      val iv = ev.select(col("event_id"),
+          concat(col("event_type"), lit("#"), col("__replica")).as("event_type"),
+          expr("ts DIV 1000000000").as("s"))
+        .withColumn("e", col("s") + lit(60L) + col("event_id") % 240L)
+      val evSalted = ev.select(
+        (col("user_id") * mult + col("__replica")).as("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      Seq(
+        timed("interval_overlap")(graft.ops.RangeJoin.intervalOverlap(
+          iv.filter(col("event_id") % 2 === 0), iv.filter(col("event_id") % 2 === 1),
+          Seq("event_type"), "s", "e", bucketWidth = 300L)),
+        timed("markov_transitions") {
+          val pairs = graft.ops.SkewWindows.adjacentPairs(
+            evSalted, "user_id", "ts", "event_id", "event_type")
+          pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+            .filter(col("n") >= 0L)
+        },
+        timed("exact_jaccard")(graft.ops.SetSimilarity.prefixFilterJoin(
+          Dedup.shingles(docs, 3).groupBy(col("doc_id"))
+            .agg(collect_set(col("g")).as("toks"))
+            .select(col("doc_id"), col("toks")), 0.6)),
+        timed("triangle_count")(graft.ops.Graph.triangleCounts(
+          nodes, graft.ops.Graph.communityLinks(nodes))
+          .filter(col("n_triangles") >= 0L)))
+    }
+
     // per-QUERY dirs-read fraction (one query, like PlanSpec): a batch's
     // scan cost is the union of its rings/cells and overstates the
     // per-probe claim — 5 queries x an 11-sig ring covers all 16 sig
@@ -321,7 +361,7 @@ object Soak {
         emb0.filter(col("vec_id") < 5)).count()
     }
 
-    val body = (results ++ wave6).map { case (l, s, r) =>
+    val body = (results ++ wave6 ++ wave7).map { case (l, s, r) =>
       f""""$l":{"sec":$s%.2f,"rows":$r}"""
     }.mkString(",")
     val ann = f""""ann_layouts":{"write_sig_sec":$writeSigSec%.2f,""" +

@@ -201,6 +201,10 @@ object SparkEntry {
       graft.ops.TimeSeries.q115MarkovTransitions(s, dir)),
     "q116_frequent_pairs"   -> ((s: SparkSession, dir: String) =>
       graft.ops.Baskets.q116FrequentPairs(s, dir)),
+    "q117_scd2_join"        -> ((s: SparkSession, dir: String) =>
+      graft.ops.RangeJoin.q117Scd2Join(s, dir)),
+    "q118_item_cosine"      -> ((s: SparkSession, dir: String) =>
+      graft.ops.Baskets.q118ItemCosine(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -592,5 +596,7 @@ object SparkEntry {
     "q114_triangle_count" -> ExtensionOracles.q114TriangleCount,
     "q115_markov_transitions" -> ExtensionOracles.q115MarkovTransitions,
     "q116_frequent_pairs" -> ExtensionOracles.q116FrequentPairs,
+    "q117_scd2_join" -> ExtensionOracles.q117Scd2Join,
+    "q118_item_cosine" -> ExtensionOracles.q118ItemCosine,
   )
 }

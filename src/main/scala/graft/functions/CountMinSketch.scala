@@ -52,6 +52,32 @@ object CountMinSketchFormat {
     ((h % width) + width) % width
   }
 
+  /** Equi-join cardinality estimate from two sketches of the SAME
+    * (depth, width): min over rows of the counter inner product —
+    * `E[est] = |A ⋈ B| + N_A·N_B/width`, never an underestimate
+    * (Cormode & Muthukrishnan §4.2, the classic sketch-based join-size
+    * estimator). The planner use: decide broadcast vs shuffle vs
+    * bloom-prune for a fact⋈fact join from two 80 KiB sketches instead
+    * of running the join — at 100 TB the stats pass is free (the
+    * sketches are one map-side-combined aggregate each, storable
+    * alongside the data). */
+  def joinSize(a: Array[Byte], b: Array[Byte]): Long = {
+    val (da, wa, ca) = deserialize(a)
+    val (db, wb, cb) = deserialize(b)
+    require(da == db && wa == wb,
+      s"cms_join_size: sketch shapes differ: ${da}x$wa vs ${db}x$wb")
+    var min = Long.MaxValue
+    var i = 0
+    while (i < da) {
+      var dot = 0L
+      var j = 0
+      while (j < wa) { dot += ca(i * wa + j) * cb(i * wa + j); j += 1 }
+      if (dot < min) min = dot
+      i += 1
+    }
+    min
+  }
+
   def estimate(bytes: Array[Byte], item: UTF8String): Long = {
     val (depth, width, counters) = deserialize(bytes)
     var min = Long.MaxValue
@@ -147,4 +173,30 @@ case class CmsEstimate(left: Expression, right: Expression) extends BinaryExpres
       newLeft: Expression, newRight: Expression): CmsEstimate =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cms_estimate"
+}
+
+/** `cms_join_size(sketchA, sketchB)`: equi-join cardinality estimate —
+  * min-over-rows counter inner product of two same-shape `cms_sketch`
+  * binaries. One-sided: never underestimates the true join size. */
+case class CmsJoinSize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_join_size requires (BINARY, BINARY), got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountMinSketchFormat.joinSize(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CountMinSketchFormat.joinSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsJoinSize =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cms_join_size"
 }

@@ -43,4 +43,36 @@ object Baskets {
     frequentPairs(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
       minSupport = 3L)
       .orderBy(col("i1"), col("i2"))
+
+  /** Item-item cosine similarity from basket co-occurrence —
+    * `cos(i,j) = |baskets(i) ∩ baskets(j)| / √(|baskets(i)|·|baskets(j)|)`,
+    * the binary-vector cosine that drives item-to-item collaborative
+    * filtering (Linden, Smith & York, IEEE Internet Computing 2003).
+    * Reuses [[frequentPairs]]' bounded in-row numerators; the per-item
+    * frequencies are one more map-side-combined aggregate joined onto
+    * the (already support-thinned) pair set — never onto the raw pair
+    * stream. Cosine divides exact longs in double and rounds to 6 (the
+    * q34 determinism idiom). */
+  def itemCosine(rows: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long, minCos: Double,
+                 maxBasket: Int = 1024): DataFrame = {
+    val pairs = frequentPairs(rows, basketCol, itemCol, minSupport, maxBasket)
+    val freq = rows.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+      .groupBy(col("i")).agg(count(lit(1)).as("f"))
+    pairs
+      .join(freq.select(col("i").as("i1"), col("f").as("f1")), Seq("i1"))
+      .join(freq.select(col("i").as("i2"), col("f").as("f2")), Seq("i2"))
+      .withColumn("cos",
+        round(col("n").cast("double") / sqrt((col("f1") * col("f2")).cast("double")), 6))
+      .filter(col("n").cast("double") / sqrt((col("f1") * col("f2")).cast("double")) >= minCos)
+      .select(col("i1"), col("i2"), col("n"), col("f1"), col("f2"), col("cos"))
+  }
+
+  /** q118: item-item cosine over order baskets (support ≥ 2,
+    * cos ≥ 0.08 — the sparse TPC-H-ish baskets top out near 0.14). */
+  def q118ItemCosine(s: SparkSession, dir: String): DataFrame =
+    itemCosine(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+      minSupport = 2L, minCos = 0.08)
+      .orderBy(col("i1"), col("i2"))
 }

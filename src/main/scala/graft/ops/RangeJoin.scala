@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `keys` adds equality columns to the bucket join — the SCD2/versioned-
+    * dimension shape, where intervals are per-entity validity ranges. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
     def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
     val p = points.withColumn("__b", bucketOf(col(pointCol)))
     val iv = intervals
       .withColumn("__b", explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
-    p.join(iv, Seq("__b"))
+    p.join(iv, keys :+ "__b")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
   }
@@ -70,6 +72,50 @@ object RangeJoin {
       .filter(col("__b") === greatest(col("a___sb"), col("b___sb")) &&
         col(s"a_$sCol") <= col(s"b_$eCol") && col(s"b_$sCol") <= col(s"a_$eCol"))
       .drop("__b", "a___sb", "b___sb")
+  }
+
+  /** SCD2 / versioned-dimension temporal lookup: each fact row joins the
+    * dimension version whose `[lo, hi]` validity range covers its time,
+    * per entity key — LEFT semantics, so facts falling in a validity GAP
+    * (a deleted/retired version) survive with NULL attributes instead of
+    * silently vanishing (the classic SCD2 footgun). Built on the keyed
+    * [[pointInInterval]] equi-bucket join; the gap rows come from one
+    * anti-join against the matched ids — no second interval pass. */
+  def scd2Lookup(facts: DataFrame, factIdCol: String, pointCol: String,
+                 dim: DataFrame, loCol: String, hiCol: String,
+                 bucketWidth: Double, keys: Seq[String]): DataFrame = {
+    val matched = pointInInterval(facts, pointCol, dim, loCol, hiCol,
+      bucketWidth, keys)
+    val dimCols = dim.columns.filterNot(c => keys.contains(c))
+    val unmatched = facts
+      .join(matched.select(col(factIdCol)), Seq(factIdCol), "left_anti")
+    val withNulls = dimCols.foldLeft(unmatched) { (d, c) =>
+      d.withColumn(c, lit(null).cast(matched.schema(c).dataType))
+    }
+    matched.unionByName(withNulls.select(matched.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** q117: events joined to a synthesized 3-version user dimension with
+    * a validity gap on relative days [10, 11] — tier(u, k) = (u+k) % 3
+    * valid over [0,9] / [12,19] / [20,29]; events in the gap keep NULL
+    * tier. Aggregated to (tier, event_type) counts. */
+  def q117Scd2Join(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val dmin = ev.agg(min(expr("ts DIV 86400000000000")).as("dmin"))
+    val facts = ev.crossJoin(broadcast(dmin))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (expr("ts DIV 86400000000000") - col("dmin")).as("rd"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("k", explode(lit(Array(0L, 1L, 2L))))
+      .select(col("user_id"),
+        element_at(lit(Array(0L, 12L, 20L)), (col("k") + 1).cast("int")).as("lo"),
+        element_at(lit(Array(9L, 19L, 29L)), (col("k") + 1).cast("int")).as("hi"),
+        ((col("user_id") + col("k")) % 3).as("tier"))
+    scd2Lookup(facts, "event_id", "rd", dim, "lo", "hi",
+      bucketWidth = 10.0, keys = Seq("user_id"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("tier").asc_nulls_first, col("event_type"))
   }
 
   /** q111: overlapping event-activity windows across the even/odd halves

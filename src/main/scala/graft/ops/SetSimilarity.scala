@@ -25,11 +25,13 @@ import graft.Tables
   * costs recall.
   *
   * Scale shape: one shuffle for global df, one for the per-doc sorted
-  * arrays, one equi-join on prefix tokens; candidate verification is
-  * in-row (`array_intersect` on the two sorted arrays), and the
-  * exactly-once rule — a pair is owned by the FIRST token its two
-  * prefixes share under the global order — is an in-row predicate,
-  * not a shuffling `distinct`. Worst case (a corpus of identical
+  * arrays, one equi-join on prefix tokens over (token, id) rows ONLY —
+  * arrays never ride the candidate join (measured dead end: an in-row
+  * exactly-once ownership rule needs both prefix arrays in every
+  * exploded row, which duplicated ~3 KB per prefix token and OOMed the
+  * 100× soak; the groupBy dedup over 16-byte id pairs replaced it).
+  * Verification joins the two sorted arrays back once per surviving
+  * candidate and intersects in-row. Worst case (a corpus of identical
   * docs) degrades to the true output size, which is what "exact"
   * costs; for that regime use q25/q26's capped/banded paths.
   */
@@ -54,14 +56,25 @@ object SetSimilarity {
       .withColumn("plen",
         (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))
       .withColumn("pre", slice(col("arr"), lit(1), col("plen")))
-    def side(p: String): DataFrame = ranked.select(
-      explode(col("pre")).as("p"), col("id").as(s"${p}id"),
-      col("arr").as(s"${p}arr"), col("pre").as(s"${p}pre"),
-      col("n").as(s"${p}n"))
-    val pairs = side("a_").join(side("b_"), Seq("p"))
+    // SKINNY candidate generation: only (token, id) rides the prefix
+    // explode and the self-join — never the arrays. (The first cut
+    // carried each doc's full struct array through the explode for an
+    // in-row exactly-once rule; at the 100× soak that duplicated ~3 KB
+    // of array per prefix row — tens of GB on the shuffle — and OOMed.
+    // A groupBy over the candidate ids dedups multi-token collisions at
+    // 16 bytes/row instead, and the arrays join back exactly once per
+    // SURVIVING candidate pair.)
+    val prefixIdx = ranked.select(col("id"), explode(col("pre")).as("p"))
+    val cands = prefixIdx.toDF("a_id", "p")
+      .join(prefixIdx.toDF("b_id", "p"), Seq("p"))
       .filter(col("a_id") < col("b_id"))
-      // exactly-once: this row's token is the first shared prefix token
-      .filter(col("p") === element_at(array_intersect(col("a_pre"), col("b_pre")), 1))
+      .groupBy(col("a_id"), col("b_id")).agg(first(lit(1)).as("__one"))
+    val arrays = ranked.select(col("id"), col("arr"), col("n"))
+    val pairs = cands
+      .join(arrays.select(col("id").as("a_id"), col("arr").as("a_arr"),
+        col("n").as("a_n")), Seq("a_id"))
+      .join(arrays.select(col("id").as("b_id"), col("arr").as("b_arr"),
+        col("n").as("b_n")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
       .withColumn("uni", col("a_n").cast("long") + col("b_n") - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= t)

@@ -2389,6 +2389,48 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN pern ON n.id = pern.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q118 (`ops.Baskets.itemCosine`): binary-cosine
+    * item-item similarity from the q116 co-occurrence counts — the
+    * threshold compares the unrounded double on both sides; the
+    * emitted `cos` rounds to 6. */
+  val q118ItemCosine: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ok AS (SELECT l_orderkey FROM p GROUP BY l_orderkey
+      |       HAVING count(*) BETWEEN 2 AND 1024),
+      |pr AS (SELECT a.l_partkey AS i1, b.l_partkey AS i2,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+      |                   AND a.l_partkey < b.l_partkey
+      |  JOIN ok ON a.l_orderkey = ok.l_orderkey
+      |  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+      |f AS (SELECT l_partkey AS i, CAST(count(*) AS BIGINT) AS f
+      |      FROM p GROUP BY l_partkey)
+      |SELECT pr.i1, pr.i2, pr.n, f1.f AS f1, f2.f AS f2,
+      |  round(pr.n / sqrt(CAST(f1.f * f2.f AS DOUBLE)), 6) AS cos
+      |FROM pr JOIN f f1 ON pr.i1 = f1.i JOIN f f2 ON pr.i2 = f2.i
+      |WHERE pr.n / sqrt(CAST(f1.f * f2.f AS DOUBLE)) >= 0.08
+      |ORDER BY i1, i2""".stripMargin
+
+  /** Mirrors q117 (`ops.RangeJoin.scd2Lookup`): the synthesized
+    * 3-version user dimension with the [10,11] validity gap, LEFT
+    * BETWEEN join, NULL-tier group kept (NULLS FIRST pinned — DuckDB
+    * defaults NULLS LAST, Spark asc_nulls_first). */
+  val q117Scd2Join: String =
+    """WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS dmin FROM events),
+      |e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) // 86400000000 - (SELECT dmin FROM d0) AS rd FROM events),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |dim AS (SELECT user_id, k,
+      |    CASE k WHEN 0 THEN 0 WHEN 1 THEN 12 ELSE 20 END AS lo,
+      |    CASE k WHEN 0 THEN 9 WHEN 1 THEN 19 ELSE 29 END AS hi,
+      |    (user_id + k) % 3 AS tier
+      |  FROM u CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+      |j AS (SELECT e.event_type, d.tier FROM e LEFT JOIN dim d
+      |      ON e.user_id = d.user_id AND e.rd BETWEEN d.lo AND d.hi)
+      |SELECT tier, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM j GROUP BY tier, event_type
+      |ORDER BY tier NULLS FIRST, event_type""".stripMargin
+
   /** Mirrors q115 (`ops.TimeSeries.q115MarkovTransitions` via
     * `SkewWindows.adjacentPairs`): the one-window lead formulation the
     * chunked engine path must reproduce exactly. */

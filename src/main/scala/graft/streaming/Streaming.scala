@@ -289,6 +289,34 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream interval join — attribution at ingest:
+    * each event joins the same user's order placed at most `window`
+    * before it. The missing piece of the streaming surface next to
+    * stream-static enrichment: BOTH sides buffer in the state store,
+    * and the interval condition plus the two watermarks give Spark a
+    * provable eviction bound (an order older than
+    * `watermark - window` can never match a future event, so its
+    * buffered row drops) — state is O(in-flight window), not
+    * O(stream history). Inner join, so matches emit as they are found;
+    * the watermark governs cleanup, not emission.
+    *
+    * Contract: `orders(o_user, order_id, order_time)`,
+    * `events(user_id, event_id, event_time)`; both time columns
+    * TIMESTAMP. Batch parity: the same frames through a plain inner
+    * join with the identical predicate (spec-asserted). */
+  def attributionJoinStream(orders: DataFrame, events: DataFrame,
+                            window: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame = {
+    val o = orders.withWatermark("order_time", watermark)
+    val e = events.withWatermark("event_time", watermark)
+    e.join(o,
+      col("user_id") === col("o_user") &&
+        col("event_time") >= col("order_time") &&
+        col("event_time") <= col("order_time") + expr(s"interval $window"))
+      .select(col("user_id"), col("event_id"), col("order_id"),
+        col("event_time"), col("order_time"))
+  }
+
   case class Event(user_id: Long, ts_ms: Long, value: Double)
   case class SessionState(sessionCount: Long, lastMs: Long, eventCount: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

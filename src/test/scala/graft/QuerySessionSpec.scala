@@ -358,6 +358,43 @@ class QuerySessionSpec extends SparkSpec {
     assert(ok, "wave-6 views inconsistent")
   }
 
+  test("wave-7 views: overlaps, transition matrix, frequent pairs, exact jaccard, triangles — cross-consistent in pure SQL") {
+    val dir = "/root/testdata/sf0.001"
+    QuerySession.openTestTables(spark, dir)
+    QuerySession.registerPipelineViews(spark, dir)
+    val ok = spark.sql(
+      """SELECT
+        |  -- overlaps are genuine: positive length, even-odd ids only
+        |  (SELECT count(*) FROM interval_overlaps
+        |   WHERE overlap_s < 0 OR a_id % 2 <> 0 OR b_id % 2 <> 1) = 0
+        |  AND (SELECT count(*) FROM interval_overlaps) > 0
+        |  -- transition matrix: rows per cur sum to 1, pair volume = n-1 per user
+        |  AND (SELECT count(*) FROM (
+        |         SELECT cur FROM markov_transitions GROUP BY cur
+        |         HAVING abs(sum(p) - 1.0) > 1e-3)) = 0
+        |  AND (SELECT CAST(sum(n) AS BIGINT) FROM markov_transitions) =
+        |      (SELECT count(*) FROM events) -
+        |      (SELECT count(DISTINCT user_id) FROM events)
+        |  -- frequent pairs: ordered, support honored
+        |  AND (SELECT count(*) FROM frequent_pairs
+        |       WHERE i1 >= i2 OR n < 3) = 0
+        |  -- exact jaccard clears its threshold and is a SUPERSET of the
+        |  -- capped approximate view at the same cut (exactness claim)
+        |  AND (SELECT count(*) FROM exact_jaccard_pairs WHERE jac < 0.6) = 0
+        |  AND (SELECT count(*) FROM jaccard_pairs j
+        |       WHERE j.jaccard >= 0.6 AND NOT EXISTS (
+        |         SELECT 1 FROM exact_jaccard_pairs e
+        |         WHERE e.d1 = j.d1 AND e.d2 = j.d2)) = 0
+        |  -- triangle counts: total over docs, non-negative, some positive
+        |  AND (SELECT count(*) FROM triangle_counts) =
+        |      (SELECT count(*) FROM documents)
+        |  AND (SELECT count(*) FROM triangle_counts WHERE n_triangles < 0) = 0
+        |  AND (SELECT count(*) FROM triangle_counts WHERE n_triangles > 0) > 0
+        |""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(ok, "wave-7 views inconsistent")
+  }
+
   test("driver contract: entry() yields rows; every query has a runnable fn") {
     assert(SparkEntry.entry(spark).count() > 0)          // driver's t1 smoke
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

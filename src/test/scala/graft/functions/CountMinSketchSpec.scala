@@ -39,6 +39,36 @@ class CountMinSketchSpec extends SparkSpec {
     assert(merged.toSeq == ca.zip(cb).map { case (x, y) => x + y }.toSeq)
   }
 
+  test("cms_join_size never underestimates and stays near the inner-product bound") {
+    import spark.implicits._
+    // A: keys k1..k1000 once each; B: k1..k200 three times each
+    // true equi-join size = 200 * 1 * 3 = 600
+    val a = spark.createDataset((1 to 1000).map(i => s"k$i")).toDF("k").repartition(8)
+    val b = spark.createDataset(
+      (1 to 200).flatMap(i => Seq.fill(3)(s"k$i"))).toDF("k").repartition(8)
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(exprs.cms_sketch(col("k")).as("s")).collect()(0).getAs[Array[Byte]]("s")
+    val est = CountMinSketchFormat.joinSize(sk(a), sk(b))
+    // one-sided: never below truth; expected overshoot N_A*N_B/width ≈ 293
+    assert(est >= 600L, s"join-size estimate $est underestimates true 600")
+    assert(est <= 600L + 3L * 1000L * 600L / 2048L,
+      s"join-size estimate $est far above true 600")
+    // mismatched shapes refuse instead of returning garbage
+    val small = a.agg(exprs.cms_sketch(col("k"), 3, 64).as("s"))
+      .collect()(0).getAs[Array[Byte]]("s")
+    intercept[IllegalArgumentException] {
+      CountMinSketchFormat.joinSize(sk(a), small)
+    }
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    a.createOrReplaceTempView("cms_join_a"); b.createOrReplaceTempView("cms_join_b")
+    val viaSql = spark.sql(
+      """SELECT cms_join_size((SELECT cms_sketch(k) FROM cms_join_a),
+        |                     (SELECT cms_sketch(k) FROM cms_join_b)) AS est""".stripMargin)
+      .head().getLong(0)
+    assert(viaSql === est)
+  }
+
   test("cms_sketch and cms_estimate are callable from SQL, per group") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._

@@ -139,6 +139,41 @@ class Wave7Spec extends SparkSpec {
       === Map((1L, 2L) -> 4L, (1L, 3L) -> 3L, (2L, 3L) -> 3L))
   }
 
+  test("scd2 lookup: versioned values resolve per entity, gap rows survive with NULL") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, 100L, 5L),   // user 100, day 5  -> v0
+      (2L, 100L, 15L),  // user 100, day 15 -> v1
+      (3L, 100L, 11L),  // user 100, day 11 -> GAP: NULL attrs
+      (4L, 200L, 5L),   // user 200, day 5  -> its own v0, not user 100's
+      (5L, 300L, 5L)    // user 300: no dim rows at all -> NULL
+    ).toDF("fact_id", "uid", "d")
+    val dim = Seq(
+      (100L, 0L, 9L, "a0"), (100L, 12L, 19L, "a1"),
+      (200L, 0L, 9L, "b0")).toDF("uid", "lo", "hi", "attr")
+    val got = RangeJoin.scd2Lookup(facts, "fact_id", "d", dim, "lo", "hi",
+        bucketWidth = 10.0, keys = Seq("uid"))
+      .collect().map(r => r.getLong(r.fieldIndex("fact_id")) ->
+        Option(r.getAs[String]("attr"))).toMap
+    assert(got === Map(1L -> Some("a0"), 2L -> Some("a1"), 3L -> None,
+      4L -> Some("b0"), 5L -> None))
+  }
+
+  test("item cosine: hand-computed binary cosine, threshold gates") {
+    import spark.implicits._
+    // A in baskets {1,2,3,4}; B in {1,2}; A,B co-occur twice
+    // cos(A,B) = 2/sqrt(4*2) = 0.707107; C rides basket 5 alone
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "X"), (4L, "A"), (4L, "Y"), (5L, "C")).toDF("b", "i")
+    val got = Baskets.itemCosine(rows, "b", "i", minSupport = 2L, minCos = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(("A", "B", 2L, 4L, 2L, 0.707107)))
+    // threshold above the pair's cosine -> empty
+    assert(Baskets.itemCosine(rows, "b", "i", 2L, 0.8).count() === 0)
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")

@@ -416,4 +416,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       "streamed token ids diverged from the batch encoding")
   }
+
+  test("stream-stream interval join ≡ batch join; cross-user and out-of-window never match") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def ts(offsetMin: Int) =
+      new java.sql.Timestamp(t0.getTime + offsetMin * 60000L)
+    val ordersRows = Seq(
+      (1L, 500L, ts(0)),    // user 1 orders at 10:00
+      (1L, 501L, ts(60)),   // and again at 11:00
+      (2L, 502L, ts(0)))
+    val eventRows = Seq(
+      (1L, 9000L, ts(10)),  // matches order 500 (within 30m)
+      (1L, 9001L, ts(50)),  // matches nothing (40m after 500, before 501)
+      (1L, 9002L, ts(75)),  // matches order 501
+      (2L, 9003L, ts(29)),  // matches order 502 at the boundary
+      (3L, 9004L, ts(5)))   // no orders for user 3
+    val root = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    ordersRows.toDF("o_user", "order_id", "order_time")
+      .write.parquet(root.resolve("orders").toString)
+    eventRows.toDF("user_id", "event_id", "event_time")
+      .write.parquet(root.resolve("events").toString)
+    val oStream = spark.readStream
+      .schema(ordersRows.toDF("o_user", "order_id", "order_time").schema)
+      .parquet(root.resolve("orders").toString)
+    val eStream = spark.readStream
+      .schema(eventRows.toDF("user_id", "event_id", "event_time").schema)
+      .parquet(root.resolve("events").toString)
+    val q = Streaming.attributionJoinStream(oStream, eStream)
+      .writeStream.format("memory").queryName("attr_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT event_id, order_id FROM attr_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === Set((9000L, 500L), (9002L, 501L), (9003L, 502L)))
+    // batch parity: identical frames through the same operator code path
+    val batch = Streaming.attributionJoinStream(
+      spark.read.parquet(root.resolve("orders").toString),
+      spark.read.parquet(root.resolve("events").toString))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch === streamed)
+  }
 }
