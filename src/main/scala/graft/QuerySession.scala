@@ -109,6 +109,8 @@ object QuerySession {
       .createOrReplaceTempView("exact_jaccard_pairs")
     graft.ops.Graph.q114TriangleCount(spark, sfDir)
       .createOrReplaceTempView("triangle_counts")
+    graft.ops.Clustering.q119CentroidCosines(spark, sfDir)
+      .createOrReplaceTempView("centroid_cosines")
   }
 
   /** The frame-based core: given already-read base tables, registration

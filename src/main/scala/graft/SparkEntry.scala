@@ -205,6 +205,10 @@ object SparkEntry {
       graft.ops.RangeJoin.q117Scd2Join(s, dir)),
     "q118_item_cosine"      -> ((s: SparkSession, dir: String) =>
       graft.ops.Baskets.q118ItemCosine(s, dir)),
+    "q119_centroid_cosines" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q119CentroidCosines(s, dir)),
+    "q120_product_families" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Baskets.q120ProductFamilies(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -598,5 +602,7 @@ object SparkEntry {
     "q116_frequent_pairs" -> ExtensionOracles.q116FrequentPairs,
     "q117_scd2_join" -> ExtensionOracles.q117Scd2Join,
     "q118_item_cosine" -> ExtensionOracles.q118ItemCosine,
+    "q119_centroid_cosines" -> ExtensionOracles.q119CentroidCosines,
+    "q120_product_families" -> ExtensionOracles.q120ProductFamilies,
   )
 }

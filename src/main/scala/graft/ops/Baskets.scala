@@ -69,6 +69,25 @@ object Baskets {
       .select(col("i1"), col("i2"), col("n"), col("f1"), col("f2"), col("cos"))
   }
 
+  /** q120: product families — connected components over the q116
+    * frequent-pair graph (the composition query: co-occurrence edges →
+    * q40's pointer-jumping CC), every part labeled with its family's
+    * canonical min-id and size; parts in no frequent pair are singleton
+    * families. The recommendation-side analogue of near-dup clustering:
+    * substitutable/bundled items transitively group. */
+  def q120ProductFamilies(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pairs = frequentPairs(li, "l_orderkey", "l_partkey", minSupport = 3L)
+      .select(col("i1").as("d1"), col("i2").as("d2"))
+    val nodes = li.select(col("l_partkey").as("id")).distinct()
+    val cc = Dedup.connectedComponents(nodes, pairs)
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("family_size"))
+    cc.join(sizes, Seq("component"))
+      .select(col("id").as("part_id"), col("component").as("family"),
+        col("family_size"))
+      .orderBy(col("part_id"))
+  }
+
   /** q118: item-item cosine over order baskets (support ≥ 2,
     * cos ≥ 0.08 — the sparse TPC-H-ish baskets top out near 0.14). */
   def q118ItemCosine(s: SparkSession, dir: String): DataFrame =

@@ -218,4 +218,48 @@ object Clustering {
         col("e.id").as("vec_id"))
       .orderBy(col("cluster"), col("sample_rank"))
   }
+
+  /** Per-group embedding centroids with the q110 float-determinism
+    * recipe: each coordinate rounds to 12 digits, sums as exact
+    * DECIMAL (partition-order-proof), and the mean divides in double
+    * and re-rounds — so an oracle replaying the same recipe
+    * hash-matches. One posexplode shuffle keyed on (group, dim):
+    * |groups|·dim rows out, never a per-group array collect. */
+  def groupCentroids(emb: DataFrame, groupCol: String): DataFrame =
+    emb.select(col(groupCol).as("g"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("g"), col("i"))
+      .agg(
+        sum(round(col("x").cast("double"), 12).cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("i"),
+        round(col("s").cast("double") / col("n"), 12).as("c"))
+
+  /** Pairwise cosine between group centroids — the source/cluster
+    * affinity matrix (embedding-space drift between data sources, the
+    * aggregate-level complement of q93's per-vector decontamination).
+    * Dot/norm accumulate as rounded-product DECIMAL sums over the dim
+    * join (deterministic under any partitioning); |groups|²·dim rows —
+    * trivial for any real group count. */
+  def centroidCosines(centroids: DataFrame): DataFrame = {
+    val norms = centroids.groupBy(col("g"))
+      .agg(sum(round(col("c") * col("c"), 12).cast("decimal(28,12)")).as("nrm"))
+    val l = centroids.select(col("g").as("g1"), col("i"), col("c").as("c1"))
+    val r = centroids.select(col("g").as("g2"), col("i"), col("c").as("c2"))
+    l.join(r, Seq("i")).filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(round(col("c1") * col("c2"), 12).cast("decimal(28,12)")).as("dot"))
+      .join(norms.select(col("g").as("g1"), col("nrm").as("n1")), Seq("g1"))
+      .join(norms.select(col("g").as("g2"), col("nrm").as("n2")), Seq("g2"))
+      .select(col("g1"), col("g2"),
+        round(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")), 6).as("cos"))
+  }
+
+  /** q119: label-centroid cosine matrix over the embeddings table. */
+  def q119CentroidCosines(s: SparkSession, dir: String): DataFrame =
+    centroidCosines(groupCentroids(
+      graft.Tables.embeddings(s, dir), "label"))
+      .select(col("g1").cast("long").as("l1"), col("g2").cast("long").as("l2"),
+        col("cos"))
+      .orderBy(col("l1"), col("l2"))
 }

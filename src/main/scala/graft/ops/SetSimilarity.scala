@@ -40,18 +40,35 @@ object SetSimilarity {
   /** Exact Jaccard-≥-t pairs over `(id, toks)` where `toks` is a
     * distinct-element set. Output: `(d1, d2, inter, jac)` with
     * `d1 < d2`, `jac` rounded to 6 for stable hashing (the threshold
-    * compares the unrounded double). */
+    * compares the unrounded double).
+    *
+    * Tokens are dictionary-encoded to `xxhash64` longs before ANY wide
+    * stage — 16-byte (df, h) structs instead of ~45-byte strings cut
+    * the df shuffle, the array build and the verify arrays ~3× (the
+    * string variant overflowed this box's disk at the 100× soak).
+    * Intersection COUNTS are unchanged as long as the hash is
+    * injective on the corpus vocabulary, and that is ASSERTED per run
+    * (one distinct-count aggregate; a collision fails loudly — the CC
+    * non-convergence rule — rather than silently miscounting one
+    * intersection in 2^64). Prefix correctness needs only SOME fixed
+    * total order, so (df, hash) works exactly like (df, token). */
   def prefixFilterJoin(docSets: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold in (0,1]: $t")
     val sets = docSets.toDF("id", "toks").filter(size(col("toks")) >= 1)
     val exploded = sets.select(col("id"), explode(col("toks")).as("tok"))
-    val dfCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // per-doc array sorted rarest-first; the struct's (df, tok) field
+      .withColumn("h", xxhash64(col("tok")))
+    val chk = exploded.agg(
+      countDistinct(col("tok")).as("nt"), countDistinct(col("h")).as("nh")).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"xxhash64 collision in the token dictionary (${chk.getLong(0)} tokens, " +
+        s"${chk.getLong(1)} hashes) — exact intersection counts would be wrong")
+    val dfCounts = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc array sorted rarest-first; the struct's (df, h) field
     // order IS the global total order (sort_array is lexicographic on
-    // struct fields, ties broken by the token text)
-    val ranked = exploded.join(dfCounts, "tok")
+    // struct fields, ties broken by the token hash)
+    val ranked = exploded.select(col("id"), col("h")).join(dfCounts, "h")
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("arr"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
       .withColumn("n", size(col("arr")))
       .withColumn("plen",
         (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))
@@ -64,10 +81,30 @@ object SetSimilarity {
     // A groupBy over the candidate ids dedups multi-token collisions at
     // 16 bytes/row instead, and the arrays join back exactly once per
     // SURVIVING candidate pair.)
-    val prefixIdx = ranked.select(col("id"), explode(col("pre")).as("p"))
-    val cands = prefixIdx.toDF("a_id", "p")
-      .join(prefixIdx.toDF("b_id", "p"), Seq("p"))
+    // Two exactness-preserving candidate cuts BEFORE the pair groupBy
+    // (Xiao et al., PPJoin, WWW 2008): the LENGTH filter — J ≥ t forces
+    // t·max(|x|,|y|) ≤ min(|x|,|y|) — and the POSITIONAL filter — a
+    // shared prefix token at positions (px, py) bounds the overlap by
+    // 1 + min(|x|−px, |y|−py), which must reach the required overlap
+    // α = ⌈t/(1+t)·(|x|+|y|)⌉. On a corpus with dense mid-range
+    // similarity these drop the candidates that share only LATE prefix
+    // tokens — the volume that made verification quadratic here.
+    val prefixIdx = ranked.select(col("id"), col("n"),
+      posexplode(col("pre")).as(Seq("pos0", "p")))
+    val cands = prefixIdx.toDF("a_id", "a_n", "a_pos", "p")
+      .join(prefixIdx.toDF("b_id", "b_n", "b_pos", "p"), Seq("p"))
       .filter(col("a_id") < col("b_id"))
+      .filter(greatest(col("a_n"), col("b_n")) * t <=
+        least(col("a_n"), col("b_n")).cast("double"))
+      // 0-based prefix position: n − pos0 = tokens from this one to the
+      // end INCLUDING it — the tight PPJoin ubound needs no +1. The
+      // 1e-9 guard keeps ceil from rounding α UP when t/(1+t)·(na+nb)
+      // is an exact integer that double arithmetic lands a hair above
+      // (e.g. t=0.9, na+nb=19 → α=9 exactly) — overshooting α by 1
+      // there would DROP true pairs; undershooting by ε only keeps a
+      // few extra candidates for the exact verify to discard
+      .filter(least(col("a_n") - col("a_pos"), col("b_n") - col("b_pos")) >=
+        ceil(lit(t / (1 + t)) * (col("a_n") + col("b_n")) - lit(1e-9)))
       .groupBy(col("a_id"), col("b_id")).agg(first(lit(1)).as("__one"))
     val arrays = ranked.select(col("id"), col("arr"), col("n"))
     val pairs = cands

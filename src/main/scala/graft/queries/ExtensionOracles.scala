@@ -2389,6 +2389,54 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN pern ON n.id = pern.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q120 (`ops.Baskets.q120ProductFamilies`): the q116 pair
+    * derivation, then min-reachability components via a recursive CTE
+    * (the q40 pattern) with singleton parts as their own family. */
+  val q120ProductFamilies: String =
+    """WITH RECURSIVE p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ok AS (SELECT l_orderkey FROM p GROUP BY l_orderkey
+      |       HAVING count(*) BETWEEN 2 AND 1024),
+      |pr AS (SELECT a.l_partkey AS i1, b.l_partkey AS i2
+      |  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+      |                   AND a.l_partkey < b.l_partkey
+      |  JOIN ok ON a.l_orderkey = ok.l_orderkey
+      |  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 3),
+      |nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+      |edges AS (SELECT i1 AS a, i2 AS b FROM pr
+      |          UNION ALL SELECT i2 AS a, i1 AS b FROM pr),
+      |reach(v, r) AS (
+      |  SELECT id AS v, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.v, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a),
+      |comp AS (SELECT v AS id, MIN(r) AS family FROM reach GROUP BY v),
+      |sz AS (SELECT family, CAST(count(*) AS BIGINT) AS family_size
+      |       FROM comp GROUP BY family)
+      |SELECT comp.id AS part_id, comp.family, sz.family_size
+      |FROM comp JOIN sz USING (family)
+      |ORDER BY part_id""".stripMargin
+
+  /** Mirrors q119 (`ops.Clustering.groupCentroids`/`centroidCosines`):
+    * the q110 determinism recipe per stage — coordinates rounded to 12
+    * and summed as DECIMAL, means re-rounded, dot/norm as
+    * rounded-product DECIMAL sums, final cosine rounded to 6. */
+  val q119CentroidCosines: String =
+    """WITH x AS (SELECT label AS g, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |cd AS (SELECT g, i,
+      |    round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 12)
+      |      AS DECIMAL(28,12))) AS DOUBLE) / count(*), 12) AS c
+      |  FROM x GROUP BY g, i),
+      |nr AS (SELECT g, sum(CAST(round(c * c, 12) AS DECIMAL(28,12))) AS nrm
+      |       FROM cd GROUP BY g),
+      |dt AS (SELECT a.g AS g1, b.g AS g2,
+      |    sum(CAST(round(a.c * b.c, 12) AS DECIMAL(28,12))) AS dot
+      |  FROM cd a JOIN cd b ON a.i = b.i AND a.g < b.g GROUP BY a.g, b.g)
+      |SELECT CAST(dt.g1 AS BIGINT) AS l1, CAST(dt.g2 AS BIGINT) AS l2,
+      |  round(CAST(dot AS DOUBLE) /
+      |    sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)), 6) AS cos
+      |FROM dt JOIN nr n1 ON dt.g1 = n1.g JOIN nr n2 ON dt.g2 = n2.g
+      |ORDER BY l1, l2""".stripMargin
+
   /** Mirrors q118 (`ops.Baskets.itemCosine`): binary-cosine
     * item-item similarity from the q116 co-occurrence counts — the
     * threshold compares the unrounded double on both sides; the

@@ -174,6 +174,23 @@ class Wave7Spec extends SparkSpec {
     assert(Baskets.itemCosine(rows, "b", "i", 2L, 0.8).count() === 0)
   }
 
+  test("group centroids and centroid cosines: hand-computed 2-d fixture") {
+    import spark.implicits._
+    val emb = Seq(
+      (0, Array(1f, 0f)), (0, Array(1f, 0f)),   // centroid (1, 0)
+      (1, Array(0f, 2f)), (1, Array(0f, 0f)),   // centroid (0, 1)
+      (2, Array(3f, 3f)), (2, Array(1f, 1f)))   // centroid (2, 2)
+      .toDF("label", "embedding")
+    val cents = Clustering.groupCentroids(emb, "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents === Map((0, 0) -> 1.0, (0, 1) -> 0.0, (1, 0) -> 0.0,
+      (1, 1) -> 1.0, (2, 0) -> 2.0, (2, 1) -> 2.0))
+    val cos = Clustering.centroidCosines(Clustering.groupCentroids(emb, "label"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // cos((1,0),(0,1)) = 0; cos((1,0),(2,2)) = cos((0,1),(2,2)) = 1/sqrt2
+    assert(cos === Map((0, 1) -> 0.0, (0, 2) -> 0.707107, (1, 2) -> 0.707107))
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
