@@ -2360,7 +2360,7 @@ object ExtensionOracles {
        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
        |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
        |  round(inter * 1.0 / uni, 6) AS jac
-       |FROM p WHERE inter * 1.0 / uni >= 0.6
+       |FROM p WHERE inter * 1.0 / uni >= 0.8
        |ORDER BY d1, d2""".stripMargin
 
   /** Mirrors q114 (`ops.Graph.triangleCounts`): the block-community

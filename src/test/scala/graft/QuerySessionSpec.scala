@@ -380,9 +380,9 @@ class QuerySessionSpec extends SparkSpec {
         |       WHERE i1 >= i2 OR n < 3) = 0
         |  -- exact jaccard clears its threshold and is a SUPERSET of the
         |  -- capped approximate view at the same cut (exactness claim)
-        |  AND (SELECT count(*) FROM exact_jaccard_pairs WHERE jac < 0.6) = 0
+        |  AND (SELECT count(*) FROM exact_jaccard_pairs WHERE jac < 0.8) = 0
         |  AND (SELECT count(*) FROM jaccard_pairs j
-        |       WHERE j.jaccard >= 0.6 AND NOT EXISTS (
+        |       WHERE j.jaccard >= 0.8 AND NOT EXISTS (
         |         SELECT 1 FROM exact_jaccard_pairs e
         |         WHERE e.d1 = j.d1 AND e.d2 = j.d2)) = 0
         |  -- triangle counts: total over docs, non-negative, some positive

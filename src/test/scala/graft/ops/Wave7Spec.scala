@@ -159,6 +159,19 @@ class Wave7Spec extends SparkSpec {
       4L -> Some("b0"), 5L -> None))
   }
 
+  test("frequent pairs plans join-free: in-row pair generation, no self-join") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong % 400, i.toLong % 37)).toDF("b", "i")
+    val plan = Baskets.frequentPairs(rows, "b", "i", 2L)
+      .queryExecution.executedPlan.toString
+    // the item-basket relation is never self-joined: pairs explode from
+    // each basket's sorted array in-row, so the physical plan has zero
+    // join operators of any kind
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(j), s"unexpected $j in:\n$plan")
+  }
+
   test("item cosine: hand-computed binary cosine, threshold gates") {
     import spark.implicits._
     // A in baskets {1,2,3,4}; B in {1,2}; A,B co-occur twice
