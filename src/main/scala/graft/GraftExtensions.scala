@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CmsJoinSize, CosineSimilarity, CountMinSketchAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
+import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CmsJoinSize, CosineSimilarity, CountMinSketchAgg, HllAgg, HllEstimate, HllUnionAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bloomAgg)
     e.injectFunction(GraftExtensions.bloomMightContain)
     e.injectFunction(GraftExtensions.cmsJoinSize)
+    e.injectFunction(GraftExtensions.hllSketch)
+    e.injectFunction(GraftExtensions.hllUnion)
+    e.injectFunction(GraftExtensions.hllEstimate)
   }
 }
 
@@ -147,13 +150,41 @@ object GraftExtensions {
         "cms_join_size(sketchA, sketchB) - Equi-join cardinality estimate from two same-shape cms_sketch binaries (never underestimates)."),
       (children: Seq[Expression]) => CmsJoinSize(children(0), children(1)))
 
+  /** `hll_sketch(col)` or `hll_sketch(col, p)` — p must be an integer
+    * literal (it shapes the aggregation buffer). */
+  val hllSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hll_sketch"),
+      info("hll_sketch", "hll_sketch(col[, p]) - HyperLogLog registers of a string column as binary (2^p bytes)."),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => HllAgg(c)
+        case Seq(c, pe) => pe match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+            if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+            HllAgg(c, lit.value.asInstanceOf[Int])
+          case _ => throw new IllegalArgumentException(
+            s"hll_sketch: p must be an INT literal, got $pe")
+        }
+        case other => throw new IllegalArgumentException(
+          s"hll_sketch takes 1 or 2 arguments, got ${other.size}")
+      })
+
+  val hllUnion: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hll_union"),
+      info("hll_union", "hll_union(sketch) - Register-max union of stored hll_sketch binaries."),
+      (children: Seq[Expression]) => HllUnionAgg(children.head))
+
+  val hllEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hll_estimate"),
+      info("hll_estimate", "hll_estimate(sketch) - Cardinality estimate from an hll_sketch/hll_union binary."),
+      (children: Seq[Expression]) => HllEstimate(children.head))
+
   /** Register on an existing session (for sessions not built with
     * `withExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
         cmsSketch, cmsEstimate, topK, bloomAgg, bloomMightContain,
-        cmsJoinSize).foreach {
+        cmsJoinSize, hllSketch, hllUnion, hllEstimate).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }

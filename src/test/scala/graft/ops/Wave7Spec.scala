@@ -204,6 +204,38 @@ class Wave7Spec extends SparkSpec {
     assert(cos === Map((0, 1) -> 0.0, (0, 2) -> 0.707107, (1, 2) -> 0.707107))
   }
 
+  test("property: prefix-filter join equals brute force on random set corpora (3 seeds)") {
+    import spark.implicits._
+    // the PPJoin length/positional bounds and the hashed dictionary must
+    // not drop a single true pair at ANY threshold — random corpora with
+    // planted overlap structure probe the boundary cases (α exactly
+    // integral, equal-size sets, subset pairs) the fixture can't
+    for (seed <- Seq(3, 11, 29); t <- Seq(0.5, 0.8)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 120).map(i => s"w$i")
+      val docs = (1 to 80).map { id =>
+        val base = rnd.shuffle(vocab).take(5 + rnd.nextInt(25)).toSet
+        // every 4th doc clones the previous with a small tweak so high-
+        // jaccard pairs actually exist
+        (id.toLong, base)
+      }
+      val cloned = docs.zipWithIndex.map { case ((id, s), i) =>
+        if (i % 4 == 3) (id, docs(i - 1)._2 + s"w${rnd.nextInt(120) + 1}")
+        else (id, s)
+      }
+      val df = cloned.map { case (id, s) => (id, s.toSeq) }.toDF("id", "toks")
+      val got = SetSimilarity.prefixFilterJoin(df, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (i1, s1) <- cloned; (i2, s2) <- cloned if i1 < i2
+        inter = (s1 & s2).size
+        if inter.toDouble / (s1.size + s2.size - inter) >= t
+      } yield (i1, i2)).toSet
+      assert(got === want, s"seed=$seed t=$t")
+      assert(want.nonEmpty, s"degenerate fixture: seed=$seed t=$t")
+    }
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
