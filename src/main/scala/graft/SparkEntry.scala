@@ -209,6 +209,8 @@ object SparkEntry {
       graft.ops.Clustering.q119CentroidCosines(s, dir)),
     "q120_product_families" -> ((s: SparkSession, dir: String) =>
       graft.ops.Baskets.q120ProductFamilies(s, dir)),
+    "q121_ecdf"             -> ((s: SparkSession, dir: String) =>
+      graft.ops.Selection.q121Ecdf(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -604,5 +606,6 @@ object SparkEntry {
     "q118_item_cosine" -> ExtensionOracles.q118ItemCosine,
     "q119_centroid_cosines" -> ExtensionOracles.q119CentroidCosines,
     "q120_product_families" -> ExtensionOracles.q120ProductFamilies,
+    "q121_ecdf" -> ExtensionOracles.q121Ecdf,
   )
 }

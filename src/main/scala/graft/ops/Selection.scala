@@ -249,4 +249,72 @@ object Selection {
         col("e.id").as("doc_id"))
       .orderBy(col("lang"), col("sample_rank"))
   }
+
+  /** Exact global ECDF / percent_rank WITHOUT a global window — the
+    * score-normalization every "keep the top X% by quality" policy
+    * needs, where `percent_rank() OVER (ORDER BY score)` would funnel
+    * the whole corpus through one task.
+    *
+    * percent_rank depends only on the count of STRICTLY smaller scores
+    * (ties share a value), so no per-row ordering is ever needed:
+    *  1. one min/max aggregate fixes `nBuckets` score ranges;
+    *  2. per-(bucket, score) counts — aggregated rows, one per
+    *     distinct score;
+    *  3. bucket totals prefix-sum over ≤ nBuckets rows (tiny window),
+    *     within-bucket prefix over the DISTINCT-score rows partitioned
+    *     by bucket;
+    *  4. `less_than = bucket_before + in_bucket_before`; rows join the
+    *     mapping back on (bucket, score); pct = less_than/(n−1).
+    *
+    * A corpus of all-identical scores collapses to ONE aggregated row —
+    * the tie case costs nothing. The structural limit is extreme VALUE
+    * skew (most distinct scores inside one range bucket): the
+    * within-bucket window then sees that bucket's distinct-score rows
+    * in one task — aggregated rows, not raw rows, and a second
+    * bucketing pass over the offending range would subdivide it (not
+    * needed at any tested scale). Output: (id, score, pct round 6). */
+  def ecdf(rows: DataFrame, idCol: String, scoreCol: String,
+           nBuckets: Int = 1024): DataFrame = {
+    val d = rows.select(col(idCol).as("id"), col(scoreCol).cast("double").as("s"))
+    val ext = d.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+      count(lit(1)).as("n"))
+    val bucketed = d.crossJoin(broadcast(ext))
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("s") - col("lo")) /
+            (col("hi") - col("lo")) * nBuckets), lit(nBuckets - 1L)).cast("long")))
+    val perScore = bucketed.groupBy(col("b"), col("s")).agg(count(lit(1)).as("cnt"))
+    val inBucketWin = Window.partitionBy(col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = perScore.groupBy(col("b")).agg(sum(col("cnt")).as("btot"))
+    val bucketWin = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = perBucket.select(col("b"),
+      coalesce(sum(col("btot")).over(bucketWin), lit(0L)).as("bucket_before"))
+    val mapping = perScore
+      .withColumn("in_bucket_before",
+        coalesce(sum(col("cnt")).over(inBucketWin), lit(0L)))
+      .join(broadcast(bucketPrefix), Seq("b"))
+      .select(col("b"), col("s"),
+        (col("bucket_before") + col("in_bucket_before")).as("less_than"))
+    bucketed.join(mapping, Seq("b", "s"))
+      .select(col("id"), col("s").as("score"),
+        round(col("less_than").cast("double") /
+          greatest(col("n") - 1L, lit(1L)).cast("double"), 6).as("pct"))
+  }
+
+  /** q121: exact percent_rank of each document's chars-per-token ratio
+    * (the length-quality proxy) — replayed by the oracle's plain
+    * `percent_rank()` window. */
+  def q121Ecdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val scored = docs.select(col("doc_id"),
+      (col("n_chars").cast("double") /
+        greatest(TextAnalysis.tokenCount(col("text")), lit(1L)).cast("double"))
+        .as("ratio"))
+    ecdf(scored, "doc_id", "ratio")
+      .select(col("id").as("doc_id"), round(col("score"), 6).as("ratio"),
+        col("pct"))
+      .orderBy(col("doc_id"))
+  }
 }

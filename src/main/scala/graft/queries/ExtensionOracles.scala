@@ -2389,6 +2389,18 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN pern ON n.id = pern.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q121 (`ops.Selection.ecdf`): the oracle pays the global
+    * percent_rank window the engine's bucketed prefix avoids; the
+    * score divides exact longs in double on both sides. */
+  val q121Ecdf: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) /
+      |      CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ratio
+      |  FROM documents)
+      |SELECT doc_id, round(ratio, 6) AS ratio,
+      |  round(percent_rank() OVER (ORDER BY ratio), 6) AS pct
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** Mirrors q120 (`ops.Baskets.q120ProductFamilies`): the q116 pair
     * derivation, then min-reachability components via a recursive CTE
     * (the q40 pattern) with singleton parts as their own family. */

@@ -236,6 +236,28 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("ecdf: equals the percent_rank window under ties, constants, and skewed values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // heavy ties (quantized) + a long tail clustered in one range bucket
+    val rows = (1 to 5000).map { i =>
+      val s = if (i % 3 == 0) (i % 7).toDouble
+              else if (i % 3 == 1) 100.0 + rnd.nextDouble() * 0.001
+              else rnd.nextDouble() * 50
+      (i.toLong, s)
+    }.toDF("id", "s")
+    val got = Selection.ecdf(rows, "id", "s")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val want = rows.withColumn("pct", round(percent_rank().over(w), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === want)
+    // all-identical scores: every row pct 0 via one aggregated row
+    val const = (1 to 100).map(i => (i.toLong, 5.0)).toDF("id", "s")
+    val gotC = Selection.ecdf(const, "id", "s").collect().map(_.getDouble(2))
+    assert(gotC.length === 100 && gotC.forall(_ === 0.0))
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
