@@ -11,14 +11,20 @@ import org.apache.spark.unsafe.types.UTF8String
 /** HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007) as a
   * native TypedImperativeAggregate — the cardinality member of the
   * engine's storable sketch family (CMS = frequency, Bloom =
-  * membership, top_k = heavy hitters, HLL = distinct count). Spark's
-  * `approx_count_distinct` is HLL++ internally but its sketch is not
-  * a first-class value; `hll_sketch` emits the registers as binary so
-  * a 100 TB pipeline can STORE per-partition/per-day sketches and
-  * serve any rollup later by register-max union (`hll_union` /
-  * `hll_estimate`) — the Rollup-store pattern for distinct counts,
-  * without rescanning history. 2^p one-byte registers; p=12 → 4 KiB
-  * and ~1.6% standard error (1.04/√m), mergeable losslessly forever.
+  * membership, top_k = heavy hitters, HLL = distinct count).
+  *
+  * Positioning vs Spark's built-ins: `approx_count_distinct` never
+  * exposes its sketch; `hll_sketch_agg` (DataSketches, used by
+  * [[graft.ops.Rollup]]'s partials) IS first-class but its binary is
+  * the DataSketches library format — library-versioned, opaque to
+  * audit, minimum error config limited. This implementation is the
+  * ~100-line classic-HLL whose 1+2^p-byte register format is PINNED by
+  * this file alone (a standing partials store outlives Spark
+  * upgrades), uniform with the repo's other sketch binaries, and
+  * register-auditable in specs (the union test asserts REGISTER
+  * equality, not estimate closeness). 2^p one-byte registers; p=12 →
+  * 4 KiB and ~1.6% standard error (1.04/√m), mergeable losslessly
+  * forever.
   *
   * Estimator: the classic alpha_m·m²/Σ2^(−reg) with the small-range
   * linear-counting correction below 2.5m when empty registers remain;
