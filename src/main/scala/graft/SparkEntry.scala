@@ -211,6 +211,8 @@ object SparkEntry {
       graft.ops.Baskets.q120ProductFamilies(s, dir)),
     "q121_ecdf"             -> ((s: SparkSession, dir: String) =>
       graft.ops.Selection.q121Ecdf(s, dir)),
+    "q122_multiblock_fuzzy" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Fuzzy.q122MultiBlockFuzzy(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,5 +609,6 @@ object SparkEntry {
     "q119_centroid_cosines" -> ExtensionOracles.q119CentroidCosines,
     "q120_product_families" -> ExtensionOracles.q120ProductFamilies,
     "q121_ecdf" -> ExtensionOracles.q121Ecdf,
+    "q122_multiblock_fuzzy" -> ExtensionOracles.q122MultiBlockFuzzy,
   )
 }

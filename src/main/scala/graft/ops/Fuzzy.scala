@@ -68,4 +68,63 @@ object Fuzzy {
     fuzzyPairs(titled, maxDist = 2, maxBlock = 64L)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** One blocked pass over a frame already carrying `blk`: cap hot
+    * blocks, self-join within blocks, exact Levenshtein ≤ maxDist. */
+  private def blockedPass(b: DataFrame, maxDist: Int, maxBlock: Long): DataFrame = {
+    val okBlocks = b.groupBy(col("blk")).count()
+      .filter(col("count") <= maxBlock).select(col("blk"))
+    val sized = b.join(okBlocks, Seq("blk"))
+    val l = sized.select(col("blk"), col("doc_id").as("d1"), col("title").as("t1"))
+    val r = sized.select(col("blk"), col("doc_id").as("d2"), col("title").as("t2"))
+    l.join(r, Seq("blk"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
+  /** Multi-pass blocking — the scaladoc note above, WIRED: `maxDist+1`
+    * disjoint title slices, one blocked pass per slice, results
+    * unioned and deduped by a (d1, d2) min-dist aggregate. The
+    * pigeonhole guarantee (the aHash-band argument): ≤ `maxDist`
+    * SUBSTITUTIONS can disturb at most `maxDist` of the `maxDist+1`
+    * slices, so some slice matches exactly and the pair is found —
+    * EXACT recall for substitution edits inside the sliced region;
+    * insertions/deletions shift downstream slices and recall for them
+    * stays heuristic (the honest limit of positional blocking — q25's
+    * shingles handle indel-heavy text). Each pass is the q109 plan:
+    * one shuffle on its block key, per-block quadratic capped, so the
+    * union is `maxDist+1` bounded passes, never all-pairs. */
+  def multiBlockPairs(titled: DataFrame, maxDist: Int, maxBlock: Long,
+                      slicedWidth: Int = 30): DataFrame = {
+    val nSlices = maxDist + 1
+    val sliceLen = slicedWidth / nSlices
+    (0 until nSlices).map { i =>
+      blockedPass(
+        titled.withColumn("blk",
+          concat(lit(s"$i:"), substring(col("title"), i * sliceLen + 1, sliceLen))),
+        maxDist, maxBlock)
+    }.reduce(_.unionByName(_))
+      .groupBy(col("d1"), col("d2")).agg(min(col("dist")).as("dist"))
+  }
+
+  /** q122's fixture key: [[fuzzyTitle]] plus a MID-title substitution
+    * (`%5 == 3` replaces char 12) that lands inside q109's single
+    * block slice (chars 9–16) — the tweak single-pass blocking
+    * provably misses and the multi-pass pigeonhole must catch. */
+  def fuzzyTitle2(docId: Column, text: Column): Column =
+    when(docId % 5 === 3,
+      concat(substring(text, 1, 11), lit("m"), substring(text, 13, 20)))
+      .otherwise(fuzzyTitle(docId, text))
+
+  /** q122: multi-pass blocked fuzzy dedup (3 slices, dist ≤ 2, cap 64)
+    * over the mid-tweak title key. */
+  def q122MultiBlockFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val titled = docs.select(col("doc_id"),
+      fuzzyTitle2(col("doc_id"), col("text")).as("title"))
+    multiBlockPairs(titled, maxDist = 2, maxBlock = 64L)
+      .orderBy(col("d1"), col("d2"))
+  }
 }

@@ -2389,6 +2389,29 @@ object ExtensionOracles {
       |FROM nodes n LEFT JOIN pern ON n.id = pern.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q122 (`ops.Fuzzy.multiBlockPairs`, 3 slices): the
+    * mid-tweak title key, the three positional block passes unioned,
+    * per-pass hot-block caps, min-dist pair dedup. */
+  val q122MultiBlockFuzzy: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN 'x' || substr(text, 2, 31)
+      |         WHEN doc_id % 5 = 2 THEN substr(text, 1, 32) || 'q'
+      |         WHEN doc_id % 5 = 3 THEN substr(text, 1, 11) || 'm' || substr(text, 13, 20)
+      |         ELSE substr(text, 1, 32) END AS title
+      |  FROM documents),
+      |b AS (SELECT doc_id, title,
+      |        CAST(s AS VARCHAR) || ':' || substr(title, s * 10 + 1, 10) AS blk
+      |      FROM t CROSS JOIN (SELECT unnest([0, 1, 2]) AS s)),
+      |ok AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= 64),
+      |p AS (SELECT l.doc_id AS d1, r.doc_id AS d2,
+      |        CAST(levenshtein(l.title, r.title) AS BIGINT) AS dist
+      |      FROM b l JOIN ok ON l.blk = ok.blk
+      |      JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+      |      WHERE levenshtein(l.title, r.title) <= 2)
+      |SELECT d1, d2, MIN(dist) AS dist FROM p GROUP BY d1, d2
+      |ORDER BY d1, d2""".stripMargin
+
   /** Mirrors q121 (`ops.Selection.ecdf`): the oracle pays the global
     * percent_rank window the engine's bucketed prefix avoids; the
     * score divides exact longs in double on both sides. */

@@ -258,6 +258,31 @@ class Wave7Spec extends SparkSpec {
     assert(gotC.length === 100 && gotC.forall(_ === 0.0))
   }
 
+  test("multi-block fuzzy: catches the mid-title tweak single-pass blocking misses") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog end pad pad"
+    val titled = Seq(
+      (1L, base.take(32)),
+      // substitution at char 12 — inside q109's chars-9..16 block
+      (2L, base.take(11) + "m" + base.slice(12, 32)),
+      // substitution at char 1 — inside slice 0 only
+      (3L, "x" + base.slice(1, 32)),
+      // unrelated title: no pair with anything
+      (4L, "completely different text here a")).toDF("doc_id", "title")
+    // q109-style SINGLE block on chars 9..16 misses the (1,2) pair:
+    // their block slices differ
+    val single = Fuzzy.fuzzyPairs(
+      titled.select(col("doc_id"), col("title")), maxDist = 2, maxBlock = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)),
+      "fixture broken: single-pass was supposed to miss the mid-title tweak")
+    // three positional passes find every ≤2-substitution pair exactly once
+    val multi = Fuzzy.multiBlockPairs(titled, maxDist = 2, maxBlock = 64L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(multi.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(multi((1L, 2L)) === 1L && multi((1L, 3L)) === 1L && multi((2L, 3L)) === 2L)
+  }
+
   test("interval overlap: touching endpoints overlap (closed intervals), disjoint don't pair") {
     import spark.implicits._
     val a = Seq((1L, "k", 0L, 100L), (2L, "k", 500L, 600L)).toDF("aid", "key", "s", "e")
