@@ -56,10 +56,15 @@ object QuerySession {
     *    q85/q86/q88 analytics (sfDir overload)
     *  - `random_projection(vec_id, scale, proj)` — q92 JL coordinates
     *  - `semantic_decontamination(vec_id, …, quarantined)` — q93 verdicts
+    *  - `preference_pairs` / `label_votes` — q123/q124 labeling
+    *  - `normalized_dup_groups(norm_md5, …)` — raw-text normalized dedup
+    *  - `split_balance(source, …, chi2, flagged)` — q126 audit
+    *  - `embedding_dim_stats` / `embedding_outliers` — q127 z-scores
+    *  - `hashed_features(doc_id, bucket, n)` — q129 hashing trick
     *  - plus (materialized tier): `pq_neighbors`, `semantic_dedup_drops`,
     *    `token_budget_cut`, `bpe_token_counts`, `token_ids`,
     *    `tokenizer_fertility`, `quality_scores`, `cluster_sample`,
-    *    `cluster_mix`, `daily_rollup`
+    *    `cluster_mix`, `daily_rollup`, `user_ewma`
     */
   def registerPipelineViews(spark: SparkSession, sfDir: String): Unit = {
     registerPipelineViews(spark, Tables.documents(spark, sfDir),
@@ -195,6 +200,35 @@ object QuerySession {
           graft.ops.Web.hasTracking(u).as("had_tracking"))
         .createOrReplaceTempView("url_canonical")
     }
+    // round-8 wave 8: labeling, normalization dedup, split audit,
+    // standardization and hashed features over the base frames — pure
+    // lazy plans (windowless bounded top-k, hash aggregates, one
+    // broadcast stats subquery for the z-scores; nothing collects
+    // here). user_ewma is NOT here: trailingEwma's adaptive hot-key
+    // gate collects its diagnosis aggregate, so it lives in the
+    // materialized tier with the other construction-time-job views.
+    // normalized_dup_groups keys the RAW text (a session user dedups
+    // their own corpus, not q125's planted dirty renderings).
+    locally {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Labeling.preferencePairs(docs)
+        .createOrReplaceTempView("preference_pairs")
+      graft.ops.Labeling.labelVotes(docs)
+        .createOrReplaceTempView("label_votes")
+      graft.ops.Normalization.normalizedDupGroups(docs, "text", "doc_id")
+        .createOrReplaceTempView("normalized_dup_groups")
+      graft.ops.Splits.balanceAudit(docs, "source", "doc_id")
+        .withColumnRenamed("stratum", "source")
+        .createOrReplaceTempView("split_balance")
+      graft.ops.Standardize.dimStats(emb, "embedding")
+        .createOrReplaceTempView("embedding_dim_stats")
+      graft.ops.Standardize.outlierSummary(emb, "embedding", "vec_id")
+        .createOrReplaceTempView("embedding_outliers")
+      graft.ops.FeatureHash.hashedCounts(
+        docs.withColumn("__toks", graft.ops.TextAnalysis.tokens(col("text"))),
+        "doc_id", "__toks", dims = 64)
+        .createOrReplaceTempView("hashed_features")
+    }
   }
 
   /** The views whose CONSTRUCTION must run Spark jobs — model training
@@ -237,6 +271,11 @@ object QuerySession {
     // release its caches — eager by design, so it lives here
     graft.ops.Retrieval.q71HardNegatives(spark, sfDir)
       .createOrReplaceTempView("hard_negatives")
+    // q128: the adaptive hot-key gate runs (and collects) its diagnosis
+    // aggregate at construction — a job, so this tier (wave-8 note in
+    // registerPipelineViews)
+    graft.ops.TimeSeries.q128Ewma(spark, sfDir)
+      .createOrReplaceTempView("user_ewma")
     // q81: trains k-means on a bounded sample (driver-side Lloyd's) and
     // persists the centroid table — training jobs put it in this tier.
     // The mix view shares the one trained assignment.

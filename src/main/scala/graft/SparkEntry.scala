@@ -213,6 +213,20 @@ object SparkEntry {
       graft.ops.Selection.q121Ecdf(s, dir)),
     "q122_multiblock_fuzzy" -> ((s: SparkSession, dir: String) =>
       graft.ops.Fuzzy.q122MultiBlockFuzzy(s, dir)),
+    "q123_preference_pairs" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Labeling.q123PreferencePairs(s, dir)),
+    "q124_label_vote"       -> ((s: SparkSession, dir: String) =>
+      graft.ops.Labeling.q124LabelVote(s, dir)),
+    "q125_normalized_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Normalization.q125NormalizedDedup(s, dir)),
+    "q126_split_balance"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.Splits.q126SplitBalance(s, dir)),
+    "q127_embedding_standardize" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Standardize.q127EmbeddingStandardize(s, dir)),
+    "q128_ewma"             -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q128Ewma(s, dir)),
+    "q129_feature_hash"     -> ((s: SparkSession, dir: String) =>
+      graft.ops.FeatureHash.q129FeatureHash(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -610,5 +624,12 @@ object SparkEntry {
     "q120_product_families" -> ExtensionOracles.q120ProductFamilies,
     "q121_ecdf" -> ExtensionOracles.q121Ecdf,
     "q122_multiblock_fuzzy" -> ExtensionOracles.q122MultiBlockFuzzy,
+    "q123_preference_pairs" -> ExtensionOracles.q123PreferencePairs,
+    "q124_label_vote" -> ExtensionOracles.q124LabelVote,
+    "q125_normalized_dedup" -> ExtensionOracles.q125NormalizedDedup,
+    "q126_split_balance" -> ExtensionOracles.q126SplitBalance,
+    "q127_embedding_standardize" -> ExtensionOracles.q127EmbeddingStandardize,
+    "q128_ewma" -> ExtensionOracles.q128Ewma,
+    "q129_feature_hash" -> ExtensionOracles.q129FeatureHash,
   )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Label construction for preference/annotation training data — the two
+  * operators an RLHF-style pipeline runs after quality scoring:
+  * preference-PAIR mining (chosen vs rejected examples from the quality
+  * verdicts) and majority-vote aggregation of multi-annotator labels.
+  *
+  * Scale shape: pair mining never ranks a source's full membership —
+  * both sides go through the bounded `top_k` aggregate (one map-side
+  * combined shuffle per side, O(k) state per source), and the
+  * rank-to-rank pairing joins two ≤ k·|sources| frames (broadcast).
+  * Vote aggregation is one hash aggregate over (item, label) counts and
+  * one argmax aggregate over those counts — no window, no sort, no
+  * per-item state beyond the label-count pair. */
+object Labeling {
+
+  /** Majority vote per item over (item, annotator, label) rows:
+    * n_votes, the winning label (most votes, ties → lexicographically
+    * smallest label — deterministic regardless of vote arrival order),
+    * the winner's count, and unanimity. The argmax rides a
+    * `min(struct(-n, label))`: the smallest negated count is the
+    * largest count, and within a count tie struct order falls through
+    * to the smallest label. */
+  def majorityVote(votes: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val counts = votes
+      .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("item"))
+      .agg(
+        sum(col("n")).as("n_votes"),
+        min(struct((-col("n")).as("neg"), col("label"))).as("w"),
+        count(lit(1)).as("n_labels"))
+      .select(
+        col("item"),
+        col("n_votes"),
+        col("w.label").as("majority"),
+        (-col("w.neg")).as("n_majority"),
+        (col("n_labels") === 1).as("unanimous"))
+  }
+
+  /** Rank-paired preference examples: within each group, the i-th best
+    * "chosen" candidate is paired with the i-th "rejected" candidate.
+    * Both sides arrive as (group, score, id) and pass through the
+    * bounded top-k aggregate — score DESC, so callers encode their
+    * preference order in the score (e.g. `-doc_id` for "earliest k"). */
+  def rankPairs(chosen: DataFrame, rejected: DataFrame, groupCol: String,
+                scoreCol: String, idCol: String, k: Int): DataFrame = {
+    def ranked(side: DataFrame, out: String): DataFrame = side
+      .groupBy(col(groupCol).as("g"))
+      .agg(TopKPerGroup.topKColumn(col(scoreCol), col(idCol), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as(out))
+    ranked(chosen, "chosen_id")
+      .join(ranked(rejected, "rejected_id"), Seq("g", "rank"))
+      .select(col("g").as(groupCol), col("rank"),
+        col("chosen_id"), col("rejected_id"))
+  }
+
+  /** Preference pairs from the q39 quality verdicts — per source, the
+    * 8 earliest keepers paired rank-to-rank with the 8 earliest
+    * rejects, carrying the reject reason and the token-count margin.
+    * The verdict projection is the same narrow map q39 runs; the two
+    * bounded ranked sides are broadcast back onto it to recover the
+    * per-doc attributes without a second corpus shuffle. */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    val v = TextAnalysis
+      .filterVerdicts(docs, passThrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("reason"), col("keep"))
+    val score = -col("doc_id") // earliest-k, tie-free (ids unique)
+    val pairs = rankPairs(
+      v.filter(col("keep")).withColumn("sc", score),
+      v.filter(!col("keep")).withColumn("sc", score),
+      "source", "sc", "doc_id", k = 8)
+    val attrs = v.select(col("doc_id"), col("n_tokens"), col("reason"))
+    val withChosen = attrs
+      .join(broadcast(pairs), attrs("doc_id") === pairs("chosen_id"))
+      .select(col("source"), col("rank"), col("chosen_id"), col("rejected_id"),
+        col("n_tokens").as("chosen_tokens"))
+    attrs
+      .join(broadcast(withChosen), attrs("doc_id") === withChosen("rejected_id"))
+      .select(col("source"), col("rank"), col("chosen_id"), col("rejected_id"),
+        col("chosen_tokens"), col("n_tokens").as("rejected_tokens"),
+        (col("chosen_tokens") - col("n_tokens")).as("margin_tokens"),
+        col("reason").as("reject_reason"))
+  }
+
+  /** q123: [[preferencePairs]] over the documents table. */
+  def q123PreferencePairs(s: SparkSession, dir: String): DataFrame =
+    preferencePairs(Tables.documents(s, dir))
+      .orderBy(col("source"), col("rank"))
+
+  /** Three deterministic pseudo-annotators — annotator j's label is a
+    * pure function of md5(doc_id:j) (first hex char: <'6' good ~6/16,
+    * <'b' ok ~5/16, else bad ~5/16), so the oracle replays the votes
+    * exactly. One in-row explode, 3 rows per doc. */
+  def syntheticVotes(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+    .withColumn("h",
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("j").cast("string"))), 1, 1))
+    .withColumn("label",
+      when(col("h") < "6", "good").when(col("h") < "b", "ok")
+        .otherwise(lit("bad")))
+
+  /** [[majorityVote]] over the synthetic votes, keyed back to doc_id. */
+  def labelVotes(docs: DataFrame): DataFrame =
+    majorityVote(syntheticVotes(docs), "doc_id", "label")
+      .withColumnRenamed("item", "doc_id")
+
+  /** q124: the vote aggregation under test is [[majorityVote]]. */
+  def q124LabelVote(s: SparkSession, dir: String): DataFrame =
+    labelVotes(Tables.documents(s, dir)).orderBy(col("doc_id"))
+}

@@ -331,4 +331,112 @@ object SkewWindows {
 
     lightOut.unionByName(heavyOut)
   }
+
+  /** Hot-key-safe BOUNDED-LOOKBACK exponentially-weighted moving
+    * average: per key in (t, tie) order, `ewma = Σᵢ wⁱ·v₋ᵢ / Σᵢ wⁱ`
+    * over the current row and up to `lookback-1` preceding rows,
+    * w = 1-alpha. The time-decay smoother behind trend baselines and
+    * drift monitors — and the template for ANY fixed-lookback window
+    * (trailing mean/max/slope all chunk the same way).
+    *
+    * Heavy path — bounded lookback is CHUNKABLE WITH A HALO, a
+    * recombination unbounded windows don't have: a row only ever needs
+    * its `lookback-1` predecessors, and those predecessors live in the
+    * last `lookback-1` rows of the (at most) `lookback-1` most recent
+    * non-empty preceding chunks — every non-empty chunk contributes ≥1
+    * row to the predecessor sequence, so going `lookback-1` chunk
+    * summaries back always covers it. So: each (key, chunk) exports
+    * its last `lookback-1` rows (chunk-local rank, bounded state), a
+    * window over the ≤nChunks SUMMARY rows assembles each chunk's halo
+    * (flatten of ≤(K-1)² structs, sliced to the trailing K-1), and the
+    * per-row window runs (key, chunk)-local over own rows with the
+    * halo attached as an in-row array. No per-key funnel anywhere; the
+    * only full-key-ordered structure is the summary window, bounded by
+    * nChunks.
+    *
+    * Exactness: the weighted sum is a FIXED K-term left-to-right
+    * expression (term j reads the j-th most recent available value),
+    * identical on both paths and in the oracle's lag formulation, so
+    * light/heavy/plain produce bit-identical doubles (spec-asserted
+    * with a planted hot key). Output: (key, t, tie, ewma round 6). */
+  def trailingEwma(rows: DataFrame, key: String, t: String, tie: String,
+                   value: String, alpha: Double = 0.5, lookback: Int = 8,
+                   hotAt: Long = 1000000L,
+                   chunkTarget: Long = 65536L): DataFrame = {
+    require(lookback >= 2 && lookback <= 64, s"lookback $lookback")
+    val kPrev = lookback - 1
+    val base = rows.select(col(key), col(t).as("__t"), col(tie).as("__tie"),
+      col(value).cast("double").as("__v"))
+
+    // shared K-term formula over (__v, __prev array oldest→newest):
+    // term j weights the j-th most recent prior value (array tail-j+1)
+    def ewmaCol: org.apache.spark.sql.Column = {
+      val m = size(col("__prev"))
+      val num = (1 to kPrev).foldLeft(col("__v")) { (acc, j) =>
+        acc + when(m >= j,
+          lit(math.pow(1.0 - alpha, j)) * element_at(col("__prev"), m - j + 1))
+          .otherwise(lit(0.0))
+      }
+      val den = (1 to kPrev).foldLeft(lit(1.0)) { (acc, j) =>
+        acc + when(m >= j, lit(math.pow(1.0 - alpha, j))).otherwise(lit(0.0))
+      }
+      round(num / den, 6)
+    }
+    def out(src: DataFrame): DataFrame = src
+      .withColumn("ewma", ewmaCol)
+      .select(col(key), col("__t").as(t), col("__tie").as(tie), col("ewma"))
+
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tie"))
+      .rowsBetween(-kPrev, -1)
+    def plainOver(src: DataFrame): DataFrame = out(
+      src.withColumn("__prev", collect_list(col("__v")).over(w)))
+
+    hotStatsLocal(base, key, col("__t"), hotAt, chunkTarget) match {
+      case None => plainOver(base)
+      case Some(stats) =>
+        // null-safe routing — see sessionCounts
+        val light = base.join(broadcast(stats.select(col("__hk"))),
+          col(key) <=> col("__hk"), "left_anti")
+        val lightOut = plainOver(light)
+
+        val chunked = base.join(broadcast(stats), col(key) <=> col("__hk"))
+          .withColumn("__chunk", expr("(__t - __tmin) DIV __width"))
+        // each chunk's exported tail: its last ≤ K-1 rows, found by a
+        // CHUNK-local reverse rank (bounded buffer, no key funnel)
+        val rw = Window.partitionBy(col(key), col("__chunk"))
+          .orderBy(col("__t").desc, col("__tie").desc)
+        val tails = chunked
+          .withColumn("__rde", row_number().over(rw))
+          .filter(col("__rde") <= kPrev)
+          .groupBy(col(key).as("__ck"), col("__chunk").as("__cc"))
+          .agg(sort_array(collect_list(
+            struct(col("__t"), col("__tie"), col("__v")))).as("__tail"))
+        // halo per chunk: trailing K-1 rows of the previous ≤ K-1
+        // non-empty chunks' tails (chunk order = time order, so the
+        // flattened struct array is globally (t, tie)-sorted)
+        val sw = Window.partitionBy(col("__ck")).orderBy(col("__cc"))
+          .rowsBetween(-kPrev, -1)
+        val halos = tails
+          .withColumn("__pool",
+            transform(flatten(collect_list(col("__tail")).over(sw)),
+              e => e("__v")))
+          .select(col("__ck"), col("__cc"),
+            slice(col("__pool"),
+              greatest(size(col("__pool")) - kPrev + 1, lit(1)),
+              lit(kPrev)).as("__halo"))
+        val cw = Window.partitionBy(col(key), col("__chunk"))
+          .orderBy(col("__t"), col("__tie")).rowsBetween(-kPrev, -1)
+        val heavyOut = out(chunked
+          .join(halos, col(key) <=> col("__ck") && col("__chunk") === col("__cc"))
+          .withColumn("__local", collect_list(col("__v")).over(cw))
+          // full lookback = trailing K-1 of (halo ++ chunk-local prefix)
+          .withColumn("__all", concat(col("__halo"), col("__local")))
+          .withColumn("__prev",
+            slice(col("__all"),
+              greatest(size(col("__all")) - kPrev + 1, lit(1)),
+              lit(kPrev))))
+
+        lightOut.unionByName(heavyOut)
+    }
+  }
 }

@@ -219,4 +219,22 @@ object TimeSeries {
         round(col("n").cast("double") / col("__tot"), 6).as("p"))
       .orderBy(col("cur"), col("nxt"))
   }
+
+  /** q128: per-user trailing EWMA (α=0.5, 8-event lookback) over the
+    * event stream — the time-decay baseline behind q105-style drift
+    * flags, via [[SkewWindows.trailingEwma]] so a scanner-bot key
+    * chunks with a halo instead of funnelling its timeline through one
+    * task. Event order is (ts, event_id) — epoch-nanos plus the unique
+    * id tie, the q115 ordering. */
+  def q128Ewma(s: SparkSession, dir: String): DataFrame =
+    SkewWindows.trailingEwma(
+      Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("value"))
+        // a null value would silently shrink collect_list's window on
+        // the engine side but hold its lag position in the oracle —
+        // exclude it from the series on BOTH sides
+        .filter(col("value").isNotNull),
+      "user_id", "ts", "event_id", "value", alpha = 0.5, lookback = 8)
+      .select(col("user_id"), col("event_id"), col("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
 }

@@ -2571,4 +2571,207 @@ object ExtensionOracles {
       |  CASE WHEN nu >= 50 THEN CAST(tv AS DOUBLE) END AS total_value,
       |  (nu < 50) AS suppressed
       |FROM cells ORDER BY event_type, day_idx""".stripMargin
+
+  /** Mirrors q123 (`ops.Labeling.q123PreferencePairs`): the q39 verdict
+    * ladder with source carried through, then the bounded earliest-8
+    * keep/reject streams rank-paired per source. The oracle pays the
+    * per-source row_number windows the engine's bounded `top_k`
+    * aggregate avoids. */
+  val q123PreferencePairs: String =
+    s"""WITH $tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM pos),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+       |               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_dis
+       |        FROM g GROUP BY doc_id),
+       |v AS (SELECT doc_id, source, n_tokens,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_tokens > 100000 THEN 'too_long'
+       |       WHEN avg_token_len < 3.0 OR avg_token_len > 10.0 THEN 'token_shape'
+       |       WHEN punct_ratio > 0.1 THEN 'punct'
+       |       WHEN dup_frac > 0.2 THEN 'repetitive'
+       |       ELSE 'keep' END AS reason
+       |  FROM (SELECT d.doc_id, d.source,
+       |      CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+       |      CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS DOUBLE) /
+       |        greatest(CAST(len(regexp_extract_all(d.text, '\\S+')) AS DOUBLE), 1.0) AS avg_token_len,
+       |      CAST(length(regexp_replace(d.text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) /
+       |        greatest(CAST(length(d.text) AS DOUBLE), 1.0) AS punct_ratio,
+       |      CASE WHEN COALESCE(a.n_tri, 0) > 0
+       |           THEN 1.0 - CAST(a.n_dis AS DOUBLE) / CAST(a.n_tri AS DOUBLE)
+       |           ELSE 0.0 END AS dup_frac
+       |    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id) b),
+       |ch AS (SELECT source, doc_id, n_tokens,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+       |       FROM v WHERE reason = 'keep'),
+       |rj AS (SELECT source, doc_id, n_tokens, reason,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+       |       FROM v WHERE reason <> 'keep')
+       |SELECT ch.source, CAST(ch.rank AS BIGINT) AS rank,
+       |  ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+       |  ch.n_tokens AS chosen_tokens, rj.n_tokens AS rejected_tokens,
+       |  ch.n_tokens - rj.n_tokens AS margin_tokens,
+       |  rj.reason AS reject_reason
+       |FROM ch JOIN rj ON ch.source = rj.source AND ch.rank = rj.rank
+       |WHERE ch.rank <= 8
+       |ORDER BY ch.source, ch.rank""".stripMargin
+
+  /** Mirrors q124 (`ops.Labeling.q124LabelVote`): the deterministic
+    * md5 pseudo-votes and the majority argmax (most votes, ties to the
+    * lexicographically smallest label) via a windowed rank. */
+  val q124LabelVote: String =
+    """WITH v AS (SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1) AS h
+      |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+      |lab AS (SELECT doc_id,
+      |    CASE WHEN h < '6' THEN 'good' WHEN h < 'b' THEN 'ok'
+      |         ELSE 'bad' END AS label FROM v),
+      |c AS (SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM lab GROUP BY doc_id, label),
+      |r AS (SELECT doc_id, label, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label) AS rn,
+      |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS nv,
+      |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nl
+      |  FROM c)
+      |SELECT doc_id, nv AS n_votes, label AS majority, n AS n_majority,
+      |  (nl = 1) AS unanimous
+      |FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q125 (`ops.Normalization.q125NormalizedDedup`): the
+    * deterministic dirty renderings (mod-3 verbatim/upcase/commas),
+    * the casefold/strip/collapse normalization, q24's prefix-8 key and
+    * group shape. */
+  val q125NormalizedDedup: String =
+    """WITH r AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text
+      |         WHEN doc_id % 3 = 1 THEN upper(text)
+      |         ELSE regexp_replace(text, ' ', ', ', 'g') END AS rendered
+      |  FROM documents)
+      |SELECT norm_md5, canonical_id, group_size, members FROM (
+      |  SELECT md5(array_to_string(regexp_extract_all(
+      |           trim(regexp_replace(
+      |             regexp_replace(lower(rendered), '[^a-z0-9\s]', '', 'g'),
+      |             '\s+', ' ', 'g')), '\S+')[1:8], ' ')) AS norm_md5,
+      |    min(doc_id) AS canonical_id,
+      |    COUNT(*) AS group_size,
+      |    array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+      |      x -> CAST(x AS VARCHAR)), ',') AS members
+      |  FROM r GROUP BY 1) t
+      |WHERE group_size >= 2
+      |ORDER BY norm_md5""".stripMargin
+
+  /** Mirrors q126 (`ops.Splits.balanceAudit`): observed per-(source,
+    * split) counts vs corpus-wide shares; the χ² is the same fixed
+    * three-term left-to-right expression over exact longs, and
+    * `flagged` compares the ROUNDED statistic on both sides. */
+  val q126SplitBalance: String =
+    """WITH d AS (SELECT source,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |per AS (SELECT source,
+      |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+      |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |  FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS t_train,
+      |               CAST(SUM(n_val) AS BIGINT) AS t_val,
+      |               CAST(SUM(n_test) AS BIGINT) AS t_test FROM per),
+      |x AS (SELECT source, n_train, n_val, n_test,
+      |    CAST(n_train + n_val + n_test AS DOUBLE) AS n,
+      |    CAST(t_train + t_val + t_test AS DOUBLE) AS ta,
+      |    t_train, t_val, t_test
+      |  FROM per CROSS JOIN tot),
+      |e AS (SELECT source, n_train, n_val, n_test,
+      |    n * (CAST(t_train AS DOUBLE) / ta) AS e1,
+      |    n * (CAST(t_val AS DOUBLE) / ta) AS e2,
+      |    n * (CAST(t_test AS DOUBLE) / ta) AS e3
+      |  FROM x),
+      |ch AS (SELECT source, n_train, n_val, n_test,
+      |    round(
+      |      (CASE WHEN e1 > 0 THEN (CAST(n_train AS DOUBLE) - e1) * (CAST(n_train AS DOUBLE) - e1) / e1 ELSE 0 END)
+      |      + (CASE WHEN e2 > 0 THEN (CAST(n_val AS DOUBLE) - e2) * (CAST(n_val AS DOUBLE) - e2) / e2 ELSE 0 END)
+      |      + (CASE WHEN e3 > 0 THEN (CAST(n_test AS DOUBLE) - e3) * (CAST(n_test AS DOUBLE) - e3) / e3 ELSE 0 END),
+      |      6) AS chi2
+      |  FROM e)
+      |SELECT source, n_train, n_val, n_test, chi2, (chi2 > 5.991) AS flagged
+      |FROM ch ORDER BY source""".stripMargin
+
+  /** Mirrors q127 (`ops.Standardize.outlierSummary`): per-dim moments
+    * from exact rounded-decimal sums (cross-row float sums are not
+    * order-free; decimals are — the q42 rule applied to moments), then
+    * the per-vector |z| summary. */
+  val q127EmbeddingStandardize: String =
+    """WITH x AS (SELECT vec_id, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |        CAST(embedding[i] AS DOUBLE) AS xi FROM x),
+      |st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(round(xi, 6) AS DECIMAL(28,6))) AS s1,
+      |    SUM(CAST(round(xi * xi, 12) AS DECIMAL(28,12))) AS s2
+      |  FROM e GROUP BY dim),
+      |ms AS (SELECT dim,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0)) AS sigma
+      |  FROM st),
+      |z AS (SELECT e.vec_id,
+      |    CASE WHEN ms.sigma > 0 THEN abs((e.xi - ms.mu) / ms.sigma)
+      |         ELSE 0.0 END AS za
+      |  FROM e JOIN ms ON e.dim = ms.dim)
+      |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |  round(MAX(za), 6) AS z_max,
+      |  CAST(SUM(CASE WHEN za > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM z GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
+  /** Mirrors q128 (`ops.SkewWindows.trailingEwma` α=0.5, lookback 8):
+    * the lag formulation of the same FIXED left-to-right 8-term
+    * weighted sum — term j is the j-th most recent available value
+    * with exact binary weight 0.5^j, so the doubles are bit-identical
+    * to the engine's array formulation. */
+  val q128Ewma: String =
+    """WITH o AS (SELECT user_id, event_id, value,
+      |    lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+      |    lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
+      |    lag(value, 5) OVER w AS v5, lag(value, 6) OVER w AS v6,
+      |    lag(value, 7) OVER w AS v7
+      |  FROM events WHERE value IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id,
+      |  round((value
+      |    + CASE WHEN v1 IS NOT NULL THEN 0.5 * v1 ELSE 0 END
+      |    + CASE WHEN v2 IS NOT NULL THEN 0.25 * v2 ELSE 0 END
+      |    + CASE WHEN v3 IS NOT NULL THEN 0.125 * v3 ELSE 0 END
+      |    + CASE WHEN v4 IS NOT NULL THEN 0.0625 * v4 ELSE 0 END
+      |    + CASE WHEN v5 IS NOT NULL THEN 0.03125 * v5 ELSE 0 END
+      |    + CASE WHEN v6 IS NOT NULL THEN 0.015625 * v6 ELSE 0 END
+      |    + CASE WHEN v7 IS NOT NULL THEN 0.0078125 * v7 ELSE 0 END)
+      |   / (1.0
+      |    + CASE WHEN v1 IS NOT NULL THEN 0.5 ELSE 0 END
+      |    + CASE WHEN v2 IS NOT NULL THEN 0.25 ELSE 0 END
+      |    + CASE WHEN v3 IS NOT NULL THEN 0.125 ELSE 0 END
+      |    + CASE WHEN v4 IS NOT NULL THEN 0.0625 ELSE 0 END
+      |    + CASE WHEN v5 IS NOT NULL THEN 0.03125 ELSE 0 END
+      |    + CASE WHEN v6 IS NOT NULL THEN 0.015625 ELSE 0 END
+      |    + CASE WHEN v7 IS NOT NULL THEN 0.0078125 ELSE 0 END), 6) AS ewma
+      |FROM o ORDER BY user_id, event_id""".stripMargin
+
+  /** Mirrors q129 (`ops.FeatureHash.q129FeatureHash`): the same
+    * md5-prefix uint32 mod 64 bucket per token, counted per doc. The
+    * oracle pays the raw-token unnest the engine's in-row run counting
+    * avoids. */
+  val q129FeatureHash: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT doc_id, unnest(l) AS tk FROM tok),
+       |b AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 64 AS bucket
+       |  FROM t)
+       |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM b GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin
 }

@@ -395,6 +395,42 @@ class QuerySessionSpec extends SparkSpec {
     assert(ok, "wave-7 views inconsistent")
   }
 
+  test("wave-8 views: labeling, split audit, z-scores, hashed features — cross-consistent in pure SQL") {
+    val dir = "/root/testdata/sf0.001"
+    QuerySession.openTestTables(spark, dir)
+    QuerySession.registerPipelineViews(spark, dir)
+    def one(sql: String): Long = spark.sql(sql).collect()(0).getLong(0)
+    // every vote triple aggregates: one row per doc, 3 votes each,
+    // majority count consistent with unanimity
+    assert(one("SELECT count(*) FROM label_votes") ===
+      one("SELECT count(*) FROM documents"))
+    assert(one(
+      """SELECT count(*) FROM label_votes
+        |WHERE n_votes <> 3 OR n_majority > n_votes
+        |   OR (unanimous AND n_majority <> 3)""".stripMargin) === 0L)
+    // preference pairs: ranks bounded, rejected really rejected,
+    // margins integral
+    assert(one(
+      """SELECT count(*) FROM preference_pairs
+        |WHERE rank < 1 OR rank > 8 OR reject_reason = 'keep'
+        |   OR margin_tokens <> chosen_tokens - rejected_tokens""".stripMargin) === 0L)
+    // split audit reconciles with the documents table
+    assert(one("SELECT CAST(sum(n_train + n_val + n_test) AS BIGINT) FROM split_balance") ===
+      one("SELECT count(*) FROM documents"))
+    // z-scores: one stats row per dim, outlier summaries total
+    assert(one("SELECT count(*) FROM embedding_dim_stats") ===
+      one("SELECT CAST(max(size(embedding)) AS BIGINT) FROM embeddings"))
+    assert(one("SELECT count(*) FROM embedding_outliers") ===
+      one("SELECT count(*) FROM embeddings"))
+    assert(one(
+      """SELECT count(*) FROM embedding_outliers
+        |WHERE z_max < 0 OR n_outliers > n_dims""".stripMargin) === 0L)
+    // hashed features: bucket totals equal the corpus token count
+    assert(one("SELECT CAST(sum(n) AS BIGINT) FROM hashed_features") ===
+      one("""SELECT CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT)
+            |FROM documents WHERE length(trim(text)) > 0""".stripMargin))
+  }
+
   test("driver contract: entry() yields rows; every query has a runnable fn") {
     assert(SparkEntry.entry(spark).count() > 0)          // driver's t1 smoke
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
