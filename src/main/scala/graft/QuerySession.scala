@@ -116,6 +116,16 @@ object QuerySession {
       .createOrReplaceTempView("triangle_counts")
     graft.ops.Clustering.q119CentroidCosines(spark, sfDir)
       .createOrReplaceTempView("centroid_cosines")
+    // round-8 wave 9: journey paths, per-user trend and graph negative
+    // samples — lazy window/aggregate/join plans (q131's corpus-start
+    // min and q132's |V| count ride broadcast 1-row subqueries, not
+    // construction-time jobs)
+    graft.ops.TimeSeries.q130SessionPaths(spark, sfDir)
+      .createOrReplaceTempView("session_paths")
+    graft.ops.TimeSeries.q131TrendSlope(spark, sfDir)
+      .createOrReplaceTempView("user_trend")
+    graft.ops.Graph.q132NegativeEdges(spark, sfDir)
+      .createOrReplaceTempView("negative_edges")
   }
 
   /** The frame-based core: given already-read base tables, registration

@@ -227,6 +227,12 @@ object SparkEntry {
       graft.ops.TimeSeries.q128Ewma(s, dir)),
     "q129_feature_hash"     -> ((s: SparkSession, dir: String) =>
       graft.ops.FeatureHash.q129FeatureHash(s, dir)),
+    "q130_session_paths"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q130SessionPaths(s, dir)),
+    "q131_trend_slope"      -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q131TrendSlope(s, dir)),
+    "q132_negative_edges"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.Graph.q132NegativeEdges(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -631,5 +637,8 @@ object SparkEntry {
     "q127_embedding_standardize" -> ExtensionOracles.q127EmbeddingStandardize,
     "q128_ewma" -> ExtensionOracles.q128Ewma,
     "q129_feature_hash" -> ExtensionOracles.q129FeatureHash,
+    "q130_session_paths" -> ExtensionOracles.q130SessionPaths,
+    "q131_trend_slope" -> ExtensionOracles.q131TrendSlope,
+    "q132_negative_edges" -> ExtensionOracles.q132NegativeEdges,
   )
 }

@@ -11,14 +11,20 @@ import graft.Tables
   * dictionary to train, broadcast, or keep in sync — the price is
   * collisions, which a linear model absorbs and which `D` controls.
   *
-  * Scale shape: bucketing is a pure narrow expression (md5 + hex→long);
-  * the per-(doc, bucket) counts come from ONE in-row pass — the
-  * bucketed token array is sorted and equal runs are counted from the
-  * run-start positions, then exploded as (bucket, n) pairs. So the
-  * explode emits ≤ min(|tokens|, D) rows per doc (the distinct-bucket
-  * count), never the raw token stream, and there is NO shuffle at all —
-  * the histogram never leaves its row. md5 keys the engine↔oracle
-  * parity: both sides derive the same 32-bit prefix integer. */
+  * Scale shape — an instructive MEASURED reversal of the repo's usual
+  * in-row-first rule: the no-shuffle formulation ([[hashedCountsInRow]],
+  * sorted bucket array + run counting, histogram never leaves its row)
+  * loses badly here, because higher-order functions (`transform`/
+  * `filter`/`aggregate`) evaluate INTERPRETED — outside whole-stage
+  * codegen — at ~µs/element, and a narrow op also inherits the scan's
+  * partitioning (one fat parquet file = ONE task doing all the work).
+  * The explode+groupBy formulation ([[hashedCounts]], the primary) runs
+  * generate → codegen'd md5/conv projection → hash aggregate entirely
+  * inside WholeStageCodegen, and its map-side combine bounds the
+  * shuffle to ≤ min(|tokens|, D) rows per doc — the tiny-output
+  * shuffle buys codegen and scan-independent parallelism. Soak numbers
+  * in COVERAGE.md. md5 keys the engine↔oracle parity: both sides
+  * derive the same 32-bit prefix integer. */
 object FeatureHash {
 
   /** Bucket id for one token: first 8 md5 hex chars as a uint32, mod
@@ -27,17 +33,31 @@ object FeatureHash {
     pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dims.toLong))
 
   /** Sparse hashed count vector per row: (idCol, bucket, n) for every
-    * occupied bucket, from an array<string> token column. In-row run
-    * counting: sort the bucketed array; a run starts at 1-based
-    * position i where b[i] ≠ b[i-1]; its length is the next start (or
-    * end+1) minus its own. Rows with no tokens emit nothing (an empty
-    * doc has an all-zero feature vector). */
+    * occupied bucket, from an array<string> token column. The primary
+    * (codegen) formulation: explode tokens, bucket in a codegen'd
+    * projection, hash-aggregate with map-side combine (≤ min(|tokens|,
+    * dims) shuffled rows per doc). Rows with no tokens emit nothing
+    * (an empty doc has an all-zero feature vector). */
   def hashedCounts(rows: DataFrame, idCol: String, tokensCol: String,
                    dims: Int): DataFrame =
+    rows.select(col(idCol), explode(col(tokensCol)).as("__tok"))
+      .select(col(idCol), bucketOf(col("__tok"), dims).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The no-shuffle alternative, kept for the measured comparison (see
+    * object scaladoc): sort the bucketed array in-row; a run starts at
+    * 1-based position i where b[i] ≠ b[i-1]; its length is the next
+    * start (or end+1) minus its own. The emptiness filter reads
+    * `size(tokensCol)` — filtering on the DERIVED array would push the
+    * whole interpreted transform+sort chain into the predicate and
+    * evaluate it twice per row. */
+  def hashedCountsInRow(rows: DataFrame, idCol: String, tokensCol: String,
+                        dims: Int): DataFrame =
     rows
+      .filter(size(col(tokensCol)) > 0)
       .withColumn("__b", sort_array(transform(col(tokensCol),
         tok => bucketOf(tok, dims))))
-      .filter(size(col("__b")) > 0)
       .withColumn("__starts",
         filter(sequence(lit(1), size(col("__b"))),
           i => i === lit(1) ||

@@ -168,4 +168,55 @@ object Graph {
       .select(col("id").as("doc_id"), col("rank"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic negative-edge sampling — the non-links a
+    * link-prediction or graph-contrastive trainer pairs against the
+    * true edges (the graph sibling of q71's BM25 hard negatives).
+    * Per node: `attempts` pseudo-random candidate partners derived
+    * from md5(id:j) mod |V| (pure id arithmetic — stable across runs,
+    * engines and retries, the Splits rule), self-loops and TRUE edges
+    * filtered out, first k survivors by attempt order kept.
+    *
+    * Scale shape: candidates are generated IN-ROW (|V|·attempts rows,
+    * no join to produce them); node-validity is one semi join and the
+    * true-edge filter one anti join, both on canonical (min, max) pair
+    * keys; ranking is the bounded `top_k` aggregate, no window. A
+    * hash collision can emit the same partner at two ranks — kept (a
+    * trainer dedups per batch if it cares); dedup here would cost a
+    * per-(node, partner) aggregate for cosmetics. */
+  def negativeEdges(nodes: DataFrame, edges: DataFrame, k: Int,
+                    attempts: Int): DataFrame = {
+    val stats = nodes.agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
+    val cand = nodes.crossJoin(broadcast(stats))
+      .select(col("id").as("src"),
+        explode(transform(sequence(lit(1), lit(attempts)),
+          j => struct(j.as("j"),
+            (pmod(conv(substring(md5(concat(col("id").cast("string"),
+              lit(":"), j.cast("string"))), 1, 8), 16, 10).cast("long"),
+              col("__n")) + col("__mn")).as("cand")))).as("e"))
+      .select(col("src"), col("e.j").as("j"), col("e.cand").as("cand"))
+      .filter(col("cand") =!= col("src"))
+      // candidate must be a real node (free when ids are contiguous,
+      // load-bearing when they are not)
+      .join(nodes.select(col("id").as("cand")), Seq("cand"), "left_semi")
+    val survivors = cand
+      .withColumn("__l", least(col("src"), col("cand")))
+      .withColumn("__g", greatest(col("src"), col("cand")))
+      .join(edges.select(col("src").as("__l"), col("dst").as("__g")),
+        Seq("__l", "__g"), "left_anti")
+    survivors.groupBy(col("src"))
+      .agg(TopKPerGroup.topKColumn(-col("j"), col("cand"), k).as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neg_id"))
+  }
+
+  /** q132: 3 negatives per doc over the community graph (q114's edge
+    * set, whose src < dst orientation IS the canonical pair key). */
+  def q132NegativeEdges(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    negativeEdges(nodes, communityLinks(nodes), k = 3, attempts = 8)
+      .withColumnRenamed("src", "doc_id")
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

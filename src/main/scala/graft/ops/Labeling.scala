@@ -64,30 +64,55 @@ object Labeling {
   /** Preference pairs from the q39 quality verdicts — per source, the
     * 8 earliest keepers paired rank-to-rank with the 8 earliest
     * rejects, carrying the reject reason and the token-count margin.
-    * The verdict projection is the same narrow map q39 runs; the two
-    * bounded ranked sides are broadcast back onto it to recover the
-    * per-doc attributes without a second corpus shuffle. */
+    *
+    * EXACTLY TWO verdict passes, measured into shape at the 100× soak:
+    * the obvious dataflow (rank each side, then join attributes for
+    * each pair role) re-evaluated the interpreted-HOF verdict
+    * projection once per derived frame — 4-6 corpus passes, 357 s at
+    * 100×. Here pass 1 ranks BOTH sides in ONE aggregate (two
+    * conditional `top_k` columns — TopKAgg skips null scores — zipped
+    * into rank-aligned pairs), and pass 2 recovers both roles'
+    * attributes from ONE scan by unpivoting the tiny pair frame to
+    * (pair-key, role, doc_id) rows, broadcast-joining, and pivoting
+    * back with conditional aggregates. */
   def preferencePairs(docs: DataFrame): DataFrame = {
     val v = TextAnalysis
       .filterVerdicts(docs, passThrough = Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("reason"), col("keep"))
-    val score = -col("doc_id") // earliest-k, tie-free (ids unique)
-    val pairs = rankPairs(
-      v.filter(col("keep")).withColumn("sc", score),
-      v.filter(!col("keep")).withColumn("sc", score),
-      "source", "sc", "doc_id", k = 8)
-    val attrs = v.select(col("doc_id"), col("n_tokens"), col("reason"))
-    val withChosen = attrs
-      .join(broadcast(pairs), attrs("doc_id") === pairs("chosen_id"))
+    // pass 1: both bounded ranked sides from one aggregate; score
+    // -doc_id = earliest-k, tie-free (ids unique)
+    val pairs = v.groupBy(col("source"))
+      .agg(
+        TopKPerGroup.topKColumn(
+          when(col("keep"), -col("doc_id")), col("doc_id"), 8).as("ctop"),
+        TopKPerGroup.topKColumn(
+          when(!col("keep"), -col("doc_id")), col("doc_id"), 8).as("rtop"))
+      .select(col("source"),
+        posexplode(arrays_zip(col("ctop"), col("rtop"))).as(Seq("pos", "z")))
+      .filter(col("z.ctop").isNotNull && col("z.rtop").isNotNull)
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("z.ctop.id").as("chosen_id"), col("z.rtop.id").as("rejected_id"))
+    // pass 2: one attribute scan serves both roles (the pair frame's
+    // source is re-aliased — it shares lineage with v, and Spark's
+    // self-join ambiguity check rejects the bare name)
+    val roles = pairs
+      .select(col("source").as("psource"), col("rank"),
+        col("chosen_id").as("did"), lit("c").as("role"))
+      .unionByName(pairs.select(col("source").as("psource"), col("rank"),
+        col("rejected_id").as("did"), lit("r").as("role")))
+    v.join(broadcast(roles), v("doc_id") === roles("did"))
+      .groupBy(col("psource").as("source"), col("rank"))
+      .agg(
+        max(when(col("role") === "c", col("doc_id"))).as("chosen_id"),
+        max(when(col("role") === "r", col("doc_id"))).as("rejected_id"),
+        max(when(col("role") === "c", col("n_tokens"))).as("chosen_tokens"),
+        max(when(col("role") === "r", col("n_tokens"))).as("rejected_tokens"),
+        max(when(col("role") === "r", col("reason"))).as("reject_reason"))
       .select(col("source"), col("rank"), col("chosen_id"), col("rejected_id"),
-        col("n_tokens").as("chosen_tokens"))
-    attrs
-      .join(broadcast(withChosen), attrs("doc_id") === withChosen("rejected_id"))
-      .select(col("source"), col("rank"), col("chosen_id"), col("rejected_id"),
-        col("chosen_tokens"), col("n_tokens").as("rejected_tokens"),
-        (col("chosen_tokens") - col("n_tokens")).as("margin_tokens"),
-        col("reason").as("reject_reason"))
+        col("chosen_tokens"), col("rejected_tokens"),
+        (col("chosen_tokens") - col("rejected_tokens")).as("margin_tokens"),
+        col("reject_reason"))
   }
 
   /** q123: [[preferencePairs]] over the documents table. */

@@ -220,6 +220,105 @@ object TimeSeries {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** q130: frequent session journey paths — the ordered event-type
+    * sequence of each session (30-min gap rule, the q14 sessionization),
+    * capped at the first 12 events, counted across sessions. The
+    * "user journey" table behind funnel design: q85 counts ONE fixed
+    * funnel, this surfaces which paths actually happen.
+    *
+    * Scale shape: the path is SESSION-bounded (cap 12) so the
+    * per-(user, session) aggregate state is constant-size; the only
+    * order-dependent structure is the per-user lag/cumsum window —
+    * q14's class, routable via [[SkewWindows]] when a diagnosed bot
+    * key funnels (the path cap makes the chunked variant exact the
+    * same way sessionCounts' markers do). Path counting itself is a
+    * plain map-side-combined aggregate over session rows. */
+  def q130SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 1800000000000L // 30 min
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sid = ev
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__start",
+        (col("__prev").isNull || col("ts") - col("__prev") > gapNs).cast("long"))
+      .withColumn("__sid", sum(col("__start")).over(run))
+      // in-session index from the SAME window pass (running max of the
+      // session-start row number), so the collect below can cap its
+      // BUFFER — collect_list skips the nulls of tail events, and a
+      // 100k-event bot session holds 12 structs, not 100k (the q24
+      // bounded-buffer rule)
+      .withColumn("__rnu", row_number().over(w))
+      .withColumn("__srn",
+        max(when(col("__start") === 1L, col("__rnu"))).over(run))
+      .withColumn("__idx", col("__rnu") - col("__srn") + 1)
+    val sessions = sid.groupBy(col("user_id"), col("__sid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__idx") <= 12,
+            struct(col("ts"), col("event_id"), col("event_type"))))),
+          e => e("event_type")), ">").as("path"),
+        count(lit(1)).as("__len"))
+    sessions.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("__len")).as("n_events"))
+      .filter(col("n_sessions") >= 3)
+      .orderBy(col("path"))
+  }
+
+  /** Per-key OLS trend (slope + intercept of y over x) — the drift
+    * DIRECTION detector next to q105's anomaly flags and q128's
+    * smoothed level: a source whose quality slides or a user whose
+    * spend ramps shows up as a significant slope long before a
+    * threshold alarm trips.
+    *
+    * Exactness (the q127 rule applied to regression moments): Σx and
+    * Σx² accumulate as LONGS, Σy and Σxy as fixed-scale DECIMALS of
+    * the rounded y — all four exact and order-free under any
+    * partitioning — and only the final closed-form
+    * `(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)` runs in double, as a FIXED
+    * expression tree both engines share. One map-side-combined
+    * aggregate; no window, no sort. A key with < 2 distinct x has no
+    * slope (NULL, not a divide-by-zero). */
+  def trendSlope(rows: DataFrame, key: String, x: String, y: String): DataFrame = {
+    val yDec = round(col(y), 6).cast("decimal(18,6)")
+    val agg = rows.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(x)).as("sx"),
+        sum(col(x) * col(x)).as("sxx"),
+        sum(yDec).as("sy"),
+        sum((yDec * col(x)).cast("decimal(38,6)")).as("sxy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val sxxd = col("sxx").cast("double")
+    val syd = col("sy").cast("double"); val sxyd = col("sxy").cast("double")
+    val den = nd * sxxd - sxd * sxd
+    val num = nd * sxyd - sxd * syd
+    val slope0 = num / den
+    agg.select(col(key), col("n").as("n_points"),
+      when(den > 0.0, round(slope0, 6)).as("slope"),
+      when(den > 0.0, round((syd - slope0 * sxd) / nd, 6)).as("intercept"))
+  }
+
+  /** q131: per-user spend trend over the hourly grain. x is re-based
+    * to the corpus min hour (broadcast 1-row min, the q41 idiom) —
+    * raw epoch-hours (~4.5e5) push nΣx² and (Σx)² past 2^53, where the
+    * closed form cancels catastrophically; hours-since-start (~10³)
+    * keep every double term exact. Intercept is therefore the fitted
+    * level AT CORPUS START. */
+  def q131TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts DIV 3600000000000").as("h"),
+        col("value").as("y"))
+    val h0 = ev.agg(min(col("h")).as("h0"))
+    trendSlope(
+      ev.crossJoin(broadcast(h0)).select(col("user_id"),
+        (col("h") - col("h0")).as("x"), col("y")),
+      "user_id", "x", "y")
+      .orderBy(col("user_id"))
+  }
+
   /** q128: per-user trailing EWMA (α=0.5, 8-event lookback) over the
     * event stream — the time-decay baseline behind q105-style drift
     * flags, via [[SkewWindows.trailingEwma]] so a scanner-bot key

@@ -2761,6 +2761,95 @@ object ExtensionOracles {
       |    + CASE WHEN v7 IS NOT NULL THEN 0.0078125 ELSE 0 END), 6) AS ewma
       |FROM o ORDER BY user_id, event_id""".stripMargin
 
+  /** Mirrors q130 (`ops.TimeSeries.q130SessionPaths`): the q14 30-min
+    * gap sessionization (epoch-µs integer comparison ≡ the engine's
+    * nanos), per-session event-type list capped at 12, path counts at
+    * support ≥ 3. */
+  val q130SessionPaths: String =
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN prev IS NULL
+      |              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |         THEN 1 ELSE 0 END AS strt
+      |  FROM o),
+      |sN AS (SELECT user_id, ts, event_id, event_type,
+      |    SUM(strt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m),
+      |p AS (SELECT user_id, sid,
+      |    array_to_string((list(event_type ORDER BY ts, event_id))[1:12], '>') AS path,
+      |    CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM sN GROUP BY user_id, sid)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(len) AS BIGINT) AS n_events
+      |FROM p GROUP BY path HAVING COUNT(*) >= 3
+      |ORDER BY path""".stripMargin
+
+  /** Mirrors q131 (`ops.TimeSeries.trendSlope`): exact long/decimal
+    * regression moments over hours-since-start, then the SAME fixed
+    * double expression tree for the closed form. */
+  val q131TrendSlope: String =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(ts) // 3600000000 AS h, value AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |h0 AS (SELECT MIN(h) AS h0 FROM e),
+      |x AS (SELECT user_id, h - (SELECT h0 FROM h0) AS x, y FROM e),
+      |agg AS (SELECT user_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    SUM(CAST(round(y, 6) AS DECIMAL(18,6))) AS sy,
+      |    SUM(CAST(CAST(round(y, 6) AS DECIMAL(18,6)) * x AS DECIMAL(38,6))) AS sxy
+      |  FROM x GROUP BY user_id),
+      |d AS (SELECT user_id, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(sxy AS DOUBLE) AS sxyd
+      |  FROM agg),
+      |f AS (SELECT user_id, n,
+      |    nd * sxxd - sxd * sxd AS den,
+      |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope0,
+      |    syd, sxd, nd
+      |  FROM d)
+      |SELECT user_id, n AS n_points,
+      |  CASE WHEN den > 0 THEN round(slope0, 6) END AS slope,
+      |  CASE WHEN den > 0 THEN round((syd - slope0 * sxd) / nd, 6) END AS intercept
+      |FROM f ORDER BY user_id""".stripMargin
+
+  /** Mirrors q132 (`ops.Graph.negativeEdges` over the q114 community
+    * graph): md5(id:j) mod |V| candidates, self/true-edge filtering on
+    * the canonical (min, max) pair, first 3 survivors by attempt
+    * order. */
+  val q132NegativeEdges: String =
+    """WITH nodes AS (SELECT doc_id AS id FROM documents),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS mn FROM nodes),
+      |edges AS (SELECT a.id AS src, a.id + o.o AS dst
+      |  FROM nodes a CROSS JOIN (SELECT unnest([1, 2, 3]) AS o) o
+      |  WHERE (a.id // 25) = ((a.id + o.o) // 25)
+      |    AND EXISTS (SELECT 1 FROM nodes v WHERE v.id = a.id + o.o)),
+      |cd AS (SELECT s.id AS src, j.j AS j,
+      |    (CAST(('0x' || substr(md5(CAST(s.id AS VARCHAR) || ':' ||
+      |        CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % nn.n) + nn.mn AS partner
+      |  FROM nodes s CROSS JOIN nn
+      |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS j) j),
+      |-- note: the candidate CTE and its column must NOT share a name —
+      |-- DuckDB resolves the bare name inside the correlated subqueries
+      |-- to the CTE, silently breaking the anti condition
+      |ok AS (SELECT src, j, partner FROM cd
+      |  WHERE partner <> src
+      |    AND EXISTS (SELECT 1 FROM nodes v WHERE v.id = cd.partner)
+      |    AND NOT EXISTS (SELECT 1 FROM edges e
+      |      WHERE e.src = least(cd.src, cd.partner)
+      |        AND e.dst = greatest(cd.src, cd.partner))),
+      |r AS (SELECT src, partner,
+      |    row_number() OVER (PARTITION BY src ORDER BY j) AS rank
+      |  FROM ok)
+      |SELECT src AS doc_id, CAST(rank AS BIGINT) AS rank, partner AS neg_id
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Mirrors q129 (`ops.FeatureHash.q129FeatureHash`): the same
     * md5-prefix uint32 mod 64 bucket per token, counted per doc. The
     * oracle pays the raw-token unnest the engine's in-row run counting

@@ -429,6 +429,22 @@ class QuerySessionSpec extends SparkSpec {
     assert(one("SELECT CAST(sum(n) AS BIGINT) FROM hashed_features") ===
       one("""SELECT CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT)
             |FROM documents WHERE length(trim(text)) > 0""".stripMargin))
+    // wave-9: paths honor the support cut and the 12-event cap
+    assert(one(
+      """SELECT count(*) FROM session_paths
+        |WHERE n_sessions < 3 OR size(split(path, '>')) > 12""".stripMargin) === 0L)
+    // per-user trend: one row per active user; defined slopes finite
+    assert(one("SELECT count(*) FROM user_trend") ===
+      one("SELECT count(DISTINCT user_id) FROM events WHERE value IS NOT NULL"))
+    // negative samples: never a true community edge, ranks in 1..3
+    assert(one(
+      """SELECT count(*) FROM negative_edges n
+        |WHERE n.rank < 1 OR n.rank > 3 OR EXISTS (
+        |  SELECT 1 FROM documents a
+        |  WHERE a.doc_id = least(n.doc_id, n.neg_id)
+        |    AND least(n.doc_id, n.neg_id) DIV 25 = greatest(n.doc_id, n.neg_id) DIV 25
+        |    AND greatest(n.doc_id, n.neg_id) - least(n.doc_id, n.neg_id) IN (1, 2, 3))
+        |""".stripMargin) === 0L)
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {

@@ -133,24 +133,28 @@ class Wave8Spec extends SparkSpec {
     assert(s.agg(max("n_dims")).head().getLong(0) === 4L)
   }
 
-  test("hashedCounts: in-row run counting equals the explode-groupBy histogram, no shuffle") {
+  test("hashedCounts: codegen and in-row formulations agree; in-row has no shuffle; primary partial-aggregates") {
     import spark.implicits._
     val rows = Seq(
       (1L, Seq("alpha", "beta", "alpha", "gamma", "beta", "alpha")),
       (2L, Seq("delta")),
       (3L, Seq.empty[String])
     ).toDF("id", "toks")
-    val fast = FeatureHash.hashedCounts(rows, "id", "toks", 8)
-    val naive = rows.select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), FeatureHash.bucketOf(col("tok"), 8).as("bucket"))
-      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
-    assert(fast.orderBy("id", "bucket").collect().toSeq ===
-      naive.orderBy("id", "bucket").collect().toSeq)
+    val primary = FeatureHash.hashedCounts(rows, "id", "toks", 8)
+    val inRow = FeatureHash.hashedCountsInRow(rows, "id", "toks", 8)
+    assert(primary.orderBy("id", "bucket").collect().toSeq ===
+      inRow.orderBy("id", "bucket").collect().toSeq)
     // totals reconcile with token counts; the empty doc emits nothing
-    assert(fast.groupBy("id").agg(sum("n")).orderBy("id").collect()
+    assert(primary.groupBy("id").agg(sum("n")).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 6L), (2L, 1L)))
-    // the histogram never leaves its row: no Exchange in the plan
-    val planStr = fast.queryExecution.executedPlan.toString
-    assert(!planStr.contains("Exchange"), planStr.take(2000))
+    // in-row: the histogram never leaves its row — no Exchange at all
+    val inRowPlan = inRow.queryExecution.executedPlan.toString
+    assert(!inRowPlan.contains("Exchange"), inRowPlan.take(2000))
+    // primary: map-side combine before the one exchange (the ≤ D/doc
+    // shuffle-volume bound), and the bucketing stays inside codegen
+    // (codegen span rendering needs the AQE final plan — the structural
+    // partial-aggregate is the assertable bound here)
+    val pPlan = primary.queryExecution.executedPlan.toString
+    assert(pPlan.contains("partial_count"), pPlan.take(2000))
   }
 }
