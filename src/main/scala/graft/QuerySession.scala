@@ -99,6 +99,15 @@ object QuerySession {
       .createOrReplaceTempView("hourly_anomalies")
     graft.ops.Privacy.kAnonymousRelease(Tables.events(spark, sfDir), 50)
       .createOrReplaceTempView("k_anon_release")
+    // round-8 wave 11 event-grain views: the growth-accounting daily
+    // decomposition and the merged-partial trailing distincts — lazy
+    // hash-join/aggregate plans over the distinct (user, day/hour)
+    // frames (skew-bounded by the calendar grain)
+    graft.ops.TimeSeries.growthAccounting(Tables.events(spark, sfDir))
+      .createOrReplaceTempView("growth_accounting")
+    graft.ops.KmvSketch.trailingDistinct(Tables.events(spark, sfDir),
+        windowHours = 24, k = 128)
+      .createOrReplaceTempView("trailing_distinct_users")
     // round-8 wave 7: activity-window overlaps, the behavioral
     // transition matrix, co-occurring part pairs, exact near-dup pairs
     // and per-doc triangle counts — all lazy join/aggregate plans (the
@@ -238,6 +247,31 @@ object QuerySession {
         docs.withColumn("__toks", graft.ops.TextAnalysis.tokens(col("text"))),
         "doc_id", "__toks", dims = 64)
         .createOrReplaceTempView("hashed_features")
+      // round-8 wave 10: collocations, horizon dedup, KMV ledger —
+      // lazy plans (the minhash chain's pin rides the same cache
+      // machinery as the minhash_pairs view above)
+      graft.ops.Collocations.pmiPairs(docs, "text", "doc_id", 48, 5L)
+        .createOrReplaceTempView("pmi_collocations")
+      graft.ops.Dedup.horizonNearDupPairs(docs, horizonDays = 7L)
+        .createOrReplaceTempView("horizon_dedup_pairs")
+      val kmv = graft.ops.KmvSketch.sketch(
+        docs.select(col("source"),
+          org.apache.spark.sql.functions.explode(
+            graft.ops.TextAnalysis.tokens(col("text"))).as("t")),
+        "source", "t", 128)
+      kmv.withColumnRenamed("key", "source")
+        .createOrReplaceTempView("kmv_sketches")
+      // round-8 wave 11: sketch-derived overlap profile (the KMV-based
+      // sibling of the shingle-exact source_overlap view — this one's
+      // pair stage reads only the |sources|-row sketch frame), kappa,
+      // containment — all lazy plans (the event-grain wave-11 views
+      // live in the sfDir overload with the other events views)
+      graft.ops.KmvSketch.overlapMatrix(kmv, 128)
+        .createOrReplaceTempView("kmv_source_overlap")
+      graft.ops.Labeling.annotatorKappa(docs)
+        .createOrReplaceTempView("annotator_kappa")
+      graft.ops.Dedup.containmentPairs(docs, threshold = 0.6)
+        .createOrReplaceTempView("containment_pairs")
     }
   }
 

@@ -233,6 +233,22 @@ object SparkEntry {
       graft.ops.TimeSeries.q131TrendSlope(s, dir)),
     "q132_negative_edges"   -> ((s: SparkSession, dir: String) =>
       graft.ops.Graph.q132NegativeEdges(s, dir)),
+    "q133_pmi_collocations" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Collocations.q133PmiCollocations(s, dir)),
+    "q134_horizon_dedup"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q134HorizonDedup(s, dir)),
+    "q135_kmv_distinct"     -> ((s: SparkSession, dir: String) =>
+      graft.ops.KmvSketch.q135KmvDistinct(s, dir)),
+    "q136_source_overlap"   -> ((s: SparkSession, dir: String) =>
+      graft.ops.KmvSketch.q136SourceOverlap(s, dir)),
+    "q137_annotator_kappa"  -> ((s: SparkSession, dir: String) =>
+      graft.ops.Labeling.q137AnnotatorKappa(s, dir)),
+    "q138_containment"      -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q138Containment(s, dir)),
+    "q139_growth_accounting" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q139GrowthAccounting(s, dir)),
+    "q140_trailing_distinct" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KmvSketch.q140TrailingDistinct(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -640,5 +656,13 @@ object SparkEntry {
     "q130_session_paths" -> ExtensionOracles.q130SessionPaths,
     "q131_trend_slope" -> ExtensionOracles.q131TrendSlope,
     "q132_negative_edges" -> ExtensionOracles.q132NegativeEdges,
+    "q133_pmi_collocations" -> ExtensionOracles.q133PmiCollocations,
+    "q134_horizon_dedup" -> ExtensionOracles.q134HorizonDedup,
+    "q135_kmv_distinct" -> ExtensionOracles.q135KmvDistinct,
+    "q136_source_overlap" -> ExtensionOracles.q136SourceOverlap,
+    "q137_annotator_kappa" -> ExtensionOracles.q137AnnotatorKappa,
+    "q138_containment" -> ExtensionOracles.q138Containment,
+    "q139_growth_accounting" -> ExtensionOracles.q139GrowthAccounting,
+    "q140_trailing_distinct" -> ExtensionOracles.q140TrailingDistinct,
   )
 }

@@ -279,6 +279,108 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** q134: near-dup pairs within a TIME HORIZON — the production dedup
+    * contract ("dedup this ingest against the last H days, not against
+    * all history"): q26's banded MinHash chain, but every band posting
+    * carries a time bucket `tb = day DIV H` and posts to (tb, tb+1),
+    * so a pair within H days always shares a bucketed band key (tb
+    * diff ≤ 1 ⇒ the later doc's tb is among the earlier doc's two
+    * postings) while pairs months apart NEVER join — at 100 TB the
+    * band join's fan-out is bounded per (band, bucket), not by a
+    * shingle's all-time document frequency. The bucket is necessary
+    * but not sufficient, so the exact |Δday| ≤ H filter rides the
+    * verification join; duplicate candidates from double-posting fold
+    * into the existing DISTINCT. The RESULT equals "q26 pairs with
+    * |Δday| ≤ H" (what the oracle replays); the bucketing only bounds
+    * the join. `day` is synthesized `doc_id % 120` (the q122 fixture
+    * idiom — a real corpus has an ingest date). */
+  def horizonNearDupPairs(docs: DataFrame, horizonDays: Long,
+                          maxDocFreq: Long = 50L,
+                          pin: String = "cache"): DataFrame = {
+    val withDay = docs.withColumn("__day", pmod(col("doc_id"), lit(120L)))
+    val sh = cappedShingles(withDay.select(col("doc_id"), col("text")),
+      3, maxDocFreq, pin)
+    val k = 8
+    val days = withDay.select(col("doc_id"), col("__day"))
+    val sig = withDigests(sh).groupBy(col("doc_id")).agg(
+      minhashAgg(0), (1 until k).map(minhashAgg): _*)
+      .join(days, Seq("doc_id"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
+    }
+    val tb = expr(s"__day DIV $horizonDays")
+    val bands = sig
+      .select(col("doc_id"), col("__day"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("__day"), col("b.band").as("band"),
+        col("b.bh").as("bh"), explode(array(tb, tb + 1)).as("tbk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.tbk") === col("y.tbk") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.__day") - col("y.__day")) <= horizonDays)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
+    cand
+      .join(docsets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(docsets.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1.gs"), col("s2.gs"))).as("c"),
+        size(col("s1.gs")).as("n1"), size(col("s2.gs")).as("n2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** q134 entry: 7-day horizon over the documents corpus. */
+  def q134HorizonDedup(s: SparkSession, dir: String): DataFrame =
+    horizonNearDupPairs(Tables.documents(s, dir), horizonDays = 7L)
+      .orderBy(col("d1"), col("d2"))
+
+  /** q138: CONTAINMENT pairs — the asymmetric companion to Jaccard that
+    * symmetric dedup cannot see: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
+    * the quote/boilerplate/excerpt detector (a short doc fully quoted
+    * inside a long one has high containment but low Jaccard, because
+    * the union is dominated by the long side). Candidate generation and
+    * the common counts are EXACTLY q25's capped inverted index (shared
+    * front end, same per-shingle ≤ cap² fan-out bound); only the final
+    * score differs — each unordered candidate is scored in BOTH
+    * directions in-row, keeping pairs where the contained side has
+    * ≥ `minShingles` (containment over a 2-shingle set is noise) and
+    * c ≥ `threshold`. Scores are ratios of exact ints → deterministic
+    * doubles. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       minShingles: Int = 5, maxDocFreq: Long = 50L,
+                       pin: String = "cache"): DataFrame = {
+    val sh = cappedShingles(docs.select(col("doc_id"), col("text")),
+      3, maxDocFreq, pin)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    coGroupedPairCounts(sh)
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("c"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
+      .select(explode(array(
+        struct(col("d1").as("contained_id"), col("d2").as("container_id"),
+          col("c"), col("n1").as("n_contained")),
+        struct(col("d2").as("contained_id"), col("d1").as("container_id"),
+          col("c"), col("n2").as("n_contained")))).as("p"))
+      .select(col("p.contained_id").as("contained_id"),
+        col("p.container_id").as("container_id"),
+        col("p.c").as("n_common"), col("p.n_contained").as("n_contained"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_contained").cast("double"))
+      .filter(col("n_contained") >= minShingles &&
+        col("containment") >= threshold)
+  }
+
+  /** q138 entry: 3-gram containment ≥ 0.6 over ≥ 5-shingle sets. */
+  def q138Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir), threshold = 0.6)
+      .orderBy(col("contained_id"), col("container_id"))
+
   /** q27: 16-bit SimHash per document. Bit i of the fingerprint is the
     * sign of a vote: each token contributes +1 if hex digit i of its md5
     * is ≥ 8 (top bit set), else -1. Output is the 16-char bitstring —

@@ -141,4 +141,61 @@ object Labeling {
   /** q124: the vote aggregation under test is [[majorityVote]]. */
   def q124LabelVote(s: SparkSession, dir: String): DataFrame =
     labelVotes(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** Cohen's kappa per annotator pair — the annotation-QA companion to
+    * [[majorityVote]]: chance-corrected agreement κ = (p_o − p_e)/(1 − p_e),
+    * where p_o is the observed agreement rate and p_e the chance rate
+    * from the two annotators' label marginals (Cohen, 1960). Input is
+    * (item, la, lb) rows of pair-labeled items over label set `labels`.
+    *
+    * Shape: ONE map-side-combined hash aggregate per the whole frame —
+    * agreement and all 2·|labels| marginals are conditional sums in the
+    * same pass; no join, no window, no per-item state. Doubles: all
+    * counts are exact longs; p_e is a FIXED left-to-right sum over the
+    * declared label order (one expression tree, shared with the
+    * oracle), and κ is rounded to 6 (the q41 ulp note). */
+  def kappaByPair(pairs: DataFrame, labels: Seq[String]): DataFrame = {
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree")) ++
+      labels.flatMap { l =>
+        Seq(sum(when(col("la") === l, 1L).otherwise(0L)).as(s"__a_$l"),
+            sum(when(col("lb") === l, 1L).otherwise(0L)).as(s"__b_$l"))
+      }
+    val agg = pairs.groupBy(col("j1"), col("j2")).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pe = labels.map { l =>
+      col(s"__a_$l").cast("double") / nD * (col(s"__b_$l").cast("double") / nD)
+    }.reduceLeft(_ + _)
+    agg.select(col("j1"), col("j2"), col("n").as("n_items"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** q137: κ for the three synthetic-annotator pairs. The three labels
+    * per doc are pure md5 functions of doc_id, so the pair frame is
+    * built IN-ROW (explode of the 3 pair structs — no vote self-join),
+    * and the oracle replays labels, marginals and κ exactly. */
+  def annotatorKappa(docs: DataFrame): DataFrame = {
+    def lab(j: Int) = {
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        lit(j.toString))), 1, 1)
+      when(h < "6", "good").when(h < "b", "ok").otherwise(lit("bad"))
+    }
+    val pairFrame = docs
+      .select(col("doc_id"), lab(1).as("l1"), lab(2).as("l2"), lab(3).as("l3"))
+      .select(explode(array(
+        struct(lit(1).as("j1"), lit(2).as("j2"), col("l1").as("la"), col("l2").as("lb")),
+        struct(lit(1).as("j1"), lit(3).as("j2"), col("l1").as("la"), col("l3").as("lb")),
+        struct(lit(2).as("j1"), lit(3).as("j2"), col("l2").as("la"), col("l3").as("lb"))))
+        .as("p"))
+      .select(col("p.j1").as("j1"), col("p.j2").as("j2"),
+        col("p.la").as("la"), col("p.lb").as("lb"))
+    kappaByPair(pairFrame, Seq("good", "ok", "bad")).orderBy(col("j1"), col("j2"))
+  }
+
+  /** q137 entry over the documents corpus. */
+  def q137AnnotatorKappa(s: SparkSession, dir: String): DataFrame =
+    annotatorKappa(Tables.documents(s, dir))
 }

@@ -336,4 +336,55 @@ object TimeSeries {
       "user_id", "ts", "event_id", "value", alpha = 0.5, lookback = 8)
       .select(col("user_id"), col("event_id"), col("ewma"))
       .orderBy(col("user_id"), col("event_id"))
+
+  /** Growth accounting — the daily active-user decomposition into NEW /
+    * RETAINED / RESURRECTED plus the CHURNED outflow (the standard
+    * growth-accounting identity: active(d) = new + retained +
+    * resurrected; churned(d) = active(d−1) − retained(d)). This is the
+    * day-grain operational series next to q86's cohort MATRIX — q86
+    * answers "how do cohorts decay", this answers "where did today's
+    * actives come from and who left".
+    *
+    * Shape: raw events collapse to DISTINCT (user, day) first
+    * (map-side-combined — a 100M-event bot contributes span_days
+    * rows); yesterday-presence is a self-join of that frame on
+    * (user_id, day−1) — same key domain both sides, co-partitioned
+    * under AQE; first-active days are one hash aggregate joined back on
+    * user_id. Churn needs no extra pass: a user active on d−1 and not
+    * on d is exactly the d−1 row whose (user, d) probe missed, counted
+    * INTO day d by the forward self-join. Output is ≤ span_days rows. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+    val firsts = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prev = ud.select(col("user_id"), (col("day") + 1L).as("day"),
+      lit(1).as("__p"))
+    val states = ud.join(firsts, Seq("user_id"))
+      .join(prev, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("day") =!= col("first_day") && col("__p").isNull, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    // churned INTO day d: active on d-1, absent on d — the forward probe
+    val churn = ud.select(col("user_id"), col("day"))
+      .join(ud.select(col("user_id"), (col("day") - 1L).as("day"),
+        lit(1).as("__nx")), Seq("user_id", "day"), "left")
+      .filter(col("__nx").isNull)
+      .groupBy((col("day") + 1L).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** q139: growth accounting over the events corpus. Rows exist for
+    * ACTIVE days (the groupBy's domain) — churn into a zero-active day
+    * is intentionally unreported (no "day after the corpus ends" row),
+    * and the oracle anchors on the same active-day set. */
+  def q139GrowthAccounting(s: SparkSession, dir: String): DataFrame =
+    growthAccounting(Tables.events(s, dir)).orderBy(col("day"))
 }

@@ -2850,6 +2850,243 @@ object ExtensionOracles {
       |FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Mirrors q133 (`ops.Collocations.pmiPairs`): capped sorted
+    * distinct token sets (the marginals count the SAME capped sets),
+    * in-row-pair counts replayed as a self-join, the identical
+    * ln-ratio expression rounded to 6. */
+  val q133PmiCollocations: String =
+    s"""WITH $tokCte,
+       |cap AS (SELECT doc_id, list_sort(list_distinct(l))[1:48] AS ts FROM tok),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM cap),
+       |t AS (SELECT doc_id, unnest(ts) AS tk FROM cap),
+       |marg AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tk),
+       |pr AS (SELECT a.tk AS t1, b.tk AS t2, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |       FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tk < b.tk
+       |       GROUP BY a.tk, b.tk HAVING COUNT(*) >= 5)
+       |SELECT t1, t2, n_pair,
+       |  round(ln(CAST(n_pair AS DOUBLE) * CAST(n.nd AS DOUBLE) /
+       |    (CAST(m1.df AS DOUBLE) * CAST(m2.df AS DOUBLE))), 6) AS pmi
+       |FROM pr
+       |JOIN marg m1 ON pr.t1 = m1.tk
+       |JOIN marg m2 ON pr.t2 = m2.tk
+       |CROSS JOIN n
+       |WHERE round(ln(CAST(n_pair AS DOUBLE) * CAST(n.nd AS DOUBLE) /
+       |    (CAST(m1.df AS DOUBLE) * CAST(m2.df AS DOUBLE))), 6) > 0
+       |ORDER BY t1, t2""".stripMargin
+
+  /** Mirrors q134 (`ops.Dedup.horizonNearDupPairs`): q26's banded
+    * chain restricted to |Δday| ≤ 7 with day = doc_id % 120 — the
+    * engine's time-bucketed band key only BOUNDS the join; the result
+    * set is exactly this restriction. */
+  val q134HorizonDedup: String =
+    s"""WITH $shingleCtes,
+       |$lshCtes
+       |SELECT d1, d2,
+       |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN szc s1 ON d1 = s1.doc_id
+       |JOIN szc s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+       |  AND abs((d1 % 120) - (d2 % 120)) <= 7
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Mirrors q135 (`ops.KmvSketch.q135KmvDistinct`): the md5-prefix
+    * fraction order statistics — rank ≤ 128 per source — make the KMV
+    * estimate a hash-exact replay, not a tolerance check. */
+  val q135KmvDistinct: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT DISTINCT d.source, x.tk
+       |      FROM (SELECT doc_id, unnest(l) AS tk FROM tok) x
+       |      JOIN documents d ON x.doc_id = d.doc_id),
+       |fr AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) / 4294967296.0 AS frac
+       |  FROM t),
+       |rk AS (SELECT source, frac,
+       |    row_number() OVER (PARTITION BY source ORDER BY frac) AS rn
+       |  FROM fr),
+       |ex AS (SELECT source, CAST(COUNT(DISTINCT tk) AS BIGINT) AS exact_distinct
+       |       FROM t GROUP BY source),
+       |st AS (SELECT source,
+       |    CAST(SUM(CASE WHEN rn <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    MAX(CASE WHEN rn = 128 THEN frac END) AS u128
+       |  FROM rk GROUP BY source)
+       |SELECT st.source, ex.exact_distinct, st.n_kept,
+       |  round(CASE WHEN st.n_kept < 128 THEN CAST(st.n_kept AS DOUBLE)
+       |             ELSE 127.0 / st.u128 END, 6) AS kmv_est,
+       |  round((round(CASE WHEN st.n_kept < 128 THEN CAST(st.n_kept AS DOUBLE)
+       |               ELSE 127.0 / st.u128 END, 6) -
+       |         CAST(ex.exact_distinct AS DOUBLE)) /
+       |        CAST(ex.exact_distinct AS DOUBLE), 6) AS rel_err
+       |FROM st JOIN ex ON st.source = ex.source
+       |ORDER BY st.source""".stripMargin
+
+  /** Mirrors q136 (`ops.KmvSketch.overlapMatrix`): per-source min-128
+    * fraction sets replayed as order statistics, pairwise merged min-k,
+    * and the identical union/intersection/Jaccard estimate expressions.
+    * Every estimate is a deterministic equality (see q135). */
+  val q136SourceOverlap: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT DISTINCT d.source, x.tk
+       |      FROM (SELECT doc_id, unnest(l) AS tk FROM tok) x
+       |      JOIN documents d ON x.doc_id = d.doc_id),
+       |fr AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) / 4294967296.0 AS frac
+       |  FROM t),
+       |rk AS (SELECT source, frac,
+       |    row_number() OVER (PARTITION BY source ORDER BY frac) AS rn
+       |  FROM fr),
+       |kv AS (SELECT source, frac FROM rk WHERE rn <= 128),
+       |srcs AS (SELECT DISTINCT source FROM kv),
+       |pr AS (SELECT a.source AS s1, b.source AS s2
+       |       FROM srcs a JOIN srcs b ON a.source < b.source),
+       |mg0 AS (SELECT p.s1, p.s2, k.frac
+       |        FROM pr p JOIN kv k ON k.source = p.s1 OR k.source = p.s2
+       |        GROUP BY p.s1, p.s2, k.frac),
+       |mgr AS (SELECT s1, s2, frac,
+       |    row_number() OVER (PARTITION BY s1, s2 ORDER BY frac) AS rn
+       |  FROM mg0),
+       |mg AS (SELECT s1, s2, frac, rn FROM mgr WHERE rn <= 128),
+       |st AS (SELECT mg.s1, mg.s2,
+       |    CAST(COUNT(*) AS BIGINT) AS m,
+       |    MAX(CASE WHEN mg.rn = 128 THEN mg.frac END) AS u128,
+       |    CAST(SUM(CASE WHEN x.frac IS NOT NULL AND y.frac IS NOT NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS shared
+       |  FROM mg
+       |  LEFT JOIN kv x ON x.source = mg.s1 AND x.frac = mg.frac
+       |  LEFT JOIN kv y ON y.source = mg.s2 AND y.frac = mg.frac
+       |  GROUP BY mg.s1, mg.s2)
+       |SELECT s1, s2,
+       |  round(CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+       |             ELSE 127.0 / u128 END, 6) AS union_est,
+       |  round((CAST(shared AS DOUBLE) / CAST(m AS DOUBLE)) *
+       |    (CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+       |          ELSE 127.0 / u128 END), 6) AS inter_est,
+       |  round(CAST(shared AS DOUBLE) / CAST(m AS DOUBLE), 6) AS jaccard_est
+       |FROM st ORDER BY s1, s2""".stripMargin
+
+  /** Mirrors q137 (`ops.Labeling.kappaByPair`): the q124 synthetic
+    * labels, the three annotator pairs, one conditional aggregate, and
+    * the FIXED left-to-right p_e sum (good, ok, bad). */
+  val q137AnnotatorKappa: String =
+    """WITH lab AS (SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 1) < '6' THEN 'good'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 1) < 'b' THEN 'ok'
+      |         ELSE 'bad' END AS l1,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 1) < '6' THEN 'good'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 1) < 'b' THEN 'ok'
+      |         ELSE 'bad' END AS l2,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 1) < '6' THEN 'good'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 1) < 'b' THEN 'ok'
+      |         ELSE 'bad' END AS l3
+      |  FROM documents),
+      |p AS (SELECT 1 AS j1, 2 AS j2, l1 AS la, l2 AS lb FROM lab
+      |      UNION ALL SELECT 1, 3, l1, l3 FROM lab
+      |      UNION ALL SELECT 2, 3, l2, l3 FROM lab),
+      |a AS (SELECT j1, j2,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      |    CAST(SUM(CASE WHEN la = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS a_good,
+      |    CAST(SUM(CASE WHEN lb = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS b_good,
+      |    CAST(SUM(CASE WHEN la = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS a_ok,
+      |    CAST(SUM(CASE WHEN lb = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS b_ok,
+      |    CAST(SUM(CASE WHEN la = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS a_bad,
+      |    CAST(SUM(CASE WHEN lb = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS b_bad
+      |  FROM p GROUP BY j1, j2)
+      |SELECT j1, j2, n AS n_items,
+      |  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+      |  round(CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |        CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |        CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
+      |  round((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
+      |         (CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |          CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |          CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)))) /
+      |        (1.0 - (CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |                CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |                CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS kappa
+      |FROM a ORDER BY j1, j2""".stripMargin
+
+  /** Mirrors q138 (`ops.Dedup.containmentPairs`): q25's capped common
+    * counts scored in BOTH directions, the ≥ 5-shingle floor and the
+    * 0.6 containment bar. */
+  val q138Containment: String =
+    s"""WITH $shingleCtes,
+       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+       |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |bidir AS (
+       |  SELECT d1 AS contained_id, d2 AS container_id, c AS n_common,
+       |         s1.n AS n_contained
+       |  FROM common JOIN szc s1 ON d1 = s1.doc_id
+       |  UNION ALL
+       |  SELECT d2, d1, c, s2.n
+       |  FROM common JOIN szc s2 ON d2 = s2.doc_id)
+       |SELECT contained_id, container_id, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_contained AS BIGINT) AS n_contained,
+       |  CAST(n_common AS DOUBLE) / CAST(n_contained AS DOUBLE) AS containment
+       |FROM bidir
+       |WHERE n_contained >= 5
+       |  AND CAST(n_common AS DOUBLE) / CAST(n_contained AS DOUBLE) >= 0.6
+       |ORDER BY contained_id, container_id""".stripMargin
+
+  /** Mirrors q139 (`ops.TimeSeries.growthAccounting`): distinct
+    * (user, day), first-active days, yesterday/tomorrow presence
+    * probes, aggregated per ACTIVE day (churn into a zero-active day
+    * is unreported on both sides by contract). */
+  val q139GrowthAccounting: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
+      |st AS (SELECT ud.day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN ud.day <> f.first_day AND p.user_id IS NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM ud
+      |  JOIN f ON ud.user_id = f.user_id
+      |  LEFT JOIN ud p ON p.user_id = ud.user_id AND p.day = ud.day - 1
+      |  GROUP BY ud.day),
+      |ch AS (SELECT a.day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM ud a LEFT JOIN ud nx
+      |    ON nx.user_id = a.user_id AND nx.day = a.day + 1
+      |  WHERE nx.user_id IS NULL
+      |  GROUP BY a.day + 1)
+      |SELECT st.day, st.n_active, st.n_new, st.n_retained, st.n_resurrected,
+      |  COALESCE(ch.n_churned, 0) AS n_churned
+      |FROM st LEFT JOIN ch ON st.day = ch.day
+      |ORDER BY st.day""".stripMargin
+
+  /** Mirrors q140 (`ops.KmvSketch.trailingDistinct`): for each ACTIVE
+    * hour, the min-128 fraction order statistics of the distinct users
+    * in the trailing 24 h — replayed from the raw window, which equals
+    * the engine's merged hourly partials because min-k merge is exact
+    * (min-k(A∪B) = min-k(min-k(A) ∪ min-k(B))). */
+  val q140TrailingDistinct: String =
+    """WITH eh AS (SELECT DISTINCT
+      |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id FROM events),
+      |hrs AS (SELECT DISTINCT h FROM eh),
+      |win AS (SELECT DISTINCT hrs.h AS hour_idx, eh.user_id
+      |        FROM hrs JOIN eh ON eh.h BETWEEN hrs.h - 23 AND hrs.h),
+      |fr AS (SELECT DISTINCT hour_idx,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS frac
+      |  FROM win),
+      |rk AS (SELECT hour_idx, frac,
+      |    row_number() OVER (PARTITION BY hour_idx ORDER BY frac) AS rn
+      |  FROM fr),
+      |st AS (SELECT hour_idx,
+      |    CAST(SUM(CASE WHEN rn <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    MAX(CASE WHEN rn = 128 THEN frac END) AS u128
+      |  FROM rk GROUP BY hour_idx)
+      |SELECT hour_idx, n_kept,
+      |  round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+      |             ELSE 127.0 / u128 END, 6) AS kmv_est
+      |FROM st ORDER BY hour_idx""".stripMargin
+
   /** Mirrors q129 (`ops.FeatureHash.q129FeatureHash`): the same
     * md5-prefix uint32 mod 64 bucket per token, counted per doc. The
     * oracle pays the raw-token unnest the engine's in-row run counting

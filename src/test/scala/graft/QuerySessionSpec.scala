@@ -445,6 +445,44 @@ class QuerySessionSpec extends SparkSpec {
         |    AND least(n.doc_id, n.neg_id) DIV 25 = greatest(n.doc_id, n.neg_id) DIV 25
         |    AND greatest(n.doc_id, n.neg_id) - least(n.doc_id, n.neg_id) IN (1, 2, 3))
         |""".stripMargin) === 0L)
+    // wave-10: collocations structurally ordered, above the support and
+    // positive-pmi cuts; horizon pairs inside the 7-day window at the
+    // 0.5 bar; KMV min-k arrays bounded, strictly ascending, and the
+    // estimate formula reproducible in-SQL from the stored sketch
+    assert(one(
+      """SELECT count(*) FROM pmi_collocations
+        |WHERE t1 >= t2 OR n_pair < 5 OR pmi <= 0""".stripMargin) === 0L)
+    assert(one(
+      """SELECT count(*) FROM horizon_dedup_pairs
+        |WHERE d1 >= d2 OR jaccard < 0.5
+        |   OR abs(d1 % 120 - d2 % 120) > 7""".stripMargin) === 0L)
+    assert(one(
+      """SELECT count(*) FROM kmv_sketches
+        |WHERE size(minK) > 128 OR size(minK) < 1
+        |   OR NOT (minK == array_sort(array_distinct(minK)))""".stripMargin) === 0L)
+    // wave-11: overlap estimates internally consistent (inter ≤ union,
+    // jaccard in [0,1], full matrix); kappa bounded; containment obeys
+    // its own floor/bar; growth accounting's identity holds in SQL;
+    // trailing distincts cover exactly the active hours
+    assert(one(
+      """SELECT count(*) FROM kmv_source_overlap
+        |WHERE inter_est > union_est + 1e-9 OR jaccard_est < 0
+        |   OR jaccard_est > 1""".stripMargin) === 0L)
+    assert(one("SELECT count(*) FROM kmv_source_overlap") ===
+      one("""SELECT CAST(count(DISTINCT source) * (count(DISTINCT source) - 1) / 2 AS BIGINT)
+            |FROM documents""".stripMargin))
+    assert(one(
+      """SELECT count(*) FROM annotator_kappa
+        |WHERE kappa < -1 OR kappa > 1 OR po < 0 OR po > 1""".stripMargin) === 0L)
+    assert(one(
+      """SELECT count(*) FROM containment_pairs
+        |WHERE containment < 0.6 OR n_contained < 5
+        |   OR n_common > n_contained""".stripMargin) === 0L)
+    assert(one(
+      """SELECT count(*) FROM growth_accounting
+        |WHERE n_active <> n_new + n_retained + n_resurrected""".stripMargin) === 0L)
+    assert(one("SELECT count(*) FROM trailing_distinct_users") ===
+      one("SELECT count(DISTINCT ts DIV 3600000000000) FROM events"))
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
