@@ -108,6 +108,13 @@ object QuerySession {
     graft.ops.KmvSketch.trailingDistinct(Tables.events(spark, sfDir),
         windowHours = 24, k = 128)
       .createOrReplaceTempView("trailing_distinct_users")
+    // round-8 wave 12: the per-event-type A/B read (hash-assigned
+    // variants, Welch z) — two hash aggregates + a 1-row broadcast,
+    // trivially lazy. The q141 sketch STORE is not a view by design:
+    // it materializes files (the q107 rule — maintenance paths are
+    // declared queries, not session views).
+    graft.ops.Experiment.abTest(Tables.events(spark, sfDir))
+      .createOrReplaceTempView("ab_test")
     // round-8 wave 7: activity-window overlaps, the behavioral
     // transition matrix, co-occurring part pairs, exact near-dup pairs
     // and per-doc triangle counts — all lazy join/aggregate plans (the

@@ -249,6 +249,10 @@ object SparkEntry {
       graft.ops.TimeSeries.q139GrowthAccounting(s, dir)),
     "q140_trailing_distinct" -> ((s: SparkSession, dir: String) =>
       graft.ops.KmvSketch.q140TrailingDistinct(s, dir)),
+    "q141_sketch_store"     -> ((s: SparkSession, dir: String) =>
+      graft.ops.KmvSketch.q141SketchStoreServe(s, dir)),
+    "q142_ab_test"          -> ((s: SparkSession, dir: String) =>
+      graft.ops.Experiment.q142AbTest(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -664,5 +668,7 @@ object SparkEntry {
     "q138_containment" -> ExtensionOracles.q138Containment,
     "q139_growth_accounting" -> ExtensionOracles.q139GrowthAccounting,
     "q140_trailing_distinct" -> ExtensionOracles.q140TrailingDistinct,
+    "q141_sketch_store" -> ExtensionOracles.q141SketchStoreServe,
+    "q142_ab_test" -> ExtensionOracles.q142AbTest,
   )
 }

@@ -68,6 +68,28 @@ object Wave11Soak {
     timed("trailing_distinct")(graft.ops.KmvSketch.trailingDistinct(
       ev, windowHours = 24, k = 128))
     timed("growth_accounting")(graft.ops.TimeSeries.growthAccounting(ev))
+    timed("ab_test")(graft.ops.Experiment.abTest(ev
+      .withColumn("event_type",
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d"), lit("e")),
+          (pmod(col("event_id"), lit(5L)) + 1L).cast("int")))))
+    // the sketch-store cycle: 3 appends + weekly serve at 100× raw volume
+    if (only.forall(_ == "sketch_store")) {
+      val dst = java.nio.file.Files.createTempDirectory("graft-soak-kmv")
+        .toFile.getAbsolutePath + "/store"
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val h = expr("ts DIV 3600000000000")
+      val minH = ev.agg(min(h)).head().getLong(0)
+      graft.ops.KmvSketch.appendDailySketches(
+        ev.filter(h < minH + 243L), dst, 128)
+      graft.ops.KmvSketch.appendDailySketches(
+        ev.filter(h >= minH + 243L && h < minH + 486L), dst, 128)
+      graft.ops.KmvSketch.appendDailySketches(
+        ev.filter(h >= minH + 486L), dst, 128)
+      val rows = graft.ops.KmvSketch.serveRangeDistinct(spark, dst, 128,
+        expr("CAST(day AS BIGINT) DIV 7")).count()
+      println(f"""{"op":"sketch_store","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
 
     spark.stop()
   }

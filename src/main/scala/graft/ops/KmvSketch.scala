@@ -130,6 +130,75 @@ object KmvSketch {
     trailingDistinct(Tables.events(s, dir), windowHours = 24, k = 128)
       .orderBy(col("hour_idx"))
 
+  // --- the standing sketch store (q107's mergeable-partials pattern,
+  // --- sketch edition) ------------------------------------------------
+
+  /** Reduce one ingest batch to per-day KMV partials of its distinct
+    * users — O(batch) work, ≤ span_days output rows of k doubles. A day
+    * split across batches yields MULTIPLE partials for that day; the
+    * serve path's merge absorbs them exactly (min-k mergeability), so
+    * appends never read or rewrite existing files. */
+  def dailySketchRows(events: DataFrame, k: Int): DataFrame =
+    sketch(events.select(expr("ts DIV 86400000000000").as("d"),
+        col("user_id").cast("string").as("v")), "d", "v", k)
+      .withColumnRenamed("key", "day")
+
+  /** Append a batch's partials to the standing store (`day=` dirs give
+    * range serves partition pruning). */
+  def appendDailySketches(events: DataFrame, dst: String, k: Int): Unit =
+    dailySketchRows(events, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy").partitionBy("day").parquet(dst)
+
+  /** Serve distinct-user estimates for ANY day-range grouping from the
+    * store — the data-cube query a raw-event scan cannot serve
+    * incrementally ("distinct users per week / per quarter / all
+    * time"): partials merge in-row per group (≤ span_days × appends
+    * arrays of k doubles — calendar- and batch-bounded, never
+    * event-bounded), and because min-k merge is EXACT the served
+    * estimate equals a from-scratch sketch of the range's raw union.
+    * `grouping` maps the `day` column to a group id. */
+  def serveRangeDistinct(s: SparkSession, dst: String, k: Int,
+                         grouping: Column): DataFrame =
+    s.read.parquet(dst)
+      .groupBy(grouping.as("grp"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("minK"))))),
+        1, k).as("mk"))
+      .select(col("grp"), size(col("mk")).cast("long").as("n_kept"),
+        round(estimate(col("mk"), k), 6).as("kmv_est"))
+
+  /** Where q141 materializes its store (q84/q107's path precedent). */
+  val DailySketchPath = "/tmp/graft_daily_kmv.parquet"
+
+  /** q141: the standing sketch store as a DECLARED query (the q107
+    * precedent — maintenance paths belong in the oracle gate): build
+    * the store in three HOUR-sliced appends whose cuts fall mid-day
+    * (so at least one day's users are split across batches and the
+    * serve MUST merge multiple partials — q63's shift lesson applied
+    * to sketches), then serve weekly distinct-user estimates plus the
+    * all-time total (week = -1) FROM THE STORE. The oracle replays
+    * each range's order statistics from raw events — hash equality IS
+    * the mergeability proof. */
+  def q141SketchStoreServe(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val ev = Tables.events(s, dir)
+    val p = new org.apache.hadoop.fs.Path(DailySketchPath)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val h = expr("ts DIV 3600000000000")
+    val minRow = ev.agg(min(h)).head()
+    require(!minRow.isNullAt(0), "events table is empty — nothing to store")
+    val cut1 = minRow.getLong(0) + 243L // 10.125 days — mid-day on purpose
+    val cut2 = minRow.getLong(0) + 486L
+    appendDailySketches(ev.filter(h < cut1), DailySketchPath, k)
+    appendDailySketches(ev.filter(h >= cut1 && h < cut2), DailySketchPath, k)
+    appendDailySketches(ev.filter(h >= cut2), DailySketchPath, k)
+    val weekly = serveRangeDistinct(s, DailySketchPath, k,
+      expr("CAST(day AS BIGINT) DIV 7")).withColumnRenamed("grp", "week")
+    val total = serveRangeDistinct(s, DailySketchPath, k, lit(-1L))
+      .withColumnRenamed("grp", "week")
+    weekly.unionByName(total).orderBy(col("week"))
+  }
+
   /** q135: per-source distinct-token estimates vs exact — the sketch's
     * accuracy ledger, hash-exact in the oracle. k=128. */
   def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {

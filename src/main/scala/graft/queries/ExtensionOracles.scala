@@ -3087,6 +3087,74 @@ object ExtensionOracles {
       |             ELSE 127.0 / u128 END, 6) AS kmv_est
       |FROM st ORDER BY hour_idx""".stripMargin
 
+  /** Mirrors q141 (`ops.KmvSketch.q141SketchStoreServe`): weekly and
+    * all-time (-1) distinct-user min-128 order statistics replayed from
+    * RAW events — equality with the engine's three-append store serve
+    * is the mergeability proof (a mid-day append cut forces the serve
+    * to merge multiple partials for the split days). */
+  val q141SketchStoreServe: String =
+    """WITH ud AS (SELECT DISTINCT
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) // 7 AS week, user_id
+      |  FROM events),
+      |uu AS (SELECT week, user_id FROM ud
+      |       UNION SELECT CAST(-1 AS BIGINT), user_id FROM ud),
+      |fr AS (SELECT DISTINCT week,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS frac
+      |  FROM uu),
+      |rk AS (SELECT week, frac,
+      |    row_number() OVER (PARTITION BY week ORDER BY frac) AS rn
+      |  FROM fr),
+      |st AS (SELECT week,
+      |    CAST(SUM(CASE WHEN rn <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    MAX(CASE WHEN rn = 128 THEN frac END) AS u128
+      |  FROM rk GROUP BY week)
+      |SELECT week, n_kept,
+      |  round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+      |             ELSE 127.0 / u128 END, 6) AS kmv_est
+      |FROM st ORDER BY week""".stripMargin
+
+  /** Mirrors q142 (`ops.Experiment.abTest`): the md5-prefix variant
+    * assignment, per-user event-type counts, exact long moments with
+    * the variant's FULL unit count, and the identical fixed Welch
+    * expressions (significance tests the ROUNDED z on both sides). */
+  val q142AbTest: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 2 AS variant
+      |  FROM events),
+      |u AS (SELECT
+      |    CAST(COUNT(DISTINCT CASE WHEN variant = 0 THEN user_id END) AS BIGINT) AS n_a,
+      |    CAST(COUNT(DISTINCT CASE WHEN variant = 1 THEN user_id END) AS BIGINT) AS n_b
+      |  FROM ev),
+      |pu AS (SELECT event_type, variant, user_id,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2, 3),
+      |m AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT) AS s1_a,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT) AS s1_b,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN c * c ELSE 0 END) AS BIGINT) AS s2_b
+      |  FROM pu GROUP BY event_type),
+      |x AS (SELECT m.event_type, u.n_a, u.n_b,
+      |    CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |    CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+      |    (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+      |  FROM m CROSS JOIN u),
+      |y AS (SELECT event_type, n_a, n_b,
+      |    round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+      |    round(CASE WHEN var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0
+      |          THEN (mean_a - mean_b) /
+      |               sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+      |          END, 6) AS z
+      |  FROM x)
+      |SELECT event_type, n_a, n_b, mean_a, mean_b, z,
+      |  abs(z) > 1.96 AS significant
+      |FROM y ORDER BY event_type""".stripMargin
+
   /** Mirrors q129 (`ops.FeatureHash.q129FeatureHash`): the same
     * md5-prefix uint32 mod 64 bucket per token, counted per doc. The
     * oracle pays the raw-token unnest the engine's in-row run counting

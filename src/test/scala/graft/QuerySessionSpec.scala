@@ -483,6 +483,14 @@ class QuerySessionSpec extends SparkSpec {
         |WHERE n_active <> n_new + n_retained + n_resurrected""".stripMargin) === 0L)
     assert(one("SELECT count(*) FROM trailing_distinct_users") ===
       one("SELECT count(DISTINCT ts DIV 3600000000000) FROM events"))
+    // wave-12: the A/B read covers every event type once and the unit
+    // split partitions the user universe
+    assert(one("SELECT count(*) FROM ab_test") ===
+      one("SELECT count(DISTINCT event_type) FROM events"))
+    assert(one(
+      """SELECT count(*) FROM ab_test
+        |WHERE n_a + n_b <> (SELECT count(DISTINCT user_id) FROM events)
+        |""".stripMargin) === 0L)
   }
 
   test("driver contract: entry() yields rows; every query has a runnable fn") {
