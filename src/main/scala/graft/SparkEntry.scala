@@ -253,6 +253,10 @@ object SparkEntry {
       graft.ops.KmvSketch.q141SketchStoreServe(s, dir)),
     "q142_ab_test"          -> ((s: SparkSession, dir: String) =>
       graft.ops.Experiment.q142AbTest(s, dir)),
+    "q143_quality_audit"    -> ((s: SparkSession, dir: String) =>
+      graft.ops.QualityAudit.q143QualityAudit(s, dir)),
+    "q144_psi_drift"        -> ((s: SparkSession, dir: String) =>
+      graft.ops.Drift.q144PsiDrift(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -670,5 +674,7 @@ object SparkEntry {
     "q140_trailing_distinct" -> ExtensionOracles.q140TrailingDistinct,
     "q141_sketch_store" -> ExtensionOracles.q141SketchStoreServe,
     "q142_ab_test" -> ExtensionOracles.q142AbTest,
+    "q143_quality_audit" -> ExtensionOracles.q143QualityAudit,
+    "q144_psi_drift" -> ExtensionOracles.q144PsiDrift,
   )
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distribution-drift detection via the Population Stability Index —
+  * the monitoring workload behind every production model/pipeline:
+  * compare a feature's distribution in the current window against a
+  * baseline window, PSI = Σ_bins (p_cur − p_base)·ln(p_cur/p_base),
+  * with the industry reading (PSI < 0.1 stable, 0.1–0.25 drifting,
+  * > 0.25 shifted). Reference scope note: the reference engine has no
+  * monitoring surface; this is the extension layer's drift check over
+  * the same event history the rollup stores summarize.
+  *
+  * Scale shape: the corpus collapses in ONE map-side-combined hash
+  * aggregate to (feature, bin, period) counts — every feature's bin
+  * assignment is an in-row expression exploded into the same shuffle
+  * (F features = F in-row structs per event, one aggregate, not F
+  * scans). Everything after the first aggregate is bin-cardinality-
+  * bound (≤ |event types| + 24 rows here): per-feature totals attach
+  * by a broadcast join over that tiny frame. The baseline/current
+  * split day derives from a 1-row min/max aggregate attached by
+  * broadcast — no driver round trip in the plan contract (the single
+  * `head()` reads a 1-row frame, the q141 precedent).
+  *
+  * Determinism: counts are exact longs; smoothed probabilities use
+  * Laplace +1/2 with the feature's OBSERVED bin count (an exact long),
+  * so no bin has p=0 and ln is total; p and psi terms are fixed
+  * left-to-right double expressions rounded to 6 (the q41 rule); the
+  * per-feature PSI total sums the ROUNDED terms through
+  * decimal(18,6) — exact and order-independent, so the oracle's sum
+  * order cannot ulp-drift the hash. */
+object Drift {
+
+  /** PSI of the second half of the event timeline vs the first, over
+    * two features — `event_type` (categorical) and hour-of-day (24
+    * integer bins; zero-padded so bin strings sort correctly). Emits
+    * per-(feature, bin) rows with counts, smoothed shares and the PSI
+    * term, plus a `__total` row per feature carrying the PSI and its
+    * drift verdict. `events` needs (`ts` epoch-nanos long,
+    * `event_type` string). */
+  def psiOverEvents(ev: DataFrame): DataFrame = {
+    // the split day: first half of the covered days is the baseline.
+    // 1-row aggregate; riding it in by broadcast keeps the plan
+    // driver-free (crossJoin(broadcast(1 row)) — the benign idiom).
+    val span = ev.agg(
+        min(expr("ts DIV 86400000000000")).as("__d0"),
+        max(expr("ts DIV 86400000000000")).as("__d1"))
+      .select(expr("(__d0 + __d1 + 1) DIV 2").as("__split"))
+    val binned = ev.crossJoin(broadcast(span))
+      .withColumn("__period",
+        when(expr("ts DIV 86400000000000") < col("__split"), "base")
+          .otherwise("cur"))
+      .select(col("__period"), explode(array(
+        struct(lit("event_type").as("feature"), col("event_type").as("bin")),
+        struct(lit("hour_of_day").as("feature"),
+          lpad(expr("(ts DIV 3600000000000) % 24").cast("string"), 2, "0")
+            .as("bin")))).as("fb"))
+      .select(col("fb.feature"), col("fb.bin"), col("__period"))
+    // ONE corpus-collapsing aggregate; all below is bin-bound
+    val counts = binned.groupBy(col("feature"), col("bin"))
+      .agg(sum(when(col("__period") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val featTotals = counts.groupBy(col("feature"))
+      .agg(sum(col("n_base")).as("t_base"), sum(col("n_cur")).as("t_cur"),
+        count(lit(1)).as("n_bins"))
+    val pB = (col("n_base").cast("double") + lit(0.5)) /
+      (col("t_base").cast("double") + lit(0.5) * col("n_bins").cast("double"))
+    val pC = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("t_cur").cast("double") + lit(0.5) * col("n_bins").cast("double"))
+    val terms = counts.join(broadcast(featTotals), Seq("feature"))
+      .withColumn("p_base", round(pB, 6))
+      .withColumn("p_cur", round(pC, 6))
+      .withColumn("psi_term", round((pC - pB) * log(pC / pB), 6))
+    val perBin = terms.select(col("feature"), col("bin"),
+      col("n_base"), col("n_cur"), col("p_base"), col("p_cur"),
+      col("psi_term"), lit(null).cast("string").as("verdict"))
+    // feature totals: decimal sum of the rounded terms — exact, so the
+    // oracle's aggregation order can't drift the hash
+    val totals = terms.groupBy(col("feature"))
+      .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"),
+        sum(col("psi_term").cast("decimal(18,6)")).cast("double").as("psi"))
+      .select(col("feature"), lit("__total").as("bin"),
+        col("n_base"), col("n_cur"),
+        lit(null).cast("double").as("p_base"),
+        lit(null).cast("double").as("p_cur"),
+        col("psi").as("psi_term"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "drifting")
+          .otherwise("shifted").as("verdict"))
+    perBin.unionByName(totals).orderBy(col("feature"), col("bin"))
+  }
+
+  /** q144: [[psiOverEvents]] on the driver's events table. */
+  def q144PsiDrift(s: SparkSession, dir: String): DataFrame =
+    psiOverEvents(Tables.events(s, dir))
+}

@@ -3155,6 +3155,89 @@ object ExtensionOracles {
       |  abs(z) > 1.96 AS significant
       |FROM y ORDER BY event_type""".stripMargin
 
+  /** Mirrors q143 (`ops.QualityAudit.q143QualityAudit`): every metric
+    * replayed as a conditional aggregate over one scan of orders with
+    * the customer RI flag left-joined in; `passed` compares the SAME
+    * rounded metric against the threshold on both sides. */
+  val q143QualityAudit: String =
+    """WITH f AS (SELECT o.*, (c.c_custkey IS NOT NULL) AS ri_hit
+      |  FROM orders o
+      |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey),
+      |m AS (SELECT
+      |  round(CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS completeness_o_custkey,
+      |  round(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS uniqueness_o_orderkey,
+      |  round(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS uniqueness_o_custkey,
+      |  round(CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS domain_o_orderstatus,
+      |  round(CAST(SUM(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS range_o_totalprice,
+      |  round(CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS pattern_o_orderpriority,
+      |  round(CAST(SUM(CASE WHEN ri_hit THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS ri_o_custkey_customer
+      |  FROM f),
+      |s AS (
+      |  SELECT 'completeness_o_custkey' AS check_name, completeness_o_custkey AS metric FROM m
+      |  UNION ALL SELECT 'uniqueness_o_orderkey', uniqueness_o_orderkey FROM m
+      |  UNION ALL SELECT 'uniqueness_o_custkey', uniqueness_o_custkey FROM m
+      |  UNION ALL SELECT 'domain_o_orderstatus', domain_o_orderstatus FROM m
+      |  UNION ALL SELECT 'range_o_totalprice', range_o_totalprice FROM m
+      |  UNION ALL SELECT 'pattern_o_orderpriority', pattern_o_orderpriority FROM m
+      |  UNION ALL SELECT 'ri_o_custkey_customer', ri_o_custkey_customer FROM m)
+      |SELECT check_name, metric, 1.0 AS threshold, metric >= 1.0 AS passed
+      |FROM s ORDER BY check_name""".stripMargin
+
+  /** Mirrors q144 (`ops.Drift.q144PsiDrift`): the same integer split
+    * day, Laplace-smoothed shares and fixed PSI expression tree; the
+    * feature totals sum the ROUNDED terms through decimal(18,6) so the
+    * two engines' aggregation orders cannot ulp-drift the hash. */
+  val q144PsiDrift: String =
+    """WITH sp AS (SELECT (MIN(epoch_us(ts) // 86400000000)
+      |    + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS split FROM events),
+      |e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hr, event_type FROM events),
+      |fb AS (
+      |  SELECT CASE WHEN day < split THEN 'base' ELSE 'cur' END AS period,
+      |    'event_type' AS feature, event_type AS bin FROM e, sp
+      |  UNION ALL
+      |  SELECT CASE WHEN day < split THEN 'base' ELSE 'cur' END,
+      |    'hour_of_day', lpad(CAST(hr AS VARCHAR), 2, '0') FROM e, sp),
+      |c AS (SELECT feature, bin,
+      |    CAST(SUM(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |    CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM fb GROUP BY 1, 2),
+      |t AS (SELECT feature, CAST(SUM(n_base) AS BIGINT) AS t_base,
+      |    CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bins
+      |  FROM c GROUP BY 1),
+      |x AS (SELECT c.feature, c.bin, n_base, n_cur,
+      |    (CAST(n_base AS DOUBLE) + 0.5)
+      |      / (CAST(t_base AS DOUBLE) + 0.5 * CAST(n_bins AS DOUBLE)) AS pb,
+      |    (CAST(n_cur AS DOUBLE) + 0.5)
+      |      / (CAST(t_cur AS DOUBLE) + 0.5 * CAST(n_bins AS DOUBLE)) AS pc
+      |  FROM c JOIN t ON c.feature = t.feature),
+      |y AS (SELECT feature, bin, n_base, n_cur,
+      |    round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+      |    round((pc - pb) * ln(pc / pb), 6) AS psi_term FROM x),
+      |tot AS (SELECT feature, '__total' AS bin,
+      |    CAST(SUM(n_base) AS BIGINT) AS n_base,
+      |    CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+      |    CAST(NULL AS DOUBLE) AS p_base, CAST(NULL AS DOUBLE) AS p_cur,
+      |    CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE) AS psi_term
+      |  FROM y GROUP BY feature)
+      |SELECT feature, bin, n_base, n_cur, p_base, p_cur, psi_term,
+      |  CAST(NULL AS VARCHAR) AS verdict FROM y
+      |UNION ALL
+      |SELECT feature, bin, n_base, n_cur, p_base, p_cur, psi_term,
+      |  CASE WHEN psi_term < 0.1 THEN 'stable'
+      |       WHEN psi_term < 0.25 THEN 'drifting'
+      |       ELSE 'shifted' END FROM tot
+      |ORDER BY feature, bin""".stripMargin
+
   /** Mirrors q129 (`ops.FeatureHash.q129FeatureHash`): the same
     * md5-prefix uint32 mod 64 bucket per token, counted per doc. The
     * oracle pays the raw-token unnest the engine's in-row run counting

@@ -210,6 +210,30 @@ object Streaming {
     w.start()
   }
 
+  /** Maintain the q141 daily KMV sketch store from a stream — the
+    * [[rollupStream]] contract for the sketch family: each micro-batch
+    * reduces to its per-day min-k partials (O(batch) work, ≤ span_days
+    * rows of k doubles) and appends; because min-k merge is EXACT,
+    * `KmvSketch.serveRangeDistinct` answers identically from backfill
+    * or live ingest. Unlike the counting stores, a KMV store is
+    * IDEMPOTENT under replay — re-appending the same partial cannot
+    * change the merged min-k (it's a set-union order statistic, not a
+    * sum) — so a checkpoint protects store size, not correctness. */
+  def kmvDailyStream(events: DataFrame, dst: String, k: Int = 128,
+                     checkpoint: Option[String] = None,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.KmvSketch.appendDailySketches(b, dst, k)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Tumbling 1-hour windowed counts per (bucket, operation) with a
     * 2-hour watermark: the streaming analogue of the reference's
     * hour-partitioned layout, emitting finalized rows once the watermark

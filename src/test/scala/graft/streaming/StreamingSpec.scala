@@ -299,6 +299,44 @@ class StreamingSpec extends SparkSpec {
     assert(servedZ == directZ, "anomalies served from streamed partials drifted")
   }
 
+  test("streaming KMV sketch maintenance ≡ batch, and replay is idempotent") {
+    import graft.ops.KmvSketch
+    val k = 128
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id").localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-kmv-stream")
+    val watched = java.nio.file.Files.createDirectory(root.resolve("in"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmpd = root.resolve(name + "_tmp").toString
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, watched.resolve(name))
+    }
+    // user-sliced batches: every day's users are split across both
+    // micro-batches, so the serve must merge multiple partials per day
+    stage("b1.parquet", ev.filter(col("user_id") % 2 === 0))
+    stage("b2.parquet", ev.filter(col("user_id") % 2 === 1))
+    def mkStream() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+    val store = root.resolve("kmv").toString
+    Streaming.kmvDailyStream(mkStream(), store, k).awaitTermination()
+    def weekly(d: String) = KmvSketch.serveRangeDistinct(spark, d, k,
+        expr("CAST(day AS BIGINT) DIV 7"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = weekly(store)
+    val batch = root.resolve("kmv_batch").toString
+    KmvSketch.appendDailySketches(ev, batch, k)
+    assert(streamed == weekly(batch) && streamed.nonEmpty,
+      "streamed sketch partials drifted from the one-shot batch store")
+    // the claimed idempotence: replaying the whole source into the same
+    // store (a checkpoint-less restart) must not move any estimate —
+    // min-k is a set-union order statistic, not a sum
+    Streaming.kmvDailyStream(mkStream(), store, k).awaitTermination()
+    assert(weekly(store) == streamed,
+      "replayed append changed a served estimate — idempotence broken")
+  }
+
   test("streaming source quota: the admission counter survives micro-batch boundaries") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-quota")
