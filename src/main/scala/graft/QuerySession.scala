@@ -255,11 +255,12 @@ object QuerySession {
         "doc_id", "__toks", dims = 64)
         .createOrReplaceTempView("hashed_features")
       // round-8 wave 10: collocations, horizon dedup, KMV ledger —
-      // lazy plans (the minhash chain's pin rides the same cache
-      // machinery as the minhash_pairs view above)
+      // lazy plans. pin = "none" like every other standing dedup view
+      // (the file's rule above: a standing view must not plant a cache
+      // no caller can release).
       graft.ops.Collocations.pmiPairs(docs, "text", "doc_id", 48, 5L)
         .createOrReplaceTempView("pmi_collocations")
-      graft.ops.Dedup.horizonNearDupPairs(docs, horizonDays = 7L)
+      graft.ops.Dedup.horizonNearDupPairs(docs, horizonDays = 7L, pin = "none")
         .createOrReplaceTempView("horizon_dedup_pairs")
       val kmv = graft.ops.KmvSketch.sketch(
         docs.select(col("source"),
@@ -277,7 +278,7 @@ object QuerySession {
         .createOrReplaceTempView("kmv_source_overlap")
       graft.ops.Labeling.annotatorKappa(docs)
         .createOrReplaceTempView("annotator_kappa")
-      graft.ops.Dedup.containmentPairs(docs, threshold = 0.6)
+      graft.ops.Dedup.containmentPairs(docs, threshold = 0.6, pin = "none")
         .createOrReplaceTempView("containment_pairs")
     }
   }

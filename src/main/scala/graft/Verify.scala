@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Columns the driver's pandas-based gate cannot sort/hash. A declared
+    * query emitting one of these passed the round-8 LOCAL mirror (which
+    * tuple-ized arrays) and then failed the real gate with
+    * `unhashable type: numpy.ndarray` — q91/q92/q98. The contract is
+    * now enforced at dump time on BOTH paths: stringify (q35's
+    * array_join pattern) before declaring. */
+  def forbiddenGateColumns(schema: StructType): Seq[String] = {
+    def bad(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | BinaryType | _: StructType => true
+      case _ => false
+    }
+    schema.fields.collect { case f if bad(f.dataType) => s"${f.name}: ${f.dataType.simpleString}" }
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local
     // pre-flight of a single query; the driver always passes two args)
@@ -18,8 +34,17 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       spark.catalog.clearCache() // queries that cache leave unreachable entries
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val bad = forbiddenGateColumns(df.schema)
+        if (bad.nonEmpty)
+          // refuse to dump: the driver gate would die in pandas sort_values
+          // anyway (round-8 q91/q92/q98 class) — fail HERE with the fix named
+          throw new IllegalStateException(
+            s"gate-incompatible output columns [${bad.mkString("; ")}] — " +
+            "stringify with array_join/concat_ws (q35 pattern) on engine AND oracle")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -354,6 +354,12 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double,
                        minShingles: Int = 5, maxDocFreq: Long = 50L,
                        pin: String = "cache"): DataFrame = {
+    // coGroupedPairCounts' precondition is a CAPPED shingle set (its
+    // per-shingle aggregation state is cap-bounded); uncapped input
+    // (maxDocFreq = 0, the jaccardPairs self-join fallback) would grow
+    // unbounded collect_list state per hot shingle — refuse it here.
+    require(maxDocFreq > 0,
+      "containmentPairs requires a shingle doc-frequency cap (maxDocFreq > 0)")
     val sh = cappedShingles(docs.select(col("doc_id"), col("text")),
       3, maxDocFreq, pin)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -61,10 +61,17 @@ object Experiment {
     val varB = (col("s2_b").cast("double") -
       col("s1_b").cast("double") * col("s1_b").cast("double") / nB) / (nB - 1.0)
     val se2 = varA / nA + varB / nB
-    val z = round(when(se2 > 0.0, (meanA - meanB) / sqrt(se2)), 6)
+    // degenerate-variant guard: a variant with < 2 users has an
+    // undefined sample variance ((n-1) = 0 → Infinity here while
+    // DuckDB's x/0 is NULL) — gate mean/variance/z to NULL on both
+    // sides so a tiny or one-sided experiment reads as "no verdict",
+    // not a crash/parity gap.
+    val enough = col("n_a") >= 2L && col("n_b") >= 2L
+    val z = round(when(enough && se2 > 0.0, (meanA - meanB) / sqrt(se2)), 6)
     mom.crossJoin(broadcast(universe))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+        round(when(enough, meanA), 6).as("mean_a"),
+        round(when(enough, meanB), 6).as("mean_b"),
         z.as("z"), (abs(z) > zCrit).as("significant"))
   }
 

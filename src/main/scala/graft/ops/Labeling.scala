@@ -168,9 +168,13 @@ object Labeling {
     val pe = labels.map { l =>
       col(s"__a_$l").cast("double") / nD * (col(s"__b_$l").cast("double") / nD)
     }.reduceLeft(_ + _)
+    // degenerate guard: two annotators constant on the same label give
+    // pe = 1 and a 0/0 kappa — NULL (no chance-corrected verdict
+    // exists), mirrored by the same CASE in the q137 oracle, instead of
+    // a Spark NaN vs DuckDB NULL parity gap.
     agg.select(col("j1"), col("j2"), col("n").as("n_items"),
       round(po, 6).as("po"), round(pe, 6).as("pe"),
-      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
   /** q137: κ for the three synthetic-annotator pairs. The three labels

@@ -72,10 +72,14 @@ object Projection {
     val d = 64 // the corpus layout's dimension; signs are (j,i)-derived,
                // so another width only changes this constant
     val signs = signMatrix(k, d)
+    // Joined-string projection column (the q35 rule: the driver gate
+    // can't sort raw arrays; both sides stringify in the final select).
     Quantize.quantized(emb)
       .select(col("vec_id"), col("scale"),
         when(size(col("embedding")) > 0, projectQ(col("q"), signs))
-          .otherwise(expr("CAST(array() AS ARRAY<INT>)")).as("proj"))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)")).as("p"))
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("p"), x => x.cast("string")), ",").as("proj"))
       .orderBy(col("vec_id"))
   }
 

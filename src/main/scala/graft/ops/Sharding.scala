@@ -174,9 +174,13 @@ object Sharding {
   def q98ContrastiveSet(s: SparkSession, dir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path("/tmp/graft_contrastive")
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    // neg_ids surfaces as a joined string (the q35 rule: the driver
+    // gate's pandas sort can't order raw arrays; both sides stringify).
     materializeContrastiveSet(s, dir, "/tmp/graft_contrastive",
         kNeg = 4, maxAnchors = 64)
-      .select(col("doc_id"), col("pos_id"), col("neg_ids"))
+      .select(col("doc_id"), col("pos_id"),
+        array_join(transform(col("neg_ids"), x => x.cast("string")), ",")
+          .as("neg_ids"))
   }
 
   /** [[materializeContrastiveSet]] served FROM THE STANDING INDEXES —

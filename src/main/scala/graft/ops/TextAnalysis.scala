@@ -545,16 +545,23 @@ object TextAnalysis {
         (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double"))
       .otherwise(lit(0.0))
 
-  def q51CharEntropy(s: SparkSession, dir: String, minBits: Double = 3.5): DataFrame = {
+  def q51CharEntropy(s: SparkSession, dir: String, minBits: Double = 3.5): DataFrame =
+    charEntropy(Tables.documents(s, dir), minBits).orderBy(col("doc_id"))
+
+  /** The reusable q51 core over any (doc_id, text) frame. Fully in-row,
+    * so EVERY input document emits a row — a zero-extractable-char doc
+    * (empty or newline-only text) comes out as (0 chars, 0 bits,
+    * flagged), matching the oracle's LEFT JOIN + COALESCE; row
+    * conservation on exactly that input is spec-pinned. */
+  def charEntropy(docs: DataFrame, minBits: Double = 3.5): DataFrame = {
     val chars = regexp_extract_all(col("text"), lit("."), lit(0))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), chars.as("cs"))
       .select(col("doc_id"),
         size(col("cs")).cast("long").as("n_chars"),
         size(array_distinct(col("cs"))).cast("long").as("n_unique_chars"),
         entropyBits(col("cs")).as("entropy_bits"))
       .withColumn("flagged", col("entropy_bits") < minBits)
-      .orderBy(col("doc_id"))
   }
 
   /** q53: cross-document repetition — the complement of q37's

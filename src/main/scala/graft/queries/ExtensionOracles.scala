@@ -453,7 +453,7 @@ object ExtensionOracles {
       |proj AS (SELECT vec_id, list(y ORDER BY j) AS proj FROM py GROUP BY vec_id)
       |SELECT e.vec_id,
       |  m.maxabs / CAST(127 AS DOUBLE) AS scale,
-      |  COALESCE(p.proj, CAST([] AS INTEGER[])) AS proj
+      |  array_to_string(COALESCE(p.proj, CAST([] AS INTEGER[])), ',') AS proj
       |FROM e
       |LEFT JOIN m ON e.vec_id = m.vec_id
       |LEFT JOIN proj p ON e.vec_id = p.vec_id
@@ -1298,7 +1298,7 @@ object ExtensionOracles {
        |negs AS (SELECT query_id, list(doc_id ORDER BY rank) AS neg_ids
        |  FROM rk WHERE rank <= 4 GROUP BY query_id)
        |SELECT a.doc_id, a.pos_id,
-       |  COALESCE(n.neg_ids, CAST([] AS BIGINT[])) AS neg_ids
+       |  array_to_string(COALESCE(n.neg_ids, CAST([] AS BIGINT[])), ',') AS neg_ids
        |FROM anch a LEFT JOIN negs n ON a.doc_id = n.query_id
        |ORDER BY a.doc_id""".stripMargin
 
@@ -1716,7 +1716,7 @@ object ExtensionOracles {
       |    flatten(list(wids.ids ORDER BY wpos)) AS ids
       |  FROM dwp JOIN wids USING (word) GROUP BY dwp.doc_id)
       |SELECT d.doc_id,
-      |  COALESCE(di.ids, CAST([] AS INTEGER[])) AS token_ids,
+      |  array_to_string(COALESCE(di.ids, CAST([] AS INTEGER[])), ',') AS token_ids,
       |  CAST(len(COALESCE(di.ids, CAST([] AS INTEGER[]))) AS BIGINT) AS n_tokens
       |FROM documents d LEFT JOIN docids di ON d.doc_id = di.doc_id
       |ORDER BY d.doc_id""".stripMargin
@@ -2991,20 +2991,19 @@ object ExtensionOracles {
       |    CAST(SUM(CASE WHEN lb = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS b_ok,
       |    CAST(SUM(CASE WHEN la = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS a_bad,
       |    CAST(SUM(CASE WHEN lb = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS b_bad
-      |  FROM p GROUP BY j1, j2)
+      |  FROM p GROUP BY j1, j2),
+      |k AS (SELECT j1, j2, n,
+      |    CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po_raw,
+      |    CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |    CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |    CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)) AS pe_raw
+      |  FROM a)
       |SELECT j1, j2, n AS n_items,
-      |  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
-      |  round(CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
-      |        CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
-      |        CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
-      |  round((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
-      |         (CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
-      |          CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
-      |          CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)))) /
-      |        (1.0 - (CAST(a_good AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_good AS DOUBLE) / CAST(n AS DOUBLE)) +
-      |                CAST(a_ok   AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_ok   AS DOUBLE) / CAST(n AS DOUBLE)) +
-      |                CAST(a_bad  AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(b_bad  AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS kappa
-      |FROM a ORDER BY j1, j2""".stripMargin
+      |  round(po_raw, 6) AS po,
+      |  round(pe_raw, 6) AS pe,
+      |  round(CASE WHEN pe_raw < 1.0
+      |        THEN (po_raw - pe_raw) / (1.0 - pe_raw) END, 6) AS kappa
+      |FROM k ORDER BY j1, j2""".stripMargin
 
   /** Mirrors q138 (`ops.Dedup.containmentPairs`): q25's capped common
     * counts scored in BOTH directions, the ≥ 5-shingle floor and the
@@ -3145,8 +3144,10 @@ object ExtensionOracles {
       |      / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
       |  FROM m CROSS JOIN u),
       |y AS (SELECT event_type, n_a, n_b,
-      |    round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-      |    round(CASE WHEN var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0
+      |    round(CASE WHEN n_a >= 2 AND n_b >= 2 THEN mean_a END, 6) AS mean_a,
+      |    round(CASE WHEN n_a >= 2 AND n_b >= 2 THEN mean_b END, 6) AS mean_b,
+      |    round(CASE WHEN n_a >= 2 AND n_b >= 2
+      |            AND var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0
       |          THEN (mean_a - mean_b) /
       |               sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
       |          END, 6) AS z

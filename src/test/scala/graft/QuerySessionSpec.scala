@@ -278,7 +278,8 @@ class QuerySessionSpec extends SparkSpec {
       """SELECT (SELECT count(*) FROM random_projection) =
         |       (SELECT count(*) FROM embeddings)
         |   AND (SELECT count(*) FROM random_projection
-        |        WHERE size(proj) NOT IN (0, 24)) = 0""".stripMargin)
+        |        WHERE (CASE WHEN proj = '' THEN 0
+        |               ELSE size(split(proj, ',')) END) NOT IN (0, 24)) = 0""".stripMargin)
       .collect()(0).getBoolean(0)
     assert(rp, "random_projection not total or wrong width")
     val sd = spark.sql(

@@ -832,6 +832,28 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == 2.0)
   }
 
+  test("q51 row conservation: empty and newline-only docs keep their row") {
+    import spark.implicits._
+    // '.' extracts nothing from "" and "\n\n" — the round-8 ADVICE class:
+    // an inner-join formulation (either side) would drop these docs and
+    // break gate hash parity. The engine is in-row and the oracle
+    // LEFT-joins; this pins the engine half on exactly that input.
+    val fx = Seq(
+      (1L, "natural text here"),
+      (2L, ""),
+      (3L, "\n\n"),
+      (4L, "aaaa")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropy(fx).orderBy(col("doc_id")).collect()
+    assert(rows.length == 4, "a zero-char doc lost its row")
+    val empty = rows.filter(r => r.getLong(0) == 2L || r.getLong(0) == 3L)
+    empty.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+      assert(r.getDouble(3) == 0.0)
+      assert(r.getBoolean(4), "zero-entropy doc must be flagged")
+    }
+  }
+
   test("token budget: distributed prefix equals the greedy single-order scan") {
     val out = Selection.q49TokenBudget(spark, dir, budget = 5000L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))

@@ -328,4 +328,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     assert(SkewJoin.skewedKeys(left, "k", 50L).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("withKeyTotal conserves rows with a planted NULL key (both routing branches)") {
+    import spark.implicits._
+    // null keys must form their own group with their own total (the
+    // count-over-window semantics this helper replaced) — a plain
+    // equi-join-back would silently drop them. Exercise BOTH branches:
+    // heavyAt=3 puts the 5-row null group and the 4-row "the" group on
+    // the broadcast path and the singletons on the shuffle path.
+    val rows = (Seq.fill(5)(Option.empty[String]) ++
+      Seq.fill(4)(Some("the")) ++ Seq(Some("a"), Some("b"))).zipWithIndex
+      .map { case (tok, i) => (i.toLong, tok.orNull) }
+      .toDF("doc_id", "token")
+    val out = SkewJoin.withKeyTotal(rows, "token", "df", heavyAt = 3L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.length == 11, s"row conservation broke: ${out.length} of 11")
+    assert(out.filter(_._2.isEmpty).map(_._3).toSet == Set(5L),
+      "null-key rows must carry the null group's own total")
+    assert(out.filter(_._2.contains("the")).map(_._3).toSet == Set(4L))
+    assert(out.filter(_._2.contains("a")).map(_._3).toSet == Set(1L))
+  }
 }

@@ -428,8 +428,10 @@ class StreamingSpec extends SparkSpec {
   test("streaming tokenization ≡ batch q91 under the same frozen rules") {
     val dir = "/root/testdata/sf0.001"
     // batch run trains + persists the rules and is the parity target
+    // q91 now emits the gate-safe joined string (q35 rule); the stream
+    // still carries the raw id array — join it for the comparison
     val batch = graft.ops.Bpe.q91TokenIds(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     // the stream applies the PERSISTED tables — frozen rules, the
     // operator's contract (a mid-stream retrain would invalidate every
     // previously emitted sequence)
@@ -450,7 +452,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val streamed = spark.sql("SELECT doc_id, token_ids FROM tok_sink")
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","))).toMap
     assert(streamed.nonEmpty && streamed == batch,
       "streamed token ids diverged from the batch encoding")
   }

@@ -25,15 +25,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # make bytes/lists hashable+sortable for the row sort
+def gate_incompatible_cols(df: pd.DataFrame):
+    """Columns the DRIVER gate cannot sort (raw arrays/bytes from pyarrow).
+
+    Round 8 lesson: this mirror used to tuple-ize arrays, passing locally
+    what the driver then failed with `unhashable type: numpy.ndarray`
+    (q91/q92/q98). The mirror must be exactly as strict as the gate."""
+    bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-        # numpy arrays from pyarrow list columns
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+            for v in df[c].head(50):
+                if isinstance(v, (list, tuple, bytes, bytearray, dict)) or hasattr(v, "tolist"):
+                    bad.append(c)
+                    break
+    return bad
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # NO array coercion here — mirror the driver's pandas sort_values
+    # exactly; arrays must be stringified upstream (q35 pattern).
+    df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), key=lambda s: s.map(str)).reset_index(drop=True)
     return df
 
@@ -88,6 +99,11 @@ def main():
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        bad = sorted(set(gate_incompatible_cols(spark_df)) | set(gate_incompatible_cols(oracle_df)))
+        if bad:
+            print(f"FAIL {name}: gate-incompatible (array/bytes) columns {bad} — stringify (q35 pattern)")
             n_fail += 1
             continue
         # dtype drift is a warning: the driver's hash may be type-sensitive
