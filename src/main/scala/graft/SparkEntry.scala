@@ -468,7 +468,7 @@ object SparkEntry {
     "q26_minhash_lsh" -> ExtensionOracles.q26MinhashLsh,
     "q27_simhash" -> ExtensionOracles.q27Simhash,
     "q28_ann_bruteforce" -> ExtensionOracles.q28BruteForceTopK,
-    // q29_ann_lsh: float-path LSH — not SQL-expressible, rows-only check
+    "q29_ann_lsh" -> ExtensionOracles.q29AnnLsh,
     "q30_multimodal_meta" -> ExtensionOracles.q30MultimodalMeta,
     // q31_approx_aggs: sketch internals are engine-specific — rows-only
     "q32_split_assign" ->

@@ -54,6 +54,14 @@ object Similarity {
       lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
       (acc, e) => (acc + e).cast("decimal(28,18)"))
 
+  /** Engine-portable cosine: decimal-exact dot and norms, one double
+    * division at the end — the q28/q36 recipe as a reusable column.
+    * Candidates only (3 decimal folds per row): the float [[cosine]]
+    * stays the corpus-scan hot path. */
+  private[ops] def decCosine(a: Column, b: Column): Column =
+    decDot(a, b).cast("double") /
+      (sqrt(decDot(a, a).cast("double")) * sqrt(decDot(b, b).cast("double")))
+
   /** Upper bound on |fused-float cosine − exact-decimal cosine|: the
     * per-element products are exact in double, so the only float error is
     * the 64-term sequential summation in dot and norms (≤ ~63·ε·Σ|p| ≈
@@ -156,29 +164,29 @@ object Similarity {
     attempt(kFloat0)
   }
 
-  /** splitmix64 finalizer — full-avalanche mixing for plane components.
-    *
-    * The previous generator (`Objects.hash(j, p) & 0xffff`) was
-    * DEGENERATE: Objects.hash(j, p) = 961 + 31j + p for small ints, so
-    * every component of every "random" hyperplane mapped to ≈ -0.48 —
-    * all planes pointed the same way, every signature bit was the sign
-    * of the same projection, and the whole corpus collapsed into 2 of
-    * the 2^planes buckets. The q29 probe ring was a disguised
-    * half-corpus scan (which is why its recall looked fine). Caught by
-    * the write-time layout's pruning spec: 2 occupied partitions out of
-    * 4096. */
-  private def mix64(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** Component p of plane j of table `table`, in [-0.5, 0.5) —
     * deterministic, no RNG state: every executor derives identical
-    * planes, nothing is shipped. */
-  private[ops] def planeComponent(table: Int, j: Int, p: Int): Double =
-    ((mix64(((table.toLong * 1021L + j) << 20) | p.toLong) & 0xffff).toDouble / 0x10000) - 0.5
+    * planes, nothing is shipped.
+    *
+    * md5-DERIVED (round-9, replacing splitmix64 — history: the
+    * generator before THAT, `Objects.hash(j, p) & 0xffff`, was
+    * degenerate and collapsed the corpus into 2 of 2^planes buckets;
+    * splitmix64 fixed the geometry but was unreplayable in the DuckDB
+    * oracle, leaving q29 a rows-only check for three rounds). The q92
+    * sign trick generalized: the component is the first 13 hex digits
+    * (52 bits — double-mantissa-exact) of md5("lsh:table:j:p") scaled
+    * into [-0.5, 0.5). Every step — 52-bit int → double, divide by
+    * 2^52, subtract 0.5 — is IEEE-exact, so the oracle's
+    * `('0x'||substr(md5(...),1,13))::BIGINT / 2^52 - 0.5` lands on the
+    * identical double and replays bucket assignment bit-for-bit. As a
+    * hash-random direction set it is statistically interchangeable with
+    * splitmix64 (the recall specs re-assert the ≥0.6 bar). */
+  private[ops] def planeComponent(table: Int, j: Int, p: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh:$table:$j:$p".getBytes("UTF-8"))
+    val hex = d.take(7).map(b => f"${b & 0xff}%02x").mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
+  }
 
   /** All XOR masks of Hamming weight ≤ radius over `planes` bits — the
     * multi-probe ring. radius=1 → planes+1 masks; radius=2 adds the
@@ -195,9 +203,15 @@ object Similarity {
   def lshSignature(v: Column, dim: Int, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
       val plane = typedlit((0 until dim).map(p => planeComponent(table, j, p)).toArray)
+      // decimal-exact projection (the decDot recipe): each double
+      // product rounds once to DECIMAL(28,18) and sums exactly, so the
+      // SIGN — the signature bit — is order-free and engine-portable;
+      // a float sum could flip a bit on a near-orthogonal vector and
+      // silently move it to a different bucket than the oracle's.
       val proj = aggregate(
-        zip_with(v, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, e) => acc + e)
+        zip_with(v, plane, (x, w) => (x.cast("double") * w).cast("decimal(28,18)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
+        (acc, e) => (acc + e).cast("decimal(28,18)"))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -232,7 +246,11 @@ object Similarity {
     * corpus with [[tunedLshTopK]] instead of inheriting q29's constants. */
   def lshTopK(s: SparkSession, dir: String, planes: Int, radius: Int,
               k: Int = 10): DataFrame = {
+    // len>0 filter: a zero-length vector can never score (0/0 cosine);
+    // excluding it up front keeps the NaN out of the top-k heap and
+    // matches the oracle's WHERE len(embedding) > 0
     val emb = widen(Tables.embeddings(s, dir))
+      .filter(size(col("embedding")) > 0)
       .withColumn("sig", lshSignature(col("embedding"), 64, planes))
     val masks = array(probeMasks(planes, radius).map(lit): _*)
     val q = emb.filter(col("vec_id") < 5)
@@ -240,11 +258,13 @@ object Similarity {
         explode(transform(masks, m => col("sig").bitwiseXOR(m))).as("psig"))
     // bounded-heap top-10 per query: a hot signature bucket can hold a
     // large slice of a clustered corpus, and a rank window would sort all
-    // of its candidates through one task per query
+    // of its candidates through one task per query. Candidates score with
+    // the ROUNDED decimal-exact cosine (q36's round-12 rule) so rank
+    // order — and therefore the gate hash — is engine-portable.
     val scored = emb.join(broadcast(q),
         col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        round(decCosine(col("qe"), col("embedding")), 12).as("cos"))
     TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", k)
       .select(col("key").as("query_id"), col("rank"),
         col("id").as("neighbor_id"), col("score").as("cos"))
@@ -311,10 +331,13 @@ object Similarity {
   def bucketedLshTopK(s: SparkSession, bucketedDir: String, queries: DataFrame,
                       planes: Int = 4, k: Int = 10): DataFrame = {
     val (corpus, q) = probedCorpus(s, bucketedDir, queries, planes)
+    // same rounded decimal-exact candidate score as [[lshTopK]] — the
+    // pruned layout must stay a pure I/O optimization (OpsSpec asserts
+    // row-for-row equality with the full-scan q29)
     val scored = corpus.join(broadcast(q),
         col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        round(decCosine(col("qe"), col("embedding")), 12).as("cos"))
     TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", k)
       .select(col("key").as("query_id"), col("rank"),
         col("id").as("neighbor_id"), col("score").as("cos"))
@@ -345,8 +368,11 @@ object Similarity {
         explode(transform(masks, m => col("qsig").bitwiseXOR(m))).as("psig"))
     import s.implicits._
     val probeSigs = q.select(col("psig")).distinct().as[Long].collect()
+    // len>0: mirrors lshTopK's corpus filter (a zero-length vector in a
+    // pre-existing layout must not surface as a NaN-scored candidate)
     val corpus = s.read.parquet(bucketedDir)
       .filter(col("sig").isin(probeSigs.map(Long.box): _*))
+      .filter(size(col("embedding")) > 0)
     (corpus, q)
   }
 

@@ -209,6 +209,61 @@ object ExtensionOracles {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Mirrors q29: multi-probe LSH ANN, replayed END-TO-END — bucket
+    * assignment included. Plane component (j, p) of table 0 is the
+    * first 13 hex digits of md5('lsh:0:j:p') scaled into [-0.5, 0.5)
+    * (every step IEEE-exact — the q92 md5-derivation trick, see
+    * `Similarity.planeComponent`); signature bit j is the SIGN of the
+    * decimal-exact projection; the probe ring is the 11 Hamming-≤2
+    * masks over 4 planes; candidates score with the q28 decimal-exact
+    * cosine rounded to 12 before ranking (ties by vec_id). The oracle
+    * therefore proves the LSH structure itself — which vectors share a
+    * bucket — not just the final ranking. */
+  val q29AnnLsh: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |px AS (SELECT x.vec_id, j.j,
+      |    CAST(CAST(x.embedding[x.i] AS DOUBLE) *
+      |      (CAST(('0x' || substr(md5('lsh:0:' || CAST(j.j AS VARCHAR) || ':' ||
+      |         CAST(x.i - 1 AS VARCHAR)), 1, 13)) AS BIGINT)
+      |        / 4503599627370496.0 - 0.5) AS DECIMAL(28,18)) AS term
+      |  FROM x CROSS JOIN range(0, 4) j(j)),
+      |dj AS (SELECT vec_id, j, SUM(term) AS d FROM px GROUP BY vec_id, j),
+      |sg AS (SELECT vec_id,
+      |    CAST(SUM(CASE WHEN d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM dj GROUP BY vec_id),
+      |mk AS (SELECT unnest([0,1,2,4,8,3,5,9,6,10,12]) AS m),
+      |qp AS (SELECT s.vec_id AS query_id, xor(s.sig, CAST(mk.m AS BIGINT)) AS psig
+      |       FROM sg s CROSS JOIN mk WHERE s.vec_id < 5),
+      |cand AS (SELECT qp.query_id, s.vec_id
+      |         FROM qp JOIN sg s ON s.sig = qp.psig AND s.vec_id <> qp.query_id),
+      |nn AS (SELECT vec_id,
+      |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      |      AS DECIMAL(28,18))) AS n2
+      |  FROM x GROUP BY vec_id),
+      |pairs AS (SELECT c.query_id, c.vec_id, eq.embedding AS qe, ev.embedding AS ve
+      |          FROM cand c
+      |          JOIN e eq ON c.query_id = eq.vec_id
+      |          JOIN e ev ON c.vec_id = ev.vec_id),
+      |pe AS (SELECT query_id, vec_id, qe, ve,
+      |         unnest(generate_series(1, len(qe))) AS i FROM pairs),
+      |dots AS (SELECT query_id, vec_id,
+      |    SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot
+      |  FROM pe GROUP BY 1, 2),
+      |scored AS (SELECT d.query_id, d.vec_id,
+      |    round(CAST(d.dot AS DOUBLE) /
+      |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))), 12) AS cos
+      |  FROM dots d
+      |  JOIN nn nq ON d.query_id = nq.vec_id
+      |  JOIN nn nv ON d.vec_id = nv.vec_id)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT query_id, vec_id AS neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val q28BruteForceTopK: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
       |pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS emb
