@@ -98,8 +98,10 @@ object SparkEntry {
     "q62_weighted_sample"  -> ((s: SparkSession, dir: String) =>
       Mixing.q62WeightedSample(s, dir)),
     "q63_snapshot_diff"    -> (graft.ops.SnapshotDiff.q63SnapshotDiff _),
-    // rows-only like q29/q31: no SQL oracle can replay k-means; recall
-    // and determinism are spec-pinned (RetrievalSpec)
+    // oracle-exact since round 10: integer-grid PQ whose persisted
+    // codebook lets the oracle replay encode/ADC/re-rank (training
+    // stays engine-side — the q81/q94 rule); recall additionally
+    // spec-pinned (RetrievalSpec)
     "q64_pq_ann"           -> ((s: SparkSession, dir: String) =>
       graft.ops.ProductQuantization.q64PqAnn(s, dir)),
     "q65_bpe_tokens"       -> ((s: SparkSession, dir: String) =>
@@ -470,7 +472,42 @@ object SparkEntry {
     "q28_ann_bruteforce" -> ExtensionOracles.q28BruteForceTopK,
     "q29_ann_lsh" -> ExtensionOracles.q29AnnLsh,
     "q30_multimodal_meta" -> ExtensionOracles.q30MultimodalMeta,
-    // q31_approx_aggs: sketch internals are engine-specific — rows-only
+    // q31: KMV distinct estimate (q135's order-statistic replay) + exact
+    // discrete median of a deterministic 25% primary-key hash sample —
+    // every "approximate" number is a pure function of md5, so the
+    // oracle replays it as an equality (HLL++/percentile_approx
+    // internals kept this rows-only for four rounds)
+    "q31_approx_aggs" ->
+      """WITH fr AS (SELECT DISTINCT l_returnflag AS rf,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS frac
+        |  FROM lineitem),
+        |rk AS (SELECT rf, frac,
+        |    row_number() OVER (PARTITION BY rf ORDER BY frac) AS rn FROM fr),
+        |st AS (SELECT rf,
+        |    CAST(SUM(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    MAX(CASE WHEN rn = 256 THEN frac END) AS u256
+        |  FROM rk GROUP BY rf),
+        |ap AS (SELECT rf, round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+        |                            ELSE 255.0 / u256 END, 6) AS approx_parts FROM st),
+        |samp AS (SELECT * FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |               CAST(l_linenumber AS VARCHAR)), 1, 8) < '40000000'),
+        |sn AS (SELECT l_returnflag AS mf, COUNT(*) AS nsamp FROM samp GROUP BY 1),
+        |med AS (SELECT l_returnflag, approx_median_price FROM (
+        |    SELECT l_returnflag, l_extendedprice AS approx_median_price, nsamp,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |    FROM samp JOIN sn ON l_returnflag = mf) t
+        |  WHERE rn = CAST(ceil(nsamp / 2.0) AS BIGINT)),
+        |nn AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM lineitem GROUP BY 1)
+        |SELECT ap.rf AS l_returnflag, ap.approx_parts,
+        |  med.approx_median_price, nn.n
+        |FROM ap JOIN med ON ap.rf = med.l_returnflag
+        |JOIN nn ON ap.rf = nn.l_returnflag
+        |ORDER BY 1""".stripMargin,
+
     "q32_split_assign" ->
       """SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs FROM (
         |  SELECT doc_id, lang,
@@ -586,6 +623,7 @@ object SparkEntry {
     "q61_source_quota" -> ExtensionOracles.q61SourceQuota,
     "q62_weighted_sample" -> ExtensionOracles.q62WeightedSample,
     "q63_snapshot_diff" -> ExtensionOracles.q63SnapshotDiff,
+    "q64_pq_ann" -> ExtensionOracles.q64PqAnn,
     "q65_bpe_tokens" -> ExtensionOracles.q65BpeTokens,
     "q66_bigram_logprob" -> ExtensionOracles.q66BigramLogprob,
     "q67_data_card" -> ExtensionOracles.q67DataCard,

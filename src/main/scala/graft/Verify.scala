@@ -30,6 +30,13 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // gate-CONTRACT violations (array/map/binary outputs) are tracked
+    // separately from runtime failures: the blanket catch below keeps a
+    // flaky query from killing the whole dump, but a contract violation
+    // is deterministic and must be unmissable at dump time (ADVICE r9 —
+    // it used to be swallowed and resurface later as an opaque
+    // "unreadable" gate failure), so the run exits non-zero for those.
+    var gateViolations = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -45,8 +52,13 @@ object Verify {
             "stringify with array_join/concat_ws (q35 pattern) on engine AND oracle")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.startsWith("gate-incompatible") =>
+          gateViolations += 1
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -66,5 +78,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (gateViolations > 0) {
+      System.err.println(
+        s"[verify] $gateViolations gate-incompatible quer${if (gateViolations == 1) "y" else "ies"} — exiting non-zero")
+      sys.exit(2)
+    }
   }
 }

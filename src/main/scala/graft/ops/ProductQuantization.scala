@@ -33,9 +33,13 @@ import graft.Tables
   *    way FAISS composes IVF with PQ — the cell prune bounds rows
   *    scanned, PQ bounds bytes per row.
   *
-  * Like q29/q31 this is declared rows-only (no SQL oracle can replay
-  * k-means); the spec pins recall against q28's exact result and the
-  * determinism of training+encode across reruns.
+  * ORACLE-EXACT since round 10 (it sat rows-only as "no SQL oracle can
+  * replay k-means"): training is the one step the oracle does NOT
+  * replay — q64 persists the grid-snapped integer codebook and the
+  * DuckDB oracle replays encode/ADC/re-rank from that table in exact
+  * integer arithmetic (see [[q64PqAnn]]). The spec additionally pins
+  * recall against q28's exact result and the determinism of
+  * training+encode across reruns.
   */
 object ProductQuantization {
 
@@ -420,29 +424,161 @@ object ProductQuantization {
     Similarity.report(s, dst, assigned, centers.length, refitAt)
   }
 
+  /** Where q64 persists its integer codebook — the oracle replays
+    * encode + ADC + re-rank from this table (the q81/q94 persisted-
+    * model pattern), so only TRAINING stays engine-side. */
+  val CodebookPath = "/tmp/graft_pq_codebook.parquet"
+
+  /** Fixed-point grid for the oracle-exact q64 path: unit-vector
+    * components × 1000, round-half-up (the Clustering.Grid rule). */
+  private val Grid = 1000L
+
+  /** Snap a float codebook to the unit grid. */
+  def snapCodebook(cb: Codebook): Array[Array[Array[Long]]] =
+    cb.centroids.map(_.map(_.map(x => math.floor(x * 1000.0 + 0.5).toLong)))
+
+  def persistCodebook(s: SparkSession, qcb: Array[Array[Array[Long]]],
+                      path: String): Unit = {
+    import s.implicits._
+    val rows = for { mi <- qcb.indices; ki <- qcb(mi).indices }
+      yield (mi, ki, qcb(mi)(ki).toSeq)
+    rows.toDF("mi", "ki", "qc").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Unit-snapped integer vectors: raw components snapped to the grid
+    * (exact longs), the squared norm summed in EXACT integer
+    * arithmetic, then each component scaled to unit length with ONE
+    * IEEE double divide + round-half-up — every step is an exact or
+    * correctly-rounded operation on identical inputs, so DuckDB lands
+    * on the identical longs (the q81 snap rule extended with the
+    * sqrt-of-exact-integer trick: IEEE sqrt is correctly rounded, so
+    * both engines compute the same double from the same long).
+    * Zero/empty/null vectors (n2 = 0) are excluded — they have no
+    * direction to quantize. */
+  private[ops] def unitSnapped(emb: DataFrame): DataFrame = {
+    val qx = Clustering.snapped(col("embedding"))
+    emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .withColumn("__qx", qx)
+      .withColumn("__n2",
+        aggregate(col("__qx"), lit(0L), (acc, e) => acc + e * e))
+      .filter(col("__n2") > 0L)
+      .select(col("vec_id"),
+        transform(col("__qx"), e =>
+          floor((e * lit(Grid)).cast("double") /
+            sqrt(col("__n2").cast("double")) + lit(0.5)).cast("long")).as("u"))
+  }
+
   /** q64: PQ-compressed ANN — train, encode, ADC-probe, re-rank; the
     * q28/q29 query convention (queries = vec_id < 5, top-10).
+    *
+    * ORACLE-EXACT since round 10 (this query sat rows-only for four
+    * rounds as "no SQL oracle can replay k-means"): training is NOT
+    * replayed — the snapped integer codebook is persisted to
+    * [[CodebookPath]] and the oracle replays everything downstream of
+    * it (encode argmin, ADC lookup-sum, candidate cut, exact re-rank)
+    * in pure integer arithmetic from that table + the unit-snapped
+    * vectors of [[unitSnapped]]. Every distance is an exact long; every
+    * tie breaks (d, ki) / (dist, vec_id); the gate hash is therefore an
+    * equality, not a tolerance. L2 on unit vectors preserves the cosine
+    * ranking (‖a−b‖² = 2 − 2cos on unit vectors), so the recall spec
+    * against q28's exact cosine ground truth still applies (grid noise
+    * ~1e-3/component is far under this corpus's neighbor gaps).
     *
     * The re-rank budget is 10% of the corpus (floor 50): on THIS
     * weakly-clustered corpus (true neighbors at cos 0.25–0.40 — the
     * hard case for 8-byte codes) the measured recall@10 at 2k vectors
     * is 0.42 / 0.78 / 1.00 at 2.5% / 10% / 50% re-rank, so 10% buys
-    * recall ≈ 0.8 while the float re-fetch stays 10× below brute force
-    * and the scan side reads 32×-compressed codes. Corpora with real
+    * recall ≈ 0.8 while the re-fetch stays 10× below brute force and
+    * the scan side reads 32×-compressed codes. Corpora with real
     * duplicate structure (cos ≥ 0.8 neighbors) rank far better under
     * ADC and would run at ~0.1% re-rank; the knob is the recall/IO
-    * trade, same as q29's probe ring and the IVF nprobe. */
+    * trade, same as q29's probe ring and the IVF nprobe.
+    *
+    * Scale shape is unchanged from the float path: bounded driver-side
+    * training sample, one narrow encode pass with a broadcast codebook,
+    * ADC over codes only, bounded top-R heap, exact re-rank of
+    * R×|queries| survivors. */
   def q64PqAnn(s: SparkSession, dir: String, m: Int = 8, k16: Int = 16,
                k: Int = 10): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val cb = train(emb, m, k16)
-    val codes = encode(emb, cb).localCheckpoint()
+    val qcb = snapCodebook(cb)
+    persistCodebook(s, qcb, CodebookPath)
+    val dsub = cb.dim / m
+    // localCheckpoint: u feeds the query collect, the encode pass and
+    // the re-rank fetch — three actions over one narrow projection
+    val u = unitSnapped(Par.widen(emb)).localCheckpoint()
     // clamped: a bare .toInt wraps negative past ~21B rows and would
     // size a negative heap (or silently rerank almost nothing)
-    val rerank = math.min(math.max(50L, emb.count() / 10L), Int.MaxValue.toLong).toInt
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
-    adcTopK(emb, codes, cb, queries, k, rerank)
+    val rerank = math.min(math.max(50L, u.count() / 10L), Int.MaxValue.toLong).toInt
+    val queries = u.filter(col("vec_id") < 5)
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
+    val bcb = s.sparkContext.broadcast(qcb)
+    val codes = u.as[(Long, Seq[Long])].mapPartitions { it =>
+      val c = bcb.value
+      it.map { case (id, uv) =>
+        val cs = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          var best = 0; var bd = Long.MaxValue
+          var ki = 0
+          while (ki < c(mi).length) {
+            var d = 0L; var j = 0
+            while (j < dsub) { val t = uv(mi * dsub + j) - c(mi)(ki)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = ki } // strict < : ties keep the smaller ki
+            ki += 1
+          }
+          cs(mi) = best; mi += 1
+        }
+        (id, cs.toSeq)
+      }
+    }.toDF("vec_id", "codes")
+    // per-query integer ADC tables: table(mi)(ki) = ‖q_sub − centroid‖²
+    val tables = queries.map { case (qid, qv) =>
+      qid -> Array.tabulate(m, cb.k) { (mi, ki) =>
+        var d = 0L; var j = 0
+        while (j < dsub) { val t = qv(mi * dsub + j) - qcb(mi)(ki)(j); d += t * t; j += 1 }
+        d
+      }
+    }
+    val bt = s.sparkContext.broadcast(tables)
+    val adc = codes.as[(Long, Seq[Int])].mapPartitions { it =>
+      val ts = bt.value
+      it.flatMap { case (id, cs) =>
+        ts.iterator.filter(_._1 != id).map { case (qid, tab) =>
+          var sc = 0L; var mi = 0
+          while (mi < m) { sc += tab(mi)(cs(mi)); mi += 1 }
+          (qid, id, sc)
+        }
+      }
+    }.toDF("query_id", "vec_id", "ad")
+    // bounded top-R heap per query, ascending integer ADC distance
+    // (ties to the smaller vec_id) — negation flips the heap's
+    // (score desc, id asc) order; exact: |ad| ≪ 2^53
+    val cand = TopKPerGroup.topKPerKey(
+        adc.select(col("query_id"), (-col("ad")).cast("double").as("s"), col("vec_id")),
+        "query_id", "s", "vec_id", rerank)
+      .select(col("key").as("query_id"), col("id").as("cand_id"))
+    val bq = s.sparkContext.broadcast(queries.toMap)
+    val ex = u.join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .select(col("query_id"), col("vec_id"), col("u"))
+      .as[(Long, Long, Seq[Long])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.map { case (qid, id, uv) =>
+          val qv = qs(qid)
+          var d = 0L; var j = 0
+          while (j < uv.length) { val t = uv(j) - qv(j); d += t * t; j += 1 }
+          (qid, id, d)
+        }
+      }.toDF("query_id", "neighbor_id", "sq_dist")
+    TopKPerGroup.topKPerKey(
+        ex.select(col("query_id"), (-col("sq_dist")).cast("double").as("s"), col("neighbor_id")),
+        "query_id", "s", "neighbor_id", k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), (-col("score")).cast("long").as("sq_dist"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -141,27 +141,46 @@ object Retrieval {
   def q71HardNegatives(s: SparkSession, dir: String): DataFrame =
     hardNegatives(Tables.documents(s, dir), col("doc_id") % 100 === 0)
 
+  /** Champion-list width for [[hardNegatives]]: per query term, only
+    * its `ChampionCap` highest-tf postings (ties to the smaller
+    * doc_id) generate candidates. Bounds the probe fan-out at
+    * C · |query vocab| · |queries| rows whatever the corpus size —
+    * the r9-measured 100× hotspot was the uncapped corpus × query
+    * fan-out. 100 × k(=10): wide enough that a true negative outside
+    * every champion list is a pathological corpus, bounded enough
+    * that the fan-out never tracks corpus size. */
+  val ChampionCap = 1000
+
   /** The reusable core: `isQuery` marks the query documents (a BOUNDED
     * sample — everything driver-free below is bounded by |queries|).
     * Query terms are each query doc's distinct tokens; `dfCap > 0`
     * additionally drops terms above that corpus document frequency —
     * idf already ranks common terms near zero, so the cap costs little
-    * signal, but it is the SKEW control: an uncapped boilerplate term
-    * fans the (term)-keyed probe out to every document containing it
-    * (the same reason the shingle paths cap df). The oracle query runs
-    * uncapped because this fixture's synthetic vocabulary is uniform
-    * (31 terms, median df = 78% of docs — any cutoff keeps all or
-    * none); the cap's semantics are spec-pinned on a planted corpus.
+    * signal, but a df CUTOFF is useless on this fixture's uniform
+    * vocabulary (31 terms, median df = 78% of docs — any threshold
+    * keeps all or none; the knob stays spec-pinned on a planted
+    * corpus). The DECLARED fan-out control is instead the champion
+    * list (round-10, retiring the r9 "uncapped default" perf-weak
+    * item): candidate GENERATION per term is its top-[[ChampionCap]]
+    * postings by (tf desc, doc_id) — the classic impact-ordered
+    * pruning (Manning, Raghavan & Schütze, IIR §7.1.3) — and only the
+    * union of the query's champions is scored; SCORING of a surviving
+    * candidate stays exact over all its shared terms, so ranking
+    * quality degrades only when a true top-k doc sits outside every
+    * champion list (C = 100× k here). The oracle replays the identical
+    * cut (row_number ≤ C over (tf desc, doc_id)).
     *
     * Shape at 100 TB: one corpus tokenize feeding a per-token
     * broadcast-hash probe against the query-term union (a hash lookup
     * per token beats an O(|terms|) in-row array scan once the union is
     * thousands wide — the q58 literal-array trick stops paying there),
-    * then every shuffle is hits-scale (rows whose term some query
-    * uses), never corpus-scale: tf aggregate, df re-aggregate
-    * (<= |terms| rows, broadcast back), near-dup anti-join, and the
-    * bounded top_k aggregate for the final cut — no per-query window
-    * over the corpus anywhere. */
+    * then: tf aggregate (hits-scale — rows whose term some query
+    * uses), df re-aggregate (<= |terms| rows, broadcast back), the
+    * BOUNDED champion aggregate (<= C·|terms| rows out — the corpus ×
+    * query fan-out of the old plan, measured 247.8 s at the 100× soak,
+    * never materializes), per-part decimal scoring restricted to
+    * champion docs, the near-dup anti-join, and the bounded top_k
+    * final cut — no per-query window over the corpus anywhere. */
   def hardNegatives(docs: DataFrame, isQuery: Column, k: Int = 10,
                     dfCap: Long = 0L): DataFrame = {
     val (out, caches) = hardNegativesLazy(docs, isQuery, k, dfCap)
@@ -237,19 +256,42 @@ object Retrieval {
     val inform0 = qterms.join(broadcast(dfreq), "term")
     val inform = (if (dfCap > 0L) inform0.filter(col("df") <= dfCap)
                   else inform0).select(col("term"), col("query_id"))
+    // champion lists: per term, its top-C postings by (tf desc,
+    // doc_id) via the BOUNDED top_k aggregate (O(C) state per term —
+    // never a window over the posting list). Candidates for a query =
+    // the union of its terms' champions; every later stage is
+    // candidate-scale, so the corpus × query fan-out of the pre-r10
+    // plan never materializes.
+    val champs = tf.groupBy(col("term"))
+      .agg(TopKPerGroup.topKColumn(col("tf"), col("doc_id"), ChampionCap).as("top"))
+      .select(col("term"), explode(col("top")).as("e"))
+      .select(col("term"), col("e.id").as("doc_id"))
+    // cache(): consumed twice (candDocs semi-filter, scored join) —
+    // bounded at |queries| x C x |vocab| rows pre-distinct, far less after
+    val cand = champs.join(broadcast(inform), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .cache()
     // score each (doc, term) ONCE, before the query fan-out: the part
     // depends only on (tf, dl, df, totals), so computing it after the
     // inform join would re-run the log/round/decimal chain per QUERY
     // sharing the term (measured ~2 s of the 7 s at sf0.1 — the
-    // fan-out then sums precomputed decimals instead)
+    // fan-out then sums precomputed decimals instead). Restricted to
+    // champion docs: the decimal chain runs only for rows that can
+    // still reach a top-k.
+    val candDocs = cand.select(col("doc_id")).distinct()
     val parts = tf
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(totals))
       .withColumn("part", bm25Part)
       .select(col("term"), col("doc_id"), col("part"))
+    // exact scoring over the candidate set: all shared (query, doc)
+    // terms contribute — the champion cut prunes candidate GENERATION,
+    // never a surviving candidate's score
     val scored = parts
-      .join(broadcast(inform), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
+      .join(cand, Seq("doc_id"))
+      .join(broadcast(inform), Seq("query_id", "term"), "left_semi")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("part")).as("sc"))
       .select(col("query_id"), col("doc_id"),
@@ -270,7 +312,7 @@ object Retrieval {
       .select(col("key").as("query_id"), col("rank"),
         col("id").as("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
-    (out, Seq(tf, qterms))
+    (out, Seq(tf, qterms, cand))
   }
 
   /** Term → partition bucket: the first 52 bits of md5, mod `nBuckets`.

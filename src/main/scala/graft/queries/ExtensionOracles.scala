@@ -1279,6 +1279,13 @@ object ExtensionOracles {
        |       GROUP BY doc_id, dl, term),
        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
        |inform AS (SELECT qt.query_id, qt.term FROM qt JOIN dfreq USING (term)),
+       |hn_champs AS (SELECT term, doc_id FROM (
+       |    SELECT term, doc_id,
+       |      row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+       |    FROM tf) z WHERE rn <= 1000),
+       |hn_cand AS (SELECT DISTINCT i.query_id, c.doc_id
+       |  FROM hn_champs c JOIN inform i USING (term)
+       |  WHERE c.doc_id <> i.query_id),
        |parts AS (SELECT i.query_id, tf.doc_id,
        |    CAST(round(
        |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
@@ -1288,6 +1295,7 @@ object ExtensionOracles {
        |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
        |      AS DECIMAL(28,12)) AS part
        |  FROM tf JOIN inform i USING (term) JOIN dfreq USING (term) CROSS JOIN tot
+       |  JOIN hn_cand ON hn_cand.query_id = i.query_id AND hn_cand.doc_id = tf.doc_id
        |  WHERE tf.doc_id <> i.query_id),
        |scored AS (SELECT query_id, doc_id, SUM(part) AS sc
        |           FROM parts GROUP BY query_id, doc_id),
@@ -1331,6 +1339,13 @@ object ExtensionOracles {
        |       GROUP BY doc_id, dl, term),
        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
        |inform AS (SELECT qt.query_id, qt.term FROM qt JOIN dfreq USING (term)),
+       |hn_champs AS (SELECT term, doc_id FROM (
+       |    SELECT term, doc_id,
+       |      row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+       |    FROM tf) z WHERE rn <= 1000),
+       |hn_cand AS (SELECT DISTINCT i.query_id, c.doc_id
+       |  FROM hn_champs c JOIN inform i USING (term)
+       |  WHERE c.doc_id <> i.query_id),
        |parts AS (SELECT i.query_id, tf.doc_id,
        |    CAST(round(
        |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
@@ -1340,6 +1355,7 @@ object ExtensionOracles {
        |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
        |      AS DECIMAL(28,12)) AS part
        |  FROM tf JOIN inform i USING (term) JOIN dfreq USING (term) CROSS JOIN tot
+       |  JOIN hn_cand ON hn_cand.query_id = i.query_id AND hn_cand.doc_id = tf.doc_id
        |  WHERE tf.doc_id <> i.query_id),
        |scored AS (SELECT query_id, doc_id, SUM(part) AS sc
        |           FROM parts GROUP BY query_id, doc_id),
@@ -2948,6 +2964,67 @@ object ExtensionOracles {
   /** Mirrors q135 (`ops.KmvSketch.q135KmvDistinct`): the md5-prefix
     * fraction order statistics — rank ≤ 128 per source — make the KMV
     * estimate a hash-exact replay, not a tolerance check. */
+  /** Mirrors q64 (`ops.ProductQuantization.q64PqAnn`): the persisted
+    * integer codebook replayed end-to-end in exact integer arithmetic —
+    * unit-snap (grid snap, exact integer norm, one IEEE divide + round
+    * per component; sqrt of an exact integer is correctly rounded so
+    * both engines compute identical longs), per-subspace encode argmin
+    * (ties to the smaller ki), ADC lookup-sum, top-R candidate cut
+    * (R = max(50, n/10), ties to the smaller vec_id), and the exact
+    * squared-L2 re-rank of survivors. Training itself is the one step
+    * not replayed (the q81/q94 persisted-model rule). */
+  val q64PqAnn: String =
+    s"""WITH cb AS (SELECT mi, ki, qc
+       |  FROM read_parquet('${graft.ops.ProductQuantization.CodebookPath}/*.parquet')),
+       |e AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |x AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM e),
+       |q0 AS (SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
+       |  FROM x),
+       |nrm AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2
+       |        FROM q0 GROUP BY vec_id),
+       |u AS (SELECT q0.vec_id, q0.i,
+       |    CAST(floor(CAST(q0.qi * 1000 AS DOUBLE) /
+       |         sqrt(CAST(nrm.n2 AS DOUBLE)) + 0.5) AS BIGINT) AS ui
+       |  FROM q0 JOIN nrm ON q0.vec_id = nrm.vec_id WHERE nrm.n2 > 0),
+       |sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS mi,
+       |    CAST((i - 1) % 8 + 1 AS INT) AS j, ui FROM u),
+       |dist AS (SELECT s.vec_id, s.mi, c.ki,
+       |    CAST(SUM((s.ui - c.qc[s.j]) * (s.ui - c.qc[s.j])) AS BIGINT) AS d
+       |  FROM sub s JOIN cb c ON s.mi = c.mi GROUP BY s.vec_id, s.mi, c.ki),
+       |code AS (SELECT vec_id, mi, ki FROM (
+       |    SELECT vec_id, mi, ki,
+       |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, ki) AS rn
+       |    FROM dist) z WHERE rn = 1),
+       |qv AS (SELECT vec_id AS query_id, mi, j, ui FROM sub WHERE vec_id < 5),
+       |tab AS (SELECT q.query_id, c.mi, c.ki,
+       |    CAST(SUM((q.ui - c.qc[q.j]) * (q.ui - c.qc[q.j])) AS BIGINT) AS d
+       |  FROM qv q JOIN cb c ON q.mi = c.mi GROUP BY q.query_id, c.mi, c.ki),
+       |adist AS (SELECT t.query_id, co.vec_id, CAST(SUM(t.d) AS BIGINT) AS ad
+       |  FROM code co JOIN tab t ON co.mi = t.mi AND co.ki = t.ki
+       |  WHERE co.vec_id <> t.query_id
+       |  GROUP BY t.query_id, co.vec_id),
+       |rr AS (SELECT GREATEST(50, COUNT(*) // 10) AS r FROM nrm WHERE n2 > 0),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS rn
+       |    FROM adist) z WHERE rn <= (SELECT r FROM rr)),
+       |ex AS (SELECT ca.query_id, ca.vec_id,
+       |    CAST(SUM((uq.ui - uc.ui) * (uq.ui - uc.ui)) AS BIGINT) AS sq_dist
+       |  FROM cand ca
+       |  JOIN u uq ON uq.vec_id = ca.query_id
+       |  JOIN u uc ON uc.vec_id = ca.vec_id AND uc.i = uq.i
+       |  GROUP BY ca.query_id, ca.vec_id)
+       |SELECT query_id, rank, neighbor_id, sq_dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, sq_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sq_dist, vec_id) AS BIGINT) AS rank
+       |  FROM ex) z
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val q135KmvDistinct: String =
     s"""WITH $tokCte,
        |t AS (SELECT DISTINCT d.source, x.tk

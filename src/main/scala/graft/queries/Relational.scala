@@ -346,12 +346,30 @@ object Relational {
     * are engine-specific → rows-only driver check, with exact bounds
     * asserted in the spec instead. */
   def q31ApproxAggs(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        count(lit(1)).as("n"))
+    val li = Tables.lineitem(s, dir)
+    val k = 256
+    // distinct-part estimate: the KMV order statistic (q135's family) —
+    // same O(k)-state mergeable-sketch shape as approx_count_distinct's
+    // HLL++, but its content is a pure function of the md5 hash, so the
+    // DuckDB oracle replays the estimate as an EQUALITY (HLL++ internals
+    // are engine-specific — this query sat rows-only for four rounds)
+    val sk = graft.ops.KmvSketch.sketch(
+      li.select(col("l_returnflag").as("rf"),
+        col("l_partkey").cast("string").as("v")), "rf", "v", k)
+    val parts = sk.select(col("key").as("l_returnflag"),
+      round(graft.ops.KmvSketch.estimate(col("minK"), k), 6).as("approx_parts"))
+    // approximate median: exact discrete median of a deterministic 25%
+    // hash-sample of rows (md5 of the (orderkey, linenumber) primary
+    // key < 0x40000000 — the Splits rule, so membership is stable
+    // across runs/engines/partitionings, unlike percentile_approx's
+    // merge-order-dependent quantile sketch). Sampling-based quantile
+    // estimation with the q33 bounded two-phase selection underneath.
+    val h = substring(md5(concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))), 1, 8)
+    val med = discreteMedianPrice(li.filter(h < "40000000"))
+      .select(col("l_returnflag"), col("median_price").as("approx_median_price"))
+    val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    parts.join(med, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -396,8 +414,14 @@ object Relational {
     *      sort through a window — bounded work regardless of data size.
     * Every window in the plan runs over aggregated, bounded-cardinality
     * input (asserted in PlanSpec). */
-  def q33MedianDisc(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+  def q33MedianDisc(s: SparkSession, dir: String): DataFrame =
+    discreteMedianPrice(Tables.lineitem(s, dir))
+
+  /** The reusable two-phase core of q33 over any lineitem-shaped frame
+    * (q31 runs it over a deterministic sample): (l_returnflag,
+    * median_price, n) where median_price is the ceil(n/2)-th smallest
+    * l_extendedprice counting duplicates. */
+  private[graft] def discreteMedianPrice(li: DataFrame): DataFrame = {
     val bucket = (c: Column) => floor(c / lit(1024.0))
     // coarse histogram straight off the scan: map-side combine collapses
     // each task's rows to <=#buckets partials, so the shuffle carries

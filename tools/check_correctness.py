@@ -34,7 +34,12 @@ def gate_incompatible_cols(df: pd.DataFrame):
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            for v in df[c].head(50):
+            # scan the WHOLE column, not a prefix: a column whose first
+            # rows are NULL but later rows hold arrays/bytes must not
+            # slip past the mirror and die in the real gate (ADVICE r9)
+            for v in df[c]:
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
                 if isinstance(v, (list, tuple, bytes, bytearray, dict)) or hasattr(v, "tolist"):
                     bad.append(c)
                     break
