@@ -259,6 +259,8 @@ object SparkEntry {
       graft.ops.QualityAudit.q143QualityAudit(s, dir)),
     "q144_psi_drift"        -> ((s: SparkSession, dir: String) =>
       graft.ops.Drift.q144PsiDrift(s, dir)),
+    "q145_streamed_sketch_store" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KmvSketch.q145StreamedSketchServe(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -714,5 +716,6 @@ object SparkEntry {
     "q142_ab_test" -> ExtensionOracles.q142AbTest,
     "q143_quality_audit" -> ExtensionOracles.q143QualityAudit,
     "q144_psi_drift" -> ExtensionOracles.q144PsiDrift,
+    "q145_streamed_sketch_store" -> ExtensionOracles.q145StreamedSketchServe,
   )
 }

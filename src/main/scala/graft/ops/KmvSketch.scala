@@ -199,6 +199,52 @@ object KmvSketch {
     weekly.unionByName(total).orderBy(col("week"))
   }
 
+  /** Where q145 stages its source files and materializes its store. */
+  val StreamedSketchPath = "/tmp/graft_streamed_kmv"
+
+  /** q145: the q141 store built through the STRUCTURED STREAMING
+    * maintenance path ([[graft.streaming.Streaming.kmvDailyStream]])
+    * instead of batch appends — the missing half of the q107/q141
+    * pattern: q141 hash-proves batch maintenance, q145 hash-proves
+    * stream maintenance. The events table is staged as three
+    * USER-sliced files and ingested with `maxFilesPerTrigger = 1`, so
+    * every day's users are split across all three micro-batches and
+    * the serve must merge ≥ 3 partials per day (StreamingSpec's
+    * batch≡stream parity, promoted to the driver's oracle gate). The
+    * serve groups by FORTNIGHT (day DIV 14) plus all-time (-1) to keep
+    * the query distinct from q141's weekly serve; the oracle replays
+    * each range's min-128 order statistics from raw events — hash
+    * equality proves the streamed store ≡ a from-scratch sketch. */
+  def q145StreamedSketchServe(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+    val root = new org.apache.hadoop.fs.Path(StreamedSketchPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val watched = s"$StreamedSketchPath/in"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
+    (0 until 3).foreach { i =>
+      val tmpd = s"$StreamedSketchPath/stage_$i"
+      ev.filter(pmod(col("user_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(tmpd)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val store = s"$StreamedSketchPath/store"
+    graft.streaming.Streaming.kmvDailyStream(stream, store, k)
+      .awaitTermination()
+    val fortnightly = serveRangeDistinct(s, store, k,
+      expr("CAST(day AS BIGINT) DIV 14")).withColumnRenamed("grp", "fortnight")
+    val total = serveRangeDistinct(s, store, k, lit(-1L))
+      .withColumnRenamed("grp", "fortnight")
+    fortnightly.unionByName(total).orderBy(col("fortnight"))
+  }
+
   /** q135: per-source distinct-token estimates vs exact — the sketch's
     * accuracy ledger, hash-exact in the oracle. k=128. */
   def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {

@@ -3245,6 +3245,33 @@ object ExtensionOracles {
       |             ELSE 127.0 / u128 END, 6) AS kmv_est
       |FROM st ORDER BY week""".stripMargin
 
+  /** Mirrors q145 (`ops.KmvSketch.q145StreamedSketchServe`): identical
+    * replay shape to [[q141SketchStoreServe]] but grouped by FORTNIGHT
+    * (day // 14) — equality with the engine's STREAM-maintained store
+    * (three user-sliced micro-batches via `kmvDailyStream`) proves
+    * streaming maintenance ≡ a from-scratch sketch of the raw union. */
+  val q145StreamedSketchServe: String =
+    """WITH ud AS (SELECT DISTINCT
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) // 14 AS fortnight, user_id
+      |  FROM events),
+      |uu AS (SELECT fortnight, user_id FROM ud
+      |       UNION SELECT CAST(-1 AS BIGINT), user_id FROM ud),
+      |fr AS (SELECT DISTINCT fortnight,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS frac
+      |  FROM uu),
+      |rk AS (SELECT fortnight, frac,
+      |    row_number() OVER (PARTITION BY fortnight ORDER BY frac) AS rn
+      |  FROM fr),
+      |st AS (SELECT fortnight,
+      |    CAST(SUM(CASE WHEN rn <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    MAX(CASE WHEN rn = 128 THEN frac END) AS u128
+      |  FROM rk GROUP BY fortnight)
+      |SELECT fortnight, n_kept,
+      |  round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+      |             ELSE 127.0 / u128 END, 6) AS kmv_est
+      |FROM st ORDER BY fortnight""".stripMargin
+
   /** Mirrors q142 (`ops.Experiment.abTest`): the md5-prefix variant
     * assignment, per-user event-type counts, exact long moments with
     * the variant's FULL unit count, and the identical fixed Welch

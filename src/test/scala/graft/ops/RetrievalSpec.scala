@@ -649,6 +649,35 @@ class RetrievalSpec extends SparkSpec {
     assert(recall >= 0.6, f"PQ recall@10 = $recall%.2f below the 0.6 bar")
   }
 
+  test("pq ann: excludeSelf=false keeps a corpus row whose id merely collides with an external query id") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cb = ProductQuantization.train(emb)
+    val codes = ProductQuantization.encode(emb, cb).localCheckpoint()
+    // planted collision: an EXTERNAL query that happens to reuse corpus
+    // id 7 but asks with row 7's own vector — its true top-1 IS corpus
+    // row 7 (cosine 1). Under the q28/q64 self-query convention
+    // (excludeSelf=true) that row is dropped; an external-id-space
+    // caller must be able to opt out and keep the legitimate neighbor.
+    val collidingId = 7L
+    val qv = emb.filter(col("vec_id") === collidingId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
+    val queries = Array(collidingId -> qv)
+    def topIds(excludeSelf: Boolean): Seq[Long] =
+      ProductQuantization.adcTopK(emb, codes, cb, queries,
+          k = 5, rerank = 50, excludeSelf = excludeSelf)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val kept = topIds(excludeSelf = false)
+    assert(kept.contains(collidingId),
+      s"external-id-space probe lost the colliding neighbor $collidingId: $kept")
+    val dropped = topIds(excludeSelf = true)
+    assert(!dropped.contains(collidingId),
+      s"self-query convention failed to drop the query's own row: $dropped")
+    // both conventions agree on every OTHER neighbor (the flag only
+    // gates the identity row, never reshapes the ranking around it)
+    assert(kept.filterNot(_ == collidingId) == dropped.take(4),
+      s"flag changed non-self ranking: $kept vs $dropped")
+  }
+
   test("ivf,pq layout: probe reads a strict subset of cell dirs, codes only; recall holds") {
     val emb = graft.Tables.embeddings(spark, dir)
     val dst = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/layout"
