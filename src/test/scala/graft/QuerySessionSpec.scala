@@ -505,8 +505,10 @@ class QuerySessionSpec extends SparkSpec {
 
   test("approx aggregates stay within declared error of exact values") {
     val dir = "/root/testdata/sf0.001"
+    // approx_parts is the KMV estimate (a rounded Double since the r9
+    // oracle-exact rework) — the ±10% accuracy bar is unchanged
     val approx = graft.queries.Relational.q31ApproxAggs(spark, dir).collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("approx_parts")).toMap
     val exact = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.countDistinct("l_partkey").as("n"))
       .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap

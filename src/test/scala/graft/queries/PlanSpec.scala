@@ -571,6 +571,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("skew-window diagnose: one map-side-combined pass over pruned columns") {
+    // the adaptive hot-key gate's ONLY cost when no key is hot (the
+    // q07/q14/q16 common case) is this aggregate — pin the two physical
+    // properties that keep it one cheap pass at any corpus size:
+    // partial aggregation BEFORE the exchange (shuffle carries |keys|
+    // partial rows, never |rows|), and a scan pruned to exactly the
+    // (key, t) columns the diagnose reads.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, dir).select("user_id", "ts", "event_id")
+    val stats = graft.ops.SkewWindows.hotKeyStats(
+      ev, "user_id", col("ts"), hotAt = 1000000L, chunkTarget = 65536L)
+    val physical = stats.queryExecution.sparkPlan
+    // ≤1: at sf0.001 the single input partition lets Catalyst colocate
+    // partial+final with NO exchange at all; at scale the one exchange
+    // carries |keys| partial rows, never |rows|
+    val exchanges = physical.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.length <= 1, s"diagnose must be one agg pass:\n$physical")
+    val partialAgg = physical.collectFirst {
+      case a: BaseAggregateExec if a.aggregateExpressions
+        .exists(_.mode.toString.toLowerCase.contains("partial")) => a
+    }
+    assert(partialAgg.nonEmpty,
+      s"no map-side combine in the diagnose pass:\n$physical")
+    val readSchema = physical.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id") && readSchema.contains("ts"),
+      s"diagnose lost its columns: $readSchema")
+    assert(!readSchema.contains("event_id") && !readSchema.contains("event_type"),
+      s"diagnose reads columns it never uses: $readSchema")
+  }
+
   test("q61: source quota is the bounded top_k aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val physical = graft.SparkEntry.queries("q61_source_quota")(spark, dir)
