@@ -261,6 +261,8 @@ object SparkEntry {
       graft.ops.Drift.q144PsiDrift(s, dir)),
     "q145_streamed_sketch_store" -> ((s: SparkSession, dir: String) =>
       graft.ops.KmvSketch.q145StreamedSketchServe(s, dir)),
+    "q146_streamed_attribution" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Attribution.q146StreamedAttribution(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,5 +719,6 @@ object SparkEntry {
     "q143_quality_audit" -> ExtensionOracles.q143QualityAudit,
     "q144_psi_drift" -> ExtensionOracles.q144PsiDrift,
     "q145_streamed_sketch_store" -> ExtensionOracles.q145StreamedSketchServe,
+    "q146_streamed_attribution" -> ExtensionOracles.q146StreamedAttribution,
   )
 }

@@ -210,12 +210,20 @@ object Retrieval {
   /** [[hardNegatives]] with the query set given as a doc_id FRAME (the
     * anchor list a contrastive materialization computes) instead of a
     * column predicate — membership rides a semi-join, so a dynamic
-    * anchor set never becomes a driver-side id list. */
+    * anchor set never becomes a driver-side id list.
+    *
+    * `nearDupPairs`: optionally the ALREADY-COMPUTED (d1, d2) MinHash
+    * pair frame to exclude — a caller that mined its anchors FROM the
+    * pair stage (q98) would otherwise pay the whole banded-LSH dataflow
+    * a second time just to rebuild the identical exclusion list
+    * (measured ~3 s of q98's 16 s at sf0.1). None = compute it here
+    * (the standalone q71 path). */
   def hardNegativesFor(docs: DataFrame, queryIds: DataFrame, k: Int = 10,
-                       dfCap: Long = 0L): DataFrame = {
+                       dfCap: Long = 0L,
+                       nearDupPairs: Option[DataFrame] = None): DataFrame = {
     val (out, caches) = hardNegativesLazyFrom(docs,
       _.join(queryIds.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-      k, dfCap)
+      k, dfCap, nearDupPairs)
     val rows =
       try out.collect()
       finally caches.foreach(_.unpersist())
@@ -227,7 +235,8 @@ object Retrieval {
 
   private[graft] def hardNegativesLazyFrom(
       docs: DataFrame, selectQueries: DataFrame => DataFrame, k: Int,
-      dfCap: Long): (DataFrame, Seq[DataFrame]) = {
+      dfCap: Long,
+      nearDupPairs: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
@@ -302,7 +311,8 @@ object Retrieval {
     // pair plan twice and exchange reuse does not cross union branches,
     // so the banded minhash dataflow would execute twice (measured
     // 4.3 s vs 2.5 s at sf0.1)
-    val excl = Dedup.minhashLshPairs(docs, pin = "checkpoint")
+    val excl = nearDupPairs
+      .getOrElse(Dedup.minhashLshPairs(docs, pin = "checkpoint"))
       .select(explode(array(
         struct(col("d1").as("query_id"), col("d2").as("doc_id")),
         struct(col("d2").as("query_id"), col("d1").as("doc_id")))).as("e"))

@@ -133,7 +133,12 @@ object Sharding {
                                 docsPerShard: Long = 16L,
                                 nEpochs: Int = 1): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val sym = Dedup.minhashLshPairs(docs, pin = "checkpoint")
+    // pin the pair frame ONCE: it feeds the anchor draw here AND the
+    // near-dup exclusion inside the negative miner — without the pin
+    // the whole banded-LSH dataflow ran twice (measured ~3 s of q98's
+    // 16 s at sf0.1). Pair-list scale, so the checkpoint is bounded.
+    val pairs = Dedup.minhashLshPairs(docs, pin = "checkpoint").localCheckpoint()
+    val sym = pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("p")),
         struct(col("d2").as("a"), col("d1").as("p")))).as("e"))
@@ -144,7 +149,8 @@ object Sharding {
       .orderBy(col("skey"), col("doc_id")).limit(maxAnchors)
       .select(col("doc_id"), col("pos_id"))
       .localCheckpoint() // feeds the probe, the triple join, the shuffle
-    val negs = Retrieval.hardNegativesFor(docs, anchors.select(col("doc_id")), kNeg)
+    val negs = Retrieval.hardNegativesFor(docs, anchors.select(col("doc_id")), kNeg,
+      nearDupPairs = Some(pairs))
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("rank").as("r"), col("doc_id").as("n"))).as("ns"))
       .select(col("query_id").as("doc_id"),

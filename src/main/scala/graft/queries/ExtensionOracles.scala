@@ -3272,6 +3272,26 @@ object ExtensionOracles {
       |             ELSE 127.0 / u128 END, 6) AS kmv_est
       |FROM st ORDER BY fortnight""".stripMargin
 
+  /** Mirrors q146 (`ops.Attribution.q146StreamedAttribution`): the
+    * identical interval join in SQL — every purchase paired with every
+    * same-user click at most 4 h (14 400 000 000 µs) before it.
+    * Equality with the engine's result proves the STREAMED inner join
+    * (two file sources, 3 chronological micro-batches each, watermarked
+    * state) emits exactly the batch join's pairs. */
+  val q146StreamedAttribution: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id,
+      |                 epoch_us(ts) AS click_us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id,
+      |             epoch_us(ts) AS purchase_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, c.click_id, p.purchase_id,
+      |       c.click_us, p.purchase_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |WHERE p.purchase_us >= c.click_us
+      |  AND p.purchase_us <= c.click_us + 14400000000
+      |ORDER BY p.user_id, c.click_id, p.purchase_id""".stripMargin
+
   /** Mirrors q142 (`ops.Experiment.abTest`): the md5-prefix variant
     * assignment, per-user event-type counts, exact long moments with
     * the variant's FULL unit count, and the identical fixed Welch
