@@ -263,6 +263,10 @@ object SparkEntry {
       graft.ops.KmvSketch.q145StreamedSketchServe(s, dir)),
     "q146_streamed_attribution" -> ((s: SparkSession, dir: String) =>
       graft.ops.Attribution.q146StreamedAttribution(s, dir)),
+    "q147_streamed_sessions" -> ((s: SparkSession, dir: String) =>
+      graft.ops.StreamingGates.q147StreamedSessions(s, dir)),
+    "q148_streamed_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.ops.StreamingGates.q148StreamedDedup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -720,5 +724,7 @@ object SparkEntry {
     "q144_psi_drift" -> ExtensionOracles.q144PsiDrift,
     "q145_streamed_sketch_store" -> ExtensionOracles.q145StreamedSketchServe,
     "q146_streamed_attribution" -> ExtensionOracles.q146StreamedAttribution,
+    "q147_streamed_sessions" -> ExtensionOracles.q147StreamedSessions,
+    "q148_streamed_dedup" -> ExtensionOracles.q148StreamedDedup,
   )
 }

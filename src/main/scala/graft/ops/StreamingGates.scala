@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Gate promotions for the STATEFUL streaming operators — q147
+  * (session windows) and q148 (watermarked exact dedup), completing the
+  * batch≡stream hash-proof set: q145 proved state-store MAINTENANCE,
+  * q146 the stream-stream JOIN, these two the built-in stateful
+  * aggregation and dedup operators. Each stages the events table as
+  * chronological slices (the q146 time-axis argument: batch i+1 holds
+  * no row older than any batch-i row, so nothing is ever late), runs
+  * the real Structured Streaming operator across ≥ 3 micro-batches,
+  * and serves a sorted, oracle-replayable frame.
+  *
+  * Reference scope note: the reference engine (s3-access-logs) is a
+  * batch-only exporter; this is the mandated beyond-reference streaming
+  * surface.
+  */
+object StreamingGates {
+
+  /** Stage `ev` (must carry an epoch-nanos `ts` LongType column) under
+    * `watched` as `nSlices` chronological parquet files b0..b{n-1} with
+    * pinned ascending mtimes (FileStreamSource orders new files by
+    * modification time), plus optionally one trailing sentinel file —
+    * a single far-future row that pushes the GLOBAL watermark past
+    * every real event so append-mode stateful operators FLUSH their
+    * final windows (without it, sessions still open at end-of-input
+    * never emit). Returns the sentinel ts (nanos) or -1. */
+  private[ops] def stageChronological(ev: DataFrame, root: String,
+                                      nSlices: Int,
+                                      sentinel: Option[DataFrame => DataFrame])
+      : Long = {
+    val s = ev.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val watched = s"$root/in"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val step = math.max(1L, (hi - lo) / nSlices)
+    def stageOne(df: DataFrame, i: Int): Unit = {
+      val tmpd = s"$root/stage_$i"
+      df.coalesce(1).write.parquet(tmpd)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
+      val dst = new org.apache.hadoop.fs.Path(f"$watched/b$i%02d.parquet")
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+      fs.setTimes(dst, 1600000000000L + i * 1000L, -1)
+    }
+    (0 until nSlices).foreach { i =>
+      val loC = lo + i * step
+      val pred =
+        if (i == 0) col("ts") < lo + step
+        else if (i == nSlices - 1) col("ts") >= loC
+        else col("ts") >= loC && col("ts") < loC + step
+      stageOne(ev.filter(pred), i)
+    }
+    sentinel match {
+      case Some(mk) => stageOne(mk(ev), nSlices); hi + 7L * 86400L * 1000000000L
+      case None => -1L
+    }
+  }
+
+  /** q147: gap-based SESSION WINDOWS through the streaming state store
+    * — the streaming half of q14's sessionization, hash-proven. The
+    * engine groups by (user, `session_window(t, 30 min)`) with a 2 h
+    * watermark over 3 chronological micro-batches plus a sentinel batch
+    * (one user −1 row 7 days out) whose only job is to push the global
+    * watermark past every real session end so append mode flushes them
+    * all; the slicing argument guarantees no session emits before a
+    * future batch could still extend it (extension row ts < cut − 2 h
+    * + 30 m < cut ≤ next batch's min — impossible). The oracle replays
+    * the gap-merge in SQL: session id = running count of >30 min gaps
+    * per user, start = min ts, end = max ts + 30 min — exactly
+    * `session_window`'s semantics. Sum rides DECIMAL(28,6) on both
+    * sides (the q34 float rule). */
+  def q147StreamedSessions(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_streamed_sessions"
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val sentinelTs = stageChronological(ev, root, 3, Some(e =>
+      e.sparkSession.range(1).select(
+        lit(-1L).as("event_id"),
+        (lit(7L * 86400L * 1000000000L) +
+          e.agg(max(col("ts"))).head().getLong(0)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit(0.0).as("value"))))
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("t", "2 hours")
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).as("sv"))
+    val sink = s"$root/sessions"
+    agg.select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sv"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(sink)
+      .awaitTermination()
+    require(sentinelTs > 0, "sentinel must have staged")
+    s.read.parquet(sink)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("sv").cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** q148: watermarked STREAMING EXACT DEDUP hash-proven — one row per
+    * user, their chronologically FIRST event, via
+    * `dropDuplicatesWithinWatermark` over the chronological slices (the
+    * q146 staging). Determinism rests on three pinned facts: (a)
+    * batches arrive in time order, so the earliest duplicate of every
+    * key is in the earliest batch that holds the key; (b) the dedup
+    * horizon (60 days) exceeds the fixture's whole 30-day span, so no
+    * key is evicted and re-admitted mid-run — a duplicate farther apart
+    * than the horizon re-admitting is the operator's documented
+    * production contract, not a gate concern; (c) within a batch the
+    * operator keeps the FIRST ROW ENCOUNTERED per key in state-store
+    * iteration order, so each slice is written pre-sorted by
+    * (ts, event_id) AND small enough to scan as ONE input split (a
+    * coalesce(1) file far below maxPartitionBytes) — a single mapper
+    * feeding the dedup exchange preserves row order per reduce
+    * partition, making first-encountered ≡ chronologically-first.
+    * The oracle is the per-user argmin in SQL. */
+  def q148StreamedDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_streamed_dedup"
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    stageChronological(
+      ev.repartition(1).sortWithinPartitions(col("ts"), col("event_id")),
+      root, 3, None)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("t", "60 days")
+      .dropDuplicatesWithinWatermark("user_id")
+    val sink = s"$root/firsts"
+    stream.select(col("user_id"), col("event_id").as("first_event_id"),
+        unix_micros(col("t")).as("first_us"), col("event_type"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(sink)
+      .awaitTermination()
+    s.read.parquet(sink)
+      .orderBy(col("user_id"))
+  }
+}

@@ -3292,6 +3292,47 @@ object ExtensionOracles {
       |  AND p.purchase_us <= c.click_us + 14400000000
       |ORDER BY p.user_id, c.click_id, p.purchase_id""".stripMargin
 
+  /** Mirrors q147 (`ops.StreamingGates.q147StreamedSessions`): the
+    * gap-merge replay of `session_window(t, 30 min)` — a new session
+    * starts when the gap to the previous same-user event is ≥ 30 min
+    * (session windows are end-EXCLUSIVE: an event landing exactly at
+    * last + gap opens a new one), end = last event + 30 min. Sum rides
+    * DECIMAL(28,6) on both sides (the q34 float rule). Equality proves
+    * the streaming state store's session merge across micro-batches ≡
+    * the batch gap-merge. */
+  val q147StreamedSessions: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      |d AS (SELECT user_id, us, value,
+      |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |                  IS NULL
+      |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |                  >= 1800000000
+      |             THEN 1 ELSE 0 END AS ns
+      |      FROM e),
+      |s AS (SELECT user_id, us, value,
+      |        SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d)
+      |SELECT user_id, MIN(us) AS session_start_us,
+      |       MAX(us) + 1800000000 AS session_end_us,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** Mirrors q148 (`ops.StreamingGates.q148StreamedDedup`): the
+    * per-user argmin — the row `dropDuplicatesWithinWatermark` keeps
+    * when batches arrive chronologically and each slice is pre-sorted
+    * by (ts, event_id). */
+  val q148StreamedDedup: String =
+    """SELECT user_id, event_id AS first_event_id,
+      |       epoch_us(ts) AS first_us, event_type
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** Mirrors q142 (`ops.Experiment.abTest`): the md5-prefix variant
     * assignment, per-user event-type counts, exact long moments with
     * the variant's FULL unit count, and the identical fixed Welch

@@ -122,6 +122,46 @@ object ProfileQ98 {
     time("q71 full") {
       graft.ops.Retrieval.q71HardNegatives(spark, dir).count()
     }
+    // q100 stage breakdown (index write → v2 derive → sync → probe)
+    locally {
+      import graft.ops.Retrieval
+      val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val root = new org.apache.hadoop.fs.Path("/tmp/graft_profile_sync")
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+      val dst = "/tmp/graft_profile_sync/idx"
+      time("q100 writePostings") { Retrieval.writePostingsBucketed(docs, dst) }
+      val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" spark spark window"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + shift).as("doc_id"),
+            concat(col("text"), lit(" merge vector")).as("text")))
+      locally {
+        import graft.ops.SnapshotDiff
+        val d = time("q100 sync:diff") {
+          val d0 = SnapshotDiff.diff(docs, v2)
+            .filter(col("status") =!= "unchanged")
+            .select(col("doc_id"), col("status"))
+            .localCheckpoint()
+          d0.count(); d0
+        }
+        val changed = d.filter(col("status") === "changed").select("doc_id")
+        val removed = d.filter(col("status") === "removed").select("doc_id")
+        val toAddIds = d.filter(col("status") =!= "removed").select("doc_id")
+        time("q100 sync:tomb(changed)") { Retrieval.tombstonePostings(changed, dst) }
+        time("q100 sync:purge") { Retrieval.purgePostingTombstones(spark, dst) }
+        time("q100 sync:tomb(removed)") { Retrieval.tombstonePostings(removed, dst) }
+        val toAdd = v2.join(toAddIds, Seq("doc_id"))
+        time("q100 sync:append") { Retrieval.appendToPostings(toAdd, dst) }
+      }
+      time("q100 probe") {
+        Retrieval.bucketedBm25TopK(spark, dst,
+          Seq("spark", "vector", "merge", "window"), 20).count()
+      }
+      time("q100 full") { graft.ops.Retrieval.q100IndexSyncProbe(spark, dir).count() }
+    }
     spark.stop()
   }
 }

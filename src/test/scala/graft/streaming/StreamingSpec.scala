@@ -499,6 +499,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("q147 streamed session windows ≡ batch sessionizer counts; q148 is rerun-stable") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val sessions = graft.ops.StreamingGates.q147StreamedSessions(spark, dir)
+      .localCheckpoint()
+    // invariants: sentinel excluded, every session ≥ 1 event, end = last+gap
+    assert(sessions.filter(col("user_id") === -1L).isEmpty)
+    assert(sessions.filter(col("n_events") < 1L).isEmpty)
+    assert(sessions.filter(
+      col("session_end_us") - col("session_start_us") < 1800000000L).isEmpty)
+    // cross-operator lock: per-user session COUNT matches the batch
+    // hot-key-safe sessionizer. (Boundary conventions differ — batch
+    // opens on gap > 30 min, session_window on gap ≥ 30 min — but the
+    // micros-resolution fixture has no exact-30:00.000000 gap, so the
+    // counts must agree; a divergence here means real semantics drift.)
+    val streamed = sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ns"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, dir)
+    val batch = graft.ops.SkewWindows.sessionCounts(
+        ev.select(col("user_id"), expr("ts DIV 1000000").as("tms"), col("event_id")),
+        "user_id", col("tms"), col("event_id"), gapMs = 1800000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      s"streamed-only: ${streamed.toSet.diff(batch.toSet)}; batch-only: ${batch.toSet.diff(streamed.toSet)}")
+    // q148 rerun determinism: identical frames run-to-run (the staging
+    // and state iteration are pinned, not accidental)
+    val a = graft.ops.StreamingGates.q148StreamedDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.ops.StreamingGates.q148StreamedDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("q146 streamed attribution ≡ batch interval join over the real events fixture") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
