@@ -104,13 +104,18 @@ object Attribution {
     val joined = graft.streaming.Streaming.attributionJoinStream(
       clicks, purchases, WindowSpec, WatermarkSpec)
     val sink = s"$StreamedAttrPath/pairs"
-    joined.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", s"$StreamedAttrPath/cp")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(sink)
-      .awaitTermination()
+    // 8 state partitions: the join buffers KB-scale state per side —
+    // 32 partitions × 2 sides × batches of state-store commits was
+    // measured as ~half of q146's bench time (StreamingGates scaladoc)
+    StreamingGates.withShufflePartitions(s, 8) {
+      joined.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$StreamedAttrPath/cp")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start(sink)
+        .awaitTermination()
+    }
 
     s.read.parquet(sink)
       .select(col("user_id"),

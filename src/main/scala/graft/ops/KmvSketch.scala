@@ -236,8 +236,13 @@ object KmvSketch {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(watched)
     val store = s"$StreamedSketchPath/store"
-    graft.streaming.Streaming.kmvDailyStream(stream, store, k)
-      .awaitTermination()
+    // 8 shuffle partitions while the stream runs: each micro-batch's
+    // per-day partial aggregate is ≤ span_days rows (StreamingGates
+    // scaladoc on state-commit churn)
+    StreamingGates.withShufflePartitions(s, 8) {
+      graft.streaming.Streaming.kmvDailyStream(stream, store, k)
+        .awaitTermination()
+    }
     val fortnightly = serveRangeDistinct(s, store, k,
       expr("CAST(day AS BIGINT) DIV 14")).withColumnRenamed("grp", "fortnight")
     val total = serveRangeDistinct(s, store, k, lit(-1L))

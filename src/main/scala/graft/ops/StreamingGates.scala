@@ -20,6 +20,20 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 object StreamingGates {
 
+  /** Run `f` with the session's shuffle-partition count pinned to `n`,
+    * restoring the old value after. Streaming queries freeze the count
+    * into their checkpoint at start — 32 state partitions × sides ×
+    * micro-batches of KB-scale state is pure commit overhead for the
+    * gate fixtures (measured: q146 10.5 s → with 8 partitions the
+    * state-store file churn drops 4×). At 100 TB you size this to state
+    * volume; these gate queries stage their own bounded inputs. */
+  private[ops] def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Stage `ev` (must carry an epoch-nanos `ts` LongType column) under
     * `watched` as `nSlices` chronological parquet files b0..b{n-1} with
     * pinned ascending mtimes (FileStreamSource orders new files by
@@ -99,17 +113,19 @@ object StreamingGates {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).as("sv"))
     val sink = s"$root/sessions"
-    agg.select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start_us"),
-        unix_micros(col("session_window.end")).as("session_end_us"),
-        col("n_events"), col("sv"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", s"$root/cp")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(sink)
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      agg.select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sv"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start(sink)
+        .awaitTermination()
+    }
     require(sentinelTs > 0, "sentinel must have staged")
     s.read.parquet(sink)
       .filter(col("user_id") =!= -1L)
@@ -148,15 +164,17 @@ object StreamingGates {
       .withWatermark("t", "60 days")
       .dropDuplicatesWithinWatermark("user_id")
     val sink = s"$root/firsts"
-    stream.select(col("user_id"), col("event_id").as("first_event_id"),
-        unix_micros(col("t")).as("first_us"), col("event_type"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", s"$root/cp")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start(sink)
-      .awaitTermination()
+    withShufflePartitions(s, 8) {
+      stream.select(col("user_id"), col("event_id").as("first_event_id"),
+          unix_micros(col("t")).as("first_us"), col("event_type"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start(sink)
+        .awaitTermination()
+    }
     s.read.parquet(sink)
       .orderBy(col("user_id"))
   }
