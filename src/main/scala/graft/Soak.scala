@@ -25,7 +25,12 @@ object Soak {
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional 3rd arg: comma-separated label filter — re-measure one
+    // op's soak row without paying the whole suite
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
     def timed(label: String)(df: => DataFrame): (String, Double, Long) = {
+      if (only.nonEmpty && !only(label)) return (label, -1.0, -1L)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = df.count()
@@ -50,12 +55,16 @@ object Soak {
     // the banded join generates before any similarity filter, and how
     // big the hottest bucket is (its pair count is quadratic and lands
     // in one task unless the join is chunk-split)
-    val sigs = emb.withColumn("sig",
-      Similarity.lshSignature(col("embedding"), 64, 4))
-    val bucketStats = sigs.groupBy(col("sig")).count()
-      .agg(max(col("count")).as("hottest"),
-        sum(col("count") * (col("count") - 1) / 2).as("candidates"))
-      .collect()(0)
+    val bucketStats: org.apache.spark.sql.Row =
+      if (only.nonEmpty) org.apache.spark.sql.Row(-1L, -1L)
+      else {
+        val sigs = emb.withColumn("sig",
+          Similarity.lshSignature(col("embedding"), 64, 4))
+        sigs.groupBy(col("sig")).count()
+          .agg(max(col("count")).as("hottest"),
+            sum(col("count") * (col("count") - 1) / 2).as("candidates"))
+          .collect()(0)
+      }
 
     val results = Seq(
       timed("shingles")(Dedup.shingles(docs, 3)),
@@ -150,6 +159,7 @@ object Soak {
       .toFile.getAbsolutePath
     val sigDst = base + "/sig"; val cellDst = base + "/cell"
     def timedSec(f: => Unit): Double = {
+      if (only.nonEmpty) return -1.0 // label filter active: skip layouts
       spark.catalog.clearCache()
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -196,7 +206,7 @@ object Soak {
       postRows = Retrieval.bucketedBm25TopK(spark, postDst,
         Seq("spark", "vector", "merge", "window"), 20).count()
     }
-    val postFrac = {
+    val postFrac = if (only.nonEmpty) -1.0 else {
       val total = new java.io.File(postDst).listFiles()
         .count(_.getName.startsWith("bucket="))
       val (tfFrame, _, _) = Retrieval.probedPostings(spark, postDst,
@@ -353,8 +363,8 @@ object Soak {
         .distinct().count()
       read.toDouble / total
     }
-    val sigFrac = dirsFrac(sigDst, "sig", "sig")
-    val cellFrac = dirsFrac(cellDst, "cell", "cell")
+    val sigFrac = if (only.nonEmpty) -1.0 else dirsFrac(sigDst, "sig", "sig")
+    val cellFrac = if (only.nonEmpty) -1.0 else dirsFrac(cellDst, "cell", "cell")
 
     // JL reduce-then-rerank probe: 5 fixed queries against the soaked
     // corpus — the coarse pass scans 96-byte projected rows, the exact
