@@ -410,7 +410,7 @@ object NearDupIndex {
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
     val dst = "/tmp/graft_neardup_index/idx"
     writeMinhashLayout(docs.filter(col("doc_id") % 5 =!= 0), dst,
-      maxDocFreq = 10000L)
+      nBuckets = 16, maxDocFreq = 10000L) // the q96 bucket-sizing note
     probeNearDup(s, dst, docs.filter(col("doc_id") % 5 === 0))
       .orderBy(col("d1"), col("d2"))
   }

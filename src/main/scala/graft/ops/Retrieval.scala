@@ -605,7 +605,11 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path("/tmp/graft_postings_delete")
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
     val dst = "/tmp/graft_postings_delete/idx"
-    writePostingsBucketed(docs, dst)
+    // 16 buckets at fixture scale: bucket count is a LAYOUT knob stored
+    // in _meta (probe pruning and ranking are bucket-count-invariant —
+    // the oracle proves the ranking, the soak's 64-bucket run proves
+    // the pruning); 64 dirs of KB files paid pure task/commit overhead
+    writePostingsBucketed(docs, dst, nBuckets = 16)
     tombstonePostings(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), dst)
     bucketedBm25TopK(s, dst, Seq("spark", "vector", "merge", "window"), 20)
   }
@@ -624,7 +628,7 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path("/tmp/graft_postings_sync_gate")
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
     val dst = "/tmp/graft_postings_sync_gate/idx"
-    writePostingsBucketed(docs, dst)
+    writePostingsBucketed(docs, dst, nBuckets = 16) // the q96 sizing note
     val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val v2 = docs.filter(col("doc_id") % 7 =!= 0)
       .withColumn("text",
