@@ -267,6 +267,12 @@ object SparkEntry {
       graft.ops.StreamingGates.q147StreamedSessions(s, dir)),
     "q148_streamed_dedup" -> ((s: SparkSession, dir: String) =>
       graft.ops.StreamingGates.q148StreamedDedup(s, dir)),
+    "q149_boilerplate_removal" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Boilerplate.q149BoilerplateRemoval(s, dir)),
+    "q150_heavy_tokens" -> ((s: SparkSession, dir: String) =>
+      graft.ops.HeavyHitters.q150HeavyTokens(s, dir)),
+    "q151_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Hybrid.q151HybridRrf(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -726,5 +732,8 @@ object SparkEntry {
     "q146_streamed_attribution" -> ExtensionOracles.q146StreamedAttribution,
     "q147_streamed_sessions" -> ExtensionOracles.q147StreamedSessions,
     "q148_streamed_dedup" -> ExtensionOracles.q148StreamedDedup,
+    "q149_boilerplate_removal" -> ExtensionOracles.q149BoilerplateRemoval,
+    "q150_heavy_tokens" -> ExtensionOracles.q150HeavyTokens,
+    "q151_hybrid_rrf" -> ExtensionOracles.q151HybridRrf,
   )
 }

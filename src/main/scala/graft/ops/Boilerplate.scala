@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-frequency boilerplate removal — the RefinedWeb/CCNet-style
+  * pass that strips text occurring verbatim across many documents
+  * (navigation chrome, license banners, cookie notices) BEFORE
+  * training: any word n-gram present in at least `pctDocs`% of all
+  * documents is boilerplate, and every token covered by at least one
+  * boilerplate gram is cut; the survivors are re-joined in order.
+  * Complements q82 (`Dedup.spanRemoved`): q82 cuts spans shared within
+  * a NEAR-DUP PAIR, this cuts what the whole CORPUS repeats — the two
+  * fire on disjoint evidence (a 2-doc duplicated span never clears a
+  * percent-of-corpus bar; a nav bar on every page never needs a
+  * near-dup partner).
+  *
+  * Scale shape (100 TB):
+  *  - gram df is one map-side-combinable groupBy over (distinct
+  *    per-doc) grams — the same shuffle class as q53's df stage;
+  *  - the frequent-gram table is BOUNDED BY CONSTRUCTION, independent
+  *    of corpus size: Σ df = n_docs · avg_grams_per_doc and every kept
+  *    gram has df ≥ (pctDocs/100) · n_docs, so |frequent| ≤
+  *    avg_grams_per_doc · 100 / pctDocs (~10⁴ at 1%) — it broadcasts;
+  *  - coverage positions ride a broadcast join + one doc_id-keyed
+  *    aggregate of START OFFSETS only (≤ grams-per-doc ints per doc,
+  *    never tokens), and the rewrite itself is an in-row higher-order
+  *    filter over the doc's own token array — per-doc cost
+  *    O(tokens · covered), bounded by document length like q82's fold;
+  *  - the only corpus-weight shuffle is the final doc_id hash join of
+  *    the token frame against the small offsets table (q82's exact
+  *    join shape).
+  *
+  * The threshold is evaluated as the integer rule `100·df ≥ pctDocs·N`
+  * (⇔ df ≥ ceil(pctDocs·N/100)) so engine and oracle agree without a
+  * single float in the decision.
+  */
+object Boilerplate {
+
+  /** q149: 3-gram boilerplate removal at the 1%-of-docs bar. */
+  def q149BoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
+    removeFrequentGrams(Tables.documents(s, dir), n = 3, pctDocs = 1)
+
+  /** The reusable rewrite over any (doc_id, text) frame: per doc, the
+    * token counts before/after cutting tokens covered by any n-gram
+    * whose document frequency reaches `pctDocs`% of the corpus, plus
+    * the md5 of the cleaned text (kept tokens re-joined with single
+    * spaces — the tokenizer's canonical form, like q82 pins bytes). */
+  def removeFrequentGrams(docs: DataFrame, n: Int, pctDocs: Int): DataFrame = {
+    require(n >= 2, s"gram order must be >= 2, got $n")
+    require(pctDocs >= 1 && pctDocs <= 100, s"pctDocs out of (0,100]: $pctDocs")
+
+    val toks = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+
+    // grams with their 1-based start offset, generated in-row
+    val grams = toks
+      .select(col("doc_id"), posGramsCol(col("l"), n).as("pg"))
+      .select(col("doc_id"), explode(col("pg")).as("pg"))
+      .select(col("doc_id"), col("pg.i").as("i"), col("pg.g").as("g"))
+
+    // document frequency — distinct per doc, then one combinable count
+    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    val freq = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 >= lit(pctDocs.toLong) * col("n_docs"))
+      .select(col("g"))
+
+    // per-doc start offsets of boilerplate grams (ints only, bounded by
+    // the doc's own gram count); |freq| is the bounded table — broadcast
+    val starts = grams.join(broadcast(freq), "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(array_distinct(collect_list(col("i")))).as("starts"))
+
+    val covered = array_sort(array_distinct(flatten(
+      transform(col("starts"), st => sequence(st, st + (n - 1))))))
+
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("cov", covered)
+      // kept = tokens whose (1-based) position is uncovered; the lambda
+      // index j is 0-based
+      .withColumn("kept",
+        filter(col("l"), (x, j) => !array_contains(col("cov"), j + 1)))
+      .select(col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),
+        when(size(col("l")) === 0, lit(0.0))
+          .otherwise((size(col("l")) - size(col("kept"))).cast("double") /
+            size(col("l")).cast("double")).as("removed_frac"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Array of (i, g) structs: every n-gram of `l` with its 1-based
+    * start offset — the position-carrying sibling of Dedup.shingles'
+    * in-row gram generation. */
+  private def posGramsCol(l: Column, n: Int): Column =
+    transform(
+      when(size(l) >= n, sequence(lit(1), size(l) - (n - 1)))
+        .otherwise(array().cast("array<int>")),
+      i => struct(i.as("i"), array_join(slice(l, i, lit(n)), " ").as("g")))
+}

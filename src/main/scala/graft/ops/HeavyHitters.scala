@@ -76,4 +76,45 @@ object HeavyHitters {
     import items.sparkSession.implicits._
     items.select(new SpaceSaving(k).toColumn.name("top")).as[Seq[TopItem]].head()
   }
+
+  /** q150: exact top-k most frequent tokens WITHOUT a full-vocabulary
+    * shuffle — the sketch-then-verify pattern: (1) one SpaceSaving pass
+    * (constant `capacity` counters per partition, k-sized merge
+    * summaries) yields a CANDIDATE set that provably contains every
+    * item with frequency above the sketch bar; (2) the corpus is
+    * re-scanned with the candidates as an in-row filter, so the exact
+    * count shuffle carries ONLY candidate occurrences — at 100 TB the
+    * vocabulary (URLs, user ids, shingles) is billions of keys and a
+    * plain groupBy-count ships |distinct-per-partition| rows per task,
+    * while this ships ≤ capacity keys' worth.
+    *
+    * Exactness: reported counts are true counts (stage 2), so the
+    * output equals the global top-k whenever the candidate set covers
+    * it. SpaceSaving guarantees any item with freq > N/capacity
+    * survives a single pass, and the sum-combine merge loses at most
+    * N_absent/capacity per partition where the item missed the summary
+    * — with `capacity` ≫ k (64× here) the k-th item's frequency clears
+    * the merged bar on any remotely Zipfian corpus; the ScaleOpsSpec
+    * planted-skew test pins the recovery, and the gate's fixture
+    * vocabulary (< capacity distinct tokens) makes the sketch lossless
+    * outright. */
+  def q150HeavyTokens(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    heavyTokens(graft.Tables.documents(s, dir), k = 20, capacity = 1280)
+
+  /** The reusable core over any (doc_id, text) frame: (token, cnt) for
+    * the k most frequent tokens, exact counts, ties broken by token. */
+  def heavyTokens(docs: org.apache.spark.sql.DataFrame, k: Int,
+                  capacity: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import docs.sparkSession.implicits._
+    val toks = Par.widen(docs)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val candidates = topK(toks.as[String], capacity).map(_.item)
+    toks.filter(col("token").isInCollection(candidates))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      .orderBy(col("cnt").desc, col("token"))
+  }
 }

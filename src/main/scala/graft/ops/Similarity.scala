@@ -68,7 +68,7 @@ object Similarity {
     * 6e-14 on unit-ish vectors) plus the division — 1e-9 is >4 orders of
     * magnitude above the true bound, and 6+ orders below real corpus
     * neighbor gaps, so widening never triggers on benign data. */
-  private val FloatGuardBand = 1e-9
+  private[ops] val FloatGuardBand = 1e-9
 
   /** q28: brute-force exact top-10 cosine neighbors for query vectors
     * vec_id < 5 (self excluded). Queries are broadcast; one scan of the

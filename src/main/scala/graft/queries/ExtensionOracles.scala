@@ -3472,4 +3472,126 @@ object ExtensionOracles {
        |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
        |FROM b GROUP BY doc_id, bucket
        |ORDER BY doc_id, bucket""".stripMargin
+
+  /** Mirrors q149 (`ops.Boilerplate.removeFrequentGrams`): 3-gram
+    * document frequency over the corpus, the integer percent bar
+    * (100·df ≥ n_docs ⇔ df ≥ ceil(n/100)), covered token positions via
+    * the gram start offsets, and the cleaned text re-joined in order —
+    * md5 pins exact bytes. Docs with < 3 tokens generate no grams and
+    * keep everything; fully-covered docs hash the empty string on both
+    * sides. */
+  val q149BoilerplateRemoval: String =
+    s"""WITH $tokCte,
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |g AS (SELECT doc_id, i, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+       |df AS (SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM g GROUP BY g),
+       |freq AS (SELECT g FROM df, nd WHERE df * 100 >= n),
+       |cov AS (SELECT DISTINCT a.doc_id, a.i + o AS p
+       |        FROM g a JOIN freq USING (g),
+       |             unnest(generate_series(0, 2)) AS t(o)),
+       |tokpos AS (SELECT doc_id, j, l[j] AS tk
+       |           FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS j
+       |                 FROM tok)),
+       |kept AS (SELECT t.doc_id, t.j, t.tk
+       |         FROM tokpos t LEFT JOIN cov c
+       |           ON t.doc_id = c.doc_id AND t.j = c.p
+       |         WHERE c.p IS NULL),
+       |clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS txt,
+       |                 CAST(COUNT(*) AS BIGINT) AS n_kept
+       |          FROM kept GROUP BY doc_id)
+       |SELECT tok.doc_id,
+       |  CAST(len(l) AS BIGINT) AS n_tokens,
+       |  CAST(len(l) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |  CASE WHEN len(l) = 0 THEN 0.0
+       |       ELSE CAST(len(l) - coalesce(n_kept, 0) AS DOUBLE) /
+       |            CAST(len(l) AS DOUBLE) END AS removed_frac,
+       |  md5(coalesce(txt, '')) AS clean_md5
+       |FROM tok LEFT JOIN clean USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q150 (`ops.HeavyHitters.heavyTokens`): the exact top-20
+    * token frequencies — the engine's SpaceSaving candidate pass is a
+    * pure pruning device (stage-2 counts are exact), so the oracle is
+    * the plain global count the sketch avoids shuffling. */
+  val q150HeavyTokens: String =
+    s"""WITH $tokCte,
+       |t AS (SELECT unnest(l) AS token FROM tok),
+       |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM t GROUP BY token)
+       |SELECT token, cnt FROM c
+       |ORDER BY cnt DESC, token
+       |LIMIT 20""".stripMargin
+
+  /** Mirrors q151 (`ops.Hybrid.hybridRrf`): BM25 top-50 with probe doc
+    * 0's distinct tokens as the query (the q58 float discipline —
+    * round-12 idf and partials, DECIMAL(28,12) sum, rank over the
+    * DOUBLE cast exactly as the engine windows), cosine top-50 against
+    * probe vector 0 (the q36 decimal dot/norms, round-12, zero-norm
+    * rows excluded), and the RRF sum as two round-12 reciprocal terms
+    * added in DECIMAL(28,12). */
+  val q151HybridRrf: String =
+    s"""WITH $tokCte,
+       |terms AS (SELECT DISTINCT unnest(l) AS term FROM tok WHERE doc_id = 0),
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok
+       |      WHERE doc_id <> 0),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t JOIN terms USING (term)
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS score
+       |        FROM sc GROUP BY doc_id),
+       |lexall AS (SELECT doc_id, score FROM agg
+       |           ORDER BY score DESC, doc_id LIMIT 50),
+       |lex AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS rank_lex FROM lexall),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+       |qn AS (SELECT SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+       |                 AS DECIMAL(28,18))) AS qq
+       |       FROM (SELECT qe, unnest(generate_series(1, len(qe))) AS i FROM q)),
+       |x AS (SELECT vec_id, embedding, qe,
+       |             unnest(generate_series(1, len(embedding))) AS i
+       |      FROM e, q WHERE vec_id <> 0),
+       |dots AS (SELECT vec_id,
+       |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+       |        AS DECIMAL(28,18))) AS dot,
+       |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |        AS DECIMAL(28,18))) AS nn
+       |  FROM x GROUP BY vec_id),
+       |cosd AS (SELECT vec_id,
+       |    round(CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))), 12) AS cos
+       |  FROM dots, qn WHERE CAST(nn AS DOUBLE) > 0 AND CAST(qq AS DOUBLE) > 0),
+       |denseall AS (SELECT vec_id, cos FROM cosd
+       |             ORDER BY cos DESC, vec_id LIMIT 50),
+       |dense AS (SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+       |      AS rank_dense FROM denseall),
+       |fused AS (SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    l.rank_lex, dn.rank_dense,
+       |    coalesce(CAST(round(1.0 / (60 + l.rank_lex), 12) AS DECIMAL(28,12)),
+       |             CAST(0 AS DECIMAL(28,12))) +
+       |    coalesce(CAST(round(1.0 / (60 + dn.rank_dense), 12) AS DECIMAL(28,12)),
+       |             CAST(0 AS DECIMAL(28,12))) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id),
+       |top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+       |SELECT doc_id, rank_lex, rank_dense, CAST(rrf AS DOUBLE) AS rrf_score
+       |FROM top
+       |ORDER BY doc_id""".stripMargin
 }

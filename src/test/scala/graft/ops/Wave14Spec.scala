@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavioral specs for the wave-14 operators: corpus-frequency
+  * boilerplate removal (planted boilerplate at / below the bar, overlap
+  * merging, degenerate docs), sketch-then-verify heavy hitters (the
+  * guarantee on a domain far larger than the sketch), and hybrid RRF
+  * fusion (planted rankings where the fused order is hand-checkable,
+  * list-membership nulls, zero-norm exclusion). */
+class Wave14Spec extends SparkSpec {
+
+  private def docsOf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("boilerplate: gram at the bar is cut everywhere, below the bar survives") {
+    // 10 docs; 6 open with the same 3 tokens (df=6 ≥ 50% bar), 3 share
+    // a different phrase (df=3, below the bar), unique tails
+    val boiler = "cookie notice accept"
+    val minor = "minor shared phrase"
+    val docs = docsOf(
+      (0L until 6L).map(i => i -> s"$boiler unique$i tail$i") ++
+        (6L until 9L).map(i => i -> s"$minor only$i") :+
+        (9L -> "entirely original content here"))
+    val out = Boilerplate.removeFrequentGrams(docs, n = 3, pctDocs = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    // the 6 boilerplate carriers lose exactly the 3 covered tokens
+    (0L until 6L).foreach { i =>
+      val (n, removed, md5clean) = out(i)
+      assert(n == 5 && removed == 3, s"doc $i: $n/$removed")
+      assert(md5clean == md5Of(s"unique$i tail$i"), s"doc $i bytes")
+    }
+    // below-bar phrase and the unique doc keep everything
+    (6L until 10L).foreach { i =>
+      assert(out(i)._2 == 0L, s"doc $i should be untouched")
+    }
+  }
+
+  test("boilerplate: overlapping frequent grams merge (no double-cut), full-coverage doc hashes empty") {
+    // "a b c d" in 3 of 4 docs: grams "a b c" and "b c d" are both
+    // frequent and overlap on b,c — covered union is 4 tokens, not 6
+    val docs = docsOf(Seq(
+      0L -> "a b c d x0", 1L -> "a b c d x1", 2L -> "a b c d",
+      3L -> "totally different words here"))
+    val out = Boilerplate.removeFrequentGrams(docs, n = 3, pctDocs = 75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(out(0L) == ((5L, 4L, 0.8, md5Of("x0"))))
+    assert(out(1L) == ((5L, 4L, 0.8, md5Of("x1"))))
+    // doc 2 is pure boilerplate: everything cut, md5 of empty string
+    assert(out(2L) == ((4L, 4L, 1.0, md5Of(""))))
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("boilerplate: short and empty docs pass through untouched") {
+    val docs = docsOf(Seq(
+      0L -> "shared phrase", 1L -> "shared phrase", 2L -> "shared phrase",
+      3L -> "", 4L -> "one"))
+    // 2-token docs generate no 3-grams even at a trivial bar
+    val out = Boilerplate.removeFrequentGrams(docs, n = 3, pctDocs = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0))) // empty text: 0/0 guarded to 0.0
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  private def md5Of(sIn: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sIn.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("heavy hitters: sketch-then-verify equals exact top-k on a domain 40x the sketch") {
+    import spark.implicits._
+    // 20 hot tokens (1000+ occurrences) in a sea of 50k near-singletons:
+    // domain 50k >> capacity 1280, hot mass >> N/capacity bar
+    val hot = (0 until 20).flatMap(i => Seq.fill(1000 + i)(f"hot$i%02d"))
+    val noise = (0 until 50000).map(i => s"noise$i")
+    val docs = (hot ++ noise).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = HeavyHitters.heavyTokens(docs, k = 20, capacity = 1280)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = (0 until 20).map(i => (f"hot${19 - i}%02d", (1019 - i).toLong))
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+  }
+
+  test("hybrid rrf: planted rankings fuse in the hand-computed order, nulls mark missing lists") {
+    import spark.implicits._
+    // probe doc 0: tokens {q}. Lexical relevance via tf of "q";
+    // dense relevance via angle to the probe's unit vector.
+    val docs = Seq(
+      (0L, "q"),
+      (1L, "q q q q pad pad"),       // lex rank 1
+      (2L, "q q pad pad pad pad"),   // lex rank 2
+      (3L, "q pad pad pad pad pad"), // lex rank 3
+      (4L, "pad pad pad pad pad pad"), // no lex hit
+      // same tf as doc 3 but LONGER (dl 7 > 6): length normalization
+      // ranks it 4th — cut at listK=3 (a short "q pad" would outrank
+      // doc 3 via the short-doc boost and break the plant)
+      (5L, "q pad pad pad pad pad pad") // lex rank 4, zero-norm embedding
+    ).toDF("doc_id", "text")
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0)),
+      (1L, v(0.6, 0.8)),   // cos 0.6
+      (2L, v(0.8, 0.6)),   // cos 0.8 → dense rank 2
+      (3L, v(0.9, 0.435889894354)), // cos ~0.9 → dense rank 1
+      (4L, v(0.7, 0.714142842854)), // cos 0.7 → dense rank 3
+      (5L, v(0, 0))        // zero norm: excluded from the dense list
+    ).toDF("vec_id", "embedding")
+    val out = Hybrid.hybridRrf(docs, emb, probeId = 0L,
+        listK = 3, fuseK = 6, rrfK = 60)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(!out.contains(0L), "probe must not rank")
+    assert(out(1L) == ((Some(1L), None)))    // lex 1, cut from dense top-3
+    assert(out(2L) == ((Some(2L), Some(2L))))
+    assert(out(3L) == ((Some(3L), Some(1L))))
+    assert(out(4L) == ((None, Some(3L))))    // no lex hit
+    assert(!out.contains(5L), "zero-norm doc has no dense rank and rank-4 lex is cut at listK=3")
+    // fused order: doc 3 (1/63+1/61) > doc 2 (1/62+1/62) > doc 1 (1/61)
+    // > doc 4 (1/63) — verified by the oracle at the gate; here assert
+    // the rrf arithmetic ranks 3 first
+    val scored = Hybrid.hybridRrf(docs, emb, 0L, 3, 6, 60)
+      .orderBy(col("rrf_score").desc).collect().map(_.getLong(0)).toSeq
+    assert(scored == Seq(3L, 2L, 1L, 4L), s"fused order: $scored")
+  }
+}
