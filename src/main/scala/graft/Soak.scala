@@ -148,7 +148,23 @@ object Soak {
             graft.ops.Bpe.bpeIds(col("text"), merges, vocab).as("ids"))
           .filter(size(col("ids")) >= 0).count()
         ("token_ids", (System.nanoTime() - t0) / 1e9, rows)
-      })
+      },
+      // wave-14: boilerplate removal (gram-df shuffle + offsets join +
+      // in-row rewrite — the salt thins the frequent set as n_docs
+      // grows, so the timed cost is the df count and the doc_id join,
+      // both linear), sketch-then-verify heavy hitters (two corpus
+      // passes: constant-memory summaries, then the candidate-filtered
+      // exact count — never a full-vocabulary shuffle; the salt makes
+      // the vocabulary grow ×mult while candidates stay capacity-
+      // bounded), and hybrid RRF (one posting-pruned BM25 pass + one
+      // float-cosine scan with a bounded top-kf — fusion itself is
+      // two ≤50-row frames)
+      timed("boilerplate")(graft.ops.Boilerplate.removeFrequentGrams(docs, 3, 1)
+        .filter(length(col("clean_md5")) === 32)),
+      timed("heavy_tokens")(graft.ops.HeavyHitters.heavyTokens(docs, 20, 1280)
+        .filter(col("cnt") >= 0L)),
+      timed("hybrid_rrf")(graft.ops.Hybrid.hybridRrf(docs, emb, 0L, 50, 20, 60)
+        .filter(col("rrf_score") >= 0.0)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

@@ -273,6 +273,8 @@ object SparkEntry {
       graft.ops.HeavyHitters.q150HeavyTokens(s, dir)),
     "q151_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       graft.ops.Hybrid.q151HybridRrf(s, dir)),
+    "q152_streamed_heavy_users" -> ((s: SparkSession, dir: String) =>
+      graft.ops.HeavyHitters.q152StreamedHeavyUsers(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -735,5 +737,6 @@ object SparkEntry {
     "q149_boilerplate_removal" -> ExtensionOracles.q149BoilerplateRemoval,
     "q150_heavy_tokens" -> ExtensionOracles.q150HeavyTokens,
     "q151_hybrid_rrf" -> ExtensionOracles.q151HybridRrf,
+    "q152_streamed_heavy_users" -> ExtensionOracles.q152StreamedHeavyUsers,
   )
 }

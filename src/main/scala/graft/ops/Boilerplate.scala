@@ -54,15 +54,20 @@ object Boilerplate {
     val toks = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
 
-    // grams with their 1-based start offset, generated in-row
+    // grams with their 1-based start offset: the gram ARRAY is generated
+    // in-row (Dedup.shingles' pattern) and positions come from
+    // posexplode. A struct(i, g) built inside the transform carried the
+    // same information in one pass but fell out of codegen — measured
+    // 222 s vs 2.9 s for this shape at the 10× soak (recorded dead end)
     val grams = toks
-      .select(col("doc_id"), posGramsCol(col("l"), n).as("pg"))
-      .select(col("doc_id"), explode(col("pg")).as("pg"))
-      .select(col("doc_id"), col("pg.i").as("i"), col("pg.g").as("g"))
+      .select(col("doc_id"), posexplode(gramArrCol(col("l"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
 
-    // document frequency — distinct per doc, then one combinable count
+    // document frequency — per-doc distinct IN-ROW (array_distinct
+    // before the explode, the q25 rule), then one combinable count
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
-    val freq = grams.select(col("doc_id"), col("g")).distinct()
+    val freq = toks
+      .select(explode(array_distinct(gramArrCol(col("l"), n))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 >= lit(pctDocs.toLong) * col("n_docs"))
@@ -81,10 +86,19 @@ object Boilerplate {
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("cov", covered)
-      // kept = tokens whose (1-based) position is uncovered; the lambda
-      // index j is 0-based
+      // kept = tokens at the uncovered (1-based) positions.
+      // array_except(all-positions, cov) is hash-based O(tokens+cov) and
+      // keeps the left order; a filter((x, j) -> !array_contains(cov,
+      // j+1)) lambda re-scanned cov per token — O(tokens·cov), measured
+      // 29 s of the 10× soak on boilerplate-dense replicas (dead end)
       .withColumn("kept",
-        filter(col("l"), (x, j) => !array_contains(col("cov"), j + 1)))
+        transform(
+          array_except(
+            // guard the empty doc: sequence(1, 0) would count DOWN
+            when(size(col("l")) === 0, array().cast("array<int>"))
+              .otherwise(sequence(lit(1), size(col("l")))),
+            col("cov")),
+          p => element_at(col("l"), p)))
       .select(col("doc_id"),
         size(col("l")).cast("long").as("n_tokens"),
         (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),
@@ -95,12 +109,12 @@ object Boilerplate {
       .orderBy(col("doc_id"))
   }
 
-  /** Array of (i, g) structs: every n-gram of `l` with its 1-based
-    * start offset — the position-carrying sibling of Dedup.shingles'
-    * in-row gram generation. */
-  private def posGramsCol(l: Column, n: Int): Column =
+  /** Every n-gram of `l` in position order (index i in the result =
+    * start offset i+1) — Dedup.shingles' in-row generation without the
+    * distinct, so posexplode recovers exact offsets. */
+  private def gramArrCol(l: Column, n: Int): Column =
     transform(
       when(size(l) >= n, sequence(lit(1), size(l) - (n - 1)))
         .otherwise(array().cast("array<int>")),
-      i => struct(i.as("i"), array_join(slice(l, i, lit(n)), " ").as("g")))
+      i => array_join(slice(l, i, lit(n)), " "))
 }

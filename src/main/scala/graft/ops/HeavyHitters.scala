@@ -117,4 +117,76 @@ object HeavyHitters {
       .limit(k)
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** One micro-batch's SpaceSaving summary, appended to the store as
+    * ≤ `capacity` (item, cnt, err) rows — the streaming maintenance
+    * step behind [[graft.streaming.Streaming.heavyHitterStream]]. The
+    * batch frame must expose a single `item` string column. */
+  def appendBatchSummary(batch: org.apache.spark.sql.DataFrame,
+                         dst: String, capacity: Int): Unit = {
+    import batch.sparkSession.implicits._
+    val summary = topK(batch.select(
+      org.apache.spark.sql.functions.col("item")).as[String], capacity)
+    summary.toDF("item", "cnt", "err")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "snappy").parquet(dst)
+  }
+
+  /** Where q152 stages its source files and materializes its store. */
+  val StreamedStorePath = "/tmp/graft_streamed_hh"
+
+  /** q152: top-k requesters served from a STREAM-MAINTAINED
+    * heavy-hitters store — the q145 pattern for counts: events are
+    * staged as three event-sliced files (every user's events split
+    * across all three micro-batches, so the serve MUST sum-combine
+    * partial summaries, never sees one batch whole) and ingested with
+    * `maxFilesPerTrigger = 1`; each micro-batch appends one
+    * capacity-bounded SpaceSaving summary; the serve merges the
+    * summaries relationally (sum per item + truncate to the `capacity`
+    * largest — exactly the Aggregator's `merge`), takes the survivors
+    * as CANDIDATES, and exact-verifies them against the staged corpus
+    * (the q150 stage-2). The oracle replays the plain global top-k:
+    * hash equality proves the streamed store lost nothing the final
+    * ranking needed. */
+  def q152StreamedHeavyUsers(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val capacity = 4096
+    val ev = graft.Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val root = new org.apache.hadoop.fs.Path(StreamedStorePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val watched = s"$StreamedStorePath/in"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
+    (0 until 3).foreach { i =>
+      val tmpd = s"$StreamedStorePath/stage_$i"
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(tmpd)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched)
+      .select(col("user_id").cast("string").as("item"))
+    val store = s"$StreamedStorePath/store"
+    graft.streaming.Streaming.heavyHitterStream(stream, store, capacity)
+      .awaitTermination()
+
+    // serve: the Aggregator's merge, relationally — then exact verify
+    val candidates = s.read.parquet(store)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(capacity)
+      .select(col("item")).collect().map(_.getString(0)).toSeq // ≤ capacity
+    s.read.parquet(watched)
+      .filter(col("user_id").cast("string").isInCollection(candidates))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(k)
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
 }

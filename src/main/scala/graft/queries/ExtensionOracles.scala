@@ -3594,4 +3594,15 @@ object ExtensionOracles {
        |SELECT doc_id, rank_lex, rank_dense, CAST(rrf AS DOUBLE) AS rrf_score
        |FROM top
        |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q152 (`ops.HeavyHitters.q152StreamedHeavyUsers`): the
+    * exact top-20 requesters — the streamed SpaceSaving store is a
+    * maintenance + pruning device (the serve's counts are exact
+    * stage-2 recounts), so hash equality against the plain global
+    * top-k proves the stream-maintained candidates covered it. */
+  val q152StreamedHeavyUsers: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY user_id
+      |ORDER BY cnt DESC, user_id
+      |LIMIT 20""".stripMargin
 }

@@ -219,6 +219,31 @@ object Streaming {
     * IDEMPOTENT under replay — re-appending the same partial cannot
     * change the merged min-k (it's a set-union order statistic, not a
     * sum) — so a checkpoint protects store size, not correctness. */
+  /** Maintain a heavy-hitters summary store from a stream: each
+    * micro-batch reduces to ONE SpaceSaving summary (≤ `capacity`
+    * (item, cnt, err) rows — O(batch) work, capacity-bounded output)
+    * and appends it; `HeavyHitters` serves by sum-combining the
+    * appended summaries (the Aggregator's own merge, expressed
+    * relationally) and exact-verifying the candidates. Unlike KMV this
+    * store is NOT idempotent under replay — summaries are counts, so
+    * re-appending a batch double-counts; production runs pass a
+    * checkpoint (the q84 rollup rule), the gate stages each file
+    * exactly once. */
+  def heavyHitterStream(items: DataFrame, dst: String, capacity: Int,
+                        checkpoint: Option[String] = None,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = items.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.HeavyHitters.appendBatchSummary(b, dst, capacity)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def kmvDailyStream(events: DataFrame, dst: String, k: Int = 128,
                      checkpoint: Option[String] = None,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

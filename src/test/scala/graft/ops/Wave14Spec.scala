@@ -131,4 +131,25 @@ class Wave14Spec extends SparkSpec {
       .orderBy(col("rrf_score").desc).collect().map(_.getLong(0)).toSeq
     assert(scored == Seq(3L, 2L, 1L, 4L), s"fused order: $scored")
   }
+
+  test("streamed heavy-hitter store: three per-batch summaries merge to the exact top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val got = HeavyHitters.q152StreamedHeavyUsers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the store must hold one summary PER micro-batch — a single-batch
+    // run would never exercise the sum-combine serve
+    val store = spark.read.parquet(s"${HeavyHitters.StreamedStorePath}/store")
+    val batches = store.groupBy().count().head().getLong(0)
+    val perUser = store.groupBy(col("item")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perUser >= 2, "no user was split across micro-batches — the merge is vacuous")
+    assert(batches > store.select(col("item")).distinct().count(),
+      "store holds at most one summary row per user — not a multi-batch store")
+    // serve ≡ the plain global top-k (what the oracle hashes at the gate)
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact, s"served $got\nexact $exact")
+  }
 }
