@@ -164,7 +164,13 @@ object Soak {
       timed("heavy_tokens")(graft.ops.HeavyHitters.heavyTokens(docs, 20, 1280)
         .filter(col("cnt") >= 0L)),
       timed("hybrid_rrf")(graft.ops.Hybrid.hybridRrf(docs, emb, 0L, 50, 20, 60)
-        .filter(col("rrf_score") >= 0.0)))
+        .filter(col("rrf_score") >= 0.0)),
+      // skip-gram with negative sampling: positives in-row (≤ 2w rows
+      // per token), negatives via the capped-CDF bucket join — row
+      // volume is corpus×(2w+negK) linear, the CDF stays vocabCap-
+      // bounded while the salted vocabulary grows ×mult
+      timed("skipgram")(graft.ops.SkipGram.skipgramSummary(docs, 2, 2, 4096)
+        .filter(length(col("ctx_hash")) >= 1)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

@@ -275,6 +275,8 @@ object SparkEntry {
       graft.ops.Hybrid.q151HybridRrf(s, dir)),
     "q152_streamed_heavy_users" -> ((s: SparkSession, dir: String) =>
       graft.ops.HeavyHitters.q152StreamedHeavyUsers(s, dir)),
+    "q153_skipgram_pairs" -> ((s: SparkSession, dir: String) =>
+      graft.ops.SkipGram.q153SkipgramPairs(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -738,5 +740,6 @@ object SparkEntry {
     "q150_heavy_tokens" -> ExtensionOracles.q150HeavyTokens,
     "q151_hybrid_rrf" -> ExtensionOracles.q151HybridRrf,
     "q152_streamed_heavy_users" -> ExtensionOracles.q152StreamedHeavyUsers,
+    "q153_skipgram_pairs" -> ExtensionOracles.q153SkipgramPairs,
   )
 }

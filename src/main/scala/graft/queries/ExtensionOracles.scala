@@ -3605,4 +3605,49 @@ object ExtensionOracles {
       |FROM events GROUP BY user_id
       |ORDER BY cnt DESC, user_id
       |LIMIT 20""".stripMargin
+
+  /** Mirrors q153 (`ops.SkipGram.skipgramSummary`): ±2-window positive
+    * pairs, two negatives per center occurrence drawn by exact
+    * inverse-CDF over the capped unigram^0.75 table (q62's dyadic md5
+    * uniform, q45's round-9 pow decimals, prefix boundaries compared
+    * in double), summarized per (center, label). The oracle probes the
+    * CDF with a direct interval join — the engine's bucket-equality
+    * join must select the identical vocab row. */
+  val q153SkipgramPairs: String =
+    s"""WITH $tokCte,
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |        FROM tok WHERE len(l) >= 1),
+       |pospairs AS (SELECT p.doc_id, p.l[p.i] AS center, p.l[j] AS context
+       |  FROM pos p,
+       |       unnest(generate_series(greatest(p.i - 2, 1),
+       |                              least(p.i + 2, len(p.l)))) AS t(j)
+       |  WHERE j <> p.i),
+       |tt AS (SELECT unnest(l) AS tk FROM tok),
+       |counts AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt
+       |           GROUP BY tk ORDER BY cnt DESC, tk LIMIT 4096),
+       |cdf AS (SELECT tk,
+       |    CAST(round(pow(CAST(cnt AS DOUBLE), 0.75), 9) AS DECIMAL(20,9)) AS w9,
+       |    SUM(CAST(round(pow(CAST(cnt AS DOUBLE), 0.75), 9) AS DECIMAL(20,9)))
+       |      OVER (ORDER BY tk ROWS UNBOUNDED PRECEDING) AS hi
+       |  FROM counts),
+       |cdf2 AS (SELECT tk, hi - w9 AS lo, hi FROM cdf),
+       |wt AS (SELECT MAX(hi) AS w FROM cdf2),
+       |draws AS (SELECT doc_id, i, l[i] AS center, j,
+       |    (CAST(('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |       CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+       |     + 1) / 4503599627370496.0 AS u
+       |  FROM pos, unnest(generate_series(1, 2)) AS s(j)),
+       |negs AS (SELECT d.doc_id, d.center, c.tk AS context
+       |  FROM draws d, cdf2 c, wt
+       |  WHERE CAST(c.lo AS DOUBLE) < d.u * CAST(wt.w AS DOUBLE)
+       |    AND d.u * CAST(wt.w AS DOUBLE) <= CAST(c.hi AS DOUBLE)),
+       |pairs AS (SELECT center, context, CAST(1 AS BIGINT) AS label FROM pospairs
+       |          UNION ALL
+       |          SELECT center, context, CAST(0 AS BIGINT) AS label FROM negs)
+       |SELECT center, label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT context) AS BIGINT) AS n_ctx,
+       |  CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(context), 1, 13)) AS BIGINT)
+       |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS ctx_hash
+       |FROM pairs GROUP BY center, label
+       |ORDER BY center, label""".stripMargin
 }

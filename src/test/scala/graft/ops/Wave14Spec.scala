@@ -132,6 +132,56 @@ class Wave14Spec extends SparkSpec {
     assert(scored == Seq(3L, 2L, 1L, 4L), s"fused order: $scored")
   }
 
+  test("skip-gram: planted window pairs exact; negatives deterministic, vocab-bounded, CDF-faithful") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "b b d")).toDF("doc_id", "text")
+    val pos = SkipGram.skipgramPairs(docs, 2)
+      .select(col("center"), col("context")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // doc0 "a b c": every ordered pair within ±2; doc1 "b b d" likewise
+    val exp = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("c", "b"),
+      ("b", "b"), ("b", "d"), ("b", "b"), ("b", "d"),
+      ("d", "b"), ("d", "b")).sorted
+    assert(pos == exp, s"positives: $pos")
+
+    val neg = SkipGram.negativePairs(docs, negK = 2, vocabCap = 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // exactly negK draws per center occurrence — no draw lost at a
+    // bucket boundary, none duplicated by the widened coverage
+    assert(neg.size == 12, s"expected 12 negative draws, got ${neg.size}")
+    val vocab = Set("a", "b", "c", "d")
+    assert(neg.forall(t => vocab(t._3)), s"negative outside vocab: $neg")
+
+    // driver-side inverse-CDF replay: same md5 uniform, same round-9
+    // pow weights, same boundary rule — must pick the same token
+    val cnt = Map("a" -> 1L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
+    val w9 = cnt.toSeq.sortBy(_._1).map { case (t, c) =>
+      t -> BigDecimal(math.pow(c.toDouble, 0.75))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val cum = w9.scanLeft(("", BigDecimal(0))) { case ((_, acc), (t, w)) =>
+      (t, acc + w)
+    }.tail
+    val total = cum.last._2.toDouble
+    val toks = Map(0L -> Seq("a", "b", "c"), 1L -> Seq("b", "b", "d"))
+    val expected = (for {
+      (d, l) <- toks.toSeq; i <- 1 to l.size; j <- 1 to 2
+    } yield {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"neg:$d:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4503599627370496.0
+      val scaled = u * total
+      val pick = cum.zip(BigDecimal(0) +: cum.map(_._2).init)
+        .find { case ((_, hi), lo) =>
+          lo.toDouble < scaled && scaled <= hi.toDouble }
+        .get._1._1
+      (d, l(i - 1), pick)
+    }).sorted
+    assert(neg.sorted == expected, s"engine ${neg.sorted}\nexpected $expected")
+  }
+
   test("streamed heavy-hitter store: three per-batch summaries merge to the exact top-k") {
     val dir = "/root/testdata/sf0.001"
     val got = HeavyHitters.q152StreamedHeavyUsers(spark, dir)
