@@ -141,13 +141,16 @@ object Soak {
       // trained inside the timed block because a standing run retrains
       // per corpus snapshot
       {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val (merges, vocab) = graft.ops.Bpe.trainWithVocab(docs)
-        val rows = docs.select(col("doc_id"),
-            graft.ops.Bpe.bpeIds(col("text"), merges, vocab).as("ids"))
-          .filter(size(col("ids")) >= 0).count()
-        ("token_ids", (System.nanoTime() - t0) / 1e9, rows)
+        if (only.nonEmpty && !only("token_ids")) ("token_ids", -1.0, -1L)
+        else {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val (merges, vocab) = graft.ops.Bpe.trainWithVocab(docs)
+          val rows = docs.select(col("doc_id"),
+              graft.ops.Bpe.bpeIds(col("text"), merges, vocab).as("ids"))
+            .filter(size(col("ids")) >= 0).count()
+          ("token_ids", (System.nanoTime() - t0) / 1e9, rows)
+        }
       },
       // wave-14: boilerplate removal (gram-df shuffle + offsets join +
       // in-row rewrite — the salt thins the frequent set as n_docs
@@ -170,7 +173,22 @@ object Soak {
       // volume is corpus×(2w+negK) linear, the CDF stays vocabCap-
       // bounded while the salted vocabulary grows ×mult
       timed("skipgram")(graft.ops.SkipGram.skipgramSummary(docs, 2, 2, 4096)
-        .filter(length(col("ctx_hash")) >= 1)))
+        .filter(length(col("ctx_hash")) >= 1)),
+      // unigram-LM tokenizer: bounded train (top-vocabCap word table +
+      // driver Viterbi-EM) + one codegen'd integer-DP pass — the BPE
+      // token_ids contract for the second tokenizer family
+      {
+        if (only.nonEmpty && !only("unigram_ids")) ("unigram_ids", -1.0, -1L)
+        else {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val probs = graft.ops.Unigram.train(docs)
+          val rows = docs.select(col("doc_id"),
+              graft.ops.Unigram.unigramIdsStr(col("text"), probs).as("ids"))
+            .filter(length(col("ids")) >= 0).count()
+          ("unigram_ids", (System.nanoTime() - t0) / 1e9, rows)
+        }
+      })
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

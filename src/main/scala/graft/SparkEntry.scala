@@ -277,6 +277,8 @@ object SparkEntry {
       graft.ops.HeavyHitters.q152StreamedHeavyUsers(s, dir)),
     "q153_skipgram_pairs" -> ((s: SparkSession, dir: String) =>
       graft.ops.SkipGram.q153SkipgramPairs(s, dir)),
+    "q154_unigram_ids" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Unigram.q154UnigramIds(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -741,5 +743,6 @@ object SparkEntry {
     "q151_hybrid_rrf" -> ExtensionOracles.q151HybridRrf,
     "q152_streamed_heavy_users" -> ExtensionOracles.q152StreamedHeavyUsers,
     "q153_skipgram_pairs" -> ExtensionOracles.q153SkipgramPairs,
+    "q154_unigram_ids" -> ExtensionOracles.q154UnigramIds,
   )
 }

@@ -3650,4 +3650,76 @@ object ExtensionOracles {
        |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS ctx_hash
        |FROM pairs GROUP BY center, label
        |ORDER BY center, label""".stripMargin
+
+  /** Mirrors q154 (`ops.Unigram.q154UnigramIds`): the maximum-
+    * likelihood Viterbi segmentation replayed from the PERSISTED piece
+    * table (the q65/q91 persisted-model pattern) — scores are BIGINT
+    * sums of round-12 fixed-point log-probs, so no float enters a
+    * comparison on either engine. One recursive step per character
+    * builds the best-score and chosen-length lists; a second recursion
+    * walks the backpointers; ids join from the same table (unseen
+    * piece → −1, the UNK contract, logp12 −100·10¹² as the engine's
+    * `Unigram.UnkLogp12`). */
+  val q154UnigramIds: String =
+    s"""WITH RECURSIVE
+       |probs AS (SELECT id, piece, len, logp12
+       |  FROM read_parquet('${graft.ops.Unigram.ProbsPath}/*.parquet')),
+       |docword AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '\\S+')) AS word,
+       |    unnest(range(1, len(regexp_extract_all(lower(text), '\\S+')) + 1))
+       |      AS wpos
+       |  FROM documents),
+       |w AS (SELECT DISTINCT word FROM docword),
+       |steps AS (
+       |  SELECT word, 0 AS j, [CAST(0 AS BIGINT)] AS bests,
+       |         CAST([] AS BIGINT[]) AS lens
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word, j + 1,
+       |    list_append(bests, COALESCE(
+       |      (SELECT st.bests[st.j + 2 - p.len] + p.logp12 FROM probs p
+       |       WHERE p.len <= st.j + 1
+       |         AND substr(st.word, st.j + 2 - p.len, p.len) = p.piece
+       |       ORDER BY st.bests[st.j + 2 - p.len] + p.logp12 DESC, p.len DESC
+       |       LIMIT 1),
+       |      st.bests[st.j + 1] - 100000000000000)),
+       |    list_append(lens, COALESCE(
+       |      (SELECT CAST(p.len AS BIGINT) FROM probs p
+       |       WHERE p.len <= st.j + 1
+       |         AND substr(st.word, st.j + 2 - p.len, p.len) = p.piece
+       |       ORDER BY st.bests[st.j + 2 - p.len] + p.logp12 DESC, p.len DESC
+       |       LIMIT 1),
+       |      CAST(1 AS BIGINT)))
+       |  FROM steps st
+       |  WHERE st.j < length(st.word)),
+       |fin AS (SELECT word, lens FROM steps WHERE j = length(word)),
+       |walk AS (
+       |  SELECT word, lens, CAST(length(word) AS BIGINT) AS pos,
+       |         CAST([] AS VARCHAR[]) AS rev
+       |  FROM fin
+       |  UNION ALL
+       |  SELECT word, lens, pos - lens[CAST(pos AS INT)],
+       |    list_append(rev, substr(word,
+       |      CAST(pos - lens[CAST(pos AS INT)] + 1 AS INT),
+       |      CAST(lens[CAST(pos AS INT)] AS INT)))
+       |  FROM walk WHERE pos > 0),
+       |wpieces AS (SELECT word, list_reverse(rev) AS pieces
+       |            FROM walk WHERE pos = 0),
+       |wids0 AS (SELECT word, unnest(pieces) AS piece,
+       |                 unnest(range(1, len(pieces) + 1)) AS ppos
+       |          FROM wpieces),
+       |wids AS (SELECT word, list(COALESCE(p.id, -1) ORDER BY ppos) AS ids,
+       |                CAST(COUNT(*) AS BIGINT) AS n
+       |         FROM wids0 LEFT JOIN probs p USING (piece) GROUP BY word),
+       |perdoc AS (SELECT dw.doc_id,
+       |    string_agg(array_to_string(wi.ids, ' '), ' ' ORDER BY dw.wpos)
+       |      AS ids_str,
+       |    CAST(SUM(wi.n) AS BIGINT) AS n_pieces
+       |  FROM docword dw JOIN wids wi USING (word) GROUP BY dw.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  COALESCE(p.ids_str, '') AS ids_str
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavioral specs for the unigram-LM tokenizer: hand-built piece
+  * tables where the maximum-likelihood segmentation is checkable on
+  * paper, the integer tie-break, UNK coverage, and train determinism. */
+class Wave15Spec extends SparkSpec {
+
+  private def fix(x: Double): Long =
+    (BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP) *
+      BigDecimal(1000000000000L)).toLongExact
+
+  test("viterbi picks the maximum-likelihood segmentation, not greedy-longest") {
+    // "abc": piece 'abc' scores -2.5, but 'ab'+'c' scores -1 + -1.2 =
+    // -2.2 — the DP must take the two-piece path a greedy longest-match
+    // would skip
+    val pieces = Array("a", "ab", "abc", "b", "c")
+    val lps = Array(fix(-3.0), fix(-1.0), fix(-2.5), fix(-3.0), fix(-1.2))
+    val seg = new Unigram.Segmenter(pieces, lps)
+    assert(seg.segments("abc").toSeq == Seq("ab", "c"))
+    assert(seg.idsWord("abc").toSeq == Seq(1, 4))
+  }
+
+  test("exact score tie prefers the longer piece; unk chars map to -1") {
+    // 'ab' = -2.0 exactly equals 'a'+'b' = -1.0 + -1.0: longer wins
+    val pieces = Array("a", "ab", "b")
+    val lps = Array(fix(-1.0), fix(-2.0), fix(-1.0))
+    val seg = new Unigram.Segmenter(pieces, lps)
+    assert(seg.segments("ab").toSeq == Seq("ab"))
+    // 'x' is not in the table: UNK single char, id -1, then 'ab'
+    assert(seg.idsWord("xab").toSeq == Seq(-1, 1))
+    assert(seg.segments("xab").toSeq == Seq("x", "ab"))
+    // memo returns the same answer on the second call
+    assert(seg.idsWord("xab").toSeq == Seq(-1, 1))
+  }
+
+  test("training is deterministic and gives frequent words one piece") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i =>
+        (i.toLong, if (i % 3 == 0) "hello world" else "hello there"))
+      .toDF("doc_id", "text")
+    val p1 = Unigram.trainFromCounts(
+      Array(("hello", 60L), ("world", 20L), ("there", 40L)), 512, 2)
+    val p2 = Unigram.trainFromCounts(
+      Array(("hello", 60L), ("world", 20L), ("there", 40L)), 512, 2)
+    assert(p1.toSeq == p2.toSeq, "train must be deterministic")
+    val seg = new Unigram.Segmenter(p1.map(_._1), p1.map(_._2))
+    // every training word is ≤ 6 chars and frequent: one piece each
+    Seq("hello", "world", "there").foreach { w =>
+      assert(seg.segments(w).toSeq == Seq(w), s"$w should be one piece")
+    }
+    // end-to-end: the declared query shape on a local frame
+    val probs = Unigram.train(docs)
+    val out = docs.select(col("doc_id"),
+        Unigram.unigramIdsStr(col("text"), probs).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L).split(" ").length == 2, s"two words → two ids: ${out(0L)}")
+  }
+}
