@@ -279,6 +279,8 @@ object SparkEntry {
       graft.ops.SkipGram.q153SkipgramPairs(s, dir)),
     "q154_unigram_ids" -> ((s: SparkSession, dir: String) =>
       graft.ops.Unigram.q154UnigramIds(s, dir)),
+    "q155_unigram_perplexity" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Unigram.q155UnigramPerplexity(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -744,5 +746,6 @@ object SparkEntry {
     "q152_streamed_heavy_users" -> ExtensionOracles.q152StreamedHeavyUsers,
     "q153_skipgram_pairs" -> ExtensionOracles.q153SkipgramPairs,
     "q154_unigram_ids" -> ExtensionOracles.q154UnigramIds,
+    "q155_unigram_perplexity" -> ExtensionOracles.q155UnigramPerplexity,
   )
 }

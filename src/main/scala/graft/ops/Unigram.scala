@@ -129,6 +129,8 @@ object Unigram {
     }
     @transient private lazy val memoIds =
       new java.util.HashMap[String, Array[Int]]()
+    @transient private lazy val memoScore =
+      new java.util.HashMap[String, java.lang.Long]()
 
     private def viterbi(w: String): Array[Int] = {
       val n = w.length
@@ -162,10 +164,18 @@ object Unigram {
         best(j) = bestScore; back(j) = bestLen; bid(j) = bestId
         j += 1
       }
+      memoScore.put(w, best(n))
       val rev = mutable.ArrayBuffer.empty[Int]
       var pos = n
       while (pos > 0) { rev += bid(pos); pos -= back(pos) }
       rev.reverseIterator.toArray
+    }
+
+    /** The best segmentation's total log-prob (fixed-point ×10¹²). */
+    def score12Word(w: String): Long = {
+      val hit = memoScore.get(w)
+      if (hit != null) hit.longValue
+      else { idsWord(w); memoScore.get(w).longValue }
     }
 
     def idsWord(w: String): Array[Int] = {
@@ -254,6 +264,24 @@ object Unigram {
       }
       out
     }
+
+    /** Total NEGATIVE log-likelihood of the text's ML segmentation,
+      * fixed-point ×10¹² — an exact long, summable and comparable with
+      * no float anywhere. */
+    def nll12Text(text: UTF8String): Long = {
+      if (text == null) return 0L
+      val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+      var out = 0L
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        if (i > start) out -= score12Word(s.substring(start, i))
+      }
+      out
+    }
   }
 
   // ------------------------------------------------------------ expression
@@ -285,6 +313,60 @@ object Unigram {
     column(UnigramIdsStr(expression(text), probs.map(_._1), probs.map(_._2)))
   }
 
+  /** Codegen'd piece count (LongType). */
+  case class UnigramCount(child: Expression, pieces: Array[String],
+                          logp12s: Array[Long]) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def checkInputDataTypes() = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_count requires STRING, got ${child.dataType.sql}")
+    }
+    @transient private lazy val seg = new Segmenter(pieces, logp12s)
+    override def nullSafeEval(input: Any): Any =
+      seg.countText(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramSegC", seg, classOf[Segmenter].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.countText($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramCount =
+      copy(child = newChild)
+    override def prettyName: String = "unigram_count"
+  }
+
+  /** Codegen'd total fixed-point negative log-likelihood (LongType). */
+  case class UnigramNll12(child: Expression, pieces: Array[String],
+                          logp12s: Array[Long]) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def checkInputDataTypes() = {
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_nll12 requires STRING, got ${child.dataType.sql}")
+    }
+    @transient private lazy val seg = new Segmenter(pieces, logp12s)
+    override def nullSafeEval(input: Any): Any =
+      seg.nll12Text(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramSegN", seg, classOf[Segmenter].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.nll12Text($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramNll12 =
+      copy(child = newChild)
+    override def prettyName: String = "unigram_nll12"
+  }
+
+  def unigramCount(text: Column, probs: Array[(String, Long)]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(UnigramCount(expression(text), probs.map(_._1), probs.map(_._2)))
+  }
+
+  def unigramNll12(text: Column, probs: Array[(String, Long)]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(UnigramNll12(expression(text), probs.map(_._1), probs.map(_._2)))
+  }
+
   // ------------------------------------------------------------ persist
 
   /** Persist (id, piece, len, logp12) — id = piece-sorted index, the
@@ -299,6 +381,36 @@ object Unigram {
   }
 
   // ------------------------------------------------------------ gate
+
+  /** q155's keep bar: mean negative log-likelihood per piece, in the
+    * same ×10¹² fixed point as the scores — docs above it are "the LM
+    * finds this text surprising" (gibberish, boilerplate soup, wrong
+    * language), the CCNet/ccnet-style perplexity filter. The verdict
+    * is the INTEGER cross-multiply `nll12 ≤ bar · n_pieces` — no
+    * division ever decides. */
+  val NllPerPieceBar12: Long = 3_500_000_000_000L // 3.5 nats/piece
+
+  /** q155: perplexity filtering under the q154 unigram LM — per doc
+    * the ML segmentation's piece count, total fixed-point NLL, the
+    * mean NLL per piece (reported, never deciding) and the integer
+    * keep verdict. Trains identically to q154 (deterministic) and
+    * persists the same piece table, so the oracle replays the same DP
+    * and reads the total from the DP's own best-score list. */
+  def q155UnigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val probs = train(docs)
+    persistProbs(s, probs, ProbsPath)
+    docs.select(col("doc_id"),
+        unigramCount(col("text"), probs).as("n_pieces"),
+        unigramNll12(col("text"), probs).as("nll12"))
+      .withColumn("avg_nll",
+        when(col("n_pieces") === 0, lit(0.0))
+          .otherwise(round(col("nll12").cast("double") / 1e12 /
+            col("n_pieces").cast("double"), 9)))
+      .withColumn("keep",
+        col("nll12") <= lit(NllPerPieceBar12) * col("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q154: train on the corpus, persist the piece table, emit per-doc
     * whitespace-token and piece counts plus the stringified id

@@ -3660,7 +3660,11 @@ object ExtensionOracles {
     * walks the backpointers; ids join from the same table (unseen
     * piece → −1, the UNK contract, logp12 −100·10¹² as the engine's
     * `Unigram.UnkLogp12`). */
-  val q154UnigramIds: String =
+  /** The shared unigram-DP CTE chain (persisted piece table → per-word
+    * best-score + chosen-length lists → backpointer walk with piece
+    * strings and a step counter). The q154 tail joins ids back; the
+    * q155 tail reads the total from the DP's own best list. */
+  private val unigramDpCtes: String =
     s"""WITH RECURSIVE
        |probs AS (SELECT id, piece, len, logp12
        |  FROM read_parquet('${graft.ops.Unigram.ProbsPath}/*.parquet')),
@@ -3692,7 +3696,8 @@ object ExtensionOracles {
        |      CAST(1 AS BIGINT)))
        |  FROM steps st
        |  WHERE st.j < length(st.word)),
-       |fin AS (SELECT word, lens FROM steps WHERE j = length(word)),
+       |fin AS (SELECT word, lens, bests[length(word) + 1] AS best
+       |        FROM steps WHERE j = length(word)),
        |walk AS (
        |  SELECT word, lens, CAST(length(word) AS BIGINT) AS pos,
        |         CAST([] AS VARCHAR[]) AS rev
@@ -3704,7 +3709,10 @@ object ExtensionOracles {
        |      CAST(lens[CAST(pos AS INT)] AS INT)))
        |  FROM walk WHERE pos > 0),
        |wpieces AS (SELECT word, list_reverse(rev) AS pieces
-       |            FROM walk WHERE pos = 0),
+       |            FROM walk WHERE pos = 0)""".stripMargin
+
+  val q154UnigramIds: String =
+    s"""$unigramDpCtes,
        |wids0 AS (SELECT word, unnest(pieces) AS piece,
        |                 unnest(range(1, len(pieces) + 1)) AS ppos
        |          FROM wpieces),
@@ -3720,6 +3728,32 @@ object ExtensionOracles {
        |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws_tokens,
        |  CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
        |  COALESCE(p.ids_str, '') AS ids_str
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q155 (`ops.Unigram.q155UnigramPerplexity`): total NLL per
+    * doc = −Σ word best scores (exact BIGINTs straight from the DP's
+    * best list), piece counts from the walk, the keep verdict by
+    * integer cross-multiply, avg reported via the identical double
+    * division chain. */
+  val q155UnigramPerplexity: String =
+    s"""$unigramDpCtes,
+       |wstat AS (SELECT f.word, -(f.best) AS nll12w,
+       |                 CAST(len(wp.pieces) AS BIGINT) AS npieces
+       |          FROM fin f JOIN wpieces wp USING (word)),
+       |perdoc AS (SELECT dw.doc_id,
+       |    CAST(SUM(ws.nll12w) AS BIGINT) AS nll12,
+       |    CAST(SUM(ws.npieces) AS BIGINT) AS n_pieces
+       |  FROM docword dw JOIN wstat ws USING (word) GROUP BY dw.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(p.nll12, 0) AS BIGINT) AS nll12,
+       |  CASE WHEN COALESCE(p.n_pieces, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(p.nll12 AS DOUBLE) / 1000000000000.0 /
+       |                  CAST(p.n_pieces AS DOUBLE), 9) END AS avg_nll,
+       |  COALESCE(p.nll12, 0) <=
+       |    ${graft.ops.Unigram.NllPerPieceBar12} * COALESCE(p.n_pieces, 0)
+       |    AS keep
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
 }

@@ -58,4 +58,25 @@ class Wave15Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(0L).split(" ").length == 2, s"two words → two ids: ${out(0L)}")
   }
+
+  test("perplexity filter: gibberish scores above fluent text, nll is the exact score sum") {
+    import spark.implicits._
+    // train on fluent text; doc 9 is character soup the LM never saw
+    val fluent = (0L until 9L).map(i => (i, "the quick brown fox jumps"))
+    val docs = (fluent :+ (9L, "zq xv qzx vqz wqx")).toDF("doc_id", "text")
+    val probs = Unigram.train(docs)
+    val rows = docs.select(col("doc_id"),
+        Unigram.unigramCount(col("text"), probs).as("n"),
+        Unigram.unigramNll12(col("text"), probs).as("nll"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fluentAvg = rows(0L)._2.toDouble / rows(0L)._1
+    val soupAvg = rows(9L)._2.toDouble / rows(9L)._1
+    assert(soupAvg > fluentAvg,
+      s"soup must score above fluent: $soupAvg vs $fluentAvg")
+    // nll ≡ −Σ best word scores: recompute through the same segmenter
+    val seg = new Unigram.Segmenter(probs.map(_._1), probs.map(_._2))
+    val expect = "the quick brown fox jumps".split(" ")
+      .map(w => -seg.score12Word(w)).sum
+    assert(rows(0L)._2 == expect, s"nll12 ${rows(0L)._2} != $expect")
+  }
 }
