@@ -174,6 +174,11 @@ object Soak {
       // bounded while the salted vocabulary grows ×mult
       timed("skipgram")(graft.ops.SkipGram.skipgramSummary(docs, 2, 2, 4096)
         .filter(length(col("ctx_hash")) >= 1)),
+      // RAG assembly: q59 chunk explode + q58 BM25 over the chunk units
+      // + a ≤k packing tail — must track the corpus like bm25 itself
+      timed("rag_context")(graft.ops.Rag.ragContext(docs,
+        Seq("spark", "vector", "merge", "window"), 64, 48, 40, 512L)
+        .filter(col("cum_tokens") >= 0L)),
       // unigram-LM tokenizer: bounded train (top-vocabCap word table +
       // driver Viterbi-EM) + one codegen'd integer-DP pass — the BPE
       // token_ids contract for the second tokenizer family

@@ -281,6 +281,8 @@ object SparkEntry {
       graft.ops.Unigram.q154UnigramIds(s, dir)),
     "q155_unigram_perplexity" -> ((s: SparkSession, dir: String) =>
       graft.ops.Unigram.q155UnigramPerplexity(s, dir)),
+    "q156_rag_context" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Rag.q156RagContext(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -747,5 +749,6 @@ object SparkEntry {
     "q153_skipgram_pairs" -> ExtensionOracles.q153SkipgramPairs,
     "q154_unigram_ids" -> ExtensionOracles.q154UnigramIds,
     "q155_unigram_perplexity" -> ExtensionOracles.q155UnigramPerplexity,
+    "q156_rag_context" -> ExtensionOracles.q156RagContext,
   )
 }

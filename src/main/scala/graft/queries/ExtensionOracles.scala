@@ -3731,6 +3731,57 @@ object ExtensionOracles {
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors q156 (`ops.Rag.ragContext`): q59's chunk windows re-keyed
+    * to one packed long, q58's BM25 float discipline over the chunk
+    * units, rank over the DOUBLE cast exactly as the engine windows,
+    * and the budget cut on a BIGINT running total. */
+  val q156RagContext: String =
+    s"""WITH $tokCte,
+       |c AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n
+       |      FROM tok WHERE len(l) >= 1),
+       |nc AS (SELECT doc_id, l, n,
+       |    1 + CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END AS n_chunks
+       |  FROM c),
+       |ch AS (SELECT doc_id, l,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+       |  FROM nc),
+       |d AS (SELECT doc_id * 100000 + chunk_id AS doc_id,
+       |    CAST(len(l[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS BIGINT) AS dl,
+       |    l[(chunk_id * 48 + 1):(chunk_id * 48 + 64)] AS l
+       |  FROM ch),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN ('spark', 'vector', 'merge', 'window')
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.dl,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(part) AS DOUBLE) AS score
+       |  FROM sc GROUP BY doc_id),
+       |topk AS (SELECT doc_id, n_tokens, score FROM agg
+       |         ORDER BY score DESC, doc_id LIMIT 40),
+       |rk AS (SELECT doc_id, n_tokens, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS rank FROM topk),
+       |cum AS (SELECT doc_id, n_tokens, score, rank,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM rk)
+       |SELECT rank, doc_id // 100000 AS src_doc_id,
+       |  doc_id % 100000 AS chunk_id, n_tokens, cum_tokens, score
+       |FROM cum WHERE cum_tokens <= 512
+       |ORDER BY rank""".stripMargin
+
   /** Mirrors q155 (`ops.Unigram.q155UnigramPerplexity`): total NLL per
     * doc = −Σ word best scores (exact BIGINTs straight from the DP's
     * best list), piece counts from the walk, the keep verdict by

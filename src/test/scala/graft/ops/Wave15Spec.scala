@@ -79,4 +79,31 @@ class Wave15Spec extends SparkSpec {
       .map(w => -seg.score12Word(w)).sum
     assert(rows(0L)._2 == expect, s"nll12 ${rows(0L)._2} != $expect")
   }
+
+  test("rag context: relevance-ordered packing is budget-maximal and offsets are real") {
+    import spark.implicits._
+    // doc 0: dense in the query term; doc 1: one hit; doc 2: none
+    val docs = Seq(
+      (0L, ("q " * 10 + "pad " * 10).trim),
+      (1L, ("q " + "pad " * 19).trim),
+      (2L, ("pad " * 20).trim)).toDF("doc_id", "text")
+    val out = Rag.ragContext(docs, Seq("q"), maxLen = 8, stride = 4,
+        k = 10, tokenBudget = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out.nonEmpty)
+    // ranks contiguous from 1, running total monotone and within budget
+    assert(out.map(_._1) == (1L to out.size.toLong), s"ranks: $out")
+    assert(out.last._5 <= 20, s"over budget: $out")
+    assert(out.map(_._4).sum == out.last._5, "cum must be the running sum")
+    // doc 2 never retrieves (no hit term); rank 1 comes from doc 0
+    assert(!out.exists(_._2 == 2L))
+    assert(out.head._2 == 0L, s"densest chunk should lead: $out")
+    // budget-maximality: with an unbounded budget the (m+1)-th ranked
+    // chunk exists and would have pushed the total past the budget
+    val all = Rag.ragContext(docs, Seq("q"), 8, 4, 10, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(all.size > out.size, "plant must leave a cut chunk")
+    assert(all(out.size)._2 > 20, "the first cut chunk must overflow the budget")
+  }
 }
