@@ -177,12 +177,24 @@ object HeavyHitters {
     graft.streaming.Streaming.heavyHitterStream(stream, store, capacity)
       .awaitTermination()
 
-    // serve: the Aggregator's merge, relationally — then exact verify
+    serveHeavyUsers(s, store, s.read.parquet(watched), k, capacity)
+  }
+
+  /** The store's serve path, separated so the TRUNCATION regime
+    * (capacity < distinct items — summaries drop tail mass per batch)
+    * is spec-testable without streaming: sum-combine the appended
+    * summaries (the Aggregator's `merge`, relationally), truncate to
+    * the `capacity` largest as CANDIDATES, exact-recount the
+    * candidates only from `events` (the q150 stage-2). */
+  def serveHeavyUsers(s: org.apache.spark.sql.SparkSession, store: String,
+                      events: org.apache.spark.sql.DataFrame, k: Int,
+                      capacity: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     val candidates = s.read.parquet(store)
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("item")).limit(capacity)
       .select(col("item")).collect().map(_.getString(0)).toSeq // ≤ capacity
-    s.read.parquet(watched)
+    events
       .filter(col("user_id").cast("string").isInCollection(candidates))
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("user_id"))

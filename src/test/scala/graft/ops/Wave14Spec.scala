@@ -202,4 +202,29 @@ class Wave14Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == exact, s"served $got\nexact $exact")
   }
+
+  test("heavy-hitter store under TRUNCATION: capacity << domain still recovers the true top-k") {
+    import spark.implicits._
+    // 3 hot users (300+ events each, split evenly across 3 batches) in
+    // a sea of 200 singletons; per-batch summaries hold only 8 rows, so
+    // every batch drops tail mass — the hot users must still surface
+    // through the merged store
+    val store = "/tmp/graft_hh_trunc_spec"
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    def batch(b: Int) = {
+      val hot = (0 until 3).flatMap(h => Seq.fill(100 + h)(h.toLong))
+      val noise = (0 until 200).filter(_ % 3 == b).map(i => 1000L + i)
+      (hot ++ noise).toDF("user_id")
+    }
+    val all = (0 until 3).map(batch).reduce(_ unionByName _)
+    (0 until 3).foreach { b =>
+      HeavyHitters.appendBatchSummary(
+        batch(b).select(col("user_id").cast("string").as("item")), store, 8)
+    }
+    val got = HeavyHitters.serveHeavyUsers(spark, store, all, k = 3,
+        capacity = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 306L), (1L, 303L), (0L, 300L)), s"got $got")
+  }
 }
