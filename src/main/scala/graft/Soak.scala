@@ -179,6 +179,11 @@ object Soak {
       timed("rag_context")(graft.ops.Rag.ragContext(docs,
         Seq("spark", "vector", "merge", "window"), 64, 48, 40, 512L)
         .filter(col("cum_tokens") >= 0L)),
+      // reranker feature prep: one bounded BM25 first stage, then every
+      // feature join broadcasts the ≤k candidates — cost must track the
+      // corpus (the two pruned scans), never k × corpus
+      timed("ltr_features")(graft.ops.Ltr.ltrFeatures(docs, emb, 0L, 30)
+        .filter(col("len_ratio") >= 0.0)),
       // unigram-LM tokenizer: bounded train (top-vocabCap word table +
       // driver Viterbi-EM) + one codegen'd integer-DP pass — the BPE
       // token_ids contract for the second tokenizer family

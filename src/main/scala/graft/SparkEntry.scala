@@ -283,6 +283,8 @@ object SparkEntry {
       graft.ops.Unigram.q155UnigramPerplexity(s, dir)),
     "q156_rag_context" -> ((s: SparkSession, dir: String) =>
       graft.ops.Rag.q156RagContext(s, dir)),
+    "q157_ltr_features" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Ltr.q157LtrFeatures(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -750,5 +752,6 @@ object SparkEntry {
     "q154_unigram_ids" -> ExtensionOracles.q154UnigramIds,
     "q155_unigram_perplexity" -> ExtensionOracles.q155UnigramPerplexity,
     "q156_rag_context" -> ExtensionOracles.q156RagContext,
+    "q157_ltr_features" -> ExtensionOracles.q157LtrFeatures,
   )
 }

@@ -112,7 +112,7 @@ object Boilerplate {
   /** Every n-gram of `l` in position order (index i in the result =
     * start offset i+1) — Dedup.shingles' in-row generation without the
     * distinct, so posexplode recovers exact offsets. */
-  private def gramArrCol(l: Column, n: Int): Column =
+  private[ops] def gramArrCol(l: Column, n: Int): Column =
     transform(
       when(size(l) >= n, sequence(lit(1), size(l) - (n - 1)))
         .otherwise(array().cast("array<int>")),

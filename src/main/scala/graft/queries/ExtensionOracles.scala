@@ -3782,6 +3782,85 @@ object ExtensionOracles {
        |FROM cum WHERE cum_tokens <= 512
        |ORDER BY rank""".stripMargin
 
+  /** Mirrors q157 (`ops.Ltr.ltrFeatures`): the q58 BM25 chain with
+    * probe-doc terms, rank over the DOUBLE cast, exact set-count
+    * Jaccard over the q25 shingle CTEs (inclusion–exclusion union),
+    * round-9 length ratio, and the q151 dense cosine restricted to the
+    * candidates — near_dup is the COALESCE'd 0.45 bar. */
+  val q157LtrFeatures: String =
+    s"""WITH $tokCte,
+       |terms AS (SELECT DISTINCT unnest(l) AS term FROM tok WHERE doc_id = 0),
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok
+       |      WHERE doc_id <> 0),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t JOIN terms USING (term)
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.dl,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(part) AS DOUBLE) AS bm25
+       |  FROM sc GROUP BY doc_id),
+       |topk AS (SELECT doc_id, n_tokens, bm25 FROM agg
+       |         ORDER BY bm25 DESC, doc_id LIMIT 30),
+       |rk AS (SELECT doc_id, n_tokens, bm25,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+       |      AS rank FROM topk),
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM tok WHERE len(l) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+       |       FROM pos),
+       |pgn AS (SELECT CAST(COUNT(*) AS BIGINT) AS pgc FROM sh WHERE doc_id = 0),
+       |pn AS (SELECT CAST(len(l) AS BIGINT) AS pnt FROM tok WHERE doc_id = 0),
+       |cgn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cgc
+       |        FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS ic
+       |          FROM sh a JOIN sh p ON a.g = p.g AND p.doc_id = 0
+       |          WHERE a.doc_id <> 0 GROUP BY a.doc_id),
+       |lex AS (SELECT rk.doc_id, rk.rank, rk.bm25,
+       |    CASE WHEN COALESCE(cgn.cgc, 0) + pgn.pgc - COALESCE(inter.ic, 0) = 0
+       |         THEN 0.0
+       |         ELSE round(CAST(COALESCE(inter.ic, 0) AS DOUBLE) /
+       |              CAST(COALESCE(cgn.cgc, 0) + pgn.pgc -
+       |                   COALESCE(inter.ic, 0) AS DOUBLE), 9) END AS jaccard,
+       |    round(CAST(rk.n_tokens AS DOUBLE) / CAST(pn.pnt AS DOUBLE), 9)
+       |      AS len_ratio
+       |  FROM rk LEFT JOIN cgn USING (doc_id) LEFT JOIN inter USING (doc_id),
+       |       pgn, pn),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+       |qn AS (SELECT SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+       |                 AS DECIMAL(28,18))) AS qq
+       |       FROM (SELECT qe, unnest(generate_series(1, len(qe))) AS i FROM q)),
+       |x AS (SELECT vec_id, embedding, qe,
+       |             unnest(generate_series(1, len(embedding))) AS i
+       |      FROM e, q
+       |      WHERE vec_id <> 0 AND vec_id IN (SELECT doc_id FROM rk)),
+       |dots AS (SELECT vec_id,
+       |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+       |        AS DECIMAL(28,18))) AS dot,
+       |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |        AS DECIMAL(28,18))) AS nn
+       |  FROM x GROUP BY vec_id),
+       |cosd AS (SELECT vec_id,
+       |    round(CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))), 12) AS cos
+       |  FROM dots, qn WHERE CAST(nn AS DOUBLE) > 0 AND CAST(qq AS DOUBLE) > 0)
+       |SELECT l.doc_id, l.rank, l.bm25, l.jaccard, l.len_ratio, c.cos,
+       |  COALESCE(c.cos >= 0.45, FALSE) AS near_dup
+       |FROM lex l LEFT JOIN cosd c ON l.doc_id = c.vec_id
+       |ORDER BY l.doc_id""".stripMargin
+
   /** Mirrors q155 (`ops.Unigram.q155UnigramPerplexity`): total NLL per
     * doc = −Σ word best scores (exact BIGINTs straight from the DP's
     * best list), piece counts from the walk, the keep verdict by

@@ -106,4 +106,29 @@ class Wave15Spec extends SparkSpec {
     assert(all.size > out.size, "plant must leave a cut chunk")
     assert(all(out.size)._2 > 20, "the first cut chunk must overflow the budget")
   }
+
+  test("ltr features: planted near-dup flags, zero-norm null cosine, exact jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta q"),
+      (1L, "alpha beta gamma delta q"), // identical text: jaccard 1
+      (2L, "q unrelated words entirely here"),
+      (3L, "q zero norm embedding doc")).toDF("doc_id", "text")
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0)), (1L, v(1, 0)),     // cos 1 → near_dup
+      (2L, v(0, 1)),                    // cos 0
+      (3L, v(0, 0))).toDF("vec_id", "embedding") // zero norm → NULL cos
+    val out = Ltr.ltrFeatures(docs, emb, probeId = 0L, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), Option(r.get(5)).map(_.asInstanceOf[Double]),
+         r.getBoolean(6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"candidates: ${out.keySet}")
+    val (j1, c1, nd1) = out(1L)
+    assert(j1 == 1.0 && c1.contains(1.0) && nd1, s"identical doc: ${out(1L)}")
+    val (j2, c2, nd2) = out(2L)
+    assert(j2 == 0.0 && c2.contains(0.0) && !nd2, s"orthogonal doc: ${out(2L)}")
+    val (_, c3, nd3) = out(3L)
+    assert(c3.isEmpty && !nd3, s"zero-norm doc must have NULL cos: ${out(3L)}")
+  }
 }
