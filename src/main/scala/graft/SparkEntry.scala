@@ -285,6 +285,8 @@ object SparkEntry {
       graft.ops.Rag.q156RagContext(s, dir)),
     "q157_ltr_features" -> ((s: SparkSession, dir: String) =>
       graft.ops.Ltr.q157LtrFeatures(s, dir)),
+    "q158_store_boilerplate" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Boilerplate.q158StoreBoilerplate(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -753,5 +755,8 @@ object SparkEntry {
     "q155_unigram_perplexity" -> ExtensionOracles.q155UnigramPerplexity,
     "q156_rag_context" -> ExtensionOracles.q156RagContext,
     "q157_ltr_features" -> ExtensionOracles.q157LtrFeatures,
+    // q158 serves q149's rewrite from the standing df store; the oracle
+    // is the FROM-SCRATCH replay — equality is the store's proof
+    "q158_store_boilerplate" -> ExtensionOracles.q149BoilerplateRemoval,
   )
 }

@@ -132,6 +132,27 @@ class Wave14Spec extends SparkSpec {
     assert(scored == Seq(3L, 2L, 1L, 4L), s"fused order: $scored")
   }
 
+  test("gram-df store: sliced appends hold split partials, serve equals from-scratch") {
+    val dir = "/root/testdata/sf0.001"
+    // the gate query (builds the store in 3 doc slices, rewrites)
+    val served = Boilerplate.q158StoreBoilerplate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+    // store must hold SPLIT partials: some gram appears in ≥ 2 batches
+    val parts = spark.read.parquet(s"${Boilerplate.GramDfStorePath}/df")
+    val maxPartials = parts.groupBy(col("g")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxPartials >= 2, "no gram split across appends — the merge is vacuous")
+    // doc-count sidecar sums to the corpus
+    val n = spark.read.parquet(s"${Boilerplate.GramDfStorePath}/docs")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(n == graft.Tables.documents(spark, dir).count())
+    // serve ≡ from-scratch, byte for byte
+    val scratch = Boilerplate.removeFrequentGrams(
+        graft.Tables.documents(spark, dir), 3, 1)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+    assert(served == scratch, "store-served rewrite must equal from-scratch")
+  }
+
   test("skip-gram: planted window pairs exact; negatives deterministic, vocab-bounded, CDF-faithful") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "b b d")).toDF("doc_id", "text")
