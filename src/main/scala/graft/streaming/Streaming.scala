@@ -219,6 +219,26 @@ object Streaming {
     * IDEMPOTENT under replay — re-appending the same partial cannot
     * change the merged min-k (it's a set-union order statistic, not a
     * sum) — so a checkpoint protects store size, not correctness. */
+  /** Maintain q158's gram-df boilerplate store from a document stream:
+    * each micro-batch appends its distinct-gram df partials + doc
+    * count (`Boilerplate.appendGramDf` — O(batch), SUM-mergeable).
+    * NOT idempotent under replay (df partials are counts) — the
+    * counting-store checkpoint rule applies. */
+  def gramDfStream(docs: DataFrame, dst: String, n: Int,
+                   checkpoint: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.Boilerplate.appendGramDf(b, dst, n)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Maintain a heavy-hitters summary store from a stream: each
     * micro-batch reduces to ONE SpaceSaving summary (≤ `capacity`
     * (item, cnt, err) rows — O(batch) work, capacity-bounded output)

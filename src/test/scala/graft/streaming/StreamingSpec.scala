@@ -425,6 +425,36 @@ class StreamingSpec extends SparkSpec {
       "streamed chunks diverged from the batch operator")
   }
 
+  test("streaming gram-df maintenance ≡ batch q158 store: served frequent set identical") {
+    import graft.ops.Boilerplate
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir).localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-gramdf-stream")
+    val watched = java.nio.file.Files.createDirectory(root.resolve("in"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmpd = root.resolve(name + "_tmp").toString
+      df.coalesce(1).write.parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, watched.resolve(name))
+    }
+    // doc-sliced batches: frequent grams' dfs split across partials
+    stage("b1.parquet", docs.filter(col("doc_id") % 2 === 0))
+    stage("b2.parquet", docs.filter(col("doc_id") % 2 === 1))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched.toString)
+    val store = root.resolve("gramdf").toString
+    Streaming.gramDfStream(stream, store, 3).awaitTermination()
+    val streamed = Boilerplate.frequentFromStore(spark, store, 1)
+      .collect().map(_.getString(0)).toSet
+    val batchStore = root.resolve("gramdf_batch").toString
+    Boilerplate.appendGramDf(docs, batchStore, 3)
+    val batch = Boilerplate.frequentFromStore(spark, batchStore, 1)
+      .collect().map(_.getString(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed gram-df partials drifted from the one-shot batch store")
+  }
+
   test("streaming tokenization ≡ batch q91 under the same frozen rules") {
     val dir = "/root/testdata/sf0.001"
     // batch run trains + persists the rules and is the parity target
