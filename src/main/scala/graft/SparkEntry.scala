@@ -287,6 +287,8 @@ object SparkEntry {
       graft.ops.Ltr.q157LtrFeatures(s, dir)),
     "q158_store_boilerplate" -> ((s: SparkSession, dir: String) =>
       graft.ops.Boilerplate.q158StoreBoilerplate(s, dir)),
+    "q159_streamed_boilerplate" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Boilerplate.q159StreamedBoilerplate(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -758,5 +760,8 @@ object SparkEntry {
     // q158 serves q149's rewrite from the standing df store; the oracle
     // is the FROM-SCRATCH replay — equality is the store's proof
     "q158_store_boilerplate" -> ExtensionOracles.q149BoilerplateRemoval,
+    // q159 maintains the same store through Structured Streaming; the
+    // from-scratch replay again proves stream ≡ scan
+    "q159_streamed_boilerplate" -> ExtensionOracles.q149BoilerplateRemoval,
   )
 }

@@ -170,6 +170,40 @@ object Boilerplate {
       frequentFromStore(s, GramDfStorePath, 1), 3)
   }
 
+  /** Where q159 stages its source files and materializes its store. */
+  val StreamedGramDfPath = "/tmp/graft_streamed_gramdf"
+
+  /** q159: q158's store built through the STRUCTURED STREAMING
+    * maintenance path (`Streaming.gramDfStream`) — documents staged as
+    * three doc-sliced files ingested at one file per trigger, each
+    * micro-batch appending its df partials; the serve + rewrite are
+    * q158's unchanged, and the oracle stays q149's from-scratch
+    * replay: hash equality proves stream maintenance ≡ scan. */
+  def q159StreamedBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = new org.apache.hadoop.fs.Path(StreamedGramDfPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val watched = s"$StreamedGramDfPath/in"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
+    (0 until 3).foreach { i =>
+      val tmpd = s"$StreamedGramDfPath/stage_$i"
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(tmpd)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val store = s"$StreamedGramDfPath/store"
+    graft.streaming.Streaming.gramDfStream(stream, store, 3)
+      .awaitTermination()
+    rewriteWithFrequent(tokenized(docs), frequentFromStore(s, store, 1), 3)
+  }
+
   /** Every n-gram of `l` in position order (index i in the result =
     * start offset i+1) — Dedup.shingles' in-row generation without the
     * distinct, so posexplode recovers exact offsets. */
