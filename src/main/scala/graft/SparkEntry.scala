@@ -289,6 +289,10 @@ object SparkEntry {
       graft.ops.Boilerplate.q158StoreBoilerplate(s, dir)),
     "q159_streamed_boilerplate" -> ((s: SparkSession, dir: String) =>
       graft.ops.Boilerplate.q159StreamedBoilerplate(s, dir)),
+    "q160_phrase_search" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Phrase.q160PhraseSearch(s, dir)),
+    "q161_kn_bigram_score" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KneserNey.q161KnBigramScore(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -763,5 +767,7 @@ object SparkEntry {
     // q159 maintains the same store through Structured Streaming; the
     // from-scratch replay again proves stream ≡ scan
     "q159_streamed_boilerplate" -> ExtensionOracles.q149BoilerplateRemoval,
+    "q160_phrase_search" -> ExtensionOracles.q160PhraseSearch,
+    "q161_kn_bigram_score" -> ExtensionOracles.q161KnBigramScore,
   )
 }

@@ -3886,4 +3886,97 @@ object ExtensionOracles {
        |    AS keep
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q160 (`ops.Phrase.q160PhraseSearch`): the top-6 corpus
+    * bigrams re-selected from scratch (ties lexicographic), then each
+    * phrase answered by the SAME positional adjacency join the index
+    * path runs — integer counts end to end, per-phrase best doc by
+    * (occ DESC, doc_id). */
+  val q160PhraseSearch: String =
+    s"""WITH $tokCte,
+       |posi AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |         FROM tok WHERE len(l) >= 1),
+       |sel AS (SELECT l[i] AS w1, l[i + 1] AS w2,
+       |               CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM posi WHERE i < len(l)
+       |        GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 6),
+       |pos AS (SELECT doc_id, l[i] AS term, i AS pos FROM posi),
+       |hits AS (SELECT s.w1, s.w2, p1.doc_id,
+       |                CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM sel s
+       |  JOIN pos p1 ON p1.term = s.w1
+       |  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+       |             AND p2.term = s.w2
+       |  GROUP BY s.w1, s.w2, p1.doc_id),
+       |best AS (SELECT w1, w2, doc_id, occ,
+       |    row_number() OVER (PARTITION BY w1, w2
+       |                       ORDER BY occ DESC, doc_id) AS r
+       |  FROM hits)
+       |SELECT h.w1 || ' ' || h.w2 AS phrase,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(h.occ) AS BIGINT) AS n_occurrences,
+       |  MAX(b.doc_id) AS top_doc_id,
+       |  MAX(b.occ) AS top_doc_occ
+       |FROM hits h
+       |JOIN best b ON b.w1 = h.w1 AND b.w2 = h.w2 AND b.r = 1
+       |GROUP BY h.w1, h.w2
+       |ORDER BY phrase""".stripMargin
+
+  /** Mirrors q161 (`ops.KneserNey.q161KnBigramScore`): interpolated-KN
+    * model tables rebuilt from the 80% split as exact integer counts,
+    * held-out docs scored through the IDENTICAL double expression
+    * chain (discount 0.75, add-half continuation), ln rounded to 12
+    * digits before the decimal occurrence-weighted sum — the q66
+    * determinism recipe. */
+  val q161KnBigramScore: String =
+    s"""WITH $tokCte,
+       |posi AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |         FROM tok WHERE len(l) >= 2),
+       |bp AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2,
+       |              CAST(COUNT(*) AS BIGINT) AS k
+       |       FROM posi GROUP BY doc_id, w1, w2),
+       |tb AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c
+       |       FROM bp WHERE doc_id % 5 <> 0 GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+       |               CAST(COUNT(*) AS BIGINT) AS n1fw
+       |        FROM tb GROUP BY w1),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pr
+       |         FROM tb GROUP BY w2),
+       |tot AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tb) AS big_types,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM (SELECT w1 FROM tb UNION SELECT w2 FROM tb)) AS vocab),
+       |pr AS (SELECT h.doc_id, h.k,
+       |    CASE WHEN cx.c1 IS NOT NULL THEN
+       |      (greatest(CAST(COALESCE(t2.c, 0) AS DOUBLE) - 0.75, 0.0)
+       |       + 0.75 * CAST(cx.n1fw AS DOUBLE) *
+       |         ((CAST(COALESCE(cn.n1pr, 0) AS DOUBLE) + 0.5) /
+       |          (CAST(t.big_types AS DOUBLE)
+       |           + 0.5 * CAST(t.vocab AS DOUBLE))))
+       |      / CAST(cx.c1 AS DOUBLE)
+       |    ELSE
+       |      (CAST(COALESCE(cn.n1pr, 0) AS DOUBLE) + 0.5) /
+       |      (CAST(t.big_types AS DOUBLE) + 0.5 * CAST(t.vocab AS DOUBLE))
+       |    END AS p
+       |  FROM bp h
+       |  LEFT JOIN tb t2 ON t2.w1 = h.w1 AND t2.w2 = h.w2
+       |  LEFT JOIN ctx cx ON cx.w1 = h.w1
+       |  LEFT JOIN cont cn ON cn.w2 = h.w2
+       |  CROSS JOIN tot t
+       |  WHERE h.doc_id % 5 = 0),
+       |per AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |    SUM(CAST(round(ln(p), 12) AS DECIMAL(28,12)) *
+       |        CAST(k AS DECIMAL(9,0))) AS slp
+       |  FROM pr GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  COALESCE(round(CAST(per.slp AS DOUBLE) /
+       |                 CAST(per.n_bigrams AS DOUBLE), 12), 0.0)
+       |    AS avg_logprob,
+       |  COALESCE(round(-(round(CAST(per.slp AS DOUBLE) /
+       |                         CAST(per.n_bigrams AS DOUBLE), 12)) /
+       |                 0.6931471805599453, 12), 0.0) AS bits_per_bigram
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+       |LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

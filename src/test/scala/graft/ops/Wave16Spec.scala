@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavioral specs for wave 16: positional phrase search (q160) and
+  * interpolated Kneser-Ney bigram scoring (q161) — planted fixtures
+  * where every count is checkable on paper. */
+class Wave16Spec extends SparkSpec {
+
+  test("phrase search: adjacency counts, overlap semantics, top-doc tie-break") {
+    import spark.implicits._
+    // "a a" occurs per starting position: doc 0 has "a a a" → 2
+    // overlapping matches; doc 1 has one; doc 2 has the words but never
+    // adjacent. "b c" appears once each in docs 1 and 2 (tie → doc 1).
+    val docs = Seq(
+      (0L, "a a a x"),
+      (1L, "a a b c"),
+      (2L, "a x a b c")).toDF("doc_id", "text")
+    val rows = Phrase.phraseSearch(docs, nPhrases = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // corpus bigram counts: "a a"=3 (2+1+0), "b c"=2, "a b"=2, "a x"=2,
+    // "x a"=1, "c a"? no. top-2 by (cnt desc, w1, w2): "a a"(3), then
+    // ties at 2: "a b" < "a x" < "b c" lexicographically → "a b"
+    assert(rows.keySet == Set("a a", "a b"))
+    assert(rows("a a") == ((2L, 3L, 0L, 2L)),
+      s"a a: 2 docs, 3 occurrences (overlaps count), top doc 0 with 2: ${rows("a a")}")
+    assert(rows("a b") == ((2L, 2L, 1L, 1L)),
+      "a b: docs 1 and 2 once each; occurrence tie → smaller doc_id")
+  }
+
+  test("phrase search: workload selection is deterministic under count ties") {
+    import spark.implicits._
+    val docs = Seq((0L, "z y z y"), (1L, "y z y z")).toDF("doc_id", "text")
+    // "z y" = 2 (doc0 pos1, doc1 pos2), "y z" = 2 (doc0 pos2, doc1
+    // pos1+3 = 2) — counts: doc0: zy@1, yz@2, zy@3 → zy 2, yz 1;
+    // doc1: yz@1, zy@2, yz@3 → yz 2, zy 1. Both total 3: tie broken
+    // by (w1, w2) → "y z" first
+    val one = Phrase.phraseSearch(docs, nPhrases = 1).collect()
+    assert(one.length == 1 && one(0).getString(0) == "y z")
+  }
+
+  test("kn: seen bigram discounts, unseen transition backs off, unseen context = pcont") {
+    import spark.implicits._
+    // train: "a b a b a c" → bigrams ab,ba,ab,ba? No: a b, b a, a b,
+    // b a, a c → c(a,b)=2 c(b,a)=2 c(a,c)=1; c1(a)=3 c1(b)=2;
+    // n1fw(a)=2 n1fw(b)=1; n1pr(b)=1 n1pr(a)=1 n1pr(c)=1; B=3; V=3
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    // heldout: "a b" (seen), "b c" (unseen transition, seen context),
+    // "z a" (unseen context → pure pcont)
+    val held = Seq((10L, "a b"), (15L, "b c"), (20L, "z a"))
+      .toDF("doc_id", "text")
+    val out = KneserNey.knBigramScore(train, held)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val B = 3.0; val V = 3.0
+    def pcont(n1pr: Double) = (n1pr + 0.5) / (B + 0.5 * V)
+    def lp(p: Double) =
+      BigDecimal(math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // p(b|a) = (2-0.75 + 0.75*2*pcont(1)) / 3
+    val pAB = (2.0 - 0.75 + 0.75 * 2 * pcont(1)) / 3.0
+    // p(c|b): c(b,c)=0 → (0 + 0.75*1*pcont(1)) / 2
+    val pBC = (0.75 * 1 * pcont(1)) / 2.0
+    // p(a|z): z unseen → pcont(a) with n1pr(a)=1
+    val pZA = pcont(1)
+    assert(math.abs(out(10L) - lp(pAB)) < 1e-9, s"seen: ${out(10L)} vs ${lp(pAB)}")
+    assert(math.abs(out(15L) - lp(pBC)) < 1e-9, s"backoff: ${out(15L)} vs ${lp(pBC)}")
+    assert(math.abs(out(20L) - lp(pZA)) < 1e-9, s"unseen ctx: ${out(20L)} vs ${lp(pZA)}")
+    // discounting reserved real mass: the seen transition still scores
+    // strictly higher than the backed-off one
+    assert(out(10L) > out(15L))
+  }
+
+  test("kn: probabilities over the training vocab sum below 1 per seen context (discount holds mass)") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b a c b c")).toDF("doc_id", "text")
+    // score every (a, w) for w in vocab {a,b,c} as singleton held-out docs
+    val held = Seq((0L, "a a"), (5L, "a b"), (10L, "a c")).toDF("doc_id", "text")
+    val lps = KneserNey.knBigramScore(train, held)
+      .collect().map(r => math.exp(r.getDouble(2)))
+    val s = lps.sum
+    // with add-half continuation smoothing some mass sits on unseen
+    // words, so the seen-vocab sum is strictly inside (0, 1]
+    assert(s > 0.0 && s <= 1.0 + 1e-9, s"sum over vocab = $s")
+  }
+
+  test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
+    import spark.implicits._
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val held = Seq((0L, "single"), (5L, ""), (10L, "a b"))
+      .toDF("doc_id", "text")
+    val out = KneserNey.knBigramScore(train, held).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 5L, 10L))
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == 0L && byId(5L) == 0L && byId(10L) == 1L)
+  }
+}
