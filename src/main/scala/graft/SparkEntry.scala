@@ -293,6 +293,8 @@ object SparkEntry {
       graft.ops.Phrase.q160PhraseSearch(s, dir)),
     "q161_kn_bigram_score" -> ((s: SparkSession, dir: String) =>
       graft.ops.KneserNey.q161KnBigramScore(s, dir)),
+    "q162_streamed_ivf_store" -> ((s: SparkSession, dir: String) =>
+      graft.ops.VectorStore.q162StreamedIvfStore(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -769,5 +771,9 @@ object SparkEntry {
     "q159_streamed_boilerplate" -> ExtensionOracles.q149BoilerplateRemoval,
     "q160_phrase_search" -> ExtensionOracles.q160PhraseSearch,
     "q161_kn_bigram_score" -> ExtensionOracles.q161KnBigramScore,
+    // the oracle replays the assignment from the PERSISTED centroids
+    // over the raw embeddings — equality proves the streamed,
+    // cell-partitioned store holds exactly the direct assignment
+    "q162_streamed_ivf_store" -> ExtensionOracles.q162StreamedIvfStore,
   )
 }

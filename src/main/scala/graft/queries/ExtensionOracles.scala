@@ -3979,4 +3979,17 @@ object ExtensionOracles {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
        |LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q162 (`ops.VectorStore.q162StreamedIvfStore`): the integer
+    * nearest-centroid assignment replayed from the PERSISTED q162
+    * centroid table (q81's replay, different quantizer path) — equality
+    * against the streamed store's read-back proves foreachBatch ingest
+    * ≡ direct assignment. */
+  val q162StreamedIvfStore: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.VectorStore.StreamCentroidsPath)}
+       |SELECT e.vec_id,
+       |  CAST(COALESCE(r.cluster, 0) AS INT) AS cluster,
+       |  COALESCE(r.d, 0) AS sq_dist
+       |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
+       |ORDER BY e.vec_id""".stripMargin
 }

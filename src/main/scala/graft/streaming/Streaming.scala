@@ -264,6 +264,28 @@ object Streaming {
     w.start()
   }
 
+  /** Maintain the q162 IVF vector store from an embedding stream: each
+    * micro-batch is assigned against the broadcast centroid array and
+    * appended cell-partitioned (`VectorStore.appendAssignments` —
+    * O(batch), one narrow pass, standing data untouched). Assignment
+    * rows are per-vector facts, so replaying a batch duplicates them
+    * (counting-store checkpoint rule, not the KMV rule). */
+  def ivfAssignStream(emb: DataFrame, dst: String,
+                      centroids: Array[Array[Long]],
+                      checkpoint: Option[String] = None,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = emb.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.VectorStore.appendAssignments(b, centroids, dst)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def kmvDailyStream(events: DataFrame, dst: String, k: Int = 128,
                      checkpoint: Option[String] = None,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

@@ -85,6 +85,42 @@ class Wave16Spec extends SparkSpec {
     assert(s > 0.0 && s <= 1.0 + 1e-9, s"sum over vocab = $s")
   }
 
+  test("streamed ivf store: ingest ≡ direct assignment, cell layout prunes probes") {
+    import spark.implicits._
+    val emb = (0L until 60L).map(i =>
+        (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat / 13f).toSeq))
+      .toDF("vec_id", "embedding")
+    val centroids = Clustering.trainCentroids(emb, k = 4, sampleCap = 60)
+    val dst = "/tmp/graft_spec_ivf_store"
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    // three "micro-batches" through the SAME append the stream calls
+    (0 until 3).foreach { i =>
+      VectorStore.appendAssignments(
+        emb.filter(pmod(col("vec_id"), lit(3)) === i), centroids, dst)
+    }
+    val served = VectorStore.serveAssignments(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val direct = Clustering.assign(emb, centroids)
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(served == direct, "streamed-store read-back must equal direct assignment")
+    // the store is cell-partitioned: a one-cell probe is a PARTITION
+    // filter (pruned before file listing), not a post-scan data filter
+    val probeCell = served.head._2
+    val probe = spark.read.parquet(dst).filter(col("cluster") === probeCell)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cluster")),
+      s"cell probe did not become a partition filter:\n$p")
+    val dirsRead = probe
+      .select(regexp_extract(input_file_name(), "cluster=\\d+", 0))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(dirsRead == Set(s"cluster=$probeCell"),
+      s"probe touched non-probed cells: $dirsRead")
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
