@@ -295,6 +295,8 @@ object SparkEntry {
       graft.ops.KneserNey.q161KnBigramScore(s, dir)),
     "q162_streamed_ivf_store" -> ((s: SparkSession, dir: String) =>
       graft.ops.VectorStore.q162StreamedIvfStore(s, dir)),
+    "q163_kcenter_coreset" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Coreset.q163KcenterCoreset(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -775,5 +777,6 @@ object SparkEntry {
     // over the raw embeddings — equality proves the streamed,
     // cell-partitioned store holds exactly the direct assignment
     "q162_streamed_ivf_store" -> ExtensionOracles.q162StreamedIvfStore,
+    "q163_kcenter_coreset" -> ExtensionOracles.q163KcenterCoreset,
   )
 }

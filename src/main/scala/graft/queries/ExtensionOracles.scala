@@ -3992,4 +3992,68 @@ object ExtensionOracles {
        |  COALESCE(r.d, 0) AS sq_dist
        |FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1
        |ORDER BY e.vec_id""".stripMargin
+
+  /** Mirrors q163 (`ops.Coreset.q163KcenterCoreset`): the greedy
+    * k-center selection unrolled move-for-move — fixed-point snap,
+    * max-norm seed (ties to smaller vec_id), m−1 rounds of
+    * argmax-running-min (same ties), final assignment by (distance,
+    * center id). Every distance is an exact BIGINT; empty/NULL vectors
+    * coalesce to distance 0 everywhere (the q81 convention). */
+  val q163KcenterCoreset: String = {
+    val m = graft.ops.Coreset.M
+    val base =
+      """e AS (SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i FROM e),
+        |q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
+        |  FROM x),
+        |n AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS nrm
+        |      FROM q GROUP BY vec_id),
+        |c1 AS (SELECT vec_id AS cid
+        |  FROM (SELECT e.vec_id, COALESCE(n.nrm, 0) AS nrm
+        |        FROM e LEFT JOIN n USING (vec_id))
+        |  ORDER BY nrm DESC, vec_id LIMIT 1)""".stripMargin
+    def cdist(k: Int) =
+      s"""cd$k AS (SELECT q.vec_id,
+         |    CAST(SUM((q.qi - cq.qi) * (q.qi - cq.qi)) AS BIGINT) AS d
+         |  FROM q JOIN (SELECT q2.i, q2.qi FROM q q2, c$k
+         |               WHERE q2.vec_id = c$k.cid) cq ON q.i = cq.i
+         |  GROUP BY q.vec_id)""".stripMargin
+    val d1 =
+      """d1 AS (SELECT e.vec_id, COALESCE(cd1.d, 0) AS mind
+        |       FROM e LEFT JOIN cd1 USING (vec_id))""".stripMargin
+    val steps = (2 to m).map { k =>
+      val chosen = (1 until k).map(j => s"SELECT cid FROM c$j")
+        .mkString(" UNION ALL ")
+      val pick =
+        s"""c$k AS (SELECT d${k - 1}.vec_id AS cid FROM d${k - 1}
+           |  WHERE d${k - 1}.vec_id NOT IN ($chosen)
+           |  ORDER BY d${k - 1}.mind DESC, d${k - 1}.vec_id LIMIT 1)""".stripMargin
+      val dNext =
+        if (k == m) ""
+        else s""",
+           |d$k AS (SELECT d${k - 1}.vec_id,
+           |    least(d${k - 1}.mind, COALESCE(cd$k.d, 0)) AS mind
+           |  FROM d${k - 1} LEFT JOIN cd$k USING (vec_id))""".stripMargin
+      s"$pick,\n${cdist(k)}$dNext"
+    }.mkString(",\n")
+    val ad = (1 to m).map { k =>
+      s"""SELECT e.vec_id, $k AS rank, c$k.cid, COALESCE(cd$k.d, 0) AS d
+         |  FROM e LEFT JOIN cd$k USING (vec_id) CROSS JOIN c$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $base,
+       |${cdist(1)},
+       |$d1,
+       |$steps,
+       |ad AS (
+       |  $ad),
+       |rk AS (SELECT vec_id, cid, rank, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM ad)
+       |SELECT vec_id, cid AS center_id, CAST(rank AS BIGINT) AS center_rank,
+       |  d AS sq_dist
+       |FROM rk WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -121,6 +121,36 @@ class Wave16Spec extends SparkSpec {
       s"probe touched non-probed cells: $dirsRead")
   }
 
+  test("k-center: greedy picks the farthest point each round, on paper") {
+    import spark.implicits._
+    // 1-d geometry (dim 2, zero second comp): points 0, 1, 10, 11, 20.
+    // Seed = max norm → 20. Round 2 argmax min-dist → 0 (400 > 100).
+    // Round 3: mins to {20,0} are 1, 100, 81 → 10. Centers: 20, 0, 10.
+    val emb = Seq(0L -> 0f, 1L -> 1f, 10L -> 10f, 11L -> 11f, 20L -> 20f)
+      .map { case (id, v) => (id, Seq(v, 0f)) }.toDF("vec_id", "embedding")
+    val picks = Coreset.kcenterSelect(emb, 3).map(_._1)
+    assert(picks == Seq(20L, 0L, 10L), s"greedy order: $picks")
+    val out = Coreset.kcenterAssign(emb, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((0L, 2L)) && out(1L) == ((0L, 2L)),
+      "0 and 1 belong to center 0 (rank 2)")
+    assert(out(10L) == ((10L, 3L)) && out(11L) == ((10L, 3L)))
+    assert(out(20L) == ((20L, 1L)))
+  }
+
+  test("k-center: empty vectors are never selected and assign to the smallest center id") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(5f, 5f)), (1L, Seq(-5f, 5f)), (2L, Seq(0f, -7f)),
+      (3L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val picks = Coreset.kcenterSelect(emb, 3).map(_._1)
+    assert(!picks.contains(3L), s"empty vector must never be a center: $picks")
+    val row3 = Coreset.kcenterAssign(emb, 3)
+      .filter(col("vec_id") === 3L).head()
+    // distance 0 to every center → tie broken to the smallest center id
+    assert(row3.getLong(3) == 0L && row3.getLong(1) == picks.min)
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
