@@ -198,6 +198,38 @@ object Soak {
             .filter(length(col("ids")) >= 0).count()
           ("unigram_ids", (System.nanoTime() - t0) / 1e9, rows)
         }
+      },
+      // positional phrase search: workload selection is one map-side-
+      // combined bigram aggregate; the adjacency join shuffles ONLY the
+      // workload terms' postings (in-row filter before the posexplode),
+      // so cost tracks those terms' df, not |corpus|×|vocab|
+      timed("phrase_search")(graft.ops.Phrase.phraseSearch(docs, 6)
+        .filter(col("n_occurrences") >= 0L)),
+      // Kneser-Ney scoring: four aggregated model tables (map-side
+      // combined) + three aggregated-build joins on the held-out bigram
+      // partials — corpus-linear, AQE handles probe-side hot keys
+      timed("kn_bigram")(graft.ops.KneserNey.knBigramScore(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+        .filter(col("n_bigrams") >= 0L)),
+      // k-center selection: m rounds of one narrow scan + 1-row argmax
+      // — O(m·n·dim) with no corpus shuffle; the running column is
+      // localCheckpoint'ed so lineage stays flat across rounds
+      timed("kcenter")(graft.ops.Coreset.kcenterAssign(emb, 6)
+        .filter(col("sq_dist") >= 0L)),
+      // streamed IVF maintenance unit: the per-batch assignment pass
+      // foreachBatch runs (the stream's O(batch) claim, measured at
+      // corpus volume; staging/trigger overhead is gate-priced)
+      {
+        if (only.nonEmpty && !only("ivf_ingest")) ("ivf_ingest", -1.0, -1L)
+        else {
+          spark.catalog.clearCache()
+          val cents = graft.ops.Clustering.trainCentroids(emb, 8)
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Clustering.assign(emb, cents)
+            .filter(col("sq_dist") >= 0L).count()
+          ("ivf_ingest", (System.nanoTime() - t0) / 1e9, rows)
+        }
       })
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)

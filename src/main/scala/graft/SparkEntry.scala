@@ -297,6 +297,8 @@ object SparkEntry {
       graft.ops.VectorStore.q162StreamedIvfStore(s, dir)),
     "q163_kcenter_coreset" -> ((s: SparkSession, dir: String) =>
       graft.ops.Coreset.q163KcenterCoreset(s, dir)),
+    "q164_ivf_lifecycle" -> ((s: SparkSession, dir: String) =>
+      graft.ops.VectorStore.q164IvfLifecycle(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -778,5 +780,6 @@ object SparkEntry {
     // cell-partitioned store holds exactly the direct assignment
     "q162_streamed_ivf_store" -> ExtensionOracles.q162StreamedIvfStore,
     "q163_kcenter_coreset" -> ExtensionOracles.q163KcenterCoreset,
+    "q164_ivf_lifecycle" -> ExtensionOracles.q164IvfLifecycle,
   )
 }

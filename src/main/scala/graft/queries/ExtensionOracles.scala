@@ -4056,4 +4056,34 @@ object ExtensionOracles {
        |FROM rk WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** Mirrors q164 (`ops.VectorStore.q164IvfLifecycle`): the lifecycle
+    * replayed from persisted centroids + raw embeddings — assignment
+    * (q81 CTEs), the delete rule (vec_id % 7 = 3), the probe-cell
+    * choice (vec 0's integer distance to each centroid, ties to the
+    * smaller cell), and the in-cell top-10 by (distance, vec_id).
+    * Matching the engine's post-compaction probe proves ingest, delete,
+    * compaction and pruning preserved content. */
+  val q164IvfLifecycle: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.VectorStore.LifecycleCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cluster
+       |        FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |qv AS (SELECT i, qi FROM q WHERE vec_id = 0),
+       |cqi AS (SELECT c.cluster,
+       |    unnest(generate_series(1, len(c.qc))) AS i, c.qc AS qc FROM c),
+       |cdist AS (SELECT cqi.cluster,
+       |    CAST(SUM((qv.qi - cqi.qc[CAST(cqi.i AS INT)]) *
+       |             (qv.qi - cqi.qc[CAST(cqi.i AS INT)])) AS BIGINT) AS d
+       |  FROM cqi JOIN qv USING (i) GROUP BY cqi.cluster),
+       |probecells AS (SELECT cluster FROM cdist ORDER BY d, cluster LIMIT 2),
+       |pdist AS (SELECT q.vec_id,
+       |    CAST(SUM((q.qi - qv.qi) * (q.qi - qv.qi)) AS BIGINT) AS d
+       |  FROM q JOIN qv USING (i) GROUP BY q.vec_id),
+       |cand AS (SELECT a.vec_id, a.cluster, COALESCE(p.d, 0) AS d
+       |  FROM asg a LEFT JOIN pdist p USING (vec_id)
+       |  WHERE a.cluster IN (SELECT cluster FROM probecells)
+       |    AND a.vec_id % 7 <> 3)
+       |SELECT CAST(row_number() OVER (ORDER BY d, vec_id) AS BIGINT) AS rank,
+       |  vec_id, cluster, d AS sq_dist
+       |FROM cand ORDER BY d, vec_id LIMIT 10""".stripMargin
 }

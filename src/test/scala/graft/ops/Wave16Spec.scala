@@ -151,6 +151,55 @@ class Wave16Spec extends SparkSpec {
     assert(row3.getLong(3) == 0L && row3.getLong(1) == picks.min)
   }
 
+  test("ivf lifecycle: tombstones hide rows, compaction makes it physical and collapses segments") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i =>
+        (i, Seq.tabulate(4)(d => ((i * 5 + d) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val centroids = Clustering.trainCentroids(emb, k = 3, sampleCap = 40)
+    val root = "/tmp/graft_spec_ivf_lifecycle"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    (0 until 4).foreach { i =>
+      VectorStore.appendCellRows(
+        emb.filter(pmod(col("vec_id"), lit(4)) === i), centroids, s"$root/store")
+    }
+    VectorStore.appendTombstones(emb.filter(col("vec_id") < 5L), root)
+
+    def liveIds(): Set[Long] = {
+      val tomb = spark.read.parquet(s"$root/tombstones")
+      spark.read.parquet(s"$root/store")
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val before = liveIds()
+    assert(before == (5L until 40L).toSet, "tombstoned ids must be hidden")
+
+    val (filesBefore, filesAfter) = VectorStore.compactCells(spark, root)
+    assert(filesAfter < filesBefore,
+      s"segments must collapse: $filesBefore -> $filesAfter")
+    assert(liveIds() == before, "compaction must not change served content")
+    // physical: the raw store (no anti-join) no longer holds deleted rows
+    val raw = spark.read.parquet(s"$root/store")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(raw == before, "deleted rows must be physically gone after compaction")
+
+    // probe prunes to its cells' directories only
+    val qx = Seq(1000L, 2000L, 3000L, 4000L)
+    val probe = VectorStore.probeTopK(spark, root, qx, centroids, nprobe = 1, k = 5)
+    assert(probe.count() == 5)
+    val cells = centroids.zipWithIndex.map { case (c, cid) =>
+      (qx.zipAll(c.toSeq, 0L, 0L).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+    }.sorted.take(1).map(_._2).toSet
+    val dirsRead = spark.read.parquet(s"$root/store")
+      .filter(col("cluster").isin(cells.map(Int.box).toSeq: _*))
+      .select(regexp_extract(input_file_name(), "cluster=\\d+", 0))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(dirsRead == cells.map(c => s"cluster=$c"),
+      s"probe must touch only its cells: $dirsRead vs $cells")
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
