@@ -299,6 +299,8 @@ object SparkEntry {
       graft.ops.Coreset.q163KcenterCoreset(s, dir)),
     "q164_ivf_lifecycle" -> ((s: SparkSession, dir: String) =>
       graft.ops.VectorStore.q164IvfLifecycle(s, dir)),
+    "q165_span_corruption" -> ((s: SparkSession, dir: String) =>
+      graft.ops.SpanCorruption.q165SpanCorruption(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -781,5 +783,6 @@ object SparkEntry {
     "q162_streamed_ivf_store" -> ExtensionOracles.q162StreamedIvfStore,
     "q163_kcenter_coreset" -> ExtensionOracles.q163KcenterCoreset,
     "q164_ivf_lifecycle" -> ExtensionOracles.q164IvfLifecycle,
+    "q165_span_corruption" -> ExtensionOracles.q165SpanCorruption,
   )
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Span-corruption sample preparation — the denoising-objective
+  * transform (T5, Raffel et al. 2020 §3.1.4; UL2's R-denoiser): mask k
+  * contiguous token spans with sentinel tokens and emit the
+  * (corrupted input, sentinel-delimited targets) pair a
+  * denoising-objective trainer consumes. This is the data-AUGMENTATION
+  * tier of the pipeline — the ops before it select and clean documents;
+  * this one turns a clean document into a training example.
+  *
+  * Deterministic by construction: span starts are 52-bit md5 draws
+  * (`span:<doc_id>:<j>` — the q62/q153 dyadic-uniform recipe) taken
+  * modulo the legal start range, one span per equal segment of the
+  * token array, so spans can never overlap and every engine replays
+  * the same offsets. Documents too short to hold k disjoint spans
+  * (fewer than k·L tokens per segment minimum) pass through unmasked
+  * with an empty target — the convention a packing stage (q42)
+  * expects.
+  *
+  * Shape at 100 TB: embarrassingly parallel — one narrow map over the
+  * token array per document (in-row slices and joins, no explode, no
+  * shuffle, whole-stage codegen). Nothing leaves the row.
+  */
+object SpanCorruption {
+
+  /** Span length and span count (two spans, one per half). */
+  val L = 3
+  val K = 2
+
+  /** q165: span-corrupt every document. */
+  def q165SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    spanCorrupt(Tables.documents(s, dir))
+
+  private def md5Long(key: Column): Column =
+    conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    val d = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+      .withColumn("n", size(col("l")).cast("long"))
+    // one span per segment of seg = n div K tokens; legal starts per
+    // segment: 1..seg-L+1 (requires seg >= L, i.e. n >= K*L)
+    val withStarts = d
+      .withColumn("seg", expr(s"n DIV $K"))
+      .withColumn("eligible", col("seg") >= L)
+      .withColumn("start0",
+        lit(1L) + pmod(
+          md5Long(concat(lit("span:"), col("doc_id"), lit(":0"))),
+          greatest(col("seg") - (L - 1), lit(1L))))
+      .withColumn("start1",
+        col("seg") + 1 + pmod(
+          md5Long(concat(lit("span:"), col("doc_id"), lit(":1"))),
+          greatest(col("seg") - (L - 1), lit(1L))))
+    withStarts
+      .withColumn("input_text",
+        when(col("eligible"),
+          array_join(concat(
+            slice(col("l"), lit(1), (col("start0") - 1).cast("int")),
+            array(lit("<extra_id_0>")),
+            slice(col("l"), (col("start0") + L).cast("int"),
+              (col("start1") - col("start0") - L).cast("int")),
+            array(lit("<extra_id_1>")),
+            slice(col("l"), (col("start1") + L).cast("int"),
+              (col("n") - col("start1") - (L - 1)).cast("int"))), " "))
+        .otherwise(array_join(col("l"), " ")))
+      .withColumn("target_text",
+        when(col("eligible"), concat(
+          lit("<extra_id_0> "),
+          array_join(slice(col("l"), col("start0").cast("int"), lit(L)), " "),
+          lit(" <extra_id_1> "),
+          array_join(slice(col("l"), col("start1").cast("int"), lit(L)), " "),
+          lit(" <extra_id_2>")))
+        .otherwise(lit("")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("input_text"), col("target_text"))
+      .orderBy(col("doc_id"))
+  }
+}

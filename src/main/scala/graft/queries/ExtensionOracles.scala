@@ -4086,4 +4086,36 @@ object ExtensionOracles {
        |SELECT CAST(row_number() OVER (ORDER BY d, vec_id) AS BIGINT) AS rank,
        |  vec_id, cluster, d AS sq_dist
        |FROM cand ORDER BY d, vec_id LIMIT 10""".stripMargin
+
+  /** Mirrors q165 (`ops.SpanCorruption.q165SpanCorruption`): the same
+    * 52-bit md5 span draws, one per half-segment, replayed with list
+    * slicing — inputs, sentinels and targets reassemble identically or
+    * the string hash breaks. */
+  val q165SpanCorruption: String =
+    s"""WITH $tokCte,
+       |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+       |                CAST(len(l) // 2 AS BIGINT) AS seg FROM tok),
+       |st AS (SELECT doc_id, l, n, seg, seg >= 3 AS eligible,
+       |    1 + (CAST(('0x' || substr(md5('span:' ||
+       |           CAST(doc_id AS VARCHAR) || ':0'), 1, 13)) AS BIGINT)
+       |         % greatest(seg - 2, 1)) AS start0,
+       |    seg + 1 + (CAST(('0x' || substr(md5('span:' ||
+       |           CAST(doc_id AS VARCHAR) || ':1'), 1, 13)) AS BIGINT)
+       |         % greatest(seg - 2, 1)) AS start1
+       |  FROM base)
+       |SELECT doc_id, n AS n_tokens,
+       |  CASE WHEN eligible THEN array_to_string(
+       |    l[1:CAST(start0 - 1 AS INT)] || ['<extra_id_0>'] ||
+       |    l[CAST(start0 + 3 AS INT):CAST(start1 - 1 AS INT)] ||
+       |    ['<extra_id_1>'] ||
+       |    l[CAST(start1 + 3 AS INT):CAST(n AS INT)], ' ')
+       |  ELSE array_to_string(l, ' ') END AS input_text,
+       |  CASE WHEN eligible THEN
+       |    '<extra_id_0> ' ||
+       |    array_to_string(l[CAST(start0 AS INT):CAST(start0 + 2 AS INT)], ' ') ||
+       |    ' <extra_id_1> ' ||
+       |    array_to_string(l[CAST(start1 AS INT):CAST(start1 + 2 AS INT)], ' ') ||
+       |    ' <extra_id_2>'
+       |  ELSE '' END AS target_text
+       |FROM st ORDER BY doc_id""".stripMargin
 }

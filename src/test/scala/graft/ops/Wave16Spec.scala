@@ -200,6 +200,38 @@ class Wave16Spec extends SparkSpec {
       s"probe must touch only its cells: $dirsRead vs $cells")
   }
 
+  test("span corruption: round-trips, spans are disjoint, short docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // eligible
+      (2L, "a b c d e f g h i j"),                    // eligible (n=10)
+      (3L, "only five words here now"),               // n=5 < 6: pass-through
+      (4L, "")).toDF("doc_id", "text")
+    val out = SpanCorruption.spanCorrupt(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+
+    // short docs: unmasked input, empty target
+    assert(out(3L) == ((5L, "only five words here now", "")))
+    assert(out(4L) == ((0L, "", "")))
+
+    // eligible docs: exactly one sentinel pair in the input, targets
+    // carry L=3 tokens per span, and splicing the targets back into
+    // the sentinel slots reconstructs the original token stream
+    Seq(1L, 2L).foreach { id =>
+      val (_, input, target) = out(id)
+      val orig = docs.filter(col("doc_id") === id)
+        .head().getString(1).toLowerCase
+      val tgt = target.stripPrefix("<extra_id_0> ")
+        .stripSuffix(" <extra_id_2>").split(" <extra_id_1> ")
+      assert(tgt.length == 2 && tgt.forall(_.split(" ").length == 3),
+        s"doc $id: two 3-token spans expected: $target")
+      val rebuilt = input
+        .replace("<extra_id_0>", tgt(0)).replace("<extra_id_1>", tgt(1))
+      assert(rebuilt == orig, s"doc $id: splice-back must reconstruct:\n$rebuilt\n$orig")
+    }
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
