@@ -217,6 +217,17 @@ object Soak {
       // localCheckpoint'ed so lineage stays flat across rounds
       timed("kcenter")(graft.ops.Coreset.kcenterAssign(emb, 6)
         .filter(col("sq_dist") >= 0L)),
+      // span corruption: one in-row map (slices + joins, no shuffle) —
+      // the raw core; the gate's global sort is determinism-only and a
+      // sharded write replaces it at scale. Forced through an AGGREGATE
+      // of both output lengths, NOT a filter: a filter on the computed
+      // column is pushed below the projection and re-substitutes the
+      // whole expression tree (split included) into the predicate —
+      // measured 35 s vs 2.0 s at 10x for the identical work
+      timed("span_corrupt")(graft.ops.SpanCorruption.spanCorruptRaw(docs)
+        .select((length(col("input_text")) + length(col("target_text")))
+          .as("len"))
+        .agg(sum(col("len")).as("total_chars"))),
       // streamed IVF maintenance unit: the per-batch assignment pass
       // foreachBatch runs (the stream's O(batch) claim, measured at
       // corpus volume; staging/trigger overhead is gate-priced)

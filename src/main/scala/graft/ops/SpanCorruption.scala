@@ -38,8 +38,16 @@ object SpanCorruption {
   private def md5Long(key: Column): Column =
     conv(substring(md5(key), 1, 13), 16, 10).cast("long")
 
-  /** The reusable core over any (doc_id, text) frame. */
-  def spanCorrupt(docs: DataFrame): DataFrame = {
+  /** Gate wrapper: the raw transform plus the deterministic global sort
+    * the hash gate needs. At scale use [[spanCorruptRaw]] — augmented
+    * examples feed a sharded write (`Sharding.materializeTrainingSet`'s
+    * per-task sort), never a global order. */
+  def spanCorrupt(docs: DataFrame): DataFrame =
+    spanCorruptRaw(docs).orderBy(col("doc_id"))
+
+  /** The reusable core over any (doc_id, text) frame — one in-row map,
+    * no shuffle, no sort. */
+  def spanCorruptRaw(docs: DataFrame): DataFrame = {
     val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .withColumn("n", size(col("l")).cast("long"))
@@ -78,6 +86,5 @@ object SpanCorruption {
         .otherwise(lit("")))
       .select(col("doc_id"), col("n").as("n_tokens"),
         col("input_text"), col("target_text"))
-      .orderBy(col("doc_id"))
   }
 }
