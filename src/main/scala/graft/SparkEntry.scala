@@ -301,6 +301,8 @@ object SparkEntry {
       graft.ops.VectorStore.q164IvfLifecycle(s, dir)),
     "q165_span_corruption" -> ((s: SparkSession, dir: String) =>
       graft.ops.SpanCorruption.q165SpanCorruption(s, dir)),
+    "q166_doc_novelty" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Novelty.q166DocNovelty(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -784,5 +786,6 @@ object SparkEntry {
     "q163_kcenter_coreset" -> ExtensionOracles.q163KcenterCoreset,
     "q164_ivf_lifecycle" -> ExtensionOracles.q164IvfLifecycle,
     "q165_span_corruption" -> ExtensionOracles.q165SpanCorruption,
+    "q166_doc_novelty" -> ExtensionOracles.q166DocNovelty,
   )
 }

@@ -4118,4 +4118,24 @@ object ExtensionOracles {
        |    ' <extra_id_2>'
        |  ELSE '' END AS target_text
        |FROM st ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q166 (`ops.Novelty.q166DocNovelty`): per-doc distinct
+    * 3-gram df replayed from raw text — matching the engine's
+    * store-served df proves the standing sidecar again (the q158
+    * argument, now for the df=1 tail instead of the frequent head). */
+  val q166DocNovelty: String =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g),
+       |per AS (SELECT sh.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unique
+       |  FROM sh JOIN df USING (g) GROUP BY sh.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_grams, 0) AS n_grams,
+       |  COALESCE(per.n_unique, 0) AS n_unique,
+       |  COALESCE(round(CAST(per.n_unique AS DOUBLE) /
+       |                 CAST(per.n_grams AS DOUBLE), 12), 0.0) AS novelty
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

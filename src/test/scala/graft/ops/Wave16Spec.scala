@@ -232,6 +232,36 @@ class Wave16Spec extends SparkSpec {
     }
   }
 
+  test("doc novelty: df=1 fraction on a planted corpus, store serve = from-scratch") {
+    import spark.implicits._
+    // doc 0 and doc 1 share their entire text (every 3-gram df >= 2);
+    // doc 2 is fully unique; doc 3 mixes one shared gram with unique
+    // ones; doc 4 is too short for any 3-gram
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"),
+      (3L, "alpha beta gamma nine ten eleven"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val store = "/tmp/graft_spec_novelty"
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // two disjoint appends — the serve must merge partials
+    Boilerplate.appendGramDf(docs.filter(col("doc_id") < 2), store, 3)
+    Boilerplate.appendGramDf(docs.filter(col("doc_id") >= 2), store, 3)
+    val out = Novelty.noveltyFromStore(spark, docs, store)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 0/1: grams {abc, bcd} both df 2 → novelty 0
+    assert(out(0L) == ((2L, 0L, 0.0)) && out(1L) == ((2L, 0L, 0.0)))
+    // doc 2: both grams unique → novelty 1
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    // doc 3: grams abg(df 3: docs 0,1,3), bgn, gnt, nte — 3 of 4 unique
+    assert(out(3L) == ((4L, 3L, 0.75)), s"doc 3: ${out(3L)}")
+    // doc 4: no 3-grams → zeros
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
