@@ -228,6 +228,23 @@ object Soak {
         .select((length(col("input_text")) + length(col("target_text")))
           .as("len"))
         .agg(sum(col("len")).as("total_chars"))),
+      // doc novelty: doc-gram rows joined to the aggregated df table
+      // (one corpus-scale shuffle on the gram) + a per-doc combine —
+      // the salt makes most grams df=1, the worst case for join volume
+      {
+        if (only.nonEmpty && !only("doc_novelty")) ("doc_novelty", -1.0, -1L)
+        else {
+          spark.catalog.clearCache()
+          val store = "/tmp/graft_soak_novelty"
+          val p = new org.apache.hadoop.fs.Path(store)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          val t0 = System.nanoTime()
+          graft.ops.Boilerplate.appendGramDf(docs, store, 3)
+          val rows = graft.ops.Novelty.noveltyFromStore(spark, docs, store)
+            .filter(col("n_grams") >= 0L).count()
+          ("doc_novelty", (System.nanoTime() - t0) / 1e9, rows)
+        }
+      },
       // streamed IVF maintenance unit: the per-batch assignment pass
       // foreachBatch runs (the stream's O(batch) claim, measured at
       // corpus volume; staging/trigger overhead is gate-priced)

@@ -303,6 +303,8 @@ object SparkEntry {
       graft.ops.SpanCorruption.q165SpanCorruption(s, dir)),
     "q166_doc_novelty" -> ((s: SparkSession, dir: String) =>
       graft.ops.Novelty.q166DocNovelty(s, dir)),
+    "q167_quantile_normalize" -> ((s: SparkSession, dir: String) =>
+      graft.ops.QuantileNorm.q167QuantileNormalize(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -787,5 +789,6 @@ object SparkEntry {
     "q164_ivf_lifecycle" -> ExtensionOracles.q164IvfLifecycle,
     "q165_span_corruption" -> ExtensionOracles.q165SpanCorruption,
     "q166_doc_novelty" -> ExtensionOracles.q166DocNovelty,
+    "q167_quantile_normalize" -> ExtensionOracles.q167QuantileNormalize,
   )
 }

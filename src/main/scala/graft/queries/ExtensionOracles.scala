@@ -4138,4 +4138,43 @@ object ExtensionOracles {
        |                 CAST(per.n_grams AS DOUBLE), 12), 0.0) AS novelty
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q167 (`ops.QuantileNorm.q167QuantileNormalize`): the same
+    * aggregated CDF tables, midpoint within-source quantile and
+    * type-1 pooled inverse decided by the identical integer
+    * cross-multiply — no float in any comparison. */
+  val q167QuantileNormalize: String =
+    """WITH sc AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |sv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM sc GROUP BY source, v),
+      |srccum AS (SELECT source, v, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |      AS BIGINT) AS below
+      |  FROM sv),
+      |srctot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s
+      |           FROM sv GROUP BY source),
+      |pooled AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS pcnt
+      |           FROM sv GROUP BY v),
+      |pooledcum AS (SELECT v AS w,
+      |    CAST(SUM(pcnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_g
+      |  FROM pooled),
+      |ntot AS (SELECT CAST(SUM(pcnt) AS BIGINT) AS n_total FROM pooled),
+      |mapping AS (SELECT s2.source, s2.v,
+      |    round(CAST(2 * s2.below + s2.cnt AS DOUBLE) /
+      |          CAST(2 * st.n_s AS DOUBLE), 12) AS q,
+      |    MIN(pc.w) AS norm_v
+      |  FROM srccum s2
+      |  JOIN srctot st USING (source)
+      |  CROSS JOIN ntot nt
+      |  JOIN pooledcum pc
+      |    ON 2 * st.n_s * pc.cum_g >= nt.n_total * (2 * s2.below + s2.cnt)
+      |  GROUP BY s2.source, s2.v, s2.below, s2.cnt, st.n_s, nt.n_total)
+      |SELECT d.doc_id, d.source, d.v, m.q, m.norm_v
+      |FROM sc d JOIN mapping m USING (source, v)
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -262,6 +262,33 @@ class Wave16Spec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("quantile normalization: hand-computed cross-source mapping; identity on one source") {
+    import spark.implicits._
+    // source A: values 1..4; source B: 10, 20. Pooled CumG:
+    // 1->1 2->2 3->3 4->4 10->5 20->6 (N=6)
+    val scored = Seq(
+      (0L, "A", 1L), (1L, "A", 2L), (2L, "A", 3L), (3L, "A", 4L),
+      (4L, "B", 10L), (5L, "B", 20L)).toDF("doc_id", "source", "v")
+    val out = QuantileNorm.quantileNormalize(scored)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    // A(v): q=(2*below+1)/8; target = min w with 8*CumG >= 6*(2*below+1)
+    assert(out(0L) == ((0.125, 1L)))
+    assert(out(1L) == ((0.375, 3L)))
+    assert(out(2L) == ((0.625, 4L)))
+    assert(out(3L) == ((0.875, 20L)))
+    // B(v): q=(2*below+1)/4; target = min w with 4*CumG >= 6*(2*below+1)
+    assert(out(4L) == ((0.25, 2L)))
+    assert(out(5L) == ((0.75, 10L)))
+
+    // one source: normalization must be the identity
+    val one = Seq((0L, "A", 1L), (1L, "A", 2L), (2L, "A", 3L), (3L, "A", 4L))
+      .toDF("doc_id", "source", "v")
+    QuantileNorm.quantileNormalize(one).collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(4),
+        s"identity broken: v=${r.getLong(2)} norm=${r.getLong(4)}")
+    }
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
