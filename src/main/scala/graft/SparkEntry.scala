@@ -305,6 +305,8 @@ object SparkEntry {
       graft.ops.Novelty.q166DocNovelty(s, dir)),
     "q167_quantile_normalize" -> ((s: SparkSession, dir: String) =>
       graft.ops.QuantileNorm.q167QuantileNormalize(s, dir)),
+    "q168_fim_transform" -> ((s: SparkSession, dir: String) =>
+      graft.ops.SpanCorruption.q168FimTransform(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -790,5 +792,6 @@ object SparkEntry {
     "q165_span_corruption" -> ExtensionOracles.q165SpanCorruption,
     "q166_doc_novelty" -> ExtensionOracles.q166DocNovelty,
     "q167_quantile_normalize" -> ExtensionOracles.q167QuantileNormalize,
+    "q168_fim_transform" -> ExtensionOracles.q168FimTransform,
   )
 }

@@ -87,4 +87,45 @@ object SpanCorruption {
       .select(col("doc_id"), col("n").as("n_tokens"),
         col("input_text"), col("target_text"))
   }
+
+  // ------------------------------------------------------- FIM (q168)
+
+  /** q168: fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the PSM rearrangement code models train on: two md5-drawn cut
+    * points split the token stream into prefix/middle/suffix, emitted
+    * as `<fim_prefix> P <fim_suffix> S <fim_middle> M` so the model
+    * learns to produce the middle given both sides. Deterministic like
+    * [[spanCorrupt]]: cuts are 52-bit md5 draws mod (n+1), ordered;
+    * docs under 4 tokens pass through unrearranged (psm = the raw
+    * token stream, a no-op the packing stage treats as plain text).
+    * Same scale shape: one in-row map, no shuffle. */
+  def q168FimTransform(s: SparkSession, dir: String): DataFrame =
+    fimTransform(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The raw FIM core over any (doc_id, text) frame. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    val d = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+      .withColumn("n", size(col("l")).cast("long"))
+    def cut(j: Int) = pmod(
+      md5Long(concat(lit("fim:"), col("doc_id"), lit(s":$j"))),
+      col("n") + 1)
+    d.withColumn("c1", cut(0)).withColumn("c2", cut(1))
+      .withColumn("lo", least(col("c1"), col("c2")))
+      .withColumn("hi", greatest(col("c1"), col("c2")))
+      .withColumn("psm",
+        when(col("n") >= 4, concat(
+          lit("<fim_prefix> "),
+          array_join(slice(col("l"), lit(1), col("lo").cast("int")), " "),
+          lit(" <fim_suffix> "),
+          array_join(slice(col("l"), (col("hi") + 1).cast("int"),
+            (col("n") - col("hi")).cast("int")), " "),
+          lit(" <fim_middle> "),
+          array_join(slice(col("l"), (col("lo") + 1).cast("int"),
+            (col("hi") - col("lo")).cast("int")), " ")))
+        .otherwise(array_join(col("l"), " ")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("lo").as("cut_lo"), col("hi").as("cut_hi"), col("psm"))
+  }
 }

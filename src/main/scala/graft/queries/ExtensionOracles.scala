@@ -4104,12 +4104,12 @@ object ExtensionOracles {
        |         % greatest(seg - 2, 1)) AS start1
        |  FROM base)
        |SELECT doc_id, n AS n_tokens,
-       |  CASE WHEN eligible THEN array_to_string(
+       |  CASE WHEN eligible THEN COALESCE(array_to_string(
        |    l[1:CAST(start0 - 1 AS INT)] || ['<extra_id_0>'] ||
        |    l[CAST(start0 + 3 AS INT):CAST(start1 - 1 AS INT)] ||
        |    ['<extra_id_1>'] ||
-       |    l[CAST(start1 + 3 AS INT):CAST(n AS INT)], ' ')
-       |  ELSE array_to_string(l, ' ') END AS input_text,
+       |    l[CAST(start1 + 3 AS INT):CAST(n AS INT)], ' '), '')
+       |  ELSE COALESCE(array_to_string(l, ' '), '') END AS input_text,
        |  CASE WHEN eligible THEN
        |    '<extra_id_0> ' ||
        |    array_to_string(l[CAST(start0 AS INT):CAST(start0 + 2 AS INT)], ' ') ||
@@ -4177,4 +4177,31 @@ object ExtensionOracles {
       |SELECT d.doc_id, d.source, d.v, m.q, m.norm_v
       |FROM sc d JOIN mapping m USING (source, v)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors q168 (`ops.SpanCorruption.q168FimTransform`): the same
+    * md5 cut draws mod (n+1), ordered, replayed with list slicing into
+    * the PSM string. */
+  val q168FimTransform: String =
+    s"""WITH $tokCte,
+       |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n FROM tok),
+       |cuts AS (SELECT doc_id, l, n,
+       |    CAST(('0x' || substr(md5('fim:' ||
+       |      CAST(doc_id AS VARCHAR) || ':0'), 1, 13)) AS BIGINT)
+       |      % (n + 1) AS c1,
+       |    CAST(('0x' || substr(md5('fim:' ||
+       |      CAST(doc_id AS VARCHAR) || ':1'), 1, 13)) AS BIGINT)
+       |      % (n + 1) AS c2
+       |  FROM base),
+       |oc AS (SELECT doc_id, l, n, least(c1, c2) AS lo,
+       |              greatest(c1, c2) AS hi FROM cuts)
+       |SELECT doc_id, n AS n_tokens, lo AS cut_lo, hi AS cut_hi,
+       |  CASE WHEN n >= 4 THEN
+       |    '<fim_prefix> ' ||
+       |    COALESCE(array_to_string(l[1:CAST(lo AS INT)], ' '), '') ||
+       |    ' <fim_suffix> ' ||
+       |    COALESCE(array_to_string(l[CAST(hi + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+       |    ' <fim_middle> ' ||
+       |    COALESCE(array_to_string(l[CAST(lo + 1 AS INT):CAST(hi AS INT)], ' '), '')
+       |  ELSE COALESCE(array_to_string(l, ' '), '') END AS psm
+       |FROM oc ORDER BY doc_id""".stripMargin
 }

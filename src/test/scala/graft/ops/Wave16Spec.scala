@@ -289,6 +289,29 @@ class Wave16Spec extends SparkSpec {
     }
   }
 
+  test("fim: PSM reassembles to the original, cuts are ordered, short docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ops.SpanCorruption.fimTransform(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val (n, lo, hi, psm) = out(1L)
+    assert(n == 12L && lo <= hi && lo >= 0L && hi <= n)
+    val m = "<fim_prefix> (.*) <fim_suffix> (.*) <fim_middle> (.*)".r
+    psm match {
+      case m(p, sfx, mid) =>
+        val rebuilt = Seq(p, mid, sfx).map(_.trim).filter(_.nonEmpty)
+          .mkString(" ")
+        val orig = (1 to 12).map(i => s"w$i").mkString(" ")
+        assert(rebuilt == orig, s"P+M+S must reassemble:\n$rebuilt\n$orig")
+      case _ => fail(s"bad PSM shape: $psm")
+    }
+    // short doc: no rearrangement
+    assert(out(2L)._4 == "a b c")
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
