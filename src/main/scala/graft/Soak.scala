@@ -228,6 +228,13 @@ object Soak {
         .select((length(col("input_text")) + length(col("target_text")))
           .as("len"))
         .agg(sum(col("len")).as("total_chars"))),
+      // quantile normalization: ONE corpus shuffle (the (source, value)
+      // collapse); every window and the inverse-CDF theta join run over
+      // aggregated tables, so cost must track the scan
+      timed("quantile_norm")(graft.ops.QuantileNorm.quantileNormalize(
+        docs.select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))
+        .filter(col("norm_v") >= 0L)),
       // doc novelty: doc-gram rows joined to the aggregated df table
       // (one corpus-scale shuffle on the gram) + a per-doc combine —
       // the salt makes most grams df=1, the worst case for join volume
