@@ -508,7 +508,7 @@ object ExtensionOracles {
       |proj AS (SELECT vec_id, list(y ORDER BY j) AS proj FROM py GROUP BY vec_id)
       |SELECT e.vec_id,
       |  m.maxabs / CAST(127 AS DOUBLE) AS scale,
-      |  array_to_string(COALESCE(p.proj, CAST([] AS INTEGER[])), ',') AS proj
+      |  COALESCE(array_to_string(p.proj, ','), '') AS proj
       |FROM e
       |LEFT JOIN m ON e.vec_id = m.vec_id
       |LEFT JOIN proj p ON e.vec_id = p.vec_id
@@ -1369,7 +1369,7 @@ object ExtensionOracles {
        |negs AS (SELECT query_id, list(doc_id ORDER BY rank) AS neg_ids
        |  FROM rk WHERE rank <= 4 GROUP BY query_id)
        |SELECT a.doc_id, a.pos_id,
-       |  array_to_string(COALESCE(n.neg_ids, CAST([] AS BIGINT[])), ',') AS neg_ids
+       |  COALESCE(array_to_string(n.neg_ids, ','), '') AS neg_ids
        |FROM anch a LEFT JOIN negs n ON a.doc_id = n.query_id
        |ORDER BY a.doc_id""".stripMargin
 
@@ -1787,7 +1787,7 @@ object ExtensionOracles {
       |    flatten(list(wids.ids ORDER BY wpos)) AS ids
       |  FROM dwp JOIN wids USING (word) GROUP BY dwp.doc_id)
       |SELECT d.doc_id,
-      |  array_to_string(COALESCE(di.ids, CAST([] AS INTEGER[])), ',') AS token_ids,
+      |  COALESCE(array_to_string(di.ids, ','), '') AS token_ids,
       |  CAST(len(COALESCE(di.ids, CAST([] AS INTEGER[]))) AS BIGINT) AS n_tokens
       |FROM documents d LEFT JOIN docids di ON d.doc_id = di.doc_id
       |ORDER BY d.doc_id""".stripMargin
