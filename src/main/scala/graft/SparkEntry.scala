@@ -307,6 +307,8 @@ object SparkEntry {
       graft.ops.QuantileNorm.q167QuantileNormalize(s, dir)),
     "q168_fim_transform" -> ((s: SparkSession, dir: String) =>
       graft.ops.SpanCorruption.q168FimTransform(s, dir)),
+    "q169_streamed_neardup_index" -> ((s: SparkSession, dir: String) =>
+      graft.ops.NearDupIndex.q169StreamedNearDupIndex(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -793,5 +795,8 @@ object SparkEntry {
     "q166_doc_novelty" -> ExtensionOracles.q166DocNovelty,
     "q167_quantile_normalize" -> ExtensionOracles.q167QuantileNormalize,
     "q168_fim_transform" -> ExtensionOracles.q168FimTransform,
+    // q89's oracle verbatim: the index holds the %5!=0 corpus whether
+    // written once or streamed in — equality proves the append path
+    "q169_streamed_neardup_index" -> ExtensionOracles.q89IndexProbe,
   )
 }

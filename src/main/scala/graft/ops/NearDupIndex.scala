@@ -415,6 +415,44 @@ object NearDupIndex {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** q169: q89's index BUILT THROUGH STRUCTURED STREAMING — the
+    * initial layout holds only the %5=1 slice; slices %5∈{2,3,4}
+    * arrive as three micro-batches whose foreachBatch runs the real
+    * [[appendToMinhashLayout]] (the counting-store maintenance unit);
+    * the probe is q89's, and the ORACLE is q89's verbatim (the index
+    * content is the %5≠0 corpus regardless of arrival path) — hash
+    * equality proves streamed maintenance ≡ the one-shot write. Cap
+    * 10000 stays uncrossed at gate scale, the documented exact-parity
+    * precondition. */
+  def q169StreamedNearDupIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val rootStr = "/tmp/graft_streamed_neardup"
+    val root = new org.apache.hadoop.fs.Path(rootStr)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val dst = s"$rootStr/idx"
+    writeMinhashLayout(docs.filter(pmod(col("doc_id"), lit(5)) === 1), dst,
+      nBuckets = 16, maxDocFreq = 10000L)
+    val watched = s"$rootStr/in"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
+    (2 to 4).foreach { i =>
+      val tmpd = s"$rootStr/stage_$i"
+      docs.filter(pmod(col("doc_id"), lit(5)) === i).coalesce(1)
+        .write.parquet(tmpd)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched)
+    graft.streaming.Streaming.minhashAppendStream(stream, dst)
+      .awaitTermination()
+    probeNearDup(s, dst, docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** One-call maintenance of the index against a living corpus: classify
     * `newDocs` vs the indexed snapshot `oldDocs` ([[SnapshotDiff.diff]])
     * and apply each verdict with the cheapest correct mechanism:

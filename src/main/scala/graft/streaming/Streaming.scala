@@ -286,6 +286,26 @@ object Streaming {
     w.start()
   }
 
+  /** Maintain the q89 minhash near-dup index from a document stream:
+    * each micro-batch runs `NearDupIndex.appendToMinhashLayout` —
+    * O(batch) band/docset/df appends against the standing layout, ids
+    * disjoint by the append contract. df segments are counts, so the
+    * counting-store checkpoint rule applies (replay double-counts). */
+  def minhashAppendStream(docs: DataFrame, dst: String,
+                          checkpoint: Option[String] = None,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.NearDupIndex.appendToMinhashLayout(b, dst)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def kmvDailyStream(events: DataFrame, dst: String, k: Int = 128,
                      checkpoint: Option[String] = None,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

@@ -312,6 +312,16 @@ class Wave16Spec extends SparkSpec {
     assert(out(2L)._4 == "a b c")
   }
 
+  test("streamed near-dup index: probe equals the one-shot q89 build") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = NearDupIndex.q169StreamedNearDupIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = NearDupIndex.q89IndexProbe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == oneShot,
+      s"stream-maintained index must probe identically: $streamed vs $oneShot")
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
