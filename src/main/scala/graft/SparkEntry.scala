@@ -309,6 +309,8 @@ object SparkEntry {
       graft.ops.SpanCorruption.q168FimTransform(s, dir)),
     "q169_streamed_neardup_index" -> ((s: SparkSession, dir: String) =>
       graft.ops.NearDupIndex.q169StreamedNearDupIndex(s, dir)),
+    "q170_isotonic_calibration" -> ((s: SparkSession, dir: String) =>
+      graft.ops.QualityModel.q170IsotonicCalibration(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -798,5 +800,6 @@ object SparkEntry {
     // q89's oracle verbatim: the index holds the %5!=0 corpus whether
     // written once or streamed in — equality proves the append path
     "q169_streamed_neardup_index" -> ExtensionOracles.q89IndexProbe,
+    "q170_isotonic_calibration" -> ExtensionOracles.q170IsotonicCalibration,
   )
 }

@@ -63,6 +63,61 @@ object QualityModel {
       .orderBy(col("bin"))
   }
 
+  /** q170: ISOTONIC (PAV) calibration of the distilled quality model —
+    * the nonparametric upgrade of q97's reliability table: fit the
+    * best NONDECREASING keep-rate over the score bins (pool-adjacent-
+    * violators), the standard probability-calibration step before a
+    * model score gates real data (Zadrozny & Elkan 2002). PAV runs
+    * driver-side over the ≤10-bin aggregate with EXACT Long sums —
+    * violations decided by integer cross-multiply, never a float — so
+    * the fit is bounded work and replayable: the oracle computes the
+    * same fit through the minimax closed form
+    * iso(i) = max_{j≤i} min_{k≥i} rate(j..k), whose interval rationals
+    * it orders by a 10^12-scaled integer (exact while distinct bin
+    * rationals differ by ≥ 1/n², i.e. any gate-scale corpus). Both
+    * sides emit one IEEE division of exact longs, rounded to 12. */
+  def q170IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val feats = features(Tables.documents(s, dir))
+    val w = trainLogistic(feats)
+    val binRows = feats.select(pOf(w).as("score"), col("y"))
+      .withColumn("bin", least(floor(col("score") * 10), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("k"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fitted: Map[Long, Double] = pav(binRows.toSeq).flatMap(p =>
+      p._1.map(_ -> (p._2.toDouble / p._3.toDouble))).toMap
+    import s.implicits._
+    binRows.map { case (b, n, k) =>
+      (b, n,
+        BigDecimal(k.toDouble / n.toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(fitted(b))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("bin", "n_docs", "raw_rate", "iso_rate")
+      .orderBy(col("bin"))
+  }
+
+  /** Pool-adjacent-violators over ordered (bin, n, k) rows with EXACT
+    * Long arithmetic: pool while the previous pool's rate exceeds the
+    * next's (k1/n1 > k2/n2 ⇔ k1·n2 > k2·n1). Returns the pools in
+    * order as (member bins, pooled k, pooled n). */
+  private[ops] def pav(binRows: Seq[(Long, Long, Long)])
+      : Vector[(Vector[Long], Long, Long)] =
+    binRows.foldLeft(Vector.empty[(Vector[Long], Long, Long)]) {
+      case (acc, (b, n, k)) =>
+        var st = acc :+ ((Vector(b), k, n))
+        while (st.length >= 2 && {
+          val (_, k2, n2) = st(st.length - 2); val (_, k1, n1) = st.last
+          k2 * n1 > k1 * n2
+        }) {
+          val (b2, k2, n2) = st(st.length - 2); val (b1, k1, n1) = st.last
+          st = st.dropRight(2) :+ ((b2 ++ b1, k2 + k1, n2 + n1))
+        }
+        st
+    }
+
   /** Per-doc features from the ONE verdict definition (q39's
     * `filterVerdicts`): x1 is the length margin nt/20 − 1 — centered at
     * the rule threshold so the boundary sits near x1=0 and full-batch

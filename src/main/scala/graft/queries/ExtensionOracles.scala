@@ -4087,6 +4087,46 @@ object ExtensionOracles {
        |  vec_id, cluster, d AS sq_dist
        |FROM cand ORDER BY d, vec_id LIMIT 10""".stripMargin
 
+  /** Mirrors q170 (`ops.QualityModel.q170IsotonicCalibration`): the
+    * PAV fit replayed through the minimax closed form
+    * iso(i) = max_{j≤i} min_{k≥i} rate(j..k). Interval rationals are
+    * ordered by their 10^12-scaled integer floor (exact while distinct
+    * bin rationals differ by ≥ 1/n² — any gate-scale corpus); the
+    * reported value is the chosen interval's own k/n, one IEEE
+    * division of exact longs rounded to 12, which equals the engine's
+    * pooled division wherever the rationals are equal. */
+  val q170IsotonicCalibration: String =
+    s"""$q68ScoredCtes,
+       |bb AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM sc GROUP BY 1),
+       |bins AS (SELECT bin, n, k,
+       |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i FROM bb),
+       |iv AS (SELECT j.i AS ji, k2.i AS ki,
+       |    CAST(SUM(m.n) AS BIGINT) AS nn, CAST(SUM(m.k) AS BIGINT) AS kk
+       |  FROM bins j JOIN bins k2 ON k2.i >= j.i
+       |  JOIN bins m ON m.i BETWEEN j.i AND k2.i
+       |  GROUP BY j.i, k2.i),
+       |ivs AS (SELECT ji, ki, nn, kk,
+       |    kk * 1000000000000 // nn AS s12 FROM iv),
+       |step1 AS (SELECT b.i AS i, v.ji, v.kk, v.nn, v.s12,
+       |    row_number() OVER (PARTITION BY b.i, v.ji
+       |                       ORDER BY v.s12, v.ki) AS rn
+       |  FROM bins b JOIN ivs v ON v.ji <= b.i AND v.ki >= b.i),
+       |step2 AS (SELECT i, kk, nn,
+       |    row_number() OVER (PARTITION BY i
+       |                       ORDER BY s12 DESC, ji) AS rn2
+       |  FROM step1 WHERE rn = 1),
+       |iso AS (SELECT i,
+       |    round(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE), 12) AS iso_rate
+       |  FROM step2 WHERE rn2 = 1)
+       |SELECT b.bin, b.n AS n_docs,
+       |  round(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE), 12) AS raw_rate,
+       |  iso.iso_rate
+       |FROM bins b JOIN iso ON b.i = iso.i
+       |ORDER BY b.bin""".stripMargin
+
   /** Mirrors q165 (`ops.SpanCorruption.q165SpanCorruption`): the same
     * 52-bit md5 span draws, one per half-segment, replayed with list
     * slicing — inputs, sentinels and targets reassemble identically or

@@ -322,6 +322,29 @@ class Wave16Spec extends SparkSpec {
       s"stream-maintained index must probe identically: $streamed vs $oneShot")
   }
 
+  test("pav: pools exact violations, preserves mass, ends monotone") {
+    // rates 0.5, 0.2, 0.8: the first two violate → pool to 7/20 = 0.35,
+    // which sits below 0.8 → stop. Cascading case: 0.9 then 0.1 then
+    // 0.1 pools all three.
+    val p1 = QualityModel.pav(Seq((0L, 10L, 5L), (1L, 10L, 2L), (2L, 10L, 8L)))
+    assert(p1.map(t => (t._1, t._2, t._3)) ==
+      Vector((Vector(0L, 1L), 7L, 20L), (Vector(2L), 8L, 10L)))
+    val p2 = QualityModel.pav(Seq((0L, 10L, 9L), (1L, 10L, 1L), (2L, 10L, 1L)))
+    assert(p2.length == 1 && p2.head._2 == 11L && p2.head._3 == 30L,
+      s"cascade must pool everything: $p2")
+    // already monotone input is untouched
+    val p3 = QualityModel.pav(Seq((0L, 5L, 1L), (1L, 5L, 2L), (2L, 5L, 5L)))
+    assert(p3.length == 3)
+    // generic properties on a violating sequence: pooled rates are
+    // nondecreasing and total mass is preserved
+    val bins = Seq((0L, 7L, 6L), (1L, 13L, 3L), (2L, 5L, 4L), (3L, 11L, 2L))
+    val pools = QualityModel.pav(bins)
+    val rates = pools.map(p => p._2.toDouble / p._3.toDouble)
+    assert(rates.zip(rates.drop(1)).forall { case (a, b) => a <= b })
+    assert(pools.map(_._2).sum == bins.map(_._3).sum &&
+      pools.map(_._3).sum == bins.map(_._2).sum)
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
