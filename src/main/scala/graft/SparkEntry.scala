@@ -311,6 +311,8 @@ object SparkEntry {
       graft.ops.NearDupIndex.q169StreamedNearDupIndex(s, dir)),
     "q170_isotonic_calibration" -> ((s: SparkSession, dir: String) =>
       graft.ops.QualityModel.q170IsotonicCalibration(s, dir)),
+    "q171_dedup_attribution" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q171DedupAttribution(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -801,5 +803,6 @@ object SparkEntry {
     // written once or streamed in — equality proves the append path
     "q169_streamed_neardup_index" -> ExtensionOracles.q89IndexProbe,
     "q170_isotonic_calibration" -> ExtensionOracles.q170IsotonicCalibration,
+    "q171_dedup_attribution" -> ExtensionOracles.q171DedupAttribution,
   )
 }

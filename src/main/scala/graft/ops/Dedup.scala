@@ -862,4 +862,60 @@ object Dedup {
         md5(col("clean")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** q171: tiered dedup ATTRIBUTION — the report a pipeline owner reads
+    * before choosing which dedup tiers to pay for: apply the tiers in
+    * strictness order (exact full-text md5 → q24's 8-token-prefix key →
+    * q26's verified MinHash pairs) and count, per tier, the documents it
+    * catches OUTRIGHT, its MARGINAL catch (docs no stricter tier
+    * already caught), and the corpus remaining after it. Victim policy
+    * per tier: keep the smallest doc_id (group canonical for the key
+    * tiers; for near-dup pairs the larger id of each verified pair is
+    * the victim — the deterministic pairwise rule).
+    *
+    * Shape at 100 TB: two key-group aggregates (map-side combined; the
+    * min-per-key join is aggregated-build) + the audited q26 banded
+    * chain; the report tail is a 3-row frame (its window is bounded by
+    * construction). Counts are exact longs end to end. */
+  def q171DedupAttribution(s: SparkSession, dir: String): DataFrame =
+    dedupAttribution(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def dedupAttribution(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def victimsBy(key: Column): DataFrame = {
+      val d = docs.select(col("doc_id"), key.as("k"))
+      val mins = d.groupBy(col("k")).agg(min(col("doc_id")).as("mn"))
+      d.join(mins, Seq("k")).filter(col("doc_id") =!= col("mn"))
+        .select(col("doc_id"))
+    }
+    val v1 = victimsBy(md5(col("text")))
+    val v2 = victimsBy(md5(TextAnalysis.prefixTokens(col("text"), 8)))
+    val v3 = minhashLshPairs(docs).select(col("d2").as("doc_id")).distinct()
+    val tagged = v1.withColumn("tier", lit(1L))
+      .unionByName(v2.withColumn("tier", lit(2L)))
+      .unionByName(v3.withColumn("tier", lit(3L)))
+      .localCheckpoint() // two aggregates below read it
+    val caught = tagged.groupBy(col("tier"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_caught"))
+    val marginal = tagged.groupBy(col("doc_id")).agg(min(col("tier")).as("tier"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("n_marginal"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val tiers = Seq((1L, "exact_text"), (2L, "prefix8"), (3L, "neardup"))
+      .toDF("tier", "tier_name")
+    import org.apache.spark.sql.expressions.Window
+    tiers.join(caught, Seq("tier"), "left")
+      .join(marginal, Seq("tier"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_caught", coalesce(col("n_caught"), lit(0L)))
+      .withColumn("n_marginal", coalesce(col("n_marginal"), lit(0L)))
+      // 3-row frame: the global window is bounded by construction
+      .withColumn("n_remaining", col("n_total") -
+        sum(col("n_marginal")).over(Window.orderBy(col("tier"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("tier"), col("tier_name"), col("n_caught"),
+        col("n_marginal"), col("n_remaining"))
+      .orderBy(col("tier"))
+  }
 }

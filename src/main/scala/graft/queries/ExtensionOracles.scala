@@ -4127,6 +4127,51 @@ object ExtensionOracles {
        |FROM bins b JOIN iso ON b.i = iso.i
        |ORDER BY b.bin""".stripMargin
 
+  /** Mirrors q171 (`ops.Dedup.q171DedupAttribution`): the three tiers
+    * replayed from scratch — exact full-text md5 groups, the q24
+    * prefix-8 key, and the q26 verified banded chain (cap 50) — then
+    * the same first-tier attribution and 3-row cumulative report. */
+  val q171DedupAttribution: String =
+    s"""WITH $shingleCtes,
+       |${lshCtesAt(50)},
+       |v3 AS (SELECT DISTINCT d2 AS doc_id
+       |  FROM common
+       |  JOIN szc s1 ON d1 = s1.doc_id
+       |  JOIN szc s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |v1 AS (SELECT doc_id FROM (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM documents)
+       |  WHERE doc_id <> mn),
+       |v2 AS (SELECT doc_id FROM (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY md5(array_to_string(
+       |      regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |        '\\S+')[1:8], ' '))) AS mn FROM documents)
+       |  WHERE doc_id <> mn),
+       |tagged AS (SELECT doc_id, 1 AS tier FROM v1
+       |  UNION ALL SELECT doc_id, 2 FROM v2
+       |  UNION ALL SELECT doc_id, 3 FROM v3),
+       |firstt AS (SELECT doc_id, MIN(tier) AS tier FROM tagged GROUP BY doc_id),
+       |caught AS (SELECT tier, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_caught
+       |           FROM tagged GROUP BY tier),
+       |marg AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_marginal
+       |         FROM firstt GROUP BY tier),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+       |tiers AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'exact_text'),
+       |    (CAST(2 AS BIGINT), 'prefix8'),
+       |    (CAST(3 AS BIGINT), 'neardup')) AS t(tier, tier_name))
+       |SELECT t.tier, t.tier_name,
+       |  COALESCE(c.n_caught, 0) AS n_caught,
+       |  COALESCE(m.n_marginal, 0) AS n_marginal,
+       |  tot.n_total - CAST(SUM(COALESCE(m.n_marginal, 0))
+       |    OVER (ORDER BY t.tier
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS n_remaining
+       |FROM tiers t
+       |LEFT JOIN caught c ON t.tier = c.tier
+       |LEFT JOIN marg m ON t.tier = m.tier
+       |CROSS JOIN tot
+       |ORDER BY t.tier""".stripMargin
+
   /** Mirrors q165 (`ops.SpanCorruption.q165SpanCorruption`): the same
     * 52-bit md5 span draws, one per half-segment, replayed with list
     * slicing — inputs, sentinels and targets reassemble identically or

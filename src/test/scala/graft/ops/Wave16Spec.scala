@@ -345,6 +345,32 @@ class Wave16Spec extends SparkSpec {
       pools.map(_._3).sum == bins.map(_._2).sum)
   }
 
+  test("dedup attribution: tiers catch in strictness order, marginals are first-tier") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),                                  // T1 canonical
+      (1L, base),                                  // exact dup -> T1 victim
+      (2L, (1 to 8).map(i => s"p$i").mkString(" ") + " xx yy zz aa bb cc dd ee ff gg hh ii"),
+      (3L, (1 to 8).map(i => s"p$i").mkString(" ") + " qq ww rr tt uu vv w2 x2 y2 z2 a2 b2"),
+      (4L, base + " tail"),                        // near-dup of 0 (superset)
+      (5L, "completely different text with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAttribution(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // T1: exact text group {0,1} -> victim 1
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L, s"exact tier: ${out(1L)}")
+    // T2: prefix8 groups {0,1,4} (victims 1,4) and {2,3} (victim 3) -> caught 3
+    assert(out(2L)._2 == 3L, s"prefix tier caught: ${out(2L)}")
+    assert(out(2L)._3 == 2L, "marginal prefix victims: 3 and 4 (1 already caught)")
+    // remaining after all tiers: every tier's marginal subtracted once
+    val totalMarg = out.values.map(_._3).sum
+    assert(out(3L)._4 == 6L - totalMarg, s"remaining: ${out(3L)}")
+    // tier 3 catches nothing NEW here (victims 1 and 4 already caught)
+    assert(out(3L)._3 == 0L, s"neardup marginal: ${out(3L)}")
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
