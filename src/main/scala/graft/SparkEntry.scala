@@ -313,6 +313,8 @@ object SparkEntry {
       graft.ops.QualityModel.q170IsotonicCalibration(s, dir)),
     "q171_dedup_attribution" -> ((s: SparkSession, dir: String) =>
       graft.ops.Dedup.q171DedupAttribution(s, dir)),
+    "q172_query_expansion" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Retrieval.q172QueryExpansion(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -804,5 +806,6 @@ object SparkEntry {
     "q169_streamed_neardup_index" -> ExtensionOracles.q89IndexProbe,
     "q170_isotonic_calibration" -> ExtensionOracles.q170IsotonicCalibration,
     "q171_dedup_attribution" -> ExtensionOracles.q171DedupAttribution,
+    "q172_query_expansion" -> ExtensionOracles.q172QueryExpansion,
   )
 }

@@ -132,6 +132,64 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** q172: Rocchio-style PSEUDO-RELEVANCE FEEDBACK — the classic query
+    * expansion loop (Rocchio 1971; standard PRF as in Manning et al.
+    * IR ch. 9): retrieve top-k₁ with the seed query, score the
+    * feedback docs' terms by tf·idf (BM25's idf, the corpus-wide df),
+    * append the top-E new terms to the query, retrieve again. Recall
+    * rises because the expansion terms co-occur with the seed concept
+    * in the corpus's own top documents — no external model.
+    *
+    * Determinism: term scores are round(idf,12)·tfSum rounded to 12
+    * (same doubles both engines); expansion ties break lexicographic;
+    * both retrieval stages are [[bm25TopK]]'s audited scorer.
+    *
+    * Shape at 100 TB: stage-1 is the standing-index probe; the
+    * feedback vocabulary is O(k₁ · doc length) — INDEPENDENT of corpus
+    * size — so collecting it as the stage-2 in-row filter literal is
+    * the same bounded-driver-state move as the seed query itself; the
+    * df pass for those terms is one filtered explode + map-side
+    * combine (at index scale it reads the standing `_df` sidecar
+    * instead, the q89 layout). */
+  def q172QueryExpansion(s: SparkSession, dir: String): DataFrame =
+    queryExpansion(Tables.documents(s, dir),
+      Seq("spark", "vector", "merge", "window"), 10, 4, 15)
+
+  /** The reusable core over any (doc_id, text) frame. */
+  def queryExpansion(docs: DataFrame, seed: Seq[String], k1: Int,
+                     expandBy: Int, k: Int): DataFrame = {
+    val seedLc = seed.map(_.toLowerCase)
+    val fbIds: Seq[Long] = bm25TopK(docs, seedLc, k1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val d = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+    // feedback term mass over the k1 docs (bounded frame)
+    val fb = d.filter(col("doc_id").isin(fbIds.map(Long.box): _*))
+      .select(explode(col("l")).as("term"))
+      .filter(!col("term").isin(seedLc: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf_sum"))
+    // bounded by construction: the vocabulary of k1 documents
+    val vocab: Seq[String] = fb.select(col("term"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val vocabArr = array(vocab.map(lit(_)): _*)
+    val totals = d.agg(count(lit(1)).as("n_docs"))
+    val dfreq = d
+      .select(col("doc_id"),
+        explode(array_distinct(filter(col("l"),
+          x => array_contains(vocabArr, x)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expansion: Seq[String] = fb.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf", round(log(
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0), 12))
+      .withColumn("w", round(col("idf") * col("tf_sum").cast("double"), 12))
+      .orderBy(col("w").desc, col("term"))
+      .limit(expandBy)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, seedLc ++ expansion, k)
+  }
+
   /** q71: hard-negative mining for retrieval/embedding training — for
     * each query document, the top-k BM25-scored documents that are
     * lexically close but NOT near-duplicates: self and MinHash-LSH

@@ -946,6 +946,70 @@ object ExtensionOracles {
        |FROM topk
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q172 (`ops.Retrieval.q172QueryExpansion`): the Rocchio
+    * loop replayed move-for-move — seed BM25 top-10, feedback term
+    * mass excluding seed terms, corpus df for exactly those terms,
+    * round(idf,12)·tfSum rounded 12 with (w DESC, term) ties, then
+    * the second BM25 pass over seed ∪ expansion, top-15. */
+  val q172QueryExpansion: String =
+    s"""WITH $tokCte,
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf1 AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN ('spark', 'vector', 'merge', 'window')
+       |       GROUP BY doc_id, dl, term),
+       |df1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+       |sc1 AS (SELECT tf1.doc_id,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(df1.df AS DOUBLE) + 0.5) /
+       |               (CAST(df1.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf1.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf1.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf1.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf1 JOIN df1 USING (term) CROSS JOIN tot),
+       |top1 AS (SELECT doc_id FROM (SELECT doc_id, SUM(part) AS sc
+       |    FROM sc1 GROUP BY doc_id)
+       |  ORDER BY sc DESC, doc_id LIMIT 10),
+       |fb AS (SELECT t.term, CAST(COUNT(*) AS BIGINT) AS tf_sum
+       |  FROM t JOIN top1 USING (doc_id)
+       |  WHERE t.term NOT IN ('spark', 'vector', 'merge', 'window')
+       |  GROUP BY t.term),
+       |dfq AS (SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS df
+       |  FROM t JOIN fb ON t.term = fb.term GROUP BY t.term),
+       |exp AS (SELECT term FROM (
+       |    SELECT fb.term,
+       |      round(round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+       |             (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |        * CAST(fb.tf_sum AS DOUBLE), 12) AS w
+       |    FROM fb JOIN dfq USING (term) CROSS JOIN tot)
+       |  ORDER BY w DESC, term LIMIT 4),
+       |q2 AS (SELECT term FROM exp
+       |  UNION ALL SELECT * FROM (VALUES ('spark'), ('vector'),
+       |    ('merge'), ('window')) AS s(term)),
+       |tf2 AS (SELECT t.doc_id, t.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM t JOIN q2 ON t.term = q2.term
+       |  GROUP BY t.doc_id, t.dl, t.term),
+       |df2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+       |sc2 AS (SELECT tf2.doc_id, tf2.dl,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(df2.df AS DOUBLE) + 0.5) /
+       |               (CAST(df2.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf2.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf2.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf2.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf2 JOIN df2 USING (term) CROSS JOIN tot),
+       |agg2 AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
+       |  FROM sc2 GROUP BY doc_id),
+       |topk AS (SELECT * FROM agg2 ORDER BY sc DESC, doc_id LIMIT 15)
+       |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
+       |FROM topk
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors q96: q58's BM25 replay restricted to the SURVIVING
     * documents — a tombstone-masked index must rank, count df and
     * average dl exactly as if the dead docs never existed. */

@@ -371,6 +371,27 @@ class Wave16Spec extends SparkSpec {
     assert(out(3L)._3 == 0L, s"neardup marginal: ${out(3L)}")
   }
 
+  test("query expansion: feedback terms lift co-occurring docs, off-topic stays out") {
+    import spark.implicits._
+    // seed "spark": feedback docs 0,1. Candidate terms: engine (tf 2,
+    // df 2), fast / cluster (tf 1, df 1). idf favors the rarer terms;
+    // expandBy=2 takes the top two by (w desc, term asc).
+    val docs = Seq(
+      (0L, "spark engine fast"),
+      (1L, "spark engine cluster"),
+      (2L, "cat dog bird"),
+      (3L, "fast cluster engine")).toDF("doc_id", "text")
+    val out = Retrieval.queryExpansion(docs, Seq("spark"), k1 = 2,
+        expandBy = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // doc 3 has NO seed term but both expansion candidates — pseudo-
+    // relevance feedback is exactly what lets it surface
+    assert(out.contains(3L), s"expanded query must surface doc 3: $out")
+    assert(!out.contains(2L), "off-topic doc must stay out")
+    // docs 0/1 match seed + expansion terms; hit counts reflect that
+    assert(out(0L) >= 2L && out(1L) >= 2L)
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
