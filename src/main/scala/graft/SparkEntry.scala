@@ -315,6 +315,8 @@ object SparkEntry {
       graft.ops.Dedup.q171DedupAttribution(s, dir)),
     "q172_query_expansion" -> ((s: SparkSession, dir: String) =>
       graft.ops.Retrieval.q172QueryExpansion(s, dir)),
+    "q173_crop_pairs" -> ((s: SparkSession, dir: String) =>
+      graft.ops.SpanCorruption.q173CropPairs(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -807,5 +809,6 @@ object SparkEntry {
     "q170_isotonic_calibration" -> ExtensionOracles.q170IsotonicCalibration,
     "q171_dedup_attribution" -> ExtensionOracles.q171DedupAttribution,
     "q172_query_expansion" -> ExtensionOracles.q172QueryExpansion,
+    "q173_crop_pairs" -> ExtensionOracles.q173CropPairs,
   )
 }

@@ -128,4 +128,49 @@ object SpanCorruption {
       .select(col("doc_id"), col("n").as("n_tokens"),
         col("lo").as("cut_lo"), col("hi").as("cut_hi"), col("psm"))
   }
+
+  // ------------------------------------------------ crop pairs (q173)
+
+  /** q173: contrastive POSITIVE-PAIR generation — two independent crops
+    * of the same document (the SimCSE/contrastive-pretraining recipe:
+    * two views of one doc are a positive pair, views of different docs
+    * are in-batch negatives; cf. q76/q98 which mine the NEGATIVES).
+    * Crop length is n DIV 2 (≥1), starts are two md5 draws over the
+    * legal range, and the emitted `overlap` (shared token positions)
+    * lets a trainer filter pairs that are too easy (near-identical
+    * views) or too hard (disjoint views). Docs under 4 tokens emit the
+    * whole text twice (overlap = n). Same scale shape as the other
+    * augmentation maps: one in-row pass, no shuffle. */
+  def q173CropPairs(s: SparkSession, dir: String): DataFrame =
+    cropPairs(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The raw crop-pair core over any (doc_id, text) frame. */
+  def cropPairs(docs: DataFrame): DataFrame = {
+    val d = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+      .withColumn("n", size(col("l")).cast("long"))
+      .withColumn("clen", greatest(expr("n DIV 2"), lit(1L)))
+    def start(j: Int) = lit(1L) + pmod(
+      md5Long(concat(lit("crop:"), col("doc_id"), lit(s":$j"))),
+      greatest(col("n") - col("clen") + 1, lit(1L)))
+    val withCrops = d
+      .withColumn("eligible", col("n") >= 4)
+      .withColumn("sa", start(0)).withColumn("sb", start(1))
+    withCrops
+      .withColumn("crop_a",
+        when(col("eligible"), array_join(
+          slice(col("l"), col("sa").cast("int"), col("clen").cast("int")), " "))
+        .otherwise(array_join(col("l"), " ")))
+      .withColumn("crop_b",
+        when(col("eligible"), array_join(
+          slice(col("l"), col("sb").cast("int"), col("clen").cast("int")), " "))
+        .otherwise(array_join(col("l"), " ")))
+      .withColumn("overlap",
+        when(col("eligible"), greatest(lit(0L),
+          least(col("sa"), col("sb")) + col("clen") -
+            greatest(col("sa"), col("sb"))))
+        .otherwise(col("n")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("crop_a"), col("crop_b"), col("overlap"))
+  }
 }

@@ -4268,6 +4268,33 @@ object ExtensionOracles {
        |  ELSE '' END AS target_text
        |FROM st ORDER BY doc_id""".stripMargin
 
+  /** Mirrors q173 (`ops.SpanCorruption.q173CropPairs`): the same two
+    * md5 crop draws over the legal start range, list-sliced views and
+    * the positional-overlap count replayed exactly. */
+  val q173CropPairs: String =
+    s"""WITH $tokCte,
+       |base AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+       |    greatest(CAST(len(l) // 2 AS BIGINT), 1) AS clen FROM tok),
+       |st AS (SELECT doc_id, l, n, clen, n >= 4 AS eligible,
+       |    1 + (CAST(('0x' || substr(md5('crop:' ||
+       |      CAST(doc_id AS VARCHAR) || ':0'), 1, 13)) AS BIGINT)
+       |      % greatest(n - clen + 1, 1)) AS sa,
+       |    1 + (CAST(('0x' || substr(md5('crop:' ||
+       |      CAST(doc_id AS VARCHAR) || ':1'), 1, 13)) AS BIGINT)
+       |      % greatest(n - clen + 1, 1)) AS sb
+       |  FROM base)
+       |SELECT doc_id, n AS n_tokens,
+       |  CASE WHEN eligible THEN COALESCE(array_to_string(
+       |    l[CAST(sa AS INT):CAST(sa + clen - 1 AS INT)], ' '), '')
+       |  ELSE COALESCE(array_to_string(l, ' '), '') END AS crop_a,
+       |  CASE WHEN eligible THEN COALESCE(array_to_string(
+       |    l[CAST(sb AS INT):CAST(sb + clen - 1 AS INT)], ' '), '')
+       |  ELSE COALESCE(array_to_string(l, ' '), '') END AS crop_b,
+       |  CASE WHEN eligible THEN
+       |    greatest(0, least(sa, sb) + clen - greatest(sa, sb))
+       |  ELSE n END AS overlap
+       |FROM st ORDER BY doc_id""".stripMargin
+
   /** Mirrors q166 (`ops.Novelty.q166DocNovelty`): per-doc distinct
     * 3-gram df replayed from raw text — matching the engine's
     * store-served df proves the standing sidecar again (the q158

@@ -392,6 +392,27 @@ class Wave16Spec extends SparkSpec {
     assert(out(0L) >= 2L && out(1L) >= 2L)
   }
 
+  test("crop pairs: views are real substrings, overlap counts shared positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"c$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ops.SpanCorruption.cropPairs(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    val (n, a, b, ov) = out(1L)
+    assert(n == 10L && a.split(" ").length == 5 && b.split(" ").length == 5)
+    val orig = (1 to 10).map(i => s"c$i").mkString(" ")
+    assert(orig.contains(a) && orig.contains(b), "crops are contiguous views")
+    // overlap equals the actual shared token positions
+    val posOf = (s: String) => orig.split(" ").indexOf(s.split(" ").head)
+    val (sa, sb) = (posOf(a), posOf(b))
+    val expected = math.max(0, math.min(sa, sb) + 5 - math.max(sa, sb))
+    assert(ov == expected, s"overlap $ov vs $expected (sa=$sa sb=$sb)")
+    // short doc: whole text twice, full overlap
+    assert(out(2L) == ((3L, "a b c", "a b c", 3L)))
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
