@@ -317,6 +317,8 @@ object SparkEntry {
       graft.ops.Retrieval.q172QueryExpansion(s, dir)),
     "q173_crop_pairs" -> ((s: SparkSession, dir: String) =>
       graft.ops.SpanCorruption.q173CropPairs(s, dir)),
+    "q174_tokenizer_compare" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Unigram.q174TokenizerCompare(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -810,5 +812,6 @@ object SparkEntry {
     "q171_dedup_attribution" -> ExtensionOracles.q171DedupAttribution,
     "q172_query_expansion" -> ExtensionOracles.q172QueryExpansion,
     "q173_crop_pairs" -> ExtensionOracles.q173CropPairs,
+    "q174_tokenizer_compare" -> ExtensionOracles.q174TokenizerCompare,
   )
 }

@@ -416,6 +416,47 @@ object Unigram {
     * whitespace-token and piece counts plus the stringified id
     * sequence. The oracle re-runs the integer Viterbi from the
     * persisted table — every id must match. */
+  /** q174: TOKENIZER SELECTION table — the comparison a vocab owner
+    * reads before committing a tokenizer family: per source, whitespace
+    * vs BPE vs unigram-LM token totals and fertilities (subwords per
+    * word), plus the head-to-head BPE/unigram ratio. Both models train
+    * on the full corpus with their gate-standard settings and PERSIST
+    * to their standard paths (merges + vocab DP table are DATA), so
+    * the oracle replays BOTH tokenizations — the q65 recursive merge
+    * chain and the q154 integer-DP chain nested as derived-table WITHs
+    * — and every count must land exactly.
+    *
+    * Shape at 100 TB: two bounded trains (driver-side over top-vocabCap
+    * word tables) + ONE narrow pass computing all three counts per doc
+    * (each tokenizer is a codegen'd unary expression with per-partition
+    * word memoization), then a per-source map-combined aggregate. */
+  def q174TokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val merges = Bpe.train(docs)
+    Bpe.persistMerges(s, merges, Bpe.MergesPath)
+    val probs = train(docs)
+    persistProbs(s, probs, ProbsPath)
+    docs.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        Bpe.bpeCount(col("text"), merges).as("bpe"),
+        unigramCount(col("text"), probs).as("uni"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("uni")).as("n_uni_pieces"))
+      .withColumn("bpe_fertility",
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"), 9))
+      .withColumn("uni_fertility",
+        round(col("n_uni_pieces").cast("double") /
+          col("n_ws_tokens").cast("double"), 9))
+      .withColumn("bpe_vs_uni",
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_uni_pieces").cast("double"), 9))
+      .orderBy(col("source"))
+  }
+
   def q154UnigramIds(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
     val probs = train(docs)

@@ -4236,6 +4236,38 @@ object ExtensionOracles {
        |CROSS JOIN tot
        |ORDER BY t.tier""".stripMargin
 
+  /** Mirrors q174 (`ops.Unigram.q174TokenizerCompare`): BOTH persisted
+    * tokenizers replayed — the q65 recursive merge chain and the q154
+    * integer-DP chain — nested as derived-table WITHs (their CTE names
+    * collide, so each lives in its own subquery scope), then the same
+    * per-source totals and rounded-9 fertility divides. */
+  val q174TokenizerCompare: String =
+    s"""SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS BIGINT)
+       |    AS n_ws_tokens,
+       |  CAST(SUM(COALESCE(bp.n, 0)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(COALESCE(un.np, 0)) AS BIGINT) AS n_uni_pieces,
+       |  round(CAST(SUM(COALESCE(bp.n, 0)) AS DOUBLE) /
+       |        CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS DOUBLE), 9)
+       |    AS bpe_fertility,
+       |  round(CAST(SUM(COALESCE(un.np, 0)) AS DOUBLE) /
+       |        CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS DOUBLE), 9)
+       |    AS uni_fertility,
+       |  round(CAST(SUM(COALESCE(bp.n, 0)) AS DOUBLE) /
+       |        CAST(SUM(COALESCE(un.np, 0)) AS DOUBLE), 9) AS bpe_vs_uni
+       |FROM documents d
+       |LEFT JOIN (
+       |  $bpeReplayCtes
+       |  SELECT doc_id, n FROM b) bp ON d.doc_id = bp.doc_id
+       |LEFT JOIN (
+       |  $unigramDpCtes
+       |  SELECT dw.doc_id, CAST(SUM(len(wp.pieces)) AS BIGINT) AS np
+       |  FROM docword dw JOIN wpieces wp USING (word)
+       |  GROUP BY dw.doc_id) un ON d.doc_id = un.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   /** Mirrors q165 (`ops.SpanCorruption.q165SpanCorruption`): the same
     * 52-bit md5 span draws, one per half-segment, replayed with list
     * slicing — inputs, sentinels and targets reassemble identically or

@@ -413,6 +413,19 @@ class Wave16Spec extends SparkSpec {
     assert(out(2L) == ((3L, "a b c", "a b c", 3L)))
   }
 
+  test("tokenizer compare: fertilities are >= 1 and totals are word-count consistent") {
+    val out = Unigram.q174TokenizerCompare(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ws, bpe, uni) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // every whitespace word yields at least one subword in both
+      assert(bpe >= ws && uni >= ws,
+        s"fertility < 1 impossible: ws=$ws bpe=$bpe uni=$uni")
+      assert(r.getDouble(5) >= 1.0 && r.getDouble(6) >= 1.0)
+    }
+  }
+
   test("kn: zero-bigram held-out docs emit zeros and every doc appears") {
     import spark.implicits._
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
