@@ -57,21 +57,50 @@ object Bench {
       name -> median(times(i).result())
     }
     // The driver captures only the LAST 2000 chars of output
-    // (BENCH_r07.json's tail field) — full-precision doubles pushed the
-    // 64-query line to ~2900 chars and the front half was lost
-    // (parsed: null). Millisecond precision keeps the line ~1750 chars,
-    // and printing AFTER a silenced spark.stop() guarantees nothing but
-    // sbt's one [success] line follows it inside the tail window.
+    // (BENCH_r07.json's tail field). At 64 queries trimming precision
+    // kept ONE line inside the window; at 174+ queries no all-query
+    // line can fit, and BENCH_r10 came back `parsed: null` (the line's
+    // FRONT — metric/value — fell outside the tail). Self-sufficiency
+    // now has three layers:
+    //   1. the full all-query line is written to tools/bench_latest
+    //      _full.json (overwritten per run — a file read whole can't
+    //      be tail-truncated);
+    //   2. the full line is still printed, for humans and for runs
+    //      small enough to fit;
+    //   3. the LAST stdout line is a compact JSON guaranteed < ~1500
+    //      chars: the total, query count, the slowest queries that fit
+    //      a 1200-char map, and the pointer to the full file — so a
+    //      bounded tail capture ALWAYS contains a parseable metric
+    //      line whatever the query count grows to.
+    // Printing after a silenced spark.stop() keeps everything but
+    // sbt's one [success] line out of the tail window.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Key on the qNN prefix: 69 full names × ~27 chars ≈ 1930 chars of
-    // JSON — over the tail window again. The driver contract's example
-    // uses short keys ("q1":sec); qNN keeps the line ~900 chars with
-    // headroom for many more queries.
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def item(k: String, v: Double) = "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    val qs = results.map { case (k, v) => item(k, v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "tools/bench_latest_full.json")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    // slowest-first so the compact map carries the queries that matter
+    // for plan-audit triage; the full per-query map is in the file
+    val compactQs = {
+      val sb = new StringBuilder
+      results.sortBy(-_._2).foreach { case (k, v) =>
+        val it = item(k, v)
+        if (sb.length + it.length < 1200) {
+          if (sb.nonEmpty) sb.append(','); sb.append(it)
+        }
+      }
+      sb.insert(0, '{').append('}').toString
+    }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(fullLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$compactQs,"full":"$fullPath","sf":"$sfDir"}""")
   }
 }

@@ -319,6 +319,16 @@ object SparkEntry {
       graft.ops.SpanCorruption.q173CropPairs(s, dir)),
     "q174_tokenizer_compare" -> ((s: SparkSession, dir: String) =>
       graft.ops.Unigram.q174TokenizerCompare(s, dir)),
+    "q175_distinctive_terms" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Distinctive.q175DistinctiveTerms(s, dir)),
+    "q176_ir_metrics" -> ((s: SparkSession, dir: String) =>
+      graft.ops.IrMetrics.q176IrMetrics(s, dir)),
+    "q177_mutual_knn" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KnnGraph.q177MutualKnn(s, dir)),
+    "q178_label_propagation" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Graph.q178LabelPropagation(s, dir)),
+    "q179_truncation_recall" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KnnGraph.q179TruncationRecall(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -813,5 +823,10 @@ object SparkEntry {
     "q172_query_expansion" -> ExtensionOracles.q172QueryExpansion,
     "q173_crop_pairs" -> ExtensionOracles.q173CropPairs,
     "q174_tokenizer_compare" -> ExtensionOracles.q174TokenizerCompare,
+    "q175_distinctive_terms" -> ExtensionOracles.q175DistinctiveTerms,
+    "q176_ir_metrics" -> ExtensionOracles.q176IrMetrics,
+    "q177_mutual_knn" -> ExtensionOracles.q177MutualKnn,
+    "q178_label_propagation" -> ExtensionOracles.q178LabelPropagation,
+    "q179_truncation_recall" -> ExtensionOracles.q179TruncationRecall,
   )
 }

@@ -59,7 +59,6 @@ object Attribution {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     val watched = s"$StreamedAttrPath/in"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
 
     // three chronological slices: [t0,t1) [t1,t2) [t2,∞), cut at equal
     // thirds of the span (1-row bounds aggregate — bounded driver data)
@@ -71,22 +70,10 @@ object Attribution {
       col("ts") < cuts(0),
       col("ts") >= cuts(0) && col("ts") < cuts(1),
       col("ts") >= cuts(1))
-    ranges.zipWithIndex.foreach { case (pred, i) =>
-      val tmpd = s"$StreamedAttrPath/stage_$i"
-      ev.filter(pred).coalesce(1).write.parquet(tmpd)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
-      val dst = new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet")
-      fs.rename(part, dst)
-      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
-      // pin ascending mtimes: FileStreamSource orders new files by
-      // modification time, and the slice order IS the chronology the
-      // watermark-safety argument above depends on (a fixed epoch keeps
-      // the run deterministic; all three land inside maxFileAge of each
-      // other)
-      fs.setTimes(dst, 1600000000000L + i * 1000L, -1)
-    }
+    // the shared staging kernel pins ascending mtimes: FileStreamSource
+    // orders new files by modification time, and the slice order IS the
+    // chronology the watermark-safety argument above depends on
+    StreamingGates.stageSlices(StreamedAttrPath, ranges.map(ev.filter))
 
     // two INDEPENDENT sources (a filtered self-join would share one
     // source instance; separate instances keep each side's per-trigger

@@ -184,20 +184,8 @@ object Boilerplate {
     val root = new org.apache.hadoop.fs.Path(StreamedGramDfPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
-    val watched = s"$StreamedGramDfPath/in"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    (0 until 3).foreach { i =>
-      val tmpd = s"$StreamedGramDfPath/stage_$i"
-      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-        .write.parquet(tmpd)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
-    }
-    val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val stream = StreamingGates.stagedFileStream(StreamedGramDfPath,
+      (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
     val store = s"$StreamedGramDfPath/store"
     graft.streaming.Streaming.gramDfStream(stream, store, 3)
       .awaitTermination()

@@ -186,9 +186,9 @@ object Bpe {
       var i = 0
       val n = s.length
       while (i < n) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && !TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         if (i > start) total += countWord(s.substring(start, i))
       }
       total
@@ -244,9 +244,9 @@ object Bpe {
         var i = 0
         val n = s.length
         while (i < n) {
-          while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+          while (i < n && TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
           val start = i
-          while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+          while (i < n && !TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
           if (i > start) {
             val syms = applier.symsWord(s.substring(start, i))
             var j = 0

@@ -219,4 +219,58 @@ object Graph {
       .withColumnRenamed("src", "doc_id")
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * community-detection classic), made deterministic: every node
+    * starts labeled with its own id; each round it adopts the MOST
+    * FREQUENT label among its neighbors, ties broken by the SMALLEST
+    * label, isolated nodes keep their own. Synchronous rounds + the
+    * total tie order make round t a pure function of round t-1 — no
+    * engine- or schedule-dependence (the async variant is famously
+    * order-sensitive; it is exactly what an oracle cannot replay).
+    *
+    * Scale shape per round: ONE join of the static symmetrized edge
+    * list against the current n-row label vector (shuffled on the
+    * label side's id) and TWO hash aggregates — (node, label) counts,
+    * then the per-node argmax via `max(struct(cnt, -label))` (a 2-long
+    * struct max, no window, no per-node sort). O(E) rows per round,
+    * nothing driver-side. Lineage pins every `pinEvery` rounds (the
+    * [[pageRank]] rule). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
+                       pinEvery: Int = 8): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (i <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy(col("src").as("id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("b"))
+        .select(col("id"), (-col("b.nl")).as("next"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("next"), col("label")).as("label"))
+      if (pinEvery > 0 && i % pinEvery == 0) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /** q178: 3 synchronous label-propagation rounds over the q114
+    * community graph — per-doc community label plus the community size
+    * (a second bounded aggregate over the final n-row label vector).
+    * The blocks give real convergence structure (interior nodes pull
+    * toward the block head) while the deterministic tie rule keeps the
+    * oracle an exact 3-round SQL unroll. */
+  def q178LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val labels = labelPropagation(nodes, communityLinks(nodes), iters = 3)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
 }

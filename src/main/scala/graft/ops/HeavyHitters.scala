@@ -159,19 +159,8 @@ object HeavyHitters {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     val watched = s"$StreamedStorePath/in"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    (0 until 3).foreach { i =>
-      val tmpd = s"$StreamedStorePath/stage_$i"
-      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
-        .write.parquet(tmpd)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
-    }
-    val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val stream = StreamingGates.stagedFileStream(StreamedStorePath,
+        (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
       .select(col("user_id").cast("string").as("item"))
     val store = s"$StreamedStorePath/store"
     graft.streaming.Streaming.heavyHitterStream(stream, store, capacity)

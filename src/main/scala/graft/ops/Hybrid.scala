@@ -94,7 +94,7 @@ object Hybrid {
       .filter(!isnan(col("fcos")))
 
     @annotation.tailrec
-    def attempt(kf: Int): DataFrame = {
+    def attempt(kf: Int, widenings: Int): DataFrame = {
       val survivors = fscored.orderBy(col("fcos").desc, col("vec_id")).limit(kf)
         .withColumn("cos",
           round(Similarity.decCosine(col("qe"), col("embedding")), 12))
@@ -115,8 +115,25 @@ object Hybrid {
             s.sparkContext.parallelize(rows.toIndexedSeq, 1), survivors.schema)
           .filter(col("rank_dense") <= k)
           .select(col("doc_id"), col("rank_dense"))
-      } else attempt(kf * 4)
+      } else if (widenings >= MaxWidenings) {
+        // a tie-heavy corpus (dk - fmin stuck at 0, e.g. many identical
+        // float cosines at the cut) would otherwise widen until kf
+        // exceeds the corpus — a silent full driver-side collect
+        sys.error(s"denseTopK: guard still ambiguous after $MaxWidenings " +
+          s"×4 widenings (kf=$kf, probe=$probeId) — degenerate tie plateau " +
+          "at the cut; raise MaxWidenings deliberately or dedup the corpus")
+      } else {
+        println(s"denseTopK: float/decimal guard failed at kf=$kf " +
+          s"(probe=$probeId), widening to ${kf * 4} (attempt ${widenings + 1}/$MaxWidenings)")
+        attempt(kf * 4, widenings + 1)
+      }
     }
-    attempt(k + 16)
+    attempt(k + 16, 0)
   }
+
+  /** Bound on denseTopK's guard-failure widenings: each ×4 retry is a
+    * driver-side collect of kf rows, so an unbounded loop on a
+    * degenerate (tie-plateau) corpus degrades to collecting the whole
+    * scored table. 3 attempts = ×64 headroom — never observed needed. */
+  private val MaxWidenings = 3
 }

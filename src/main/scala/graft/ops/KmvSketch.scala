@@ -221,20 +221,8 @@ object KmvSketch {
     val root = new org.apache.hadoop.fs.Path(StreamedSketchPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
-    val watched = s"$StreamedSketchPath/in"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    (0 until 3).foreach { i =>
-      val tmpd = s"$StreamedSketchPath/stage_$i"
-      ev.filter(pmod(col("user_id"), lit(3)) === i).coalesce(1)
-        .write.parquet(tmpd)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
-    }
-    val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val stream = StreamingGates.stagedFileStream(StreamedSketchPath,
+      (0 until 3).map(i => ev.filter(pmod(col("user_id"), lit(3)) === i)))
     val store = s"$StreamedSketchPath/store"
     // 8 shuffle partitions while the stream runs: each micro-batch's
     // per-day partial aggregate is ≤ span_days rows (StreamingGates

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.exprs
+
+/** Corpus-wide k-NN GRAPH operators over the embedding table — the
+  * structures a curation pipeline derives from neighborhoods rather
+  * than from one query's top-k:
+  *
+  *  - q177 MUTUAL (reciprocal) k-NN: the edge (a, b) survives iff a is
+  *    in b's top-k AND b is in a's top-k. Mutuality is the standard
+  *    hubness filter (Jégou et al., "Accurate image search using the
+  *    contextual dissimilarity measure"; Radovanović et al. JMLR'10):
+  *    hub vectors sit in everyone's top-k but reciprocate few, so
+  *    mutual edges are the trustworthy near-dup / same-concept pairs a
+  *    SemDeDup-style pass should act on first.
+  *  - q179 TRUNCATION RECALL: overlap@k of the top-k computed from the
+  *    16-dim PREFIX of each embedding vs the full 64 dims — the
+  *    matryoshka/dimension-truncation diagnostic (how much ANN recall
+  *    a cheap low-dim first pass keeps) measured per query, the same
+  *    question the PQ/JL ops answer for their own compressions.
+  *
+  * Scale shape (q177): the all-pairs float cosine pass is ONE codegen'd
+  * self-join scan; per-source top-kf survives through the bounded
+  * [[TopKPerGroup]] heap aggregate (never a corpus-wide window); the
+  * exact-decimal rescore touches only n×kf survivor rows, and its
+  * row_number window is per-key over ≤ kf rows. The q28 float-cut
+  * guard is checked GLOBALLY (one n-row aggregate → 1-row driver
+  * read): exact iff every key's decimal rank-k clears its float
+  * rank-kf by more than the summation-error band, else kf widens ×4
+  * (never observed on real data). NOTHING corpus-sized reaches the
+  * driver — the result stays a distributed frame, unlike the
+  * bounded-query q28 emit. At 100 TB the all-pairs pass is the part
+  * you replace: restrict candidate pairs to shared IVF cells /
+  * LSH bands (the standing [[Similarity]] layouts) and the rest of the
+  * dataflow is unchanged — the graph edges themselves are O(n·k).
+  *
+  * Determinism: the kept scores are decimal-exact cosines rounded to
+  * 12 digits with (cos DESC, vec_id) tie order — the q28/q36 recipe —
+  * so the DuckDB oracle replays both rankings hash-for-hash.
+  */
+object KnnGraph {
+
+  private def decDot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(28,18)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
+      (acc, e) => (acc + e).cast("decimal(28,18)"))
+
+  /** Directed exact top-k edges (src, rank, dst, cos) for EVERY vector:
+    * float pass + bounded heap + decimal rescore of survivors, guarded
+    * globally. `cos` is the decimal cosine rounded 12. */
+  private[ops] def topKEdges(emb0: DataFrame, k: Int, kFloat0: Int): DataFrame = {
+    val emb = Par.widen(emb0).localCheckpoint() // scanned by 3 passes below
+    val norms = emb.select(col("vec_id"),
+      sqrt(decDot(col("embedding"), col("embedding")).cast("double")).as("nrm"))
+      .localCheckpoint() // n tiny rows, reused on both survivor sides
+
+    @annotation.tailrec
+    def attempt(kf: Int): DataFrame = {
+      val fscored = emb.as("a").join(emb.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          exprs.cosine_similarity(col("a.embedding"), col("b.embedding")).as("fcos"))
+        .filter(!isnan(col("fcos"))) // zero-norm vectors: the q36 rule
+      val surv = TopKPerGroup.topKPerKey(fscored, "src", "fcos", "dst", kf)
+        .select(col("key").as("src"), col("id").as("dst"), col("score").as("fcos"))
+      val rescored = surv
+        .join(emb.select(col("vec_id").as("src"), col("embedding").as("ea")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("eb")), Seq("dst"))
+        .join(norms.select(col("vec_id").as("src"), col("nrm").as("na")), Seq("src"))
+        .join(norms.select(col("vec_id").as("dst"), col("nrm").as("nb")), Seq("dst"))
+        .select(col("src"), col("dst"), col("fcos"),
+          round(decDot(col("ea"), col("eb")).cast("double") /
+            (col("na") * col("nb")), 12).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("cos").desc, col("dst"))).cast("long"))
+        .localCheckpoint() // feeds the guard AND the edge cut
+      // global guard (one 1-row read): for every src with a full heap,
+      // the decimal rank-k must clear the float rank-kf by more than
+      // the float summation-error band — then no cut candidate can
+      // outrank the kept k (the q28 argument, all keys at once)
+      val g = rescored.groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+          min(col("fcos")).as("fmin"),
+          max(when(col("rank") === k, col("cos"))).as("dk"))
+        .agg(min(when(col("n") >= kf, col("dk") - col("fmin"))).as("worst"))
+        .head()
+      val exact = g.isNullAt(0) || g.getDouble(0) > Similarity.FloatGuardBand
+      if (exact) rescored.filter(col("rank") <= k)
+        .select(col("src"), col("rank"), col("dst"), col("cos"))
+      else attempt(kf * 4)
+    }
+    attempt(kFloat0)
+  }
+
+  /** q177: the mutual k-NN edge list at k=5 — (v1 < v2, cos, and both
+    * directed ranks), sorted. Edge volume is ≤ n·k by construction. */
+  def q177MutualKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = topKEdges(Tables.embeddings(s, dir), k, kFloat0 = k + 11)
+    edges.as("f").join(edges.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
+          col("f.src") < col("f.dst"))
+      .select(col("f.src").as("v1"), col("f.dst").as("v2"),
+        col("f.cos").as("cos"),
+        col("f.rank").as("rank_fwd"), col("r.rank").as("rank_rev"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** q179: dimension-truncation recall — for the 8 fixed probe vectors
+    * (vec_id < 8, the q28 query convention), the exact top-10 by the
+    * 16-dim embedding PREFIX vs by the full vector; reports the
+    * overlap. Both rankings are decimal-exact rounded 12 (ties by
+    * vec_id), each cut by the bounded heap — the probe count is fixed,
+    * so the scan is 8·n rows and everything after is ≤ 8·k. */
+  def q179TruncationRecall(s: SparkSession, dir: String, k: Int = 10,
+                           dims: Int = 16): DataFrame = {
+    val emb = Par.widen(Tables.embeddings(s, dir)).localCheckpoint()
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def topSet(xform: Column => Column, label: String): DataFrame = {
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(decDot(xform(col("qe")), xform(col("embedding"))).cast("double") /
+            (sqrt(decDot(xform(col("qe")), xform(col("qe"))).cast("double")) *
+             sqrt(decDot(xform(col("embedding")), xform(col("embedding"))).cast("double"))),
+            12).as("cos"))
+        .filter(!isnan(col("cos")))
+      // the heap's (score DESC, id ASC) tie order IS the canonical cut
+      // — the ranking needs no window at all
+      TopKPerGroup.topKPerKey(scored, "query_id", "cos", "vec_id", k)
+        .groupBy(col("key").as("query_id"))
+        .agg(sort_array(collect_list(col("id"))).as(label))
+    }
+    topSet(identity, "full_set")
+      .join(topSet(e => slice(e, 1, dims), "trunc_set"), Seq("query_id"))
+      .select(col("query_id"),
+        size(array_intersect(col("full_set"), col("trunc_set"))).cast("long")
+          .as("n_overlap"),
+        round(size(array_intersect(col("full_set"), col("trunc_set")))
+          .cast("double") / k, 12).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+}

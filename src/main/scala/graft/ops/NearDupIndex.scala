@@ -36,10 +36,14 @@ import org.apache.spark.sql.functions._
   * corpus docs keep the arrays capped at THEIR index time — a shingle
   * that crosses the cap only through later appends stays in older
   * docs' arrays until a rewrite (same freshness contract as the IVF
-  * layout's frozen centroids; trigger a rewrite on drift, as
-  * `appendToCellLayout`'s occupancy refit does). With no cap crossing
-  * between write and probe, probe ≡ `minhashLshPairs` on the union
-  * restricted to batch-touching pairs (spec-asserted).
+  * layout's frozen centroids). The drift is MEASURED and HEALED, not
+  * conventional: every append's [[NearDupIndex.MinhashAppendReport]]
+  * counts the cap crossings it caused (mirroring the IVF store's
+  * occupancy refit signal), and [[NearDupIndex.rewriteCapCrossed]]
+  * re-caps exactly the affected docs' arrays + band rows, restoring
+  * fresh-write equality. With no cap crossing between write and
+  * probe, probe ≡ `minhashLshPairs` on the union restricted to
+  * batch-touching pairs (spec-asserted).
   *
   * Batch doc_ids must be disjoint from indexed ids (append-only store,
   * as `appendToPostings`). Driver state is bounded: literal bucket
@@ -71,13 +75,13 @@ object NearDupIndex {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  /** Capped shingle sets for a batch, with the cap counting summed
-    * corpus df segments (bucket-pruned read) + within-batch df. Returns
-    * the capped per-doc arrays, pinned (they feed signatures AND
-    * verification). */
-  private def cappedBatchSets(s: SparkSession, dst: String,
-                              raw: DataFrame, nBuckets: Int,
-                              maxDocFreq: Long): DataFrame = {
+  /** One row per distinct batch shingle: (g, dfb, dfc) — the batch's
+    * own df and the summed corpus segments (bucket-pruned read; dfc is
+    * null for shingles new to the corpus). Feeds both the batch cap
+    * (dfb + dfc > max) and the append's drift signal (dfc ≤ max <
+    * dfb + dfc — crossings that leave older arrays stale). */
+  private def batchCorpusDf(s: SparkSession, dst: String,
+                            raw: DataFrame, nBuckets: Int): DataFrame = {
     val dfBatch = raw.groupBy(col("g")).agg(count(lit(1)).as("dfb"))
       .withColumn("gb", Retrieval.termBucketCol(col("g"), nBuckets))
     val gBuckets = dfBatch.select(col("gb")).distinct()
@@ -85,13 +89,27 @@ object NearDupIndex {
     val dfCorpus = s.read.parquet(dst + "_sh_df")
       .filter(col("bucket").isin(gBuckets.map(Int.box): _*))
       .groupBy(col("g")).agg(sum(col("df")).as("dfc"))
-    val stop = dfBatch.join(dfCorpus, Seq("g"), "left")
+    dfBatch.join(dfCorpus, Seq("g"), "left")
+  }
+
+  /** The batch's capped per-doc arrays given its (g, dfb, dfc) frame,
+    * pinned (they feed signatures AND verification). */
+  private def cappedSetsFrom(raw: DataFrame, bdf: DataFrame,
+                             maxDocFreq: Long): DataFrame = {
+    val stop = bdf
       .filter(col("dfb") + coalesce(col("dfc"), lit(0L)) > maxDocFreq)
       .select(col("g"))
     pin(raw.join(broadcast(stop), Seq("g"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g"))).as("gs")))
   }
+
+  /** Capped shingle sets for a batch, with the cap counting summed
+    * corpus df segments (bucket-pruned read) + within-batch df. */
+  private def cappedBatchSets(s: SparkSession, dst: String,
+                              raw: DataFrame, nBuckets: Int,
+                              maxDocFreq: Long): DataFrame =
+    cappedSetsFrom(raw, batchCorpusDf(s, dst, raw, nBuckets), maxDocFreq)
 
   private def jaccardOf(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
@@ -357,20 +375,40 @@ object NearDupIndex {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** What an incremental minhash-index append did, plus the freshness
+    * signal — the [[graft.ops.Similarity]] `AnnAppendReport` shape for
+    * THIS layout's drift mode: `capCrossed` counts shingles whose
+    * summed corpus df was ≤ `maxDocFreq` before the append but crossed
+    * it with the batch's df added. Those shingles are already excluded
+    * from the BATCH's arrays (the cap counts corpus+batch), but they
+    * remain UNCAPPED in older docs' stored arrays — the index has
+    * drifted from what a fresh write would produce, and
+    * [[NearDupIndex.rewriteCapCrossed]] re-caps exactly the affected
+    * docs. A zero-crossing append leaves the layout fresh-write-exact
+    * (the documented parity precondition). */
+  final case class MinhashAppendReport(appended: Long,
+                                       touchedBuckets: Array[Int],
+                                       capCrossed: Long,
+                                       rewriteRecommended: Boolean)
+
   /** Append a batch to the index: band rows and capped arrays land as
     * extra part files under their buckets' dirs, the batch's shingle
     * dfs as a NEW SEGMENT of the df sidecar — nothing corpus-global is
     * rewritten (the `appendToPostings` contract). The batch is capped
     * against corpus+batch df, exactly as a probe of the same batch
-    * would be. Returns (docs appended, touched band buckets). */
-  def appendToMinhashLayout(newDocs: DataFrame, dst: String): (Long, Array[Int]) = {
+    * would be. The report's `capCrossed`/`rewriteRecommended` mirror
+    * the IVF store's occupancy refit signal: they flag appends that
+    * left OLDER docs' arrays stale against the new df totals. */
+  def appendToMinhashLayout(newDocs: DataFrame, dst: String): MinhashAppendReport = {
     val s = newDocs.sparkSession
     val meta = s.read.parquet(dst + "_meta").head()
     val (nBuckets, maxDocFreq) = (meta.getInt(0), meta.getLong(1))
     val raw = pin(Dedup.shingles(Par.widen(newDocs), 3))
     // cap the batch BEFORE its df segment lands — reading the sidecar
-    // after the append would count the batch twice
-    val newSets = cappedBatchSets(s, dst, raw, nBuckets, maxDocFreq)
+    // after the append would count the batch twice. Pin the per-shingle
+    // df frame: it feeds the cap AND the crossing count below.
+    val bdf = pin(batchCorpusDf(s, dst, raw, nBuckets))
+    val newSets = cappedSetsFrom(raw, bdf, maxDocFreq)
     raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
       .repartition(col("bucket")).sortWithinPartitions(col("g"))
@@ -387,7 +425,96 @@ object NearDupIndex {
       .write.mode(SaveMode.Append).option("compression", "snappy")
       .partitionBy("bucket").parquet(dst)
     val touched = bands.select(col("bucket")).distinct().collect().map(_.getInt(0))
-    (newSets.count(), touched.sorted)
+    // drift signal: shingles whose corpus df sat in (0, max] but whose
+    // corpus+batch df crossed the cap. dfc ≤ max implies the shingle
+    // was ≤ cap at every earlier append too (positive segments only
+    // grow it), so every indexed holder still carries it — exactly the
+    // arrays a rewrite must re-cap. dfc null/≤0 shingles live in no
+    // stored array (new to the corpus, or every holder purged).
+    val capCrossed = bdf.filter(
+      col("dfc").isNotNull && col("dfc") > 0 && col("dfc") <= maxDocFreq &&
+        col("dfb") + col("dfc") > maxDocFreq).count()
+    MinhashAppendReport(newSets.count(), touched.sorted,
+      capCrossed, capCrossed > 0)
+  }
+
+  /** Re-cap the stored arrays that a sequence of appends left stale:
+    * for every shingle whose SUMMED df now exceeds `maxDocFreq`
+    * (the fresh-write stop set), drop it from the arrays of the docs
+    * that still carry it, and rewrite those docs' band rows from the
+    * re-capped arrays — after which the array and band stores equal a
+    * fresh [[writeMinhashLayout]] of the same corpus, restoring the
+    * probe-parity precondition that appends' cap crossings eroded
+    * (spec-asserted: probe ≡ fresh-write probe, stores row-equal).
+    *
+    * Scale shape: ONE pruned pass finds the over-cap shingle set
+    * (aggregated df sidecar — |distinct shingles| rows, heavy-tail
+    * HEAD only survives the filter, so the broadcast is small by
+    * construction); affected docs come from one explode + semi-join
+    * over the array store; only THEIR dbuckets and band buckets are
+    * swap-rewritten via [[rewriteBuckets]] (crash-safe `.bak` swaps).
+    * The df sidecar itself is cap-independent raw counts — untouched.
+    * Docs already capped at their own index time carry no over-cap
+    * shingles, so they are never touched: cost scales with drift, not
+    * corpus.
+    *
+    * Direction note: this heals UPWARD crossings (appends grew a df
+    * past the cap). A df that falls BELOW the cap via tombstone purges
+    * cannot restore the shingle to arrays capped earlier — that (rare,
+    * delete-driven) direction still needs a full layout rewrite, the
+    * same contract as the IVF store's refit.
+    *
+    * Returns (docs re-capped, band buckets rewritten). */
+  def rewriteCapCrossed(s: SparkSession, dst: String): (Long, Array[Int]) = {
+    recoverBakDirs(s, dst)
+    recoverBakDirs(s, dst + "_docs")
+    val meta = s.read.parquet(dst + "_meta").head()
+    val (nBuckets, maxDocFreq) = (meta.getInt(0), meta.getLong(1))
+    val over = pin(s.read.parquet(dst + "_sh_df")
+      .groupBy(col("g")).agg(sum(col("df")).as("dft"))
+      .filter(col("dft") > maxDocFreq).select(col("g")))
+    val docsStore = s.read.parquet(dst + "_docs")
+    val affectedIds = docsStore
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(over), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val affected = pin(docsStore.join(affectedIds, Seq("doc_id"), "left_semi"))
+    if (affected.isEmpty) return (0L, Array.empty)
+    val nAffected = affected.count()
+    // re-capped arrays; a doc whose EVERY shingle is over-cap vanishes
+    // from the groupBy — exactly a fresh write's behavior (no array
+    // row, no band rows)
+    val recapped = pin(affected
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(over), Seq("g"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs")))
+    val oldBands = bandRows(signatures(
+        affected.select(col("doc_id"), explode(col("gs")).as("g"))))
+      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets))
+    val newBands = pin(bandRows(signatures(
+        recapped.select(col("doc_id"), explode(col("gs")).as("g"))))
+      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets)))
+    // touched dirs = old rows' buckets (rows to drop) ∪ new rows'
+    // buckets (rows to land) — bounded ≤ nBuckets driver ints
+    val bBuckets = (oldBands.select(col("bucket"))
+        .unionByName(newBands.select(col("bucket"))))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val affIds = affected.select(col("doc_id"))
+    rewriteBuckets(s, dst, "bucket", bBuckets,
+      keep = _.join(affIds, Seq("doc_id"), "left_anti")
+        .unionByName(newBands.select(col("doc_id"), col("band"),
+          col("bh"), col("bucket"))),
+      sortCols = Seq("bh", "doc_id"))
+    val dBuckets = affected.select(col("dbucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
+      keep = _.join(affIds, Seq("doc_id"), "left_anti")
+        .unionByName(recapped
+          .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+          .select(col("doc_id"), col("gs"), col("dbucket"))),
+      sortCols = Seq("doc_id"))
+    (nAffected, bBuckets)
   }
 
   /** q89: the standing index as a DECLARED query — the write→probe path
@@ -416,14 +543,21 @@ object NearDupIndex {
   }
 
   /** q169: q89's index BUILT THROUGH STRUCTURED STREAMING — the
-    * initial layout holds only the %5=1 slice; slices %5∈{2,3,4}
-    * arrive as three micro-batches whose foreachBatch runs the real
-    * [[appendToMinhashLayout]] (the counting-store maintenance unit);
-    * the probe is q89's, and the ORACLE is q89's verbatim (the index
-    * content is the %5≠0 corpus regardless of arrival path) — hash
-    * equality proves streamed maintenance ≡ the one-shot write. Cap
-    * 10000 stays uncrossed at gate scale, the documented exact-parity
-    * precondition. */
+    * initial layout holds the %5∈{1,2,3} slices; the %5=4 slice
+    * arrives as TWO micro-batches (split %10∈{4,9}) whose foreachBatch
+    * runs the real [[appendToMinhashLayout]] (the counting-store
+    * maintenance unit); the probe is q89's, and the ORACLE is q89's
+    * verbatim (the index content is the %5≠0 corpus regardless of
+    * arrival path) — hash equality proves streamed maintenance ≡ the
+    * one-shot write. Cap 10000 stays uncrossed at gate scale, the
+    * documented exact-parity precondition.
+    *
+    * Gate pricing (the r10 verdict's slim): two appends prove the
+    * multi-batch path — df segments from batch 1 must cap batch 2 —
+    * exactly as three did, and the bulk write covers 3/5 of the corpus
+    * instead of 1/5, so the gate prices ONE bulk load + incremental
+    * maintenance rather than rebuilding most of the index through
+    * appends (a standing deployment's actual shape). */
   def q169StreamedNearDupIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val rootStr = "/tmp/graft_streamed_neardup"
@@ -431,22 +565,10 @@ object NearDupIndex {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     val dst = s"$rootStr/idx"
-    writeMinhashLayout(docs.filter(pmod(col("doc_id"), lit(5)) === 1), dst,
+    writeMinhashLayout(docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3)), dst,
       nBuckets = 16, maxDocFreq = 10000L)
-    val watched = s"$rootStr/in"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    (2 to 4).foreach { i =>
-      val tmpd = s"$rootStr/stage_$i"
-      docs.filter(pmod(col("doc_id"), lit(5)) === i).coalesce(1)
-        .write.parquet(tmpd)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
-    }
-    val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val stream = StreamingGates.stagedFileStream(rootStr,
+      Seq(4, 9).map(i => docs.filter(pmod(col("doc_id"), lit(10)) === i)))
     graft.streaming.Streaming.minhashAppendStream(stream, dst)
       .awaitTermination()
     probeNearDup(s, dst, docs.filter(pmod(col("doc_id"), lit(5)) === 0))
@@ -496,7 +618,7 @@ object NearDupIndex {
       }
     val masked = if (removed.isEmpty) 0L else tombstone(removed, dst)
     val toAdd = newDocs.join(toAddIds, Seq("doc_id"))
-    val appended = if (toAdd.isEmpty) 0L else appendToMinhashLayout(toAdd, dst)._1
+    val appended = if (toAdd.isEmpty) 0L else appendToMinhashLayout(toAdd, dst).appended
     (purged, masked, appended)
   }
 }

@@ -34,28 +34,25 @@ object StreamingGates {
     try f finally s.conf.set(key, old)
   }
 
-  /** Stage `ev` (must carry an epoch-nanos `ts` LongType column) under
-    * `watched` as `nSlices` chronological parquet files b0..b{n-1} with
-    * pinned ascending mtimes (FileStreamSource orders new files by
-    * modification time), plus optionally one trailing sentinel file —
-    * a single far-future row that pushes the GLOBAL watermark past
-    * every real event so append-mode stateful operators FLUSH their
-    * final windows (without it, sessions still open at end-of-input
-    * never emit). Returns the sentinel ts (nanos) or -1. */
-  private[ops] def stageChronological(ev: DataFrame, root: String,
-                                      nSlices: Int,
-                                      sentinel: Option[DataFrame => DataFrame])
-      : Long = {
-    val s = ev.sparkSession
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(rootP, true)
+  /** The shared staging kernel of every streamed gate (q145–q169):
+    * write each slice as ONE coalesced parquet part, move it into
+    * `root/in` as bNN.parquet with pinned ascending mtimes
+    * (FileStreamSource orders new files by modification time, and a
+    * fixed epoch keeps runs deterministic; all files land within
+    * seconds of each other, far inside maxFileAge), so a
+    * `maxFilesPerTrigger = 1` reader replays the slices as micro-
+    * batches IN THE GIVEN ORDER. Only the `in`/`stage_*` surface under
+    * `root` is touched — callers own the root lifecycle (layouts and
+    * stores usually live beside `in`). Returns the watched dir. */
+  private[graft] def stageSlices(root: String,
+                                 slices: Seq[DataFrame]): String = {
+    val s = slices.head.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val watched = s"$root/in"
+    fs.delete(new org.apache.hadoop.fs.Path(watched), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val step = math.max(1L, (hi - lo) / nSlices)
-    def stageOne(df: DataFrame, i: Int): Unit = {
+    slices.zipWithIndex.foreach { case (df, i) =>
       val tmpd = s"$root/stage_$i"
       df.coalesce(1).write.parquet(tmpd)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
@@ -66,18 +63,50 @@ object StreamingGates {
       fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
       fs.setTimes(dst, 1600000000000L + i * 1000L, -1)
     }
-    (0 until nSlices).foreach { i =>
+    watched
+  }
+
+  /** [[stageSlices]] plus the reader every gate builds on it: the
+    * one-file-per-trigger stream that replays the slices as ordered
+    * micro-batches (schema = the first slice's). */
+  private[graft] def stagedFileStream(root: String,
+                                      slices: Seq[DataFrame]): DataFrame = {
+    val s = slices.head.sparkSession
+    val watched = stageSlices(root, slices)
+    s.readStream.schema(slices.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(watched)
+  }
+
+  /** Stage `ev` (must carry an epoch-nanos `ts` LongType column) under
+    * `root/in` as `nSlices` chronological parquet files b0..b{n-1}
+    * (the [[stageSlices]] kernel), plus optionally one trailing
+    * sentinel file — a single far-future row that pushes the GLOBAL
+    * watermark past every real event so append-mode stateful operators
+    * FLUSH their final windows (without it, sessions still open at
+    * end-of-input never emit). Clears the whole `root` first (these
+    * gates keep sinks/checkpoints there too). Returns the sentinel ts
+    * (nanos) or -1. */
+  private[ops] def stageChronological(ev: DataFrame, root: String,
+                                      nSlices: Int,
+                                      sentinel: Option[DataFrame => DataFrame])
+      : Long = {
+    val s = ev.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val step = math.max(1L, (hi - lo) / nSlices)
+    val slices = (0 until nSlices).map { i =>
       val loC = lo + i * step
       val pred =
         if (i == 0) col("ts") < lo + step
         else if (i == nSlices - 1) col("ts") >= loC
         else col("ts") >= loC && col("ts") < loC + step
-      stageOne(ev.filter(pred), i)
+      ev.filter(pred)
     }
-    sentinel match {
-      case Some(mk) => stageOne(mk(ev), nSlices); hi + 7L * 86400L * 1000000000L
-      case None => -1L
-    }
+    stageSlices(root, slices ++ sentinel.map(mk => mk(ev)).toSeq)
+    if (sentinel.isDefined) hi + 7L * 86400L * 1000000000L else -1L
   }
 
   /** q147: gap-based SESSION WINDOWS through the streaming state store

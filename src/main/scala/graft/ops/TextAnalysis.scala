@@ -19,6 +19,16 @@ object TextAnalysis {
     * sf0.1 corpus, and this expression sits under every shingle/token
     * operator. The guard matters: `split` on an empty string yields
     * `[""]`, one bogus empty token, where the extract form yields `[]`. */
+  /** ASCII whitespace — EXACTLY Java regex `\s` = [ \t\n\x0B\f\r], the
+    * class [[splitWs]] splits on and the class the DuckDB oracle's RE2
+    * `\S+` complements. The apply-side tokenizer expressions (Bpe,
+    * Unigram) split with this instead of `Character.isWhitespace` so a
+    * row's subword counts and its `n_ws_tokens` can never disagree on
+    * exotic separators (U+001C–001F, U+2028/9, U+3000): all three
+    * splitters see the same word boundaries by construction. */
+  @inline private[ops] def isAsciiWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   private def splitWs(x: Column): Column = {
     val t = trim(x)
     when(length(t) > 0, split(t, "\\s+")).otherwise(array().cast("array<string>"))

@@ -234,9 +234,9 @@ object Unigram {
       var i = 0
       val n = s.length
       while (i < n) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && !TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         if (i > start) {
           val ids = idsWord(s.substring(start, i))
           var k = 0
@@ -257,9 +257,9 @@ object Unigram {
       var i = 0
       val n = s.length
       while (i < n) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && !TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         if (i > start) out += idsWord(s.substring(start, i)).length
       }
       out
@@ -275,9 +275,9 @@ object Unigram {
       var i = 0
       val n = s.length
       while (i < n) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         val start = i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && !TextAnalysis.isAsciiWs(s.charAt(i))) i += 1
         if (i > start) out -= score12Word(s.substring(start, i))
       }
       out

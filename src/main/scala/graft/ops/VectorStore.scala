@@ -59,20 +59,8 @@ object VectorStore {
     val root = new org.apache.hadoop.fs.Path(StreamStoreRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
-    val watched = s"$StreamStoreRoot/in"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    (0 until 3).foreach { i =>
-      val tmpd = s"$StreamStoreRoot/stage_$i"
-      emb.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
-        .write.parquet(tmpd)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmpd"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$watched/b$i.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
-    }
-    val stream = s.readStream.schema(emb.schema)
-      .option("maxFilesPerTrigger", 1).parquet(watched)
+    val stream = StreamingGates.stagedFileStream(StreamStoreRoot,
+      (0 until 3).map(i => emb.filter(pmod(col("vec_id"), lit(3)) === i)))
     val store = s"$StreamStoreRoot/store"
     graft.streaming.Streaming.ivfAssignStream(stream, store, centroids)
       .awaitTermination()

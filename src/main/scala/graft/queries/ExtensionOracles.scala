@@ -950,7 +950,9 @@ object ExtensionOracles {
     * loop replayed move-for-move — seed BM25 top-10, feedback term
     * mass excluding seed terms, corpus df for exactly those terms,
     * round(idf,12)·tfSum rounded 12 with (w DESC, term) ties, then
-    * the second BM25 pass over seed ∪ expansion, top-15. */
+    * the second BM25 pass over seed ∪ expansion, top-15. Both top-k
+    * cuts rank over the DOUBLE cast of the decimal sum — the
+    * q58/q151/q156/q157 discipline, matching bm25TopK's ordering. */
   val q172QueryExpansion: String =
     s"""WITH $tokCte,
        |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
@@ -972,7 +974,7 @@ object ExtensionOracles {
        |  FROM tf1 JOIN df1 USING (term) CROSS JOIN tot),
        |top1 AS (SELECT doc_id FROM (SELECT doc_id, SUM(part) AS sc
        |    FROM sc1 GROUP BY doc_id)
-       |  ORDER BY sc DESC, doc_id LIMIT 10),
+       |  ORDER BY CAST(sc AS DOUBLE) DESC, doc_id LIMIT 10),
        |fb AS (SELECT t.term, CAST(COUNT(*) AS BIGINT) AS tf_sum
        |  FROM t JOIN top1 USING (doc_id)
        |  WHERE t.term NOT IN ('spark', 'vector', 'merge', 'window')
@@ -1005,7 +1007,8 @@ object ExtensionOracles {
        |agg2 AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
        |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
        |  FROM sc2 GROUP BY doc_id),
-       |topk AS (SELECT * FROM agg2 ORDER BY sc DESC, doc_id LIMIT 15)
+       |topk AS (SELECT * FROM agg2
+       |  ORDER BY CAST(sc AS DOUBLE) DESC, doc_id LIMIT 15)
        |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
        |FROM topk
        |ORDER BY doc_id""".stripMargin
@@ -4412,4 +4415,212 @@ object ExtensionOracles {
        |    COALESCE(array_to_string(l[CAST(lo + 1 AS INT):CAST(hi AS INT)], ' '), '')
        |  ELSE COALESCE(array_to_string(l, ' '), '') END AS psm
        |FROM oc ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q175 (`ops.Distinctive.q175DistinctiveTerms`): Monroe
+    * log-odds with an informative Dirichlet prior (a0 = 100 spread by
+    * corpus usage), both lns rounded 12 before subtraction, z rounded
+    * 12, top-5 per source by (z DESC, term). */
+  val q175DistinctiveTerms: String =
+    """WITH tok AS (SELECT source,
+      |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |FROM documents),
+      |t AS (SELECT source, unnest(l) AS term FROM tok),
+      |yst AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_s
+      |  FROM t GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(y_s) AS BIGINT) AS n_s FROM yst GROUP BY 1),
+      |yt AS (SELECT term, CAST(SUM(y_s) AS BIGINT) AS y_all FROM yst GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(y_all) AS BIGINT) AS n_all FROM yt),
+      |sc AS (SELECT yst.source, yst.term, yst.y_s, yt.y_all,
+      |    100.0 * CAST(yt.y_all AS DOUBLE) / CAST(tot.n_all AS DOUBLE) AS a_t,
+      |    CAST(yt.y_all - yst.y_s AS DOUBLE) AS y_r,
+      |    CAST(tot.n_all - ns.n_s AS DOUBLE) AS n_r,
+      |    CAST(ns.n_s AS DOUBLE) AS n_s_d
+      |  FROM yst JOIN yt USING (term) JOIN ns USING (source) CROSS JOIN tot),
+      |z AS (SELECT source, term, y_s, y_all - y_s AS y_rest,
+      |    round((round(ln((CAST(y_s AS DOUBLE) + a_t) /
+      |             (n_s_d + 100.0 - CAST(y_s AS DOUBLE) - a_t)), 12)
+      |         - round(ln((y_r + a_t) / (n_r + 100.0 - y_r - a_t)), 12))
+      |      / sqrt(1.0 / (CAST(y_s AS DOUBLE) + a_t) + 1.0 / (y_r + a_t)),
+      |      12) AS z_score
+      |  FROM sc),
+      |ranked AS (SELECT source, term, z_score, y_s AS y_source, y_rest,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY z_score DESC, term) AS BIGINT) AS rank
+      |  FROM z)
+      |SELECT source, rank, term, z_score, y_source, y_rest
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  /** One q176 query's metric row — the bm25 replay (the q172 CTE
+    * family) + graded-gain histogram IDCG, per-part rounding into a
+    * DECIMAL sum (the q58 discipline). */
+  private def irMetricsSelect(qid: Int, terms: Seq[String], k: Int): String = {
+    val m = terms.length
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""(WITH $tokCte,
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM t WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scp AS (SELECT tf.doc_id,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit, SUM(part) AS sc
+       |  FROM scp GROUP BY 1),
+       |topk AS (SELECT doc_id, n_hit,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY CAST(sc AS DOUBLE) DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM agg ORDER BY CAST(sc AS DOUBLE) DESC, doc_id LIMIT $k),
+       |ta AS (SELECT
+       |    coalesce(round(1.0 / MIN(CASE WHEN n_hit = $m THEN rank END), 12),
+       |      0.0) AS mrr,
+       |    round(CAST(COUNT(CASE WHEN n_hit = $m THEN 1 END) AS DOUBLE) / $k,
+       |      12) AS p_at_k,
+       |    SUM(CAST(round((pow(2.0, CAST(n_hit AS DOUBLE)) - 1.0) /
+       |        log2(CAST(rank AS DOUBLE) + 1.0), 12) AS DECIMAL(28,12))) AS dcg
+       |  FROM topk),
+       |gains AS (SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS g
+       |  FROM t WHERE term IN ($inList) GROUP BY doc_id),
+       |hist AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM gains GROUP BY g),
+       |cum AS (SELECT g, cnt, SUM(cnt) OVER (ORDER BY g DESC) AS cum FROM hist),
+       |ranks AS (SELECT g, unnest(generate_series(CAST(cum - cnt + 1 AS BIGINT),
+       |    CAST(least(cum, $k) AS BIGINT))) AS r
+       |  FROM cum WHERE cum - cnt + 1 <= least(cum, $k)),
+       |ideal AS (SELECT SUM(CAST(round((pow(2.0, CAST(g AS DOUBLE)) - 1.0) /
+       |    log2(CAST(r AS DOUBLE) + 1.0), 12) AS DECIMAL(28,12))) AS idcg
+       |  FROM ranks),
+       |nr AS (SELECT CAST(coalesce(SUM(CASE WHEN g = $m THEN cnt END), 0)
+       |    AS BIGINT) AS n_rel FROM hist)
+       |SELECT CAST($qid AS BIGINT) AS query_id, nr.n_rel, ta.mrr,
+       |  ta.p_at_k AS p_at_$k,
+       |  CASE WHEN ideal.idcg IS NULL OR ideal.idcg = 0 THEN 0.0
+       |       ELSE round(CAST(coalesce(ta.dcg, 0) AS DOUBLE) /
+       |                   CAST(ideal.idcg AS DOUBLE), 12)
+       |  END AS ndcg_at_$k
+       |FROM ta CROSS JOIN ideal CROSS JOIN nr)""".stripMargin
+  }
+
+  /** Mirrors q176 (`ops.IrMetrics.q176IrMetrics`): the fixed 3-query
+    * workload's MRR / P@10 / graded nDCG@10, each query an independent
+    * bm25 + histogram replay. */
+  val q176IrMetrics: String = Seq(
+      irMetricsSelect(1, Seq("dup", "key"), 10),
+      irMetricsSelect(2, Seq("spark", "vector", "merge", "window"), 10),
+      irMetricsSelect(3, Seq("dup", "scan", "sort"), 10))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** Mirrors q177 (`ops.KnnGraph.q177MutualKnn`): exact decimal-cosine
+    * top-5 per vector (the q28/q36 recipe), mutual pairs with both
+    * directed ranks. */
+  val q177MutualKnn: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+      |norms AS (SELECT vec_id,
+      |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      |      AS DECIMAL(28,18))) AS n2
+      |  FROM x GROUP BY vec_id),
+      |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    a.embedding AS ea, b.embedding AS eb
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |pe AS (SELECT src, dst, ea, eb,
+      |    unnest(generate_series(1, len(ea))) AS i FROM pairs),
+      |dots AS (SELECT src, dst,
+      |    SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+      |      AS DECIMAL(28,18))) AS dot
+      |  FROM pe GROUP BY 1, 2),
+      |scored AS (SELECT d.src, d.dst,
+      |    round(CAST(d.dot AS DOUBLE) /
+      |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 12) AS cos
+      |  FROM dots d
+      |  JOIN norms na ON d.src = na.vec_id
+      |  JOIN norms nb ON d.dst = nb.vec_id),
+      |ranked AS (SELECT src, dst, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+      |      ORDER BY cos DESC, dst) AS BIGINT) AS rank
+      |  FROM scored WHERE NOT isnan(cos)),
+      |top AS (SELECT * FROM ranked WHERE rank <= 5)
+      |SELECT f.src AS v1, f.dst AS v2, f.cos AS cos,
+      |  f.rank AS rank_fwd, r.rank AS rank_rev
+      |FROM top f JOIN top r ON f.src = r.dst AND f.dst = r.src AND f.src < f.dst
+      |ORDER BY v1, v2""".stripMargin
+
+  /** Mirrors q178 (`ops.Graph.q178LabelPropagation`): the 3 synchronous
+    * most-frequent-neighbor-label rounds unrolled — argmax via
+    * (cnt DESC, label) row_number, isolated nodes keep their label. */
+  val q178LabelPropagation: String = {
+    def round_(prev: String, cur: String): String =
+      s"""c$cur AS (SELECT u.src, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM und u JOIN $prev l ON u.dst = l.id GROUP BY 1, 2),
+         |b$cur AS (SELECT src AS id, label AS next FROM (
+         |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, label) AS rn FROM c$cur) WHERE rn = 1),
+         |$cur AS (SELECT p.id, coalesce(b$cur.next, p.label) AS label
+         |  FROM $prev p LEFT JOIN b$cur USING (id))""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |raw AS (SELECT id AS src, id + x.o AS dst
+       |  FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS o) x
+       |  WHERE id // 25 = (id + x.o) // 25),
+       |ed AS (SELECT src, dst FROM raw WHERE dst IN (SELECT id FROM nodes)),
+       |und AS (SELECT src, dst FROM ed WHERE src <> dst
+       |  UNION SELECT dst AS src, src AS dst FROM ed WHERE src <> dst),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |${round_("l0", "l1")},
+       |${round_("l1", "l2")},
+       |${round_("l2", "l3")},
+       |sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l3 GROUP BY label)
+       |SELECT l3.id AS doc_id, l3.label AS community, sizes.community_size
+       |FROM l3 JOIN sizes USING (label)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors q179 (`ops.KnnGraph.q179TruncationRecall`): the full-dim
+    * and 16-dim-prefix exact top-10 per probe, overlap@10. */
+  val q179TruncationRecall: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 8),
+      |pairs AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS emb
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |pe AS (SELECT query_id, vec_id, qe, emb,
+      |    unnest(generate_series(1, len(qe))) AS i FROM pairs),
+      |dots AS (SELECT query_id, vec_id,
+      |    SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18))) AS dot_f,
+      |    SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18))) AS qq_f,
+      |    SUM(CAST(CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18))) AS ee_f,
+      |    SUM(CASE WHEN i <= 16 THEN
+      |      CAST(CAST(qe[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18)) END) AS dot_t,
+      |    SUM(CASE WHEN i <= 16 THEN
+      |      CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(28,18)) END) AS qq_t,
+      |    SUM(CASE WHEN i <= 16 THEN
+      |      CAST(CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE) AS DECIMAL(28,18)) END) AS ee_t
+      |  FROM pe GROUP BY 1, 2),
+      |scored AS (SELECT query_id, vec_id,
+      |    round(CAST(dot_f AS DOUBLE) /
+      |      (sqrt(CAST(qq_f AS DOUBLE)) * sqrt(CAST(ee_f AS DOUBLE))), 12) AS cf,
+      |    round(CAST(dot_t AS DOUBLE) /
+      |      (sqrt(CAST(qq_t AS DOUBLE)) * sqrt(CAST(ee_t AS DOUBLE))), 12) AS ct
+      |  FROM dots),
+      |tf_ AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cf DESC, vec_id) AS r FROM scored WHERE NOT isnan(cf))
+      |  WHERE r <= 10),
+      |tt AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ct DESC, vec_id) AS r FROM scored WHERE NOT isnan(ct))
+      |  WHERE r <= 10),
+      |ov AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM tf_ JOIN tt USING (query_id, vec_id) GROUP BY 1)
+      |SELECT qq.query_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+      |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 10, 12) AS recall_at_k
+      |FROM (SELECT query_id FROM q) qq LEFT JOIN ov USING (query_id)
+      |ORDER BY query_id""".stripMargin
 }

@@ -61,8 +61,11 @@ class NearDupIndexSpec extends SparkSpec {
     val b = docs.filter(col("doc_id") % 3 === 1)
     val dst = tmp("mh-append")
     NearDupIndex.writeMinhashLayout(a, dst, maxDocFreq = 10000L)
-    val (nAppended, touched) = NearDupIndex.appendToMinhashLayout(b, dst)
-    assert(nAppended > 0 && touched.nonEmpty)
+    val report = NearDupIndex.appendToMinhashLayout(b, dst)
+    assert(report.appended > 0 && report.touchedBuckets.nonEmpty)
+    // cap 10000 is uncrossed at spec scale — the append must say so
+    assert(report.capCrossed == 0L && !report.rewriteRecommended,
+      s"uncrossable cap reported crossings: $report")
     val c = docs.filter(col("doc_id") % 3 === 2)
     val got = NearDupIndex.probeNearDup(spark, dst, c)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -270,5 +273,67 @@ class NearDupIndexSpec extends SparkSpec {
     assert(bakN == 0L && bakBuckets.isEmpty)
     assert(new java.io.File(root, bak.getName.stripSuffix(".bak")).exists()
       && !bak.exists(), "crash leftover not restored")
+  }
+
+  test("append reports cap crossings; rewriteCapCrossed restores fresh-write equality") {
+    import spark.implicits._
+    // 5-token shared phrase → 3 interior shingles whose df tracks how
+    // many docs carry it; per-doc filler shingles stay unique
+    val phrase = "alpha beta gamma delta epsilon"
+    def mk(i: Long) =
+      (i, phrase + " " + (1 to 10).map(j => s"u$i-$j").mkString(" "))
+    val a = (1L to 3L).map(mk).toDF("doc_id", "text")
+    val b = (11L to 12L).map(mk).toDF("doc_id", "text")
+    val dst = tmp("mh-drift")
+    // cap 3: the phrase survives the initial write (df=3), crosses with
+    // the append (df=5) — exactly the drift the report must flag
+    NearDupIndex.writeMinhashLayout(a, dst, nBuckets = 8, maxDocFreq = 3L)
+    val report = NearDupIndex.appendToMinhashLayout(b, dst)
+    assert(report.appended == 2L)
+    assert(report.capCrossed == 3L && report.rewriteRecommended,
+      s"phrase df 3→5 across cap 3 not reported: $report")
+
+    // the drift is real before the rewrite: the A docs' stored arrays
+    // still hold the now-over-cap phrase shingles; the B docs' never did
+    val holders = spark.read.parquet(dst + "_docs")
+      .filter(array_contains(col("gs"), "alpha beta gamma"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(holders == Set(1L, 2L, 3L),
+      s"expected stale arrays on exactly the A docs, got $holders")
+
+    val (nRecapped, buckets) = NearDupIndex.rewriteCapCrossed(spark, dst)
+    assert(nRecapped == 3L && buckets.nonEmpty,
+      s"rewrite touched $nRecapped docs / ${buckets.length} buckets")
+
+    // both rewritten stores now equal a fresh one-shot write of A∪B
+    val dst2 = tmp("mh-drift-fresh")
+    NearDupIndex.writeMinhashLayout(a.unionByName(b), dst2,
+      nBuckets = 8, maxDocFreq = 3L)
+    def arrayRows(p: String) = spark.read.parquet(p + "_docs")
+      .select("doc_id", "gs").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq
+    assert(arrayRows(dst) == arrayRows(dst2),
+      "array store differs from a fresh write after the rewrite")
+    def bandStoreRows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "band", "bh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(bandStoreRows(dst) == bandStoreRows(dst2),
+      "band store differs from a fresh write after the rewrite")
+
+    // probe parity against near-dup twins of one initial + one appended
+    // doc (matched through their FILLER shingles — the phrase is capped)
+    val probe = Seq((100L, mk(1L)._2), (101L, mk(11L)._2))
+      .toDF("doc_id", "text")
+    def pairs(p: String) = NearDupIndex.probeNearDup(spark, p, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(dst)
+    assert(got == pairs(dst2), "probe drifted from the fresh index")
+    assert(got.exists(pr => pr._1 == 1L && pr._2 == 100L) &&
+      got.exists(pr => pr._1 == 11L && pr._2 == 101L),
+      s"twins not matched through uncapped shingles: $got")
+
+    // nothing left to heal: a re-run is a no-op
+    val (again, againBuckets) = NearDupIndex.rewriteCapCrossed(spark, dst)
+    assert(again == 0L && againBuckets.isEmpty, "rewrite re-run not a no-op")
   }
 }
