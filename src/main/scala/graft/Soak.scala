@@ -265,7 +265,33 @@ object Soak {
             .filter(col("sq_dist") >= 0L).count()
           ("ivf_ingest", (System.nanoTime() - t0) / 1e9, rows)
         }
-      })
+      },
+      // wave 17 —----------------------------------------------------
+      // distinctive terms: one tokenize + vocab-keyed aggregates; the
+      // salted corpus grows the vocab ~linearly with mult, so cost must
+      // track the scan + the (source × vocab) aggregate
+      timed("distinctive_terms")(graft.ops.Distinctive
+        .distinctiveTerms(docs, 5, 100.0)),
+      // IR metrics: one bm25TopK (in-row pruned postings) + one in-row
+      // gains pass per query — linear in corpus tokens
+      timed("ir_metrics")(graft.ops.IrMetrics
+        .metricsFor(docs.select(col("doc_id"), col("text")), 1,
+          Seq("dup", "key"), 10)),
+      // mutual k-NN, 100 TB form: IVF-cell-restricted candidates —
+      // per-cell pair volume (n/c)², cells scaled with the corpus so
+      // the per-cell population stays ~constant (the q47 knob rule)
+      timed("mutual_knn_cells")(graft.ops.KnnGraph
+        .mutualKnnInCells(emb, 5, nCells = math.max(64, 8 * mult))),
+      // label propagation: 3 rounds × (one E-row join + two hash
+      // aggregates) over the ~3n community edges — strictly linear
+      timed("label_prop")(graft.ops.Graph.labelPropagation(
+        docs.select(col("doc_id").as("id")),
+        graft.ops.Graph.communityLinks(docs.select(col("doc_id").as("id"))),
+        iters = 3)),
+      // truncation recall: 8 fixed probes × one corpus scan each side —
+      // linear; the heap keeps driver/state bounded at 8 × k
+      timed("trunc_recall")(graft.ops.KnnGraph
+        .q179TruncationRecallOver(emb)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

@@ -44,8 +44,8 @@ object IrMetrics {
       log2(r.cast("double") + lit(1.0)), 12).cast("decimal(28,12)")
 
   /** One query's metric row: (query_id, n_rel, mrr, p_at_k, ndcg_at_k). */
-  private def metricsFor(docs: DataFrame, queryId: Int, terms: Seq[String],
-                         k: Int): DataFrame = {
+  private[graft] def metricsFor(docs: DataFrame, queryId: Int, terms: Seq[String],
+                                k: Int): DataFrame = {
     val m = terms.length
     val qArr = array(terms.map(t => lit(t.toLowerCase)): _*)
     // ≤k rows: the bounded global window is the q35/q58 accepted shape

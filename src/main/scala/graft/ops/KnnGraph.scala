@@ -52,17 +52,33 @@ object KnnGraph {
 
   /** Directed exact top-k edges (src, rank, dst, cos) for EVERY vector:
     * float pass + bounded heap + decimal rescore of survivors, guarded
-    * globally. `cos` is the decimal cosine rounded 12. */
-  private[ops] def topKEdges(emb0: DataFrame, k: Int, kFloat0: Int): DataFrame = {
+    * globally. `cos` is the decimal cosine rounded 12. `nCells = Some(c)`
+    * restricts candidates to IVF-cell co-residents (the 100 TB path —
+    * per-cell pair volume is (n/c)², the SemDeDup bound); None scores
+    * all pairs (exact, the gate form). */
+  private[ops] def topKEdges(emb0: DataFrame, k: Int, kFloat0: Int,
+                             nCells: Option[Int] = None): DataFrame = {
     val emb = Par.widen(emb0).localCheckpoint() // scanned by 3 passes below
     val norms = emb.select(col("vec_id"),
       sqrt(decDot(col("embedding"), col("embedding")).cast("double")).as("nrm"))
       .localCheckpoint() // n tiny rows, reused on both survivor sides
+    val celled = nCells.map { c =>
+      val centroids = Clustering.trainCentroids(emb, c)
+      emb.join(Clustering.assign(emb, centroids)
+        .select(col("vec_id"), col("cluster")), Seq("vec_id"))
+        .localCheckpoint()
+    }
 
     @annotation.tailrec
     def attempt(kf: Int): DataFrame = {
-      val fscored = emb.as("a").join(emb.as("b"),
+      val fscored0 = celled match {
+        case Some(ce) => ce.as("a").join(ce.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        case None => emb.as("a").join(emb.as("b"),
           col("a.vec_id") =!= col("b.vec_id"))
+      }
+      val fscored = fscored0
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
           exprs.cosine_similarity(col("a.embedding"), col("b.embedding")).as("fcos"))
         .filter(!isnan(col("fcos"))) // zero-norm vectors: the q36 rule
@@ -98,18 +114,30 @@ object KnnGraph {
     attempt(kFloat0)
   }
 
-  /** q177: the mutual k-NN edge list at k=5 — (v1 < v2, cos, and both
-    * directed ranks), sorted. Edge volume is ≤ n·k by construction. */
-  def q177MutualKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val edges = topKEdges(Tables.embeddings(s, dir), k, kFloat0 = k + 11)
+  private def mutualOf(edges0: DataFrame): DataFrame = {
+    val edges = edges0
     edges.as("f").join(edges.as("r"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
           col("f.src") < col("f.dst"))
       .select(col("f.src").as("v1"), col("f.dst").as("v2"),
         col("f.cos").as("cos"),
         col("f.rank").as("rank_fwd"), col("r.rank").as("rank_rev"))
-      .orderBy(col("v1"), col("v2"))
   }
+
+  /** q177: the mutual k-NN edge list at k=5 — (v1 < v2, cos, and both
+    * directed ranks), sorted. Edge volume is ≤ n·k by construction. */
+  def q177MutualKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    mutualOf(topKEdges(Tables.embeddings(s, dir), k, kFloat0 = k + 11))
+      .orderBy(col("v1"), col("v2"))
+
+  /** The 100 TB form of q177: mutual k-NN over IVF-cell co-resident
+    * candidates — within-cell pair volume is (n/c)² per cell, never an
+    * all-pairs corpus join (the SemDeDup/q47 bound). Approximate in the
+    * standard IVF sense (a true neighbor in another cell is missed);
+    * the declared q177 stays exact because the gate corpus fits the
+    * exact form. Soak-measured, not oracle-gated. */
+  def mutualKnnInCells(emb: DataFrame, k: Int, nCells: Int): DataFrame =
+    mutualOf(topKEdges(emb, k, kFloat0 = k + 11, nCells = Some(nCells)))
 
   /** q179: dimension-truncation recall — for the 8 fixed probe vectors
     * (vec_id < 8, the q28 query convention), the exact top-10 by the
@@ -118,8 +146,13 @@ object KnnGraph {
     * vec_id), each cut by the bounded heap — the probe count is fixed,
     * so the scan is 8·n rows and everything after is ≤ 8·k. */
   def q179TruncationRecall(s: SparkSession, dir: String, k: Int = 10,
-                           dims: Int = 16): DataFrame = {
-    val emb = Par.widen(Tables.embeddings(s, dir)).localCheckpoint()
+                           dims: Int = 16): DataFrame =
+    q179TruncationRecallOver(Tables.embeddings(s, dir), k, dims)
+
+  /** The reusable core of q179 over any (vec_id, embedding) frame. */
+  def q179TruncationRecallOver(emb0: DataFrame, k: Int = 10,
+                               dims: Int = 16): DataFrame = {
+    val emb = Par.widen(emb0).localCheckpoint()
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     def topSet(xform: Column => Column, label: String): DataFrame = {

@@ -127,7 +127,10 @@ object NearDupIndex {
                          maxDocFreq: Long = 50L): Unit = {
     val s = docs.sparkSession
     import s.implicits._
-    val raw = pin(Dedup.shingles(Par.widen(docs), 3))
+    // shingles widens internally — wrapping its input in Par.widen again
+    // would re-shuffle (widen sees the ORIGINAL file count, not the new
+    // partitioning, so widen∘widen is two full repartitions)
+    val raw = pin(Dedup.shingles(docs, 3))
     val dfG = raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
     dfG.repartition(col("bucket")).sortWithinPartitions(col("g"))
@@ -158,7 +161,7 @@ object NearDupIndex {
                    threshold: Double = 0.5): DataFrame = {
     val meta = s.read.parquet(dst + "_meta").head()
     val (nBuckets, maxDocFreq) = (meta.getInt(0), meta.getLong(1))
-    val raw = pin(Dedup.shingles(Par.widen(newDocs), 3))
+    val raw = pin(Dedup.shingles(newDocs, 3)) // shingles widens internally
     val newSets = cappedBatchSets(s, dst, raw, nBuckets, maxDocFreq)
     val newBands = pin(bandRows(signatures(
         newSets.select(col("doc_id"), explode(col("gs")).as("g"))))
@@ -403,7 +406,7 @@ object NearDupIndex {
     val s = newDocs.sparkSession
     val meta = s.read.parquet(dst + "_meta").head()
     val (nBuckets, maxDocFreq) = (meta.getInt(0), meta.getLong(1))
-    val raw = pin(Dedup.shingles(Par.widen(newDocs), 3))
+    val raw = pin(Dedup.shingles(newDocs, 3)) // shingles widens internally
     // cap the batch BEFORE its df segment lands — reading the sidecar
     // after the append would count the batch twice. Pin the per-shingle
     // df frame: it feeds the cap AND the crossing count below.
@@ -569,10 +572,19 @@ object NearDupIndex {
       nBuckets = 16, maxDocFreq = 10000L)
     val stream = StreamingGates.stagedFileStream(rootStr,
       Seq(4, 9).map(i => docs.filter(pmod(col("doc_id"), lit(10)) === i)))
-    graft.streaming.Streaming.minhashAppendStream(stream, dst)
-      .awaitTermination()
-    probeNearDup(s, dst, docs.filter(pmod(col("doc_id"), lit(5)) === 0))
-      .orderBy(col("d1"), col("d2"))
+    // micro-batch confs (8 shuffle partitions, AQE off) for the
+    // appends: each is ~16 tiny shuffles over a 1/10 slice, where
+    // 32-task stages and AQE's per-shuffle re-planning are pure
+    // scheduling overhead (StreamingGates.withMicroBatchConfs note)
+    StreamingGates.withMicroBatchConfs(s) {
+      graft.streaming.Streaming.minhashAppendStream(stream, dst)
+        .awaitTermination()
+      // the probe's eager pins (batch sets, bands, candidates) are
+      // micro-batch-sized too — build them inside the scope; the
+      // returned frame itself is ≤ candidate-pairs rows
+      probeNearDup(s, dst, docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+        .orderBy(col("d1"), col("d2"))
+    }
   }
 
   /** One-call maintenance of the index against a living corpus: classify

@@ -34,6 +34,23 @@ object StreamingGates {
     try f finally s.conf.set(key, old)
   }
 
+  /** Run `f` with the session tuned for MICRO-BATCH maintenance work:
+    * few shuffle partitions AND adaptive execution off. AQE earns its
+    * keep on corpus-scale shuffles (runtime coalescing, skew splits);
+    * on a maintenance unit whose every stage is KB-scale it only adds
+    * per-shuffle re-planning jobs — measured on the minhash append: 29
+    * jobs/3.6 s with AQE vs 16 jobs/2.9 s without, identical results
+    * (the md5-determinism discipline makes every op partitioning-
+    * independent). Production sizes these per stream; the gates pin
+    * them so the bench prices the operator, not the planner. */
+  private[graft] def withMicroBatchConfs[A](s: SparkSession, n: Int = 8)(f: => A): A = {
+    val settings = Seq("spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = settings.map { case (k, _) => k -> s.conf.get(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally olds.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   /** The shared staging kernel of every streamed gate (q145–q169):
     * write each slice as ONE coalesced parquet part, move it into
     * `root/in` as bNN.parquet with pinned ascending mtimes
