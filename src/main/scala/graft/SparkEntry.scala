@@ -329,6 +329,14 @@ object SparkEntry {
       graft.ops.Graph.q178LabelPropagation(s, dir)),
     "q179_truncation_recall" -> ((s: SparkSession, dir: String) =>
       graft.ops.KnnGraph.q179TruncationRecall(s, dir)),
+    "q180_path_surprisal" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q180PathSurprisal(s, dir)),
+    "q181_knn_hubness" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KnnGraph.q181KnnHubness(s, dir)),
+    "q182_source_cluster_entropy" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q182SourceClusterEntropy(s, dir)),
+    "q183_temperature_mix" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q183TemperatureMix(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -828,5 +836,9 @@ object SparkEntry {
     "q177_mutual_knn" -> ExtensionOracles.q177MutualKnn,
     "q178_label_propagation" -> ExtensionOracles.q178LabelPropagation,
     "q179_truncation_recall" -> ExtensionOracles.q179TruncationRecall,
+    "q180_path_surprisal" -> ExtensionOracles.q180PathSurprisal,
+    "q181_knn_hubness" -> ExtensionOracles.q181KnnHubness,
+    "q182_source_cluster_entropy" -> ExtensionOracles.q182SourceClusterEntropy,
+    "q183_temperature_mix" -> ExtensionOracles.q183TemperatureMix,
   )
 }

@@ -262,4 +262,45 @@ object Clustering {
       .select(col("g1").cast("long").as("l1"), col("g2").cast("long").as("l2"),
         col("cos"))
       .orderBy(col("l1"), col("l2"))
+
+  /** q182's own centroid path (the q83/q94 independence rule). */
+  val SourceEntropyCentroidsPath = "/tmp/graft_kmeans_centroids_srcent.parquet"
+
+  /** q182: TOPIC DIVERSITY per source — the Shannon entropy of each
+    * source's distribution over the learned k-means clusters, the
+    * balance diagnostic behind mixture decisions: a source whose docs
+    * pile into one topic cluster (entropy → 0) contributes far less
+    * diversity than its row count suggests, and a mixing policy
+    * weighting by rows alone overrates it. `entropy_norm` divides by
+    * ln(k) so sources are comparable across k choices.
+    *
+    * Shape: the q81 assignment pass (narrow, broadcast centroids) + a
+    * (source × ≤k) count aggregate + per-source entropy over ≤k rows —
+    * nothing beyond q81's cost. Determinism: counts exact; each
+    * −p·ln p term is rounded 12 and decimal-summed, the final values
+    * round 12 (the q41/q48 rules); the oracle replays the assignment
+    * from the persisted grid-snapped centroids (the q81 recipe). */
+  def q182SourceClusterEntropy(s: SparkSession, dir: String,
+                               k: Int = 8): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, k)
+    persistCentroids(s, centroids, SourceEntropyCentroidsPath)
+    val src = graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val counts = assign(emb, centroids).join(src, Seq("vec_id"))
+      .groupBy(col("source"), col("cluster")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(broadcast(totals), Seq("source"))
+      .withColumn("part", round(-p * log(p), 12).cast("decimal(28,12)"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_clusters_used"),
+        sum(col("part")).as("h"))
+      .select(col("source"), col("n_docs"), col("n_clusters_used"),
+        round(col("h").cast("double"), 12).as("entropy"),
+        round(col("h").cast("double") / math.log(k.toDouble), 12)
+          .as("entropy_norm"))
+      .orderBy(col("source"))
+  }
 }

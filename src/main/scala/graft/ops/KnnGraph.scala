@@ -139,6 +139,27 @@ object KnnGraph {
   def mutualKnnInCells(emb: DataFrame, k: Int, nCells: Int): DataFrame =
     mutualOf(topKEdges(emb, k, kFloat0 = k + 11, nCells = Some(nCells)))
 
+  /** q181: k-NN-graph HUBNESS — each vector's in-degree in the directed
+    * exact top-k graph (how many OTHER vectors count it among their k
+    * nearest). Hubness is the high-dimensional pathology (Radovanović
+    * et al. JMLR'10) that silently skews ANN-driven dedup and retrieval:
+    * a hub looks "near everything", so pair-based semantic dedup keeps
+    * deleting against it and k-NN classification over-votes it. This is
+    * the diagnostic read before trusting q47/q76/q177-style decisions;
+    * `is_hub` flags in-degree ≥ 2k (the standard skew cutoff). In-degree
+    * sums to ≤ n·k by construction; everything after the topKEdges
+    * dataflow is one hash aggregate + an n-row join. */
+  def q181KnnHubness(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val indeg = topKEdges(emb, k, kFloat0 = k + 11)
+      .groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
+    emb.select(col("vec_id")).join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("is_hub", col("in_degree") >= 2L * k)
+      .orderBy(col("vec_id"))
+  }
+
   /** q179: dimension-truncation recall — for the 8 fixed probe vectors
     * (vec_id < 8, the q28 query convention), the exact top-10 by the
     * 16-dim embedding PREFIX vs by the full vector; reports the

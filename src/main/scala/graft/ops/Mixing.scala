@@ -408,4 +408,39 @@ object Mixing {
         col("saturated"), col("allocated"))
       .orderBy(col("lang"))
   }
+
+  /** q183: TEMPERATURE-SCALED mixture weights — the multilingual-
+    * sampling classic (exponentiated upsampling, XLM-R §3.1 / mT5):
+    * sampling weight q_s(α) ∝ p_s^α where p_s is the source's natural
+    * token share. α = 1 reproduces natural sampling; α < 1 flattens the
+    * head and upsamples the tail (the `boost` column says by how much).
+    * One row per (source, α) for the standard sweep α ∈ {0.5, 0.7, 1.0}
+    * — the table a mixing policy reads to pick its temperature.
+    *
+    * Shape: ONE token-count aggregate over the corpus (map-side
+    * combined), then pure in-row math over |sources|×3 rows.
+    * Determinism: shares and powers round 12 (libm pow may differ in
+    * final ulps across engines), the normalizer sums rounded decimals
+    * exactly, final ratios round 12. */
+  def q183TemperatureMix(s: SparkSession, dir: String,
+                         alphas: Seq[Double] = Seq(0.5, 0.7, 1.0)): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    val total = toks.agg(sum(col("n_tokens")).as("n_total"))
+    val sweep = toks.crossJoin(broadcast(total))
+      .withColumn("p_natural",
+        round(col("n_tokens").cast("double") / col("n_total").cast("double"), 12))
+      .withColumn("alpha", explode(array(alphas.map(lit(_)): _*)))
+      .withColumn("w", round(pow(col("p_natural"), col("alpha")), 12)
+        .cast("decimal(28,12)"))
+    val norms = sweep.groupBy(col("alpha")).agg(sum(col("w")).as("tot"))
+    sweep.join(broadcast(norms), Seq("alpha"))
+      .withColumn("q_weight",
+        round(col("w").cast("double") / col("tot").cast("double"), 12))
+      .select(col("source"), col("alpha"), col("n_tokens"), col("p_natural"),
+        col("q_weight"),
+        round(col("q_weight") / col("p_natural"), 12).as("boost"))
+      .orderBy(col("source"), col("alpha"))
+  }
 }

@@ -630,7 +630,17 @@ object NearDupIndex {
       }
     val masked = if (removed.isEmpty) 0L else tombstone(removed, dst)
     val toAdd = newDocs.join(toAddIds, Seq("doc_id"))
-    val appended = if (toAdd.isEmpty) 0L else appendToMinhashLayout(toAdd, dst).appended
+    val appended =
+      if (toAdd.isEmpty) 0L
+      else {
+        val report = appendToMinhashLayout(toAdd, dst)
+        // self-healing lifecycle: an append that pushed shingles over
+        // the df cap leaves older arrays stale — heal immediately so a
+        // sync'd index is ALWAYS fresh-write-equal (the one-call
+        // maintenance contract; cost scales with drift, not corpus)
+        if (report.rewriteRecommended) rewriteCapCrossed(s, dst)
+        report.appended
+      }
     (purged, masked, appended)
   }
 }

@@ -387,4 +387,43 @@ object TimeSeries {
     * and the oracle anchors on the same active-day set. */
   def q139GrowthAccounting(s: SparkSession, dir: String): DataFrame =
     growthAccounting(Tables.events(s, dir)).orderBy(col("day"))
+
+  /** q180: per-user PATH SURPRISAL — each user's behavior scored by the
+    * corpus transition model (q115's Markov chain used as a language
+    * model over event types): avg −ln p(next | prev) across the user's
+    * chronological transitions. The behavioral anomaly score — a bot
+    * replaying one loop scores near the chain's floor, a user whose
+    * path fights the corpus structure scores high (same math as q155's
+    * token perplexity, on the events axis).
+    *
+    * Shape: transitions come from [[SkewWindows.adjacentPairs]] (the
+    * hot-key-safe lag — no global window), pinned because they feed
+    * BOTH the model counts and the scoring join; the model is ≤
+    * |event_types|² rows (broadcast); scoring is one broadcast join +
+    * a per-user hash aggregate.
+    *
+    * Determinism: each −ln p is rounded 12 then summed as exact
+    * DECIMAL(28,12); the final mean divides by the exact transition
+    * count and rounds 12 (the q41/q48 float rules). */
+  def q180PathSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val pairs = SkewWindows.adjacentPairs(
+      ev, "user_id", "ts", "event_id", "event_type").localCheckpoint()
+    val counts = pairs.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+    val model = counts.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"),
+        round(-log(col("n").cast("double") / col("tot").cast("double")), 12)
+          .cast("decimal(28,12)").as("surprisal"))
+    pairs.join(broadcast(model), Seq("cur", "nxt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("surprisal")).as("ssum"))
+      .select(col("user_id"), col("n_transitions"),
+        round(col("ssum").cast("double") / col("n_transitions").cast("double"),
+          12).as("avg_surprisal"))
+      .orderBy(col("user_id"))
+  }
 }

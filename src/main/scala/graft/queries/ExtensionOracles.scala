@@ -4518,40 +4518,129 @@ object ExtensionOracles {
       irMetricsSelect(3, Seq("dup", "scan", "sort"), 10))
     .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
+  /** Shared q177/q181 CTE chain: the all-pairs exact decimal-cosine
+    * directed top-k ranking (the q28/q36 recipe), ending in `top`. */
+  private def knnTopCtes(k: Int): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
+       |norms AS (SELECT vec_id,
+       |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |      AS DECIMAL(28,18))) AS n2
+       |  FROM x GROUP BY vec_id),
+       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |pe AS (SELECT src, dst, ea, eb,
+       |    unnest(generate_series(1, len(ea))) AS i FROM pairs),
+       |dots AS (SELECT src, dst,
+       |    SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+       |      AS DECIMAL(28,18))) AS dot
+       |  FROM pe GROUP BY 1, 2),
+       |scored AS (SELECT d.src, d.dst,
+       |    round(CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 12) AS cos
+       |  FROM dots d
+       |  JOIN norms na ON d.src = na.vec_id
+       |  JOIN norms nb ON d.dst = nb.vec_id),
+       |ranked AS (SELECT src, dst, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS BIGINT) AS rank
+       |  FROM scored WHERE NOT isnan(cos)),
+       |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
+
   /** Mirrors q177 (`ops.KnnGraph.q177MutualKnn`): exact decimal-cosine
     * top-5 per vector (the q28/q36 recipe), mutual pairs with both
     * directed ranks. */
   val q177MutualKnn: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
-      |norms AS (SELECT vec_id,
-      |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-      |      AS DECIMAL(28,18))) AS n2
-      |  FROM x GROUP BY vec_id),
-      |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    a.embedding AS ea, b.embedding AS eb
-      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-      |pe AS (SELECT src, dst, ea, eb,
-      |    unnest(generate_series(1, len(ea))) AS i FROM pairs),
-      |dots AS (SELECT src, dst,
-      |    SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
-      |      AS DECIMAL(28,18))) AS dot
-      |  FROM pe GROUP BY 1, 2),
-      |scored AS (SELECT d.src, d.dst,
-      |    round(CAST(d.dot AS DOUBLE) /
-      |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 12) AS cos
-      |  FROM dots d
-      |  JOIN norms na ON d.src = na.vec_id
-      |  JOIN norms nb ON d.dst = nb.vec_id),
-      |ranked AS (SELECT src, dst, cos,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY src
-      |      ORDER BY cos DESC, dst) AS BIGINT) AS rank
-      |  FROM scored WHERE NOT isnan(cos)),
-      |top AS (SELECT * FROM ranked WHERE rank <= 5)
-      |SELECT f.src AS v1, f.dst AS v2, f.cos AS cos,
-      |  f.rank AS rank_fwd, r.rank AS rank_rev
-      |FROM top f JOIN top r ON f.src = r.dst AND f.dst = r.src AND f.src < f.dst
-      |ORDER BY v1, v2""".stripMargin
+    s"""WITH ${knnTopCtes(5)}
+       |SELECT f.src AS v1, f.dst AS v2, f.cos AS cos,
+       |  f.rank AS rank_fwd, r.rank AS rank_rev
+       |FROM top f JOIN top r ON f.src = r.dst AND f.dst = r.src AND f.src < f.dst
+       |ORDER BY v1, v2""".stripMargin
+
+  /** Mirrors q181 (`ops.KnnGraph.q181KnnHubness`): in-degree of the
+    * directed exact top-5 graph, hub flag at ≥ 2k. */
+  val q181KnnHubness: String =
+    s"""WITH ${knnTopCtes(5)},
+       |hub AS (SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+       |  FROM top GROUP BY dst)
+       |SELECT e.vec_id,
+       |  COALESCE(h.in_degree, 0) AS in_degree,
+       |  COALESCE(h.in_degree, 0) >= 10 AS is_hub
+       |FROM e LEFT JOIN hub h USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** Mirrors q180 (`ops.TimeSeries.q180PathSurprisal`): the q115
+    * transition model turned into per-user average surprisal — each
+    * −ln p rounded 12 into a decimal sum, mean rounded 12. */
+  val q180PathSurprisal: String =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+      |pr AS (SELECT user_id, event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM ev),
+      |p2 AS (SELECT user_id, cur, nxt FROM pr WHERE nxt IS NOT NULL),
+      |cnt AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM p2 GROUP BY 1, 2),
+      |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+      |model AS (SELECT cnt.cur, cnt.nxt,
+      |    CAST(round(-ln(CAST(cnt.n AS DOUBLE) / CAST(tot.tot AS DOUBLE)), 12)
+      |      AS DECIMAL(28,12)) AS surprisal
+      |  FROM cnt JOIN tot USING (cur))
+      |SELECT p2.user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+      |  round(CAST(SUM(m.surprisal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12)
+      |    AS avg_surprisal
+      |FROM p2 JOIN model m ON p2.cur = m.cur AND p2.nxt = m.nxt
+      |GROUP BY p2.user_id
+      |ORDER BY p2.user_id""".stripMargin
+
+  /** Mirrors q182 (`ops.Clustering.q182SourceClusterEntropy`): the q81
+    * assignment replay from q182's persisted centroids, then per-source
+    * Shannon entropy over the cluster distribution (rounded-part
+    * decimal sums, the q41/q48 rules). */
+  val q182SourceClusterEntropy: String = {
+    val lnK = java.lang.Double.toString(math.log(8.0))
+    s"""WITH ${kmeansAssignCtes(graft.ops.Clustering.SourceEntropyCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cluster
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |src AS (SELECT doc_id AS vec_id, source FROM documents),
+       |cnts AS (SELECT s.source, a.cluster, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM asg a JOIN src s USING (vec_id) GROUP BY 1, 2),
+       |tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY 1),
+       |parts AS (SELECT cnts.source, tots.n,
+       |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM cnts JOIN tots USING (source))
+       |SELECT source, MAX(n) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters_used,
+       |  round(CAST(SUM(part) AS DOUBLE), 12) AS entropy,
+       |  round(CAST(SUM(part) AS DOUBLE) / $lnK, 12) AS entropy_norm
+       |FROM parts GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Mirrors q183 (`ops.Mixing.q183TemperatureMix`): temperature-scaled
+    * sampling weights — shares and powers rounded 12, normalizer an
+    * exact decimal sum. */
+  val q183TemperatureMix: String =
+    """WITH t AS (SELECT source,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM t),
+      |sweep AS (SELECT source, n_tokens,
+      |    round(CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE), 12) AS p_natural,
+      |    unnest(CAST([0.5, 0.7, 1.0] AS DOUBLE[])) AS alpha
+      |  FROM t CROSS JOIN tot),
+      |w AS (SELECT *, CAST(round(pow(p_natural, alpha), 12) AS DECIMAL(28,12)) AS w
+      |  FROM sweep),
+      |nm AS (SELECT alpha, SUM(w) AS tot FROM w GROUP BY alpha)
+      |SELECT w.source, w.alpha, w.n_tokens, w.p_natural,
+      |  round(CAST(w.w AS DOUBLE) / CAST(nm.tot AS DOUBLE), 12) AS q_weight,
+      |  round(round(CAST(w.w AS DOUBLE) / CAST(nm.tot AS DOUBLE), 12) /
+      |    w.p_natural, 12) AS boost
+      |FROM w JOIN nm USING (alpha)
+      |ORDER BY w.source, w.alpha""".stripMargin
 
   /** Mirrors q178 (`ops.Graph.q178LabelPropagation`): the 3 synchronous
     * most-frequent-neighbor-label rounds unrolled — argmax via

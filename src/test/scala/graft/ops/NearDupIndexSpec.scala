@@ -336,4 +336,26 @@ class NearDupIndexSpec extends SparkSpec {
     val (again, againBuckets) = NearDupIndex.rewriteCapCrossed(spark, dst)
     assert(again == 0L && againBuckets.isEmpty, "rewrite re-run not a no-op")
   }
+
+  test("sync self-heals cap crossings: post-sync array store equals a fresh write") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon"
+    def mk(i: Long) =
+      (i, phrase + " " + (1 to 10).map(j => s"u$i-$j").mkString(" "))
+    val a = (1L to 3L).map(mk).toDF("doc_id", "text")
+    val next = ((1L to 3L) ++ (11L to 12L)).map(mk).toDF("doc_id", "text")
+    val dst = tmp("mh-sync-heal")
+    NearDupIndex.writeMinhashLayout(a, dst, nBuckets = 8, maxDocFreq = 3L)
+    // the sync's append pushes the phrase df 3→5 over cap 3 — the
+    // lifecycle must re-cap docs 1-3's arrays on its own
+    val (purged, masked, appended) = NearDupIndex.sync(a, next, dst)
+    assert(purged == 0L && masked == 0L && appended == 2L)
+    val dst2 = tmp("mh-sync-heal-fresh")
+    NearDupIndex.writeMinhashLayout(next, dst2, nBuckets = 8, maxDocFreq = 3L)
+    def arrayRows(p: String) = spark.read.parquet(p + "_docs")
+      .select("doc_id", "gs").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq
+    assert(arrayRows(dst) == arrayRows(dst2),
+      "sync left stale over-cap shingles in the array store")
+  }
 }
