@@ -277,11 +277,15 @@ object Soak {
       timed("ir_metrics")(graft.ops.IrMetrics
         .metricsFor(docs.select(col("doc_id"), col("text")), 1,
           Seq("dup", "key"), 10)),
-      // mutual k-NN, 100 TB form: IVF-cell-restricted candidates —
-      // per-cell pair volume (n/c)², cells scaled with the corpus so
-      // the per-cell population stays ~constant (the q47 knob rule)
-      timed("mutual_knn_cells")(graft.ops.KnnGraph
-        .mutualKnnInCells(emb, 5, nCells = math.max(64, 8 * mult))),
+      // mutual k-NN, 100 TB form: IVF-cell-restricted candidates.
+      // nCells ~ √n balances the two cost terms (assign n·c vs
+      // within-cell pairs n²/c — both n^1.5 at c = √n, the standard
+      // IVF nlist rule); per-cell-CONSTANT sizing would make the
+      // assignment quadratic (measured: ×18.7 on ×10 data before
+      // the sqrt rule + the broadcast-join assign landed)
+      timed("mutual_knn_cells")(graft.ops.KnnGraph.mutualKnnInCells(
+        emb, 5,
+        nCells = math.max(64, math.ceil(math.sqrt(nEmb * mult.toDouble)).toInt))),
       // label propagation: 3 rounds × (one E-row join + two hash
       // aggregates) over the ~3n community edges — strictly linear
       timed("label_prop")(graft.ops.Graph.labelPropagation(

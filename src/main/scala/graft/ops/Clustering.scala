@@ -263,6 +263,34 @@ object Clustering {
         col("cos"))
       .orderBy(col("l1"), col("l2"))
 
+  /** [[assign]] for LARGE centroid counts: the literal-expression form
+    * compiles c struct aggregates into one expression tree — ideal at
+    * k ≤ ~64 (no join, one codegen'd pass) and catastrophic at IVF-
+    * scale nlist (hundreds+: megabyte codegen falls back to
+    * interpreted, n×c×dim ops single-expression). This form keeps the
+    * centroids as a broadcast TABLE: one n×c row join with a codegen'd
+    * zip_with distance and a hash-aggregate argmin — distributed,
+    * linear in n·c, no expression blowup. Same semantics: integer
+    * squared L2 on the snapped grid, ties to the smaller cluster id,
+    * null/empty embeddings to cluster 0 at distance 0. */
+  def assignByJoin(emb: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val c = centroids.zipWithIndex.map { case (qc, cid) => (cid, qc.toSeq) }
+      .toSeq.toDF("cluster", "qc")
+    emb.select(col("vec_id"), snapped(col("embedding")).as("qx"))
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cluster"),
+        coalesce(aggregate(
+          zip_with(col("qx"), col("qc"),
+            (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+          lit(0L), (acc, e) => acc + e), lit(0L)).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.d").as("sq_dist"))
+  }
+
   /** q182's own centroid path (the q83/q94 independence rule). */
   val SourceEntropyCentroidsPath = "/tmp/graft_kmeans_centroids_srcent.parquet"
 

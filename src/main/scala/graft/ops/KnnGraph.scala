@@ -63,8 +63,14 @@ object KnnGraph {
       sqrt(decDot(col("embedding"), col("embedding")).cast("double")).as("nrm"))
       .localCheckpoint() // n tiny rows, reused on both survivor sides
     val celled = nCells.map { c =>
-      val centroids = Clustering.trainCentroids(emb, c)
-      emb.join(Clustering.assign(emb, centroids)
+      // table-join assignment: at IVF-scale cell counts the literal-
+      // expression Clustering.assign would compile c struct aggregates
+      // into one interpreted mega-expression (measured super-linear at
+      // the 100× soak); the broadcast-join form stays codegen'd and
+      // linear in n·c. Fewer k-means iters — cells here are a pruning
+      // partition, not a model; 4 sweeps place centers well enough
+      val centroids = Clustering.trainCentroids(emb, c, iters = 4)
+      emb.join(Clustering.assignByJoin(emb, centroids)
         .select(col("vec_id"), col("cluster")), Seq("vec_id"))
         .localCheckpoint()
     }
