@@ -337,6 +337,10 @@ object SparkEntry {
       graft.ops.Clustering.q182SourceClusterEntropy(s, dir)),
     "q183_temperature_mix" -> ((s: SparkSession, dir: String) =>
       graft.ops.Mixing.q183TemperatureMix(s, dir)),
+    "q184_mutual_knn_clusters" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KnnGraph.q184MutualKnnClusters(s, dir)),
+    "q185_release_card" -> ((s: SparkSession, dir: String) =>
+      graft.ops.SnapshotDiff.q185ReleaseCard(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -840,5 +844,7 @@ object SparkEntry {
     "q181_knn_hubness" -> ExtensionOracles.q181KnnHubness,
     "q182_source_cluster_entropy" -> ExtensionOracles.q182SourceClusterEntropy,
     "q183_temperature_mix" -> ExtensionOracles.q183TemperatureMix,
+    "q184_mutual_knn_clusters" -> ExtensionOracles.q184MutualKnnClusters,
+    "q185_release_card" -> ExtensionOracles.q185ReleaseCard,
   )
 }

@@ -166,6 +166,32 @@ object KnnGraph {
       .orderBy(col("vec_id"))
   }
 
+  /** q184: SEMANTIC DUPLICATE GROUPS — connected components over the
+    * mutual k-NN edges at cos ≥ `minCos`: the GROUP-level view q177's
+    * pairs feed. A dedup pass acts on clusters (keep the canonical
+    * member, drop the rest), not on an unordered pair soup, and
+    * mutual-edge components are the hubness-safe grouping (a hub's
+    * one-way edges never glue unrelated clusters together — the q40
+    * move with reciprocal edges instead of raw LSH pairs). Components
+    * from [[Dedup.connectedComponents]] (pointer-jumping, O(log
+    * diameter) rounds, singletons never iterate); canonical = min id.
+    * Edge volume into CC is ≤ n·k by construction. */
+  def q184MutualKnnClusters(s: SparkSession, dir: String, k: Int = 5,
+                            minCos: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = mutualOf(topKEdges(emb, k, kFloat0 = k + 11))
+      .filter(col("cos") >= minCos)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val comp = Dedup.connectedComponents(
+      emb.select(col("vec_id").as("id")), pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("id").as("vec_id"), col("component"), col("cluster_size"),
+        (col("id") === col("component")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q179: dimension-truncation recall — for the 8 fixed probe vectors
     * (vec_id < 8, the q28 query convention), the exact top-10 by the
     * 16-dim embedding PREFIX vs by the full vector; reports the

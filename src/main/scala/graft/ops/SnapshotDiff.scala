@@ -114,4 +114,48 @@ object SnapshotDiff {
           .otherwise("changed"))
       .select(col("doc_id"), col("status"), col("md5_a"), col("md5_b"))
   }
+
+  /** q185: SNAPSHOT RELEASE CARD — the per-(source, status) summary a
+    * dataset release note carries: how many docs each source added /
+    * removed / changed / kept between two snapshots, and what the
+    * token budget did. q63 emits row-level verdicts; this is the
+    * aggregate the release process reads, and the regression alarm (a
+    * source whose token mass silently collapses between snapshots is a
+    * crawler failure, not an editorial choice). Fixture: q63's derived
+    * next version verbatim; appended docs inherit their origin doc's
+    * source. Shape: the [[diff]] (fingerprint full-outer) + two narrow
+    * token projections joined on the id + ONE (source × status)
+    * aggregate — nothing corpus-scale beyond the scans. */
+  def q185ReleaseCard(s: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = d0.select(col("doc_id"), col("text"))
+    val mx = a.agg(max(col("doc_id")).as("mx"))
+    val b = a.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        a.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("mx") + 1L).as("doc_id"), col("text")))
+    val src = d0.select(col("doc_id"), col("source"))
+      .unionByName(d0.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("mx") + 1L).as("doc_id"), col("source")))
+    val tokA = a.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tok_a"))
+    val tokB = b.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tok_b"))
+    diff(a, b)
+      .join(src, Seq("doc_id"))
+      .join(tokA, Seq("doc_id"), "left")
+      .join(tokB, Seq("doc_id"), "left")
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("tok_a"), lit(0L))).as("tokens_old"),
+        sum(coalesce(col("tok_b"), lit(0L))).as("tokens_new"))
+      .withColumn("token_delta", col("tokens_new") - col("tokens_old"))
+      .orderBy(col("source"), col("status"))
+  }
 }

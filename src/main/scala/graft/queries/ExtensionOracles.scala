@@ -4570,6 +4570,65 @@ object ExtensionOracles {
        |FROM e LEFT JOIN hub h USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Mirrors q184 (`ops.KnnGraph.q184MutualKnnClusters`): mutual top-5
+    * edges at cos ≥ 0.4, connected components via the q40 recursive
+    * reach, canonical = min id. */
+  val q184MutualKnnClusters: String =
+    s"""WITH RECURSIVE ${knnTopCtes(5)},
+       |mu AS (SELECT f.src AS d1, f.dst AS d2
+       |  FROM top f JOIN top r ON f.src = r.dst AND f.dst = r.src
+       |    AND f.src < f.dst
+       |  WHERE f.cos >= 0.4),
+       |ed AS (SELECT d1 AS a, d2 AS b FROM mu
+       |  UNION ALL SELECT d2 AS a, d1 AS b FROM mu),
+       |reach(v, r) AS (
+       |  SELECT vec_id AS v, vec_id AS r FROM e
+       |  UNION
+       |  SELECT reach.v, ed.b AS r FROM reach JOIN ed ON reach.r = ed.a
+       |),
+       |comp AS (SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v),
+       |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component)
+       |SELECT comp.vec_id, comp.component, sz.cluster_size,
+       |  comp.vec_id = comp.component AS is_canonical
+       |FROM comp JOIN sz USING (component)
+       |ORDER BY comp.vec_id""".stripMargin
+
+  /** Mirrors q185 (`ops.SnapshotDiff.q185ReleaseCard`): the q63 derived
+    * next version, fingerprint full-outer diff, per-(source, status)
+    * doc and token sums. */
+  val q185ReleaseCard: String =
+    """WITH a AS (SELECT doc_id, source, text FROM documents),
+      |mx AS (SELECT MAX(doc_id) AS mx FROM a),
+      |bb AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      |  FROM a WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT a.doc_id + mx.mx + 1 AS doc_id, a.text
+      |  FROM a CROSS JOIN mx WHERE a.doc_id % 13 = 0),
+      |src AS (SELECT doc_id, source FROM a
+      |  UNION ALL
+      |  SELECT a.doc_id + mx.mx + 1 AS doc_id, a.source
+      |  FROM a CROSS JOIN mx WHERE a.doc_id % 13 = 0),
+      |fa AS (SELECT doc_id, md5(text) AS m,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok FROM a),
+      |fb AS (SELECT doc_id, md5(text) AS m,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok FROM bb),
+      |d AS (SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+      |    CASE WHEN fa.m IS NULL THEN 'added'
+      |         WHEN fb.m IS NULL THEN 'removed'
+      |         WHEN fa.m = fb.m THEN 'unchanged'
+      |         ELSE 'changed' END AS status,
+      |    COALESCE(fa.tok, 0) AS tok_a, COALESCE(fb.tok, 0) AS tok_b
+      |  FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id)
+      |SELECT s.source, d.status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(d.tok_a) AS BIGINT) AS tokens_old,
+      |  CAST(SUM(d.tok_b) AS BIGINT) AS tokens_new,
+      |  CAST(SUM(d.tok_b) - SUM(d.tok_a) AS BIGINT) AS token_delta
+      |FROM d JOIN src s USING (doc_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Mirrors q180 (`ops.TimeSeries.q180PathSurprisal`): the q115
     * transition model turned into per-user average surprisal — each
     * −ln p rounded 12 into a decimal sum, mean rounded 12. */
