@@ -341,6 +341,8 @@ object SparkEntry {
       graft.ops.KnnGraph.q184MutualKnnClusters(s, dir)),
     "q185_release_card" -> ((s: SparkSession, dir: String) =>
       graft.ops.SnapshotDiff.q185ReleaseCard(s, dir)),
+    "q186_ks_drift" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Drift.q186KsDrift(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -846,5 +848,6 @@ object SparkEntry {
     "q183_temperature_mix" -> ExtensionOracles.q183TemperatureMix,
     "q184_mutual_knn_clusters" -> ExtensionOracles.q184MutualKnnClusters,
     "q185_release_card" -> ExtensionOracles.q185ReleaseCard,
+    "q186_ks_drift" -> ExtensionOracles.q186KsDrift,
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Distribution-drift detection via the Population Stability Index —
@@ -95,4 +96,68 @@ object Drift {
   /** q144: [[psiOverEvents]] on the driver's events table. */
   def q144PsiDrift(s: SparkSession, dir: String): DataFrame =
     psiOverEvents(Tables.events(s, dir))
+
+  /** q186: exact two-sample KOLMOGOROV–SMIRNOV drift — for every
+    * source, the KS statistic D = max_v |F_source(v) − F_rest(v)| of
+    * its token-count distribution against the rest of the corpus, plus
+    * the value where the gap peaks. The exact-ECDF complement to
+    * q144's binned PSI: PSI needs a bin design and saturates on tail
+    * mass; KS is bin-free, so it catches a source whose length
+    * distribution silently shifts inside one PSI bin (truncation bugs,
+    * template changes).
+    *
+    * Scale shape (the q121 ECDF discipline): ONE (source × value)
+    * count aggregate off the scan (map-side combined); the evaluation
+    * grid is sources × DISTINCT VALUES — an aggregated frame, never
+    * raw rows — built by a broadcast cross join of the two tiny
+    * dimension tables; both cumulatives are windows OVER THAT GRID
+    * (per-source partitions of ≤ |values| rows). F_rest comes from the
+    * global cumulative minus the source's — no second corpus pass, no
+    * per-pair recount.
+    *
+    * Determinism: counts exact; each F is one double divide rounded 12;
+    * D = max of |difference of rounded doubles| (order-free), the peak
+    * value = min v attaining D (exact tie rule). */
+  def q186KsDrift(s: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v")))
+
+  /** The reusable KS core over any (source, v: long) frame. */
+  def ksDrift(values: DataFrame): DataFrame = {
+    val v = values
+    val counts = v.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val globalCum = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
+      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cum_g"))
+    val total = counts.agg(sum(col("c")).as("n_all"))
+    // the evaluation grid: every source × every distinct value —
+    // aggregated dimensions only (a step function must be read at ALL
+    // corpus values, including ones the source never emits)
+    val grid = ns.crossJoin(globalCum.select(col("v")))
+      .join(counts, Seq("source", "v"), "left")
+      .withColumn("cum_s", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))),
+        lit(0L)))
+      .join(globalCum, Seq("v"))
+      .crossJoin(broadcast(total))
+      .withColumn("gap", abs(
+        round(col("cum_s").cast("double") / col("n_s").cast("double"), 12) -
+        round((col("cum_g") - col("cum_s")).cast("double") /
+          (col("n_all") - col("n_s")).cast("double"), 12)))
+    val g = grid.localCheckpoint() // aggregated |sources|×|values| frame,
+                                   // read by the max AND the argmax below
+    val d = g.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_source"),
+        max(col("n_all") - col("n_s")).as("n_rest"),
+        max(col("gap")).as("ks_d"))
+    val at = g.select(col("source"), col("v"), col("gap"))
+      .join(d.select(col("source"), col("ks_d")), Seq("source"))
+      .filter(col("gap") === col("ks_d"))
+      .groupBy(col("source")).agg(min(col("v")).as("at_value"))
+    d.join(at, Seq("source"))
+      .select(col("source"), col("n_source"), col("n_rest"),
+        col("ks_d"), col("at_value"))
+      .orderBy(col("source"))
+  }
 }

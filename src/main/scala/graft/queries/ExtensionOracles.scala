@@ -4629,6 +4629,41 @@ object ExtensionOracles {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Mirrors q186 (`ops.Drift.q186KsDrift`): exact two-sample KS per
+    * source over token counts — both ECDFs on the shared distinct-value
+    * grid, F's rounded 12 before the difference, argmax at min v. */
+  val q186KsDrift: String =
+    """WITH vv AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |c AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vv GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY 1),
+      |gv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cg FROM c GROUP BY 1),
+      |gcum AS (SELECT v, CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT) AS cum_g
+      |  FROM gv),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM c),
+      |grid AS (SELECT ns.source, ns.n_s, g.v
+      |  FROM ns CROSS JOIN (SELECT v FROM gcum) g),
+      |cums AS (SELECT grid.source, grid.n_s, grid.v,
+      |    CAST(COALESCE(SUM(c.c) OVER (PARTITION BY grid.source
+      |      ORDER BY grid.v), 0) AS BIGINT) AS cum_s
+      |  FROM grid LEFT JOIN c ON grid.source = c.source AND grid.v = c.v),
+      |gaps AS (SELECT cums.source, cums.n_s, cums.v, tot.n_all,
+      |    abs(round(CAST(cum_s AS DOUBLE) / CAST(n_s AS DOUBLE), 12)
+      |      - round(CAST(gcum.cum_g - cum_s AS DOUBLE) /
+      |              CAST(tot.n_all - n_s AS DOUBLE), 12)) AS gap
+      |  FROM cums JOIN gcum USING (v) CROSS JOIN tot),
+      |d AS (SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_source,
+      |    CAST(MAX(n_all - n_s) AS BIGINT) AS n_rest, MAX(gap) AS ks_d
+      |  FROM gaps GROUP BY source),
+      |at AS (SELECT g.source, CAST(MIN(g.v) AS BIGINT) AS at_value
+      |  FROM gaps g JOIN d ON g.source = d.source AND g.gap = d.ks_d
+      |  GROUP BY g.source)
+      |SELECT d.source, d.n_source, d.n_rest, d.ks_d, at.at_value
+      |FROM d JOIN at ON d.source = at.source
+      |ORDER BY d.source""".stripMargin
+
   /** Mirrors q180 (`ops.TimeSeries.q180PathSurprisal`): the q115
     * transition model turned into per-user average surprisal — each
     * −ln p rounded 12 into a decimal sum, mean rounded 12. */

@@ -111,6 +111,26 @@ class Wave18Spec extends SparkSpec {
     comp.foreach { case (_, (c, size, _)) => assert(bySize(c) == size) }
   }
 
+  test("q186 KS math on a planted two-source fixture") {
+    import spark.implicits._
+    // A = {1,1,2}, B(=A's rest) = {2,3,3,3}:
+    //   F_A:  1→2/3, 2→1,    3→1
+    //   F_B:  1→0,   2→1/4,  3→1
+    // gaps 2/3, 3/4, 0 ⇒ D = 0.75 at v = 2. B vs rest(=A) is symmetric.
+    val vals = Seq(("a", 1L), ("a", 1L), ("a", 2L),
+        ("b", 2L), ("b", 3L), ("b", 3L), ("b", 3L))
+      .toDF("source", "v")
+    val got = Drift.ksDrift(vals).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got("a") == ((3L, 4L, 0.75, 2L)), s"a: ${got("a")}")
+    assert(got("b") == ((4L, 3L, 0.75, 2L)), s"b: ${got("b")}")
+    // real corpus: D bounded in [0, 1]
+    Drift.q186KsDrift(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"$r")
+    }
+  }
+
   test("q185: release card reconciles with the corpus and the derivation rates") {
     val out = SnapshotDiff.q185ReleaseCard(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
