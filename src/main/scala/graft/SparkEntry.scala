@@ -343,6 +343,8 @@ object SparkEntry {
       graft.ops.SnapshotDiff.q185ReleaseCard(s, dir)),
     "q186_ks_drift" -> ((s: SparkSession, dir: String) =>
       graft.ops.Drift.q186KsDrift(s, dir)),
+    "q187_ranksum_effect" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Drift.q187RankSumEffect(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -849,5 +851,6 @@ object SparkEntry {
     "q184_mutual_knn_clusters" -> ExtensionOracles.q184MutualKnnClusters,
     "q185_release_card" -> ExtensionOracles.q185ReleaseCard,
     "q186_ks_drift" -> ExtensionOracles.q186KsDrift,
+    "q187_ranksum_effect" -> ExtensionOracles.q187RankSumEffect,
   )
 }

@@ -160,4 +160,56 @@ object Drift {
         col("ks_d"), col("at_value"))
       .orderBy(col("source"))
   }
+
+  /** q187: MANN–WHITNEY effect size per source — the AUC (probability
+    * that a random doc of the source is longer than a random doc of
+    * the rest, ties counted half) and its rank-biserial form 2·AUC−1.
+    * The DIRECTIONAL companion of q186's KS: KS says the distributions
+    * differ, AUC says which way and by how much — the pair a drift
+    * triage reads together.
+    *
+    * Exactness trick: U needs only the aggregated value counts —
+    *   2U = Σ_v c_s(v) · (2·cum_rest(<v) + c_rest(v))
+    * is an exact integer (the ×2 absorbs the half-tie credit), summed
+    * as DECIMAL(38,0) so 100 TB corpus sizes cannot overflow; the one
+    * division rounds 12. One (source × value) count pass serves every
+    * source (rest counts = global − source, as q186); no window
+    * touches raw rows. */
+  def q187RankSumEffect(s: SparkSession, dir: String): DataFrame =
+    rankSumEffect(Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v")))
+
+  /** The reusable core over any (source, v: long) frame. */
+  def rankSumEffect(values: DataFrame): DataFrame = {
+    val counts = values.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val g = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
+      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy(col("v"))))
+    val total = counts.agg(sum(col("c")).as("n_all"))
+    val withCums = counts
+      .withColumn("cum_s", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .join(g, Seq("v"))
+      .crossJoin(broadcast(total))
+      // rest counts at v and strictly below v, by subtraction
+      .withColumn("c_r", col("cg") - col("c"))
+      .withColumn("cum_r_below",
+        (col("cum_g") - col("cg")) - (col("cum_s") - col("c")))
+    withCums
+      .withColumn("u2_term",
+        (col("c") * (lit(2L) * col("cum_r_below") + col("c_r")))
+          .cast("decimal(38,0)"))
+      .groupBy(col("source"))
+      .agg(sum(col("u2_term")).as("u2"),
+        max(col("n_all")).as("n_all"))
+      .join(ns, Seq("source"))
+      .select(col("source"), col("n_s").as("n_source"),
+        (col("n_all") - col("n_s")).as("n_rest"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_s").cast("double") *
+            (col("n_all") - col("n_s")).cast("double")), 12).as("auc"))
+      .withColumn("rank_biserial", round(lit(2.0) * col("auc") - lit(1.0), 12))
+      .orderBy(col("source"))
+  }
 }

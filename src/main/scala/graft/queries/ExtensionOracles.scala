@@ -4664,6 +4664,43 @@ object ExtensionOracles {
       |FROM d JOIN at ON d.source = at.source
       |ORDER BY d.source""".stripMargin
 
+  /** Mirrors q187 (`ops.Drift.q187RankSumEffect`): 2U from aggregated
+    * value counts (exact integer, decimal-summed), one rounded-12
+    * division to AUC, rank-biserial = 2·AUC − 1. */
+  val q187RankSumEffect: String =
+    """WITH vv AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |c AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vv GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY 1),
+      |g AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cg,
+      |    CAST(SUM(SUM(c)) OVER (ORDER BY v) AS BIGINT) AS cum_g
+      |  FROM c GROUP BY v),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM c),
+      |wc AS (SELECT c.source, c.v, c.c,
+      |    CAST(SUM(c.c) OVER (PARTITION BY c.source ORDER BY c.v)
+      |      AS BIGINT) AS cum_s,
+      |    g.cg, g.cum_g, tot.n_all
+      |  FROM c JOIN g USING (v) CROSS JOIN tot),
+      |terms AS (SELECT source, n_all,
+      |    CAST(c * (2 * ((cum_g - cg) - (cum_s - c)) + (cg - c))
+      |      AS DECIMAL(38,0)) AS u2_term
+      |  FROM wc),
+      |agg AS (SELECT source, SUM(u2_term) AS u2, MAX(n_all) AS n_all
+      |  FROM terms GROUP BY source)
+      |SELECT agg.source, ns.n_s AS n_source,
+      |  CAST(agg.n_all - ns.n_s AS BIGINT) AS n_rest,
+      |  round(CAST(agg.u2 AS DOUBLE) /
+      |    (2.0 * CAST(ns.n_s AS DOUBLE) *
+      |     CAST(agg.n_all - ns.n_s AS DOUBLE)), 12) AS auc,
+      |  round(2.0 * round(CAST(agg.u2 AS DOUBLE) /
+      |    (2.0 * CAST(ns.n_s AS DOUBLE) *
+      |     CAST(agg.n_all - ns.n_s AS DOUBLE)), 12) - 1.0, 12)
+      |    AS rank_biserial
+      |FROM agg JOIN ns USING (source)
+      |ORDER BY agg.source""".stripMargin
+
   /** Mirrors q180 (`ops.TimeSeries.q180PathSurprisal`): the q115
     * transition model turned into per-user average surprisal — each
     * −ln p rounded 12 into a decimal sum, mean rounded 12. */

@@ -131,6 +131,29 @@ class Wave18Spec extends SparkSpec {
     }
   }
 
+  test("q187 rank-sum AUC on the planted fixture; complements sum to 1") {
+    import spark.implicits._
+    // A = {1,1,2} vs rest B = {2,3,3,3}: wins 0, one tie (2 vs 2) ⇒
+    // U_A = 0.5, AUC_A = 0.5/12 = 1/24; B is the exact complement.
+    val vals = Seq(("a", 1L), ("a", 1L), ("a", 2L),
+        ("b", 2L), ("b", 3L), ("b", 3L), ("b", 3L))
+      .toDF("source", "v")
+    val got = Drift.rankSumEffect(vals).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a")._1 == 3L && got("a")._2 == 4L)
+    assert(math.abs(got("a")._3 - r12(1.0 / 24)) < 1e-12, s"${got("a")}")
+    assert(math.abs(got("b")._3 - r12(23.0 / 24)) < 1e-12, s"${got("b")}")
+    assert(math.abs(got("a")._4 - r12(2 * r12(1.0 / 24) - 1)) < 1e-12)
+    // two-source corpora: AUCs are exact complements
+    assert(math.abs(got("a")._3 + got("b")._3 - 1.0) < 1e-12)
+    // real corpus: AUC bounded in [0, 1]
+    Drift.q187RankSumEffect(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"$r")
+    }
+  }
+
   test("q185: release card reconciles with the corpus and the derivation rates") {
     val out = SnapshotDiff.q185ReleaseCard(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
