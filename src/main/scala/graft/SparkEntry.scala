@@ -345,6 +345,8 @@ object SparkEntry {
       graft.ops.Drift.q186KsDrift(s, dir)),
     "q187_ranksum_effect" -> ((s: SparkSession, dir: String) =>
       graft.ops.Drift.q187RankSumEffect(s, dir)),
+    "q188_zipf_slope" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Distinctive.q188ZipfSlope(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -852,5 +854,6 @@ object SparkEntry {
     "q185_release_card" -> ExtensionOracles.q185ReleaseCard,
     "q186_ks_drift" -> ExtensionOracles.q186KsDrift,
     "q187_ranksum_effect" -> ExtensionOracles.q187RankSumEffect,
+    "q188_zipf_slope" -> ExtensionOracles.q188ZipfSlope,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -82,4 +82,52 @@ object Distinctive {
   def q175DistinctiveTerms(s: SparkSession, dir: String): DataFrame =
     distinctiveTerms(Tables.documents(s, dir), k = 5, a0 = 100.0)
       .orderBy(col("source"), col("rank"))
+
+  /** q188: ZIPF SLOPE per source — least-squares fit of ln(freq) on
+    * ln(rank) over the top-`kTop` terms, plus the fit's r². Healthy
+    * natural text follows Zipf's law with slope ≈ −1 and high r²; a
+    * template farm or synthetic-data mode collapse flattens or bends
+    * the head (the vocabulary-health signal next to q75's type/token
+    * ratio — that one number, this the distribution SHAPE).
+    *
+    * Scale shape: one (source, term) count aggregate; the top-kTop
+    * head comes from the q175 two-level hot-key-safe cut (a term in
+    * the global per-source top-k is in its hash-sub-bucket's top-k, so
+    * the second window ranks only ≤ k·64 survivors); the regression is
+    * closed-form over ≤ kTop points per source — moments ride
+    * rounded-product DECIMAL sums (the q34 recipe), one divide each at
+    * the end. Determinism: ranks are exact integers with (freq DESC,
+    * term) ties; ln's round 12 before any product. */
+  def q188ZipfSlope(s: SparkSession, dir: String, kTop: Int = 100): DataFrame = {
+    val toks = Par.widen(Tables.documents(s, dir))
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val tf = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
+    val sub = pmod(xxhash64(col("t")), lit(64L))
+    val w1 = Window.partitionBy(col("source"), sub)
+      .orderBy(col("f").desc, col("t"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("f").desc, col("t"))
+    val head = tf
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= kTop)
+      .withColumn("r", row_number().over(w2).cast("long")).filter(col("r") <= kTop)
+    val pts = head.select(col("source"),
+      round(log(col("r").cast("double")), 12).as("x"),
+      round(log(col("f").cast("double")), 12).as("y"))
+    def dsum(c: Column) = sum(round(c, 12).cast("decimal(28,12)"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", col("n_terms") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("dx", col("n_terms") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("dy", col("n_terms") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
+      .select(col("source"), col("n_terms"),
+        round(col("num") / col("dx"), 12).as("zipf_slope"),
+        round(col("num") * col("num") / (col("dx") * col("dy")), 12).as("r2"))
+      .orderBy(col("source"))
+  }
 }

@@ -4701,6 +4701,44 @@ object ExtensionOracles {
       |FROM agg JOIN ns USING (source)
       |ORDER BY agg.source""".stripMargin
 
+  /** Mirrors q188 (`ops.Distinctive.q188ZipfSlope`): ln-ln least
+    * squares over the per-source top-100 term head — rounded lns,
+    * rounded-product decimal moment sums, closed-form slope + r². */
+  val q188ZipfSlope: String =
+    """WITH tok AS (SELECT source,
+      |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |FROM documents),
+      |t AS (SELECT source, unnest(l) AS term FROM tok),
+      |tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM t GROUP BY 1, 2),
+      |head AS (SELECT source, f, r FROM (
+      |    SELECT source, f,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY f DESC, term) AS BIGINT) AS r
+      |    FROM tf) WHERE r <= 100),
+      |pts AS (SELECT source,
+      |    round(ln(CAST(r AS DOUBLE)), 12) AS x,
+      |    round(ln(CAST(f AS DOUBLE)), 12) AS y
+      |  FROM head),
+      |sums AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+      |    SUM(CAST(round(y, 12) AS DECIMAL(28,12))) AS sy,
+      |    SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx,
+      |    SUM(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS syy,
+      |    SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy
+      |  FROM pts GROUP BY source),
+      |fin AS (SELECT source, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+      |  FROM sums)
+      |SELECT source, n AS n_terms, round(num / dx, 12) AS zipf_slope,
+      |  round(num * num / (dx * dy), 12) AS r2
+      |FROM fin ORDER BY source""".stripMargin
+
   /** Mirrors q180 (`ops.TimeSeries.q180PathSurprisal`): the q115
     * transition model turned into per-user average surprisal — each
     * −ln p rounded 12 into a decimal sum, mean rounded 12. */
