@@ -295,7 +295,17 @@ object Soak {
       // truncation recall: 8 fixed probes × one corpus scan each side —
       // linear; the heap keeps driver/state bounded at 8 × k
       timed("trunc_recall")(graft.ops.KnnGraph
-        .q179TruncationRecallOver(emb)))
+        .q179TruncationRecallOver(emb)),
+      // statistical drift family: one (source × value/vocab) count
+      // aggregate each, everything after runs on aggregated grids —
+      // cost must track the tokenize/count scan
+      timed("ks_drift")(graft.ops.Drift.ksDrift(
+        docs.select(col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
+      timed("ranksum_effect")(graft.ops.Drift.rankSumEffect(
+        docs.select(col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
+      timed("zipf_slope")(graft.ops.Distinctive.zipfSlope(docs)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

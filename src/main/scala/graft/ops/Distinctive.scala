@@ -98,8 +98,12 @@ object Distinctive {
     * rounded-product DECIMAL sums (the q34 recipe), one divide each at
     * the end. Determinism: ranks are exact integers with (freq DESC,
     * term) ties; ln's round 12 before any product. */
-  def q188ZipfSlope(s: SparkSession, dir: String, kTop: Int = 100): DataFrame = {
-    val toks = Par.widen(Tables.documents(s, dir))
+  def q188ZipfSlope(s: SparkSession, dir: String, kTop: Int = 100): DataFrame =
+    zipfSlope(Tables.documents(s, dir), kTop)
+
+  /** The reusable core over any (source, text) frame. */
+  def zipfSlope(docs: DataFrame, kTop: Int = 100): DataFrame = {
+    val toks = Par.widen(docs)
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
     val tf = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
     val sub = pmod(xxhash64(col("t")), lit(64L))
