@@ -347,6 +347,14 @@ object SparkEntry {
       graft.ops.Drift.q187RankSumEffect(s, dir)),
     "q188_zipf_slope" -> ((s: SparkSession, dir: String) =>
       graft.ops.Distinctive.q188ZipfSlope(s, dir)),
+    "q189_source_shapley" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Valuation.q189SourceShapley(s, dir)),
+    "q190_winnowing" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Winnowing.q190Winnowing(s, dir)),
+    "q191_cuped" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Experiment.q191Cuped(s, dir)),
+    "q192_benford" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Benford.q192Benford(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -855,5 +863,9 @@ object SparkEntry {
     "q186_ks_drift" -> ExtensionOracles.q186KsDrift,
     "q187_ranksum_effect" -> ExtensionOracles.q187RankSumEffect,
     "q188_zipf_slope" -> ExtensionOracles.q188ZipfSlope,
+    "q189_source_shapley" -> ExtensionOracles.q189SourceShapley,
+    "q190_winnowing" -> ExtensionOracles.q190Winnowing,
+    "q191_cuped" -> ExtensionOracles.q191Cuped,
+    "q192_benford" -> ExtensionOracles.q192Benford,
   )
 }

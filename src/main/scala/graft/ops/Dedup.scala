@@ -144,7 +144,7 @@ object Dedup {
     * array rows instead of a merge of two sorted streams.
     * PRECONDITION: every shingle's document frequency is ≤ the stop cap
     * (collect_list state is bounded only then). */
-  private def coGroupedPairCounts(cappedSh: DataFrame): DataFrame =
+  private[ops] def coGroupedPairCounts(cappedSh: DataFrame): DataFrame =
     cappedSh.groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(flatten(transform(col("ids"), x =>

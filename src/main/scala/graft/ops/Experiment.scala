@@ -78,4 +78,94 @@ object Experiment {
   /** q142: the per-event-type A/B read over the events corpus. */
   def q142AbTest(s: SparkSession, dir: String): DataFrame =
     abTest(Tables.events(s, dir)).orderBy(col("event_type"))
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
+    * Controlled-experiment Using Pre-Experiment Data): adjust each
+    * unit's experiment metric Y by its pre-period covariate X,
+    * Y' = Y − θ·(X − mean(X)), θ = cov(X,Y)/var(X) pooled over all
+    * units — the industry-standard sensitivity boost that shrinks
+    * metric variance by ρ² without biasing the treatment delta (θ is
+    * shared across arms, so the adjustment cancels in A−B). The
+    * companion read to q142's Welch z: same deterministic md5 arms,
+    * same events-per-user metric, plus the covariate machinery.
+    *
+    * Timeline split: the covered day span's first half is the
+    * pre-period (the q144 convention) — X = the user's pre-period
+    * event count, Y = the experiment-period count. Every user in
+    * either period is a unit; absent-period counts are exact zeros.
+    *
+    * Scale shape: ONE corpus-collapsing (user → x, y) hash aggregate
+    * (map-side combined) with the 1-row split day attached by
+    * broadcast; θ and mean(X) come from a 1-row pooled-moment
+    * aggregate over the per-user frame (Σx, Σy, Σxx, Σxy as
+    * DECIMAL(38,0) — exact at any corpus size); per-arm moments are a
+    * ≤ 2-row aggregate. No driver round trip, no second corpus pass.
+    *
+    * Double determinism: all moments are exact integers; θ, means,
+    * variances and the reduction are FIXED left-to-right expression
+    * trees shared with the oracle — θ and mean(X) rounded 12 BEFORE
+    * the per-arm adjustment (so both engines adjust with the same
+    * constant), per-arm outputs rounded 6 (the q142 rule). Sample
+    * variances guard n ≥ 2 exactly as q142. */
+  def cuped(events: DataFrame): DataFrame = {
+    // integer day arithmetic on epoch-nanos (the Tables rule: ns
+    // magnitudes exceed double's mantissa, float division would drift)
+    val ev = events.select(col("user_id"),
+      expr("ts DIV 86400000000000").as("day"))
+    val span = ev.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(expr("(__d0 + __d1 + 1) DIV 2").as("__split"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("__split"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("__split"), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant", variantOf(col("user_id"), 2))
+    val pu = perUser.localCheckpoint() // read by the pooled AND per-arm aggs
+    val pooled = pu.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val theta = round(
+      (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")), 12)
+    val knobs = pooled.select(theta.as("theta"),
+      round(col("sx").cast("double") / nD, 12).as("mx_all"))
+    val arm = pu.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("ax"),
+        sum(col("y").cast("decimal(38,0)")).as("ay"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("axx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("ayy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("axy"))
+    val nU = col("n_users").cast("double")
+    val meanX = col("ax").cast("double") / nU
+    val meanY = col("ay").cast("double") / nU
+    val varX = (col("axx").cast("double") -
+      col("ax").cast("double") * col("ax").cast("double") / nU) / (nU - 1.0)
+    val varY = (col("ayy").cast("double") -
+      col("ay").cast("double") * col("ay").cast("double") / nU) / (nU - 1.0)
+    val covXY = (col("axy").cast("double") -
+      col("ax").cast("double") * col("ay").cast("double") / nU) / (nU - 1.0)
+    val varC = varY + col("theta") * col("theta") * varX -
+      lit(2.0) * col("theta") * covXY
+    val enough = col("n_users") >= 2L
+    arm.crossJoin(broadcast(knobs))
+      .select(col("variant"), col("n_users"),
+        round(when(enough, meanY), 6).as("mean_y"),
+        round(when(enough,
+          meanY - col("theta") * (meanX - col("mx_all"))), 6).as("mean_cuped"),
+        round(when(enough, varY), 6).as("var_y"),
+        round(when(enough, varC), 6).as("var_cuped"),
+        col("theta"),
+        round(when(enough && varY > 0.0, lit(1.0) - varC / varY), 6)
+          .as("var_reduction"))
+      .orderBy(col("variant"))
+  }
+
+  /** q191: the CUPED read over the events corpus. */
+  def q191Cuped(s: SparkSession, dir: String): DataFrame =
+    cuped(Tables.events(s, dir))
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+  * w-window over the hash sequence and keep each window's minimum —
+  * a POSITION-AWARE fingerprint set that (unlike MinHash's global
+  * signature) guarantees any shared run of ≥ w+k−1 tokens leaves at
+  * least one common fingerprint, while storing only ~2/(w+1) of the
+  * grams. The local-similarity complement to q25/q26: MinHash answers
+  * "are these documents mostly the same?", winnowing answers "do they
+  * share any sufficiently long passage?" — the plagiarism/quotation/
+  * boilerplate-detection read. Reference scope note: the reference
+  * engine has no similarity surface; this extends the dedup family.
+  *
+  * Scale shape: gram hashing AND window-min selection are both IN-ROW
+  * (`transform` over the token array — the q25 shingle discipline), so
+  * the corpus never shuffles until fingerprints explode into the
+  * inverted index; the pair join is the q25 machinery — stop-
+  * fingerprint df cap bounding per-key fan-out at cap², in-row pair
+  * building from sorted posting lists. Selection density is
+  * 2/(w+1) ≈ 0.22 at w=8, so the index is ~5× smaller than the full
+  * gram index for the same guarantee window.
+  *
+  * Determinism: fingerprints are md5 hex STRINGS compared
+  * lexicographically — Spark and DuckDB md5/string-order agree
+  * bit-for-bit, and because the fingerprint SET keeps the hash (not
+  * the position), the classic rightmost-vs-leftmost tie rule cannot
+  * change the output: tied minima are the same string, and the set
+  * dedups them. Windows shorter than w at the sequence head select
+  * from the available prefix (the "robust" boundary convention),
+  * keeping every document with ≥ 1 gram represented. Similarity is a
+  * ratio of exact integer set sizes. */
+object Winnowing {
+
+  /** Per-document winnowing fingerprint set over word k-grams with
+    * window w, fully narrow: (doc_id, f) rows, `f` = selected md5 hex.
+    * Docs shorter than k tokens produce no fingerprints. */
+  def fingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val toks = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+    val grams: Column = // md5 of each positional k-gram, in-row
+      when(size(col("l")) >= k,
+        transform(sequence(lit(1), size(col("l")) - (k - 1)),
+          i => md5(array_join(slice(col("l"), i, lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))
+    val selected: Column = // min of each w-window ending at e (prefix
+      // windows included), deduped in-row before the explode
+      array_distinct(transform(sequence(lit(1), size(col("hs"))),
+        e => array_min(slice(col("hs"),
+          greatest(e - (w - 1), lit(1)), least(e, lit(w))))))
+    toks.select(col("doc_id"), grams.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), explode(selected).as("f"))
+  }
+
+  /** All-pairs fingerprint-set similarity ≥ threshold via the q25
+    * inverted-index machinery: stop-fingerprint cap (df ≤ maxDocFreq)
+    * bounds hot-key fan-out, pair counts build in-row from sorted
+    * posting lists, sizes are the CAPPED per-doc set sizes (similarity
+    * over the informative fingerprints — the q25 convention). */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, threshold: Double,
+                  maxDocFreq: Long): DataFrame = {
+    val fp = fingerprints(docs, k, w).withColumnRenamed("f", "g").cache()
+    val stop = fp.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("g"))
+    val capped = fp.join(broadcast(stop), Seq("g"), "left_anti")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    Dedup.coGroupedPairCounts(capped)
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("winnow_sim",
+        col("c").cast("double") /
+          (col("s1.n") + col("s2.n") - col("c")).cast("double"))
+      .filter(col("winnow_sim") >= threshold)
+      .select(col("d1"), col("d2"), col("c").as("n_common"), col("winnow_sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q190: k=3, w=8 winnowing pairs at similarity ≥ 0.5 with the
+    * production stop cap (df ≤ 50) — the declared query IS the scale
+    * path, exactly as q25. */
+  def q190Winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(s, dir), 3, 8, 0.5, 50L)
+}

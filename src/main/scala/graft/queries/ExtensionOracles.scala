@@ -4881,4 +4881,156 @@ object ExtensionOracles {
       |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 10, 12) AS recall_at_k
       |FROM (SELECT query_id FROM q) qq LEFT JOIN ov USING (query_id)
       |ORDER BY query_id""".stripMargin
+
+  /** Mirrors q189 (`ops.Valuation.q189SourceShapley`): the coverage-
+    * game closed form — distinct (source, 3-gram) pairs, per-gram
+    * carrier counts, each gram's 1/n rounded 12 into a decimal sum. */
+  val q189SourceShapley: String =
+    """WITH tok AS (SELECT source,
+      |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |FROM documents),
+      |pos AS (SELECT source, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |        FROM tok WHERE len(l) >= 3),
+      |st AS (SELECT DISTINCT source, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+      |tc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sources FROM st GROUP BY g),
+      |vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM tc)
+      |SELECT st.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN tc.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique_grams,
+      |  CAST(SUM(CAST(round(1.0 / CAST(tc.n_sources AS DOUBLE), 12)
+      |    AS DECIMAL(28,12))) AS DOUBLE) AS shapley,
+      |  round(CAST(SUM(CAST(round(1.0 / CAST(tc.n_sources AS DOUBLE), 12)
+      |      AS DECIMAL(28,12))) AS DOUBLE) / CAST(vocab.n_vocab AS DOUBLE), 12)
+      |    AS vocab_share
+      |FROM st JOIN tc USING (g) CROSS JOIN vocab
+      |GROUP BY st.source, vocab.n_vocab
+      |ORDER BY st.source""".stripMargin
+
+  /** Mirrors q190 (`ops.Winnowing.q190Winnowing`): per-doc k=3-gram
+    * md5s, w=8 window minima (prefix windows included, lexicographic
+    * string min — both engines' md5/order agree), distinct selected
+    * set, then the q25 capped inverted-index pair machinery. */
+  val q190Winnowing: String =
+    s"""WITH $tokCte,
+       |h AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(l) - 2),
+       |      i -> md5(array_to_string(l[i:i+2], ' '))) AS hs
+       |  FROM tok WHERE len(l) >= 3),
+       |fp AS (SELECT DISTINCT doc_id,
+       |    unnest(list_distinct(list_transform(generate_series(1, len(hs)),
+       |      e -> list_min(hs[greatest(1, e - 7):e])))) AS f
+       |  FROM h),
+       |stop AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 50),
+       |fpc AS (SELECT fp.doc_id, fp.f FROM fp
+       |        WHERE f NOT IN (SELECT f FROM stop)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM fpc a JOIN fpc b ON a.f = b.f AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT d1, d2, c AS n_common,
+       |  CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS winnow_sim
+       |FROM common JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Mirrors q191 (`ops.Experiment.q191Cuped`): the q144 half-span
+    * split, one (user → x, y) aggregate, exact decimal moments, θ and
+    * mean(X) rounded 12 before the per-arm adjustment, outputs rounded
+    * 6 with the q142 n ≥ 2 guard. */
+  val q191Cuped: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |span AS (SELECT (min(day) + max(day) + 1) // 2 AS s FROM ev),
+      |pu AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN day < span.s THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day >= span.s THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev CROSS JOIN span GROUP BY user_id, span.s),
+      |pv AS (SELECT user_id, x, y,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 2 AS variant
+      |  FROM pu),
+      |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      |  FROM pv),
+      |th AS (SELECT
+      |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS theta,
+      |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 12) AS mx_all
+      |  FROM mom),
+      |arm AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS ax,
+      |    CAST(SUM(y) AS DECIMAL(38,0)) AS ay,
+      |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS axx,
+      |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS ayy,
+      |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS axy
+      |  FROM pv GROUP BY variant),
+      |ex AS (SELECT variant, n_users, th.theta, th.mx_all,
+      |    CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_x,
+      |    CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+      |    (CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+      |      / CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0) AS var_x,
+      |    (CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+      |      / CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0) AS var_y,
+      |    (CAST(axy AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE)
+      |      / CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0) AS cov_xy
+      |  FROM arm CROSS JOIN th),
+      |fin AS (SELECT variant, n_users, theta,
+      |    mean_y, mean_y - theta * (mean_x - mx_all) AS mean_c,
+      |    var_y,
+      |    var_y + theta * theta * var_x - 2.0 * theta * cov_xy AS var_c
+      |  FROM ex)
+      |SELECT variant, n_users,
+      |  round(CASE WHEN n_users >= 2 THEN mean_y END, 6) AS mean_y,
+      |  round(CASE WHEN n_users >= 2 THEN mean_c END, 6) AS mean_cuped,
+      |  round(CASE WHEN n_users >= 2 THEN var_y END, 6) AS var_y,
+      |  round(CASE WHEN n_users >= 2 THEN var_c END, 6) AS var_cuped,
+      |  theta,
+      |  round(CASE WHEN n_users >= 2 AND var_y > 0
+      |    THEN 1.0 - var_c / var_y END, 6) AS var_reduction
+      |FROM fin ORDER BY variant""".stripMargin
+
+  /** Mirrors q192 (`ops.Benford.q192Benford`): first digit from exact
+    * integer cents (floor(p·100 + 0.5), then the Long's leading
+    * decimal char), grid-completed counts, ln-ratio expectations and
+    * chi-square terms rounded 6, decimal-summed totals, 15.507 cut. */
+  val q192Benford: String =
+    """WITH c AS (SELECT o_orderpriority AS segment,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice > 0),
+      |d AS (SELECT segment,
+      |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM c),
+      |cnt AS (SELECT segment, digit, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+      |grid AS (SELECT tot.segment, tot.t, g.digit, COALESCE(cnt.n, 0) AS n
+      |  FROM tot CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) g
+      |  LEFT JOIN cnt ON cnt.segment = tot.segment AND cnt.digit = g.digit),
+      |terms AS (SELECT segment, digit, n, t,
+      |    round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+      |    round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS benford_p,
+      |    round((CAST(n AS DOUBLE)
+      |        - CAST(t AS DOUBLE) * round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6))
+      |      * (CAST(n AS DOUBLE)
+      |        - CAST(t AS DOUBLE) * round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6))
+      |      / (CAST(t AS DOUBLE) * round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)), 6)
+      |      AS chi2_term
+      |  FROM grid)
+      |SELECT segment, CAST(digit AS VARCHAR) AS bin, n, share, benford_p,
+      |  chi2_term, CAST(NULL AS VARCHAR) AS verdict
+      |FROM terms
+      |UNION ALL
+      |SELECT segment, '__total', CAST(SUM(n) AS BIGINT),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE),
+      |  CASE WHEN CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE) > 15.507
+      |       THEN 'reject' ELSE 'consistent' END
+      |FROM terms GROUP BY segment
+      |ORDER BY segment, bin""".stripMargin
 }
