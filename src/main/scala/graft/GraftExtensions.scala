@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CmsJoinSize, CosineSimilarity, CountMinSketchAgg, HllAgg, HllEstimate, HllUnionAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log}
+import graft.functions.{BloomAgg, BloomMightContain, CmsEstimate, CmsJoinSize, CosineSimilarity, CountMinSketchAgg, HllAgg, HllEstimate, HllUnionAgg, IntDot, Ipv4ToLong, RollingHash64, TokenizeS3Log, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users (the
@@ -63,6 +63,26 @@ object GraftExtensions {
     (FunctionIdentifier("rolling_hash64"),
       info("rolling_hash64", "rolling_hash64(s) - 64-bit polynomial rolling hash of a string."),
       (children: Seq[Expression]) => RollingHash64(children.head))
+
+  /** `winnow_fingerprints(tokens, k, w)` — k/w must be integer
+    * literals (they are baked into the generated kernel call). */
+  val winnowFingerprints: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(tokens, k, w) - Distinct winnowing (SIGMOD'03) fingerprints of the k-grams of a token array under window w."),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, kE, wE) =>
+          def intLit(e: Expression, name: String): Int = e match {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+              lit.value.asInstanceOf[Int]
+            case _ => throw new IllegalArgumentException(
+              s"winnow_fingerprints: $name must be an INT literal, got $e")
+          }
+          WinnowFingerprints(c, intLit(kE, "k"), intLit(wE, "w"))
+        case other => throw new IllegalArgumentException(
+          s"winnow_fingerprints takes 3 arguments, got ${other.size}")
+      })
 
   /** `cms_sketch(col)` or `cms_sketch(col, depth, width)` — depth/width
     * must be integer literals (they shape the aggregation buffer). */
@@ -183,8 +203,9 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
-        cmsSketch, cmsEstimate, topK, bloomAgg, bloomMightContain,
-        cmsJoinSize, hllSketch, hllUnion, hllEstimate).foreach {
+        winnowFingerprints, cmsSketch, cmsEstimate, topK, bloomAgg,
+        bloomMightContain, cmsJoinSize, hllSketch, hllUnion,
+        hllEstimate).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }
   }

@@ -305,7 +305,19 @@ object Soak {
       timed("ranksum_effect")(graft.ops.Drift.rankSumEffect(
         docs.select(col("source"),
           graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
-      timed("zipf_slope")(graft.ops.Distinctive.zipfSlope(docs)))
+      timed("zipf_slope")(graft.ops.Distinctive.zipfSlope(docs)),
+      // wave 20. source_shapley: distinct (source, gram) + per-gram
+      // carrier counts — replica salting grows the vocabulary ×mult, so
+      // cost must track the shingle scan. winnow_pairs: the codegen'd
+      // per-doc kernel then the q25 capped pair machinery — salted
+      // replicas never pair, so true pair structure is ×mult and the
+      // time measures selection + the bounded index join. cuped: ONE
+      // (user → x,y) aggregate at raw-event volume, moments on the
+      // per-user frame (users fixed under replication — the aggregate
+      // absorbs ×mult rows into the same frame).
+      timed("source_shapley")(graft.ops.Valuation.sourceShapley(docs, 3)),
+      timed("winnow_pairs")(graft.ops.Winnowing
+        .winnowPairs(docs, 3, 8, 0.5, 50L)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of
@@ -459,7 +471,8 @@ object Soak {
         .groupBy(col("c"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"),
           bool_or(col("t")).as("any_t"))
-        .filter(col("n") >= 1L)))
+        .filter(col("n") >= 1L)),
+      timed("cuped")(graft.ops.Experiment.cuped(ev)))
 
     // wave 7. interval_overlap: replicas share timestamps, so an
     // unsalted soak would square the TRUE overlap volume — the type is

@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document winnowing selection (Schleimer et al., SIGMOD'03) as
+  * ONE tight loop per row — the kernel behind the `winnow_fingerprints`
+  * expression. The HOF formulation it replaces
+  * (transform(sequence) → md5 → conv, then transform → array_min →
+  * slice per window) is CodegenFallback: every gram paid an
+  * interpreted expression-tree walk and every window an array copy —
+  * measured 9.6 s for 260k grams at sf0.1 vs ~0.5 s here.
+  *
+  * Hash contract (the oracle's bit-for-bit mirror): a gram is k
+  * tokens joined by a single space; its fingerprint is the integer
+  * value of the first 15 hex chars of md5(gram) — computed here as
+  * the big-endian long of the digest's first 8 bytes >>> 4 (drops the
+  * 16th nibble), identical to DuckDB's
+  * `('0x' || substr(md5(g), 1, 15))::BIGINT` and Spark's
+  * `conv(substring(md5(g), 1, 15), 16, 10)`.
+  *
+  * Window minima use a monotonic deque — O(m) total, ≤ w live
+  * entries — with ≥-eviction so ties prefer the RIGHTMOST candidate
+  * (the classic winnowing tie rule); irrelevant to the output (tied
+  * minima are the same VALUE and the result is the distinct value
+  * set) but fixed for determinism of the traversal. Prefix windows
+  * (e < w) select from the available head, the robust boundary
+  * convention: every doc with ≥ 1 gram is represented. */
+object WinnowOps {
+
+  /** Distinct selected fingerprints of `tokens`' k-grams under window
+    * w, in first-selection order. Empty array when fewer than k
+    * tokens. */
+  def fingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // build the gram's UTF-8 bytes without an intermediate String:
+      // token bytes joined by ' ' (array_join semantics on non-null
+      // tokens)
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        val t = tokens.getUTF8String(i + j)
+        md.update(t.getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = v >>> 4 // first 15 hex nibbles = 60 bits, non-negative
+      i += 1
+    }
+    // monotonic deque of indices with increasing hash; front = window min
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var e = 0
+    while (e < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(e)) tail -= 1
+      deque(tail) = e; tail += 1
+      if (deque(head) <= e - w) head += 1
+      seen.add(hs(deque(head)))
+      e += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}

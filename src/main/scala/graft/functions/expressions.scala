@@ -144,6 +144,33 @@ case class IntDot(left: Expression, right: Expression)
   override def prettyName: String = "int_dot"
 }
 
+/** Winnowing fingerprint selection (Schleimer SIGMOD'03) over a token
+  * array: k-gram md5-prefix hashes + w-window minima + distinct, as ONE
+  * codegen'd kernel call per document (WinnowOps scaladoc has the
+  * hash/tie contract and the measured win over the HOF chain). k and w
+  * are plan-time constants — baked into the generated call site. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    val ok = child.dataType match {
+      case ArrayType(StringType, _) => k >= 1 && w >= 1
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires ARRAY<STRING> and k, w >= 1; got ${child.dataType.sql}, k=$k, w=$w")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WinnowOps.fingerprints(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowOps.fingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -156,6 +183,8 @@ object exprs {
   def int_dot(a: Column, b: Column): Column =
     column(IntDot(expression(a), expression(b)))
   def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(c), k, w))
   def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
     column(CountMinSketchAgg(expression(c), depth, width).toAggregateExpression())
   def cms_estimate(sketch: Column, item: Column): Column =

@@ -4908,14 +4908,15 @@ object ExtensionOracles {
       |ORDER BY st.source""".stripMargin
 
   /** Mirrors q190 (`ops.Winnowing.q190Winnowing`): per-doc k=3-gram
-    * md5s, w=8 window minima (prefix windows included, lexicographic
-    * string min — both engines' md5/order agree), distinct selected
+    * 60-bit md5-prefix hashes, w=8 window minima (prefix windows
+    * included — both engines' md5/hex-parse agree), distinct selected
     * set, then the q25 capped inverted-index pair machinery. */
   val q190Winnowing: String =
     s"""WITH $tokCte,
        |h AS (SELECT doc_id,
        |    list_transform(generate_series(1, len(l) - 2),
-       |      i -> md5(array_to_string(l[i:i+2], ' '))) AS hs
+       |      i -> CAST(('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 15))
+       |        AS BIGINT)) AS hs
        |  FROM tok WHERE len(l) >= 3),
        |fp AS (SELECT DISTINCT doc_id,
        |    unnest(list_distinct(list_transform(generate_series(1, len(hs)),

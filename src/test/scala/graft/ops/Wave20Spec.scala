@@ -45,7 +45,7 @@ class Wave20Spec extends SparkSpec {
       .toDF("doc_id", "text")
     val fp = Winnowing.fingerprints(docs, 3, 8)
     val byDoc = fp.collect().groupBy(_.getLong(0))
-      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
     assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guarantee violated")
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
     // density: selection keeps ~2/(w+1) of grams — strictly fewer than
@@ -53,6 +53,36 @@ class Wave20Spec extends SparkSpec {
     val grams1 = docs.filter(col("doc_id") === 1L)
       .select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0).length - 2
     assert(byDoc(1L).size < grams1 && byDoc(1L).size >= grams1 / 8)
+  }
+
+  test("q190: the codegen'd kernel is bit-identical to the HOF reference formulation") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).limit(100)
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+    // the replaced formulation, kept here as the independent oracle of
+    // the kernel: interpreted HOF chain, same hash/window contract
+    val hof = toks.select(col("doc_id"), when(size(col("l")) >= 3,
+        transform(sequence(lit(1), size(col("l")) - 2),
+          i => conv(substring(md5(array_join(slice(col("l"), i, lit(3)), " ")),
+            1, 15), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>")).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs"))),
+          e => array_min(slice(col("hs"),
+            greatest(e - 7, lit(1)), least(e, lit(8))))))).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kernel = Winnowing.fingerprints(docs, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == hof)
+    // SQL registration round-trip ≡ the column API on the same input
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT winnow_fingerprints(array('a','b','c','d'), 3, 8) AS f")
+      .head().getSeq[Long](0)
+    val viaCol = Seq(Seq("a", "b", "c", "d")).toDF("l")
+      .select(graft.functions.exprs.winnow_fingerprints(col("l"), 3, 8))
+      .head().getSeq[Long](0)
+    assert(viaSql.nonEmpty && viaSql == viaCol)
   }
 
   test("q190: identical docs pair at sim 1.0; corpus pairs match q25's planted near-dups") {
