@@ -317,7 +317,14 @@ object Soak {
       // absorbs ×mult rows into the same frame).
       timed("source_shapley")(graft.ops.Valuation.sourceShapley(docs, 3)),
       timed("winnow_pairs")(graft.ops.Winnowing
-        .winnowPairs(docs, 3, 8, 0.5, 50L)))
+        .winnowPairs(docs, 3, 8, 0.5, 50L)),
+      // wave 21. conformal: one moment aggregate + the value-aggregated
+      // exact quantile — cost must track the tokenize scan, the window
+      // only ever sees distinct rounded residuals. q196's sweep is 4×
+      // the already-soaked jaccard/minhash machinery (jaccard_capped /
+      // minhash_lsh rows) — inherited, not re-soaked.
+      timed("conformal")(graft.ops.Conformal
+        .lengthIntervalCoverage(docs.withColumn("n_chars", length(col("text"))))))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of
@@ -472,7 +479,20 @@ object Soak {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"),
           bool_or(col("t")).as("any_t"))
         .filter(col("n") >= 1L)),
-      timed("cuped")(graft.ops.Experiment.cuped(ev)))
+      timed("cuped")(graft.ops.Experiment.cuped(ev)),
+      // cusum: raw events ×mult collapse into the SAME (type × day)
+      // grid — the one aggregate absorbs the volume, windows stay flat
+      timed("cusum")(graft.ops.ChangePoint.cusumDaily(ev)),
+      // linkage: replicas salt the balance by replica id ×10000 so each
+      // replica's blocks stay disjoint (blocked-pair structure ×mult,
+      // not ×mult² — the block key IS the quadratic control under test)
+      timed("fs_linkage")(graft.ops.Linkage.fsLinkage(
+        spark.range(mult).crossJoin(Tables.customer(spark, sfDir)).select(
+          (col("c_custkey") * mult + col("id")).as("c_custkey"),
+          concat(col("c_name"), lit("#r"), col("id")).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + col("id").cast("double") * 10000.0).as("c_acctbal"),
+          col("c_mktsegment")))))
 
     // wave 7. interval_overlap: replicas share timestamps, so an
     // unsalted soak would square the TRUE overlap volume — the type is

@@ -355,6 +355,14 @@ object SparkEntry {
       graft.ops.Experiment.q191Cuped(s, dir)),
     "q192_benford" -> ((s: SparkSession, dir: String) =>
       graft.ops.Benford.q192Benford(s, dir)),
+    "q193_conformal" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Conformal.q193Conformal(s, dir)),
+    "q194_record_linkage" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Linkage.q194RecordLinkage(s, dir)),
+    "q195_cusum" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ChangePoint.q195CusumDaily(s, dir)),
+    "q196_lsh_tuning" -> ((s: SparkSession, dir: String) =>
+      graft.ops.LshTuning.q196LshTuning(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -867,5 +875,9 @@ object SparkEntry {
     "q190_winnowing" -> ExtensionOracles.q190Winnowing,
     "q191_cuped" -> ExtensionOracles.q191Cuped,
     "q192_benford" -> ExtensionOracles.q192Benford,
+    "q193_conformal" -> ExtensionOracles.q193Conformal,
+    "q194_record_linkage" -> ExtensionOracles.q194RecordLinkage,
+    "q195_cusum" -> ExtensionOracles.q195CusumDaily,
+    "q196_lsh_tuning" -> ExtensionOracles.q196LshTuning,
   )
 }

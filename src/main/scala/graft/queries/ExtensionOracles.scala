@@ -5034,4 +5034,186 @@ object ExtensionOracles {
       |       THEN 'reject' ELSE 'consistent' END
       |FROM terms GROUP BY segment
       |ORDER BY segment, bin""".stripMargin
+
+  /** Mirrors q193 (`ops.Conformal.q193Conformal`): q32 md5 split,
+    * exact decimal moments → rounded-12 line, rounded-6 residuals,
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest via the value-aggregated
+    * cumulative (the q167 exact-order-statistic recipe), coverage on
+    * the test split. */
+  val q193Conformal: String =
+    """WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |cal AS (SELECT * FROM base WHERE split <> 'test'),
+      |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx, CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx, CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy
+      |  FROM cal),
+      |fit AS (SELECT n AS n_cal,
+      |    round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 12) AS slope,
+      |    round((CAST(sy AS DOUBLE) - round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 12) * CAST(sx AS DOUBLE))
+      |      / CAST(n AS DOUBLE), 12) AS intercept
+      |  FROM mom),
+      |res AS (SELECT fit.n_cal, fit.slope, fit.intercept,
+      |    round(abs(CAST(y AS DOUBLE) - (intercept + slope * CAST(x AS DOUBLE))), 6) AS r
+      |  FROM cal CROSS JOIN fit),
+      |byr AS (SELECT n_cal, slope, intercept, r, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM res GROUP BY 1,2,3,4),
+      |cum AS (SELECT *, CAST(SUM(c) OVER (ORDER BY r) AS BIGINT) AS cum FROM byr),
+      |qh AS (SELECT n_cal, slope, intercept, MIN(r) AS q_hat FROM cum
+      |  WHERE cum >= least(CAST(ceil((CAST(n_cal AS DOUBLE)+1.0)*0.9) AS BIGINT), n_cal)
+      |  GROUP BY 1,2,3),
+      |ev AS (SELECT base.source,
+      |    CASE WHEN round(abs(CAST(y AS DOUBLE) - (intercept + slope * CAST(x AS DOUBLE))), 6)
+      |           <= q_hat THEN 1 ELSE 0 END AS covered,
+      |    qh.q_hat, qh.slope, qh.intercept
+      |  FROM base CROSS JOIN qh WHERE split = 'test')
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(SUM(covered) AS BIGINT) AS n_covered,
+      |  round(CAST(SUM(covered) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+      |  MAX(q_hat) AS q_hat, MAX(slope) AS slope, MAX(intercept) AS intercept
+      |FROM ev GROUP BY source
+      |UNION ALL
+      |SELECT '__overall', CAST(COUNT(*) AS BIGINT), CAST(SUM(covered) AS BIGINT),
+      |  round(CAST(SUM(covered) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE), 6),
+      |  MAX(q_hat), MAX(slope), MAX(intercept)
+      |FROM ev
+      |ORDER BY source""".stripMargin
+
+  /** Mirrors q195 (`ops.ChangePoint.q195CusumDaily`): zero-filled
+    * (type × day) grid, first-half baseline, rounded-12 deviations as
+    * DECIMAL(28,12), S = P − min(0, running-min P) via two windows
+    * over the grid, decimal alarm compare. */
+  val q195CusumDaily: String =
+    """WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1,2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |types AS (SELECT DISTINCT event_type FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS s FROM days),
+      |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+      |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x*x) AS BIGINT) AS s2
+      |  FROM grid CROSS JOIN sp WHERE day < sp.s GROUP BY 1),
+      |kb AS (SELECT event_type,
+      |    round(CAST(s1 AS DOUBLE)/CAST(n0 AS DOUBLE), 12) AS mu,
+      |    round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) - 1.0)), 12) AS sigma
+      |  FROM base),
+      |kb2 AS (SELECT *, round(sigma/2.0, 12) AS k, round(sigma*4.0, 12) AS h FROM kb),
+      |sc AS (SELECT g.event_type, g.day,
+      |    CAST(round(CAST(g.x AS DOUBLE) - kb2.mu - kb2.k, 12) AS DECIMAL(28,12)) AS y,
+      |    kb2.mu, kb2.sigma, kb2.h
+      |  FROM grid g JOIN kb2 USING (event_type)),
+      |pw AS (SELECT *, SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS p FROM sc),
+      |sw AS (SELECT *, p - least(MIN(p) OVER (PARTITION BY event_type ORDER BY day),
+      |    CAST(0 AS DECIMAL(28,12))) AS s FROM pw)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  round(MAX(mu), 6) AS mu, round(MAX(sigma), 6) AS sigma,
+      |  round(MAX(h), 6) AS h,
+      |  round(CAST(MAX(s) AS DOUBLE), 6) AS max_s,
+      |  CAST(MIN(CASE WHEN s > CAST(h AS DECIMAL(28,12)) THEN day END) AS BIGINT)
+      |    AS alarm_day
+      |FROM sw GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Mirrors q194 (`ops.Linkage.q194RecordLinkage`): the derived probe
+    * view replayed move-for-move, the (nation, segment, ⌊bal/5000⌋)
+    * block join, in-space u-rates rounded 12, FS weights ln(m/u) /
+    * ln((1−m)/(1−u)) rounded 12 and decimal-summed, score > 0 emit,
+    * match at score > 2 on the decimal. */
+  val q194RecordLinkage: String =
+    """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+      |    c_nationkey AS a_nat, c_acctbal AS a_bal, c_mktsegment AS a_seg
+      |  FROM customer),
+      |b AS (SELECT c_custkey + 1000000000 AS b_id,
+      |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS b_name,
+      |    c_nationkey AS b_nat,
+      |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 0.5 ELSE c_acctbal END AS b_bal,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS b_seg
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |pairs AS (SELECT a_id, b_id,
+      |    CASE WHEN lower(a_name) = lower(b_name) THEN 1 ELSE 0 END AS g1,
+      |    CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS g2,
+      |    CASE WHEN abs(a_bal - b_bal) <= 0.02 THEN 1 ELSE 0 END AS g3
+      |  FROM a JOIN b ON a_nat = b_nat AND a_seg = b_seg
+      |    AND floor(a_bal / 5000.0) = floor(b_bal / 5000.0)),
+      |u AS (SELECT round(CAST(SUM(g1) AS DOUBLE)/COUNT(*), 12) AS u1,
+      |    round(CAST(SUM(g2) AS DOUBLE)/COUNT(*), 12) AS u2,
+      |    round(CAST(SUM(g3) AS DOUBLE)/COUNT(*), 12) AS u3
+      |  FROM pairs),
+      |sc AS (SELECT a_id, b_id, g1, g2, g3,
+      |    CAST(CASE WHEN g1 = 1 THEN round(ln(0.95 / u1), 12)
+      |         ELSE round(ln(0.05 / (1.0 - u1)), 12) END AS DECIMAL(28,12))
+      |    + CAST(CASE WHEN g2 = 1 THEN round(ln(0.70 / u2), 12)
+      |         ELSE round(ln(0.30 / (1.0 - u2)), 12) END AS DECIMAL(28,12))
+      |    + CAST(CASE WHEN g3 = 1 THEN round(ln(0.90 / u3), 12)
+      |         ELSE round(ln(0.10 / (1.0 - u3)), 12) END AS DECIMAL(28,12))
+      |      AS score_d
+      |  FROM pairs CROSS JOIN u)
+      |SELECT a_id, b_id,
+      |  CAST(g1 AS VARCHAR) || CAST(g2 AS VARCHAR) || CAST(g3 AS VARCHAR)
+      |    AS pattern,
+      |  round(CAST(score_d AS DOUBLE), 6) AS score,
+      |  score_d > 2 AS is_match
+      |FROM sc WHERE score_d > 0
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Mirrors q196 (`ops.LshTuning.q196LshTuning`): the q26 signature
+    * replay, each (b, r) split's band-collision candidates counted
+    * against the exact Jaccard ≥ 0.5 truth of the capped sets. */
+  val q196LshTuning: String = {
+    def cfg(b: Int, r: Int): String = {
+      val bands = (0 until b).map { i =>
+        s"SELECT doc_id, $i AS band, md5(${(0 until r)
+          .map(j => s"h${r * i + j}").mkString(" || ")}) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""SELECT $b AS n_bands, $r AS rows_per_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |  CAST(SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit
+         |FROM (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |      FROM ($bands) x JOIN ($bands) y
+         |        ON x.band = y.band AND x.bh = y.bh
+         |        AND x.doc_id < y.doc_id) c
+         |LEFT JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2""".stripMargin
+    }
+    s"""WITH $shingleCtes,
+       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+       |shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+       |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT d1, d2 FROM com
+       |  JOIN szc s1 ON d1 = s1.doc_id JOIN szc s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |sig AS (SELECT doc_id,
+       |  min(substring(md5(g), 1, 8))  AS h0, min(substring(md5(g), 9, 8))  AS h1,
+       |  min(substring(md5(g), 17, 8)) AS h2, min(substring(md5(g), 25, 8)) AS h3,
+       |  min(substring(md5('#' || g), 1, 8))  AS h4, min(substring(md5('#' || g), 9, 8))  AS h5,
+       |  min(substring(md5('#' || g), 17, 8)) AS h6, min(substring(md5('#' || g), 25, 8)) AS h7
+       |  FROM shc GROUP BY doc_id),
+       |sweep AS (
+       |${Seq((1, 8), (2, 4), (4, 2), (8, 1)).map(c => cfg(c._1, c._2))
+            .mkString("\nUNION ALL\n")})
+       |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  n_candidates, n_true, n_hit,
+       |  round(CASE WHEN n_true > 0
+       |    THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END, 6) AS recall,
+       |  round(CASE WHEN n_candidates > 0
+       |    THEN CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE) END, 6)
+       |    AS precision
+       |FROM sweep ORDER BY n_bands""".stripMargin
+  }
 }
