@@ -324,7 +324,15 @@ object Soak {
       // the already-soaked jaccard/minhash machinery (jaccard_capped /
       // minhash_lsh rows) — inherited, not re-soaked.
       timed("conformal")(graft.ops.Conformal
-        .lengthIntervalCoverage(docs.withColumn("n_chars", length(col("text"))))))
+        .lengthIntervalCoverage(docs.withColumn("n_chars", length(col("text"))))),
+      // wave 22. hill/gini: one (source × gram) count aggregate — the
+      // salted replicas grow the gram vocabulary ×mult, so the ranked
+      // windows run over ×mult aggregated rows (never raw tokens);
+      // jackknife: one (source × block) aggregate, everything after is
+      // |sources|×20 rows — must stay flat modulo the scan
+      timed("hill_tail")(graft.ops.TailStats.hillTail(docs, 3, 100)),
+      timed("gini")(graft.ops.TailStats.gini(docs, 3)),
+      timed("jackknife")(graft.ops.Jackknife.meanTokensSe(docs)))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of
@@ -483,6 +491,12 @@ object Soak {
       // cusum: raw events ×mult collapse into the SAME (type × day)
       // grid — the one aggregate absorbs the volume, windows stay flat
       timed("cusum")(graft.ops.ChangePoint.cusumDaily(ev)),
+      // absorbing funnel: the q115 transition machinery at raw volume,
+      // then a 1-row solve — cost must track the adjacent-pairs window
+      timed("absorbing")(graft.ops.Absorbing.conversionFunnel(
+        ev.select(col("event_id"), col("ts"),
+          (col("user_id") * lit(1000L) + col("__replica")).as("user_id"),
+          col("event_type")))),
       // linkage: replicas salt the balance by replica id ×10000 so each
       // replica's blocks stay disjoint (blocked-pair structure ×mult,
       // not ×mult² — the block key IS the quadratic control under test)

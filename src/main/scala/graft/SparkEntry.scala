@@ -363,6 +363,14 @@ object SparkEntry {
       graft.ops.ChangePoint.q195CusumDaily(s, dir)),
     "q196_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       graft.ops.LshTuning.q196LshTuning(s, dir)),
+    "q197_hill_tail" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TailStats.q197HillTail(s, dir)),
+    "q198_gini" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TailStats.q198Gini(s, dir)),
+    "q199_jackknife" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Jackknife.q199Jackknife(s, dir)),
+    "q200_absorbing_funnel" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Absorbing.q200AbsorbingFunnel(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -879,5 +887,9 @@ object SparkEntry {
     "q194_record_linkage" -> ExtensionOracles.q194RecordLinkage,
     "q195_cusum" -> ExtensionOracles.q195CusumDaily,
     "q196_lsh_tuning" -> ExtensionOracles.q196LshTuning,
+    "q197_hill_tail" -> ExtensionOracles.q197HillTail,
+    "q198_gini" -> ExtensionOracles.q198Gini,
+    "q199_jackknife" -> ExtensionOracles.q199Jackknife,
+    "q200_absorbing_funnel" -> ExtensionOracles.q200AbsorbingFunnel,
   )
 }

@@ -5216,4 +5216,145 @@ object ExtensionOracles {
        |    AS precision
        |FROM sweep ORDER BY n_bands""".stripMargin
   }
+
+  /** Shared CTE chain: per-source word-3-gram frequencies WITH
+    * multiplicity (no distinct — q197/q198's inequality statistics
+    * weigh repeated grams). */
+  private val gramFreqCtes =
+    """tok AS (SELECT doc_id, source,
+      |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |FROM documents),
+      |pos AS (SELECT source, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |        FROM tok WHERE len(l) >= 3),
+      |tf AS (SELECT source, array_to_string(l[i:i+2], ' ') AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM pos GROUP BY 1, 2)""".stripMargin
+
+  /** Mirrors q197 (`ops.TailStats.q197HillTail`): top-(k+1) head per
+    * source, ξ̂ from rounded-12 ln ratios decimal-summed, α = k/Σ. */
+  val q197HillTail: String =
+    s"""WITH $gramFreqCtes,
+       |head AS (SELECT source, f, r FROM (
+       |    SELECT source, f, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY f DESC, g) AS BIGINT) AS r FROM tf) WHERE r <= 101),
+       |kv AS (SELECT source, MAX(CASE WHEN r = 101 THEN f END) AS fk1,
+       |    CAST(SUM(CASE WHEN r <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM head GROUP BY source),
+       |s AS (SELECT h.source, kv.k,
+       |    SUM(CAST(round(ln(CAST(h.f AS DOUBLE) / CAST(kv.fk1 AS DOUBLE)), 12)
+       |      AS DECIMAL(28,12))) AS xs
+       |  FROM head h JOIN kv USING (source)
+       |  WHERE h.r <= 100 AND kv.fk1 IS NOT NULL
+       |  GROUP BY h.source, kv.k)
+       |SELECT source, k,
+       |  round(CAST(xs AS DOUBLE) / CAST(k AS DOUBLE), 6) AS hill_xi,
+       |  round(CASE WHEN xs > 0
+       |    THEN CAST(k AS DOUBLE) / CAST(xs AS DOUBLE) END, 6) AS tail_alpha
+       |FROM s ORDER BY source""".stripMargin
+
+  /** Mirrors q198 (`ops.TailStats.q198Gini`): ascending rank over the
+    * aggregated gram table, exact decimal Σf / Σi·f, one divide. */
+  val q198Gini: String =
+    s"""WITH $gramFreqCtes,
+       |rk AS (SELECT source, f, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY f, g) AS BIGINT) AS i FROM tf),
+       |gg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(f) AS DECIMAL(38,0)) AS sf,
+       |    CAST(SUM(i * f) AS DECIMAL(38,0)) AS sif
+       |  FROM rk GROUP BY source)
+       |SELECT source, n AS n_grams, CAST(sf AS BIGINT) AS total_mass,
+       |  round((2.0 * CAST(sif AS DOUBLE)
+       |      - (CAST(n AS DOUBLE) + 1.0) * CAST(sf AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(sf AS DOUBLE)), 6) AS gini
+       |FROM gg ORDER BY source""".stripMargin
+
+  /** Mirrors q199 (`ops.Jackknife.q199Jackknife`): md5 % 20 blocks,
+    * leave-one-block-out means from exact block sums (rounded 12),
+    * θ̄ via a decimal sum, SE² = (G−1)/G · Σ dev². */
+  val q199Jackknife: String =
+    """WITH d AS (SELECT source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 20 AS blk,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+      |  FROM documents),
+      |pb AS (SELECT source, blk, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(y) AS DECIMAL(38,0)) AS s_g
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS gee
+      |  FROM pb GROUP BY source),
+      |lo AS (SELECT pb.source, tot.n, tot.gee,
+      |    round((CAST(tot.s AS DOUBLE) - CAST(pb.s_g AS DOUBLE))
+      |      / (CAST(tot.n AS DOUBLE) - CAST(pb.n_g AS DOUBLE)), 12) AS th
+      |  FROM pb JOIN tot USING (source)),
+      |m AS (SELECT source, MAX(n) AS n, MAX(gee) AS gee,
+      |    round(CAST(SUM(CAST(th AS DECIMAL(28,12))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 12) AS thbar
+      |  FROM lo GROUP BY source),
+      |v AS (SELECT lo.source, MAX(m.n) AS n, MAX(m.gee) AS gee,
+      |    MAX(m.thbar) AS thbar,
+      |    SUM(CAST(round((lo.th - m.thbar) * (lo.th - m.thbar), 12)
+      |      AS DECIMAL(28,12))) AS ss
+      |  FROM lo JOIN m USING (source) GROUP BY lo.source)
+      |SELECT source, n AS n_docs, gee AS n_blocks,
+      |  round(thbar, 6) AS mean_loo,
+      |  round(sqrt((CAST(gee AS DOUBLE) - 1.0) / CAST(gee AS DOUBLE)
+      |    * CAST(ss AS DOUBLE)), 6) AS jk_se
+      |FROM v ORDER BY source""".stripMargin
+
+  /** Mirrors q200 (`ops.Absorbing.q200AbsorbingFunnel`): the q115
+    * transition model pivoted to one row, (I−Q)h = r and (I−Q)t = 1
+    * solved by Cramer's rule — fixed determinant expressions over
+    * rounded-12 probabilities, outputs rounded 6. */
+  val q200AbsorbingFunnel: String =
+    """WITH pr AS (SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |cnt AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM pr
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+      |p AS (SELECT cnt.cur, cnt.nxt,
+      |    round(CAST(cnt.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 12) AS p
+      |  FROM cnt JOIN tot USING (cur)),
+      |m AS (SELECT
+      |    MAX(CASE WHEN cur='click' AND nxt='click' THEN p ELSE 0 END) AS q11,
+      |    MAX(CASE WHEN cur='click' AND nxt='signup' THEN p ELSE 0 END) AS q12,
+      |    MAX(CASE WHEN cur='click' AND nxt='view' THEN p ELSE 0 END) AS q13,
+      |    MAX(CASE WHEN cur='signup' AND nxt='click' THEN p ELSE 0 END) AS q21,
+      |    MAX(CASE WHEN cur='signup' AND nxt='signup' THEN p ELSE 0 END) AS q22,
+      |    MAX(CASE WHEN cur='signup' AND nxt='view' THEN p ELSE 0 END) AS q23,
+      |    MAX(CASE WHEN cur='view' AND nxt='click' THEN p ELSE 0 END) AS q31,
+      |    MAX(CASE WHEN cur='view' AND nxt='signup' THEN p ELSE 0 END) AS q32,
+      |    MAX(CASE WHEN cur='view' AND nxt='view' THEN p ELSE 0 END) AS q33,
+      |    MAX(CASE WHEN cur='click' AND nxt='purchase' THEN p ELSE 0 END) AS r1,
+      |    MAX(CASE WHEN cur='signup' AND nxt='purchase' THEN p ELSE 0 END) AS r2,
+      |    MAX(CASE WHEN cur='view' AND nxt='purchase' THEN p ELSE 0 END) AS r3
+      |  FROM p),
+      |a AS (SELECT 1.0-q11 AS a11, -q12 AS a12, -q13 AS a13,
+      |             -q21 AS a21, 1.0-q22 AS a22, -q23 AS a23,
+      |             -q31 AS a31, -q32 AS a32, 1.0-q33 AS a33, r1, r2, r3 FROM m),
+      |d AS (SELECT *,
+      |    a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31)
+      |      + a13*(a21*a32 - a22*a31) AS det
+      |  FROM a),
+      |h AS (SELECT
+      |    (r1*(a22*a33-a23*a32) - a12*(r2*a33-a23*r3) + a13*(r2*a32-a22*r3)) / det AS h1,
+      |    (a11*(r2*a33-a23*r3) - r1*(a21*a33-a23*a31) + a13*(a21*r3-r2*a31)) / det AS h2,
+      |    (a11*(a22*r3-r2*a32) - a12*(a21*r3-r2*a31) + r1*(a21*a32-a22*a31)) / det AS h3,
+      |    (1.0*(a22*a33-a23*a32) - a12*(1.0*a33-a23*1.0) + a13*(1.0*a32-a22*1.0)) / det AS t1,
+      |    (a11*(1.0*a33-a23*1.0) - 1.0*(a21*a33-a23*a31) + a13*(a21*1.0-1.0*a31)) / det AS t2,
+      |    (a11*(a22*1.0-1.0*a32) - a12*(a21*1.0-1.0*a31) + 1.0*(a21*a32-a22*a31)) / det AS t3
+      |  FROM d)
+      |SELECT * FROM (
+      |  SELECT 'click' AS state, 'transient' AS kind,
+      |    round(h1, 6) AS p_purchase, round(t1, 6) AS expected_steps FROM h
+      |  UNION ALL SELECT 'signup', 'transient', round(h2, 6), round(t2, 6) FROM h
+      |  UNION ALL SELECT 'view', 'transient', round(h3, 6), round(t3, 6) FROM h
+      |  UNION ALL SELECT 'purchase', 'absorbing',
+      |    CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+      |  UNION ALL SELECT 'error', 'absorbing',
+      |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+      |ORDER BY state""".stripMargin
 }
