@@ -171,6 +171,32 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Word n-grams of a token array as one codegen'd kernel call per row
+  * (NGramOps scaladoc has the semantics contract and the measured win
+  * over the HOF chain). n and the distinct flag are plan-time
+  * constants baked into the generated call site. */
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    val ok = child.dataType match {
+      case ArrayType(StringType, _) => n >= 1
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires ARRAY<STRING> and n >= 1; got ${child.dataType.sql}, n=$n")
+  }
+  override def nullSafeEval(input: Any): Any =
+    NGramOps.ngrams(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramOps.ngrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -185,6 +211,8 @@ object exprs {
   def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(c), k, w))
+  def word_ngrams(c: Column, n: Int, distinct: Boolean = false): Column =
+    column(WordNGrams(expression(c), n, distinct))
   def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
     column(CountMinSketchAgg(expression(c), depth, width).toAggregateExpression())
   def cms_estimate(sketch: Column, item: Column): Column =

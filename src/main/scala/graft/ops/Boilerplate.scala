@@ -196,8 +196,7 @@ object Boilerplate {
     * start offset i+1) — Dedup.shingles' in-row generation without the
     * distinct, so posexplode recovers exact offsets. */
   private[ops] def gramArrCol(l: Column, n: Int): Column =
-    transform(
-      when(size(l) >= n, sequence(lit(1), size(l) - (n - 1)))
-        .otherwise(array().cast("array<int>")),
-      i => array_join(slice(l, i, lit(n)), " "))
+    // codegen'd kernel (functions.WordNGrams, non-distinct mode emits
+    // position order) — replaces the interpreted transform/slice chain
+    graft.functions.exprs.word_ngrams(l, n)
 }

@@ -42,15 +42,16 @@ object Dedup {
     // (one input split) would tokenize on ONE core. Widen cheap raw docs
     // first (Par.widen: decided from the logical plan, no per-query
     // physical-planning tax); at 100 TB the scan arrives in thousands of
-    // splits and this is a no-op
+    // splits and this is a no-op.
+    // Gram build + in-row dedup run as ONE codegen'd kernel call per doc
+    // (functions.WordNGrams) — the transform/slice/array_join HOF chain
+    // it replaces is CodegenFallback (an interpreted tree walk and two
+    // array copies per gram); same set, same first-occurrence order, so
+    // no downstream hash moves (asserted in Wave20Spec's parity test).
     val wide = Par.widen(docs)
-    val toks = wide.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
-    toks
-      .select(col("doc_id"), explode(array_distinct(
-        transform(
-          when(size(col("l")) >= n, sequence(lit(1), size(col("l")) - (n - 1)))
-            .otherwise(array().cast("array<int>")),
-          i => array_join(slice(col("l"), i, lit(n)), " ")))).as("g"))
+    wide.select(col("doc_id"),
+      explode(graft.functions.exprs.word_ngrams(
+        TextAnalysis.tokens(col("text")), n, distinct = true)).as("g"))
   }
 
   /** q24: exact dedup on the normalized 8-token prefix (boilerplate key).

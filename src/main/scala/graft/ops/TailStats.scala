@@ -37,16 +37,11 @@ import graft.Tables
 object TailStats {
 
   /** Per-source (source, gram, f) counts with multiplicity. */
-  private def gramFreq(docs: DataFrame, n: Int): DataFrame = {
-    val toks = Par.widen(docs)
-      .select(col("source"), TextAnalysis.tokens(col("text")).as("l"))
-    toks.select(col("source"), explode(
-        when(size(col("l")) >= n, transform(
-          sequence(lit(1), size(col("l")) - (n - 1)),
-          i => array_join(slice(col("l"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
+  private def gramFreq(docs: DataFrame, n: Int): DataFrame =
+    Par.widen(docs)
+      .select(col("source"), explode(graft.functions.exprs.word_ngrams(
+        TextAnalysis.tokens(col("text")), n)).as("g"))
       .groupBy(col("source"), col("g")).agg(count(lit(1)).as("f"))
-  }
 
   /** q197: Hill estimator at k = 100 over 3-gram frequencies:
     * (source, k, hill_xi, tail_alpha). Sources whose gram table has

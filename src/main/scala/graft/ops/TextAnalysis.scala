@@ -154,11 +154,7 @@ object TextAnalysis {
   def q37Repetition(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .withColumn("l", tokens(col("text")))
-      .withColumn("g",
-        when(size(col("l")) >= 3,
-          transform(sequence(lit(1), size(col("l")) - 2),
-            i => array_join(slice(col("l"), i, lit(3)), " ")))
-          .otherwise(array().cast("array<string>")))
+      .withColumn("g", graft.functions.exprs.word_ngrams(col("l"), 3))
       .select(
         col("doc_id"),
         size(col("g")).cast("long").as("n_trigrams"),
@@ -193,11 +189,7 @@ object TextAnalysis {
     val nChr = charCountNoWs(col("text"))
     docs
       .withColumn("l", tokens(col("text")))
-      .withColumn("g",
-        when(size(col("l")) >= 3,
-          transform(sequence(lit(1), size(col("l")) - 2),
-            i => array_join(slice(col("l"), i, lit(3)), " ")))
-          .otherwise(array().cast("array<string>")))
+      .withColumn("g", graft.functions.exprs.word_ngrams(col("l"), 3))
       .select((col("doc_id") +: passThrough.map(col)) ++ Seq(
         nTok.as("n_tokens"),
         (nChr.cast("double") / greatest(nTok.cast("double"), lit(1.0))).as("avg_token_len"),

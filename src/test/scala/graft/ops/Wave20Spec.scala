@@ -85,6 +85,34 @@ class Wave20Spec extends SparkSpec {
     assert(viaSql.nonEmpty && viaSql == viaCol)
   }
 
+  test("word_ngrams kernel is bit-identical to the HOF formulation, both modes") {
+    val docs = graft.Tables.documents(spark, dir).limit(120)
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+    def hof(distinct: Boolean) = {
+      val raw = when(size(col("l")) >= 3,
+        transform(sequence(lit(1), size(col("l")) - 2),
+          i => array_join(slice(col("l"), i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      toks.select(col("doc_id"),
+        (if (distinct) array_distinct(raw) else raw).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    }
+    def kernel(distinct: Boolean) =
+      toks.select(col("doc_id"),
+          graft.functions.exprs.word_ngrams(col("l"), 3, distinct).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // ORDER included — first-occurrence order must match array_distinct
+    assert(kernel(false) == hof(false))
+    assert(kernel(true) == hof(true))
+    // degenerate short docs
+    import spark.implicits._
+    val shorty = Seq((1L, Seq("a", "b")), (2L, Seq[String]()))
+      .toDF("doc_id", "l")
+      .select(graft.functions.exprs.word_ngrams(col("l"), 3).as("g"))
+      .collect()
+    shorty.foreach(r => assert(r.getSeq[String](0).isEmpty))
+  }
+
   test("q190: identical docs pair at sim 1.0; corpus pairs match q25's planted near-dups") {
     import spark.implicits._
     val docs = Seq(
