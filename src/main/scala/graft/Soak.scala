@@ -332,7 +332,13 @@ object Soak {
       // |sources|×20 rows — must stay flat modulo the scan
       timed("hill_tail")(graft.ops.TailStats.hillTail(docs, 3, 100)),
       timed("gini")(graft.ops.TailStats.gini(docs, 3)),
-      timed("jackknife")(graft.ops.Jackknife.meanTokensSe(docs)))
+      timed("jackknife")(graft.ops.Jackknife.meanTokensSe(docs)),
+      // wave 23. spearman: two (source × value) count aggregates; the
+      // rank windows see aggregated value grids only — scan-bound
+      timed("spearman")(graft.ops.Correlation.spearman(
+        docs.select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("x"),
+          length(col("text")).cast("long").as("y")))))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

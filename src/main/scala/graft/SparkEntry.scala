@@ -371,6 +371,10 @@ object SparkEntry {
       graft.ops.Jackknife.q199Jackknife(s, dir)),
     "q200_absorbing_funnel" -> ((s: SparkSession, dir: String) =>
       graft.ops.Absorbing.q200AbsorbingFunnel(s, dir)),
+    "q201_spearman" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Correlation.q201Spearman(s, dir)),
+    "q202_auc_holdout" -> ((s: SparkSession, dir: String) =>
+      graft.ops.QualityModel.q202AucHoldout(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -891,5 +895,7 @@ object SparkEntry {
     "q198_gini" -> ExtensionOracles.q198Gini,
     "q199_jackknife" -> ExtensionOracles.q199Jackknife,
     "q200_absorbing_funnel" -> ExtensionOracles.q200AbsorbingFunnel,
+    "q201_spearman" -> ExtensionOracles.q201Spearman,
+    "q202_auc_holdout" -> ExtensionOracles.q202AucHoldout,
   )
 }

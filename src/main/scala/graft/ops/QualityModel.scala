@@ -180,4 +180,64 @@ object QualityModel {
         (pOf(w) >= lit(0.5)).as("predicted"),
         (col("y") === lit(1.0)).as("label"))
       .withColumn("correct", col("predicted") === col("label"))
+
+  /** q202: HELD-OUT ranking quality of the distilled model — exact ROC
+    * AUC on the q32 md5 test split, trained on train+val only. The
+    * honest companion of q97/q170's calibration reads: calibration asks
+    * "are the probabilities right?", AUC asks "does the score ORDER
+    * kept docs above dropped ones on data it never saw?" — the one
+    * number a distilled labeler ships with.
+    *
+    * AUC = Mann–Whitney (the q187 identity): with scores rounded 9
+    * (pOf's own contract), 2U = Σ_v pos(v)·(2·cum_neg_below(v) +
+    * neg(v)) over the (score-value) count grid — ties half-credited
+    * exactly, all integers until one rounded divide. Per-source rows
+    * plus `__overall`; a single-class slice (no pos or no neg in the
+    * split) reads NULL, not a crash.
+    *
+    * Scale shape: training is q68's 15 cached-aggregate passes over
+    * the train+val features; the eval is ONE (source × score) count
+    * aggregate (scores are round-9 → the value grid is bounded) and
+    * windows over THAT grid only. */
+  def q202AucHoldout(s: SparkSession, dir: String): DataFrame = {
+    val fv = TextAnalysis.filterVerdicts(
+        Par.widen(Tables.documents(s, dir)), passThrough = Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("n_tokens").cast("double") / lit(20.0) - lit(1.0)).as("x1"),
+        (col("avg_token_len") / lit(10.0)).as("x2"),
+        col("punct_ratio").as("x3"),
+        col("dup_frac").as("x4"),
+        when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .withColumn("split", Splits.of(col("doc_id")))
+      .localCheckpoint() // read by training (×Iters) and the eval
+    val w = trainLogistic(fv.filter(col("split") =!= "test"))
+    val scored = fv.filter(col("split") === "test")
+      .select(col("source"), pOf(w).as("score"), col("y"))
+    val perSource = aucOver(scored, col("source"))
+    val overall = aucOver(scored.withColumn("source", lit("__overall")),
+      col("source"))
+    perSource.unionByName(overall).orderBy(col("source"))
+  }
+
+  /** Exact tie-aware AUC per group over (group, score, y) rows. */
+  private[ops] def aucOver(scored: DataFrame, group: Column): DataFrame = {
+    val counts = scored.groupBy(group.as("source"), col("score"))
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("neg"))
+    val withCum = counts.withColumn("cum_neg_below", coalesce(
+      sum(col("neg")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("score"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+      lit(0L)))
+    withCum.groupBy(col("source"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum((col("pos") * (lit(2L) * col("cum_neg_below") + col("neg")))
+          .cast("decimal(38,0)")).as("u2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))), 6).as("auc"))
+  }
 }

@@ -1670,7 +1670,12 @@ object ExtensionOracles {
   /** The shared q68 CTE chain (feature build + the 15 replayed GD
     * iterations + per-doc round-9 scores in `sc`) — q68 reads per-doc
     * rows from it, q97 bins them into a calibration table. */
-  private val q68ScoredCtes: String = {
+  /** The q68 GD + scoring CTE chain, parametrized by the TRAINING
+    * relation (`feats` = train on everything, q68/q97/q170; `tfeats`
+    * = the q202 held-out variant, which appends its own split CTEs).
+    * Scoring (`sc`) always covers ALL feats. */
+  private def q68ScoredCtesOver(trainRel: String,
+                                extraCtes: String = ""): String = {
     val z = "(i.w0 + i.w1*f.x1 + i.w2*f.x2 + i.w3*f.x3 + i.w4*f.x4)"
     val gsum = (j: Int, x: String) =>
       s"SUM(CAST(round((p - y) * $x, 12) AS DECIMAL(28,12))) AS g$j"
@@ -1686,7 +1691,7 @@ object ExtensionOracles {
          |    ${gsum(3, "x3")}, ${gsum(4, "x4")}
          |  FROM (SELECT f.*, i.w0, i.w1, i.w2, i.w3, i.w4, nn.n,
          |      round(1.0/(1.0 + exp(-$z)), 9) AS p
-         |    FROM feats f CROSS JOIN it${k - 1} i CROSS JOIN nn)
+         |    FROM $trainRel f CROSS JOIN it${k - 1} i CROSS JOIN nn)
          |  GROUP BY w0, w1, w2, w3, w4, n))""".stripMargin
     }.mkString(",\n")
     val zm = z.replace("i.w", "m.w")
@@ -1716,8 +1721,8 @@ object ExtensionOracles {
        |        WHEN pr > 0.1 THEN 'punct'
        |        WHEN dupf > 0.2 THEN 'repetitive'
        |        ELSE 'keep' END) = 'keep' THEN 1.0 ELSE 0.0 END AS y
-       |  FROM fb),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+       |  FROM fb),$extraCtes
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $trainRel),
        |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
        |        CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
        |        CAST(0.0 AS DOUBLE) AS w4),
@@ -1725,6 +1730,8 @@ object ExtensionOracles {
        |sc AS (SELECT f.doc_id, round(1.0/(1.0 + exp(-$zm)), 9) AS score, f.y
        |  FROM feats f CROSS JOIN it15 m)""".stripMargin
   }
+
+  private val q68ScoredCtes: String = q68ScoredCtesOver("feats")
 
   val q68QualityModel: String =
     s"""$q68ScoredCtes
@@ -5357,4 +5364,78 @@ object ExtensionOracles {
       |  UNION ALL SELECT 'error', 'absorbing',
       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
       |ORDER BY state""".stripMargin
+
+  /** Mirrors q201 (`ops.Correlation.q201Spearman`): doubled average
+    * ranks (2·cum_below + c + 1, exact integers) from per-source value
+    * counts, Pearson on the rank vectors via DECIMAL(38,0) moments,
+    * exact one-distinct-value flatness guard. */
+  val q201Spearman: String = {
+    s"""WITH ${prioCteOver("documents", "pr", ", source")},
+       |sig AS (SELECT doc_id, source, priority AS x, n_tokens AS y FROM pr),
+       |cx AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM sig GROUP BY 1, 2),
+       |rx AS (SELECT source, x,
+       |    2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + cnt + 1 AS r2x
+       |  FROM cx),
+       |cy AS (SELECT source, y, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM sig GROUP BY 1, 2),
+       |ry AS (SELECT source, y,
+       |    2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + cnt + 1 AS r2y
+       |  FROM cy),
+       |wr AS (SELECT sig.source, sig.x, sig.y, rx.r2x, ry.r2y
+       |  FROM sig JOIN rx ON sig.source = rx.source AND sig.x = rx.x
+       |           JOIN ry ON sig.source = ry.source AND sig.y = ry.y),
+       |mom AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(r2x) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(r2y) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(r2x * r2x) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(r2y * r2y) AS DECIMAL(38,0)) AS syy,
+       |    CAST(SUM(r2x * r2y) AS DECIMAL(38,0)) AS sxy,
+       |    MIN(x) = MAX(x) AS flat_x, MIN(y) = MAX(y) AS flat_y
+       |  FROM wr GROUP BY source)
+       |SELECT source, n AS n_docs,
+       |  round(CASE WHEN NOT flat_x AND NOT flat_y THEN
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS rho
+       |FROM mom ORDER BY source""".stripMargin
+  }
+
+  /** Mirrors q202 (`ops.QualityModel.q202AucHoldout`): the q68 GD
+    * replayed over the train+val split only (the q32 md5 boundary:
+    * first two md5 hex chars < 'e6'), scores on the test split, exact
+    * tie-aware Mann–Whitney AUC per source + __overall. */
+  val q202AucHoldout: String = {
+    val trained = q68ScoredCtesOver("tfeats",
+      """
+        |tfeats AS (SELECT * FROM feats
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'),""".stripMargin)
+    s"""$trained,
+       |ev AS (SELECT d.source, sc.score, sc.y
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       |  WHERE substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 2) >= 'e6'),
+       |u AS (SELECT source, score, y FROM ev
+       |  UNION ALL SELECT '__overall', score, y FROM ev),
+       |c AS (SELECT source, score,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM u GROUP BY 1, 2),
+       |w AS (SELECT *, CAST(COALESCE(SUM(neg) OVER (PARTITION BY source
+       |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS cnb FROM c)
+       |SELECT source, CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  round(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+       |    CAST(SUM(CAST(pos * (2 * cnb + neg) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE))
+       |    END, 6) AS auc
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+  }
 }

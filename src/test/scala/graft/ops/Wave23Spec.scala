@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Wave 23: Spearman rank correlation (q201) and held-out AUC of the
+  * distilled quality model (q202) — closed forms on synthetic rankers,
+  * reconciliation on the corpus. */
+class Wave23Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q201: monotone pairs give rho=1, reversed give -1, flat signals give NULL") {
+    import spark.implicits._
+    def sig(rows: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.zipWithIndex.map { case ((x, y), i) => (i.toLong, "s", x, y) }
+        .toDF("doc_id", "source", "x", "y")
+    val mono = Correlation.spearman(sig(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))))
+    assert(mono.head().getDouble(2) == 1.0)
+    val anti = Correlation.spearman(sig(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))))
+    assert(anti.head().getDouble(2) == -1.0)
+    val flat = Correlation.spearman(sig(Seq((5L, 10L), (5L, 20L), (5L, 30L))))
+    assert(flat.head().isNullAt(2))
+    // ties: x = (1,1,2), y = (1,2,3) — average-rank formula by hand:
+    // rank_x = (1.5, 1.5, 3), rank_y = (1, 2, 3) => rho = 0.866025...
+    val tied = Correlation.spearman(sig(Seq((1L, 1L), (1L, 2L), (2L, 3L))))
+    assert(math.abs(tied.head().getDouble(2) - 0.866025) < 1e-6)
+  }
+
+  test("q201 on the corpus: 20 sources, rho defined and bounded") {
+    val out = Correlation.q201Spearman(spark, dir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      if (!r.isNullAt(2)) assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q202: the AUC kernel scores a perfect ranker 1, inverted 0, ties 0.5") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Double)]): java.lang.Double = {
+      val df = rows.zipWithIndex
+        .map { case ((s, y), i) => ("g", s, y) }.toDF("source", "score", "y")
+      val r = QualityModel.aucOver(df, col("source")).head()
+      if (r.isNullAt(3)) null else Double.box(r.getDouble(3))
+    }
+    assert(auc(Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))) == 1.0)
+    assert(auc(Seq((0.1, 1.0), (0.2, 1.0), (0.8, 0.0), (0.9, 0.0))) == 0.0)
+    assert(auc(Seq((0.5, 1.0), (0.5, 0.0))) == 0.5) // pure tie: half credit
+    assert(auc(Seq((0.5, 1.0), (0.5, 1.0))) == null) // single class: NULL
+  }
+
+  test("q202 on the corpus: overall row reconciles the per-source eval universe") {
+    val out = QualityModel.q202AucHoldout(spark, dir).collect()
+    val overall = out.find(_.getString(0) == "__overall").get
+    val perSource = out.filter(_.getString(0) != "__overall")
+    assert(perSource.map(_.getLong(1)).sum == overall.getLong(1))
+    assert(perSource.map(_.getLong(2)).sum == overall.getLong(2))
+    val testDocs = graft.Tables.documents(spark, dir)
+      .filter(Splits.of(col("doc_id")) === "test").count()
+    assert(overall.getLong(1) + overall.getLong(2) == testDocs)
+    // the distilled model must rank keeps above drops on held-out data
+    // far better than chance — the point of shipping it
+    assert(!overall.isNullAt(3) && overall.getDouble(3) > 0.7,
+      s"held-out AUC ${overall.getDouble(3)}")
+  }
+}
