@@ -375,6 +375,8 @@ object SparkEntry {
       graft.ops.Correlation.q201Spearman(s, dir)),
     "q202_auc_holdout" -> ((s: SparkSession, dir: String) =>
       graft.ops.QualityModel.q202AucHoldout(s, dir)),
+    "q203_mmr_rerank" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mmr.q203MmrRerank(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -897,5 +899,6 @@ object SparkEntry {
     "q200_absorbing_funnel" -> ExtensionOracles.q200AbsorbingFunnel,
     "q201_spearman" -> ExtensionOracles.q201Spearman,
     "q202_auc_holdout" -> ExtensionOracles.q202AucHoldout,
+    "q203_mmr_rerank" -> ExtensionOracles.q203MmrRerank,
   )
 }

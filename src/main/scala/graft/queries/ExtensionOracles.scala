@@ -5438,4 +5438,73 @@ object ExtensionOracles {
        |    END, 6) AS auc
        |FROM w GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Mirrors q203 (`ops.Mmr.q203MmrRerank`): q58's BM25 top-30
+    * (double-cast order), max-normalized rel, the q28 decimal-exact
+    * cosine matrix over the candidates, then the MMR greedy UNROLLED
+    * as 10 CTE steps (the q68 iterCtes precedent) — each step picks
+    * argmax round(0.7·rel − 0.3·maxsim, 6) with min-doc_id ties. */
+  val q203MmrRerank: String = {
+    val steps = (2 to 10).map { k =>
+      s"""s$k AS (SELECT r.doc_id, r.rel,
+         |    round(0.7 * r.rel - 0.3 * COALESCE((SELECT MAX(c.cos)
+         |      FROM cosm c, sel${k - 1} s
+         |      WHERE (c.d1 = r.doc_id AND c.d2 = s.doc_id)
+         |         OR (c.d2 = r.doc_id AND c.d1 = s.doc_id)), 0.0), 6) AS mmr
+         |  FROM we r WHERE r.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+         |  ORDER BY mmr DESC, r.doc_id LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1}
+         |  UNION ALL SELECT CAST($k AS BIGINT), doc_id, rel, mmr FROM s$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokCte,
+       |d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS n_total FROM d),
+       |t AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t WHERE term IN ('spark', 'vector', 'merge', 'window')
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(round(
+       |      round(ln((CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0), 12)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+       |          (CAST(tot.n_total AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))), 12)
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |topk AS (SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS score
+       |  FROM sc GROUP BY doc_id
+       |  ORDER BY CAST(SUM(part) AS DOUBLE) DESC, doc_id LIMIT 30),
+       |mx AS (SELECT MAX(score) AS m FROM topk),
+       |rel AS (SELECT doc_id, round(score / m, 12) AS rel
+       |  FROM topk CROSS JOIN mx),
+       |we AS MATERIALIZED (SELECT rel.doc_id, rel.rel, e.embedding
+       |  FROM rel JOIN embeddings e ON rel.doc_id = e.vec_id),
+       |px AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM we a JOIN we b ON a.doc_id < b.doc_id),
+       |pe AS (SELECT d1, d2, ea, eb,
+       |    unnest(generate_series(1, len(ea))) AS i FROM px),
+       |dots AS (SELECT d1, d2,
+       |  SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+       |    AS DECIMAL(28,18))) AS dot,
+       |  SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)
+       |    AS DECIMAL(28,18))) AS aa,
+       |  SUM(CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+       |    AS DECIMAL(28,18))) AS bb
+       |  FROM pe GROUP BY d1, d2),
+       |cosm AS MATERIALIZED (SELECT d1, d2,
+       |  round(CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 12) AS cos
+       |  FROM dots),
+       |s1 AS (SELECT doc_id, rel, round(0.7 * rel, 6) AS mmr FROM we
+       |  ORDER BY round(0.7 * rel, 6) DESC, doc_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel, mmr FROM s1),
+       |$steps
+       |SELECT rank, doc_id, rel, mmr AS mmr_score FROM sel10
+       |ORDER BY rank""".stripMargin
+  }
 }

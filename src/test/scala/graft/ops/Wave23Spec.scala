@@ -49,6 +49,39 @@ class Wave23Spec extends SparkSpec {
     assert(auc(Seq((0.5, 1.0), (0.5, 1.0))) == null) // single class: NULL
   }
 
+  test("q203: MMR demotes the near-duplicate a pure relevance order would keep") {
+    import spark.implicits._
+    // three docs hit the query; docs 1 and 2 are identical (identical
+    // embeddings, cos = 1), doc 3 is relevant but orthogonal. Pure
+    // relevance order: 1, 2, 3. MMR at lambda=0.7 must pick 1 then 3:
+    // at step 2 doc 2's penalty is 0.3*1.0 while doc 3 pays ~0.
+    val docs = Seq(
+      (1L, "spark vector merge window spark vector merge window extra one"),
+      (2L, "spark vector merge window spark vector merge window extra two"),
+      (3L, "spark vector merge window filler filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val e1 = Array.fill(8)(0.5f)
+    val e3 = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val emb = Seq((1L, e1.toSeq), (2L, e1.toSeq), (3L, e3.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Mmr.mmrRerank(docs, emb, Seq("spark", "vector", "merge", "window"),
+      3, 2, 0.7).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L, s"first pick ${out(0)}")
+    assert(out(1).getLong(1) == 3L, s"diversity pick ${out(1)}")
+    // ranks sequential; first pick's mmr = 0.7 * rel exactly
+    assert(out(0).getLong(0) == 1L && out(1).getLong(0) == 2L)
+    assert(math.abs(out(0).getDouble(3) - 0.7 * out(0).getDouble(2)) < 1e-6)
+  }
+
+  test("q203 on the corpus: 10 distinct candidates, rank-1 is the BM25 leader") {
+    val out = Mmr.q203MmrRerank(spark, dir).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).distinct.length == 10)
+    assert(out(0).getDouble(2) == 1.0) // max-normalized rel of the leader
+    out.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("q202 on the corpus: overall row reconciles the per-source eval universe") {
     val out = QualityModel.q202AucHoldout(spark, dir).collect()
     val overall = out.find(_.getString(0) == "__overall").get
