@@ -377,6 +377,8 @@ object SparkEntry {
       graft.ops.QualityModel.q202AucHoldout(s, dir)),
     "q203_mmr_rerank" -> ((s: SparkSession, dir: String) =>
       graft.ops.Mmr.q203MmrRerank(s, dir)),
+    "q204_kendall_tau" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Correlation.q204KendallTau(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -900,5 +902,6 @@ object SparkEntry {
     "q201_spearman" -> ExtensionOracles.q201Spearman,
     "q202_auc_holdout" -> ExtensionOracles.q202AucHoldout,
     "q203_mmr_rerank" -> ExtensionOracles.q203MmrRerank,
+    "q204_kendall_tau" -> ExtensionOracles.q204KendallTau,
   )
 }

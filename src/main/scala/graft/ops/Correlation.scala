@@ -76,4 +76,67 @@ object Correlation {
           num / sqrt(dx * dy)), 6).as("rho"))
       .orderBy(col("source"))
   }
+
+  /** q204: KENDALL τ-b — the pairwise companion of q201's Spearman
+    * (ρ reads rank positions, τ reads pair ORDERINGS — τ is the one
+    * with the direct "probability a random doc pair agrees" meaning,
+    * and the more robust of the two under heavy ties like the 0..10
+    * priority). Exact, without touching doc pairs: concordant /
+    * discordant counts come from a self-join of the AGGREGATED
+    * (source × x × y) contingency grid on x-inequality — cell pair
+    * (a, b) with a.x < b.x contributes n_a·n_b concordant if
+    * b.y > a.y, discordant if b.y < a.y — so the join is bounded by
+    * the VALUE grid (≤ |x-values|·|y-values| cells per source), never
+    * the corpus. Tie corrections are the τ-b standard:
+    * τ = (C − D)/√((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and
+    * n1/n2 the x/y tie-pair counts — all exact integers through
+    * DECIMAL(38,0), one rounded-6 divide, NULL on a flat signal. */
+  def q204KendallTau(s: SparkSession, dir: String): DataFrame =
+    kendallTau(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Selection.priority().as("x"),
+        TextAnalysis.tokenCount(col("text")).as("y")))
+
+  def kendallTau(sig: DataFrame): DataFrame = {
+    val grid = sig.groupBy(col("source"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val a = grid.as("a"); val b = grid.as("b")
+    // cell-count products widen to decimal BEFORE multiplying: two
+    // BIGINT cell counts can each exceed 3e9 at corpus scale
+    val cxc = col("a.c").cast("decimal(19,0)") * col("b.c").cast("decimal(19,0)")
+    val cd = a.join(b,
+        col("a.source") === col("b.source") && col("a.x") < col("b.x"))
+      .groupBy(col("a.source").as("source"))
+      .agg(
+        sum(when(col("b.y") > col("a.y"), cxc)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("cc"),
+        sum(when(col("b.y") < col("a.y"), cxc)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("dd"))
+    val ties = grid.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        (min(col("x")) === max(col("x"))).as("flat_x"),
+        (min(col("y")) === max(col("y"))).as("flat_y"))
+      .join(grid.groupBy(col("source"), col("x"))
+        .agg(sum(col("c")).as("tx")).groupBy(col("source"))
+        .agg(sum(col("tx").cast("decimal(19,0)") *
+          (col("tx") - 1).cast("decimal(19,0)") / 2).as("n1")), Seq("source"))
+      .join(grid.groupBy(col("source"), col("y"))
+        .agg(sum(col("c")).as("ty")).groupBy(col("source"))
+        .agg(sum(col("ty").cast("decimal(19,0)") *
+          (col("ty") - 1).cast("decimal(19,0)") / 2).as("n2")), Seq("source"))
+    // n0 in doubles from the start: n(n−1) overflows BIGINT past ~4e9
+    val n0 = col("n").cast("double") * (col("n").cast("double") - 1.0) / 2.0
+    // no raw C−D column: pair counts overflow BIGINT at corpus scale
+    // (n²/2 pairs), and τ only needs the double forms after the guard.
+    // LEFT join from the tie base: a flat-x source generates no
+    // x-inequality pairs at all — it must still emit its NULL row
+    // (the q201 convention), not vanish
+    ties.join(cd, Seq("source"), "left")
+      .select(col("source"), col("n").as("n_docs"),
+        round(when(!col("flat_x") && !col("flat_y"),
+          (col("cc").cast("double") - col("dd").cast("double")) /
+            sqrt((n0 - col("n1").cast("double")) *
+              (n0 - col("n2").cast("double")))), 6).as("tau_b"))
+      .orderBy(col("source"))
+  }
 }

@@ -5507,4 +5507,44 @@ object ExtensionOracles {
        |SELECT rank, doc_id, rel, mmr AS mmr_score FROM sel10
        |ORDER BY rank""".stripMargin
   }
+
+  /** Mirrors q204 (`ops.Correlation.q204KendallTau`): concordant/
+    * discordant mass from the aggregated contingency-grid self-join
+    * on x-inequality, τ-b tie corrections as exact decimals, double
+    * n0 (n(n−1) overflows BIGINT at corpus scale), one rounded-6
+    * divide with the flat-signal NULL guard. */
+  val q204KendallTau: String = {
+    s"""WITH ${prioCteOver("documents", "pr", ", source")},
+       |sig AS (SELECT doc_id, source, priority AS x, n_tokens AS y FROM pr),
+       |grid AS (SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sig GROUP BY 1, 2, 3),
+       |cd AS (SELECT a.source,
+       |    CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+       |      AS DECIMAL(38,0)) AS cc,
+       |    CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+       |      AS DECIMAL(38,0)) AS dd
+       |  FROM grid a JOIN grid b ON a.source = b.source AND a.x < b.x
+       |  GROUP BY a.source),
+       |base AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+       |    MIN(x) = MAX(x) AS flat_x, MIN(y) = MAX(y) AS flat_y
+       |  FROM grid GROUP BY source),
+       |tx AS (SELECT source,
+       |    CAST(SUM(CAST(t * (t - 1) / 2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n1
+       |  FROM (SELECT source, x, CAST(SUM(c) AS BIGINT) AS t
+       |        FROM grid GROUP BY 1, 2) GROUP BY source),
+       |ty AS (SELECT source,
+       |    CAST(SUM(CAST(t * (t - 1) / 2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n2
+       |  FROM (SELECT source, y, CAST(SUM(c) AS BIGINT) AS t
+       |        FROM grid GROUP BY 1, 2) GROUP BY source)
+       |SELECT base.source, base.n AS n_docs,
+       |  round(CASE WHEN NOT flat_x AND NOT flat_y THEN
+       |    (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+       |    sqrt((CAST(base.n AS DOUBLE) * (CAST(base.n AS DOUBLE) - 1.0) / 2.0
+       |        - CAST(n1 AS DOUBLE))
+       |      * (CAST(base.n AS DOUBLE) * (CAST(base.n AS DOUBLE) - 1.0) / 2.0
+       |        - CAST(n2 AS DOUBLE))) END, 6) AS tau_b
+       |FROM base LEFT JOIN cd USING (source)
+       |JOIN tx USING (source) JOIN ty USING (source)
+       |ORDER BY base.source""".stripMargin
+  }
 }

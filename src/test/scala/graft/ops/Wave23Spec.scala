@@ -27,6 +27,40 @@ class Wave23Spec extends SparkSpec {
     assert(math.abs(tied.head().getDouble(2) - 0.866025) < 1e-6)
   }
 
+  test("q204: Kendall tau-b closed forms — monotone 1, reversed -1, hand-computed ties") {
+    import spark.implicits._
+    def sig(rows: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.zipWithIndex.map { case ((x, y), i) => (i.toLong, "s", x, y) }
+        .toDF("doc_id", "source", "x", "y")
+    assert(Correlation.kendallTau(
+      sig(Seq((1L, 10L), (2L, 20L), (3L, 30L)))).head().getDouble(2) == 1.0)
+    assert(Correlation.kendallTau(
+      sig(Seq((1L, 30L), (2L, 20L), (3L, 10L)))).head().getDouble(2) == -1.0)
+    // x=(1,1,2), y=(1,2,3): C=2, D=0, n0=3, n1=1, n2=0
+    // => tau = 2/sqrt(2*3) = 0.816497
+    val tied = Correlation.kendallTau(sig(Seq((1L, 1L), (1L, 2L), (2L, 3L))))
+    assert(math.abs(tied.head().getDouble(2) - 0.816497) < 1e-6)
+    // flat x still emits its row, NULL
+    val flat = Correlation.kendallTau(sig(Seq((5L, 1L), (5L, 2L))))
+    assert(flat.count() == 1 && flat.head().isNullAt(2))
+    // corpus: same 20 sources as q201, tau bounded and sign-consistent
+    // with Spearman where both are defined (they measure the same
+    // monotone association)
+    val tau = Correlation.q204KendallTau(spark, dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val rho = Correlation.q201Spearman(spark, dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(tau.size == 20)
+    tau.foreach { case (src, t) =>
+      t.foreach(v => assert(math.abs(v) <= 1.0 + 1e-9))
+      (t, rho(src)) match {
+        case (Some(tv), Some(rv)) if math.abs(tv) > 0.05 && math.abs(rv) > 0.05 =>
+          assert(tv.sign == rv.sign, s"$src: tau $tv vs rho $rv")
+        case _ => ()
+      }
+    }
+  }
+
   test("q201 on the corpus: 20 sources, rho defined and bounded") {
     val out = Correlation.q201Spearman(spark, dir).collect()
     assert(out.length == 20)
