@@ -25,12 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
 object NGramOps {
 
   def ngrams(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
-    val tn = tokens.numElements()
+    // null tokens are skipped (the input type is ARRAY<STRING> with
+    // containsNull allowed): compact to the non-null subsequence first —
+    // null-free inputs, i.e. every internal call site, are bit-identical
+    val rawN = tokens.numElements()
+    val tb0 = new Array[Array[Byte]](rawN)
+    var tn = 0
+    var r = 0
+    while (r < rawN) {
+      if (!tokens.isNullAt(r)) { tb0(tn) = tokens.getUTF8String(r).getBytes; tn += 1 }
+      r += 1
+    }
     val m = tn - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val tb = new Array[Array[Byte]](tn)
+    val tb = tb0
     var i = 0
-    while (i < tn) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
     def gram(at: Int): UTF8String = {
       var len = n - 1 // the separating spaces
       var j = 0

@@ -34,22 +34,31 @@ object WinnowOps {
     * w, in first-selection order. Empty array when fewer than k
     * tokens. */
   def fingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
-    val n = tokens.numElements()
+    // null tokens are skipped (ARRAY<STRING> may carry containsNull=true
+    // from user SQL): compact to the non-null subsequence first — null-free
+    // inputs, i.e. every internal call site, are bit-identical. Also
+    // materializes each token's bytes ONCE instead of k times.
+    val rawN = tokens.numElements()
+    val tb = new Array[Array[Byte]](rawN)
+    var n = 0
+    var r = 0
+    while (r < rawN) {
+      if (!tokens.isNullAt(r)) { tb(n) = tokens.getUTF8String(r).getBytes; n += 1 }
+      r += 1
+    }
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Long])
     val md = MessageDigest.getInstance("MD5")
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
-      // build the gram's UTF-8 bytes without an intermediate String:
-      // token bytes joined by ' ' (array_join semantics on non-null
-      // tokens)
+      // the gram's UTF-8 bytes without an intermediate String:
+      // token bytes joined by ' ' (array_join semantics)
       md.reset()
       var j = 0
       while (j < k) {
         if (j > 0) md.update(' '.toByte)
-        val t = tokens.getUTF8String(i + j)
-        md.update(t.getBytes)
+        md.update(tb(i + j))
         j += 1
       }
       val d = md.digest()

@@ -98,15 +98,19 @@ object Linkage {
         round(col("u1c").cast("double") / col("np").cast("double"), 12).as("u1"),
         round(col("u2c").cast("double") / col("np").cast("double"), 12).as("u2"),
         round(col("u3c").cast("double") / col("np").cast("double"), 12).as("u3"))
-    val ms = Seq(0.95, 0.70, 0.90)
-    def w(g: Column, m: Double, uCol: Column): Column =
+    // (m, 1-m) as independent literals: the oracle SQL writes 0.05/0.30/0.10
+    // directly, and Scala's `1.0 - 0.95` is one ulp off 0.05 — feeding ln()
+    // before round(...,12) that could flip a round-12 boundary on other data.
+    val ms = Seq((0.95, 0.05), (0.70, 0.30), (0.90, 0.10))
+    def w(g: Column, m: Double, oneMinusM: Double, uCol: Column): Column =
       when(g === 1L, round(log(lit(m) / uCol), 12))
-        .otherwise(round(log(lit(1.0 - m) / (lit(1.0) - uCol)), 12))
+        .otherwise(round(log(lit(oneMinusM) / (lit(1.0) - uCol)), 12))
         .cast("decimal(28,12)")
     val scored = pp.crossJoin(broadcast(u))
       .withColumn("score_d",
-        w(col("g1"), ms(0), col("u1")) + w(col("g2"), ms(1), col("u2")) +
-          w(col("g3"), ms(2), col("u3")))
+        w(col("g1"), ms(0)._1, ms(0)._2, col("u1")) +
+          w(col("g2"), ms(1)._1, ms(1)._2, col("u2")) +
+          w(col("g3"), ms(2)._1, ms(2)._2, col("u3")))
     scored
       .filter(col("score_d") > lit(0).cast("decimal(28,12)"))
       .select(col("a_id"), col("b_id"),

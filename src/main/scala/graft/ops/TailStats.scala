@@ -92,7 +92,9 @@ object TailStats {
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("f").cast("decimal(38,0)")).as("sf"),
-        sum((col("i") * col("f")).cast("decimal(38,0)")).as("sif"))
+        // widen BEFORE multiplying: a single i*f in LONG can overflow at the
+        // corpus scales the exactness claim covers (ANSI would abort the job)
+        sum(col("i").cast("decimal(19,0)") * col("f").cast("decimal(19,0)")).as("sif"))
       .select(col("source"), col("n_grams"),
         col("sf").cast("long").as("total_mass"),
         round((lit(2.0) * col("sif").cast("double") -

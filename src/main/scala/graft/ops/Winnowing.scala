@@ -62,7 +62,11 @@ object Winnowing {
     * over the informative fingerprints — the q25 convention). */
   def winnowPairs(docs: DataFrame, k: Int, w: Int, threshold: Double,
                   maxDocFreq: Long): DataFrame = {
-    val fp = fingerprints(docs, k, w).withColumnRenamed("f", "g").cache()
+    // localCheckpoint, not cache(): the frame is read by the stop-list agg
+    // AND the capped join, and checkpoint blocks are released with the plan
+    // reference — a cache() here leaked one cached frame per invocation
+    // (4-pass bench medians, soak, tests) until LRU eviction
+    val fp = fingerprints(docs, k, w).withColumnRenamed("f", "g").localCheckpoint()
     val stop = fp.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("g"))
     val capped = fp.join(broadcast(stop), Seq("g"), "left_anti")

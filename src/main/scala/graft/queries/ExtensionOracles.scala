@@ -941,7 +941,7 @@ object ExtensionOracles {
        |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
        |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
        |  FROM sc GROUP BY doc_id),
-       |topk AS (SELECT * FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+       |topk AS (SELECT * FROM agg ORDER BY CAST(sc AS DOUBLE) DESC, doc_id LIMIT 20)
        |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
        |FROM topk
        |ORDER BY doc_id""".stripMargin
@@ -1039,7 +1039,7 @@ object ExtensionOracles {
        |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
        |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
        |  FROM sc GROUP BY doc_id),
-       |topk AS (SELECT * FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+       |topk AS (SELECT * FROM agg ORDER BY CAST(sc AS DOUBLE) DESC, doc_id LIMIT 20)
        |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
        |FROM topk
        |ORDER BY doc_id""".stripMargin
@@ -1082,7 +1082,7 @@ object ExtensionOracles {
       |agg AS (SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS n_tokens,
       |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms, SUM(part) AS sc
       |  FROM sc GROUP BY doc_id),
-      |topk AS (SELECT * FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+      |topk AS (SELECT * FROM agg ORDER BY CAST(sc AS DOUBLE) DESC, doc_id LIMIT 20)
       |SELECT doc_id, n_tokens, n_hit_terms, CAST(sc AS DOUBLE) AS score
       |FROM topk
       |ORDER BY doc_id""".stripMargin
@@ -5267,7 +5267,8 @@ object ExtensionOracles {
        |    ORDER BY f, g) AS BIGINT) AS i FROM tf),
        |gg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(f) AS DECIMAL(38,0)) AS sf,
-       |    CAST(SUM(i * f) AS DECIMAL(38,0)) AS sif
+       |    CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(f AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sif
        |  FROM rk GROUP BY source)
        |SELECT source, n AS n_grams, CAST(sf AS BIGINT) AS total_mass,
        |  round((2.0 * CAST(sif AS DOUBLE)

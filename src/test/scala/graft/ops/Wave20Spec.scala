@@ -113,6 +113,30 @@ class Wave20Spec extends SparkSpec {
     shorty.foreach(r => assert(r.getSeq[String](0).isEmpty))
   }
 
+  test("null array elements are skipped, not NPE'd (user-facing SQL surface)") {
+    // both kernels accept ArrayType(StringType, containsNull=true) from SQL;
+    // a null element must behave as absent, matching compaction semantics
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b", "c")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("x", "y", "z")))
+      .toDF("doc_id", "l")
+    val g = df.select(col("doc_id"),
+        graft.functions.exprs.word_ngrams(col("l"), 3).as("g"),
+        graft.functions.exprs.winnow_fingerprints(col("l"), 3, 8).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+    // doc 1 compacts to (a,b,c) → one 3-gram; doc 2 to () → none
+    assert(g(1L)._1 == Seq("a b c") && g(1L)._2.nonEmpty)
+    assert(g(2L)._1.isEmpty && g(2L)._2.isEmpty)
+    assert(g(3L)._1 == Seq("x y z"))
+    // the compacted doc must hash identically to a literal null-free one
+    val clean = Seq((9L, Seq("a", "b", "c"))).toDF("doc_id", "l")
+      .select(graft.functions.exprs.winnow_fingerprints(col("l"), 3, 8).as("f"))
+      .collect()(0).getSeq[Long](0)
+    assert(g(1L)._2 == clean)
+  }
+
   test("q190: identical docs pair at sim 1.0; corpus pairs match q25's planted near-dups") {
     import spark.implicits._
     val docs = Seq(
