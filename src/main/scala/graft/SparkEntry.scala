@@ -379,6 +379,10 @@ object SparkEntry {
       graft.ops.Mmr.q203MmrRerank(s, dir)),
     "q204_kendall_tau" -> ((s: SparkSession, dir: String) =>
       graft.ops.Correlation.q204KendallTau(s, dir)),
+    "q205_mutual_knn_cells" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KnnGraph.q205MutualKnnCells(s, dir)),
+    "q206_semantic_dedup_cells" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Quantize.q206SemanticDedupCells(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -903,5 +907,7 @@ object SparkEntry {
     "q202_auc_holdout" -> ExtensionOracles.q202AucHoldout,
     "q203_mmr_rerank" -> ExtensionOracles.q203MmrRerank,
     "q204_kendall_tau" -> ExtensionOracles.q204KendallTau,
+    "q205_mutual_knn_cells" -> ExtensionOracles.q205MutualKnnCells,
+    "q206_semantic_dedup_cells" -> ExtensionOracles.q206SemanticDedupCells,
   )
 }

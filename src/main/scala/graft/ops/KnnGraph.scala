@@ -56,8 +56,14 @@ object KnnGraph {
     * restricts candidates to IVF-cell co-residents (the 100 TB path —
     * per-cell pair volume is (n/c)², the SemDeDup bound); None scores
     * all pairs (exact, the gate form). */
+  /** q205's persisted centroid table (the q83/q94 independence rule:
+    * each gated query replays from its OWN sidecar, so oracle runs
+    * never depend on whether/when another query trained). */
+  val CellCentroidsPath = "/tmp/graft_kmeans_centroids_knncells.parquet"
+
   private[ops] def topKEdges(emb0: DataFrame, k: Int, kFloat0: Int,
-                             nCells: Option[Int] = None): DataFrame = {
+                             nCells: Option[Int] = None,
+                             persistCellsTo: Option[String] = None): DataFrame = {
     val emb = Par.widen(emb0).localCheckpoint() // scanned by 3 passes below
     val norms = emb.select(col("vec_id"),
       sqrt(decDot(col("embedding"), col("embedding")).cast("double")).as("nrm"))
@@ -70,6 +76,8 @@ object KnnGraph {
       // linear in n·c. Fewer k-means iters — cells here are a pruning
       // partition, not a model; 4 sweeps place centers well enough
       val centroids = Clustering.trainCentroids(emb, c, iters = 4)
+      persistCellsTo.foreach(p =>
+        Clustering.persistCentroids(emb.sparkSession, centroids, p))
       emb.join(Clustering.assignByJoin(emb, centroids)
         .select(col("vec_id"), col("cluster")), Seq("vec_id"))
         .localCheckpoint()
@@ -144,6 +152,23 @@ object KnnGraph {
     * exact form. Soak-measured, not oracle-gated. */
   def mutualKnnInCells(emb: DataFrame, k: Int, nCells: Int): DataFrame =
     mutualOf(topKEdges(emb, k, kFloat0 = k + 11, nCells = Some(nCells)))
+
+  /** q205: the 100 TB form DECLARED AND ORACLE-GATED — mutual k-NN over
+    * IVF-cell co-residents at a pinned nCells, the n^1.5 dataflow
+    * (assignment n·c + within-cell pairs Σ(n_c)²), never the all-pairs
+    * corpus join q177 runs at gate scale. The trained grid-snapped
+    * centroids are persisted to [[CellCentroidsPath]] (the q81
+    * "model is data" rule) and the DuckDB oracle replays the ENTIRE
+    * dataflow from them: integer argmin cell assignment, within-cell
+    * exact decimal cosines, per-src rank ≤ k, mutual join. Hash-green
+    * here means the scale path's semantics — including which cross-cell
+    * neighbors it legitimately misses — are driver-proven, not just
+    * spec/soak-proven. */
+  def q205MutualKnnCells(s: SparkSession, dir: String, k: Int = 5,
+                         nCells: Int = 16): DataFrame =
+    mutualOf(topKEdges(Tables.embeddings(s, dir), k, kFloat0 = k + 11,
+        nCells = Some(nCells), persistCellsTo = Some(CellCentroidsPath)))
+      .orderBy(col("v1"), col("v2"))
 
   /** q181: k-NN-graph HUBNESS — each vector's in-degree in the directed
     * exact top-k graph (how many OTHER vectors count it among their k

@@ -143,6 +143,13 @@ object Quantize {
              else quantized(corpus))
       .withColumn("n2", intDot(col("q"), col("q")))
       .select(col("cell"), col("vec_id"), col("q"), col("n2"))
+    inCellDecision(q, num, den)
+  }
+
+  /** The shared within-cell SemDeDup decision over a (cell, vec_id, q,
+    * n2) frame: cell-equi-join candidate pairs (never all-pairs), the
+    * integer-exact cross-multiplied cosine test, keeper aggregation. */
+  private def inCellDecision(q: DataFrame, num: Int, den: Int): DataFrame = {
     val a = q.select(col("cell"), col("vec_id").as("d1"),
       col("q").as("qa"), col("n2").as("na2"))
     val b = q.select(col("cell"), col("vec_id").as("d2"),
@@ -156,6 +163,42 @@ object Quantize {
     sim.groupBy(col("d2").as("vec_id"))
       .agg(min(col("d1")).as("keeper_id"), count(lit(1)).as("n_better"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q206's persisted centroid table (the q83/q94 independence rule). */
+  val SemDedupCellCentroidsPath = "/tmp/graft_kmeans_centroids_semdedup.parquet"
+
+  /** q206: SemDeDup-in-cells DECLARED AND ORACLE-GATED — the 100 TB
+    * dataflow (cell-restricted candidate generation, (n/c)² per-cell
+    * pair volume, integer-exact verify, keeper aggregation) proven
+    * hash-for-hash by the driver gate, not just spec/soak. The cell
+    * quantizer here is the grid-snapped integer-argmin k-means
+    * ([[Clustering]], the q81 "persisted model is data" recipe) so the
+    * DuckDB oracle replays assignment + quantization + within-cell test
+    * end-to-end from the centroid sidecar; the production
+    * [[Similarity.writeCellBucketed]] layout (ML k-means, float argmin)
+    * shares every stage downstream of assignment — this gate proves
+    * that shared dataflow, including the cross-cell misses the
+    * approximation legitimately accepts. nCells=8 is the tuned value
+    * for this corpus ([[AnnTuner.tuneSemDedupCells]]: 64 split most
+    * near-dup pairs, 8 keeps them co-located at recall ≥ 0.7).
+    *
+    * PlanAudit note: the BroadcastNestedLoopJoin it flags here is
+    * [[Clustering.assignByJoin]]'s `crossJoin(broadcast(centroids))` —
+    * nCells bounded model rows broadcast against one narrow corpus
+    * scan, linear in n·c (the standing bounded-model-attach idiom). */
+  def q206SemanticDedupCells(s: SparkSession, dir: String, nCells: Int = 8,
+                             num: Int = 400, den: Int = 81): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Clustering.trainCentroids(emb, nCells)
+    Clustering.persistCentroids(s, centroids, SemDedupCellCentroidsPath)
+    val cells = Clustering.assignByJoin(emb, centroids)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val q = quantized(emb)
+      .withColumn("n2", intDot(col("q"), col("q")))
+      .join(cells, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("q"), col("n2"))
+    inCellDecision(q, num, den)
   }
 
   /** [[semanticDedupInCells]] with the cell count DERIVED from a bounded

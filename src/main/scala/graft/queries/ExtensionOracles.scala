@@ -5548,4 +5548,80 @@ object ExtensionOracles {
        |JOIN tx USING (source) JOIN ty USING (source)
        |ORDER BY base.source""".stripMargin
   }
+
+  /** Mirrors q205 (`ops.KnnGraph.q205MutualKnnCells`): the 100 TB
+    * mutual-kNN dataflow replayed END TO END from the persisted
+    * grid-snapped centroid table — integer-argmin cell assignment (the
+    * q81 recipe), candidate pairs restricted to cell co-residents,
+    * within-cell exact decimal cosines (the q177 recipe), per-src rank
+    * ≤ 5, mutual join. The oracle carries the same cross-cell misses
+    * the engine's approximation accepts — that's the point: the
+    * approximate SEMANTICS are what's being hash-proven. */
+  val q205MutualKnnCells: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.KnnGraph.CellCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cell
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |norms AS (SELECT vec_id,
+       |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |      AS DECIMAL(28,18))) AS n2
+       |  FROM x GROUP BY vec_id),
+       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       |  JOIN asg ca ON ca.vec_id = a.vec_id
+       |  JOIN asg cb ON cb.vec_id = b.vec_id AND ca.cell = cb.cell),
+       |pe AS (SELECT src, dst, ea, eb,
+       |    unnest(generate_series(1, len(ea))) AS i FROM pairs),
+       |dots AS (SELECT src, dst,
+       |    SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+       |      AS DECIMAL(28,18))) AS dot
+       |  FROM pe GROUP BY 1, 2),
+       |scored AS (SELECT d.src, d.dst,
+       |    round(CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 12) AS cos
+       |  FROM dots d
+       |  JOIN norms na ON d.src = na.vec_id
+       |  JOIN norms nb ON d.dst = nb.vec_id),
+       |ranked AS (SELECT src, dst, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS BIGINT) AS rank
+       |  FROM scored WHERE NOT isnan(cos)),
+       |top AS (SELECT * FROM ranked WHERE rank <= 5)
+       |SELECT f.src AS v1, f.dst AS v2, f.cos AS cos,
+       |  f.rank AS rank_fwd, g.rank AS rank_rev
+       |FROM top f JOIN top g ON f.src = g.dst AND f.dst = g.src AND f.src < f.dst
+       |ORDER BY v1, v2""".stripMargin
+
+  /** Mirrors q206 (`ops.Quantize.q206SemanticDedupCells`): SemDeDup-in-
+    * cells replayed end to end — grid-argmin cell assignment from the
+    * persisted centroid sidecar, q47's int8 quantization, candidate
+    * pairs restricted to cell co-residents, the integer-exact
+    * cross-multiplied cosine ≥ 0.45 test, keeper aggregation. */
+  val q206SemanticDedupCells: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.Quantize.SemDedupCellCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cell
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |m AS (SELECT vec_id, MAX(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+       |      FROM x GROUP BY vec_id),
+       |qx AS (SELECT x.vec_id, x.i,
+       |         CASE WHEN m.maxabs > 0
+       |              THEN CAST(floor(CAST(x.embedding[x.i] AS DOUBLE) /
+       |                     (m.maxabs / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)
+       |              ELSE 0 END AS qi
+       |       FROM x JOIN m ON x.vec_id = m.vec_id),
+       |n AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2 FROM qx GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |           CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+       |         FROM qx a JOIN qx b ON a.i = b.i AND a.vec_id < b.vec_id
+       |         JOIN asg ca ON ca.vec_id = a.vec_id
+       |         JOIN asg cb ON cb.vec_id = b.vec_id AND ca.cell = cb.cell
+       |         GROUP BY 1, 2),
+       |sim AS (SELECT v1, v2 FROM dots
+       |        JOIN n na ON v1 = na.vec_id
+       |        JOIN n nb ON v2 = nb.vec_id
+       |        WHERE dot > 0 AND 400 * dot * dot >= 81 * na.n2 * nb.n2)
+       |SELECT v2 AS vec_id, MIN(v1) AS keeper_id, COUNT(*) AS n_better
+       |FROM sim
+       |GROUP BY v2
+       |ORDER BY vec_id""".stripMargin
 }
