@@ -512,7 +512,21 @@ object Soak {
           concat(col("c_name"), lit("#r"), col("id")).as("c_name"),
           col("c_nationkey"),
           (col("c_acctbal") + col("id").cast("double") * 10000.0).as("c_acctbal"),
-          col("c_mktsegment")))))
+          col("c_mktsegment")))),
+      // linkage, width-tightened: the documented 100 TB control made
+      // executable — blocked pairs scale ∝ mult·width (per-block n ∝
+      // width, #blocks ∝ 1/width), so width = 50000/mult holds the
+      // comparison-space size constant as data grows: the knob a real
+      // deployment turns instead of eating a mult× pair blowup. The
+      // untightened row above is the comparability anchor at ≤10×.
+      timed("fs_linkage_tight")(graft.ops.Linkage.fsLinkage(
+        spark.range(mult).crossJoin(Tables.customer(spark, sfDir)).select(
+          (col("c_custkey") * mult + col("id")).as("c_custkey"),
+          concat(col("c_name"), lit("#r"), col("id")).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + col("id").cast("double") * 10000.0).as("c_acctbal"),
+          col("c_mktsegment")),
+        bandWidth = 50000.0 / math.max(mult, 10))))
 
     // wave 7. interval_overlap: replicas share timestamps, so an
     // unsalted soak would square the TRUE overlap volume — the type is

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array, array_distinct, array_join, lit, sequence, size, slice, transform, when}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -212,7 +213,18 @@ object exprs {
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(c), k, w))
   def word_ngrams(c: Column, n: Int, distinct: Boolean = false): Column =
-    column(WordNGrams(expression(c), n, distinct))
+    // GRAFT_BENCH_HOF_NGRAMS=1 swaps in the HOF formulation the kernel
+    // replaced — a plan-construction-time switch (zero runtime cost when
+    // unset) kept ONLY so kernel-vs-HOF cost can be re-measured in one
+    // host phase (BENCHLOG "WordNGrams per-site pricing"). Bit-parity of
+    // the two forms is spec-asserted in Wave20Spec.
+    if (sys.env.contains("GRAFT_BENCH_HOF_NGRAMS")) {
+      val raw = when(size(c) >= n,
+        transform(sequence(lit(1), size(c) - (n - 1)),
+          i => array_join(slice(c, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      if (distinct) array_distinct(raw) else raw
+    } else column(WordNGrams(expression(c), n, distinct))
   def cms_sketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
     column(CountMinSketchAgg(expression(c), depth, width).toAggregateExpression())
   def cms_estimate(sketch: Column, item: Column): Column =

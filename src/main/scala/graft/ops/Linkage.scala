@@ -65,7 +65,7 @@ object Linkage {
     * agreement at 1.4, below the 2.0 cut; sf0.01's 6k-pair space at
     * 5.7). That is FS behaving correctly — "agreement is unsurprising
     * here" — not a scoring bug. */
-  def fsLinkage(cust: DataFrame): DataFrame = {
+  def fsLinkage(cust: DataFrame, bandWidth: Double = 5000.0): DataFrame = {
     val a = cust.select(
       col("c_custkey").as("a_id"), col("c_name").as("a_name"),
       col("c_nationkey").as("a_nat"), col("c_acctbal").as("a_bal"),
@@ -83,7 +83,7 @@ object Linkage {
           .otherwise(col("c_mktsegment")).as("b_seg"))
     def block(nat: Column, seg: Column, bal: Column): Column =
       concat_ws("|", nat.cast("string"), seg,
-        floor(bal / lit(5000.0)).cast("string"))
+        floor(bal / lit(bandWidth)).cast("string"))
     val pairs = a.withColumn("blk", block(col("a_nat"), col("a_seg"), col("a_bal")))
       .join(b.withColumn("blk", block(col("b_nat"), col("b_seg"), col("b_bal"))),
         Seq("blk"))

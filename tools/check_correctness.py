@@ -17,6 +17,7 @@ import json
 import math
 import subprocess
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -93,9 +94,12 @@ def main():
         oracle_sql = json.load(f)
 
     n_pass = n_fail = 0
+    oracle_sec = {}  # per-query DuckDB wall time: the gate's cost ledger
     for name, sql in sorted(oracle_sql.items()):
         try:
+            t0 = time.monotonic()
             oracle_df = con.execute(sql).df()
+            oracle_sec[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -122,8 +126,17 @@ def main():
                 print(f"    {p}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spark_df)} rows)")
+            print(f"PASS {name} ({len(spark_df)} rows, oracle {oracle_sec[name]}s)")
             n_pass += 1
+    # surface the expensive oracles the round they land, not when the
+    # gate times out (r11 verdict ask): top offenders + a full sidecar
+    if oracle_sec:
+        top = sorted(oracle_sec.items(), key=lambda kv: -kv[1])[:8]
+        total = sum(oracle_sec.values())
+        print(f"\noracle wall time: {total:.1f}s total; top: "
+              + ", ".join(f"{k}={v}s" for k, v in top))
+        with open(f"{out_dir}/oracle_sec.json", "w") as f:
+            json.dump(dict(sorted(oracle_sec.items(), key=lambda kv: -kv[1])), f, indent=1)
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
