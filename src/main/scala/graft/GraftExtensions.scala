@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSimilarity)
     e.injectFunction(GraftExtensions.intDot)
     e.injectFunction(GraftExtensions.rollingHash64)
+    e.injectFunction(GraftExtensions.winnowFingerprints)
+    e.injectFunction(GraftExtensions.substrWindowHashes)
     e.injectFunction(GraftExtensions.cmsSketch)
     e.injectFunction(GraftExtensions.cmsEstimate)
     e.injectFunction(GraftExtensions.topK)
@@ -82,6 +84,26 @@ object GraftExtensions {
           WinnowFingerprints(c, intLit(kE, "k"), intLit(wE, "w"))
         case other => throw new IllegalArgumentException(
           s"winnow_fingerprints takes 3 arguments, got ${other.size}")
+      })
+
+  /** `substr_window_hashes(s, L)` — L must be an integer literal (it is
+    * baked into the generated kernel call). */
+  val substrWindowHashes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("substr_window_hashes"),
+      info("substr_window_hashes",
+        "substr_window_hashes(s, L) - Rolling hash of every length-L character window of s, in position order."),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, lE) =>
+          val l = lE match {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+              lit.value.asInstanceOf[Int]
+            case _ => throw new IllegalArgumentException(
+              s"substr_window_hashes: L must be an INT literal, got $lE")
+          }
+          graft.functions.SubstrWindowHashes(c, l)
+        case other => throw new IllegalArgumentException(
+          s"substr_window_hashes takes 2 arguments, got ${other.size}")
       })
 
   /** `cms_sketch(col)` or `cms_sketch(col, depth, width)` — depth/width
@@ -203,8 +225,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
-        winnowFingerprints, cmsSketch, cmsEstimate, topK, bloomAgg,
-        bloomMightContain, cmsJoinSize, hllSketch, hllUnion,
+        winnowFingerprints, substrWindowHashes, cmsSketch, cmsEstimate,
+        topK, bloomAgg, bloomMightContain, cmsJoinSize, hllSketch, hllUnion,
         hllEstimate).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)
     }

@@ -101,6 +101,13 @@ object Soak {
       // the aggregation/join work under count().
       timed("substring_dup")(Dedup.substringDupStats(docs, 20)
         .filter(col("dup_frac") >= 0.0)),
+      // verified-exact spans at Lee-et-al L=50 via the O(n) rolling
+      // kernel — same per-character row volume as substring_dup but
+      // 2.5× the window at ONE scan (the q207 claim under test); the
+      // verify join must track true duplicate volume, not the corpus
+      timed("exact_substring")(graft.ops.ExactSubstring
+        .exactSubstringSpans(docs, 50)
+        .filter(col("span_len") >= 50L)),
       timed("hard_negatives")(Retrieval.hardNegatives(docs,
         pmod(col("doc_id"), lit(100L * mult)) === 0L)),
       timed("leakage_split")(Dedup.leakageSafeSplit(docs)

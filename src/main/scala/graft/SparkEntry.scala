@@ -383,6 +383,10 @@ object SparkEntry {
       graft.ops.KnnGraph.q205MutualKnnCells(s, dir)),
     "q206_semantic_dedup_cells" -> ((s: SparkSession, dir: String) =>
       graft.ops.Quantize.q206SemanticDedupCells(s, dir)),
+    "q207_exact_substring" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ExactSubstring.q207ExactSubstring(s, dir)),
+    "q208_clustering_agreement" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q208ClusteringAgreement(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -909,5 +913,7 @@ object SparkEntry {
     "q204_kendall_tau" -> ExtensionOracles.q204KendallTau,
     "q205_mutual_knn_cells" -> ExtensionOracles.q205MutualKnnCells,
     "q206_semantic_dedup_cells" -> ExtensionOracles.q206SemanticDedupCells,
+    "q207_exact_substring" -> ExtensionOracles.q207ExactSubstring,
+    "q208_clustering_agreement" -> ExtensionOracles.q208ClusteringAgreement,
   )
 }

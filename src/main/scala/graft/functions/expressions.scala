@@ -172,6 +172,28 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Per-offset rolling hashes of every length-L character window of a
+  * string as one codegen'd kernel call per row (TextWindowOps scaladoc
+  * has the semantics and the suffix-array comparison). L is a
+  * plan-time constant baked into the generated call site. */
+case class SubstrWindowHashes(child: Expression, win: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType && win >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"substr_window_hashes requires STRING and L >= 1; got ${child.dataType.sql}, L=$win")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextWindowOps.windowHashes(input.asInstanceOf[UTF8String], win)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextWindowOps.windowHashes($c, $win)")
+  override protected def withNewChildInternal(newChild: Expression): SubstrWindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "substr_window_hashes"
+}
+
 /** Word n-grams of a token array as one codegen'd kernel call per row
   * (NGramOps scaladoc has the semantics contract and the measured win
   * over the HOF chain). n and the distinct flag are plan-time
@@ -212,6 +234,8 @@ object exprs {
   def rolling_hash64(c: Column): Column = column(RollingHash64(expression(c)))
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(c), k, w))
+  def substr_window_hashes(c: Column, win: Int): Column =
+    column(SubstrWindowHashes(expression(c), win))
   def word_ngrams(c: Column, n: Int, distinct: Boolean = false): Column =
     // GRAFT_BENCH_HOF_NGRAMS=1 swaps in the HOF formulation the kernel
     // replaced — a plan-construction-time switch (zero runtime cost when

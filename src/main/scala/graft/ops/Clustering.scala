@@ -331,4 +331,103 @@ object Clustering {
           .as("entropy_norm"))
       .orderBy(col("source"))
   }
+
+  /** q208's own centroid path (the q83/q94 independence rule). */
+  val AgreementCentroidsPath = "/tmp/graft_kmeans_centroids_agreement.parquet"
+
+  /** q208: EXTERNAL CLUSTERING VALIDATION — Adjusted Rand Index and
+    * Normalized Mutual Information between the learned k-means clusters
+    * and the embeddings table's ground-truth labels. q94's purity answers
+    * "what fraction lands in the majority label"; ARI corrects the pair
+    * agreement for CHANCE (a k=1 clustering has purity = the label prior
+    * but ARI 0) and NMI measures shared information symmetrically — the
+    * two standard scores (Hubert & Arabie '85; Strehl & Ghosh JMLR'02) a
+    * curation pipeline reads before trusting learned topics as strata.
+    *
+    * Determinism: everything is exact integer pair counting on the
+    * ≤ k×|labels| contingency grid until the last step — C(x,2) products
+    * widen to DECIMAL(38,0) (overflow-safe at any n), the expected-index
+    * division is one double op rounded 12, and the NMI log terms follow
+    * the q182 recipe (each term rounded 12, decimal-summed, final round
+    * 6). The oracle replays the assignment from the persisted centroids
+    * and the arithmetic from the same grid.
+    *
+    * Shape at 100 TB: the q81 narrow assignment pass + ONE map-combined
+    * (cluster × label) aggregate; everything downstream operates on the
+    * ≤ k·|labels| grid — broadcast-scale, no second corpus pass.
+    * PlanAudit's BNLJ|SinglePartition flags here are the standing 1-row
+    * scalar-attach idiom (six 1-row aggregate frames cross-joined). */
+  def q208ClusteringAgreement(s: SparkSession, dir: String,
+                              k: Int = 8): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, k)
+    persistCentroids(s, centroids, AgreementCentroidsPath)
+    val grid = assign(emb, centroids)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // the tiny grid feeds marginals + all sums
+    // C(x,2) exact: halve the EVEN factor in integer math first, then one
+    // decimal(19,0)² multiply → decimal(38,0) — no fractional-scale
+    // decimal division anywhere (its result type would truncate/overflow)
+    def c2(x: Column): Column = {
+      val xl = x.cast("long")
+      // shiftright = integer /2 on the non-negative counts here
+      when(xl % 2 === 0,
+        shiftright(xl, 1).cast("decimal(19,0)") * (xl - 1).cast("decimal(19,0)"))
+        .otherwise(xl.cast("decimal(19,0)") *
+          shiftright(xl - 1, 1).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    }
+    val a = grid.groupBy(col("cluster")).agg(sum(col("c")).as("ai"))
+    val b = grid.groupBy(col("label")).agg(sum(col("c")).as("bj"))
+    val n = grid.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(c2(col("c"))).as("sum_nij2"))
+    val sumA = a.agg(sum(c2(col("ai"))).as("sum_a2"),
+      count(lit(1)).as("n_clusters"))
+    val sumB = b.agg(sum(c2(col("bj"))).as("sum_b2"),
+      count(lit(1)).as("n_labels"))
+    // NMI pieces on the grid: I(U;V), H(U), H(V) — q182's rounded-term
+    // decimal sums; p's are exact-integer ratios evaluated identically
+    // on both engines
+    val mi = grid
+      .join(broadcast(a), Seq("cluster")).join(broadcast(b), Seq("label"))
+      .crossJoin(broadcast(n.select(col("n"))))
+      .withColumn("term", round(
+        (col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") * col("c").cast("double") /
+            (col("ai").cast("double") * col("bj").cast("double"))), 12)
+        .cast("decimal(28,12)"))
+      .agg(sum(col("term")).as("i_uv"))
+    def entropyOf(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(n.select(col("n").as("nn"))))
+        .withColumn("term", round(
+          -(col(cnt).cast("double") / col("nn").cast("double")) *
+            log(col(cnt).cast("double") / col("nn").cast("double")), 12)
+          .cast("decimal(28,12)"))
+        .agg(sum(col("term")).as(s"h_$cnt"))
+    val hU = entropyOf(a, "ai")
+    val hV = entropyOf(b, "bj")
+    n.crossJoin(broadcast(sumA)).crossJoin(broadcast(sumB))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(hU)).crossJoin(broadcast(hV))
+      .withColumn("exp_idx", round(
+        col("sum_a2").cast("double") * col("sum_b2").cast("double") /
+          c2(col("n")).cast("double"), 12))
+      .withColumn("max_idx",
+        (col("sum_a2").cast("double") + col("sum_b2").cast("double")) / 2.0)
+      .select(
+        col("n").cast("long").as("n_vectors"),
+        col("n_clusters"), col("n_labels"),
+        // degenerate single-cluster/single-label partitions: ARI's
+        // denominator and NMI's entropies are 0 → NULL, not a NaN
+        // (ANSI leaves double /0 as Inf; the guard keeps both engines
+        // on the same literal NULL)
+        when(col("max_idx") =!= col("exp_idx"),
+          round((col("sum_nij2").cast("double") - col("exp_idx")) /
+            (col("max_idx") - col("exp_idx")), 6)).as("ari"),
+        when(col("h_ai").cast("double") * col("h_bj").cast("double") > 0.0,
+          round(col("i_uv").cast("double") /
+            sqrt(col("h_ai").cast("double") * col("h_bj").cast("double")), 6))
+          .as("nmi"))
+  }
 }

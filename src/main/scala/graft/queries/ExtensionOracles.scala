@@ -5624,4 +5624,98 @@ object ExtensionOracles {
        |FROM sim
        |GROUP BY v2
        |ORDER BY vec_id""".stripMargin
+
+  /** Mirrors q207 (`ops.ExactSubstring.q207ExactSubstring`): the
+    * DEFINITION, not the algorithm — every length-50 character window
+    * whose exact string occurs ≥ 2 times in the corpus, merged into
+    * maximal per-doc spans (gap ≤ 50 between duplicated starts). The
+    * engine's rolling-hash prefilter + exact verify must land on the
+    * same set or the hash breaks — a hash-collision false positive
+    * would surface here, not hide. */
+  val q207ExactSubstring: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |w AS (SELECT doc_id, unnest(generate_series(1, len(text) - 49)) AS pos, text
+      |  FROM d),
+      |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    substr(text, CAST(pos AS INT), 50) AS win FROM w),
+      |dup AS (SELECT win FROM s GROUP BY win HAVING COUNT(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM s JOIN dup USING (win)),
+      |isl AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM hits),
+      |g AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 50 - MIN(pos) AS BIGINT) AS span_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM g GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Mirrors q208 (`ops.Clustering.q208ClusteringAgreement`): the q81
+    * assignment replay from q208's persisted centroids, the (cluster ×
+    * label) contingency grid, then ARI/NMI — C(x,2) as halve-the-even-
+    * factor integer products widened to DECIMAL(38,0), log terms
+    * rounded 12 and decimal-summed (the q182 recipe), final divisions
+    * rounded 6 with the degenerate-partition NULL guards. */
+  val q208ClusteringAgreement: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.Clustering.AgreementCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cluster
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |grid AS (SELECT asg.cluster, emb.label, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM asg JOIN embeddings emb ON asg.vec_id = emb.vec_id
+       |  GROUP BY 1, 2),
+       |a AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS ai FROM grid GROUP BY 1),
+       |b AS (SELECT label, CAST(SUM(c) AS BIGINT) AS bj FROM grid GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN c % 2 = 0
+       |      THEN CAST(c // 2 AS DECIMAL(19,0)) * CAST(c - 1 AS DECIMAL(19,0))
+       |      ELSE CAST(c AS DECIMAL(19,0)) * CAST((c - 1) // 2 AS DECIMAL(19,0))
+       |      END) AS DECIMAL(38,0)) AS sum_nij2
+       |  FROM grid),
+       |sa AS (SELECT CAST(SUM(CASE WHEN ai % 2 = 0
+       |      THEN CAST(ai // 2 AS DECIMAL(19,0)) * CAST(ai - 1 AS DECIMAL(19,0))
+       |      ELSE CAST(ai AS DECIMAL(19,0)) * CAST((ai - 1) // 2 AS DECIMAL(19,0))
+       |      END) AS DECIMAL(38,0)) AS sum_a2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_clusters FROM a),
+       |sb AS (SELECT CAST(SUM(CASE WHEN bj % 2 = 0
+       |      THEN CAST(bj // 2 AS DECIMAL(19,0)) * CAST(bj - 1 AS DECIMAL(19,0))
+       |      ELSE CAST(bj AS DECIMAL(19,0)) * CAST((bj - 1) // 2 AS DECIMAL(19,0))
+       |      END) AS DECIMAL(38,0)) AS sum_b2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_labels FROM b),
+       |mi AS (SELECT CAST(SUM(CAST(round(
+       |      (CAST(g.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+       |      ln(CAST(tot.n AS DOUBLE) * CAST(g.c AS DOUBLE) /
+       |        (CAST(a.ai AS DOUBLE) * CAST(b.bj AS DOUBLE))), 12)
+       |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS i_uv
+       |  FROM grid g JOIN a USING (cluster) JOIN b USING (label) CROSS JOIN tot),
+       |hu AS (SELECT CAST(SUM(CAST(round(
+       |      -(CAST(ai AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+       |      ln(CAST(ai AS DOUBLE) / CAST(tot.n AS DOUBLE)), 12)
+       |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS h_ai
+       |  FROM a CROSS JOIN tot),
+       |hv AS (SELECT CAST(SUM(CAST(round(
+       |      -(CAST(bj AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+       |      ln(CAST(bj AS DOUBLE) / CAST(tot.n AS DOUBLE)), 12)
+       |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS h_bj
+       |  FROM b CROSS JOIN tot),
+       |fin AS (SELECT tot.n, sa.n_clusters, sb.n_labels, tot.sum_nij2,
+       |    sa.sum_a2, sb.sum_b2, mi.i_uv, hu.h_ai, hv.h_bj,
+       |    round(CAST(sa.sum_a2 AS DOUBLE) * CAST(sb.sum_b2 AS DOUBLE) /
+       |      CAST(CASE WHEN tot.n % 2 = 0
+       |        THEN CAST(tot.n // 2 AS DECIMAL(19,0)) * CAST(tot.n - 1 AS DECIMAL(19,0))
+       |        ELSE CAST(tot.n AS DECIMAL(19,0)) * CAST((tot.n - 1) // 2 AS DECIMAL(19,0))
+       |        END AS DOUBLE), 12) AS exp_idx,
+       |    (CAST(sa.sum_a2 AS DOUBLE) + CAST(sb.sum_b2 AS DOUBLE)) / 2.0 AS max_idx
+       |  FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi
+       |  CROSS JOIN hu CROSS JOIN hv)
+       |SELECT CAST(n AS BIGINT) AS n_vectors, n_clusters, n_labels,
+       |  CASE WHEN max_idx <> exp_idx THEN
+       |    round((CAST(sum_nij2 AS DOUBLE) - exp_idx) / (max_idx - exp_idx), 6)
+       |  END AS ari,
+       |  CASE WHEN CAST(h_ai AS DOUBLE) * CAST(h_bj AS DOUBLE) > 0.0 THEN
+       |    round(CAST(i_uv AS DOUBLE) /
+       |      sqrt(CAST(h_ai AS DOUBLE) * CAST(h_bj AS DOUBLE)), 6)
+       |  END AS nmi
+       |FROM fin""".stripMargin
 }

@@ -58,6 +58,72 @@ class Wave24Spec extends SparkSpec {
     }
   }
 
+  test("q207: planted long runs surface as exact spans; multibyte positions are code points") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog near the riverbank today" // 69 chars
+    // boundaries differ IMMEDIATELY on both sides (no shared spaces), so
+    // the maximal duplicated substring is exactly `run`
+    val docs = Seq(
+      (1L, s"AAA$run-BBB"),
+      (2L, s"CCCCC$run+DDD"),
+      // self-repeat inside one doc: both occurrences are duplicated windows
+      (3L, s"$run..!..$run"),
+      // no duplicate anywhere (same length, unique content)
+      (4L, "entirely unique content that appears exactly once in this corpus and nowhere else at all ok"),
+      // multibyte: é is 2 UTF-8 bytes but ONE code point — shared run with doc 6
+      (5L, s"héllo wörld prefix $run"),
+      (6L, s"zz héllo wörld prefix $run"))
+      .toDF("doc_id", "text")
+    val spans = ExactSubstring.exactSubstringSpans(docs, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val byDoc = spans.groupBy(_._1)
+    // doc 4 has no duplicated window
+    assert(!byDoc.contains(4L))
+    // docs 1/2: exactly one span each, covering exactly the shared run
+    assert(byDoc(1L).size == 1 && byDoc(2L).size == 1)
+    // doc 1: run starts at pos 4 (1-indexed, after "AAA")
+    val (_, s1, l1) = byDoc(1L).head
+    assert(s1 == 4L && l1 == run.length.toLong, s"doc1 span ($s1, $l1)")
+    // doc 3: both occurrences are duplicated; the gap between the last
+    // duplicated start of the first run and the first of the second
+    // exceeds 50, so they stay two SEPARATE spans, each exactly the run
+    val secondStart = (run.length + 5 + 1).toLong // run + "..!.." + 1-indexed
+    assert(byDoc(3L).map(t => (t._2, t._3)).toSet ==
+      Set((1L, run.length.toLong), (secondStart, run.length.toLong)),
+      s"doc3 spans ${byDoc(3L)}")
+    // docs 5/6 share "héllo wörld prefix <run>" — doc 5's span starts at
+    // pos 1 and covers the whole doc IN CODE POINTS (length() counts
+    // code points; byte positions would overshoot by the 4 two-byte chars)
+    val (_, s5, l5) = byDoc(5L).head
+    assert(s5 == 1L && l5 == ("héllo wörld prefix " + run).length.toLong,
+      s"doc5 span ($s5, $l5)")
+  }
+
+  test("substr_window_hashes kernel: window count, equal-content equality, short/null inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcdefghij"),          // 10 cps → 10-4+1 = 7 windows at L=4
+      (2L, "XXabcdYY"),            // shares "abcd" with doc 1
+      (3L, "abc"),                 // shorter than L → empty
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.exprs.substr_window_hashes(col("text"), 4).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(1L).size == 7)
+    assert(out(3L).isEmpty)
+    assert(out(4L) == null) // null in → null out (UnaryExpression default)
+    // the "abcd" window hashes equal across docs: doc1 index 0, doc2 index 2
+    assert(out(1L).head == out(2L)(2))
+    // and rolling == direct: every window hash matches a fresh L-prefix hash
+    val direct = df.filter(col("doc_id") === 1L)
+      .select(posexplode(graft.functions.exprs.substr_window_hashes(
+        expr("substring(text, 3, 4)"), 4)))
+      .collect()
+    assert(direct.length == 1 && direct(0).getLong(1) == out(1L)(2))
+  }
+
   test("q206: the in-cells decision is a strict weakening of the exact q47 decision") {
     val exact = Quantize.q47SemanticDedup(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
