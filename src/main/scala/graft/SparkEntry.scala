@@ -387,6 +387,10 @@ object SparkEntry {
       graft.ops.ExactSubstring.q207ExactSubstring(s, dir)),
     "q208_clustering_agreement" -> ((s: SparkSession, dir: String) =>
       graft.ops.Clustering.q208ClusteringAgreement(s, dir)),
+    "q209_raking_mix" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q209RakingMix(s, dir)),
+    "q210_burst_detection" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ChangePoint.q210BurstDetection(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -915,5 +919,7 @@ object SparkEntry {
     "q206_semantic_dedup_cells" -> ExtensionOracles.q206SemanticDedupCells,
     "q207_exact_substring" -> ExtensionOracles.q207ExactSubstring,
     "q208_clustering_agreement" -> ExtensionOracles.q208ClusteringAgreement,
+    "q209_raking_mix" -> ExtensionOracles.q209RakingMix,
+    "q210_burst_detection" -> ExtensionOracles.q210BurstDetection,
   )
 }

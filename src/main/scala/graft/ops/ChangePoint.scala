@@ -87,4 +87,75 @@ object ChangePoint {
   /** q195: the CUSUM read over the events corpus. */
   def q195CusumDaily(s: SparkSession, dir: String): DataFrame =
     cusumDaily(Tables.events(s, dir))
+
+  /** q210: TWO-STATE BURST DETECTION (Kleinberg, KDD'02) on per-type
+    * daily volume — the episodic companion to q195's CUSUM: CUSUM
+    * flags a sustained LEVEL SHIFT once; the burst automaton segments
+    * the whole timeline into base/burst EPISODES (state 1 emits at
+    * rate s·λ, entering costs γ, staying is free), which is the read
+    * an on-call or a crawl-scheduler wants ("which days WERE bursty"),
+    * not just "did the mean move".
+    *
+    * Forward DP, exact: emissions are negative-log-Poisson costs
+    * without the k! term (constant across states — cancels in every
+    * comparison): e_s(k) = round12(λ_s − k·ln λ_s); entering burst
+    * costs γ = round12(ln n_days). Each cost is a rounded-12 double
+    * held as an EXACT decimal; the DP is adds and mins over those
+    * decimals — no float accumulates, so the oracle's recursive CTE
+    * lands on bit-identical costs. `burst_now` is the forward
+    * (filtering) state: c1 < c0 strictly.
+    *
+    * Scale shape: ONE corpus-collapsing (type, day) count aggregate
+    * (the q195 spine, zero-filled); the DP runs driver-side over the
+    * bounded |types|·|days| grid (the MMR/PAV bounded-collect rule —
+    * the grid is aggregate-scale, never raw events). */
+  def q210BurstDetection(s: SparkSession, dir: String): DataFrame =
+    burstDaily(Tables.events(s, dir))
+
+  /** The DP core over any (`ts` epoch-nanos, `event_type`) frame. */
+  def burstDaily(events: DataFrame, s: Double = 2.0): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = counts.select(col("day")).distinct()
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d(x: Double): BigDecimal = BigDecimal(x).setScale(12)
+    val rows = grid.groupBy(_._1).toSeq.flatMap { case (tpe, cells) =>
+      val byDay = cells.sortBy(_._2)
+      val nd = byDay.length
+      val lam0 = r12(byDay.map(_._3).sum.toDouble / nd.toDouble)
+      if (lam0 <= 0.0) Seq.empty
+      else {
+        val lam1 = r12(s * lam0)
+        val gam = d(r12(math.log(nd.toDouble)))
+        def e(lam: Double, k: Long): BigDecimal =
+          d(r12(lam - k.toDouble * math.log(lam)))
+        var c0 = e(lam0, byDay.head._3)
+        var c1 = gam + e(lam1, byDay.head._3)
+        val first = (tpe, byDay.head._2, byDay.head._3,
+          c0.toDouble, c1.toDouble, c1 < c0)
+        first +: byDay.tail.map { case (_, day, k) =>
+          val n0 = c0.min(c1) + e(lam0, k)
+          val n1 = (c0 + gam).min(c1) + e(lam1, k)
+          c0 = n0; c1 = n1
+          (tpe, day, k, c0.toDouble, c1.toDouble, c1 < c0)
+        }
+      }
+    }
+    import spark.implicits._
+    rows.sortBy(t => (t._1, t._2)).toDF(
+        "event_type", "day", "x", "c0", "c1", "burst_now")
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("c0"), 6).as("cost_base"),
+        round(col("c1"), 6).as("cost_burst"),
+        col("burst_now"))
+  }
 }

@@ -362,9 +362,16 @@ object Clustering {
     val emb = graft.Tables.embeddings(s, dir)
     val centroids = trainCentroids(emb, k)
     persistCentroids(s, centroids, AgreementCentroidsPath)
-    val grid = assign(emb, centroids)
+    agreementFromGrid(assign(emb, centroids)
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c")))
+  }
+
+  /** The ARI/NMI arithmetic over any (cluster, label, c) contingency
+    * grid — exposed so the closed forms (perfect agreement ⇒ 1/1) are
+    * spec-checkable on hand grids. */
+  private[ops] def agreementFromGrid(grid0: DataFrame): DataFrame = {
+    val grid = grid0
       .localCheckpoint() // the tiny grid feeds marginals + all sums
     // C(x,2) exact: halve the EVEN factor in integer math first, then one
     // decimal(19,0)² multiply → decimal(38,0) — no fractional-scale

@@ -443,4 +443,63 @@ object Mixing {
         round(col("q_weight") / col("p_natural"), 12).as("boost"))
       .orderBy(col("source"), col("alpha"))
   }
+
+  /** q209: RAKING (iterative proportional fitting / Sinkhorn matrix
+    * scaling, Deming & Stephan '40) — per-cell sampling weights that
+    * make the weighted (source × lang) table match TWO marginal targets
+    * simultaneously: uniform over sources AND uniform over languages.
+    * The one-axis temperature mixes (q45/q183) can't do this — raking
+    * is the survey-statistics standard for multi-marginal calibration,
+    * and the training-data use is direct: rebalance a crawl so neither
+    * the dominant source nor the dominant language drowns the mix.
+    *
+    * Dataflow: ONE map-combined (source × lang) count aggregate — the
+    * only corpus-scale work — then 10 IPF iterations on the ≤
+    * |sources|·|langs| grid, driver-side over bounded cells (the MMR/
+    * PAV precedent; ~100 cells here, never corpus rows). Structural
+    * zeros (absent cells) stay absent — observed-cell IPF.
+    *
+    * Determinism (the oracle unrolls all 10 iterations as MATERIALIZED
+    * CTEs): marginal sums add per-cell terms rounded to 12 digits as
+    * exact decimals (order-free — the q48 rule, applied driver-side
+    * with BigDecimal); each scale factor is round12((n/T) / m); each
+    * weight update round12(w·r). Every double op appears in the same
+    * order on both engines. */
+  def q209RakingMix(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val grid = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = grid.map(_._3).sum.toDouble
+    val sources = grid.map(_._1).distinct
+    val langs = grid.map(_._2).distinct
+    val tgtRow = n / sources.length
+    val tgtCol = n / langs.length
+    var w = grid.map { case (src, lg, c) => ((src, lg), 1.0) }.toMap
+    val cOf = grid.map { case (src, lg, c) => ((src, lg), c) }.toMap
+    def rescale(keyOf: ((String, String)) => String, tgt: Double): Unit = {
+      // order-free marginal: exact decimal sum of round-12 terms
+      val m = w.toSeq
+        .groupBy { case (k, _) => keyOf(k) }
+        .map { case (g, cells) =>
+          g -> cells.map { case (k, wv) =>
+            BigDecimal(r12(wv * cOf(k))).setScale(12) }.sum }
+      w = w.map { case (k, wv) =>
+        val r = r12(tgt / m(keyOf(k)).toDouble)
+        k -> r12(wv * r) }
+    }
+    (1 to iters).foreach { _ =>
+      rescale(_._1, tgtRow)
+      rescale(_._2, tgtCol)
+    }
+    import s.implicits._
+    grid.map { case (src, lg, c) =>
+      val wv = w((src, lg))
+      (src, lg, c,
+        BigDecimal(wv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(wv * c / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (t._1, t._2)).toSeq
+      .toDF("source", "lang", "n_docs", "weight", "eff_share")
+  }
 }

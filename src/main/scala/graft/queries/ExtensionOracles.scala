@@ -5718,4 +5718,92 @@ object ExtensionOracles {
        |      sqrt(CAST(h_ai AS DOUBLE) * CAST(h_bj AS DOUBLE)), 6)
        |  END AS nmi
        |FROM fin""".stripMargin
+
+  /** Mirrors q209 (`ops.Mixing.q209RakingMix`): all 10 IPF iterations
+    * unrolled as MATERIALIZED CTEs (the q203 lesson — inlining
+    * explodes), each a row-rescale then a column-rescale: marginal =
+    * decimal sum of round-12 w·c terms, scale = round12((n/T)/m),
+    * update = round12(w·scale) — the exact double-op order the engine's
+    * driver loop executes. */
+  val q209RakingMix: String = {
+    val iterations = (1 to 10).map { t =>
+      s"""rm$t AS MATERIALIZED (SELECT source,
+         |    SUM(CAST(round(w * c, 12) AS DECIMAL(28,12))) AS m
+         |  FROM w${t - 1} GROUP BY source),
+         |wr$t AS MATERIALIZED (SELECT g.source, g.lang, g.c,
+         |    round(g.w * round((CAST(tot.n AS DOUBLE) / CAST(tot.r AS DOUBLE))
+         |      / CAST(rm$t.m AS DOUBLE), 12), 12) AS w
+         |  FROM w${t - 1} g JOIN rm$t USING (source) CROSS JOIN tot),
+         |cm$t AS MATERIALIZED (SELECT lang,
+         |    SUM(CAST(round(w * c, 12) AS DECIMAL(28,12))) AS m
+         |  FROM wr$t GROUP BY lang),
+         |w$t AS MATERIALIZED (SELECT g.source, g.lang, g.c,
+         |    round(g.w * round((CAST(tot.n AS DOUBLE) / CAST(tot.l AS DOUBLE))
+         |      / CAST(cm$t.m AS DOUBLE), 12), 12) AS w
+         |  FROM wr$t g JOIN cm$t USING (lang) CROSS JOIN tot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH grid AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS l FROM grid),
+       |w0 AS (SELECT source, lang, c, CAST(1.0 AS DOUBLE) AS w FROM grid),
+       |$iterations
+       |SELECT g.source, g.lang, g.c AS n_docs,
+       |  round(g.w, 6) AS weight,
+       |  round(g.w * g.c / CAST(tot.n AS DOUBLE), 6) AS eff_share
+       |FROM w10 g CROSS JOIN tot
+       |ORDER BY g.source, g.lang""".stripMargin
+  }
+
+  /** Mirrors q210 (`ops.ChangePoint.q210BurstDetection`): the forward
+    * burst DP replayed as a recursive CTE over the per-type day index —
+    * rounded-12 emissions/γ held as exact DECIMAL(28,12), adds and
+    * LEAST re-cast to the same type each step so the recursion's cost
+    * columns stay bit-identical to the engine's BigDecimal loop. */
+  val q210BurstDetection: String =
+    """WITH RECURSIVE ev AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |types AS (SELECT DISTINCT event_type FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |idx AS (SELECT event_type, day, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS i
+      |  FROM grid),
+      |par AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+      |    round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12) AS lam0
+      |  FROM idx GROUP BY 1),
+      |par2 AS (SELECT event_type, nd, lam0,
+      |    round(2.0 * lam0, 12) AS lam1,
+      |    CAST(round(ln(CAST(nd AS DOUBLE)), 12) AS DECIMAL(28,12)) AS gam
+      |  FROM par WHERE lam0 > 0),
+      |em AS (SELECT i.event_type, i.i, i.day, i.x,
+      |    CAST(round(p.lam0 - CAST(i.x AS DOUBLE) * ln(p.lam0), 12)
+      |      AS DECIMAL(28,12)) AS e0,
+      |    CAST(round(p.lam1 - CAST(i.x AS DOUBLE) * ln(p.lam1), 12)
+      |      AS DECIMAL(28,12)) AS e1,
+      |    p.gam
+      |  FROM idx i JOIN par2 p USING (event_type)),
+      |dp AS (
+      |  SELECT event_type, i, day, x,
+      |    CAST(e0 AS DECIMAL(28,12)) AS c0,
+      |    CAST(gam + e1 AS DECIMAL(28,12)) AS c1
+      |  FROM em WHERE i = 1
+      |  UNION ALL
+      |  SELECT em.event_type, em.i, em.day, em.x,
+      |    CAST(LEAST(dp.c0, dp.c1) + em.e0 AS DECIMAL(28,12)) AS c0,
+      |    CAST(LEAST(dp.c0 + em.gam, dp.c1) + em.e1 AS DECIMAL(28,12)) AS c1
+      |  FROM dp JOIN em ON em.event_type = dp.event_type AND em.i = dp.i + 1
+      |)
+      |SELECT event_type, day, x,
+      |  round(CAST(c0 AS DOUBLE), 6) AS cost_base,
+      |  round(CAST(c1 AS DOUBLE), 6) AS cost_burst,
+      |  c1 < c0 AS burst_now
+      |FROM dp
+      |ORDER BY event_type, day""".stripMargin
 }
