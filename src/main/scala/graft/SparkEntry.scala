@@ -391,6 +391,16 @@ object SparkEntry {
       graft.ops.Mixing.q209RakingMix(s, dir)),
     "q210_burst_detection" -> ((s: SparkSession, dir: String) =>
       graft.ops.ChangePoint.q210BurstDetection(s, dir)),
+    "q211_dedup_growth" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Dedup.q211DedupGrowth(s, dir)),
+    "q214_robust_means" -> ((s: SparkSession, dir: String) =>
+      graft.ops.RobustStats.q214RobustMeans(s, dir)),
+    "q215_mann_kendall" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ChangePoint.q215MannKendall(s, dir)),
+    "q212_leading_pc" -> ((s: SparkSession, dir: String) =>
+      graft.ops.PowerIteration.q212LeadingPc(s, dir)),
+    "q213_ht_estimate" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Estimation.q213HtEstimate(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -921,5 +931,10 @@ object SparkEntry {
     "q208_clustering_agreement" -> ExtensionOracles.q208ClusteringAgreement,
     "q209_raking_mix" -> ExtensionOracles.q209RakingMix,
     "q210_burst_detection" -> ExtensionOracles.q210BurstDetection,
+    "q211_dedup_growth" -> ExtensionOracles.q211DedupGrowth,
+    "q214_robust_means" -> ExtensionOracles.q214RobustMeans,
+    "q215_mann_kendall" -> ExtensionOracles.q215MannKendall,
+    "q212_leading_pc" -> ExtensionOracles.q212LeadingPc,
+    "q213_ht_estimate" -> ExtensionOracles.q213HtEstimate,
   )
 }

@@ -158,4 +158,67 @@ object ChangePoint {
         round(col("c1"), 6).as("cost_burst"),
         col("burst_now"))
   }
+
+  /** q215: MANN–KENDALL TREND TEST (Mann '45, Kendall '75) on per-type
+    * daily volume — the nonparametric "is this drifting monotonically"
+    * read that completes the monitoring family: q195 CUSUM = sustained
+    * level SHIFT, q210 bursts = EPISODES, Mann–Kendall = gradual
+    * TREND no single day of which alarms anything. S = Σ_{i<j}
+    * sign(x_j − x_i) over day pairs, tie-corrected normal variance,
+    * continuity-corrected z.
+    *
+    * Shape: the q195 zero-filled (type × day) grid; the pair sum is a
+    * self-join on day inequality over AGGREGATED day rows (≤ |days|²
+    * pairs per type — bounded by the calendar, never by events); ties
+    * correct via one value-multiplicity aggregate. Exact integers
+    * until varS's /18 and the final z (round 6); the 1.96 two-sided
+    * 5% cut is a shared literal. */
+  def q215MannKendall(s: SparkSession, dir: String): DataFrame =
+    mannKendallDaily(Tables.events(s, dir))
+
+  def mannKendallDaily(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = counts.select(col("day")).distinct()
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // pair join reads both sides + the tie agg
+    val sStat = grid.as("a").join(grid.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.x") - col("a.x")).cast("long").as("sg"))
+      .groupBy(col("event_type")).agg(sum(col("sg")).as("s_stat"))
+    val nOf = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ties = grid.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t").cast("decimal(12,0)") *
+        (col("t") - 1).cast("decimal(12,0)") *
+        (col("t") * 2 + 5).cast("decimal(13,0)")).cast("decimal(38,0)")
+        .as("tie_term"))
+    nOf.join(broadcast(sStat), Seq("event_type"))
+      .join(broadcast(ties), Seq("event_type"))
+      .withColumn("var_num",
+        (col("n").cast("decimal(12,0)") * (col("n") - 1).cast("decimal(12,0)") *
+          (col("n") * 2 + 5).cast("decimal(13,0)")).cast("decimal(38,0)")
+          - col("tie_term"))
+      .withColumn("var_s", round(col("var_num").cast("double") / 18.0, 12))
+      .withColumn("z",
+        when(col("var_s") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+              .otherwise(lit(0.0)) / sqrt(col("var_s")), 6)))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        round(col("var_s"), 6).as("var_s"), col("z"),
+        when(col("z") > 1.96, lit("up"))
+          .when(col("z") < -1.96, lit("down"))
+          .otherwise(lit("none")).as("trend"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -919,4 +919,45 @@ object Dedup {
         col("n_marginal"), col("n_remaining"))
       .orderBy(col("tier"))
   }
+
+  /** q211: DEDUP GROWTH CURVE — the seen-before rate by ingestion
+    * batch: as a crawl ingests (doc_id order, batches of `batch`),
+    * what fraction of each batch exactly duplicates an EARLIER doc?
+    * The curve a pipeline reads to decide when incremental dedup
+    * stops paying (a flat high tail means the source is recycling
+    * content) and to size the standing fingerprint index. A doc is
+    * seen-before iff its exact text md5 first occurred at a smaller
+    * doc_id — self-first occurrences don't count, later copies all do.
+    *
+    * Shape at 100 TB: one (md5 → min doc_id) aggregate (map-side
+    * combined; the fingerprint is 32 bytes/doc on the wire), one
+    * equi-join back, one ≤|batches| aggregate; the cumulative window
+    * runs over the bounded batch frame (PlanAudit's SinglePartition
+    * flag here is that ≤|batches|-row frame — the tier-funnel idiom,
+    * bounded by construction). Determinism: everything is exact
+    * integers until the two round-6 rates. */
+  def q211DedupGrowth(s: SparkSession, dir: String,
+                      batch: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Par.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), expr(s"doc_id DIV $batch").as("batch"),
+        md5(col("text")).as("m"))
+    val firstOf = d.groupBy(col("m")).agg(min(col("doc_id")).as("first_id"))
+    val flagged = d.join(firstOf, Seq("m"))
+      .withColumn("dup", (col("doc_id") > col("first_id")).cast("long"))
+    val per = flagged.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dup"))
+    // bounded frame: |batches| rows — the global window is safe here
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_dup", sum(col("n_dup")).over(w))
+      .select(col("batch"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("cum_dup").cast("double") / col("cum_docs").cast("double"), 6)
+          .as("cum_dup_rate"))
+      .orderBy(col("batch"))
+  }
 }

@@ -5806,4 +5806,194 @@ object ExtensionOracles {
       |  c1 < c0 AS burst_now
       |FROM dp
       |ORDER BY event_type, day""".stripMargin
+
+  /** Mirrors q211 (`ops.Dedup.q211DedupGrowth`): md5 fingerprint →
+    * first-occurrence doc_id, seen-before = later copy, per-batch and
+    * cumulative rates (the cumulative window runs over the ≤|batches|
+    * frame). */
+  val q211DedupGrowth: String =
+    """WITH d AS (SELECT doc_id, doc_id // 50 AS batch, md5(text) AS m
+      |  FROM documents),
+      |f AS (SELECT m, MIN(doc_id) AS first_id FROM d GROUP BY m),
+      |fl AS (SELECT d.batch,
+      |    CASE WHEN d.doc_id > f.first_id THEN 1 ELSE 0 END AS dup
+      |  FROM d JOIN f USING (m)),
+      |per AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dup) AS BIGINT) AS n_dup
+      |  FROM fl GROUP BY batch),
+      |c AS (SELECT batch, n_docs, n_dup,
+      |    CAST(SUM(n_docs) OVER (ORDER BY batch) AS BIGINT) AS cd,
+      |    CAST(SUM(n_dup) OVER (ORDER BY batch) AS BIGINT) AS cdup
+      |  FROM per)
+      |SELECT batch, n_docs, n_dup,
+      |  round(CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+      |  round(CAST(cdup AS DOUBLE) / CAST(cd AS DOUBLE), 6) AS cum_dup_rate
+      |FROM c ORDER BY batch""".stripMargin
+
+  /** Mirrors q214 (`ops.RobustStats.q214RobustMeans`): exact order
+    * statistics from the aggregated (source, token-count) histogram —
+    * per-value retained-copy overlap arithmetic for the trimmed sum,
+    * rank-(k+1)/(n−k) clamps for the winsorized one. */
+  val q214RobustMeans: String =
+    """WITH h AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |g AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+      |      AS DECIMAL(38,0)) AS sv
+      |  FROM g GROUP BY 1),
+      |cu AS (SELECT g.source, g.v, g.c, t.n,
+      |    CAST(SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.v) AS BIGINT) AS cum,
+      |    (t.n * 1) // 10 AS k
+      |  FROM g JOIN t USING (source)),
+      |cl AS (SELECT source, MIN(CASE WHEN cum >= k + 1 THEN v END) AS v_lo,
+      |    MIN(CASE WHEN cum >= n - k THEN v END) AS v_hi
+      |  FROM cu GROUP BY source),
+      |r AS (SELECT source, CAST(SUM(
+      |    CAST(GREATEST(LEAST(cum, n - k) - GREATEST(cum - c + 1, k + 1) + 1, 0)
+      |      AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sr,
+      |    MIN(k) AS k
+      |  FROM cu GROUP BY source)
+      |SELECT t.source, t.n AS n_docs,
+      |  round(CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS mean,
+      |  round(CAST(r.sr AS DOUBLE) / CAST(t.n - 2 * r.k AS DOUBLE), 6)
+      |    AS trimmed_mean,
+      |  round((CAST(r.sr AS DOUBLE) + CAST(r.k AS DOUBLE) * CAST(cl.v_lo AS DOUBLE)
+      |      + CAST(r.k AS DOUBLE) * CAST(cl.v_hi AS DOUBLE))
+      |    / CAST(t.n AS DOUBLE), 6) AS winsorized_mean
+      |FROM t JOIN cl USING (source) JOIN r USING (source)
+      |ORDER BY t.source""".stripMargin
+
+  /** Mirrors q215 (`ops.ChangePoint.q215MannKendall`): the pair-sign
+    * sum over the zero-filled day grid, tie-corrected variance from
+    * value multiplicities, continuity-corrected z. */
+  val q215MannKendall: String =
+    """WITH ev AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |types AS (SELECT DISTINCT event_type FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |s AS (SELECT a.event_type, CAST(SUM(CASE WHEN b.x > a.x THEN 1
+      |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM grid a JOIN grid b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM grid GROUP BY 1),
+      |ti AS (SELECT event_type, CAST(SUM(CAST(t AS DECIMAL(12,0)) *
+      |      CAST(t - 1 AS DECIMAL(12,0)) * CAST(2 * t + 5 AS DECIMAL(13,0)))
+      |      AS DECIMAL(38,0)) AS tie_term
+      |  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM grid GROUP BY 1, 2) GROUP BY 1),
+      |f AS (SELECT n.event_type, n.n, s.s_stat,
+      |    CAST(CAST(n.n AS DECIMAL(12,0)) * CAST(n.n - 1 AS DECIMAL(12,0)) *
+      |      CAST(2 * n.n + 5 AS DECIMAL(13,0)) AS DECIMAL(38,0))
+      |      - ti.tie_term AS var_num
+      |  FROM n JOIN s USING (event_type) JOIN ti USING (event_type)),
+      |f2 AS (SELECT *, round(CAST(var_num AS DOUBLE) / 18.0, 12) AS var_s FROM f)
+      |SELECT event_type, n AS n_days, s_stat,
+      |  round(var_s, 6) AS var_s,
+      |  CASE WHEN var_s <= 0.0 THEN NULL ELSE round(
+      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          ELSE 0.0 END) / sqrt(var_s), 6) END AS z,
+      |  CASE WHEN (CASE WHEN var_s <= 0.0 THEN NULL ELSE round(
+      |      (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |            ELSE 0.0 END) / sqrt(var_s), 6) END) > 1.96 THEN 'up'
+      |    WHEN (CASE WHEN var_s <= 0.0 THEN NULL ELSE round(
+      |      (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |            ELSE 0.0 END) / sqrt(var_s), 6) END) < -1.96 THEN 'down'
+      |    ELSE 'none' END AS trend
+      |FROM f2
+      |ORDER BY event_type""".stripMargin
+
+  /** Mirrors q212 (`ops.PowerIteration.q212LeadingPc`): all 10 power
+    * iterations unrolled — per-vector dot, per-dim accumulation, mean
+    * correction, normalization — every sum a decimal sum of rounded-12
+    * terms and every derived scalar rounded 12 before reuse, exactly
+    * the engine's driver-loop arithmetic. The eigenvector lives as a
+    * 64-row (d, v) CTE instead of the engine's literal array — same
+    * numbers. */
+  val q212LeadingPc: String = {
+    val iterations = (1 to 10).map { t =>
+      s"""si$t AS MATERIALIZED (SELECT x.vec_id,
+         |    CAST(SUM(CAST(round(CAST(x.embedding[x.i] AS DOUBLE) * vv.v, 12)
+         |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS si
+         |  FROM x JOIN v${t - 1} vv ON vv.d = x.i GROUP BY x.vec_id),
+         |z$t AS MATERIALIZED (SELECT CAST(x.i AS BIGINT) AS d,
+         |    CAST(SUM(CAST(round(CAST(x.embedding[x.i] AS DOUBLE) *
+         |      CAST(s.si AS DOUBLE), 12) AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS z
+         |  FROM x JOIN si$t s USING (vec_id) GROUP BY x.i),
+         |mv$t AS MATERIALIZED (SELECT CAST(SUM(CAST(round(m.mean * vv.v, 12)
+         |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS mv
+         |  FROM mdim m JOIN v${t - 1} vv USING (d)),
+         |raw$t AS MATERIALIZED (SELECT z.d,
+         |    round(round(CAST(z.z AS DOUBLE) / tot.n, 12)
+         |      - round(m.mean * CAST(mv.mv AS DOUBLE), 12), 12) AS raw
+         |  FROM z$t z JOIN mdim m USING (d) CROSS JOIN mv$t mv CROSS JOIN tot),
+         |nr$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(raw * raw, 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM raw$t),
+         |v$t AS MATERIALIZED (SELECT d, round(raw / nr.nrm, 12) AS v
+         |  FROM raw$t CROSS JOIN nr$t nr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |x AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM e),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(MAX(len(embedding)) AS BIGINT) AS dims FROM e),
+       |mdim AS (SELECT CAST(x.i AS BIGINT) AS d,
+       |    round(CAST(SUM(CAST(round(CAST(x.embedding[x.i] AS DOUBLE), 12)
+       |      AS DECIMAL(28,12))) AS DOUBLE) / ANY_VALUE(tot.n), 12) AS mean,
+       |    CAST(SUM(CAST(round(CAST(x.embedding[x.i] AS DOUBLE) *
+       |      CAST(x.embedding[x.i] AS DOUBLE), 12) AS DECIMAL(28,12)))
+       |      AS DECIMAL(28,12)) AS sxx
+       |  FROM x CROSS JOIN tot GROUP BY x.i),
+       |vard AS (SELECT d,
+       |    round(round(CAST(sxx AS DOUBLE) / tot.n, 12)
+       |      - round(mean * mean, 12), 12) AS var_d
+       |  FROM mdim CROSS JOIN tot),
+       |tr AS (SELECT CAST(SUM(CAST(round(var_d, 12) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS trace FROM vard),
+       |v0 AS (SELECT CAST(unnest(generate_series(1, dims)) AS BIGINT) AS d,
+       |    round(1.0 / sqrt(CAST(dims AS DOUBLE)), 12) AS v FROM tot),
+       |$iterations,
+       |lam AS (SELECT round(nrm, 12) AS lambda FROM nr10)
+       |SELECT v.d AS dim, round(m.mean, 6) AS mean, round(v.v, 6) AS loading,
+       |  round(lam.lambda, 6) AS eigenvalue,
+       |  round(round(lam.lambda / tr.trace, 12), 6) AS explained_frac
+       |FROM v10 v JOIN mdim m USING (d) CROSS JOIN lam CROSS JOIN tr
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** Mirrors q213 (`ops.Estimation.q213HtEstimate`): the md5-mod
+    * stratified design replayed (small strata whole, big 1-in-4), HT
+    * totals as exact integer Σ y·rate, relative error round 6. */
+  val q213HtEstimate: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+      |  FROM documents),
+      |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true,
+      |    CAST(SUM(y) AS BIGINT) AS tokens_true
+      |  FROM d GROUP BY 1),
+      |wr AS (SELECT d.doc_id, d.source, d.y, t.n_true, t.tokens_true,
+      |    CASE WHEN t.n_true <= 20 THEN 1 ELSE 4 END AS rate
+      |  FROM d JOIN t USING (source)),
+      |sm AS (SELECT * FROM wr
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+      |    % rate = 0)
+      |SELECT source, MAX(n_true) AS n_true, MAX(tokens_true) AS tokens_true,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+      |  CAST(MAX(rate) AS BIGINT) AS rate,
+      |  CAST(COUNT(*) * MAX(rate) AS BIGINT) AS ht_docs,
+      |  CAST(SUM(y * rate) AS BIGINT) AS ht_tokens,
+      |  round(CAST(abs(SUM(y * rate) - MAX(tokens_true)) AS DOUBLE)
+      |    / CAST(MAX(tokens_true) AS DOUBLE), 6) AS rel_err_tokens
+      |FROM sm GROUP BY source ORDER BY source""".stripMargin
 }
