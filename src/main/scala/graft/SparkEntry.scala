@@ -401,6 +401,14 @@ object SparkEntry {
       graft.ops.PowerIteration.q212LeadingPc(s, dir)),
     "q213_ht_estimate" -> ((s: SparkSession, dir: String) =>
       graft.ops.Estimation.q213HtEstimate(s, dir)),
+    "q216_table_profile" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Profile.q216TableProfile(s, dir)),
+    "q217_vocab_richness" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Vocabulary.q217VocabRichness(s, dir)),
+    "q218_labeler_kappa" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Agreement.q218LabelerKappa(s, dir)),
+    "q219_theil_sen" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ChangePoint.q219TheilSen(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -936,5 +944,9 @@ object SparkEntry {
     "q215_mann_kendall" -> ExtensionOracles.q215MannKendall,
     "q212_leading_pc" -> ExtensionOracles.q212LeadingPc,
     "q213_ht_estimate" -> ExtensionOracles.q213HtEstimate,
+    "q216_table_profile" -> ExtensionOracles.q216TableProfile,
+    "q217_vocab_richness" -> ExtensionOracles.q217VocabRichness,
+    "q218_labeler_kappa" -> ExtensionOracles.q218LabelerKappa,
+    "q219_theil_sen" -> ExtensionOracles.q219TheilSen,
   )
 }

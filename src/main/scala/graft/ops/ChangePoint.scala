@@ -221,4 +221,49 @@ object ChangePoint {
           .otherwise(lit("none")).as("trend"))
       .orderBy(col("event_type"))
   }
+
+  /** q219: THEIL–SEN SLOPE (Theil '50, Sen '68) per event type — the
+    * robust trend MAGNITUDE completing q215's Mann–Kendall
+    * significance: the median of all pairwise slopes
+    * (x_j − x_i)/(day_j − day_i), immune to the outlier days that
+    * drag a least-squares fit. Slopes are rounded 12 and AGGREGATED
+    * BY VALUE; the median is the house exact-order-statistic cut
+    * (cumulative window over the distinct-slope frame, lower median
+    * at rank (n+1) DIV 2) — never a row sort. Pair volume is
+    * ≤ |days|² per type over the AGGREGATED day grid, bounded by the
+    * calendar. */
+  def q219TheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenDaily(Tables.events(s, dir))
+
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = counts.select(col("day")).distinct()
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // both sides of the pair join
+    val slopes = grid.as("a").join(grid.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        round((col("b.x") - col("a.x")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double"), 12).as("sl"))
+      .groupBy(col("event_type"), col("sl")).agg(count(lit(1)).as("c"))
+    val totals = slopes.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("sl"))
+    slopes.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"), col("np"))
+      .agg(min(when(col("cum") >= expr("(np + 1) DIV 2"), col("sl")))
+        .as("med"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        round(col("med"), 6).as("median_slope"))
+      .orderBy(col("event_type"))
+  }
 }

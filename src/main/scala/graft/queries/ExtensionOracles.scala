@@ -5996,4 +5996,118 @@ object ExtensionOracles {
       |  round(CAST(abs(SUM(y * rate) - MAX(tokens_true)) AS DOUBLE)
       |    / CAST(MAX(tokens_true) AS DOUBLE), 6) AS rel_err_tokens
       |FROM sm GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirrors q216 (`ops.Profile.q216TableProfile`): melt the six
+    * exact-typed lineitem columns to (col_name, value-string) rows,
+    * aggregate once, derive counts/distincts/mode (ties to the smaller
+    * string) from the grid. */
+  val q216TableProfile: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus")
+    val melt = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS ($melt),
+       |grid AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM m GROUP BY 1, 2)
+       |SELECT col_name,
+       |  CAST(SUM(c) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT)
+       |    AS n_null,
+       |  CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_distinct,
+       |  MIN(CASE WHEN v IS NOT NULL THEN {'negc': -c, 'tv': v} END)['tv']
+       |    AS top_value,
+       |  -MIN(CASE WHEN v IS NOT NULL THEN {'negc': -c, 'tv': v} END)['negc']
+       |    AS top_count
+       |FROM grid GROUP BY col_name
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** Mirrors q217 (`ops.Vocabulary.q217VocabRichness`): term counts →
+    * frequency-of-frequencies → Good–Turing P₀ and Chao1, N₂ = 0 →
+    * NULL. */
+  val q217VocabRichness: String =
+    """WITH tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM (SELECT source,
+      |      unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      |    FROM documents) GROUP BY 1, 2),
+      |fof AS (SELECT source, r, CAST(COUNT(*) AS BIGINT) AS nr
+      |  FROM tf GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(nr) AS BIGINT) AS v_observed,
+      |  CAST(CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0)))
+      |    AS DECIMAL(38,0)) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS BIGINT) AS n_hapax,
+      |  CAST(COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0) AS BIGINT) AS n_dis,
+      |  round(CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS DOUBLE)
+      |    / CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0)))
+      |        AS DOUBLE), 6) AS p0_unseen,
+      |  CASE WHEN COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0) > 0 THEN
+      |    round(CAST(SUM(nr) AS DOUBLE)
+      |      + CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS DOUBLE)
+      |        * CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS DOUBLE)
+      |        / (2.0 * CAST(COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0)
+      |            AS DOUBLE)), 6)
+      |  END AS chao1
+      |FROM fof GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Mirrors q218 (`ops.Agreement.q218LabelerKappa`): the two verdict
+    * trees (token count ≥ 30; nChr/max(nTok,1) ≤ 6), the per-source
+    * 2×2 grid, κ with decimal-widened marginal products and the
+    * pe = 1 NULL guard. */
+  val q218LabelerKappa: String =
+    """WITH v AS (SELECT source,
+      |    CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) >= 30
+      |      THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |        / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE),
+      |          1.0) <= 6.0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1,
+      |    CAST(SUM(a * b) AS BIGINT) AS n11
+      |  FROM v GROUP BY 1),
+      |k AS (SELECT source, n, a1, b1, n11,
+      |    round(CAST(n11 * 2 + n - a1 - b1 AS DOUBLE) / CAST(n AS DOUBLE), 12)
+      |      AS po,
+      |    round(CAST(CAST(a1 AS DECIMAL(19,0)) * CAST(b1 AS DECIMAL(19,0))
+      |        + CAST(n - a1 AS DECIMAL(19,0)) * CAST(n - b1 AS DECIMAL(19,0))
+      |        AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS pe
+      |  FROM g)
+      |SELECT source, n AS n_docs, round(po, 6) AS p_o, round(pe, 6) AS p_e,
+      |  CASE WHEN pe <> 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+      |FROM k ORDER BY source""".stripMargin
+
+  /** Mirrors q219 (`ops.ChangePoint.q219TheilSen`): pairwise slopes
+    * rounded 12, aggregated by value, lower median at rank
+    * (n+1) DIV 2 from the cumulative distinct-slope frame. */
+  val q219TheilSen: String =
+    """WITH ev AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |types AS (SELECT DISTINCT event_type FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |sl AS (SELECT a.event_type,
+      |    round(CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE), 12)
+      |      AS sl, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM grid a JOIN grid b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1, 2),
+      |cu AS (SELECT event_type, sl, c,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY sl) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS np
+      |  FROM sl)
+      |SELECT event_type, MIN(np) AS n_pairs,
+      |  round(MIN(CASE WHEN cum >= (np + 1) // 2 THEN sl END), 6)
+      |    AS median_slope
+      |FROM cu GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
