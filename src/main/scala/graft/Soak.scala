@@ -303,6 +303,9 @@ object Soak {
       // linear; the heap keeps driver/state bounded at 8 × k
       timed("trunc_recall")(graft.ops.KnnGraph
         .q179TruncationRecallOver(emb)),
+      // leading PC: 10 cached-aggregate corpus passes (the GD family) —
+      // cost must track passes × scan, nothing quadratic anywhere
+      timed("leading_pc")(graft.ops.PowerIteration.leadingPc(emb)),
       // statistical drift family: one (source × value/vocab) count
       // aggregate each, everything after runs on aggregated grids —
       // cost must track the tokenize/count scan

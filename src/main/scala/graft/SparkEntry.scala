@@ -409,6 +409,10 @@ object SparkEntry {
       graft.ops.Agreement.q218LabelerKappa(s, dir)),
     "q219_theil_sen" -> ((s: SparkSession, dir: String) =>
       graft.ops.ChangePoint.q219TheilSen(s, dir)),
+    "q220_stationary_dist" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q220StationaryDist(s, dir)),
+    "q221_simpson_audit" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Correlation.q221SimpsonAudit(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -948,5 +952,7 @@ object SparkEntry {
     "q217_vocab_richness" -> ExtensionOracles.q217VocabRichness,
     "q218_labeler_kappa" -> ExtensionOracles.q218LabelerKappa,
     "q219_theil_sen" -> ExtensionOracles.q219TheilSen,
+    "q220_stationary_dist" -> ExtensionOracles.q220StationaryDist,
+    "q221_simpson_audit" -> ExtensionOracles.q221SimpsonAudit,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -137,6 +137,63 @@ object Correlation {
           (col("cc").cast("double") - col("dd").cast("double")) /
             sqrt((n0 - col("n1").cast("double")) *
               (n0 - col("n2").cast("double")))), 6).as("tau_b"))
+      .orderBy(col("source"))
+  }
+
+  /** q221: SIMPSON'S-PARADOX AUDIT — does the per-source association
+    * between document length (x = token count) and token shape
+    * (y = average token length) point the same way as the pooled
+    * corpus association? Aggregation reverses correlation signs when
+    * strata differ in both baseline and mix (Simpson 1951) — the audit
+    * a mixing/quality decision reads before acting on a POOLED
+    * correlation (q201/q204 report per-source for the same reason;
+    * this is the cross-check that pooling them would be safe).
+    *
+    * The statistic per group is the covariance numerator
+    * D = n·Σxy − Σx·Σy (its SIGN is the association direction — no
+    * variance normalization needed for a sign test). Determinism: Σxy
+    * and Σy are decimal sums of rounded-12 terms, Σx exact; D is two
+    * IEEE products and one subtract on the aggregate scalars, rounded
+    * 12 before the sign (both engines compare the identical double).
+    *
+    * Shape at 100 TB: ONE map-combined per-source moment aggregate
+    * (4 scalars per source), a 1-row pooled reduction of THAT frame,
+    * one broadcast join (PlanAudit's BNLJ|SinglePartition flags = the
+    * standing 1-row scalar-attach idiom). */
+  def q221SimpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nChr = TextAnalysis.charCountNoWs(col("text"))
+    simpsonOf(Par.widen(graft.Tables.documents(s, dir))
+      .select(col("source"), nTok.as("x"),
+        (nChr.cast("double") /
+          greatest(nTok.cast("double"), lit(1.0))).as("y")))
+  }
+
+  /** The sign-audit core over any (source, x: long, y: double) frame. */
+  private[ops] def simpsonOf(xy: DataFrame): DataFrame = {
+    val terms = xy
+      .select(col("source"), col("x"),
+        round(col("y"), 12).cast("decimal(28,12)").as("y12"),
+        round(col("x").cast("double") * col("y"), 12)
+          .cast("decimal(28,12)").as("xy12"))
+    val per = terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y12")).as("sy"), sum(col("xy12")).as("sxy"))
+      .localCheckpoint() // pooled reduction + the output both read it
+    def dSign(n: Column, sx: Column, sy: Column, sxy: Column): Column =
+      signum(round(n.cast("double") * sxy.cast("double") -
+        sx.cast("double") * sy.cast("double"), 12)).cast("long")
+    val pooled = per.agg(sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+        sum(col("sy")).as("psy"), sum(col("sxy")).as("psxy"))
+      .select(dSign(col("pn"), col("psx"), col("psy"), col("psxy"))
+        .as("pooled_sign"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("source"), col("n").as("n_docs"),
+        dSign(col("n"), col("sx"), col("sy"), col("sxy")).as("cov_sign"),
+        col("pooled_sign"))
+      .withColumn("simpson_flip",
+        col("cov_sign") =!= lit(0L) && col("pooled_sign") =!= lit(0L) &&
+          col("cov_sign") =!= col("pooled_sign"))
       .orderBy(col("source"))
   }
 }

@@ -220,6 +220,70 @@ object TimeSeries {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** q220: STATIONARY DISTRIBUTION of the q115 transition chain with
+    * 0.85 damping (the PageRank regularization — guarantees a unique
+    * steady state even on a reducible empirical chain; dangling rows
+    * spread uniformly). The long-run occupancy the transition MATRIX
+    * only implies: `lift` > 1 flags event types the session dynamics
+    * concentrate into beyond their raw frequency — q115 gives the
+    * edges, q200 the absorbing endpoints, this the steady state of
+    * the live chain.
+    *
+    * Shape: the corpus-scale work is q115's hot-key-safe adjacent-
+    * pairs aggregate; the chain itself is the bounded |types|² grid,
+    * iterated 20× driver-side (the IPF/burst bounded-collect rule).
+    * Determinism: P entries are round12(c/rowsum) (dangling =
+    * round12(1/S)); each update t_j = Σ decimal(round12(π_i·p_ij)),
+    * π'_j = round12(0.15/S + 0.85·t_j) — the oracle unrolls all 20
+    * iterations as MATERIALIZED CTEs. */
+  def q220StationaryDist(s: SparkSession, dir: String,
+                         iters: Int = 20): DataFrame =
+    stationaryDist(Tables.events(s, dir), iters)
+
+  /** The chain core over any (user_id, ts, event_id, event_type)
+    * frame. */
+  def stationaryDist(events: DataFrame, iters: Int = 20): DataFrame = {
+    val s = events.sparkSession
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val pairs = SkewWindows.adjacentPairs(
+      ev, "user_id", "ts", "event_id", "event_type")
+    val counts = pairs.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val emp = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val states = emp.keys.toSeq.sorted
+    val sN = states.length
+    val rowSum = states.map(i =>
+      i -> states.map(j => counts.getOrElse((i, j), 0L)).sum).toMap
+    val p = states.map(i => states.map(j =>
+      if (rowSum(i) > 0) r12(counts.getOrElse((i, j), 0L).toDouble / rowSum(i))
+      else r12(1.0 / sN)).toArray).toArray
+    var pi = Array.fill(sN)(r12(1.0 / sN))
+    (1 to iters).foreach { _ =>
+      pi = Array.tabulate(sN) { j =>
+        val t = (0 until sN)
+          .map(i => BigDecimal(r12(pi(i) * p(i)(j))).setScale(12))
+          .sum.toDouble
+        r12(0.15 / sN + 0.85 * t)
+      }
+    }
+    val nTotal = emp.values.sum.toDouble
+    import s.implicits._
+    states.zipWithIndex.map { case (tpe, i) =>
+      val pEmp = r12(emp(tpe) / nTotal)
+      (tpe, emp(tpe),
+        BigDecimal(pEmp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(pi(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r12(pi(i) / pEmp)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("event_type", "n_events", "p_empirical", "p_stationary", "lift")
+      .orderBy(col("event_type"))
+  }
+
   /** q130: frequent session journey paths — the ordered event-type
     * sequence of each session (30-min gap rule, the q14 sessionization),
     * capped at the first 12 events, counted across sessions. The

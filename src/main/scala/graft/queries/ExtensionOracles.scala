@@ -6110,4 +6110,87 @@ object ExtensionOracles {
       |    AS median_slope
       |FROM cu GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Mirrors q220 (`ops.TimeSeries.q220StationaryDist`): the q115
+    * transition counts, the damped S×S matrix (dangling rows uniform),
+    * and all 20 power-iteration updates unrolled as MATERIALIZED CTEs
+    * — decimal sums of rounded-12 π·p terms, update rounded 12. */
+  val q220StationaryDist: String = {
+    val iterations = (1 to 20).map { t =>
+      s"""ti$t AS MATERIALIZED (SELECT pm.j AS state,
+         |    CAST(SUM(CAST(round(pi.pi * pm.p, 12) AS DECIMAL(28,12)))
+         |      AS DECIMAL(28,12)) AS t
+         |  FROM pm JOIN pi${t - 1} pi ON pi.state = pm.i GROUP BY pm.j),
+         |pi$t AS MATERIALIZED (SELECT state,
+         |    round(0.15 / CAST(tot.s AS DOUBLE) + 0.85 * CAST(t AS DOUBLE), 12)
+         |      AS pi
+         |  FROM ti$t CROSS JOIN tot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS nxt
+       |  FROM events),
+       |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+       |      FROM o WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |emp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT event_type AS state FROM emp),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS s,
+       |    CAST(SUM(n) AS DOUBLE) AS n_total FROM emp),
+       |rs AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS rowsum FROM c GROUP BY cur),
+       |pm AS (SELECT a.state AS i, b.state AS j,
+       |    CASE WHEN COALESCE(rs.rowsum, 0) > 0
+       |      THEN round(CAST(COALESCE(c.n, 0) AS DOUBLE)
+       |        / CAST(rs.rowsum AS DOUBLE), 12)
+       |      ELSE round(1.0 / CAST(tot.s AS DOUBLE), 12) END AS p
+       |  FROM st a CROSS JOIN st b CROSS JOIN tot
+       |  LEFT JOIN rs ON rs.cur = a.state
+       |  LEFT JOIN c ON c.cur = a.state AND c.nxt = b.state),
+       |pi0 AS (SELECT state, round(1.0 / CAST(tot.s AS DOUBLE), 12) AS pi
+       |  FROM st CROSS JOIN tot),
+       |$iterations
+       |SELECT emp.event_type, emp.n AS n_events,
+       |  round(round(CAST(emp.n AS DOUBLE) / tot.n_total, 12), 6) AS p_empirical,
+       |  round(pi.pi, 6) AS p_stationary,
+       |  round(round(pi.pi / round(CAST(emp.n AS DOUBLE) / tot.n_total, 12), 12),
+       |    6) AS lift
+       |FROM emp JOIN pi20 pi ON pi.state = emp.event_type CROSS JOIN tot
+       |ORDER BY emp.event_type""".stripMargin
+  }
+
+  /** Mirrors q221 (`ops.Correlation.q221SimpsonAudit`): per-source and
+    * pooled covariance-numerator signs from decimal sums of rounded-12
+    * terms, D rounded 12 before the sign. */
+  val q221SimpsonAudit: String =
+    """WITH d AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS x,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |      / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE),
+      |        1.0) AS y
+      |  FROM documents),
+      |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(round(y, 12) AS DECIMAL(28,12))) AS DECIMAL(28,12))
+      |      AS sy,
+      |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * y, 12) AS DECIMAL(28,12)))
+      |      AS DECIMAL(28,12)) AS sxy
+      |  FROM d GROUP BY 1),
+      |pool AS (SELECT CAST(sign(round(
+      |    CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxy) AS DOUBLE)
+      |      - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sy) AS DOUBLE), 12))
+      |    AS BIGINT) AS pooled_sign FROM per)
+      |SELECT per.source, per.n AS n_docs,
+      |  CAST(sign(round(CAST(per.n AS DOUBLE) * CAST(per.sxy AS DOUBLE)
+      |    - CAST(per.sx AS DOUBLE) * CAST(per.sy AS DOUBLE), 12)) AS BIGINT)
+      |    AS cov_sign,
+      |  pool.pooled_sign,
+      |  CAST(sign(round(CAST(per.n AS DOUBLE) * CAST(per.sxy AS DOUBLE)
+      |    - CAST(per.sx AS DOUBLE) * CAST(per.sy AS DOUBLE), 12)) AS BIGINT)
+      |    <> 0
+      |  AND pool.pooled_sign <> 0
+      |  AND CAST(sign(round(CAST(per.n AS DOUBLE) * CAST(per.sxy AS DOUBLE)
+      |    - CAST(per.sx AS DOUBLE) * CAST(per.sy AS DOUBLE), 12)) AS BIGINT)
+      |    <> pool.pooled_sign AS simpson_flip
+      |FROM per CROSS JOIN pool
+      |ORDER BY per.source""".stripMargin
 }
