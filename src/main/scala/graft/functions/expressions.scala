@@ -172,6 +172,48 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Exact-decimal dot product of two numeric arrays as one codegen'd
+  * kernel call per row (DecimalOps scaladoc has the bit contract vs
+  * the aggregate/zip_with HOF chain it replaces). The scale is a
+  * plan-time constant; each side may be array<float> or array<double>
+  * — the getters are baked into the generated call. */
+case class DecDot(left: Expression, right: Expression, scale: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DecimalType(28, scale)
+  override def checkInputDataTypes() = {
+    if (elemOk(left) && elemOk(right) && scale >= 0 && scale <= 18)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dec_dot requires ARRAY<FLOAT|DOUBLE> inputs and 0 <= scale <= 18; " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}, scale=$scale")
+  }
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalOps.decDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      scale, elemIsDouble(left), elemIsDouble(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xd = elemIsDouble(left)
+    val yd = elemIsDouble(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""${ev.value} = graft.functions.DecimalOps.decDot($a, $b, $scale, $xd, $yd);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DecDot = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dec_dot"
+}
+
 /** Per-offset rolling hashes of every length-L character window of a
   * string as one codegen'd kernel call per row (TextWindowOps scaladoc
   * has the semantics and the suffix-array comparison). L is a
@@ -236,6 +278,18 @@ object exprs {
     column(WinnowFingerprints(expression(c), k, w))
   def substr_window_hashes(c: Column, win: Int): Column =
     column(SubstrWindowHashes(expression(c), win))
+  def dec_dot(a: Column, b: Column, scale: Int): Column =
+    // GRAFT_BENCH_HOF_DECDOT=1 swaps back the aggregate/zip_with HOF
+    // chain — the kernel-vs-HOF pricing knob (same contract as
+    // GRAFT_BENCH_HOF_NGRAMS; bit parity spec-asserted in Wave29Spec)
+    if (sys.env.contains("GRAFT_BENCH_HOF_DECDOT")) {
+      import org.apache.spark.sql.functions.{aggregate, zip_with}
+      aggregate(
+        zip_with(a, b, (p, q) =>
+          (p.cast("double") * q.cast("double")).cast(s"decimal(28,$scale)")),
+        lit(java.math.BigDecimal.ZERO).cast(s"decimal(28,$scale)"),
+        (acc, e) => (acc + e).cast(s"decimal(28,$scale)"))
+    } else column(DecDot(expression(a), expression(b), scale))
   def word_ngrams(c: Column, n: Int, distinct: Boolean = false): Column =
     // GRAFT_BENCH_HOF_NGRAMS=1 swaps in the HOF formulation the kernel
     // replaced — a plan-construction-time switch (zero runtime cost when

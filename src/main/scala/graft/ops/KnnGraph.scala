@@ -44,11 +44,11 @@ import graft.functions.exprs
   */
 object KnnGraph {
 
+  // the codegen'd exact-decimal kernel (functions.DecDot) — replaces
+  // the aggregate/zip_with HOF chain (CodegenFallback, a Decimal box
+  // per element); bit parity asserted in Wave29Spec
   private def decDot(x: Column, y: Column): Column =
-    aggregate(
-      zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(28,18)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
-      (acc, e) => (acc + e).cast("decimal(28,18)"))
+    graft.functions.exprs.dec_dot(x, y, 18)
 
   /** Directed exact top-k edges (src, rank, dst, cos) for EVERY vector:
     * float pass + bounded heap + decimal rescore of survivors, guarded

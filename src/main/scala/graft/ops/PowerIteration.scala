@@ -61,12 +61,10 @@ object PowerIteration {
     var lambda = 0.0
     (1 to iters).foreach { _ =>
       val vLit = typedlit(v.toSeq)
-      // s_i = Σ_d round12(x_d · v_d), exact decimal (order-free)
-      val si = aggregate(
-        zip_with(col("embedding"), vLit,
-          (x, vd) => round(x.cast("double") * vd, 12).cast("decimal(28,12)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
-        (acc, e) => (acc + e).cast("decimal(28,12)"))
+      // s_i = Σ_d round12(x_d · v_d), exact decimal (order-free) — the
+      // codegen'd kernel; valueOf(p).setScale(12) ≡ the HOF chain's
+      // round(p,12)→cast(decimal(28,12)) round-trip (Wave29Spec)
+      val si = graft.functions.exprs.dec_dot(col("embedding"), vLit, 12)
       // z_d = Σ_i round12(x_d · s_i), exact decimal per dim
       val z = emb.withColumn("si", si.cast("double"))
         .select(posexplode(col("embedding")).as(Seq("d0", "x")), col("si"))

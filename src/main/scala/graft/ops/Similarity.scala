@@ -49,10 +49,9 @@ object Similarity {
     * Spark's add-widening never hits the 38 cap, which would silently
     * drop scale and diverge from DuckDB's exact SUM). */
   private def decDot(x: Column, y: Column): Column =
-    aggregate(
-      zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(28,18)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
-      (acc, e) => (acc + e).cast("decimal(28,18)"))
+    // the codegen'd kernel (functions.DecDot) — bit parity with the
+    // aggregate/zip_with HOF chain asserted in Wave29Spec
+    graft.functions.exprs.dec_dot(x, y, 18)
 
   /** Engine-portable cosine: decimal-exact dot and norms, one double
     * division at the end — the q28/q36 recipe as a reusable column.
@@ -225,10 +224,7 @@ object Similarity {
       // within ~3e-14 of zero: near-orthogonal vectors), so the oracle
       // still replays every bit exactly. CaseWhen evaluates branches
       // lazily, so rows on the fast path never touch a BigDecimal.
-      val decProj = aggregate(
-        zip_with(v, plane, (x, w) => (x.cast("double") * w).cast("decimal(28,18)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(28,18)"),
-        (acc, e) => (acc + e).cast("decimal(28,18)"))
+      val decProj = graft.functions.exprs.dec_dot(v, plane, 18)
       aggregate(
         zip_with(v, plane, (x, w) => x.cast("double") * w),
         struct(lit(0.0).as("s"), lit(0.0).as("a")),
