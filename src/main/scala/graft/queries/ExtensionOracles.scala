@@ -781,12 +781,12 @@ object ExtensionOracles {
     * greedy token budget (q49). Every stage's membership is the previous
     * stage's keepers; all stage decisions are integer/string-exact. */
   val q57PipelineDecision: String =
-    """WITH RECURSIVE sp AS (SELECT doc_id, text,
+    """WITH RECURSIVE sp AS MATERIALIZED (SELECT doc_id, text,
       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents),
-      |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+      |tr AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
       |tok1 AS (SELECT doc_id,
       |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
       |  FROM tr),
@@ -813,9 +813,9 @@ object ExtensionOracles {
       |           THEN 1.0 - CAST(a.n_dis AS DOUBLE) / CAST(a.n_tri AS DOUBLE)
       |           ELSE 0.0 END AS dup_frac
       |    FROM tr d LEFT JOIN agg1 a ON d.doc_id = a.doc_id) b),
-      |keep1 AS (SELECT tr.doc_id, tr.text FROM tr
+      |keep1 AS MATERIALIZED (SELECT tr.doc_id, tr.text FROM tr
       |          JOIN qual ON tr.doc_id = qual.doc_id WHERE qual.reason = 'keep'),
-      |k2 AS (SELECT doc_id, text,
+      |k2 AS MATERIALIZED (SELECT doc_id, text,
       |    md5(array_to_string(
       |      regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+')[1:8],
       |      ' ')) AS gk
@@ -823,7 +823,7 @@ object ExtensionOracles {
       |canon AS (SELECT gk, MIN(doc_id) AS can FROM k2 GROUP BY gk),
       |dropx AS (SELECT k2.doc_id FROM k2 JOIN canon ON k2.gk = canon.gk
       |          WHERE k2.doc_id <> canon.can),
-      |keep2 AS (SELECT k2.doc_id, k2.text FROM k2 JOIN canon ON k2.gk = canon.gk
+      |keep2 AS MATERIALIZED (SELECT k2.doc_id, k2.text FROM k2 JOIN canon ON k2.gk = canon.gk
       |          WHERE k2.doc_id = canon.can),
       |tok2 AS (SELECT doc_id,
       |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
@@ -832,7 +832,7 @@ object ExtensionOracles {
       |         FROM tok2 WHERE len(l) >= 3),
       |sh2 AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos2),
       |rare2 AS (SELECT g FROM sh2 GROUP BY g HAVING count(*) <= 50),
-      |shc2 AS (SELECT sh2.doc_id, sh2.g FROM sh2 JOIN rare2 ON sh2.g = rare2.g),
+      |shc2 AS MATERIALIZED (SELECT sh2.doc_id, sh2.g FROM sh2 JOIN rare2 ON sh2.g = rare2.g),
       |sz2 AS (SELECT doc_id, count(*) AS n FROM shc2 GROUP BY doc_id),
       |com2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
       |         FROM shc2 a JOIN shc2 b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -848,10 +848,10 @@ object ExtensionOracles {
       |  SELECT reach.v, edges.b AS r FROM reach JOIN edges ON reach.r = edges.a),
       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
       |dropn AS (SELECT doc_id FROM comp WHERE doc_id <> component),
-      |keep3 AS (SELECT keep2.doc_id, keep2.text FROM keep2
+      |keep3 AS MATERIALIZED (SELECT keep2.doc_id, keep2.text FROM keep2
       |          LEFT JOIN dropn ON keep2.doc_id = dropn.doc_id
       |          WHERE dropn.doc_id IS NULL),
-      |pop AS (SELECT doc_id, text FROM keep3
+      |pop AS MATERIALIZED (SELECT doc_id, text FROM keep3
       |        UNION ALL SELECT doc_id, text FROM sp WHERE split = 'test'),
       |tokp AS (SELECT doc_id,
       |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
@@ -860,7 +860,7 @@ object ExtensionOracles {
       |         FROM tokp WHERE len(l) >= 3),
       |shp AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM posp),
       |rarep AS (SELECT g FROM shp GROUP BY g HAVING count(*) <= 50),
-      |shcp AS (SELECT shp.doc_id, shp.g FROM shp JOIN rarep ON shp.g = rarep.g),
+      |shcp AS MATERIALIZED (SELECT shp.doc_id, shp.g FROM shp JOIN rarep ON shp.g = rarep.g),
       |ovl AS (SELECT trn.doc_id AS tr_doc, tst.doc_id AS t_doc, count(*) AS shared
       |        FROM (SELECT shcp.doc_id, g FROM shcp JOIN sp ON shcp.doc_id = sp.doc_id
       |              WHERE sp.split <> 'test') trn
@@ -868,7 +868,7 @@ object ExtensionOracles {
       |              WHERE sp.split = 'test') tst ON trn.g = tst.g
       |        GROUP BY 1, 2),
       |contam AS (SELECT DISTINCT tr_doc AS doc_id FROM ovl WHERE shared >= 5),
-      |keep4 AS (SELECT keep3.doc_id, keep3.text FROM keep3
+      |keep4 AS MATERIALIZED (SELECT keep3.doc_id, keep3.text FROM keep3
       |          LEFT JOIN contam ON keep3.doc_id = contam.doc_id
       |          WHERE contam.doc_id IS NULL),
       |""".stripMargin + prioCteOver("keep4", "pq") + """,
@@ -1680,7 +1680,7 @@ object ExtensionOracles {
     val gsum = (j: Int, x: String) =>
       s"SUM(CAST(round((p - y) * $x, 12) AS DECIMAL(28,12))) AS g$j"
     val iterCtes = (1 to 15).map { k =>
-      s"""it$k AS (SELECT
+      s"""it$k AS MATERIALIZED (SELECT
          |  round(w0 - 4.0 * (CAST(g0 AS DOUBLE) / n), 12) AS w0,
          |  round(w1 - 4.0 * (CAST(g1 AS DOUBLE) / n), 12) AS w1,
          |  round(w2 - 4.0 * (CAST(g2 AS DOUBLE) / n), 12) AS w2,
@@ -1712,7 +1712,7 @@ object ExtensionOracles {
        |       THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
        |       ELSE 0.0 END AS dupf
        |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
-       |feats AS (SELECT doc_id,
+       |feats AS MATERIALIZED (SELECT doc_id,
        |  CAST(nt AS DOUBLE) / 20.0 - 1.0 AS x1, atl / 10.0 AS x2,
        |  pr AS x3, dupf AS x4,
        |  CASE WHEN (CASE WHEN nt < 20 THEN 'too_short'
@@ -1722,12 +1722,12 @@ object ExtensionOracles {
        |        WHEN dupf > 0.2 THEN 'repetitive'
        |        ELSE 'keep' END) = 'keep' THEN 1.0 ELSE 0.0 END AS y
        |  FROM fb),$extraCtes
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $trainRel),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $trainRel),
        |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
        |        CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
        |        CAST(0.0 AS DOUBLE) AS w4),
        |$iterCtes,
-       |sc AS (SELECT f.doc_id, round(1.0/(1.0 + exp(-$zm)), 9) AS score, f.y
+       |sc AS MATERIALIZED (SELECT f.doc_id, round(1.0/(1.0 + exp(-$zm)), 9) AS score, f.y
        |  FROM feats f CROSS JOIN it15 m)""".stripMargin
   }
 
@@ -4079,35 +4079,35 @@ object ExtensionOracles {
       """e AS (SELECT vec_id, embedding FROM embeddings),
         |x AS (SELECT vec_id, embedding,
         |    unnest(generate_series(1, len(embedding))) AS i FROM e),
-        |q AS (SELECT vec_id, i,
+        |q AS MATERIALIZED (SELECT vec_id, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
         |  FROM x),
-        |n AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS nrm
+        |n AS MATERIALIZED (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS nrm
         |      FROM q GROUP BY vec_id),
-        |c1 AS (SELECT vec_id AS cid
+        |c1 AS MATERIALIZED (SELECT vec_id AS cid
         |  FROM (SELECT e.vec_id, COALESCE(n.nrm, 0) AS nrm
         |        FROM e LEFT JOIN n USING (vec_id))
         |  ORDER BY nrm DESC, vec_id LIMIT 1)""".stripMargin
     def cdist(k: Int) =
-      s"""cd$k AS (SELECT q.vec_id,
+      s"""cd$k AS MATERIALIZED (SELECT q.vec_id,
          |    CAST(SUM((q.qi - cq.qi) * (q.qi - cq.qi)) AS BIGINT) AS d
          |  FROM q JOIN (SELECT q2.i, q2.qi FROM q q2, c$k
          |               WHERE q2.vec_id = c$k.cid) cq ON q.i = cq.i
          |  GROUP BY q.vec_id)""".stripMargin
     val d1 =
-      """d1 AS (SELECT e.vec_id, COALESCE(cd1.d, 0) AS mind
+      """d1 AS MATERIALIZED (SELECT e.vec_id, COALESCE(cd1.d, 0) AS mind
         |       FROM e LEFT JOIN cd1 USING (vec_id))""".stripMargin
     val steps = (2 to m).map { k =>
       val chosen = (1 until k).map(j => s"SELECT cid FROM c$j")
         .mkString(" UNION ALL ")
       val pick =
-        s"""c$k AS (SELECT d${k - 1}.vec_id AS cid FROM d${k - 1}
+        s"""c$k AS MATERIALIZED (SELECT d${k - 1}.vec_id AS cid FROM d${k - 1}
            |  WHERE d${k - 1}.vec_id NOT IN ($chosen)
            |  ORDER BY d${k - 1}.mind DESC, d${k - 1}.vec_id LIMIT 1)""".stripMargin
       val dNext =
         if (k == m) ""
         else s""",
-           |d$k AS (SELECT d${k - 1}.vec_id,
+           |d$k AS MATERIALIZED (SELECT d${k - 1}.vec_id,
            |    least(d${k - 1}.mind, COALESCE(cd$k.d, 0)) AS mind
            |  FROM d${k - 1} LEFT JOIN cd$k USING (vec_id))""".stripMargin
       s"$pick,\n${cdist(k)}$dNext"
@@ -4530,7 +4530,7 @@ object ExtensionOracles {
   private def knnTopCtes(k: Int): String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM e),
-       |norms AS (SELECT vec_id,
+       |norms AS MATERIALIZED (SELECT vec_id,
        |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
        |      AS DECIMAL(28,18))) AS n2
        |  FROM x GROUP BY vec_id),
@@ -4553,7 +4553,7 @@ object ExtensionOracles {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS BIGINT) AS rank
        |  FROM scored WHERE NOT isnan(cos)),
-       |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
+       |top AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   /** Mirrors q177 (`ops.KnnGraph.q177MutualKnn`): exact decimal-cosine
     * top-5 per vector (the q28/q36 recipe), mutual pairs with both
@@ -5416,7 +5416,7 @@ object ExtensionOracles {
   val q202AucHoldout: String = {
     val trained = q68ScoredCtesOver("tfeats",
       """
-        |tfeats AS (SELECT * FROM feats
+        |tfeats AS MATERIALIZED (SELECT * FROM feats
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'),""".stripMargin)
     s"""$trained,
        |ev AS (SELECT d.source, sc.score, sc.y
