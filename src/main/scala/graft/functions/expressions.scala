@@ -172,6 +172,35 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Exact integer squared L2 distance over two ARRAY<BIGINT> columns as
+  * one codegen'd kernel call per row (VectorOps.sqDistLong has the
+  * null/padding contract vs the HOF chain it replaces — bit parity in
+  * Wave29Spec). The assignment hot path of the grid k-means family:
+  * one call per (vector, centroid) pair instead of an interpreted
+  * expression-tree fold. */
+case class IntSqDist(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_sqdist requires ARRAY<BIGINT> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sqDistLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sqDistLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntSqDist = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "int_sqdist"
+}
+
 /** Exact-decimal dot product of two numeric arrays as one codegen'd
   * kernel call per row (DecimalOps scaladoc has the bit contract vs
   * the aggregate/zip_with HOF chain it replaces). The scale is a
@@ -278,6 +307,15 @@ object exprs {
     column(WinnowFingerprints(expression(c), k, w))
   def substr_window_hashes(c: Column, win: Int): Column =
     column(SubstrWindowHashes(expression(c), win))
+  def int_sqdist(a: Column, b: Column): Column =
+    // GRAFT_BENCH_HOF_SQDIST=1 swaps back the HOF chain — the pricing
+    // knob (call sites add their own outer coalesce, as before)
+    if (sys.env.contains("GRAFT_BENCH_HOF_SQDIST")) {
+      import org.apache.spark.sql.functions.{aggregate, zip_with, coalesce}
+      aggregate(
+        zip_with(a, b, (p, q) => coalesce((p - q) * (p - q), lit(0L))),
+        lit(0L), (acc, e) => acc + e)
+    } else column(IntSqDist(expression(a), expression(b)))
   def dec_dot(a: Column, b: Column, scale: Int): Column =
     // GRAFT_BENCH_HOF_DECDOT=1 swaps back the aggregate/zip_with HOF
     // chain — the kernel-vs-HOF pricing knob (same contract as

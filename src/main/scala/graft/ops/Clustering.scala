@@ -94,10 +94,8 @@ object Clustering {
         // outer coalesce: a NULL embedding (not just empty) must land
         // in cluster 0 at distance 0 like the oracle's COALESCE path,
         // not propagate NULL distances into the argmin
-        coalesce(aggregate(
-          zip_with(qx, typedlit(qc.toSeq),
-            (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-          lit(0L), (acc, e) => acc + e), lit(0L)).as("d"),
+        coalesce(graft.functions.exprs.int_sqdist(qx, typedlit(qc.toSeq)),
+          lit(0L)).as("d"),
         lit(cid).as("cluster"))
     }
     emb
@@ -281,10 +279,8 @@ object Clustering {
     emb.select(col("vec_id"), snapped(col("embedding")).as("qx"))
       .crossJoin(broadcast(c))
       .select(col("vec_id"), col("cluster"),
-        coalesce(aggregate(
-          zip_with(col("qx"), col("qc"),
-            (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-          lit(0L), (acc, e) => acc + e), lit(0L)).as("d"))
+        coalesce(graft.functions.exprs.int_sqdist(col("qx"), col("qc")),
+          lit(0L)).as("d"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cluster"))).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),

@@ -45,10 +45,9 @@ object Coreset {
   /** Integer squared L2 from the snapped `qx` column to a fixed center
     * (padded positions contribute 0 — [[Clustering.assign]]'s rule). */
   private def distTo(c: Seq[Long]): Column =
-    coalesce(aggregate(
-      zip_with(col("qx"), typedlit(c),
-        (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-      lit(0L), (acc, e) => acc + e), lit(0L))
+    // codegen'd kernel (functions.IntSqDist) — bit parity with the HOF
+    // chain asserted in Wave29Spec
+    coalesce(graft.functions.exprs.int_sqdist(col("qx"), typedlit(c)), lit(0L))
 
   /** The greedy selection: m rounds of (argmax running-min-distance,
     * fold the new center into the running column). Returns the picks in

@@ -149,10 +149,8 @@ object VectorStore {
         .map { case (a, b) => (a - b) * (a - b) }.sum
       (d, cid)
     }.sorted.take(nprobe).map(_._2)
-    val dExpr = coalesce(aggregate(
-      zip_with(col("qx"), typedlit(queryQx),
-        (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-      lit(0L), (acc, e) => acc + e), lit(0L))
+    val dExpr = coalesce(
+      graft.functions.exprs.int_sqdist(col("qx"), typedlit(queryQx)), lit(0L))
     val tomb = s.read.parquet(s"$root/tombstones")
       .select(col("vec_id")).distinct()
     val top = s.read.parquet(s"$root/store")

@@ -49,6 +49,41 @@ class Wave29Spec extends SparkSpec {
     assert(both.count() > 0L)
   }
 
+  test("int_sqdist is bit-identical to the coalesced HOF chain incl. padding/null rules") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(1L, 5L, 1L)),   // 0+9+4 = 13
+      (2L, Seq(1L, 2L), Seq(1L, 2L, 9L)),       // padding → 0 beyond min
+      (3L, Seq[Long](), Seq(7L)))               // all padding → 0
+      .toDF("id", "x", "y")
+    val hof = coalesce(aggregate(
+      zip_with(col("x"), col("y"),
+        (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+      lit(0L), (acc, e) => acc + e), lit(0L))
+    val both = df.select(col("id"), hof.as("h"),
+        coalesce(graft.functions.exprs.int_sqdist(col("x"), col("y")), lit(0L))
+          .as("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    both.foreach { case (h, k) => assert(h == k, s"$h vs $k") }
+    // and on the real snapped grid: assignment is unchanged end-to-end
+    val emb = graft.Tables.embeddings(spark, dir)
+    val centroids = Clustering.trainCentroids(emb, 4, iters = 4)
+    val viaKernel = Clustering.assign(emb, centroids)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val snapped = emb.select(col("vec_id"), Clustering.snapped(col("embedding")).as("qx"))
+    val viaHof = snapped.select(col("vec_id"),
+        array_min(array(centroids.zipWithIndex.map { case (qc, cid) =>
+          struct(coalesce(aggregate(
+            zip_with(col("qx"), typedlit(qc.toSeq),
+              (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+            lit(0L), (acc, e) => acc + e), lit(0L)).as("d"),
+            lit(cid).as("cluster"))
+        }: _*)).as("best"))
+      .select(col("vec_id"), col("best.cluster"), col("best.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaKernel == viaHof)
+  }
+
   test("dec_dot null contract: mismatched lengths and null elements → null (the zip_with contract)") {
     import spark.implicits._
     val df = Seq(
