@@ -413,6 +413,10 @@ object SparkEntry {
       graft.ops.TimeSeries.q220StationaryDist(s, dir)),
     "q221_simpson_audit" -> ((s: SparkSession, dir: String) =>
       graft.ops.Correlation.q221SimpsonAudit(s, dir)),
+    "q222_weighted_quantiles" -> ((s: SparkSession, dir: String) =>
+      graft.ops.RobustStats.q222WeightedQuantiles(s, dir)),
+    "q223_token_concentration" -> ((s: SparkSession, dir: String) =>
+      graft.ops.RobustStats.q223TokenConcentration(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -954,5 +958,7 @@ object SparkEntry {
     "q219_theil_sen" -> ExtensionOracles.q219TheilSen,
     "q220_stationary_dist" -> ExtensionOracles.q220StationaryDist,
     "q221_simpson_audit" -> ExtensionOracles.q221SimpsonAudit,
+    "q222_weighted_quantiles" -> ExtensionOracles.q222WeightedQuantiles,
+    "q223_token_concentration" -> ExtensionOracles.q223TokenConcentration,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -66,6 +66,88 @@ object RobustStats {
           col("k").cast("double") * col("v_lo").cast("double") +
           col("k").cast("double") * col("v_hi").cast("double")) /
           col("n").cast("double"), 6).as("winsorized_mean"))
+      .orderBy(col("source"))
+  }
+
+  /** q222: TOKEN-WEIGHTED length quantiles per source — where the
+    * median TOKEN lives, not the median DOCUMENT: each length value
+    * weighs by v·c tokens, so w_p50 answers "half the training tokens
+    * come from docs at least this long". On heavy-tailed corpora this
+    * sits far above q88's doc-median (length-biased sampling — the
+    * view that matters when budgets are counted in tokens, not rows).
+    * Same exact machinery as q88: aggregated histogram, cumulative
+    * TOKEN mass, lower-quantile cut via integer cross-multiplication
+    * (cm·q_den ≥ m·q_num — no division anywhere). */
+  def q222WeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    weightedQuantiles(Tables.documents(s, dir))
+
+  /** The core over any (source, text) frame. */
+  def weightedQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Par.widen(docs)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val mass = col("v").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")
+    val totals = hist.groupBy(col("source"))
+      .agg(sum(mass).cast("decimal(38,0)").as("m"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    hist.withColumn("cm", sum(mass).over(w).cast("decimal(38,0)"))
+      .join(broadcast(totals), Seq("source"))
+      .groupBy(col("source"), col("m"))
+      .agg(
+        min(when(col("cm") * 2 >= col("m"), col("v"))).as("w_p50"),
+        min(when(col("cm") * 10 >= col("m") * 9, col("v"))).as("w_p90"),
+        min(when(col("cm") * 100 >= col("m") * 99, col("v"))).as("w_p99"))
+      .select(col("source"), col("m").cast("long").as("n_tokens"),
+        col("w_p50"), col("w_p90"), col("w_p99"))
+      .orderBy(col("source"))
+  }
+
+  /** q223: TOKEN CONCENTRATION per source — the exact share of a
+    * source's tokens held by its top 1% / 10% LONGEST documents, the
+    * doc-level Lorenz points complementing q198's gram-level Gini: a
+    * source where 10% of docs hold half the tokens needs doc-level
+    * caps before token-budget selection makes sense.
+    *
+    * Exact from the aggregated histogram, descending: the cut row
+    * (first cumulative doc-rank ≥ k = ⌈n·pct⌉) contributes its value
+    * for the k − rank_before docs that fall inside the cut —
+    * `min(CASE WHEN rank ≥ k)` picks exactly that row because past the
+    * cut the candidate expression is strictly increasing in the
+    * descending scan ((v_r − v_{r+1})(c_r + R_prev − k) > 0 — the
+    * house cum-cut argument, weighted form). */
+  def q223TokenConcentration(s: SparkSession, dir: String): DataFrame =
+    tokenConcentration(Tables.documents(s, dir))
+
+  /** The core over any (source, text) frame. */
+  def tokenConcentration(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Par.widen(docs)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val mass = col("v").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")
+    val totals = hist.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(mass).cast("decimal(38,0)").as("m"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v").desc)
+    val cu = hist
+      .withColumn("cr", sum(col("c")).over(w))
+      .withColumn("cm", sum(mass).over(w).cast("decimal(38,0)"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("cr_prev", col("cr") - col("c"))
+      .withColumn("cm_prev",
+        (col("cm") - mass.cast("decimal(38,0)")).cast("decimal(38,0)"))
+    def shareAt(kExpr: Column): Column = {
+      val topMass = col("cm_prev") +
+        (col("v").cast("decimal(19,0)") *
+          (kExpr - col("cr_prev")).cast("decimal(19,0)")).cast("decimal(38,0)")
+      round(min(when(col("cr") >= kExpr, topMass)).cast("double") /
+        max(col("m")).cast("double"), 6)
+    }
+    cu.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(col("m")).cast("long").as("n_tokens"),
+        shareAt(expr("(n * 1 + 99) DIV 100")).as("top1pct_share"),
+        shareAt(expr("(n * 1 + 9) DIV 10")).as("top10pct_share"))
       .orderBy(col("source"))
   }
 }

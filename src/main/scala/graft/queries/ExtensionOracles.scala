@@ -6193,4 +6193,65 @@ object ExtensionOracles {
       |    <> pool.pooled_sign AS simpson_flip
       |FROM per CROSS JOIN pool
       |ORDER BY per.source""".stripMargin
+
+  /** Mirrors q222 (`ops.RobustStats.q222WeightedQuantiles`): cumulative
+    * TOKEN mass over the histogram, lower-quantile cuts by integer
+    * cross-multiplication. */
+  val q222WeightedQuantiles: String =
+    """WITH h AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |g AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(CAST(v AS DECIMAL(19,0))
+      |    * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS m
+      |  FROM g GROUP BY 1),
+      |cu AS (SELECT g.source, g.v, g.c, t.m,
+      |    CAST(SUM(CAST(g.v AS DECIMAL(19,0)) * CAST(g.c AS DECIMAL(19,0)))
+      |      OVER (PARTITION BY g.source ORDER BY g.v) AS DECIMAL(38,0)) AS cm
+      |  FROM g JOIN t USING (source))
+      |SELECT source, CAST(m AS BIGINT) AS n_tokens,
+      |  MIN(CASE WHEN cm * 2 >= m THEN v END) AS w_p50,
+      |  MIN(CASE WHEN cm * 10 >= m * 9 THEN v END) AS w_p90,
+      |  MIN(CASE WHEN cm * 100 >= m * 99 THEN v END) AS w_p99
+      |FROM cu GROUP BY source, m
+      |ORDER BY source""".stripMargin
+
+  /** Mirrors q223 (`ops.RobustStats.q223TokenConcentration`): the
+    * descending cumulative grid, cut-row partial-value arithmetic, the
+    * min-past-the-cut selection (strictly increasing — see the engine
+    * scaladoc's proof sketch). */
+  val q223TokenConcentration: String =
+    """WITH h AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |g AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+      |      AS DECIMAL(38,0)) AS m
+      |  FROM g GROUP BY 1),
+      |cu AS (SELECT g.source, g.v, g.c, t.n, t.m,
+      |    CAST(SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.v DESC)
+      |      AS BIGINT) AS cr,
+      |    CAST(SUM(CAST(g.v AS DECIMAL(19,0)) * CAST(g.c AS DECIMAL(19,0)))
+      |      OVER (PARTITION BY g.source ORDER BY g.v DESC) AS DECIMAL(38,0)) AS cm
+      |  FROM g JOIN t USING (source)),
+      |x AS (SELECT source, n, m, v, c, cr, cm,
+      |    (n * 1 + 99) // 100 AS k1, (n * 1 + 9) // 10 AS k10,
+      |    cr - c AS cr_prev,
+      |    CAST(cm - CAST(CAST(v AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+      |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS cm_prev
+      |  FROM cu)
+      |SELECT source, MAX(n) AS n_docs, CAST(MAX(m) AS BIGINT) AS n_tokens,
+      |  round(CAST(MIN(CASE WHEN cr >= k1 THEN
+      |      CAST(cm_prev + CAST(CAST(v AS DECIMAL(19,0))
+      |        * CAST(k1 - cr_prev AS DECIMAL(19,0)) AS DECIMAL(38,0))
+      |        AS DECIMAL(38,0)) END) AS DOUBLE)
+      |    / CAST(MAX(m) AS DOUBLE), 6) AS top1pct_share,
+      |  round(CAST(MIN(CASE WHEN cr >= k10 THEN
+      |      CAST(cm_prev + CAST(CAST(v AS DECIMAL(19,0))
+      |        * CAST(k10 - cr_prev AS DECIMAL(19,0)) AS DECIMAL(38,0))
+      |        AS DECIMAL(38,0)) END) AS DOUBLE)
+      |    / CAST(MAX(m) AS DOUBLE), 6) AS top10pct_share
+      |FROM x GROUP BY source
+      |ORDER BY source""".stripMargin
 }
