@@ -19,7 +19,7 @@ object ExtensionOracles {
     s"""$tokCte,
        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
        |        FROM tok WHERE len(l) >= 3),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Shared CTE generator: q21's integer quality priority (the 4/3/3

@@ -93,6 +93,12 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle_sql = json.load(f)
 
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+
     n_pass = n_fail = 0
     oracle_sec = {}  # per-query DuckDB wall time: the gate's cost ledger
     for name, sql in sorted(oracle_sql.items()):
@@ -103,6 +109,15 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
+            # a DuckDB INTERNAL error invalidates the connection and
+            # every later query would fail with "unsuccessful or closed
+            # pending query result" — reconnect so one bad oracle can't
+            # cascade into 100+ phantom failures (round-12 lesson)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
