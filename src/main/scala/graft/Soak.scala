@@ -108,6 +108,28 @@ object Soak {
       timed("exact_substring")(graft.ops.ExactSubstring
         .exactSubstringSpans(docs, 50)
         .filter(col("span_len") >= 50L)),
+      // wave 25-30 statistical family: each is ONE corpus-collapsing
+      // aggregate (fingerprint / histogram / term-count / verdict /
+      // moment) + grid math — cost must track the scan, batch size
+      // scaled with mult so the growth-curve frame stays ~10 rows
+      timed("dedup_growth")(graft.ops.Dedup.dedupGrowth(
+        docs, batch = 50L * mult)
+        .filter(col("cum_dup_rate") >= 0.0)),
+      timed("robust_means")(graft.ops.RobustStats
+        .robustMeans(docs, 1L, 10L)
+        .filter(col("trimmed_mean") >= 0.0)),
+      timed("weighted_quantiles")(graft.ops.RobustStats
+        .weightedQuantiles(docs).filter(col("w_p50") >= 0L)),
+      timed("token_concentration")(graft.ops.RobustStats
+        .tokenConcentration(docs).filter(col("top10pct_share") >= 0.0)),
+      timed("vocab_richness")(graft.ops.Vocabulary.richness(docs)
+        .filter(col("p0_unseen") >= 0.0)),
+      timed("simpson_audit")(graft.ops.Correlation.simpsonOf(
+        docs.select(col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("x"),
+          (graft.ops.TextAnalysis.charCountNoWs(col("text")).cast("double") /
+            greatest(graft.ops.TextAnalysis.tokenCount(col("text"))
+              .cast("double"), lit(1.0))).as("y")))),
       timed("hard_negatives")(Retrieval.hardNegatives(docs,
         pmod(col("doc_id"), lit(100L * mult)) === 0L)),
       timed("leakage_split")(Dedup.leakageSafeSplit(docs)

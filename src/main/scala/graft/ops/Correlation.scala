@@ -170,7 +170,7 @@ object Correlation {
   }
 
   /** The sign-audit core over any (source, x: long, y: double) frame. */
-  private[ops] def simpsonOf(xy: DataFrame): DataFrame = {
+  def simpsonOf(xy: DataFrame): DataFrame = {
     val terms = xy
       .select(col("source"), col("x"),
         round(col("y"), 12).cast("decimal(28,12)").as("y12"),

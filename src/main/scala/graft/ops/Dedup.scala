@@ -937,9 +937,13 @@ object Dedup {
     * bounded by construction). Determinism: everything is exact
     * integers until the two round-6 rates. */
   def q211DedupGrowth(s: SparkSession, dir: String,
-                      batch: Long = 50L): DataFrame = {
+                      batch: Long = 50L): DataFrame =
+    dedupGrowth(Tables.documents(s, dir), batch)
+
+  /** The curve core over any (doc_id, text) frame. */
+  def dedupGrowth(docs: DataFrame, batch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Par.widen(Tables.documents(s, dir))
+    val d = Par.widen(docs)
       .select(col("doc_id"), expr(s"doc_id DIV $batch").as("batch"),
         md5(col("text")).as("m"))
     val firstOf = d.groupBy(col("m")).agg(min(col("doc_id")).as("first_id"))
