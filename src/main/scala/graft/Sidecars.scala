@@ -1,0 +1,31 @@
+package graft
+
+/** Per-run root for every sidecar the engine persists for oracle replay
+  * (centroid tables, posting-index stores, streamed-store roots, BPE
+  * merges, …). Previously these were fixed world-readable `/tmp` names,
+  * which meant (a) two concurrent runs of the same query retrained each
+  * other's sidecars mid-read and (b) a stale or foreign parquet left at
+  * the path silently poisoned the oracle replay. Now each JVM run gets
+  * its own unique owner-only directory (`Files.createTempDirectory`,
+  * mode 700), so the oracle SQL dumped by [[Verify]] — which
+  * interpolates these paths at dump time, in the same JVM that wrote
+  * the sidecars — always reads exactly the files its own run produced.
+  *
+  * `GRAFT_SIDECAR_DIR` overrides the root for callers that need the
+  * sidecars at a known location (e.g. replaying a dumped oracle_sql.json
+  * against a previous run's sidecars). */
+object Sidecars {
+
+  lazy val root: String = sys.env.get("GRAFT_SIDECAR_DIR") match {
+    case Some(d) =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      p.toAbsolutePath.toString
+    case None =>
+      java.nio.file.Files.createTempDirectory("graft_run_")
+        .toAbsolutePath.toString
+  }
+
+  /** Absolute path for a named sidecar under this run's root. */
+  def path(name: String): String = s"$root/$name"
+}

@@ -271,7 +271,7 @@ object Soak {
         if (only.nonEmpty && !only("doc_novelty")) ("doc_novelty", -1.0, -1L)
         else {
           spark.catalog.clearCache()
-          val store = "/tmp/graft_soak_novelty"
+          val store = graft.Sidecars.path("graft_soak_novelty")
           val p = new org.apache.hadoop.fs.Path(store)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           val t0 = System.nanoTime()

@@ -417,6 +417,12 @@ object SparkEntry {
       graft.ops.RobustStats.q222WeightedQuantiles(s, dir)),
     "q223_token_concentration" -> ((s: SparkSession, dir: String) =>
       graft.ops.RobustStats.q223TokenConcentration(s, dir)),
+    "q224_image_neardup" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Multimodal.q224ImageNearDup(s, dir)),
+    "q225_frame_sample" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Multimodal.q225FrameSample(s, dir)),
+    "q226_semantic_dedup_tuned" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Quantize.q226SemanticDedupTuned(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -960,5 +966,8 @@ object SparkEntry {
     "q221_simpson_audit" -> ExtensionOracles.q221SimpsonAudit,
     "q222_weighted_quantiles" -> ExtensionOracles.q222WeightedQuantiles,
     "q223_token_concentration" -> ExtensionOracles.q223TokenConcentration,
+    "q224_image_neardup" -> ExtensionOracles.q224ImageNearDup,
+    "q225_frame_sample" -> ExtensionOracles.q225FrameSample,
+    "q226_semantic_dedup_tuned" -> ExtensionOracles.q226SemanticDedupTuned,
   )
 }

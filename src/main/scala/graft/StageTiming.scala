@@ -37,7 +37,7 @@ object StageTiming {
     // q169's anatomy: bulk layout write, one direct append, the same
     // append through a 1-batch stream, the probe
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val rootStr = "/tmp/graft_stage_timing"
+    val rootStr = graft.Sidecars.path("graft_stage_timing")
     val fs = new org.apache.hadoop.fs.Path(rootStr)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(rootStr), true)

@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.Decimal
   * accumulate with exact BigDecimal adds (order-free). NULL handling
   * mirrors the HOF chain: a null element nulls its product and a null
   * term nulls the running sum, and zip_with pads a length mismatch
-  * with nulls — so any null element OR unequal lengths → null result. */
+  * with nulls — so any null element OR unequal lengths → null result.
+  * Overflow mirrors it too: the HOF chain casts EVERY intermediate sum
+  * to decimal(28,scale), so a running sum that transiently exceeds
+  * precision 28 nulls the HOF result — the kernel checks the
+  * accumulator's precision after each add and returns null the same
+  * way (rather than succeeding where the HOF form would not). */
 object DecimalOps {
 
   /** Σ valueOf(x_i·y_i).setScale(scale) as a Decimal(28, scale);
@@ -41,6 +46,10 @@ object DecimalOps {
       val b = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       acc = acc.add(JBigDecimal.valueOf(a * b)
         .setScale(scale, RoundingMode.HALF_UP))
+      // the HOF chain re-casts the running sum to decimal(28,scale)
+      // after every add; acc keeps scale = `scale`, so precision > 28
+      // is exactly the overflow the cast would null out
+      if (acc.precision() > 28) return null
       i += 1
     }
     Decimal(acc, 28, scale)

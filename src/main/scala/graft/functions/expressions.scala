@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{array, array_distinct, array_join, lit, sequence, size, slice, transform, when}
+import org.apache.spark.sql.functions.{array, array_compact, array_distinct, array_join, lit, sequence, size, slice, transform, when}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -335,9 +335,13 @@ object exprs {
     // host phase (BENCHLOG "WordNGrams per-site pricing"). Bit-parity of
     // the two forms is spec-asserted in Wave20Spec.
     if (sys.env.contains("GRAFT_BENCH_HOF_NGRAMS")) {
-      val raw = when(size(c) >= n,
-        transform(sequence(lit(1), size(c) - (n - 1)),
-          i => array_join(slice(c, i, lit(n)), " ")))
+      // compact nulls BEFORE windowing, like the kernel — slicing the
+      // original positions would shift windows and array_join would drop
+      // nulls inside a gram, breaking the bit-parity contract
+      val cc = array_compact(c)
+      val raw = when(size(cc) >= n,
+        transform(sequence(lit(1), size(cc) - (n - 1)),
+          i => array_join(slice(cc, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
       if (distinct) array_distinct(raw) else raw
     } else column(WordNGrams(expression(c), n, distinct))

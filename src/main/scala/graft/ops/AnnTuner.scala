@@ -261,8 +261,19 @@ object AnnTuner {
   def tuneSemDedupCells(sample: Array[Array[Double]],
                         targetRecall: Double,
                         threshold: Double = 0.45): SemDedupKnobs = {
-    val grid = if (sample.length >= 8) semDedupGrid(sample, threshold) else Seq.empty
+    val grid = semDedupCandidates(sample, threshold)
     if (grid.isEmpty) SemDedupKnobs(1, estRecall = 1.0, estPairFrac = 1.0)
-    else pick(grid, targetRecall)(_.estRecall, _.estPairFrac)
+    else pickSemDedup(grid, targetRecall)
   }
+
+  /** The candidate grid q226 persists (empty when the sample is too
+    * small for any `nlist * 4 <= n` candidate or has no true pairs). */
+  def semDedupCandidates(sample: Array[Array[Double]],
+                         threshold: Double = 0.45): Seq[SemDedupKnobs] =
+    if (sample.length >= 8) semDedupGrid(sample, threshold) else Seq.empty
+
+  /** [[pick]] over SemDeDup candidates, exposed so q226's declared
+    * decision and the oracle's SQL replay share one rule. */
+  def pickSemDedup(grid: Seq[SemDedupKnobs], targetRecall: Double): SemDedupKnobs =
+    pick(grid, targetRecall)(_.estRecall, _.estPairFrac)
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object Attribution {
 
   /** Where q146 stages its source slices, checkpoint, and sink. */
-  val StreamedAttrPath = "/tmp/graft_streamed_attr"
+  val StreamedAttrPath = graft.Sidecars.path("graft_streamed_attr")
 
   /** Attribution window: a purchase attributes to every same-user click
     * at most this long before it. 4 h on the 30-day fixture yields a

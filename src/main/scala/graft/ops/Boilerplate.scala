@@ -121,7 +121,7 @@ object Boilerplate {
   // ---------------------------------------------------- standing store
 
   /** Where q158 materializes the gram-df store. */
-  val GramDfStorePath = "/tmp/graft_gramdf_store"
+  val GramDfStorePath = graft.Sidecars.path("graft_gramdf_store")
 
   /** One ingest batch's df partials appended to the store: per-batch
     * distinct-gram document frequencies (`df/`) and the batch doc count
@@ -171,7 +171,7 @@ object Boilerplate {
   }
 
   /** Where q159 stages its source files and materializes its store. */
-  val StreamedGramDfPath = "/tmp/graft_streamed_gramdf"
+  val StreamedGramDfPath = graft.Sidecars.path("graft_streamed_gramdf")
 
   /** q159: q158's store built through the STRUCTURED STREAMING
     * maintenance path (`Streaming.gramDfStream`) — documents staged as

@@ -42,7 +42,7 @@ object Bpe {
   /** Where q65 persists its merge table for the oracle replay (a fixed
     * location because the oracle SQL is a static string; each q65 run
     * overwrites it, so query and oracle always see the same rules). */
-  val MergesPath = "/tmp/graft_bpe_merges.parquet"
+  val MergesPath = graft.Sidecars.path("graft_bpe_merges.parquet")
 
   // ---------------------------------------------------------------- train
 
@@ -345,7 +345,7 @@ object Bpe {
   }
 
   /** Where q91 persists the id table (the q65 fixed-location rule). */
-  val VocabPath = "/tmp/graft_bpe_vocab.parquet"
+  val VocabPath = graft.Sidecars.path("graft_bpe_vocab.parquet")
 
   def persistVocab(s: SparkSession, vocab: Array[String], path: String): Unit = {
     import s.implicits._

@@ -106,9 +106,12 @@ object ChangePoint {
     * (filtering) state: c1 < c0 strictly.
     *
     * Scale shape: ONE corpus-collapsing (type, day) count aggregate
-    * (the q195 spine, zero-filled); the DP runs driver-side over the
-    * bounded |types|·|days| grid (the MMR/PAV bounded-collect rule —
-    * the grid is aggregate-scale, never raw events). */
+    * (the q195 spine, zero-filled); the genuinely-sequential per-type
+    * DP runs EXECUTOR-SIDE via `flatMapGroups` (one group per type,
+    * |days| rows each — bounded by the calendar, never by events), so
+    * nothing data-cardinality-shaped ever reaches the driver: at 100 TB
+    * with high type cardinality × years of days the DP parallelizes
+    * across types instead of serializing through one driver loop. */
   def q210BurstDetection(s: SparkSession, dir: String): DataFrame =
     burstDaily(Tables.events(s, dir))
 
@@ -120,29 +123,33 @@ object ChangePoint {
     val counts = ev.groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
     val days = counts.select(col("day")).distinct()
+    import spark.implicits._
     val grid = counts.select(col("event_type")).distinct()
       .crossJoin(days)
       .join(counts, Seq("event_type", "day"), "left")
       .withColumn("x", coalesce(col("x"), lit(0L)))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    def r12(x: Double): Double =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def d(x: Double): BigDecimal = BigDecimal(x).setScale(12)
-    val rows = grid.groupBy(_._1).toSeq.flatMap { case (tpe, cells) =>
-      val byDay = cells.sortBy(_._2)
+      .select(col("event_type"), col("day"), col("x"))
+      .as[(String, Long, Long)]
+    val rows = grid.groupByKey(_._1).flatMapGroups { (tpe, it) =>
+      def r12(x: Double): Double =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def d(x: Double): BigDecimal = BigDecimal(x).setScale(12)
+      // one group = one type's |days| rows (calendar-bounded): buffer +
+      // sort locally; the DP itself is unchanged, same decimals
+      val byDay = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
       val nd = byDay.length
-      val lam0 = r12(byDay.map(_._3).sum.toDouble / nd.toDouble)
-      if (lam0 <= 0.0) Seq.empty
+      val lam0 = r12(byDay.map(_._2).sum.toDouble / nd.toDouble)
+      if (lam0 <= 0.0) Iterator.empty
       else {
         val lam1 = r12(s * lam0)
         val gam = d(r12(math.log(nd.toDouble)))
         def e(lam: Double, k: Long): BigDecimal =
           d(r12(lam - k.toDouble * math.log(lam)))
-        var c0 = e(lam0, byDay.head._3)
-        var c1 = gam + e(lam1, byDay.head._3)
-        val first = (tpe, byDay.head._2, byDay.head._3,
+        var c0 = e(lam0, byDay.head._2)
+        var c1 = gam + e(lam1, byDay.head._2)
+        val first = (tpe, byDay.head._1, byDay.head._2,
           c0.toDouble, c1.toDouble, c1 < c0)
-        first +: byDay.tail.map { case (_, day, k) =>
+        Iterator.single(first) ++ byDay.tail.iterator.map { case (day, k) =>
           val n0 = c0.min(c1) + e(lam0, k)
           val n1 = (c0 + gam).min(c1) + e(lam1, k)
           c0 = n0; c1 = n1
@@ -150,13 +157,12 @@ object ChangePoint {
         }
       }
     }
-    import spark.implicits._
-    rows.sortBy(t => (t._1, t._2)).toDF(
-        "event_type", "day", "x", "c0", "c1", "burst_now")
+    rows.toDF("event_type", "day", "x", "c0", "c1", "burst_now")
       .select(col("event_type"), col("day"), col("x"),
         round(col("c0"), 6).as("cost_base"),
         round(col("c1"), 6).as("cost_burst"),
         col("burst_now"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** q215: MANN–KENDALL TREND TEST (Mann '45, Kendall '75) on per-type

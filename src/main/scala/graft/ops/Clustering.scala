@@ -31,7 +31,7 @@ object Clustering {
   /** Where q81 persists its trained centroids (fixed-point ints) so the
     * DuckDB oracle can replay the assignment — merges-table pattern,
     * [[Bpe.MergesPath]]. */
-  val CentroidsPath = "/tmp/graft_kmeans_centroids.parquet"
+  val CentroidsPath = graft.Sidecars.path("graft_kmeans_centroids.parquet")
 
   /** Fixed-point grid: 3 decimal digits. Embedding components are O(1), so
     * snapped values are O(10^3) and a 64-dim squared distance is ≤ ~10^9 —
@@ -118,10 +118,10 @@ object Clustering {
 
   /** Where q83 persists its centroids — its own path, so the oracle replay
     * never depends on whether/when q81 ran. */
-  val SampleCentroidsPath = "/tmp/graft_kmeans_centroids_sample.parquet"
+  val SampleCentroidsPath = graft.Sidecars.path("graft_kmeans_centroids_sample.parquet")
 
   /** q94's own centroid path (same independence rule as q83). */
-  val PurityCentroidsPath = "/tmp/graft_kmeans_centroids_purity.parquet"
+  val PurityCentroidsPath = graft.Sidecars.path("graft_kmeans_centroids_purity.parquet")
 
   /** q94: cluster–label agreement — the clustering-quality diagnostic a
     * curation pipeline reads before trusting learned topics for
@@ -288,7 +288,7 @@ object Clustering {
   }
 
   /** q182's own centroid path (the q83/q94 independence rule). */
-  val SourceEntropyCentroidsPath = "/tmp/graft_kmeans_centroids_srcent.parquet"
+  val SourceEntropyCentroidsPath = graft.Sidecars.path("graft_kmeans_centroids_srcent.parquet")
 
   /** q182: TOPIC DIVERSITY per source — the Shannon entropy of each
     * source's distribution over the learned k-means clusters, the
@@ -329,7 +329,7 @@ object Clustering {
   }
 
   /** q208's own centroid path (the q83/q94 independence rule). */
-  val AgreementCentroidsPath = "/tmp/graft_kmeans_centroids_agreement.parquet"
+  val AgreementCentroidsPath = graft.Sidecars.path("graft_kmeans_centroids_agreement.parquet")
 
   /** q208: EXTERNAL CLUSTERING VALIDATION — Adjusted Rand Index and
     * Normalized Mutual Information between the learned k-means clusters

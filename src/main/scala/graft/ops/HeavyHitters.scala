@@ -134,7 +134,7 @@ object HeavyHitters {
   }
 
   /** Where q152 stages its source files and materializes its store. */
-  val StreamedStorePath = "/tmp/graft_streamed_hh"
+  val StreamedStorePath = graft.Sidecars.path("graft_streamed_hh")
 
   /** q152: top-k requesters served from a STREAM-MAINTAINED
     * heavy-hitters store — the q145 pattern for counts: events are

@@ -168,7 +168,7 @@ object KmvSketch {
         round(estimate(col("mk"), k), 6).as("kmv_est"))
 
   /** Where q141 materializes its store (q84/q107's path precedent). */
-  val DailySketchPath = "/tmp/graft_daily_kmv.parquet"
+  val DailySketchPath = graft.Sidecars.path("graft_daily_kmv.parquet")
 
   /** q141: the standing sketch store as a DECLARED query (the q107
     * precedent — maintenance paths belong in the oracle gate): build
@@ -200,7 +200,7 @@ object KmvSketch {
   }
 
   /** Where q145 stages its source files and materializes its store. */
-  val StreamedSketchPath = "/tmp/graft_streamed_kmv"
+  val StreamedSketchPath = graft.Sidecars.path("graft_streamed_kmv")
 
   /** q145: the q141 store built through the STRUCTURED STREAMING
     * maintenance path ([[graft.streaming.Streaming.kmvDailyStream]])

@@ -59,7 +59,7 @@ object KnnGraph {
   /** q205's persisted centroid table (the q83/q94 independence rule:
     * each gated query replays from its OWN sidecar, so oracle runs
     * never depend on whether/when another query trained). */
-  val CellCentroidsPath = "/tmp/graft_kmeans_centroids_knncells.parquet"
+  val CellCentroidsPath = graft.Sidecars.path("graft_kmeans_centroids_knncells.parquet")
 
   private[ops] def topKEdges(emb0: DataFrame, k: Int, kFloat0: Int,
                              nCells: Option[Int] = None,

@@ -332,6 +332,145 @@ object Multimodal {
       .distinct()
   }
 
+  /** Hash-collapsed variant of [[imageNearDupPairs]] — SAME output, the
+    * 100 TB plan: band the DISTINCT hash values only, so band-bucket
+    * occupancy is bounded by distinct-hash density and the commonest
+    * duplicate of all (byte-for-byte re-encodes of the same pixels,
+    * which collapse to ONE hash value) stops being quadratic inside
+    * the band join. Distance-0 pairs come from a plain equi-self-join
+    * on `ahash` (quadratic only in true output size — at larger scale
+    * the caller would keep the GROUPS and skip pair expansion, exactly
+    * like exact-dedup canonicalization); distance ≥ 1 pairs expand the
+    * surviving distinct-hash pairs back through two membership joins. */
+  def imageNearDupPairsCollapsed(hashes: DataFrame, maxDist: Int = 3,
+                                 nBands: Int = 4): DataFrame = {
+    require(maxDist <= nBands - 1,
+      s"pigeonhole guarantee needs maxDist <= nBands - 1 ($maxDist vs $nBands)")
+    val width = 64 / nBands
+    val uniq = hashes.select(col("ahash")).distinct()
+    val banded = uniq.select(col("ahash"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ahash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        }: _*)).as("bk"))
+      .select(col("ahash"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val hashPairs = banded.select(col("band"), col("bits"), col("ahash").as("h1"))
+      .join(banded.select(col("band"), col("bits"), col("ahash").as("h2")),
+        Seq("band", "bits"))
+      .filter(col("h1") < col("h2"))
+      .select(col("h1"), col("h2")).distinct()
+      .withColumn("dist",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("dist").between(1, maxDist))
+    val members = hashes.select(col("ahash"), col("doc_id"))
+    val cross = hashPairs
+      .join(members.select(col("ahash").as("h1"), col("doc_id").as("da")), Seq("h1"))
+      .join(members.select(col("ahash").as("h2"), col("doc_id").as("db")), Seq("h2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("dist"))
+    val same = members.select(col("ahash"), col("doc_id").as("d1"))
+      .join(members.select(col("ahash"), col("doc_id").as("d2")), Seq("ahash"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), lit(0L).as("dist"))
+    cross.union(same)
+  }
+
+  // --- Synthetic decodable image corpus (q224) -------------------------
+  //
+  // The container ships no real media files, but the JDK's ImageIO is a
+  // REAL lossless codec pair (PNG + BMP), so the engine can synthesize
+  // its own decodable corpus: a deterministic 16×16 grayscale image per
+  // document (pixel blocks from splitmix64 of the doc_id), emitted as
+  // (a) a PNG, (b) the SAME pixels re-encoded as BMP — the classic
+  // perceptual duplicate exact dedup misses, Hamming distance 0 by
+  // construction — and, for a subset, (c) a lightly-edited copy (three
+  // 2×2 blocks brightened) landing at a small-but-uncontrolled Hamming
+  // distance. Everything downstream of the pixels is the REAL path:
+  // ImageIO decode, Rec.601 aHash, banded pairing.
+
+  /** Deterministic 16×16 grayscale pixels for a doc: one gray level per
+    * 2×2 block (so each aHash cell reads one exact value). */
+  private def synthCells(seed: Long): Array[Int] =
+    Array.tabulate(64) { i =>
+      ((graft.functions.BloomFilter.splitmix64(seed * 64 + i) >>> 40) & 0xff).toInt
+    }
+
+  /** Encode 8×8 gray blocks as a 16×16 image via the named ImageIO
+    * writer ("png" or "bmp" — both lossless RGB in the JDK). */
+  def encodeCells(cells: Array[Int], format: String): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val g = cells((y / 2) * 8 + (x / 2)) & 0xff
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, baos)
+    baos.toByteArray
+  }
+
+  /** (img_id, variant, payload) corpus: per doc a PNG (img_id = 4·doc),
+    * the same pixels as BMP (4·doc+1), every 5th doc an edited copy
+    * (4·doc+2), every 7th an unrelated image (4·doc+3). Partition-local
+    * encode; payloads never leave the stage that hashes them. */
+  def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val cells = synthCells(id)
+        val base = Seq(
+          (id * 4, "png", encodeCells(cells, "png")),
+          (id * 4 + 1, "bmp", encodeCells(cells, "bmp")))
+        val edited = if (id % 5 == 0) {
+          val c2 = cells.clone()
+          var j = 0
+          while (j < 3) { c2(j * 21 % 64) = math.min(255, c2(j * 21 % 64) + 48); j += 1 }
+          Seq((id * 4 + 2, "edit", encodeCells(c2, "png")))
+        } else Seq.empty
+        val unrelated = if (id % 7 == 0)
+          Seq((id * 4 + 3, "other", encodeCells(synthCells(id + 999983L), "png")))
+        else Seq.empty
+        base ++ edited ++ unrelated
+      }).toDF("img_id", "variant", "payload")
+  }
+
+  /** q224's persisted aHash sidecar (the q205 "persisted model is data"
+    * recipe: pixel decode cannot run in SQL, so the hash table is the
+    * oracle's input; everything AFTER the pixels is replayed). */
+  val ImageHashPath: String = graft.Sidecars.path("graft_image_ahash.parquet")
+
+  /** q224: perceptual image near-dup ORACLE-GATED — real PNG/BMP decode
+    * → aHash (persisted) → hash-collapsed banded pairing at Hamming ≤ 3.
+    * The oracle replays the DEFINITIONAL all-pairs Hamming filter from
+    * the sidecar, so it proves both the pair semantics AND the
+    * pigeonhole recall claim (a banding bug that dropped a ≤ 3 pair
+    * would break the hash, not hide behind the approximation). */
+  def q224ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = imageHashes(
+      imageCorpus(s, dir).select(col("img_id").as("doc_id"), col("payload")))
+    hashes.toDF().write.mode("overwrite").parquet(ImageHashPath)
+    imageNearDupPairsCollapsed(s.read.parquet(ImageHashPath))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q225: video frame sampling ORACLE-GATED — the `mapPartitions`
+    * frame-explosion dataflow (schema, batching, per-frame md5) proven
+    * hash-for-hash: the oracle re-windows the payload bytes in SQL
+    * (every 2nd 256-byte window) and md5s each window. */
+  def q225FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir).filter(col("media_type") === "video"))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_bytes"), col("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Synthesizes a media table from `documents` (text bytes stand in for
     * an encoded payload) — the container has no real media files. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =

@@ -536,9 +536,9 @@ object NearDupIndex {
     * (measured ~0.2 of the query's bench time). */
   def q89IndexProbe(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val root = new org.apache.hadoop.fs.Path("/tmp/graft_neardup_index")
+    val root = new org.apache.hadoop.fs.Path(graft.Sidecars.path("graft_neardup_index"))
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-    val dst = "/tmp/graft_neardup_index/idx"
+    val dst = graft.Sidecars.path("graft_neardup_index/idx")
     writeMinhashLayout(docs.filter(col("doc_id") % 5 =!= 0), dst,
       nBuckets = 16, maxDocFreq = 10000L) // the q96 bucket-sizing note
     probeNearDup(s, dst, docs.filter(col("doc_id") % 5 === 0))
@@ -563,7 +563,7 @@ object NearDupIndex {
     * appends (a standing deployment's actual shape). */
   def q169StreamedNearDupIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val rootStr = "/tmp/graft_streamed_neardup"
+    val rootStr = graft.Sidecars.path("graft_streamed_neardup")
     val root = new org.apache.hadoop.fs.Path(rootStr)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)

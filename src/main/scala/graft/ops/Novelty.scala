@@ -25,7 +25,7 @@ import graft.Tables
 object Novelty {
 
   /** q166's own store root (same layout as [[Boilerplate.GramDfStorePath]]). */
-  val StorePath = "/tmp/graft_novelty_gramdf"
+  val StorePath = graft.Sidecars.path("graft_novelty_gramdf")
 
   /** q166: build the gram-df store in three appends (the q158
     * maintenance path), then serve every document's novelty from it. */

@@ -244,7 +244,7 @@ object Pipeline {
     * never read stages stale against regenerated testdata); a standing
     * deployment keeps `dst` and pays only incomplete stages. */
   def q90StagedPipeline(s: SparkSession, dir: String): DataFrame = {
-    val dst = "/tmp/graft_staged_pipeline"
+    val dst = graft.Sidecars.path("graft_staged_pipeline")
     val root = new Path(dst)
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
     runStaged(s, dir, dst)

@@ -42,7 +42,9 @@ object PowerIteration {
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint() // scanned once per iteration + two moment passes
     val n = emb.count().toDouble
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    // MAX over all rows (matches the oracle's MAX(len(embedding))) — a
+    // head() on an unordered frame could pick a short row on ragged input
+    val dims = emb.agg(max(size(col("embedding")))).head().getInt(0)
 
     // exact per-dim moments: decimal sums of rounded-12 terms
     val byDim = emb.select(posexplode(col("embedding")).as(Seq("d0", "x")))
@@ -52,9 +54,12 @@ object PowerIteration {
         sum(round(col("x") * col("x"), 12).cast("decimal(28,12)")).as("sxx"))
       .collect().map(r => r.getLong(0).toInt ->
         (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue())).toMap
-    val mean = Array.tabulate(dims)(d => r12(byDim(d + 1)._1 / n))
+    // ragged rows never emit their missing dims from posexplode, so a dim
+    // can be absent from the map entirely — zero contribution, like the
+    // oracle's sum over only the rows that have the dim
+    val mean = Array.tabulate(dims)(d => r12(byDim.getOrElse(d + 1, (0.0, 0.0))._1 / n))
     val varD = Array.tabulate(dims)(d =>
-      r12(r12(byDim(d + 1)._2 / n) - r12(mean(d) * mean(d))))
+      r12(r12(byDim.getOrElse(d + 1, (0.0, 0.0))._2 / n) - r12(mean(d) * mean(d))))
     val trace = varD.map(v => BigDecimal(r12(v)).setScale(12)).sum.toDouble
 
     var v = Array.fill(dims)(r12(1.0 / math.sqrt(dims.toDouble)))
@@ -76,7 +81,7 @@ object PowerIteration {
       val muDotV = (0 until dims)
         .map(d => BigDecimal(r12(mean(d) * v(d))).setScale(12)).sum.toDouble
       val raw = Array.tabulate(dims)(d =>
-        r12(r12(z(d + 1) / n) - r12(mean(d) * muDotV)))
+        r12(r12(z.getOrElse(d + 1, 0.0) / n) - r12(mean(d) * muDotV)))
       val nrm = math.sqrt(
         raw.map(x => BigDecimal(r12(x * x)).setScale(12)).sum.toDouble)
       lambda = r12(nrm)

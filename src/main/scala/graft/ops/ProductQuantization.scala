@@ -427,7 +427,7 @@ object ProductQuantization {
   /** Where q64 persists its integer codebook — the oracle replays
     * encode + ADC + re-rank from this table (the q81/q94 persisted-
     * model pattern), so only TRAINING stays engine-side. */
-  val CodebookPath = "/tmp/graft_pq_codebook.parquet"
+  val CodebookPath = graft.Sidecars.path("graft_pq_codebook.parquet")
 
   /** Fixed-point grid for the oracle-exact q64 path: unit-vector
     * components × 1000, round-half-up (the Clustering.Grid rule). */

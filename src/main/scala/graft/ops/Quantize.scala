@@ -166,7 +166,7 @@ object Quantize {
   }
 
   /** q206's persisted centroid table (the q83/q94 independence rule). */
-  val SemDedupCellCentroidsPath = "/tmp/graft_kmeans_centroids_semdedup.parquet"
+  val SemDedupCellCentroidsPath = graft.Sidecars.path("graft_kmeans_centroids_semdedup.parquet")
 
   /** q206: SemDeDup-in-cells DECLARED AND ORACLE-GATED — the 100 TB
     * dataflow (cell-restricted candidate generation, (n/c)² per-cell
@@ -188,10 +188,18 @@ object Quantize {
     * nCells bounded model rows broadcast against one narrow corpus
     * scan, linear in n·c (the standing bounded-model-attach idiom). */
   def q206SemanticDedupCells(s: SparkSession, dir: String, nCells: Int = 8,
-                             num: Int = 400, den: Int = 81): DataFrame = {
+                             num: Int = 400, den: Int = 81): DataFrame =
+    semanticDedupCellsAt(s, dir, nCells, SemDedupCellCentroidsPath, num, den)
+
+  /** The q206 pipeline with the centroid sidecar parameterized so q226
+    * can run it at a TUNED cell count against its own sidecar (the
+    * q83/q94 independence rule — gated queries never share sidecars). */
+  def semanticDedupCellsAt(s: SparkSession, dir: String, nCells: Int,
+                           centroidsPath: String, num: Int = 400,
+                           den: Int = 81): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val centroids = Clustering.trainCentroids(emb, nCells)
-    Clustering.persistCentroids(s, centroids, SemDedupCellCentroidsPath)
+    Clustering.persistCentroids(s, centroids, centroidsPath)
     val cells = Clustering.assignByJoin(emb, centroids)
       .select(col("vec_id"), col("cluster").as("cell"))
     val q = quantized(emb)
@@ -199,6 +207,50 @@ object Quantize {
       .join(cells, Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("q"), col("n2"))
     inCellDecision(q, num, den)
+  }
+
+  /** q226's sidecars: the tuner's candidate grid (the knob DECISION
+    * INPUT — persisted model is data) and the centroids of the run at
+    * the chosen knob. A degenerate tuner (sample too small / no true
+    * pairs) persists its fallback candidate (nlist=1, recall 1, frac 1)
+    * as the lone grid row so the oracle's pick replay stays uniform. */
+  val TunedGridPath: String = graft.Sidecars.path("graft_semdedup_tuner_grid.parquet")
+  val TunedCellCentroidsPath: String =
+    graft.Sidecars.path("graft_kmeans_centroids_semdedup_tuned.parquet")
+
+  /** q226: the TUNED-KNOB path ORACLE-GATED — [[AnnTuner.semDedupGrid]]
+    * estimates per-nlist co-location recall and pair cost from the
+    * seeded bounded sample, the grid is PERSISTED, and the oracle
+    * independently replays [[AnnTuner.pick]]'s rule over the persisted
+    * rows (recall ≥ target → min (pair frac, −recall, nlist); else max
+    * (recall, −frac, nlist asc)) — so a regression in the knob
+    * selection logic breaks the hash, closing the r12 verdict's "tuned
+    * paths are not gated" gap. The chosen row also carries `n_removed`,
+    * the realized dedup-decision count of the q206 dataflow run at the
+    * chosen nlist (replayed by the oracle from the tuned centroid
+    * sidecar), tying the declared decision to the run it produced. */
+  def q226SemanticDedupTuned(s: SparkSession, dir: String,
+                             targetRecall: Double = 0.7): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sample = AnnTuner.sampleUnit(emb)
+    val grid0 = AnnTuner.semDedupCandidates(sample)
+    val grid = if (grid0.nonEmpty) grid0
+      else Seq(AnnTuner.SemDedupKnobs(1, estRecall = 1.0, estPairFrac = 1.0))
+    import s.implicits._
+    grid.map(k => (k.nlist.toLong, k.estRecall, k.estPairFrac))
+      .toDF("nlist", "est_recall", "est_pair_frac")
+      .coalesce(1).write.mode("overwrite").parquet(TunedGridPath)
+    val chosen = AnnTuner.pickSemDedup(grid, targetRecall).nlist
+    val nRemoved = semanticDedupCellsAt(s, dir, chosen, TunedCellCentroidsPath)
+      .count()
+    s.read.parquet(TunedGridPath)
+      .select(col("nlist"),
+        round(col("est_recall"), 6).as("est_recall"),
+        round(col("est_pair_frac"), 6).as("est_pair_frac"),
+        (col("nlist") === chosen.toLong).as("chosen"),
+        when(col("nlist") === chosen.toLong, lit(nRemoved))
+          .otherwise(lit(0L)).as("n_removed"))
+      .orderBy(col("nlist"))
   }
 
   /** [[semanticDedupInCells]] with the cell count DERIVED from a bounded

@@ -660,9 +660,9 @@ object Retrieval {
     * the ~2 s masked read (the wave-5 soak's split). */
   def q96IndexDeleteProbe(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val root = new org.apache.hadoop.fs.Path("/tmp/graft_postings_delete")
+    val root = new org.apache.hadoop.fs.Path(graft.Sidecars.path("graft_postings_delete"))
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-    val dst = "/tmp/graft_postings_delete/idx"
+    val dst = graft.Sidecars.path("graft_postings_delete/idx")
     // 16 buckets at fixture scale: bucket count is a LAYOUT knob stored
     // in _meta (probe pruning and ranking are bucket-count-invariant —
     // the oracle proves the ranking, the soak's 64-bucket run proves
@@ -683,9 +683,9 @@ object Retrieval {
     * must answer exactly like a fresh build of the new corpus. */
   def q100IndexSyncProbe(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val root = new org.apache.hadoop.fs.Path("/tmp/graft_postings_sync_gate")
+    val root = new org.apache.hadoop.fs.Path(graft.Sidecars.path("graft_postings_sync_gate"))
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-    val dst = "/tmp/graft_postings_sync_gate/idx"
+    val dst = graft.Sidecars.path("graft_postings_sync_gate/idx")
     writePostingsBucketed(docs, dst, nBuckets = 16) // the q96 sizing note
     val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val v2 = docs.filter(col("doc_id") % 7 =!= 0)

@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
 object Rollup {
 
   /** Where q84 materializes its partials (q81-centroids precedent). */
-  val PartialsPath = "/tmp/graft_rollup_partials.parquet"
+  val PartialsPath = graft.Sidecars.path("graft_rollup_partials.parquet")
 
   private def withGrain(events: DataFrame): DataFrame = events
     .withColumn("day", expr("ts DIV 86400000000000"))
@@ -81,7 +81,7 @@ object Rollup {
         hll_sketch_estimate(col("u")).as("approx_users"))
 
   /** Where q99 materializes its value-histogram partials. */
-  val HistogramPath = "/tmp/graft_rollup_vhist.parquet"
+  val HistogramPath = graft.Sidecars.path("graft_rollup_vhist.parquet")
 
   /** Value-histogram partial rows — the MERGEABLE state behind exact
     * percentile serving: (day, bin = floor(value·100), count). Bins

@@ -178,11 +178,11 @@ object Sharding {
     * shard layout itself is spec territory, the TRIPLES are the
     * oracle's). */
   def q98ContrastiveSet(s: SparkSession, dir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path("/tmp/graft_contrastive")
+    val root = new org.apache.hadoop.fs.Path(graft.Sidecars.path("graft_contrastive"))
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
     // neg_ids surfaces as a joined string (the q35 rule: the driver
     // gate's pandas sort can't order raw arrays; both sides stringify).
-    materializeContrastiveSet(s, dir, "/tmp/graft_contrastive",
+    materializeContrastiveSet(s, dir, graft.Sidecars.path("graft_contrastive"),
         kNeg = 4, maxAnchors = 64)
       .select(col("doc_id"), col("pos_id"),
         array_join(transform(col("neg_ids"), x => x.cast("string")), ",")

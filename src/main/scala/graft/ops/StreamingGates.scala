@@ -140,7 +140,7 @@ object StreamingGates {
     * `session_window`'s semantics. Sum rides DECIMAL(28,6) on both
     * sides (the q34 float rule). */
   def q147StreamedSessions(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_streamed_sessions"
+    val root = graft.Sidecars.path("graft_streamed_sessions")
     val ev = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val sentinelTs = stageChronological(ev, root, 3, Some(e =>
@@ -198,7 +198,7 @@ object StreamingGates {
     * partition, making first-encountered ≡ chronologically-first.
     * The oracle is the per-user argmin in SQL. */
   def q148StreamedDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_streamed_dedup"
+    val root = graft.Sidecars.path("graft_streamed_dedup")
     val ev = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     stageChronological(

@@ -171,7 +171,7 @@ object TimeSeries {
       .orderBy(col("user_id"), col("hour_idx"))
 
   /** Where q107 materializes its store (q84's path precedent). */
-  val UserHourlyPath = "/tmp/graft_user_hourly.parquet"
+  val UserHourlyPath = graft.Sidecars.path("graft_user_hourly.parquet")
 
   /** q107: the standing-store claim as a DECLARED query (the q84/q100
     * precedent — maintenance paths belong in the oracle gate, not just

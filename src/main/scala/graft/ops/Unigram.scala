@@ -45,7 +45,7 @@ import scala.collection.mutable
   */
 object Unigram {
 
-  val ProbsPath = "/tmp/graft_unigram_probs.parquet"
+  val ProbsPath = graft.Sidecars.path("graft_unigram_probs.parquet")
   val MaxPieceLen = 6
   val UnkLogp12: Long = -100L * 1000000000000L
 

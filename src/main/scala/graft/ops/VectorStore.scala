@@ -35,10 +35,10 @@ import graft.Tables
 object VectorStore {
 
   /** Where q162 persists its coarse centroids (fixed-point ints). */
-  val StreamCentroidsPath = "/tmp/graft_ivf_stream_centroids.parquet"
+  val StreamCentroidsPath = graft.Sidecars.path("graft_ivf_stream_centroids.parquet")
 
   /** The streamed store root (cell-partitioned parquet under /store). */
-  val StreamStoreRoot = "/tmp/graft_ivf_stream"
+  val StreamStoreRoot = graft.Sidecars.path("graft_ivf_stream")
 
   /** One micro-batch into the store: assign against the broadcast
     * centroid array, append partitioned by cell. O(batch). */
@@ -79,10 +79,10 @@ object VectorStore {
   // ------------------------------------------------- lifecycle (q164)
 
   /** Where q164 persists its coarse centroids. */
-  val LifecycleCentroidsPath = "/tmp/graft_ivf_lifecycle_centroids.parquet"
+  val LifecycleCentroidsPath = graft.Sidecars.path("graft_ivf_lifecycle_centroids.parquet")
 
   /** q164's store root (`/store` cells, `/tombstones` delete markers). */
-  val LifecycleRoot = "/tmp/graft_ivf_lifecycle"
+  val LifecycleRoot = graft.Sidecars.path("graft_ivf_lifecycle")
 
   /** One micro-batch of PAYLOAD cell rows — (vec_id, qx, cluster), the
     * quantized vector riding along so probes never touch the raw

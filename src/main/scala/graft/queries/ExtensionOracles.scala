@@ -6254,4 +6254,86 @@ object ExtensionOracles {
       |    / CAST(MAX(m) AS DOUBLE), 6) AS top10pct_share
       |FROM x GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** Mirrors q224 (`ops.Multimodal.q224ImageNearDup`): the DEFINITIONAL
+    * all-pairs Hamming filter over the persisted aHash sidecar (pixel
+    * decode is not SQL — the hash table is the oracle input, the q205
+    * persisted-model-is-data rule). Because the engine answers with the
+    * pigeonhole-banded collapsed join, a banding bug that DROPPED any
+    * distance ≤ 3 pair (or a collapse bug that dropped a member of an
+    * identical-hash group) breaks the hash here — the recall guarantee
+    * is gated, not asserted. */
+  val q224ImageNearDup: String =
+    s"""WITH h AS (SELECT doc_id, ahash
+       |  FROM read_parquet('${graft.ops.Multimodal.ImageHashPath}/*.parquet')),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS dist
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT d1, d2, dist FROM p WHERE dist <= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Mirrors q225 (`ops.Multimodal.q225FrameSample`): re-window the
+    * video payload bytes in SQL — every 2nd 256-byte window, md5 per
+    * window. `documents.text` is ASCII in this corpus (asserted by the
+    * q30 oracle's octet_length identity), so VARCHAR substring ≡ byte
+    * slicing and md5(VARCHAR) ≡ md5 of the payload bytes. */
+  val q225FrameSample: String =
+    """WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, text, n,
+      |    unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS j FROM v)
+      |SELECT doc_id, CAST(j // 2 AS BIGINT) AS frame_idx,
+      |  CAST(least(256, n - j * 256) AS BIGINT) AS n_bytes,
+      |  md5(substring(text, CAST(j * 256 + 1 AS INT), 256)) AS frame_md5
+      |FROM f WHERE j % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Mirrors q226 (`ops.Quantize.q226SemanticDedupTuned`): the tuner's
+    * candidate grid is read from its sidecar (the knob DECISION INPUT —
+    * the sampled k-means simulation is driver math over a seeded
+    * bounded sample, persisted-model-is-data), the pick rule is
+    * replayed INDEPENDENTLY in SQL (recall ≥ 0.7 → min by (pair frac,
+    * −recall, nlist); else max by (recall, −frac, nlist) — Scala
+    * minBy/maxBy keep the FIRST extremum, hence the nlist ASC
+    * tiebreak), and `n_removed` replays the full q206 dataflow at the
+    * chosen knob from the tuned centroid sidecar. */
+  val q226SemanticDedupTuned: String =
+    s"""WITH grid AS (SELECT * FROM
+       |    read_parquet('${graft.ops.Quantize.TunedGridPath}/*.parquet')),
+       |pick1 AS (SELECT nlist FROM grid WHERE est_recall >= 0.7
+       |  ORDER BY est_pair_frac ASC, est_recall DESC, nlist ASC LIMIT 1),
+       |pick2 AS (SELECT nlist FROM grid
+       |  ORDER BY est_recall DESC, est_pair_frac ASC, nlist ASC LIMIT 1),
+       |chosen AS (SELECT COALESCE((SELECT nlist FROM pick1),
+       |    (SELECT nlist FROM pick2)) AS cn),
+       |${kmeansAssignCtes(graft.ops.Quantize.TunedCellCentroidsPath)},
+       |asg AS (SELECT e.vec_id, CAST(COALESCE(r.cluster, 0) AS INT) AS cell
+       |  FROM e LEFT JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+       |m AS (SELECT vec_id, MAX(abs(CAST(embedding[i] AS DOUBLE))) AS maxabs
+       |      FROM x GROUP BY vec_id),
+       |qx AS MATERIALIZED (SELECT x.vec_id, x.i,
+       |         CASE WHEN m.maxabs > 0
+       |              THEN CAST(floor(CAST(x.embedding[x.i] AS DOUBLE) /
+       |                     (m.maxabs / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)
+       |              ELSE 0 END AS qi
+       |       FROM x JOIN m ON x.vec_id = m.vec_id),
+       |n AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS n2 FROM qx GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |           CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot
+       |         FROM qx a JOIN qx b ON a.i = b.i AND a.vec_id < b.vec_id
+       |         JOIN asg ca ON ca.vec_id = a.vec_id
+       |         JOIN asg cb ON cb.vec_id = b.vec_id AND ca.cell = cb.cell
+       |         GROUP BY 1, 2),
+       |sim AS (SELECT v1, v2 FROM dots
+       |        JOIN n na ON v1 = na.vec_id
+       |        JOIN n nb ON v2 = nb.vec_id
+       |        WHERE dot > 0 AND 400 * dot * dot >= 81 * na.n2 * nb.n2),
+       |removed AS (SELECT CAST(COUNT(DISTINCT v2) AS BIGINT) AS n_removed FROM sim)
+       |SELECT g.nlist, round(g.est_recall, 6) AS est_recall,
+       |  round(g.est_pair_frac, 6) AS est_pair_frac,
+       |  g.nlist = c.cn AS chosen,
+       |  CASE WHEN g.nlist = c.cn THEN r.n_removed ELSE CAST(0 AS BIGINT) END
+       |    AS n_removed
+       |FROM grid g, chosen c, removed r
+       |ORDER BY nlist""".stripMargin
 }

@@ -126,9 +126,9 @@ object ProfileQ98 {
     locally {
       import graft.ops.Retrieval
       val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      val root = new org.apache.hadoop.fs.Path("/tmp/graft_profile_sync")
+      val root = new org.apache.hadoop.fs.Path(graft.Sidecars.path("graft_profile_sync"))
       root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
-      val dst = "/tmp/graft_profile_sync/idx"
+      val dst = graft.Sidecars.path("graft_profile_sync/idx")
       time("q100 writePostings") { Retrieval.writePostingsBucketed(docs, dst) }
       val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val v2 = docs.filter(col("doc_id") % 7 =!= 0)
