@@ -393,7 +393,7 @@ object Multimodal {
     * 2×2 block (so each aHash cell reads one exact value). */
   private def synthCells(seed: Long): Array[Int] =
     Array.tabulate(64) { i =>
-      ((graft.functions.BloomFilter.splitmix64(seed * 64 + i) >>> 40) & 0xff).toInt
+      ((graft.functions.BloomFormat.splitmix64(seed * 64 + i) >>> 40) & 0xff).toInt
     }
 
   /** Encode 8×8 gray blocks as a 16×16 image via the named ImageIO
