@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHash64)
     e.injectFunction(GraftExtensions.winnowFingerprints)
     e.injectFunction(GraftExtensions.substrWindowHashes)
+    e.injectFunction(GraftExtensions.acCounts)
     e.injectFunction(GraftExtensions.cmsSketch)
     e.injectFunction(GraftExtensions.cmsEstimate)
     e.injectFunction(GraftExtensions.topK)
@@ -104,6 +105,27 @@ object GraftExtensions {
           graft.functions.SubstrWindowHashes(c, l)
         case other => throw new IllegalArgumentException(
           s"substr_window_hashes takes 2 arguments, got ${other.size}")
+      })
+
+  /** `ac_counts(s, 'p1', 'p2', …)` — patterns must be string literals
+    * (the Aho–Corasick automaton is built at plan time). */
+  val acCounts: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ac_counts"),
+      info("ac_counts",
+        "ac_counts(s, p1, p2, ...) - Per-pattern overlapping occurrence counts via one Aho-Corasick pass."),
+      (children: Seq[Expression]) => children match {
+        case c +: pats if pats.nonEmpty =>
+          val patterns = pats.map {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.StringType &&
+                lit.value != null =>
+              lit.value.toString
+            case other => throw new IllegalArgumentException(
+              s"ac_counts: patterns must be STRING literals, got $other")
+          }
+          graft.functions.AcCounts(c, patterns)
+        case other => throw new IllegalArgumentException(
+          s"ac_counts takes a string column plus >= 1 pattern literals, got ${other.size} args")
       })
 
   /** `cms_sketch(col)` or `cms_sketch(col, depth, width)` — depth/width
@@ -225,7 +247,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(tokenizeS3Log, ipv4ToLong, cosineSimilarity, intDot, rollingHash64,
-        winnowFingerprints, substrWindowHashes, cmsSketch, cmsEstimate,
+        winnowFingerprints, substrWindowHashes, acCounts, cmsSketch, cmsEstimate,
         topK, bloomAgg, bloomMightContain, cmsJoinSize, hllSketch, hllUnion,
         hllEstimate).foreach {
       case (id, inf, builder) => reg.registerFunction(id, inf, builder)

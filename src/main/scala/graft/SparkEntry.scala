@@ -423,6 +423,16 @@ object SparkEntry {
       graft.ops.Multimodal.q225FrameSample(s, dir)),
     "q226_semantic_dedup_tuned" -> ((s: SparkSession, dir: String) =>
       graft.ops.Quantize.q226SemanticDedupTuned(s, dir)),
+    "q227_blocklist_scan" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Blocklist.q227BlocklistScan(s, dir)),
+    "q228_mad_outliers" -> ((s: SparkSession, dir: String) =>
+      graft.ops.RobustStats.q228MadOutliers(s, dir)),
+    "q229_vocab_growth" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Vocabulary.q229VocabGrowth(s, dir)),
+    "q230_wasserstein_drift" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Drift.q230WassersteinDrift(s, dir)),
+    "q231_audio_neardup" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Multimodal.q231AudioNearDup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -969,5 +979,10 @@ object SparkEntry {
     "q224_image_neardup" -> ExtensionOracles.q224ImageNearDup,
     "q225_frame_sample" -> ExtensionOracles.q225FrameSample,
     "q226_semantic_dedup_tuned" -> ExtensionOracles.q226SemanticDedupTuned,
+    "q227_blocklist_scan" -> ExtensionOracles.q227BlocklistScan,
+    "q228_mad_outliers" -> ExtensionOracles.q228MadOutliers,
+    "q229_vocab_growth" -> ExtensionOracles.q229VocabGrowth,
+    "q230_wasserstein_drift" -> ExtensionOracles.q230WassersteinDrift,
+    "q231_audio_neardup" -> ExtensionOracles.q231AudioNearDup,
   )
 }

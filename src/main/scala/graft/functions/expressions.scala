@@ -291,6 +291,33 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "word_ngrams"
 }
 
+/** Per-pattern OVERLAPPING occurrence counts of a literal pattern list
+  * as one codegen'd kernel call per row (AhoCorasick scaladoc has the
+  * semantics and complexity contract). The pattern list is a plan-time
+  * constant; the built automaton ships as a codegen reference object. */
+case class AcCounts(child: Expression, patterns: Seq[String])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType && patterns.nonEmpty && patterns.forall(_.nonEmpty))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ac_counts requires STRING and >= 1 non-empty literal patterns; " +
+        s"got ${child.dataType.sql}, ${patterns.size} patterns")
+  }
+  @transient private lazy val ac = AhoCorasick.build(patterns)
+  override def nullSafeEval(input: Any): Any =
+    ac.countsAll(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"$acRef.countsAll($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcCounts =
+    copy(child = newChild)
+  override def prettyName: String = "ac_counts"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -307,6 +334,8 @@ object exprs {
     column(WinnowFingerprints(expression(c), k, w))
   def substr_window_hashes(c: Column, win: Int): Column =
     column(SubstrWindowHashes(expression(c), win))
+  def ac_counts(c: Column, patterns: Seq[String]): Column =
+    column(AcCounts(expression(c), patterns))
   def int_sqdist(a: Column, b: Column): Column =
     // GRAFT_BENCH_HOF_SQDIST=1 swaps back the HOF chain — the pricing
     // knob (call sites add their own outer coalesce, as before)

@@ -212,4 +212,58 @@ object Drift {
       .withColumn("rank_biserial", round(lit(2.0) * col("auc") - lit(1.0), 12))
       .orderBy(col("source"))
   }
+
+  /** q230: exact 1-D WASSERSTEIN-1 (earth mover's) drift per source —
+    * the MAGNITUDE companion to q186's KS: KS reads the single worst
+    * ECDF gap (a probability), W1 integrates the gap over the value
+    * axis (∫|F_s − F_rest| dv — expected tokens a doc must "move" to
+    * turn one distribution into the other). A source whose lengths
+    * shift uniformly by 50 tokens moves W1 by ≈ 50 while KS saturates;
+    * the two together say "how wrong and by how much".
+    *
+    * Exact: on an integer domain W1 = Σ_i |F_s − F_rest|(v_i) ·
+    * (v_{i+1} − v_i). Cross-multiplied to integers: |cum_s·n_r −
+    * cum_r·n_s| · gap with ONE divide by n_s·n_r at the end (round 6).
+    * Widths: products widened to DECIMAL via (19,0)×(12,0) factors
+    * (the house DuckDB-bind rule), the gap product to (25,0)×(12,0) →
+    * (38,0) — integer-exact to n ~ 10¹² docs × gaps ~ 10⁴.
+    *
+    * Scale shape: identical to q186 — one (source × value) count
+    * aggregate, the sources × distinct-values broadcast grid, windows
+    * over aggregated rows only. */
+  def q230WassersteinDrift(s: SparkSession, dir: String): DataFrame =
+    wassersteinDrift(Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v")))
+
+  /** The reusable W1 core over any (source, v: long) frame. */
+  def wassersteinDrift(values: DataFrame): DataFrame = {
+    val counts = values.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val globalCum = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
+      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cum_g"))
+    val total = counts.agg(sum(col("c")).as("n_all"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"))
+    ns.crossJoin(globalCum.select(col("v")))
+      .join(counts, Seq("source", "v"), "left")
+      .withColumn("cum_s", coalesce(sum(col("c")).over(ws), lit(0L)))
+      .join(globalCum, Seq("v"))
+      .crossJoin(broadcast(total))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(ws) - col("v"), lit(0L)))
+      .withColumn("diff", abs(
+        col("cum_s").cast("decimal(19,0)") *
+          (col("n_all") - col("n_s")).cast("decimal(12,0)") -
+        (col("cum_g") - col("cum_s")).cast("decimal(19,0)") *
+          col("n_s").cast("decimal(12,0)")))
+      .withColumn("term", col("diff").cast("decimal(25,0)") *
+        col("gap").cast("decimal(12,0)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_source"),
+        max(col("n_all") - col("n_s")).as("n_rest"),
+        sum(col("term")).as("num"))
+      .withColumn("w1", round(col("num").cast("double") /
+        (col("n_source").cast("double") * col("n_rest").cast("double")), 6))
+      .select(col("source"), col("n_source"), col("n_rest"), col("w1"))
+      .orderBy(col("source"))
+  }
 }

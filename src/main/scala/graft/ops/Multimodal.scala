@@ -471,6 +471,164 @@ object Multimodal {
         col("n_bytes"), col("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  // --- Audio fingerprint near-dup (q231) -------------------------------
+  //
+  // The audio twin of q224: the JDK's javax.sound.sampled is a REAL
+  // WAV-PCM codec pair, so the engine synthesizes decodable audio (a
+  // two-sine mixture per doc, 16-bit mono PCM), re-encodes perceptual
+  // duplicates (an exactly-half-volume copy — different bytes, same
+  // fingerprint by construction since sign(e_{w+1} − e_w) is invariant
+  // under uniform scaling of even samples), and fingerprints through
+  // the REAL decode path. The fingerprint is the Haitsma–Kalker /
+  // Shazam-family energy-delta sign bit: split the clip into 65
+  // windows, e_w = Σ s² (exact integer), bit w = [e_{w+1} > e_w] — 64
+  // bits, integer-exact end to end, so both the engine and any replay
+  // agree bit-for-bit.
+
+  /** Decode a WAV-PCM payload to raw integer samples (sign-corrected,
+    * all channels interleaved) via the real javax.sound parser. None
+    * for anything it cannot parse — degrade, don't die. */
+  def decodeWavSamples(payload: Array[Byte]): Option[Array[Int]] = {
+    import javax.sound.sampled.{AudioSystem, AudioFormat}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val pcm = signed || fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!pcm || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          val step = bits / 8
+          val out = new Array[Int](bytes.length / step)
+          var i = 0; var k = 0
+          while (i + step <= bytes.length) {
+            out(k) =
+              if (bits == 8) {
+                if (signed) bytes(i).toInt else (bytes(i) & 0xff) - 128
+              } else {
+                val lo = if (big) bytes(i + 1) else bytes(i)
+                val hi = if (big) bytes(i) else bytes(i + 1)
+                val raw = ((hi & 0xff) << 8) | (lo & 0xff)
+                if (signed) raw.toShort.toInt else raw - 32768
+              }
+            i += step; k += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+  }
+
+  /** 64-bit energy-delta fingerprint over `nWin` windows (exact integer
+    * energies; short clips pad missing windows with energy 0). 65
+    * windows → 64 delta bits: the full Long must carry signal, or the
+    * upper bands of the 4×16 pigeonhole banding would be constant-zero
+    * and their band-buckets would degenerate to all-pairs. */
+  def audioFingerprint(samples: Array[Int], nWin: Int = 65): Long = {
+    val win = math.max(1, samples.length / nWin)
+    val e = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var i = w * win
+      val end = math.min(samples.length, (w + 1) * win)
+      var sum = 0L
+      while (i < end) { sum += samples(i).toLong * samples(i); i += 1 }
+      e(w) = sum
+      w += 1
+    }
+    var bits = 0L; var k = 0
+    while (k < nWin - 1) { if (e(k + 1) > e(k)) bits |= (1L << k); k += 1 }
+    bits
+  }
+
+  /** Real WAV encode: raw 16-bit little-endian mono PCM through the
+    * JDK's AudioSystem WAVE writer. */
+  def encodeWav(samples: Array[Int], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic two-sine clip for a doc (2048 samples @ 8 kHz),
+    * quantized to EVEN ints so the half-volume variant divides exactly.
+    * StrictMath keeps the synth platform-independent. */
+  private def synthSamples(seed: Long): Array[Int] = {
+    val h1 = graft.functions.BloomFormat.splitmix64(seed)
+    val h2 = graft.functions.BloomFormat.splitmix64(seed + 1)
+    val f1 = 200.0 + ((h1 >>> 32) % 1800L).toDouble
+    val f2 = 200.0 + ((h2 >>> 32) % 1800L).toDouble
+    val a1 = 6000.0 + ((h1 & 0xffff) % 4000L).toDouble
+    val a2 = 3000.0 + ((h2 & 0xffff) % 3000L).toDouble
+    Array.tabulate(2048) { t =>
+      val v = a1 * StrictMath.sin(2.0 * StrictMath.PI * f1 * t / 8000.0) +
+        a2 * StrictMath.sin(2.0 * StrictMath.PI * f2 * t / 8000.0)
+      2 * StrictMath.round(v / 2.0).toInt
+    }
+  }
+
+  /** (aud_id, variant, payload) corpus: per doc the base WAV (4·doc),
+    * an exactly-half-volume copy (4·doc+1 — different bytes, SAME
+    * fingerprint), every 5th doc a phase-shifted copy (4·doc+2, near
+    * fingerprint), every 7th an unrelated clip (4·doc+3). */
+  def audioCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = synthSamples(id)
+        val half = base.map(_ / 2)
+        val out = Seq(
+          (id * 4, "wav", encodeWav(base)),
+          (id * 4 + 1, "halfvol", encodeWav(half)))
+        val shifted = if (id % 5 == 0)
+          Seq((id * 4 + 2, "shift",
+            encodeWav(Array.tabulate(2048)(t => base((t + 7) % 2048)))))
+        else Seq.empty
+        val unrelated = if (id % 7 == 0)
+          Seq((id * 4 + 3, "other", encodeWav(synthSamples(id + 424243L))))
+        else Seq.empty
+        out ++ shifted ++ unrelated
+      }).toDF("aud_id", "variant", "payload")
+  }
+
+  /** q231's persisted fingerprint sidecar (pixel/PCM decode is not SQL
+    * — the q224 rule). */
+  val AudioFpPath: String = graft.Sidecars.path("graft_audio_fp.parquet")
+
+  /** q231: audio perceptual near-dup ORACLE-GATED — real WAV encode →
+    * real javax.sound decode → integer energy-delta fingerprint
+    * (persisted) → the q224 hash-collapsed pigeonhole-banded pairing
+    * at Hamming ≤ 3. Oracle: definitional all-pairs Hamming from the
+    * sidecar. */
+  def q231AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = audioCorpus(s, dir).select(col("aud_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavSamples(bytes).map(sm => (id, audioFingerprint(sm)))
+      }).toDF("doc_id", "ahash")
+    fps.write.mode("overwrite").parquet(AudioFpPath)
+    imageNearDupPairsCollapsed(s.read.parquet(AudioFpPath))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Synthesizes a media table from `documents` (text bytes stand in for
     * an encoded payload) — the container has no real media files. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =

@@ -150,4 +150,61 @@ object RobustStats {
         shareAt(expr("(n * 1 + 9) DIV 10")).as("top10pct_share"))
       .orderBy(col("source"))
   }
+
+  /** q228: MAD OUTLIER AUDIT per source — the robust-dispersion
+    * companion of q214's robust locations: median absolute deviation
+    * (the 50% breakdown-point scale estimate) and the count of docs
+    * whose modified z-score 0.6745·|x−med|/MAD exceeds 3.5 (Iglewicz &
+    * Hoaglin's rule). The flag the q39 filter pipeline can't express:
+    * "unusually long FOR ITS SOURCE", robust to the very outliers it
+    * hunts.
+    *
+    * Exact and integer until the final fraction: both medians are
+    * lower-medians over VALUE-AGGREGATED histograms (the q88 recipe —
+    * the deviation histogram derives from the value histogram by
+    * remapping v → |v − med|, never rescanning docs), and the 3.5 cut
+    * cross-multiplies to `1349·d > 7000·MAD` (6745/5000 = 1349/1000,
+    * 3.5 = 7/2) so no float ever decides a flag. MAD = 0 (over half
+    * the mass on one value) flags every d > 0 — the standard
+    * degenerate-rule reading, identical on both engines. */
+  def q228MadOutliers(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.documents(s, dir))
+
+  /** The core over any (source, text) frame. */
+  def madOutliers(docs: DataFrame): DataFrame = {
+    val hist = Par.widen(docs)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("source").as("ts")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    val med = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(totals), col("source") === col("ts"))
+      .groupBy(col("source"), col("n"))
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("med"))
+    val dev = hist.join(broadcast(med.select(col("source").as("ms"),
+        col("n"), col("med"))), col("source") === col("ms"))
+      .select(col("source"), col("n"), col("med"),
+        abs(col("v") - col("med")).as("d"), col("c"))
+    val dhist = dev.groupBy(col("source"), col("n"), col("med"), col("d"))
+      .agg(sum(col("c")).as("c"))
+    val wd = Window.partitionBy(col("source")).orderBy(col("d"))
+    val mad = dhist.withColumn("cum", sum(col("c")).over(wd))
+      .groupBy(col("source"), col("n"), col("med"))
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("d"))).as("mad"))
+    dev.select(col("source"), col("d"), col("c"))
+      .join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"), col("n").as("n_docs"), col("med"), col("mad"))
+      .agg(sum(when(col("d") * 1349L > col("mad") * 7000L, col("c"))
+        .otherwise(lit(0L))).as("n_outliers"),
+        max(col("d")).as("max_d"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n_docs").cast("double"), 6))
+      // the worst modified z-score — keeps the gate discriminating on
+      // corpora whose flag count is legitimately zero
+      .withColumn("max_mz",
+        when(col("mad") > 0, round(lit(0.6745) * col("max_d").cast("double") /
+          col("mad").cast("double"), 6)))
+      .drop("max_d")
+      .orderBy(col("source"))
+  }
 }

@@ -50,4 +50,68 @@ object Vocabulary {
               (lit(2.0) * col("n_dis").cast("double")), 6)).as("chao1"))
       .orderBy(col("source"))
   }
+
+  /** q229: VOCABULARY GROWTH CURVE + HEAPS' LAW FIT — distinct-type
+    * count V(N) at ten corpus prefixes plus the fitted Heaps exponent
+    * β (V ≈ K·N^β, Heaps '78): the number every tokenizer-vocab-size
+    * and dedup-planning decision starts from, and a drift alarm in its
+    * own right (β drifting toward 1 = the corpus is filling with
+    * unseen-token noise; toward 0 = templated repetition).
+    *
+    * Prefixes WITHOUT order statistics: checkpoints are doc_id
+    * thresholds d_j = (max_id·j) DIV 10 (docs arrive in id order), so
+    * the growth read needs no global sort — "first occurrence" is ONE
+    * `min(doc_id)` aggregate per token type (map-side combined, the
+    * only vocabulary-sized shuffle), collapsed to a ≤|docs| histogram
+    * before the broadcast-threshold conditional counts. The fit is a
+    * 10-point OLS on (ln N, ln V): rounded-12 terms, exact decimal
+    * sums, the β/ln K divisions in fixed-shape double arithmetic
+    * rounded 6 (identical expression trees on both engines). */
+  def q229VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    growthCurve(Tables.documents(s, dir))
+
+  /** The growth core over any (doc_id, text) frame. */
+  def growthCurve(docs0: DataFrame): DataFrame = {
+    val docs = Par.widen(docs0)
+    val thr = docs.agg(max(col("doc_id")).as("mx"))
+      .select(explode(sequence(lit(1), lit(10))).as("j0"), col("mx"))
+      .select(col("j0").cast("long").as("j"), expr("mx * j0 DIV 10").as("d"))
+    val docStats = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .crossJoin(broadcast(thr)).filter(col("doc_id") <= col("d"))
+      .groupBy(col("j"), col("d"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val fHist = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("c"))
+    val vocabAt = fHist.crossJoin(broadcast(thr)).filter(col("f") <= col("d"))
+      .groupBy(col("j")).agg(sum(col("c")).as("vocab"))
+    val pts = docStats.join(vocabAt, Seq("j"), "left")
+      .withColumn("vocab", coalesce(col("vocab"), lit(0L)))
+    val fit = pts.filter(col("n_tokens") > 0 && col("vocab") > 0)
+      .select(round(log(col("n_tokens").cast("double")), 12).as("x"),
+        round(log(col("vocab").cast("double")), 12).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("x"), 12).as("xx"),
+        round(col("x") * col("y"), 12).as("xy"))
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum(col("xx").cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum(col("xy").cast("decimal(28,12)")).cast("double").as("sxy"))
+      .select(
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("m"), col("sx"), col("sy"))
+      .select(
+        when(col("den") =!= 0.0, round(col("num") / col("den"), 6)).as("heaps_beta"),
+        when(col("den") =!= 0.0, round(
+          (col("sy") - (col("num") / col("den")) * col("sx")) / col("m"), 6))
+          .as("heaps_lnk"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("j"), col("d").as("id_threshold"), col("n_docs"),
+        col("n_tokens"), col("vocab"), col("heaps_beta"), col("heaps_lnk"))
+      .orderBy(col("j"))
+  }
 }

@@ -6336,4 +6336,147 @@ object ExtensionOracles {
        |    AS n_removed
        |FROM grid g, chosen c, removed r
        |ORDER BY nlist""".stripMargin
+
+  /** Mirrors q231 (`ops.Multimodal.q231AudioNearDup`): the q224 rule
+    * for audio — PCM decode is not SQL, so the persisted fingerprint
+    * table is the oracle input and the DEFINITIONAL all-pairs Hamming
+    * filter is the replay (gating the banded join's exact-recall claim
+    * on a second, independent fingerprint family). */
+  val q231AudioNearDup: String =
+    s"""WITH h AS (SELECT doc_id, ahash
+       |  FROM read_parquet('${graft.ops.Multimodal.AudioFpPath}/*.parquet')),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS dist
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT d1, d2, dist FROM p WHERE dist <= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Mirrors q227 (`ops.Blocklist.q227BlocklistScan`): the DEFINITION
+    * of overlapping literal occurrence — every position where the
+    * substring equals the pattern — replayed position-by-position in
+    * SQL, so an automaton failure-link bug breaks the hash. ASCII
+    * corpus ⇒ char positions ≡ byte positions (the q30/q225 identity). */
+  val q227BlocklistScan: String = {
+    val pats = graft.ops.Blocklist.Patterns.zipWithIndex
+      .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH pats(pid, p) AS (SELECT * FROM (VALUES $pats)),
+       |d AS (SELECT doc_id, text FROM documents),
+       |pos0 AS (SELECT d.doc_id, pats.pid, pats.p, d.text,
+       |    len(d.text) - len(pats.p) + 1 AS m
+       |  FROM d CROSS JOIN pats WHERE len(d.text) >= len(pats.p)),
+       |pos AS (SELECT doc_id, pid, p, text,
+       |    unnest(generate_series(1, m)) AS i FROM pos0),
+       |hit AS (SELECT doc_id, pid, p, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM pos WHERE substr(text, CAST(i AS INT), len(p)) = p
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(pid AS BIGINT) AS pattern_id, p AS pattern, cnt
+       |FROM hit ORDER BY doc_id, pattern_id""".stripMargin
+  }
+
+  /** Mirrors q228 (`ops.RobustStats.q228MadOutliers`): both lower-
+    * medians via the cumulative window over value-aggregated
+    * histograms, the integer cross-multiplied 3.5 modified-z cut
+    * (1349·d > 7000·MAD), and the max-z diagnostic. */
+  val q228MadOutliers: String =
+    """WITH h AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cu AS (SELECT h.source, h.v, h.c, t.n,
+      |    CAST(SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS BIGINT) AS cum
+      |  FROM h JOIN t USING (source)),
+      |med AS (SELECT source, MAX(n) AS n,
+      |    CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS med
+      |  FROM cu GROUP BY source),
+      |dev AS (SELECT h.source, abs(h.v - med.med) AS d, h.c
+      |  FROM h JOIN med USING (source)),
+      |dh AS (SELECT source, d, CAST(SUM(c) AS BIGINT) AS c FROM dev GROUP BY 1, 2),
+      |dcu AS (SELECT dh.source, dh.d, dh.c, med.n,
+      |    CAST(SUM(dh.c) OVER (PARTITION BY dh.source ORDER BY dh.d) AS BIGINT) AS cum
+      |  FROM dh JOIN med USING (source)),
+      |mad AS (SELECT source, CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+      |    AS BIGINT) AS mad
+      |  FROM dcu GROUP BY source),
+      |sel AS (SELECT dev.source, med.n, med.med, mad.mad,
+      |    CAST(SUM(CASE WHEN dev.d * 1349 > mad.mad * 7000 THEN dev.c ELSE 0 END)
+      |      AS BIGINT) AS n_outliers,
+      |    CAST(MAX(dev.d) AS BIGINT) AS max_d
+      |  FROM dev JOIN med USING (source) JOIN mad USING (source)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source, n AS n_docs, med, mad, n_outliers,
+      |  round(CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE), 6) AS outlier_frac,
+      |  CASE WHEN mad > 0
+      |    THEN round(0.6745 * CAST(max_d AS DOUBLE) / CAST(mad AS DOUBLE), 6)
+      |  END AS max_mz
+      |FROM sel ORDER BY source""".stripMargin
+
+  /** Mirrors q229 (`ops.Vocabulary.q229VocabGrowth`): id-threshold
+    * prefixes, one MIN(doc_id) per token type collapsed to a
+    * first-occurrence histogram, and the 10-point Heaps OLS on
+    * rounded-12 logs with exact decimal sums (β and ln K in
+    * fixed-shape double arithmetic, round 6). */
+  val q229VocabGrowth: String =
+    s"""WITH $tokCte,
+       |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+       |thr AS (SELECT CAST(t.j AS BIGINT) AS j, (mx.mx * t.j) // 10 AS d
+       |  FROM mx, unnest(generate_series(1, 10)) AS t(j)),
+       |pd AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS nt FROM tok),
+       |ds AS (SELECT thr.j, thr.d, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(pd.nt) AS BIGINT) AS n_tokens
+       |  FROM pd JOIN thr ON pd.doc_id <= thr.d GROUP BY 1, 2),
+       |fo AS (SELECT w, MIN(doc_id) AS f
+       |  FROM (SELECT doc_id, unnest(l) AS w FROM tok) GROUP BY w),
+       |fh AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM fo GROUP BY f),
+       |va AS (SELECT thr.j, CAST(SUM(fh.c) AS BIGINT) AS vocab
+       |  FROM fh JOIN thr ON fh.f <= thr.d GROUP BY 1),
+       |pts AS (SELECT ds.j, ds.d, ds.n_docs, ds.n_tokens,
+       |    COALESCE(va.vocab, 0) AS vocab FROM ds LEFT JOIN va USING (j)),
+       |fit0 AS (SELECT round(ln(CAST(n_tokens AS DOUBLE)), 12) AS x,
+       |    round(ln(CAST(vocab AS DOUBLE)), 12) AS y
+       |  FROM pts WHERE n_tokens > 0 AND vocab > 0),
+       |fit1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+       |  FROM fit0),
+       |fit AS (SELECT m * sxy - sx * sy AS num, m * sxx - sx * sx AS den,
+       |    m, sx, sy FROM fit1)
+       |SELECT p.j, p.d AS id_threshold, p.n_docs, p.n_tokens, p.vocab,
+       |  CASE WHEN f.den <> 0 THEN round(f.num / f.den, 6) END AS heaps_beta,
+       |  CASE WHEN f.den <> 0
+       |    THEN round((f.sy - (f.num / f.den) * f.sx) / f.m, 6) END AS heaps_lnk
+       |FROM pts p, fit f ORDER BY j""".stripMargin
+
+  /** Mirrors q230 (`ops.Drift.q230WassersteinDrift`): the q186 grid
+    * with the gap-weighted integral — cross-multiplied ECDF
+    * differences widened via (19,0)×(12,0) factors, the gap product
+    * via (25,0)×(12,0), one rounded-6 divide at the end. */
+  val q230WassersteinDrift: String =
+    """WITH h AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM h GROUP BY 1),
+      |gv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cg FROM h GROUP BY 1),
+      |gc AS (SELECT v, CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT) AS cum_g FROM gv),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM h),
+      |grid AS (SELECT ns.source, ns.n_s, g.v
+      |  FROM ns CROSS JOIN (SELECT v FROM gv) g),
+      |cums AS (SELECT grid.source, grid.n_s, grid.v,
+      |    CAST(COALESCE(SUM(h.c) OVER (PARTITION BY grid.source ORDER BY grid.v),
+      |      0) AS BIGINT) AS cum_s
+      |  FROM grid LEFT JOIN h ON h.source = grid.source AND h.v = grid.v),
+      |f AS (SELECT c.source, c.n_s, c.v, c.cum_s, gc.cum_g, t.n_all,
+      |    COALESCE(LEAD(c.v) OVER (PARTITION BY c.source ORDER BY c.v) - c.v, 0)
+      |      AS gap
+      |  FROM cums c JOIN gc USING (v) CROSS JOIN tot t),
+      |terms AS (SELECT source, n_s, n_all,
+      |    CAST(abs(CAST(cum_s AS DECIMAL(19,0)) * CAST(n_all - n_s AS DECIMAL(12,0))
+      |        - CAST(cum_g - cum_s AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(12,0)))
+      |      AS DECIMAL(25,0)) * CAST(gap AS DECIMAL(12,0)) AS term
+      |  FROM f)
+      |SELECT source, MAX(n_s) AS n_source, MAX(n_all - n_s) AS n_rest,
+      |  round(CAST(SUM(term) AS DOUBLE) /
+      |    (CAST(MAX(n_s) AS DOUBLE) * CAST(MAX(n_all - n_s) AS DOUBLE)), 6) AS w1
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
 }
