@@ -370,7 +370,42 @@ object Soak {
       timed("spearman")(graft.ops.Correlation.spearman(
         docs.select(col("doc_id"), col("source"),
           graft.ops.TextAnalysis.tokenCount(col("text")).as("x"),
-          length(col("text")).cast("long").as("y")))))
+          length(col("text")).cast("long").as("y")))),
+      // wave 32. blocklist: one narrow AC-kernel scan + a bounded
+      // posexplode — strictly scan-bound, pattern count amortized into
+      // the automaton. mad_outliers: the q88 histogram machinery twice
+      // (value then deviation domain) — aggregated windows only.
+      // wasserstein: the q186 grid + one gap-weighted sum — same shape.
+      // vocab_growth: one min(doc_id)-per-token aggregate (the salted
+      // replicas grow the vocab ×mult) + broadcast threshold counts.
+      timed("blocklist_scan")(graft.ops.Blocklist
+        .blocklistScan(docs, graft.ops.Blocklist.Patterns)),
+      timed("mad_outliers")(graft.ops.RobustStats.madOutliers(docs)),
+      timed("wasserstein")(graft.ops.Drift.wassersteinDrift(
+        docs.select(col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
+      timed("vocab_growth")(graft.ops.Vocabulary.growthCurve(docs)),
+      // image/audio perceptual dedup: corpus synth + REAL codec decode +
+      // fingerprint (narrow map, payloads never shuffle) + the
+      // hash-collapsed banded pair join. Replicated doc_ids are
+      // re-keyed, so each replica mints ×mult NEW images/clips with
+      // their own variant dup-groups — true pair structure scales
+      // ×mult; band-bucket quadratic blowup would show as wall, not
+      // rows.
+      timed("image_neardup")(graft.ops.Multimodal.imageNearDupPairsCollapsed(
+        graft.ops.Multimodal.imageHashes(
+          graft.ops.Multimodal.imageCorpusOf(docs.select(col("doc_id")))
+            .select(col("img_id").as("doc_id"), col("payload"))).toDF())),
+      timed("audio_fingerprint")({
+        import spark.implicits._
+        graft.ops.Multimodal.audioCorpusOf(docs.select(col("doc_id")))
+          .select(col("aud_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) =>
+            graft.ops.Multimodal.decodeWavSamples(bytes)
+              .map(sm => (id, graft.ops.Multimodal.audioFingerprint(sm)))
+          }).toDF("doc_id", "ahash")
+      }))
 
     // Write-time ANN layouts at the soaked scale: ingest (layout write)
     // cost, probe cost against the written layout, and the fraction of

@@ -420,9 +420,15 @@ object Multimodal {
     * the same pixels as BMP (4·doc+1), every 5th doc an edited copy
     * (4·doc+2), every 7th an unrelated image (4·doc+3). Partition-local
     * encode; payloads never leave the stage that hashes them. */
-  def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+  def imageCorpus(s: SparkSession, dir: String): DataFrame =
+    imageCorpusOf(Tables.documents(s, dir).select(col("doc_id")))
+
+  /** The synth core over any (doc_id) frame (the soak feeds replicated
+    * ids through here). */
+  def imageCorpusOf(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val cells = synthCells(id)
         val base = Seq(
@@ -588,9 +594,14 @@ object Multimodal {
     * an exactly-half-volume copy (4·doc+1 — different bytes, SAME
     * fingerprint), every 5th doc a phase-shifted copy (4·doc+2, near
     * fingerprint), every 7th an unrelated clip (4·doc+3). */
-  def audioCorpus(s: SparkSession, dir: String): DataFrame = {
+  def audioCorpus(s: SparkSession, dir: String): DataFrame =
+    audioCorpusOf(Tables.documents(s, dir).select(col("doc_id")))
+
+  /** The synth core over any (doc_id) frame. */
+  def audioCorpusOf(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val base = synthSamples(id)
         val half = base.map(_ / 2)

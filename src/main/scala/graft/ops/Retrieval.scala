@@ -420,15 +420,24 @@ object Retrieval {
     * read nBuckets⁻¹-ish of the layout per term. */
   def writePostingsBucketed(docs: DataFrame, dst: String,
                             nBuckets: Int = 64): Unit = {
-    // dAll feeds the _totals sidecar and keeps EMPTY docs: scan-time
+    // lens feeds _totals and _dl and keeps EMPTY docs: scan-time
     // bm25TopK counts every document in n_docs/avgdl, and the index
     // must agree or every idf shifts on a corpus with one blank doc
     // (row-for-row parity is the layout's contract); only the postings
-    // themselves drop tokenless docs (they have nothing to post)
-    val dAll = Par.widen(docs)
+    // themselves drop tokenless docs (they have nothing to post).
+    // ONE tokenize pass feeds every length-derived artifact (totals +
+    // the _dl sidecar): at 100 TB the corpus tokenize IS the dominant
+    // cost of an index build, and this used to run three times (r13
+    // profile: the postings pass is inherent, the other two are not).
+    // The lens frame is 2 longs/doc — checkpointing it is free next to
+    // one saved corpus scan.
+    val lens = Par.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("dl"))
+      .localCheckpoint()
+    val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
-    val d = dAll.filter(size(col("l")) > 0)
+      .filter(size(col("l")) > 0)
     val postings = d
       .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -453,7 +462,7 @@ object Retrieval {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(dst + "_df")
-    dAll.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_totals")
     import s.implicits._
@@ -464,8 +473,7 @@ object Retrieval {
     // each doc's distinct posting buckets (≤ nBuckets ints/doc) — the
     // reverse map that lets a purge find its touched dirs without
     // scanning the store
-    Par.widen(docs).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("dl"))
+    lens
       .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
       .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
