@@ -433,6 +433,10 @@ object SparkEntry {
       graft.ops.Drift.q230WassersteinDrift(s, dir)),
     "q231_audio_neardup" -> ((s: SparkSession, dir: String) =>
       graft.ops.Multimodal.q231AudioNearDup(s, dir)),
+    "q232_centroid_dendrogram" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q232CentroidDendrogram(s, dir)),
+    "q233_lang_pivot" -> ((s: SparkSession, dir: String) =>
+      Relational.q233LangPivot(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -984,5 +988,7 @@ object SparkEntry {
     "q229_vocab_growth" -> ExtensionOracles.q229VocabGrowth,
     "q230_wasserstein_drift" -> ExtensionOracles.q230WassersteinDrift,
     "q231_audio_neardup" -> ExtensionOracles.q231AudioNearDup,
+    "q232_centroid_dendrogram" -> ExtensionOracles.q232CentroidDendrogram,
+    "q233_lang_pivot" -> ExtensionOracles.q233LangPivot,
   )
 }

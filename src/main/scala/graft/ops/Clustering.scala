@@ -433,4 +433,76 @@ object Clustering {
             sqrt(col("h_ai").cast("double") * col("h_bj").cast("double")), 6))
           .as("nmi"))
   }
+
+  /** q232's persisted centroid table (own sidecar — the q83/q94
+    * independence rule). */
+  val DendroCentroidsPath: String =
+    graft.Sidecars.path("graft_kmeans_centroids_dendro.parquet")
+
+  /** q232: CENTROID DENDROGRAM — single-linkage agglomerative
+    * clustering over the k-means model, the HIERARCHICAL read flat
+    * k-means can't give ("are these 8 cells really 3 families?"): the
+    * merge-distance profile is the knee diagnostic for choosing the
+    * effective cluster count, and the early merges name the
+    * near-duplicate cells an IVF layout could fuse.
+    *
+    * Exact and bounded: the corpus cost is the ONE k-means training
+    * pass (everything after runs on the k×k integer distance grid of
+    * the grid-snapped centroid vectors — k−1 driver-side merges over a
+    * bounded model, the MMR/PAV bounded-collect rule). Single-linkage
+    * cluster distance = min member-pair distance, so the argmin over
+    * MEMBER pairs ordered by (dist, least rep, greatest rep) picks
+    * exactly the cluster-level tie-break — the oracle unrolls the k−1
+    * merges as MATERIALIZED CTE steps over the persisted centroid
+    * sidecar and must land on the identical merge sequence. */
+  def q232CentroidDendrogram(s: SparkSession, dir: String,
+                             k: Int = 8): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, k)
+    persistCentroids(s, centroids, DendroCentroidsPath)
+    import s.implicits._
+    singleLinkageMerges(centroids)
+      .toDF("step", "rep_a", "rep_b", "dist", "n_clusters")
+      .orderBy(col("step"))
+  }
+
+  /** The bounded merge core: (step, rep_a, rep_b, dist, n_clusters)
+    * per merge; reps are the min member index by induction (the merge
+    * always relabels into the smaller rep). */
+  def singleLinkageMerges(centroids: Array[Array[Long]])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val n = centroids.length
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s0 = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+      s0
+    }
+    val comp = Array.tabulate(n)(identity)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var step = 1
+    while (step < n) {
+      var bd = Long.MaxValue; var bra = Int.MaxValue; var brb = Int.MaxValue
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (comp(i) != comp(j)) {
+            val d = d2(centroids(i), centroids(j))
+            val ra = math.min(comp(i), comp(j))
+            val rb = math.max(comp(i), comp(j))
+            if (d < bd || (d == bd && (ra < bra || (ra == bra && rb < brb)))) {
+              bd = d; bra = ra; brb = rb
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var m = 0
+      while (m < n) { if (comp(m) == brb) comp(m) = bra; m += 1 }
+      steps += ((step.toLong, bra.toLong, brb.toLong, bd, (n - step).toLong))
+      step += 1
+    }
+    steps.toSeq
+  }
 }

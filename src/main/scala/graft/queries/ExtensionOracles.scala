@@ -6337,6 +6337,65 @@ object ExtensionOracles {
        |FROM grid g, chosen c, removed r
        |ORDER BY nlist""".stripMargin
 
+  /** Mirrors q232 (`ops.Clustering.q232CentroidDendrogram`): pairwise
+    * integer centroid distances from the persisted sidecar, then the
+    * k−1 single-linkage merges UNROLLED as MATERIALIZED CTE steps —
+    * each step's argmin over member pairs ordered (dist, least rep,
+    * greatest rep) with the membership table rewritten per step. A
+    * linkage bug (wrong tie-break, wrong membership update) lands on a
+    * different merge sequence and breaks the hash. */
+  val q232CentroidDendrogram: String = {
+    val k = 8
+    val steps = (1 to (k - 1)).map { i =>
+      val prev = s"m${i - 1}"
+      s"""p$i AS (SELECT least(ma.rep, mb.rep) AS ra,
+         |    greatest(ma.rep, mb.rep) AS rb, pd.d
+         |  FROM pd JOIN $prev ma ON ma.cid = pd.i JOIN $prev mb ON mb.cid = pd.j
+         |  WHERE ma.rep <> mb.rep),
+         |w$i AS MATERIALIZED (SELECT ra, rb, d FROM p$i ORDER BY d, ra, rb LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT m.cid,
+         |    CASE WHEN m.rep = w.rb THEN w.ra ELSE m.rep END AS rep
+         |  FROM $prev m, w$i w)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to (k - 1)).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, CAST(ra AS BIGINT) AS rep_a,
+         |  CAST(rb AS BIGINT) AS rep_b, CAST(d AS BIGINT) AS dist,
+         |  CAST($k - $i AS BIGINT) AS n_clusters FROM w$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT cluster, qc
+       |  FROM read_parquet('${graft.ops.Clustering.DendroCentroidsPath}/*.parquet')),
+       |xi AS (SELECT cluster, k, qc[CAST(k AS INT)] AS v
+       |  FROM (SELECT cluster, qc, unnest(generate_series(1, len(qc))) AS k FROM c)),
+       |pd AS MATERIALIZED (SELECT a.cluster AS i, b.cluster AS j,
+       |    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d
+       |  FROM xi a JOIN xi b ON a.k = b.k AND a.cluster < b.cluster
+       |  GROUP BY 1, 2),
+       |m0 AS (SELECT cluster AS cid, cluster AS rep FROM c),
+       |$steps
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors q233 (`queries.Relational.q233LangPivot`): the pivot as
+    * conditional sums over the pinned language axis; totals from the
+    * five coalesced columns on both sides. */
+  val q233LangPivot: String = {
+    val langs = graft.queries.Relational.PivotLangs
+    val cols = langs.map(l =>
+      s"  CAST(COALESCE(SUM(CASE WHEN lang = '$l' THEN nt END), 0) AS BIGINT) AS tok_$l")
+      .mkString(",\n")
+    val total = langs.map(l => s"tok_$l").mkString(" + ")
+    s"""WITH d AS (SELECT source, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+       |  FROM documents),
+       |w AS (SELECT source,
+       |$cols
+       |  FROM d GROUP BY source)
+       |SELECT source, ${langs.map(l => s"tok_$l").mkString(", ")},
+       |  $total AS tok_total
+       |FROM w ORDER BY source""".stripMargin
+  }
+
   /** Mirrors q231 (`ops.Multimodal.q231AudioNearDup`): the q224 rule
     * for audio — PCM decode is not SQL, so the persisted fingerprint
     * table is the oracle input and the DEFINITIONAL all-pairs Hamming

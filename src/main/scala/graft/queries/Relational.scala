@@ -686,6 +686,32 @@ object Relational {
       .orderBy(col("gid"), asc_nulls_first("source"), asc_nulls_first("lang"))
   }
 
+  /** q233's pinned pivot axis (explicit values = deterministic output
+    * columns AND a one-pass plan — Spark's two-pass value-discovery
+    * pivot is both nondeterministic in column order and an extra scan). */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** q233: PIVOT — the wide per-source language report
+    * (`RelationalGroupedDataset.pivot`, the one §2.3 relational surface
+    * not yet gated): token counts spread over the pinned language
+    * axis plus the row total. One map-side-combined aggregate; pivot
+    * with an explicit value list compiles to conditional aggregates
+    * inside a single hash aggregate — no extra shuffle vs the long
+    * form. */
+  def q233LangPivot(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("nt"))
+    val wide = docs.groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(sum(col("nt")))
+    val cols = PivotLangs.map(l => coalesce(col(l), lit(0L)).as(s"tok_$l"))
+    wide.select((col("source") +: cols): _*)
+      .withColumn("tok_total",
+        PivotLangs.map(l => col(s"tok_$l")).reduce(_ + _))
+      .orderBy(col("source"))
+  }
+
   /** The reusable core over any (user_id, event_type, ts) frame. */
   def eventFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
