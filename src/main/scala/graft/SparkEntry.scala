@@ -437,6 +437,12 @@ object SparkEntry {
       graft.ops.Clustering.q232CentroidDendrogram(s, dir)),
     "q233_lang_pivot" -> ((s: SparkSession, dir: String) =>
       Relational.q233LangPivot(s, dir)),
+    "q234_sprt_monitor" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ChangePoint.q234SprtMonitor(s, dir)),
+    "q235_sliding_active" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q235SlidingActive(s, dir)),
+    "q236_pareto_frontier" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Selection.q236ParetoFrontier(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -990,5 +996,8 @@ object SparkEntry {
     "q231_audio_neardup" -> ExtensionOracles.q231AudioNearDup,
     "q232_centroid_dendrogram" -> ExtensionOracles.q232CentroidDendrogram,
     "q233_lang_pivot" -> ExtensionOracles.q233LangPivot,
+    "q234_sprt_monitor" -> ExtensionOracles.q234SprtMonitor,
+    "q235_sliding_active" -> ExtensionOracles.q235SlidingActive,
+    "q236_pareto_frontier" -> ExtensionOracles.q236ParetoFrontier,
   )
 }

@@ -88,6 +88,66 @@ object ChangePoint {
   def q195CusumDaily(s: SparkSession, dir: String): DataFrame =
     cusumDaily(Tables.events(s, dir))
 
+  /** q234: WALD'S SPRT (Sequential Probability Ratio Test, Wald '45)
+    * per event type — the DECISION layer the monitoring family lacked:
+    * CUSUM (q195) scores a shift, bursts (q210) segment episodes,
+    * Mann–Kendall (q215) tests trend; SPRT answers "can we already
+    * STOP and call it" with guaranteed error rates (α = β = 0.05).
+    * H₀: daily rate = μ (the type's own mean); H₁: rate = 2μ (the
+    * q210 s = 2 convention). Poisson log-likelihood ratio per day
+    * llr_d = k_d·ln 2 − μ, cumulative over days; accept H₁ at
+    * cum ≥ ln 19, H₀ at cum ≤ −ln 19, else keep sampling.
+    *
+    * Determinism: each llr term is rounded 12 and decimal-summed (the
+    * q210 cost recipe); the boundary is the shared rounded-12 ln 19
+    * literal; the crossing day is min(day WHERE |cum| ≥ bound) with
+    * the decision read from the SIGN AT THAT DAY (not the final cum).
+    * Shape: the q195 zero-filled (type × day) spine; the cumulative is
+    * a per-type window over calendar-bounded aggregated rows. */
+  def q234SprtMonitor(s: SparkSession, dir: String): DataFrame =
+    sprtDaily(Tables.events(s, dir))
+
+  /** The SPRT core over any (ts epoch-nanos, event_type) frame. */
+  def sprtDaily(events: DataFrame, s: Double = 2.0): DataFrame = {
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = counts.select(col("day")).distinct()
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val base = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("tot"))
+      .withColumn("mu", round(col("tot").cast("double") /
+        col("nd").cast("double"), 12))
+      .select(col("event_type"), col("nd"), col("mu"))
+    val lnS = BigDecimal(math.log(s)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val bound = BigDecimal(math.log(19.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val scored = grid.join(broadcast(base), Seq("event_type"))
+      .withColumn("llr",
+        round(col("x").cast("double") * lit(lnS) -
+          lit(s - 1.0) * col("mu"), 12).cast("decimal(28,12)"))
+      .withColumn("cum", sum(col("llr")).over(w))
+    scored.groupBy(col("event_type"))
+      .agg(max(col("nd")).as("n_days"),
+        round(max(col("mu")), 6).as("mu"),
+        round(max(col("cum")).cast("double"), 6).as("max_cum"),
+        round(sum(col("llr")).cast("double"), 6).as("final_cum"),
+        min(when(abs(col("cum")) >= lit(bound).cast("decimal(28,12)"),
+          col("day"))).as("cross_day"),
+        min(when(abs(col("cum")) >= lit(bound).cast("decimal(28,12)"),
+          struct(col("day"), when(col("cum") > 0, lit("h1"))
+            .otherwise(lit("h0")).as("dec")))).as("cross"))
+      .select(col("event_type"), col("n_days"), col("mu"), col("max_cum"),
+        col("final_cum"), col("cross_day"), col("cross.dec").as("decision"))
+      .orderBy(col("event_type"))
+  }
+
   /** q210: TWO-STATE BURST DETECTION (Kleinberg, KDD'02) on per-type
     * daily volume — the episodic companion to q195's CUSUM: CUSUM
     * flags a sustained LEVEL SHIFT once; the burst automaton segments

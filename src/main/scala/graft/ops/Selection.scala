@@ -317,4 +317,40 @@ object Selection {
         col("pct"))
       .orderBy(col("doc_id"))
   }
+
+  /** q236: PARETO FRONTIER (skyline) — the docs no other doc dominates
+    * on (token count, distinct-token count), the classic multi-criteria
+    * selection operator ("longest AND most lexically diverse" without
+    * collapsing to one weighted score). Dominance: b dominates a iff
+    * b.x ≥ a.x ∧ b.y ≥ a.y with at least one strict; EQUAL (x, y)
+    * points never dominate each other (both survive).
+    *
+    * The naive skyline is the O(n²) NOT-EXISTS anti-join — that IS the
+    * oracle. The engine computes it in aggregate domain: collapse to
+    * distinct (x, y) cells, per-x keep only the max-y cell (same-x
+    * dominance), then one window over the ≤|distinct x| frame — a cell
+    * survives iff its y strictly exceeds the running max-y over all
+    * strictly-greater x. Cost: one (x, y) count aggregate + a window
+    * over aggregated cells, never a pair join. */
+  def q236ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    paretoFrontier(docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("x"),
+      size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("y")))
+  }
+
+  /** The skyline core over any (doc_id, x, y) frame (maximize both). */
+  def paretoFrontier(m: DataFrame): DataFrame = {
+    val cells = m.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val xmax = cells.groupBy(col("x")).agg(max(col("y")).as("ymax"))
+    val wd = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = xmax
+      .withColumn("gm", max(col("ymax")).over(wd))
+      .filter(col("gm").isNull || col("ymax") > col("gm"))
+      .select(col("x"), col("ymax").as("y"))
+    m.join(broadcast(frontier), Seq("x", "y"), "left_semi")
+      .select(col("doc_id"), col("x"), col("y"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -490,4 +490,42 @@ object TimeSeries {
           12).as("avg_surprisal"))
       .orderBy(col("user_id"))
   }
+
+  /** q235: SLIDING-WINDOW ACTIVE USERS — exact DAU / trailing-7-day
+    * WAU / stickiness per observed day: the windowed-DISTINCT operator
+    * (distinct is not decomposable over sliding windows, so naive
+    * plans re-scan per window). Completes the activity family: q86's
+    * cohort matrix is by FIRST day, q139's growth accounting is
+    * day-over-day; this is the rolling-reach read.
+    *
+    * Exact without per-window rescans: raw events collapse ONCE to
+    * distinct (user, day); each row then projects into the ≤ 7 target
+    * days it can serve via a broadcast offset join, re-distincts on
+    * (user, target) — aggregate-domain throughout, cost ≤ 7× the
+    * distinct frame, never 7× raw events. Targets are restricted to
+    * OBSERVED days (both engines read the same grid). */
+  def q235SlidingActive(s: SparkSession, dir: String): DataFrame =
+    slidingActive(Tables.events(s, dir))
+
+  /** The rolling-reach core over any (user_id, ts epoch-nanos) frame. */
+  def slidingActive(events: DataFrame, window: Int = 7): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ud = events
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val offsets = (0 until window).map(_.toLong).toDF("off")
+    val days = ud.select(col("day")).distinct()
+    val wau = ud.crossJoin(broadcast(offsets))
+      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
 }

@@ -6396,6 +6396,74 @@ object ExtensionOracles {
        |FROM w ORDER BY source""".stripMargin
   }
 
+  /** Mirrors q234 (`ops.ChangePoint.q234SprtMonitor`): the zero-filled
+    * day grid, per-type mean, rounded-12 Poisson LLR terms decimal-
+    * summed, the shared ln 19 boundary, crossing day + the decision
+    * read from the sign AT the crossing. */
+  val q234SprtMonitor: String =
+    """WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM cnt) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+      |    round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 12) AS mu
+      |  FROM grid GROUP BY 1),
+      |sc AS (SELECT g.event_type, g.day, b.nd, b.mu,
+      |    CAST(round(g.x * round(ln(2), 12) - 1.0 * b.mu, 12)
+      |      AS DECIMAL(28,12)) AS llr
+      |  FROM grid g JOIN base b USING (event_type)),
+      |cum AS (SELECT event_type, day, nd, mu, llr,
+      |    SUM(llr) OVER (PARTITION BY event_type ORDER BY day) AS cum FROM sc),
+      |agg AS (SELECT event_type, MAX(nd) AS n_days, round(MAX(mu), 6) AS mu,
+      |    round(CAST(MAX(cum) AS DOUBLE), 6) AS max_cum,
+      |    round(CAST(SUM(llr) AS DOUBLE), 6) AS final_cum,
+      |    MIN(CASE WHEN abs(cum) >= CAST(round(ln(19), 12) AS DECIMAL(28,12))
+      |      THEN day END) AS cross_day
+      |  FROM cum GROUP BY 1)
+      |SELECT a.event_type, a.n_days, a.mu, a.max_cum, a.final_cum, a.cross_day,
+      |  CASE WHEN a.cross_day IS NOT NULL
+      |    THEN (CASE WHEN c.cum > 0 THEN 'h1' ELSE 'h0' END) END AS decision
+      |FROM agg a LEFT JOIN cum c
+      |  ON c.event_type = a.event_type AND c.day = a.cross_day
+      |ORDER BY a.event_type""".stripMargin
+
+  /** Mirrors q235 (`ops.TimeSeries.q235SlidingActive`): distinct
+    * (user, day) once, the ≤ 7 offset projection restricted to
+    * observed days, re-distinct, one rounded-6 ratio. */
+  val q235SlidingActive: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |proj AS (SELECT DISTINCT ud.user_id, ud.day + o.off AS day
+      |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o),
+      |wau AS (SELECT p.day, CAST(COUNT(*) AS BIGINT) AS wau
+      |  FROM proj p JOIN days USING (day) GROUP BY 1)
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** Mirrors q236 (`ops.Selection.q236ParetoFrontier`): the DEFINITION
+    * — a doc survives iff NO other doc weakly dominates it with one
+    * strict coordinate (equal points co-survive). The engine's
+    * aggregate-domain window skyline must land on the same set. */
+  val q236ParetoFrontier: String =
+    s"""WITH $tokCte,
+       |m AS (SELECT d.doc_id,
+       |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS x,
+       |    CAST(len(list_distinct(t.l)) AS BIGINT) AS y
+       |  FROM documents d JOIN tok t ON d.doc_id = t.doc_id)
+       |SELECT a.doc_id, a.x, a.y FROM m a
+       |WHERE NOT EXISTS (SELECT 1 FROM m b
+       |  WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+       |ORDER BY a.doc_id""".stripMargin
+
   /** Mirrors q231 (`ops.Multimodal.q231AudioNearDup`): the q224 rule
     * for audio — PCM decode is not SQL, so the persisted fingerprint
     * table is the oracle input and the DEFINITIONAL all-pairs Hamming
