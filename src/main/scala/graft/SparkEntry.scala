@@ -443,6 +443,12 @@ object SparkEntry {
       graft.ops.TimeSeries.q235SlidingActive(s, dir)),
     "q236_pareto_frontier" -> ((s: SparkSession, dir: String) =>
       graft.ops.Selection.q236ParetoFrontier(s, dir)),
+    "q237_time_weighted_avg" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q237TimeWeightedAvg(s, dir)),
+    "q238_prefix_cache" -> ((s: SparkSession, dir: String) =>
+      graft.ops.PrefixCache.q238PrefixCache(s, dir)),
+    "q239_metrics_unpivot" -> ((s: SparkSession, dir: String) =>
+      Relational.q239MetricsUnpivot(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -999,5 +1005,8 @@ object SparkEntry {
     "q234_sprt_monitor" -> ExtensionOracles.q234SprtMonitor,
     "q235_sliding_active" -> ExtensionOracles.q235SlidingActive,
     "q236_pareto_frontier" -> ExtensionOracles.q236ParetoFrontier,
+    "q237_time_weighted_avg" -> ExtensionOracles.q237TimeWeightedAvg,
+    "q238_prefix_cache" -> ExtensionOracles.q238PrefixCache,
+    "q239_metrics_unpivot" -> ExtensionOracles.q239MetricsUnpivot,
   )
 }

@@ -528,4 +528,44 @@ object TimeSeries {
           .as("stickiness"))
       .orderBy(col("day"))
   }
+
+  /** q237: TIME-WEIGHTED AVERAGE of the event `value` per (type, day)
+    * — the irregular-sampling mean every TSDB exposes (a value that
+    * held for 20 h must outweigh ten 1-second blips; the plain AVG the
+    * engine already has cannot say that). Step-function hold: each
+    * event's value holds until the next event of the same (type, day);
+    * the day's last event carries no duration.
+    *
+    * Determinism: inter-arrival nanos are exact longs < 2⁵³ (exact in
+    * double), each v·dt product is one IEEE multiply rounded 12 and
+    * decimal-summed; one divide by the span at the end (round 6). Ties
+    * in ts break on event_id — the window is keyed by (type, day), so
+    * partitions are calendar-bounded, never one-type-global (the
+    * hot-key window rule). */
+  def q237TimeWeightedAvg(s: SparkSession, dir: String): DataFrame =
+    timeWeightedAvg(Tables.events(s, dir))
+
+  /** The TWA core over any (event_type, event_id, ts nanos, value). */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"),
+      col("ts"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+      .withColumn("term",
+        when(col("dt").isNotNull,
+          round(col("value") * col("dt").cast("double"), 12)
+            .cast("decimal(28,12)")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term")).as("num"),
+        (max(col("ts")) - min(col("ts"))).as("span"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        when(col("span") > 0L,
+          round(col("num").cast("double") / col("span").cast("double"), 6))
+          .as("twa"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -6396,6 +6396,63 @@ object ExtensionOracles {
        |FROM w ORDER BY source""".stripMargin
   }
 
+  /** Mirrors q237 (`ops.TimeSeries.q237TimeWeightedAvg`): the
+    * step-hold integral — lead(ts) per (type, day) ordered (ts,
+    * event_id), rounded-12 v·dt terms decimal-summed, one rounded-6
+    * divide by the span. */
+  val q237TimeWeightedAvg: String =
+    """WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    epoch_ns(ts) AS tns, event_id, value FROM events),
+      |d AS (SELECT event_type, day, tns, value,
+      |    LEAD(tns) OVER (PARTITION BY event_type, day
+      |      ORDER BY tns, event_id) - tns AS dt
+      |  FROM ev),
+      |t AS (SELECT event_type, day, tns,
+      |    CASE WHEN dt IS NOT NULL
+      |      THEN CAST(round(value * CAST(dt AS DOUBLE), 12) AS DECIMAL(28,12))
+      |    END AS term
+      |  FROM d)
+      |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CASE WHEN MAX(tns) - MIN(tns) > 0
+      |    THEN round(CAST(SUM(term) AS DOUBLE) /
+      |      CAST(MAX(tns) - MIN(tns) AS DOUBLE), 6) END AS twa
+      |FROM t GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Mirrors q238 (`ops.PrefixCache.q238PrefixCache`): per rung, group
+    * docs by the first-L characters (docs ≥ L only), count ≥2-member
+    * groups and the (cnt−1)·L saved chars, one rounded-6 fraction. */
+  val q238PrefixCache: String = {
+    val rungs = graft.ops.PrefixCache.Ladder.map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS prefix_len,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         |    WHERE len(text) >= $l) AS n_docs,
+         |  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS shared_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(COALESCE(SUM((cnt - 1) * $l), 0) AS BIGINT) AS saved_chars,
+         |  CASE WHEN (SELECT SUM(len(text)) FROM documents
+         |      WHERE len(text) >= $l) > 0
+         |    THEN round(CAST(COALESCE(SUM((cnt - 1) * $l), 0) AS DOUBLE) /
+         |      CAST((SELECT SUM(len(text)) FROM documents
+         |        WHERE len(text) >= $l) AS DOUBLE), 6) END AS saved_frac
+         |FROM (SELECT substr(text, 1, $l) AS p, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM documents WHERE len(text) >= $l GROUP BY 1)
+         |WHERE cnt >= 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (\n$rungs\n) ORDER BY prefix_len""".stripMargin
+  }
+
+  /** Mirrors q239 (`queries.Relational.q239MetricsUnpivot`): the melt
+    * as a UNION ALL long form. */
+  val q239MetricsUnpivot: String =
+    """WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM m
+      |UNION ALL
+      |SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM m
+      |ORDER BY doc_id, metric""".stripMargin
+
   /** Mirrors q234 (`ops.ChangePoint.q234SprtMonitor`): the zero-filled
     * day grid, per-type mean, rounded-12 Poisson LLR terms decimal-
     * summed, the shared ln 19 boundary, crossing day + the decision

@@ -712,6 +712,20 @@ object Relational {
       .orderBy(col("source"))
   }
 
+  /** q239: UNPIVOT — `Dataset.unpivot` (the melt dual of q233's pivot,
+    * the other half of the wide↔long relational surface): per-doc
+    * metrics to (doc_id, metric, value) long form. A pure narrow map
+    * (unpivot compiles to Expand — k output rows per input row, no
+    * shuffle). */
+  def q239MetricsUnpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .unpivot(Array(col("doc_id")),
+        Array(col("n_chars"), col("n_tokens")), "metric", "value")
+      .orderBy(col("doc_id"), col("metric"))
+  }
+
   /** The reusable core over any (user_id, event_type, ts) frame. */
   def eventFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
