@@ -564,6 +564,25 @@ object Soak {
       // cusum: raw events ×mult collapse into the SAME (type × day)
       // grid — the one aggregate absorbs the volume, windows stay flat
       timed("cusum")(graft.ops.ChangePoint.cusumDaily(ev)),
+      // wave 34/35 monitoring family: same grid-absorption claim —
+      // sprt collapses to (type × day), sliding_active to distinct
+      // (user, day) × 7 offsets, twa's keyed windows see raw rows but
+      // partition on (type, day) so parallelism tracks the calendar
+      timed("sprt")(graft.ops.ChangePoint.sprtDaily(ev)),
+      timed("sliding_active")(graft.ops.TimeSeries.slidingActive(ev)),
+      timed("twa")(graft.ops.TimeSeries.timeWeightedAvg(ev)
+        .filter(coalesce(col("twa"), lit(0.0)) >= -1e18)),
+      // prefix-cache ladder: 3 narrow groupBy passes over salted docs
+      // (the replica salt lands in every whitespace gap, so replicas of
+      // one doc split at the first gap — within-replica sharing keeps
+      // group structure ~×mult, and the groupBy must absorb the volume)
+      timed("prefix_cache")(graft.ops.PrefixCache.prefixCacheSavings(docs)),
+      // pareto skyline: one (x, y) cell aggregate + a bounded-domain
+      // window — flat modulo the tokenize scan
+      timed("pareto")(graft.ops.Selection.paretoFrontier(
+        docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("x"),
+          length(col("text")).cast("long").as("y")))),
       // absorbing funnel: the q115 transition machinery at raw volume,
       // then a 1-row solve — cost must track the adjacent-pairs window
       timed("absorbing")(graft.ops.Absorbing.conversionFunnel(

@@ -41,10 +41,12 @@ object PowerIteration {
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint() // scanned once per iteration + two moment passes
-    val n = emb.count().toDouble
-    // MAX over all rows (matches the oracle's MAX(len(embedding))) — a
-    // head() on an unordered frame could pick a short row on ragged input
-    val dims = emb.agg(max(size(col("embedding")))).head().getInt(0)
+    // one pass for both corpus stats; dims = MAX over all rows (matches
+    // the oracle's MAX(len(embedding))) — a head() on an unordered frame
+    // could pick a short row on ragged input
+    val stats = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
+    val n = stats.getLong(0).toDouble
+    val dims = stats.getInt(1)
 
     // exact per-dim moments: decimal sums of rounded-12 terms
     val byDim = emb.select(posexplode(col("embedding")).as(Seq("d0", "x")))
