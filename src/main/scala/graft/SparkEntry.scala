@@ -449,6 +449,14 @@ object SparkEntry {
       graft.ops.PrefixCache.q238PrefixCache(s, dir)),
     "q239_metrics_unpivot" -> ((s: SparkSession, dir: String) =>
       Relational.q239MetricsUnpivot(s, dir)),
+    "q240_l_diversity" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Privacy.q240LDiversity(s, dir)),
+    "q241_runs_test" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Drift.q241RunsTest(s, dir)),
+    "q242_scd2_history" -> ((s: SparkSession, dir: String) =>
+      graft.ops.SnapshotDiff.q242Scd2History(s, dir)),
+    "q243_coverage_select" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Selection.q243CoverageSelect(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1008,5 +1016,9 @@ object SparkEntry {
     "q237_time_weighted_avg" -> ExtensionOracles.q237TimeWeightedAvg,
     "q238_prefix_cache" -> ExtensionOracles.q238PrefixCache,
     "q239_metrics_unpivot" -> ExtensionOracles.q239MetricsUnpivot,
+    "q240_l_diversity" -> ExtensionOracles.q240LDiversity,
+    "q241_runs_test" -> ExtensionOracles.q241RunsTest,
+    "q242_scd2_history" -> ExtensionOracles.q242Scd2History,
+    "q243_coverage_select" -> ExtensionOracles.q243CoverageSelect,
   )
 }

@@ -266,4 +266,59 @@ object Drift {
       .select(col("source"), col("n_source"), col("n_rest"), col("w1"))
       .orderBy(col("source"))
   }
+
+  /** q241: WALD–WOLFOWITZ RUNS TEST per source — is the doc SEQUENCE
+    * random, not just the distribution right? A shard written sorted
+    * by length, an ingest that batches short docs together, a
+    * curriculum leak — all pass every distributional check (KS, W1,
+    * quantiles agree exactly) and fail here: the signs of
+    * (token count − source median) in doc_id order clump into too few
+    * runs (sortedness) or alternate into too many (interleaving).
+    *
+    * Exact ingredients: lower median via the q88 histogram, ties
+    * (x = med) dropped per standard practice, R = 1 + sign changes
+    * over the per-source ordered sequence, then the closed-form
+    * μ_R = 1 + 2n₁n₂/n and σ²_R = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)) in
+    * fixed-shape double arithmetic (2n₁n₂ would overflow a long at
+    * corpus scale — both engines compute it as doubles), z rounded 6;
+    * degenerate one-sided sequences (n₁ = 0 or n₂ = 0) → NULL z. */
+  def q241RunsTest(s: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("v")))
+
+  /** The runs-test core over any (source, doc_id, v: long) frame. */
+  def runsTest(values: DataFrame): DataFrame = {
+    val hist = values.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("source").as("ts")).agg(sum(col("c")).as("n0"))
+    val wv = Window.partitionBy(col("source")).orderBy(col("v"))
+    val med = hist.withColumn("cum", sum(col("c")).over(wv))
+      .join(broadcast(totals), col("source") === col("ts"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") >= expr("(n0 + 1) DIV 2"), col("v"))).as("med"))
+    val signed = values.join(broadcast(med), Seq("source"))
+      .filter(col("v") =!= col("med"))
+      .withColumn("sgn", when(col("v") > col("med"), 1L).otherwise(0L))
+    val wd = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    signed
+      .withColumn("brk", when(lag(col("sgn"), 1).over(wd).isNull ||
+        lag(col("sgn"), 1).over(wd) =!= col("sgn"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_used"), sum(col("sgn")).as("n_plus"),
+        (count(lit(1)) - sum(col("sgn"))).as("n_minus"),
+        sum(col("brk")).as("runs"))
+      .withColumn("a", lit(2.0) * col("n_plus").cast("double") *
+        col("n_minus").cast("double"))
+      .withColumn("z",
+        when(col("n_plus") > 0L && col("n_minus") > 0L && col("n_used") > 1L,
+          round((col("runs").cast("double") -
+            (lit(1.0) + col("a") / col("n_used").cast("double"))) /
+            sqrt(col("a") * (col("a") - col("n_used").cast("double")) /
+              (col("n_used").cast("double") * col("n_used").cast("double") *
+                (col("n_used").cast("double") - lit(1.0)))), 6)))
+      .select(col("source"), col("n_used"), col("n_plus"), col("n_minus"),
+        col("runs"), col("z"))
+      .orderBy(col("source"))
+  }
 }

@@ -204,4 +204,44 @@ object Privacy {
   def q104KAnonymity(s: SparkSession, dir: String): DataFrame =
     kAnonymousRelease(Tables.events(s, dir), k = 50)
       .orderBy(col("event_type"), col("day_idx"))
+
+  /** q240: L-DIVERSITY audit (Machanavajjhala et al., ICDE '06) — the
+    * check k-anonymity (q104) misses: a group can be large AND still
+    * leak if everyone in it shares the sensitive value (the homogeneity
+    * attack). Quasi-identifier = (source, lang); sensitive value = the
+    * 20-token length band (what an attacker who knows a doc's
+    * source+lang learns about its size class). Reports per group:
+    * size, distinct-l, entropy-l (e^H — the effective number of
+    * sensitive values an observer faces), and the distinct-l < 3 flag.
+    *
+    * Exact: counts are integers; each entropy term rounds the libm
+    * p·ln p product to 12 and decimal-sums (the q182 log recipe), the
+    * final e^H rounds 6. Shape: ONE (qid × sensitive) count aggregate,
+    * everything after on aggregated rows. */
+  def q240LDiversity(s: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    lDiversity(docs
+      .select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      .select(col("source"), col("lang"), expr("nt DIV 20").as("sens")), l)
+  }
+
+  /** The audit core over any (source, lang, sens) frame. */
+  def lDiversity(rows: DataFrame, l: Int): DataFrame = {
+    val cells = rows.groupBy(col("source"), col("lang"), col("sens"))
+      .agg(count(lit(1)).as("c"))
+    val grp = cells.groupBy(col("source"), col("lang"))
+      .agg(sum(col("c")).as("k"), count(lit(1)).as("l_distinct"))
+    cells.join(grp, Seq("source", "lang"))
+      .withColumn("term", round(
+        (col("c").cast("double") / col("k").cast("double")) *
+          log(col("c").cast("double") / col("k").cast("double")), 12)
+        .cast("decimal(28,12)"))
+      .groupBy(col("source"), col("lang"), col("k"), col("l_distinct"))
+      .agg(sum(col("term")).as("hsum"))
+      .select(col("source"), col("lang"), col("k"), col("l_distinct"),
+        round(exp(-col("hsum").cast("double")), 6).as("entropy_l"),
+        (col("l_distinct") < l.toLong).as("homogeneity_risk"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

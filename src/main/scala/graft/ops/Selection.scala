@@ -353,4 +353,56 @@ object Selection {
       .select(col("doc_id"), col("x"), col("y"))
       .orderBy(col("doc_id"))
   }
+
+  /** q243: GREEDY MAX-COVERAGE selection (the (1 − 1/e) submodular
+    * classic) — pick k docs maximizing distinct-token coverage, the
+    * data-selection primitive behind "smallest eval set that exercises
+    * the vocabulary" and coverage-first curation. Each step scores
+    * every remaining doc by its UNCOVERED-token count (one anti-join +
+    * aggregate over the cached distinct (doc, token) frame — the q212
+    * k-passes family), takes the argmax (doc_id tiebreak), folds the
+    * winner's tokens into the covered set. Stops early when the best
+    * marginal gain is 0 (everything coverable is covered).
+    *
+    * The oracle unrolls the k steps as MATERIALIZED CTEs with the
+    * identical argmax/tiebreak/early-stop rules — a greedy-order bug
+    * changes the pick sequence and breaks the hash. */
+  def q243CoverageSelect(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // coverage universe = distinct word-3-gram shingles (the q25 frame):
+    // this corpus's unigram vocabulary is so small one doc covers it in
+    // a single step — shingles give the greedy a real sequence to walk
+    val tokd = Dedup.shingles(graft.Tables.documents(s, dir), 3)
+      .select(col("doc_id"), col("g").as("w"))
+      .localCheckpoint() // scanned once per greedy step
+    val sess = tokd.sparkSession
+    import sess.implicits._
+    var covered = Seq.empty[String].toDF("w")
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var covTotal = 0L
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val gains = tokd
+        .filter(!col("doc_id").isInCollection(
+          if (picked.isEmpty) Seq(-1L) else picked.toSeq))
+        .join(covered, Seq("w"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect()
+      if (gains.isEmpty || gains(0).getLong(1) == 0L) done = true
+      else {
+        val win = gains(0).getLong(0); val g = gains(0).getLong(1)
+        covTotal += g
+        rows += ((step.toLong, win, g, covTotal))
+        picked += win
+        covered = covered
+          .union(tokd.filter(col("doc_id") === win).select(col("w")))
+          .distinct().localCheckpoint()
+        step += 1
+      }
+    }
+    rows.toSeq.toDF("step", "doc_id", "gain", "covered_total")
+      .orderBy(col("step"))
+  }
 }

@@ -158,4 +158,47 @@ object SnapshotDiff {
       .withColumn("token_delta", col("tokens_new") - col("tokens_old"))
       .orderBy(col("source"), col("status"))
   }
+
+  /** q242: SCD2 HISTORY BUILD (gaps-and-islands) — the WRITE side of
+    * q117's SCD2 lookup: given the event stream, construct the
+    * versioned dimension itself — per user, the daily "current event
+    * type" collapsed into validity intervals (valid_from, valid_to).
+    * A run of equal types over CONSECUTIVE observed days is one
+    * version; a type change OR an absence gap closes the version (the
+    * standard islands rule — absence means "state unknown", not
+    * "state held").
+    *
+    * Exact: the daily snapshot picks each (user, day)'s LAST event by
+    * the (ts, event_id) struct max (the deterministic tie rule);
+    * islands via the lag window over the per-user day sequence
+    * (user-keyed partitions — the q115 window discipline); intervals
+    * are one aggregate over (user, island id). */
+  def q242Scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2History(graft.Tables.events(s, dir))
+
+  /** The historization core over any (user_id, event_id, ts nanos,
+    * event_type) frame. */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = events
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("day"), col("m.event_type").as("etype"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    snap
+      .withColumn("brk", when(lag(col("etype"), 1).over(w).isNull ||
+        lag(col("etype"), 1).over(w) =!= col("etype") ||
+        lag(col("day"), 1).over(w) =!= col("day") - 1L, 1L).otherwise(0L))
+      .withColumn("vid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("vid"), col("etype"))
+      .agg(min(col("day")).as("valid_from"), max(col("day")).as("valid_to"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("vid").as("version"),
+        col("etype").as("event_type"), col("valid_from"), col("valid_to"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

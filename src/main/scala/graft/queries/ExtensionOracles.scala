@@ -6453,6 +6453,123 @@ object ExtensionOracles {
       |SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM m
       |ORDER BY doc_id, metric""".stripMargin
 
+  /** Mirrors q240 (`ops.Privacy.q240LDiversity`): the (qid × sensitive)
+    * cell counts, rounded-12 p·ln p terms decimal-summed, e^H rounded
+    * 6, the l < 3 flag. */
+  val q240LDiversity: String =
+    """WITH d AS (SELECT source, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) // 20 AS sens
+      |  FROM documents),
+      |cells AS (SELECT source, lang, sens, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2, 3),
+      |grp AS (SELECT source, lang, CAST(SUM(c) AS BIGINT) AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS l_distinct FROM cells GROUP BY 1, 2),
+      |t AS (SELECT cells.source, cells.lang, grp.k, grp.l_distinct,
+      |    CAST(round((CAST(cells.c AS DOUBLE) / CAST(grp.k AS DOUBLE)) *
+      |      ln(CAST(cells.c AS DOUBLE) / CAST(grp.k AS DOUBLE)), 12)
+      |      AS DECIMAL(28,12)) AS term
+      |  FROM cells JOIN grp USING (source, lang))
+      |SELECT source, lang, k, l_distinct,
+      |  round(exp(-CAST(SUM(term) AS DOUBLE)), 6) AS entropy_l,
+      |  l_distinct < 3 AS homogeneity_risk
+      |FROM t GROUP BY 1, 2, 3, 4
+      |ORDER BY source, lang""".stripMargin
+
+  /** Mirrors q241 (`ops.Drift.q241RunsTest`): lower median, ties
+    * dropped, sign-change runs over the per-source doc_id order, the
+    * closed-form moments in fixed-shape double arithmetic. */
+  val q241RunsTest: String =
+    """WITH v AS (SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+      |  FROM documents),
+      |h AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n0 FROM h GROUP BY 1),
+      |cu AS (SELECT h.source, h.v, t.n0,
+      |    CAST(SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS BIGINT) AS cum
+      |  FROM h JOIN t USING (source)),
+      |med AS (SELECT source,
+      |    CAST(MIN(CASE WHEN cum >= (n0 + 1) // 2 THEN v END) AS BIGINT) AS med
+      |  FROM cu GROUP BY source),
+      |sg AS (SELECT v.source, v.doc_id,
+      |    CASE WHEN v.v > m.med THEN 1 ELSE 0 END AS sgn
+      |  FROM v JOIN med m USING (source) WHERE v.v <> m.med),
+      |b AS (SELECT source, sgn,
+      |    CASE WHEN LAG(sgn) OVER w IS NULL OR LAG(sgn) OVER w <> sgn
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sg WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_used,
+      |    CAST(SUM(sgn) AS BIGINT) AS n_plus,
+      |    CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_minus,
+      |    CAST(SUM(brk) AS BIGINT) AS runs
+      |  FROM b GROUP BY 1),
+      |x AS (SELECT *, 2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE) AS a
+      |  FROM agg)
+      |SELECT source, n_used, n_plus, n_minus, runs,
+      |  CASE WHEN n_plus > 0 AND n_minus > 0 AND n_used > 1 THEN
+      |    round((CAST(runs AS DOUBLE) - (1.0 + a / CAST(n_used AS DOUBLE))) /
+      |      sqrt(a * (a - CAST(n_used AS DOUBLE)) /
+      |        (CAST(n_used AS DOUBLE) * CAST(n_used AS DOUBLE) *
+      |          (CAST(n_used AS DOUBLE) - 1.0))), 6)
+      |  END AS z
+      |FROM x ORDER BY source""".stripMargin
+
+  /** Mirrors q242 (`ops.SnapshotDiff.q242Scd2History`): the last-event
+    * daily snapshot (row_number over (ts, event_id) DESC ≡ the engine's
+    * struct max — event_id is unique), the islands lag (type change OR
+    * day gap breaks), interval aggregation. */
+  val q242Scd2History: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    epoch_ns(ts) AS tns, event_id, event_type FROM events),
+      |r AS (SELECT user_id, day, event_type,
+      |    row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY tns DESC, event_id DESC) AS rn FROM ev),
+      |snap AS (SELECT user_id, day, event_type AS etype FROM r WHERE rn = 1),
+      |isl AS (SELECT user_id, day, etype,
+      |    CASE WHEN LAG(etype) OVER w IS NULL OR LAG(etype) OVER w <> etype
+      |      OR LAG(day) OVER w <> day - 1 THEN 1 ELSE 0 END AS brk
+      |  FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY day) AS vid
+      |  FROM isl)
+      |SELECT user_id, CAST(vid AS BIGINT) AS version, etype AS event_type,
+      |  MIN(day) AS valid_from, MAX(day) AS valid_to,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days
+      |FROM g GROUP BY 1, 2, 3
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Mirrors q243 (`ops.Selection.q243CoverageSelect`): the greedy
+    * UNROLLED — per step, per-doc uncovered-token gains (picked docs
+    * excluded), argmax with the (gain DESC, doc_id) tiebreak and the
+    * gain > 0 early stop, covered set folded forward. */
+  val q243CoverageSelect: String = {
+    val k = 10
+    val steps = (1 to k).map { i =>
+      val prevCov = s"cov${i - 1}"
+      val pickedFilter =
+        if (i == 1) ""
+        else "  AND t.doc_id NOT IN (" +
+          (1 until i).map(j => s"SELECT doc_id FROM w$j").mkString(" UNION ALL ") + ")\n"
+      s"""g$i AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM tokd t LEFT JOIN $prevCov c ON t.w = c.w
+         |  WHERE c.w IS NULL
+         |$pickedFilter  GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT doc_id, gain FROM g$i WHERE gain > 0
+         |  ORDER BY gain DESC, doc_id LIMIT 1),
+         |cov$i AS MATERIALIZED (SELECT w FROM $prevCov UNION
+         |  SELECT t.w FROM tokd t JOIN w$i USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, doc_id, gain,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cov$i) AS covered_total
+         |FROM w$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleCtes,
+       |tokd AS MATERIALIZED (SELECT doc_id, g AS w FROM sh),
+       |cov0 AS (SELECT CAST(NULL AS VARCHAR) AS w WHERE 1 = 0),
+       |$steps
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   /** Mirrors q234 (`ops.ChangePoint.q234SprtMonitor`): the zero-filled
     * day grid, per-type mean, rounded-12 Poisson LLR terms decimal-
     * summed, the shared ln 19 boundary, crossing day + the decision
