@@ -457,6 +457,10 @@ object SparkEntry {
       graft.ops.SnapshotDiff.q242Scd2History(s, dir)),
     "q243_coverage_select" -> ((s: SparkSession, dir: String) =>
       graft.ops.Selection.q243CoverageSelect(s, dir)),
+    "q244_lagged_xcorr" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Correlation.q244LaggedXcorr(s, dir)),
+    "q245_silhouette" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q245Silhouette(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1020,5 +1024,7 @@ object SparkEntry {
     "q241_runs_test" -> ExtensionOracles.q241RunsTest,
     "q242_scd2_history" -> ExtensionOracles.q242Scd2History,
     "q243_coverage_select" -> ExtensionOracles.q243CoverageSelect,
+    "q244_lagged_xcorr" -> ExtensionOracles.q244LaggedXcorr,
+    "q245_silhouette" -> ExtensionOracles.q245Silhouette,
   )
 }

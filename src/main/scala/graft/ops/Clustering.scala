@@ -439,6 +439,60 @@ object Clustering {
   val DendroCentroidsPath: String =
     graft.Sidecars.path("graft_kmeans_centroids_dendro.parquet")
 
+  /** q245's persisted centroid table (own sidecar). */
+  val SilhouetteCentroidsPath: String =
+    graft.Sidecars.path("graft_kmeans_centroids_silhouette.parquet")
+
+  /** q245: SIMPLIFIED SILHOUETTE per cell (Rousseeuw '87, the
+    * centroid-based simplification) — the cluster-QUALITY read the
+    * family lacked: q81 assigns, q208 scores against LABELS, q232
+    * reads the hierarchy; silhouette says whether the cells are real
+    * without any ground truth. Per vector: a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]; per cell: n and mean s (a cell
+    * near 0 is geometry the ANN layouts shouldn't trust).
+    *
+    * Exact: squared distances are exact integers (the grid-snap
+    * kernel); a, b are libm sqrts of the SAME integers on both
+    * engines; each s rounds 12 and decimal-sums, mean rounds 6. One
+    * n·c broadcast pass (the standing bounded-model-attach idiom) —
+    * the same distance table the oracle's assignment CTE already
+    * builds, so the replay is a second aggregate over it. */
+  def q245Silhouette(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = trainCentroids(emb, k)
+    persistCentroids(s, centroids, SilhouetteCentroidsPath)
+    import s.implicits._
+    val c = centroids.zipWithIndex.map { case (qc, cid) => (cid, qc.toSeq) }
+      .toSeq.toDF("cluster", "qc")
+    val d = emb.select(col("vec_id"), snapped(col("embedding")).as("qx"))
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cluster"),
+        coalesce(graft.functions.exprs.int_sqdist(col("qx"), col("qc")),
+          lit(0L)).as("d"))
+    val scored = d.groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("own"),
+        collect_list(struct(col("d"), col("cluster"))).as("all"))
+      .select(col("vec_id"), col("own.cluster").as("cell"),
+        col("own.d").as("d_own"),
+        array_min(filter(col("all"),
+          e => e.getField("cluster") =!= col("own.cluster"))).as("oth"))
+      .select(col("vec_id"), col("cell"), col("d_own"),
+        col("oth.d").as("d_other"))
+      .withColumn("a", sqrt(col("d_own").cast("double")))
+      .withColumn("b", sqrt(col("d_other").cast("double")))
+      .withColumn("sil", when(greatest(col("a"), col("b")) > 0.0,
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 12))
+        .otherwise(lit(0.0)))
+    scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sil").cast("decimal(28,12)")).as("ssum"))
+      .select(col("cell"), col("n"),
+        round(col("ssum").cast("double") / col("n").cast("double"), 6)
+          .as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
   /** q232: CENTROID DENDROGRAM — single-linkage agglomerative
     * clustering over the k-means model, the HIERARCHICAL read flat
     * k-means can't give ("are these 8 cells really 3 families?"): the

@@ -196,4 +196,72 @@ object Correlation {
           col("cov_sign") =!= col("pooled_sign"))
       .orderBy(col("source"))
   }
+
+  /** q244: LAGGED CROSS-CORRELATION between event types' daily volumes
+    * — "does signup LEAD purchase, and by how many days?": Pearson r
+    * at every lag ℓ ∈ [−3, 3] for every type pair, plus the
+    * |r|-maximizing lag. The lead/lag read none of the existing
+    * correlation family gives (Spearman/Kendall/Simpson are
+    * contemporaneous).
+    *
+    * Exact: daily counts are integers, so every moment (Σxy, Σx², …)
+    * is an exact integer sum widened via (19,0)×(19,0) decimal
+    * products; r is ONE double expression over exact longs (round 6),
+    * and the argmax compares rounded-12 |r| with the smaller lag
+    * winning ties. Zero-variance overlaps → NULL r, excluded from the
+    * argmax. Shape: the (type × day) aggregate joined to itself on
+    * day+ℓ with a 7-row broadcast lag table — aggregate-domain
+    * throughout. */
+  def q244LaggedXcorr(s: SparkSession, dir: String): DataFrame =
+    laggedXcorr(Tables.events(s, dir))
+
+  /** The cross-correlation core over any (ts nanos, event_type) frame. */
+  def laggedXcorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = counts.select(col("day")).distinct()
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // both sides of the lag join read this frame
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val a = grid.select(col("event_type").as("ta"), col("day"),
+      col("x").as("xa"))
+    val b = grid.select(col("event_type").as("tb"), col("day").as("dayb"),
+      col("x").as("xb"))
+    val moments = a.crossJoin(broadcast(lags))
+      .join(b, col("dayb") === col("day") + col("lag") &&
+        col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa").cast("decimal(19,0)") * col("xb").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("xa").cast("decimal(19,0)") * col("xa").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("xb").cast("decimal(19,0)") * col("xb").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("syy"))
+      .withColumn("num", col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("den",
+        sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+        sqrt(col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")))
+      .withColumn("r", when(col("den") > 0.0,
+        round(col("num") / col("den"), 6)))
+    moments.groupBy(col("ta"), col("tb"))
+      .agg(max(when(col("lag") === 0L, col("r"))).as("r0"),
+        min(when(col("r").isNotNull,
+          struct((-round(abs(col("r")), 12)).as("nr"), col("lag"), col("r"))))
+          .as("best"))
+      .select(col("ta"), col("tb"), col("r0"),
+        col("best.lag").as("best_lag"), col("best.r").as("best_r"))
+      .orderBy(col("ta"), col("tb"))
+  }
 }

@@ -6453,6 +6453,77 @@ object ExtensionOracles {
       |SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM m
       |ORDER BY doc_id, metric""".stripMargin
 
+  /** Mirrors q244 (`ops.Correlation.q244LaggedXcorr`): integer moment
+    * sums over the lag-shifted grid join, the one-expression Pearson,
+    * the (−|r| rounded 12, lag) argmax. */
+  val q244LaggedXcorr: String =
+    """WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM cnt) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+      |m AS (SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b.x) AS BIGINT) AS sy,
+      |    CAST(SUM(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0)))
+      |      AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(a.x AS DECIMAL(19,0)) * CAST(a.x AS DECIMAL(19,0)))
+      |      AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(b.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0)))
+      |      AS DECIMAL(38,0)) AS syy
+      |  FROM grid a CROSS JOIN lags l
+      |  JOIN grid b ON b.day = a.day + l.lag AND a.event_type < b.event_type
+      |  GROUP BY 1, 2, 3),
+      |rr AS (SELECT ta, tb, lag,
+      |    CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r
+      |  FROM m),
+      |best AS (SELECT ta, tb, lag, r,
+      |    row_number() OVER (PARTITION BY ta, tb
+      |      ORDER BY -round(abs(r), 12), lag) AS rn
+      |  FROM rr WHERE r IS NOT NULL)
+      |SELECT r0.ta, r0.tb, r0.r AS r0, b.lag AS best_lag, b.r AS best_r
+      |FROM (SELECT ta, tb, r FROM rr WHERE lag = 0) r0
+      |LEFT JOIN best b ON b.ta = r0.ta AND b.tb = r0.tb AND b.rn = 1
+      |ORDER BY r0.ta, r0.tb""".stripMargin
+
+  /** Mirrors q245 (`ops.Clustering.q245Silhouette`): own/other
+    * distances from the assignment CTE's distance table, libm sqrts of
+    * the same exact integers, rounded-12 s terms decimal-summed. */
+  val q245Silhouette: String =
+    s"""WITH ${kmeansAssignCtes(graft.ops.Clustering.SilhouetteCentroidsPath)},
+       |own AS (SELECT vec_id, cluster AS cell, d AS d_own FROM r WHERE rn = 1),
+       |oth AS (SELECT d.vec_id, MIN(d.d) AS d_other
+       |  FROM d JOIN own ON own.vec_id = d.vec_id AND d.cluster <> own.cell
+       |  GROUP BY 1),
+       |sil AS (SELECT o.vec_id, o.cell,
+       |    CASE WHEN greatest(sqrt(CAST(o.d_own AS DOUBLE)),
+       |        sqrt(CAST(t.d_other AS DOUBLE))) > 0
+       |      THEN round((sqrt(CAST(t.d_other AS DOUBLE)) -
+       |          sqrt(CAST(o.d_own AS DOUBLE))) /
+       |        greatest(sqrt(CAST(o.d_own AS DOUBLE)),
+       |          sqrt(CAST(t.d_other AS DOUBLE))), 12)
+       |      ELSE 0.0 END AS s
+       |  FROM own o JOIN oth t USING (vec_id))
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+       |FROM sil GROUP BY cell
+       |ORDER BY cell""".stripMargin
+
   /** Mirrors q240 (`ops.Privacy.q240LDiversity`): the (qid × sensitive)
     * cell counts, rounded-12 p·ln p terms decimal-summed, e^H rounded
     * 6, the l < 3 flag. */
