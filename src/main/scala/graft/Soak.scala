@@ -570,6 +570,22 @@ object Soak {
       // partition on (type, day) so parallelism tracks the calendar
       timed("sprt")(graft.ops.ChangePoint.sprtDaily(ev)),
       timed("sliding_active")(graft.ops.TimeSeries.slidingActive(ev)),
+      // wave 36/37: runs_test = one histogram + a per-source ordered
+      // window over raw docs (the q115 keyed-window discipline);
+      // scd2_history = (user, day) snapshot aggregate + user-keyed
+      // islands; lagged_xcorr = the (type × day) grid joined to itself
+      // over 7 lags — everything after the count aggregate is
+      // calendar-bounded; l_diversity = one (qid × sens) aggregate
+      timed("runs_test")(graft.ops.Drift.runsTest(
+        docs.select(col("source"), col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
+      timed("scd2_history")(graft.ops.SnapshotDiff.scd2History(ev)),
+      timed("lagged_xcorr")(graft.ops.Correlation.laggedXcorr(ev)),
+      timed("l_diversity")(graft.ops.Privacy.lDiversity(
+        docs.select(col("source"), col("lang"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("nt"))
+          .select(col("source"), col("lang"), expr("nt DIV 20").as("sens")),
+        3)),
       timed("twa")(graft.ops.TimeSeries.timeWeightedAvg(ev)
         .filter(coalesce(col("twa"), lit(0.0)) >= -1e18)),
       // prefix-cache ladder: 3 narrow groupBy passes over salted docs
