@@ -581,6 +581,11 @@ object Soak {
           graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
       timed("scd2_history")(graft.ops.SnapshotDiff.scd2History(ev)),
       timed("lagged_xcorr")(graft.ops.Correlation.laggedXcorr(ev)),
+      // wave 38: dow = the q195 grid bucketed by day mod 7 (absorbed);
+      // inter_arrival = day-keyed lag windows over raw events + the q88
+      // histogram on ms gaps (distinct frame bounded by the ms domain)
+      timed("dow_seasonality")(graft.ops.TimeSeries.dowSeasonality(ev)),
+      timed("inter_arrival")(graft.ops.TimeSeries.interArrival(ev)),
       timed("l_diversity")(graft.ops.Privacy.lDiversity(
         docs.select(col("source"), col("lang"),
           graft.ops.TextAnalysis.tokenCount(col("text")).as("nt"))

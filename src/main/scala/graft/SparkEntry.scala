@@ -461,6 +461,10 @@ object SparkEntry {
       graft.ops.Correlation.q244LaggedXcorr(s, dir)),
     "q245_silhouette" -> ((s: SparkSession, dir: String) =>
       graft.ops.Clustering.q245Silhouette(s, dir)),
+    "q246_dow_seasonality" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q246DowSeasonality(s, dir)),
+    "q247_inter_arrival" -> ((s: SparkSession, dir: String) =>
+      graft.ops.TimeSeries.q247InterArrival(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1026,5 +1030,7 @@ object SparkEntry {
     "q243_coverage_select" -> ExtensionOracles.q243CoverageSelect,
     "q244_lagged_xcorr" -> ExtensionOracles.q244LaggedXcorr,
     "q245_silhouette" -> ExtensionOracles.q245Silhouette,
+    "q246_dow_seasonality" -> ExtensionOracles.q246DowSeasonality,
+    "q247_inter_arrival" -> ExtensionOracles.q247InterArrival,
   )
 }

@@ -568,4 +568,87 @@ object TimeSeries {
           .as("twa"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** q246: DAY-OF-WEEK SEASONALITY + χ² uniformity per event type —
+    * the weekly-rhythm read the daily monitors normalize away: per
+    * (type, epoch-relative weekday = day mod 7) the mean daily rate,
+    * plus the type's χ² against the uniform-rate null (expected count
+    * ∝ how many grid days fall on that weekday, so a 30-day window's
+    * uneven weekday coverage doesn't fake seasonality).
+    *
+    * Exact: counts and day tallies are integers off the q195
+    * zero-filled grid; rate and the χ² terms are fixed-shape double
+    * expressions over exact longs (round 6). */
+  def q246DowSeasonality(s: SparkSession, dir: String): DataFrame =
+    dowSeasonality(Tables.events(s, dir))
+
+  /** The seasonality core over any (ts nanos, event_type) frame. */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = counts.select(col("day")).distinct()
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val byDow = grid.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("x")).as("n"))
+    val byType = byDow.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), sum(col("days_dow")).as("total_days"))
+    val terms = byDow.join(broadcast(byType), Seq("event_type"))
+      .withColumn("exp", col("total").cast("double") *
+        col("days_dow").cast("double") / col("total_days").cast("double"))
+      .withColumn("chi_term", when(col("exp") > 0.0, round(
+        (col("n").cast("double") - col("exp")) *
+          (col("n").cast("double") - col("exp")) / col("exp"), 12))
+        .otherwise(lit(0.0)).cast("decimal(28,12)"))
+    val chi = terms.groupBy(col("event_type").as("et"))
+      .agg(round(sum(col("chi_term")).cast("double"), 6).as("chi2"))
+    terms.join(broadcast(chi), col("event_type") === col("et"))
+      .select(col("event_type"), col("dow"), col("days_dow"), col("n"),
+        round(col("n").cast("double") / col("days_dow").cast("double"), 6)
+          .as("rate"),
+        col("chi2"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** q247: INTRA-DAY INTER-ARRIVAL QUANTILES per event type — exact
+    * p50/p90/p99 of the millisecond gaps between consecutive events
+    * (within a (type, day) — day-keyed windows keep partitions
+    * calendar-bounded, the q237 discipline), the burst-vs-trickle
+    * texture read daily counts erase. Value-aggregated exact order
+    * statistics (the q88 recipe) over the gap histogram — the distinct
+    * frame is bounded by the ms DOMAIN (≤ 86.4M values), never by the
+    * corpus. */
+  def q247InterArrival(s: SparkSession, dir: String): DataFrame =
+    interArrival(Tables.events(s, dir))
+
+  /** The gap-quantile core over any (event_type, event_id, ts nanos). */
+  def interArrival(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"),
+        expr("ts DIV 86400000000000"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("dt", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("dt").isNotNull)
+      .select(col("event_type"), expr("dt DIV 1000000").as("v"))
+    val hist = gaps.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("event_type").as("tt"))
+      .agg(sum(col("c")).as("n"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    hist.withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(totals), col("event_type") === col("tt"))
+      .groupBy(col("event_type"), col("n").as("n_gaps"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("p50_ms"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("v"))).as("p90_ms"),
+        min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v"))).as("p99_ms"),
+        max(col("v")).as("max_ms"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -6453,6 +6453,63 @@ object ExtensionOracles {
       |SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM m
       |ORDER BY doc_id, metric""".stripMargin
 
+  /** Mirrors q246 (`ops.TimeSeries.q246DowSeasonality`): the
+    * zero-filled grid bucketed by day mod 7, rate and rounded-12 χ²
+    * terms over exact longs. */
+  val q246DowSeasonality: String =
+    """WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x,
+      |    ((d.day % 7) + 7) % 7 AS dow
+      |  FROM (SELECT DISTINCT event_type FROM cnt) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+      |bd AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS days_dow,
+      |    CAST(SUM(x) AS BIGINT) AS n FROM grid GROUP BY 1, 2),
+      |bt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+      |    CAST(SUM(days_dow) AS BIGINT) AS total_days FROM bd GROUP BY 1),
+      |terms AS (SELECT bd.event_type, bd.dow, bd.days_dow, bd.n,
+      |    CAST(bt.total AS DOUBLE) * CAST(bd.days_dow AS DOUBLE) /
+      |      CAST(bt.total_days AS DOUBLE) AS exp
+      |  FROM bd JOIN bt USING (event_type)),
+      |tt AS (SELECT *, CAST(CASE WHEN exp > 0 THEN
+      |    round((CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp) / exp, 12)
+      |    ELSE 0.0 END AS DECIMAL(28,12)) AS chi_term FROM terms),
+      |chi AS (SELECT event_type,
+      |    round(CAST(SUM(chi_term) AS DOUBLE), 6) AS chi2 FROM tt GROUP BY 1)
+      |SELECT t.event_type, t.dow, t.days_dow, t.n,
+      |  round(CAST(t.n AS DOUBLE) / CAST(t.days_dow AS DOUBLE), 6) AS rate,
+      |  c.chi2
+      |FROM tt t JOIN chi c USING (event_type)
+      |ORDER BY t.event_type, t.dow""".stripMargin
+
+  /** Mirrors q247 (`ops.TimeSeries.q247InterArrival`): day-keyed lag
+    * gaps bucketed to ms, the q88 histogram order statistics. */
+  val q247InterArrival: String =
+    """WITH ev AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    epoch_ns(ts) AS tns, event_id FROM events),
+      |g AS (SELECT event_type,
+      |    (tns - LAG(tns) OVER (PARTITION BY event_type, day
+      |      ORDER BY tns, event_id)) // 1000000 AS v
+      |  FROM ev),
+      |h AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM g WHERE v IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cu AS (SELECT h.event_type, h.v, t.n,
+      |    CAST(SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.v)
+      |      AS BIGINT) AS cum
+      |  FROM h JOIN t USING (event_type))
+      |SELECT event_type, MAX(n) AS n_gaps,
+      |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50_ms,
+      |  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS BIGINT) AS p90_ms,
+      |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99_ms,
+      |  CAST(MAX(v) AS BIGINT) AS max_ms
+      |FROM cu GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Mirrors q244 (`ops.Correlation.q244LaggedXcorr`): integer moment
     * sums over the lag-shifted grid join, the one-expression Pearson,
     * the (−|r| rounded 12, lag) argmax. */
