@@ -90,6 +90,38 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    # --- Toolchain pin + materialization canary (r12 verdict ask #6) ---
+    # The oracle's correctness depends on DuckDB CTE-materialization
+    # semantics: round-13 hit INTERNAL "Failed to bind column reference"
+    # when unnest(generate_series) shared a SELECT with a pushed WHERE,
+    # and many oracles rely on AS MATERIALIZED evaluating exactly once.
+    # A silent DuckDB upgrade could re-break the gate with phantom
+    # failures attributed to the engine. So: (a) record the exact DuckDB
+    # version in the gate sidecar; (b) run a canary exercising the two
+    # hazardous shapes and HARD-FAIL the gate with a loud toolchain
+    # message if either misbehaves — a toolchain break must never be
+    # read as an engine break.
+    canary_sql = (
+        "WITH nums AS MATERIALIZED (SELECT unnest(generate_series(1, 8)) AS n), "
+        "toks AS MATERIALIZED (SELECT n, n * n AS sq FROM nums WHERE n % 2 = 0) "
+        "SELECT count(*) AS c, sum(sq) AS s FROM toks"
+    )
+    canary_ok = False
+    try:
+        c, s = con.execute(canary_sql).fetchone()
+        canary_ok = (int(c) == 4 and int(s) == 120)
+        if not canary_ok:
+            print(f"CANARY FAIL: materialized-CTE canary returned c={c} s={s}, expected c=4 s=120")
+    except Exception as e:
+        print(f"CANARY FAIL: materialized-CTE canary raised: {e}")
+    print(f"oracle toolchain: duckdb {duckdb.__version__}, canary {'ok' if canary_ok else 'FAIL'}")
+    if not canary_ok:
+        print("TOOLCHAIN BREAK: the DuckDB oracle no longer evaluates the "
+              "materialized-CTE shape the gate depends on. Any failures "
+              "below are suspect — pin/downgrade DuckDB before trusting them.")
+        sys.exit(2)
+
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle_sql = json.load(f)
 
@@ -152,6 +184,13 @@ def main():
               + ", ".join(f"{k}={v}s" for k, v in top))
         with open(f"{out_dir}/oracle_sec.json", "w") as f:
             json.dump(dict(sorted(oracle_sec.items(), key=lambda kv: -kv[1])), f, indent=1)
+    # version-pinned gate environment sidecar (r12 verdict ask #6): which
+    # toolchain produced this gate result, and did the canary hold
+    with open(f"{out_dir}/oracle_env.json", "w") as f:
+        json.dump({"duckdb_version": duckdb.__version__,
+                   "pandas_version": pd.__version__,
+                   "materialization_canary": "ok" if canary_ok else "fail",
+                   "n_pass": n_pass, "n_fail": n_fail}, f, indent=1)
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
