@@ -22,8 +22,24 @@ object Sidecars {
       java.nio.file.Files.createDirectories(p)
       p.toAbsolutePath.toString
     case None =>
-      java.nio.file.Files.createTempDirectory("graft_run_")
-        .toAbsolutePath.toString
+      val p = java.nio.file.Files.createTempDirectory("graft_run_")
+      // Owner-only per-run roots accumulate across test/soak/profile
+      // runs with nothing to reap them (the old fixed paths at least
+      // self-overwrote) — delete the whole root at JVM exit. Only for
+      // roots THIS run created: a GRAFT_SIDECAR_DIR caller asked for
+      // the sidecars at a durable location and keeps them.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+      p.toAbsolutePath.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    try {
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => try Files.deleteIfExists(q) catch { case _: Exception => () })
+      }
+    } catch { case _: Exception => () } // best-effort: never fail an exiting JVM
   }
 
   /** Absolute path for a named sidecar under this run's root. */

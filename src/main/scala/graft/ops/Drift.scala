@@ -224,9 +224,14 @@ object Drift {
     * Exact: on an integer domain W1 = Σ_i |F_s − F_rest|(v_i) ·
     * (v_{i+1} − v_i). Cross-multiplied to integers: |cum_s·n_r −
     * cum_r·n_s| · gap with ONE divide by n_s·n_r at the end (round 6).
-    * Widths: products widened to DECIMAL via (19,0)×(12,0) factors
-    * (the house DuckDB-bind rule), the gap product to (25,0)×(12,0) →
-    * (38,0) — integer-exact to n ~ 10¹² docs × gaps ~ 10⁴.
+    * Widths: products via (19,0)×(19,0) factors — (38,0) in both
+    * engines (DuckDB multiply width = p1+p2 ≤ 38, exactly at the cap),
+    * so the cross-multiply is exact for any long-typed counts; the
+    * binding bound is the (25,0) re-narrow before the gap product
+    * ((25,0)×(12,0) → (38,0)), which holds while cum_s·n_rest < 10²⁵,
+    * i.e. corpora to n < 10¹² docs with gaps to 10¹². Both engines
+    * share every width, so overflow (never hit inside the bound) would
+    * at least surface identically.
     *
     * Scale shape: identical to q186 — one (source × value) count
     * aggregate, the sources × distinct-values broadcast grid, windows
@@ -252,9 +257,9 @@ object Drift {
       .withColumn("gap", coalesce(lead(col("v"), 1).over(ws) - col("v"), lit(0L)))
       .withColumn("diff", abs(
         col("cum_s").cast("decimal(19,0)") *
-          (col("n_all") - col("n_s")).cast("decimal(12,0)") -
+          (col("n_all") - col("n_s")).cast("decimal(19,0)") -
         (col("cum_g") - col("cum_s")).cast("decimal(19,0)") *
-          col("n_s").cast("decimal(12,0)")))
+          col("n_s").cast("decimal(19,0)")))
       .withColumn("term", col("diff").cast("decimal(25,0)") *
         col("gap").cast("decimal(12,0)"))
       .groupBy(col("source"))
@@ -311,7 +316,11 @@ object Drift {
       .withColumn("a", lit(2.0) * col("n_plus").cast("double") *
         col("n_minus").cast("double"))
       .withColumn("z",
-        when(col("n_plus") > 0L && col("n_minus") > 0L && col("n_used") > 1L,
+        // n_used > 2 is the positive-variance guard: at n₁ = n₂ = 1 the
+        // variance term a·(a − n) is 0 (a = n = 2) and z would be 0/0 —
+        // NaN on Spark, NULL-vs-NaN formatting risk against the oracle.
+        // Given n₁, n₂ ≥ 1, a − n = 2n₁n₂ − n₁ − n₂ > 0 ⟺ n > 2.
+        when(col("n_plus") > 0L && col("n_minus") > 0L && col("n_used") > 2L,
           round((col("runs").cast("double") -
             (lit(1.0) + col("a") / col("n_used").cast("double"))) /
             sqrt(col("a") * (col("a") - col("n_used").cast("double")) /

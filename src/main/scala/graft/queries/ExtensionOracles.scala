@@ -6633,7 +6633,7 @@ object ExtensionOracles {
       |x AS (SELECT *, 2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE) AS a
       |  FROM agg)
       |SELECT source, n_used, n_plus, n_minus, runs,
-      |  CASE WHEN n_plus > 0 AND n_minus > 0 AND n_used > 1 THEN
+      |  CASE WHEN n_plus > 0 AND n_minus > 0 AND n_used > 2 THEN
       |    round((CAST(runs AS DOUBLE) - (1.0 + a / CAST(n_used AS DOUBLE))) /
       |      sqrt(a * (a - CAST(n_used AS DOUBLE)) /
       |        (CAST(n_used AS DOUBLE) * CAST(n_used AS DOUBLE) *
@@ -6900,8 +6900,8 @@ object ExtensionOracles {
       |      AS gap
       |  FROM cums c JOIN gc USING (v) CROSS JOIN tot t),
       |terms AS (SELECT source, n_s, n_all,
-      |    CAST(abs(CAST(cum_s AS DECIMAL(19,0)) * CAST(n_all - n_s AS DECIMAL(12,0))
-      |        - CAST(cum_g - cum_s AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(12,0)))
+      |    CAST(abs(CAST(cum_s AS DECIMAL(19,0)) * CAST(n_all - n_s AS DECIMAL(19,0))
+      |        - CAST(cum_g - cum_s AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(19,0)))
       |      AS DECIMAL(25,0)) * CAST(gap AS DECIMAL(12,0)) AS term
       |  FROM f)
       |SELECT source, MAX(n_s) AS n_source, MAX(n_all - n_s) AS n_rest,
