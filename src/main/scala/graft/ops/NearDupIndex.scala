@@ -131,26 +131,32 @@ object NearDupIndex {
     // would re-shuffle (widen sees the ORIGINAL file count, not the new
     // partitioning, so widen∘widen is two full repartitions)
     val raw = pin(Dedup.shingles(docs, 3))
-    val dfG = raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
-    dfG.repartition(col("bucket")).sortWithinPartitions(col("g"))
-      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
-      .partitionBy("bucket").parquet(dst + "_sh_df")
+    // dfG pinned: it feeds BOTH the _sh_df write and the stop list —
+    // unpinned it would aggregate the shingle frame twice
+    val dfG = pin(raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets)))
     val stop = dfG.filter(col("df") > maxDocFreq).select(col("g"))
     val capped = pin(raw.join(broadcast(stop), Seq("g"), "left_anti"))
-    capped.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("g"))).as("gs"))
-      .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
-      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
-      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
-      .partitionBy("dbucket").parquet(dst + "_docs")
-    bandRows(signatures(capped))
-      .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets))
-      .repartition(col("bucket")).sortWithinPartitions(col("bh"), col("doc_id"))
-      .write.mode(SaveMode.Overwrite).option("compression", "snappy")
-      .partitionBy("bucket").parquet(dst)
-    Seq((nBuckets, maxDocFreq)).toDF("n_buckets", "max_doc_freq").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(dst + "_meta")
+    // the four layout artifacts all derive from the pins — concurrent
+    // writes (Par.inParallel contract: wall here is serialized job
+    // planning + commit latency, not executor CPU)
+    Par.inParallel(
+      () => dfG.repartition(col("bucket")).sortWithinPartitions(col("g"))
+        .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+        .partitionBy("bucket").parquet(dst + "_sh_df"),
+      () => capped.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("g"))).as("gs"))
+        .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+        .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+        .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+        .partitionBy("dbucket").parquet(dst + "_docs"),
+      () => bandRows(signatures(capped))
+        .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets))
+        .repartition(col("bucket")).sortWithinPartitions(col("bh"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+        .partitionBy("bucket").parquet(dst),
+      () => Seq((nBuckets, maxDocFreq)).toDF("n_buckets", "max_doc_freq").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(dst + "_meta"))
   }
 
   /** Probe a batch: near-dup pairs (batch × corpus) ∪ (batch × batch)
@@ -309,12 +315,15 @@ object NearDupIndex {
       .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets))
     val bBuckets = deadBands.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
-    rewriteBuckets(s, dst, "bucket", bBuckets,
-      keep = _.join(dead, Seq("doc_id"), "left_anti"),
-      sortCols = Seq("bh", "doc_id"))
-    rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
-      keep = _.join(dead, Seq("doc_id"), "left_anti"),
-      sortCols = Seq("doc_id"))
+    // independent stores, both anti-joining the pinned dead set —
+    // concurrent rewrites (Par.inParallel contract)
+    Par.inParallel(
+      () => rewriteBuckets(s, dst, "bucket", bBuckets,
+        keep = _.join(dead, Seq("doc_id"), "left_anti"),
+        sortCols = Seq("bh", "doc_id")),
+      () => rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
+        keep = _.join(dead, Seq("doc_id"), "left_anti"),
+        sortCols = Seq("doc_id")))
 
     // negative df segment from the PINNED arrays — probes' sums drop
     // the dead docs' contributions without touching existing segments.
@@ -411,22 +420,27 @@ object NearDupIndex {
     // after the append would count the batch twice. Pin the per-shingle
     // df frame: it feeds the cap AND the crossing count below.
     val bdf = pin(batchCorpusDf(s, dst, raw, nBuckets))
-    val newSets = cappedSetsFrom(raw, bdf, maxDocFreq)
-    raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
-      .repartition(col("bucket")).sortWithinPartitions(col("g"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .partitionBy("bucket").parquet(dst + "_sh_df")
-    newSets.withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
-      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .partitionBy("dbucket").parquet(dst + "_docs")
+    // newSets pinned: it feeds the _docs write, the band derivation and
+    // the appended-count — previously each re-aggregated from the pins
+    val newSets = pin(cappedSetsFrom(raw, bdf, maxDocFreq))
     val bands = pin(bandRows(signatures(
         newSets.select(col("doc_id"), explode(col("gs")).as("g"))))
       .withColumn("bucket", Retrieval.termBucketCol(col("bh"), nBuckets)))
-    bands.repartition(col("bucket")).sortWithinPartitions(col("bh"), col("doc_id"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .partitionBy("bucket").parquet(dst)
+    // three independent appends from the pins — concurrent
+    // (Par.inParallel contract)
+    Par.inParallel(
+      () => raw.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", Retrieval.termBucketCol(col("g"), nBuckets))
+        .repartition(col("bucket")).sortWithinPartitions(col("g"))
+        .write.mode(SaveMode.Append).option("compression", "snappy")
+        .partitionBy("bucket").parquet(dst + "_sh_df"),
+      () => newSets.withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+        .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+        .write.mode(SaveMode.Append).option("compression", "snappy")
+        .partitionBy("dbucket").parquet(dst + "_docs"),
+      () => bands.repartition(col("bucket")).sortWithinPartitions(col("bh"), col("doc_id"))
+        .write.mode(SaveMode.Append).option("compression", "snappy")
+        .partitionBy("bucket").parquet(dst))
     val touched = bands.select(col("bucket")).distinct().collect().map(_.getInt(0))
     // drift signal: shingles whose corpus df sat in (0, max] but whose
     // corpus+batch df crossed the cap. dfc ≤ max implies the shingle
@@ -504,19 +518,21 @@ object NearDupIndex {
         .unionByName(newBands.select(col("bucket"))))
       .distinct().collect().map(_.getInt(0)).sorted
     val affIds = affected.select(col("doc_id"))
-    rewriteBuckets(s, dst, "bucket", bBuckets,
-      keep = _.join(affIds, Seq("doc_id"), "left_anti")
-        .unionByName(newBands.select(col("doc_id"), col("band"),
-          col("bh"), col("bucket"))),
-      sortCols = Seq("bh", "doc_id"))
     val dBuckets = affected.select(col("dbucket")).distinct()
       .collect().map(_.getInt(0)).sorted
-    rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
-      keep = _.join(affIds, Seq("doc_id"), "left_anti")
-        .unionByName(recapped
-          .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
-          .select(col("doc_id"), col("gs"), col("dbucket"))),
-      sortCols = Seq("doc_id"))
+    // independent stores, keep-functions reading only pins — concurrent
+    Par.inParallel(
+      () => rewriteBuckets(s, dst, "bucket", bBuckets,
+        keep = _.join(affIds, Seq("doc_id"), "left_anti")
+          .unionByName(newBands.select(col("doc_id"), col("band"),
+            col("bh"), col("bucket"))),
+        sortCols = Seq("bh", "doc_id")),
+      () => rewriteBuckets(s, dst + "_docs", "dbucket", dBuckets,
+        keep = _.join(affIds, Seq("doc_id"), "left_anti")
+          .unionByName(recapped
+            .withColumn("dbucket", docBucket(col("doc_id"), nBuckets))
+            .select(col("doc_id"), col("gs"), col("dbucket"))),
+        sortCols = Seq("doc_id")))
     (nAffected, bBuckets)
   }
 

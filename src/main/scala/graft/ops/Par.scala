@@ -35,4 +35,36 @@ private[graft] object Par {
       if (bytes >= BigInt(perSplit) * p) df else df.repartition(p)
     }
   }
+
+  /** Run independent Spark ACTIONS concurrently from one session — the
+    * lifecycle-store pattern: an index build/append/purge issues 3–6
+    * small write jobs whose wall time is mostly driver-side planning +
+    * commit latency, not executor CPU; issued sequentially they pay
+    * that latency N times, issued concurrently the scheduler overlaps
+    * it (r14 profile: q100's sync stages were 60% of the gate and
+    * almost entirely this). Callers MUST pass tasks that are mutually
+    * independent AND read only PINNED inputs (localCheckpoint) — two
+    * concurrent actions over an unpinned shared lineage would compute
+    * it twice, and any read-after-write ordering must stay sequential
+    * (e.g. purge corrections after store rewrites). Threads, not a
+    * shared pool: tasks block on Spark jobs, so pool starvation ≡
+    * deadlock; the thread count is the call's task count (≤ 6). */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t()
+      }))
+      var firstErr: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null) firstErr = e.getCause
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally pool.shutdown()
+  }
 }

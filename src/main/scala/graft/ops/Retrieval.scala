@@ -431,60 +431,74 @@ object Retrieval {
     // profile: the postings pass is inherent, the other two are not).
     // The lens frame is 2 longs/doc — checkpointing it is free next to
     // one saved corpus scan.
-    val lens = Par.widen(docs)
-      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("dl"))
-      .localCheckpoint()
     val d = Par.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
       .select(col("doc_id"), size(col("l")).cast("long").as("dl"), col("l"))
       .filter(size(col("l")) > 0)
-    val postings = d
-      .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
-    postings
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "snappy")
-      .partitionBy("bucket")
-      .parquet(dst)
-    // df per term, bucketed the same way — the probe reads ≤ |query|
-    // rows from the query's buckets. Derived from the WRITTEN postings,
-    // not the in-flight frame: the index is self-consistent even if the
-    // corpus changes between write and read.
+    // The lens and posting frames are PINNED and every artifact below
+    // derives from a pin — the store write, the _df sidecar and the
+    // _docbuckets reverse map all see identical immutable rows (the
+    // same self-consistency the previous read-back-the-written-store
+    // scheme bought, without its cost: the read-back scanned the full
+    // store TWICE more). The two pins are the build's two corpus
+    // tokenize passes — checkpointed CONCURRENTLY so their scans
+    // overlap (r14 profile: the sequential build spent ~60% of its
+    // wall on serialized small jobs).
+    var lens: DataFrame = null
+    var postings: DataFrame = null
+    Par.inParallel(
+      () => lens = Par.widen(docs)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("dl"))
+        .localCheckpoint(),
+      () => postings = d
+        .select(col("doc_id"), col("dl"), explode(col("l")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", termBucketCol(col("term"), nBuckets))
+        .localCheckpoint())
     val s = docs.sparkSession
-    s.read.parquet(dst)
-      .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(dst + "_df")
-    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_totals")
     import s.implicits._
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_meta")
-    // per-doc sidecars for the DELETE path: document lengths (ALL docs,
-    // the totals convention — empty docs count) bucketed by doc id, and
-    // each doc's distinct posting buckets (≤ nBuckets ints/doc) — the
-    // reverse map that lets a purge find its touched dirs without
-    // scanning the store
-    lens
-      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
-      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "snappy")
-      .partitionBy("dbucket").parquet(dst + "_dl")
-    s.read.parquet(dst).select(col("doc_id"), col("bucket")).distinct()
-      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
-      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "snappy")
-      .partitionBy("dbucket").parquet(dst + "_docbuckets")
+    // the six layout artifacts all derive from the two pins above —
+    // mutually independent writes, issued concurrently (Par.inParallel
+    // contract): the store itself, the per-term df and the two per-doc
+    // DELETE-path sidecars (document lengths — ALL docs, the totals
+    // convention — and each doc's distinct posting buckets, the reverse
+    // map that lets a purge find its touched dirs without scanning the
+    // store), plus the 1-row totals/meta frames
+    Par.inParallel(
+      () => postings
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy("bucket")
+        .parquet(dst),
+      // df per term, bucketed the same way — the probe reads ≤ |query|
+      // rows from the query's buckets
+      () => postings
+        .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(dst + "_df"),
+      () => lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_totals"),
+      () => Seq(nBuckets).toDF("n_buckets").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dst + "_meta"),
+      () => lens
+        .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+        .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy("dbucket").parquet(dst + "_dl"),
+      () => postings.select(col("doc_id"), col("bucket")).distinct()
+        .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+        .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy("dbucket").parquet(dst + "_docbuckets"))
   }
 
   /** Doc id → sidecar partition bucket (plain modulo — ids are already
@@ -792,30 +806,41 @@ object Retrieval {
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
     // pin the dead rows BEFORE the rewrites drop them — they become the
     // correction segments below
-    val deadPost = s.read.parquet(dst)
-      .filter(col("bucket").isin(touched.map(Int.box): _*))
-      .join(dead, Seq("doc_id"), "left_semi")
-      .select(col("term")).localCheckpoint()
-    val deadDl = s.read.parquet(dst + "_dl")
-      .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
-      .join(dead, Seq("doc_id"), "left_semi")
-      .select(col("dl")).localCheckpoint()
-    NearDupIndex.rewriteBuckets(s, dst, "bucket", touched,
-      _.join(dead, Seq("doc_id"), "left_anti"), Seq("term", "doc_id"))
-    NearDupIndex.rewriteBuckets(s, dst + "_docbuckets", "dbucket", dBuckets,
-      _.join(dead, Seq("doc_id"), "left_anti"), Seq("doc_id"))
-    NearDupIndex.rewriteBuckets(s, dst + "_dl", "dbucket", dBuckets,
-      _.join(dead, Seq("doc_id"), "left_anti"), Seq("doc_id"))
-    deadPost.groupBy(col("term")).agg((-count(lit(1))).as("df"))
-      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
-      .repartition(col("bucket")).sortWithinPartitions(col("term"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("compression", "snappy")
-      .partitionBy("bucket").parquet(dst + "_df")
-    deadDl.agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("dl")), lit(0L))).as("n_total"))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals")
+    var deadPost: DataFrame = null
+    var deadDl: DataFrame = null
+    Par.inParallel(
+      () => deadPost = s.read.parquet(dst)
+        .filter(col("bucket").isin(touched.map(Int.box): _*))
+        .join(dead, Seq("doc_id"), "left_semi")
+        .select(col("term")).localCheckpoint(),
+      () => deadDl = s.read.parquet(dst + "_dl")
+        .filter(col("dbucket").isin(dBuckets.map(Int.box): _*))
+        .join(dead, Seq("doc_id"), "left_semi")
+        .select(col("dl")).localCheckpoint())
+    // the three store rewrites are independent (different stores, all
+    // anti-joining the pinned dead set) — concurrent; the correction
+    // segments stay strictly AFTER them, preserving the crash window's
+    // direction (rewrites-done-segments-unwritten leaves df/totals
+    // conservatively HIGH; the reverse order could double-subtract a
+    // dead doc that is both mask-corrected and segment-corrected)
+    Par.inParallel(
+      () => NearDupIndex.rewriteBuckets(s, dst, "bucket", touched,
+        _.join(dead, Seq("doc_id"), "left_anti"), Seq("term", "doc_id")),
+      () => NearDupIndex.rewriteBuckets(s, dst + "_docbuckets", "dbucket", dBuckets,
+        _.join(dead, Seq("doc_id"), "left_anti"), Seq("doc_id")),
+      () => NearDupIndex.rewriteBuckets(s, dst + "_dl", "dbucket", dBuckets,
+        _.join(dead, Seq("doc_id"), "left_anti"), Seq("doc_id")))
+    Par.inParallel(
+      () => deadPost.groupBy(col("term")).agg((-count(lit(1))).as("df"))
+        .withColumn("bucket", termBucketCol(col("term"), nBuckets))
+        .repartition(col("bucket")).sortWithinPartitions(col("term"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "snappy")
+        .partitionBy("bucket").parquet(dst + "_df"),
+      () => deadDl.agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("n_total"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals"))
     // clear the sidecar LAST — any crash above leaves probes correct
     val tp = new org.apache.hadoop.fs.Path(dst + "_tombstones")
     tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
@@ -850,36 +875,40 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucketCol(col("term"), nBuckets))
       .localCheckpoint() // consumed by the write, the df delta, the report
-    postings
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("compression", "snappy")
-      .partitionBy("bucket")
-      .parquet(dst)
-    postings
-      .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bucket")
-      .parquet(dst + "_df")
-    dAll.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals")
-    // delete-path sidecars ride the append too
-    dAll.select(col("doc_id"), col("dl"))
-      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
-      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("compression", "snappy")
-      .partitionBy("dbucket").parquet(dst + "_dl")
-    postings.select(col("doc_id"), col("bucket")).distinct()
-      .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
-      .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .option("compression", "snappy")
-      .partitionBy("dbucket").parquet(dst + "_docbuckets")
+    // the five append artifacts all derive from the two pins — issued
+    // concurrently (Par.inParallel contract; the same serialized-small-
+    // jobs cut as the build path)
+    Par.inParallel(
+      () => postings
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "snappy")
+        .partitionBy("bucket")
+        .parquet(dst),
+      () => postings
+        .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bucket")
+        .parquet(dst + "_df"),
+      () => dAll.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dst + "_totals"),
+      // delete-path sidecars ride the append too
+      () => dAll.select(col("doc_id"), col("dl"))
+        .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+        .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "snappy")
+        .partitionBy("dbucket").parquet(dst + "_dl"),
+      () => postings.select(col("doc_id"), col("bucket")).distinct()
+        .withColumn("dbucket", docBucketCol(col("doc_id"), nBuckets))
+        .repartition(col("dbucket")).sortWithinPartitions(col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "snappy")
+        .partitionBy("dbucket").parquet(dst + "_docbuckets"))
     val touched = postings.select(col("bucket")).distinct()
       .as[Int].collect().sorted
     (postings.count(), touched)
