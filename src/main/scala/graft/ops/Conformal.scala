@@ -67,9 +67,10 @@ object Conformal {
     // exact order statistic over the (value, count) aggregate — the
     // q167 discipline: the window runs on ≤ |distinct rounded residuals|
     val k = ceil((col("n_cal").cast("double") + 1.0) * (1.0 - alpha))
-    val byR = withRes.groupBy(col("n_cal"), col("slope"), col("intercept"),
-        col("r")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("r"))))
+    val byR = PrefixSum.runningSum(
+      withRes.groupBy(col("n_cal"), col("slope"), col("intercept"),
+        col("r")).agg(count(lit(1)).as("c")),
+      col("r"), col("c"), "cum") // two-level prefix sum (PrefixSum note)
     val qhat = byR.filter(col("cum") >= least(k, col("n_cal")))
       .groupBy(col("n_cal"), col("slope"), col("intercept"))
       .agg(min(col("r")).as("q_hat"))

@@ -46,10 +46,10 @@ object Curriculum {
 
     // distinct-count distribution: tiny whatever the corpus size
     val dist = bucketed.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
-    val cumWin = Window.orderBy(col("n_tok"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = dist.select(col("n_tok").as("c_tok"),
-      coalesce(sum(col("cnt")).over(cumWin), lit(0L)).as("tok_before"))
+    // exclusive prefix = inclusive two-level running sum minus own count
+    val cum = PrefixSum.runningSum(dist, col("n_tok"), col("cnt"), "cum_incl")
+      .select(col("n_tok").as("c_tok"),
+        (col("cum_incl") - col("cnt")).as("tok_before"))
     val total = dist.agg(sum(col("cnt")).as("n_total"))
 
     // per-(count, bucket) populations, prefix-summed within each count —

@@ -127,9 +127,10 @@ object Drift {
     val v = values
     val counts = v.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
     val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
-    val globalCum = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
-      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy(col("v"))))
-      .select(col("v"), col("cum_g"))
+    val globalCum = PrefixSum.runningSum(
+        counts.groupBy(col("v")).agg(sum(col("c")).as("cg")),
+        col("v"), col("cg"), "cum_g") // two-level: a 100 TB value
+      .select(col("v"), col("cum_g")) // histogram never single-partitions
     val total = counts.agg(sum(col("c")).as("n_all"))
     // the evaluation grid: every source × every distinct value —
     // aggregated dimensions only (a step function must be read at ALL
@@ -184,8 +185,9 @@ object Drift {
     val counts = values.groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("c"))
     val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
-    val g = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
-      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy(col("v"))))
+    val g = PrefixSum.runningSum(
+      counts.groupBy(col("v")).agg(sum(col("c")).as("cg")),
+      col("v"), col("cg"), "cum_g") // the two-level prefix sum
     val total = counts.agg(sum(col("c")).as("n_all"))
     val withCums = counts
       .withColumn("cum_s", sum(col("c")).over(
@@ -244,9 +246,10 @@ object Drift {
   def wassersteinDrift(values: DataFrame): DataFrame = {
     val counts = values.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
     val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
-    val globalCum = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
-      .withColumn("cum_g", sum(col("cg")).over(Window.orderBy(col("v"))))
-      .select(col("v"), col("cum_g"))
+    val globalCum = PrefixSum.runningSum(
+        counts.groupBy(col("v")).agg(sum(col("c")).as("cg")),
+        col("v"), col("cg"), "cum_g") // two-level: a 100 TB value
+      .select(col("v"), col("cum_g")) // histogram never single-partitions
     val total = counts.agg(sum(col("c")).as("n_all"))
     val ws = Window.partitionBy(col("source")).orderBy(col("v"))
     ns.crossJoin(globalCum.select(col("v")))
@@ -305,14 +308,45 @@ object Drift {
     val signed = values.join(broadcast(med), Seq("source"))
       .filter(col("v") =!= col("med"))
       .withColumn("sgn", when(col("v") > col("med"), 1L).otherwise(0L))
-    val wd = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    signed
-      .withColumn("brk", when(lag(col("sgn"), 1).over(wd).isNull ||
-        lag(col("sgn"), 1).over(wd) =!= col("sgn"), 1L).otherwise(0L))
+    // SEGMENTED run counting (the r13 verdict's per-source-funnel fix):
+    // the naive lag window puts each source's ENTIRE doc sequence
+    // through one partition — the heaviest per-source funnel in the
+    // suite (3.9× wall at 10× soak). Instead doc_id is range-chunked
+    // with the PrefixSum monotone bucketing (broadcast 1-row min/max,
+    // no sampling pass): within-(source, chunk) breaks come from
+    // BOUNDED lag windows, and chunks stitch over the aggregated
+    // sources × ≤P frame — a boundary whose first sign continues the
+    // previous PRESENT chunk's last sign is not a break (chunk order
+    // among present chunks IS doc_id order, the mapping being
+    // monotone). Run counts are identical by construction; only the
+    // partition sizes change.
+    val p = values.sparkSession.sparkContext.defaultParallelism
+    val bounds = signed.agg(min(col("doc_id").cast("double")).as("__lo"),
+      max(col("doc_id").cast("double")).as("__hi"))
+    val chunked = signed.crossJoin(broadcast(bounds))
+      .withColumn("chunk", least(lit(p - 1L), greatest(lit(0L),
+        floor((col("doc_id").cast("double") - col("__lo")) * lit(p.toDouble) /
+          (col("__hi") - col("__lo") + lit(1.0))).cast("long"))))
+      .drop("__lo", "__hi")
+    val wc = Window.partitionBy(col("source"), col("chunk")).orderBy(col("doc_id"))
+    val perChunk = chunked
+      .withColumn("brk", when(lag(col("sgn"), 1).over(wc).isNull ||
+        lag(col("sgn"), 1).over(wc) =!= col("sgn"), 1L).otherwise(0L))
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_c"), sum(col("sgn")).as("plus_c"),
+        sum(col("brk")).as("brk_c"),
+        min_by(col("sgn"), col("doc_id")).as("first_sgn"),
+        max_by(col("sgn"), col("doc_id")).as("last_sgn"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("chunk"))
+    perChunk
+      .withColumn("dup", when(
+        lag(col("last_sgn"), 1).over(ws).isNotNull &&
+          lag(col("last_sgn"), 1).over(ws) === col("first_sgn"), 1L)
+        .otherwise(0L))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_used"), sum(col("sgn")).as("n_plus"),
-        (count(lit(1)) - sum(col("sgn"))).as("n_minus"),
-        sum(col("brk")).as("runs"))
+      .agg(sum(col("n_c")).as("n_used"), sum(col("plus_c")).as("n_plus"),
+        (sum(col("n_c")) - sum(col("plus_c"))).as("n_minus"),
+        (sum(col("brk_c")) - sum(col("dup"))).as("runs"))
       .withColumn("a", lit(2.0) * col("n_plus").cast("double") *
         col("n_minus").cast("double"))
       .withColumn("z",

@@ -56,10 +56,8 @@ object QuantileNorm {
     val srcTot = sv.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
     // pooled cumulative CDF — one ≤|values|-row table
     val pooled = sv.groupBy(col("v")).agg(sum(col("cnt")).as("pcnt"))
-    val byV = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pooledCum = pooled
-      .withColumn("cum_g", sum(col("pcnt")).over(byV))
+    val pooledCum = PrefixSum.runningSum( // two-level: a 100 TB value
+        pooled, col("v"), col("pcnt"), "cum_g") // histogram never funnels
       .select(col("v").as("w"), col("cum_g"))
       .localCheckpoint() // aggregated (≤ |values| rows); also caps the
                          // window lineage before the theta join below
