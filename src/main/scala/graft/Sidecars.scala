@@ -16,6 +16,16 @@ package graft
   * against a previous run's sidecars). */
 object Sidecars {
 
+  /** When set, the shutdown hook leaves this run's root on disk.
+    * [[graft.Verify]] sets it: the oracle SQL it dumps interpolates
+    * this run's sidecar paths, and the DuckDB compare reads them AFTER
+    * the JVM exits — reaping at exit would break the whole
+    * persisted-model-is-data oracle family (r14 lesson: q249's first
+    * gate run failed exactly this way). Everything else (bench, soak,
+    * tests) reaps. */
+  @volatile private var keepOnExitFlag = false
+  def keepOnExit(): Unit = keepOnExitFlag = true
+
   lazy val root: String = sys.env.get("GRAFT_SIDECAR_DIR") match {
     case Some(d) =>
       val p = java.nio.file.Paths.get(d)
@@ -28,7 +38,8 @@ object Sidecars {
       // self-overwrote) — delete the whole root at JVM exit. Only for
       // roots THIS run created: a GRAFT_SIDECAR_DIR caller asked for
       // the sidecars at a durable location and keeps them.
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        if (!keepOnExitFlag) deleteRecursively(p)))
       p.toAbsolutePath.toString
   }
 

@@ -465,6 +465,10 @@ object SparkEntry {
       graft.ops.TimeSeries.q246DowSeasonality(s, dir)),
     "q247_inter_arrival" -> ((s: SparkSession, dir: String) =>
       graft.ops.TimeSeries.q247InterArrival(s, dir)),
+    "q248_streamed_exactsub_index" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ExactSubstring.q248StreamedExactSubstringIndex(s, dir)),
+    "q249_crossmodal_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Multimodal.q249CrossModalDedup(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1032,5 +1036,7 @@ object SparkEntry {
     "q245_silhouette" -> ExtensionOracles.q245Silhouette,
     "q246_dow_seasonality" -> ExtensionOracles.q246DowSeasonality,
     "q247_inter_arrival" -> ExtensionOracles.q247InterArrival,
+    "q248_streamed_exactsub_index" -> ExtensionOracles.q248StreamedExactSubstring,
+    "q249_crossmodal_dedup" -> ExtensionOracles.q249CrossModalDedup,
   )
 }

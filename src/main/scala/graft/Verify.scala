@@ -21,6 +21,9 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
+    // the dumped oracle SQL interpolates THIS run's sidecar paths and
+    // the DuckDB compare reads them after we exit — keep the root
+    Sidecars.keepOnExit()
     // optional 3rd arg: comma-separated query-name filter (local
     // pre-flight of a single query; the driver always passes two args)
     val Array(sfDir, outDir) = args.take(2)

@@ -661,4 +661,70 @@ object Multimodal {
         ascii(col("payload").cast("string")).cast("long").as("head_byte"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------- //
+  // CROSS-MODAL joint dedup (r13 verdict ask #8): the q224 image path //
+  // and the q26 caption path intersected into one decision frame.     //
+  // ---------------------------------------------------------------- //
+
+  /** Content-derived image seed per document — the multimodal-corpus
+    * synthesis rule: each document carries "its article photo", seeded
+    * by the doc's TOP-5 tokens (count desc, token asc tie-break,
+    * sorted + space-joined, first 52 md5 bits). A near-duplicate copy
+    * that preserves the frequency head re-uploads the SAME photo (the
+    * dominant real-world case); an edit that shifts the head gets a
+    * different one — so the joint decision below genuinely exercises
+    * both the agree and disagree branches. Scale shape: one token
+    * count aggregate; the rank window partitions per doc (bounded by
+    * doc vocabulary). */
+  private[ops] def contentImageSeeds(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Par.widen(docs)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    cnt.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("tok"))))
+      .filter(col("rn") <= 5)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", sort_array(collect_list(col("tok")))).as("fp"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("fp")), 1, 13), 16, 10).cast("long").as("seed"))
+  }
+
+  /** q249's persisted sidecar: (doc_id, seed, ahash). Unlike q224's,
+    * the SEED rides along — the oracle recomputes it from `documents`
+    * in SQL and joins on (doc_id, seed), so the content→image rule is
+    * gate-checked too; only pixels→aHash is trusted input (the q205
+    * persisted-model-is-data boundary, same as q224). */
+  val CrossModalHashPath: String = graft.Sidecars.path("graft_crossmodal_ahash.parquet")
+
+  /** q249: CROSS-MODAL joint dedup — the near-dup decision a
+    * multimodal curation stack actually takes: caption (text) LSH
+    * pairs are the CANDIDATES (the q26 chain, verified Jaccard ≥ 0.5),
+    * and each candidate pair is confirmed or refuted by its images'
+    * perceptual distance (REAL ImageIO decode → Rec.601 aHash, the
+    * q224 path) — `joint_dup` = images within Hamming ≤ 3. Candidates
+    * → confirm is also the 100 TB shape: the image comparison runs
+    * per CANDIDATE pair (O(LSH candidates)), never as an all-pairs
+    * image join. */
+  def q249CrossModalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val hashes = contentImageSeeds(docs)
+      .select(col("doc_id"), col("seed")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) =>
+        // .get, not getOrElse: a JDK PNG the JDK cannot re-decode is a
+        // broken codec path and must fail loudly, not hash to a default
+        (id, seed, aHash(encodeCells(synthCells(seed), "png")).get)
+      }).toDF("doc_id", "seed", "ahash")
+    hashes.write.mode("overwrite").parquet(CrossModalHashPath)
+    val h = s.read.parquet(CrossModalHashPath)
+    Dedup.minhashLshPairs(docs)
+      .join(h.select(col("doc_id").as("d1"), col("ahash").as("a1")), Seq("d1"))
+      .join(h.select(col("doc_id").as("d2"), col("ahash").as("a2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("jaccard"),
+        expr("CAST(bit_count(a1 ^ a2) AS BIGINT)").as("img_hamming"))
+      .withColumn("joint_dup", col("img_hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
 }

@@ -6908,4 +6908,67 @@ object ExtensionOracles {
       |  round(CAST(SUM(term) AS DOUBLE) /
       |    (CAST(MAX(n_s) AS DOUBLE) * CAST(MAX(n_all - n_s) AS DOUBLE)), 6) AS w1
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirrors q248 (`ops.ExactSubstring.q248StreamedExactSubstringIndex`):
+    * the DEFINITION — because the indexed slices plus the streamed
+    * appends plus the probe batch cover the whole corpus, the streamed
+    * lifecycle must answer exactly the q207 full-corpus dup scan
+    * restricted to probe-doc (%5=0) spans. A stale append (a batch's
+    * hashes missing from the store) surfaces as a missing span. */
+  val q248StreamedExactSubstring: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |w AS (SELECT doc_id, unnest(generate_series(1, len(text) - 49)) AS pos, text
+      |  FROM d),
+      |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    substr(text, CAST(pos AS INT), 50) AS win FROM w),
+      |dup AS (SELECT win FROM s GROUP BY win HAVING COUNT(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM s JOIN dup USING (win)
+      |  WHERE doc_id % 5 = 0),
+      |isl AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM hits),
+      |g AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 50 - MIN(pos) AS BIGINT) AS span_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM g GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Mirrors q249 (`ops.Multimodal.q249CrossModalDedup`): text LSH
+    * pairs replayed by the q26 chain; the content→image-seed rule
+    * (top-5 tokens by count desc / token asc, sorted, space-joined,
+    * first 52 md5 bits) recomputed in SQL and JOINED against the
+    * persisted sidecar on (doc_id, seed) — a seed drift drops rows and
+    * breaks the hash; only pixels→aHash is trusted input (the q224
+    * boundary). Decision = bit_count(xor) ≤ 3 per candidate pair. */
+  val q249CrossModalDedup: String =
+    s"""WITH $shingleCtes,
+       |$lshCtes
+       |, txt AS (SELECT d1, d2,
+       |    CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN szc s1 ON d1 = s1.doc_id
+       |  JOIN szc s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+       |t2x AS (SELECT doc_id, unnest(l) AS tok2 FROM tok),
+       |cntx AS (SELECT doc_id, tok2, COUNT(*) AS n FROM t2x GROUP BY 1, 2),
+       |rkx AS (SELECT doc_id, tok2,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok2) AS rn
+       |  FROM cntx),
+       |fpx AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(string_agg(tok2, ' ' ORDER BY tok2)), 1, 13))
+       |      AS BIGINT) AS seed
+       |  FROM rkx WHERE rn <= 5 GROUP BY doc_id),
+       |imgh AS (SELECT i.doc_id, i.ahash
+       |  FROM read_parquet('${graft.ops.Multimodal.CrossModalHashPath}/*.parquet') i
+       |  JOIN fpx ON i.doc_id = fpx.doc_id AND i.seed = fpx.seed)
+       |SELECT t.d1, t.d2, t.jaccard,
+       |  CAST(bit_count(xor(h1.ahash, h2.ahash)) AS BIGINT) AS img_hamming,
+       |  (bit_count(xor(h1.ahash, h2.ahash)) <= 3) AS joint_dup
+       |FROM txt t
+       |JOIN imgh h1 ON t.d1 = h1.doc_id
+       |JOIN imgh h2 ON t.d2 = h2.doc_id
+       |ORDER BY t.d1, t.d2""".stripMargin
 }

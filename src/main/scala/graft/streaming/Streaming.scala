@@ -306,6 +306,25 @@ object Streaming {
     w.start()
   }
 
+  /** Streamed maintenance of the exact-substring window-hash layout —
+    * each micro-batch appends its window hashes + text (the
+    * minhashAppendStream contract applied to
+    * [[graft.ops.ExactSubstring]]). */
+  def windowHashAppendStream(docs: DataFrame, dst: String,
+                             checkpoint: Option[String] = None,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          graft.ops.ExactSubstring.appendToWindowHashLayout(b, dst)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   def kmvDailyStream(events: DataFrame, dst: String, k: Int = 128,
                      checkpoint: Option[String] = None,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
