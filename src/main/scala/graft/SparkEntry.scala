@@ -469,6 +469,18 @@ object SparkEntry {
       graft.ops.ExactSubstring.q248StreamedExactSubstringIndex(s, dir)),
     "q249_crossmodal_dedup" -> ((s: SparkSession, dir: String) =>
       graft.ops.Multimodal.q249CrossModalDedup(s, dir)),
+    "q250_langid_eval" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Evaluation.q250LangIdEval(s, dir)),
+    "q251_source_jsd" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q251SourceJsd(s, dir)),
+    "q252_decision_stump" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Stump.q252DecisionStump(s, dir)),
+    "q253_ece_reliability" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Evaluation.q253EceReliability(s, dir)),
+    "q254_oov_drift" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Vocabulary.q254OovDrift(s, dir)),
+    "q255_heavyhitter_churn" -> ((s: SparkSession, dir: String) =>
+      graft.ops.HeavyHitters.q255HeavyHitterChurn(s, dir).toDF()),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1038,5 +1050,11 @@ object SparkEntry {
     "q247_inter_arrival" -> ExtensionOracles.q247InterArrival,
     "q248_streamed_exactsub_index" -> ExtensionOracles.q248StreamedExactSubstring,
     "q249_crossmodal_dedup" -> ExtensionOracles.q249CrossModalDedup,
+    "q250_langid_eval" -> ExtensionOracles.q250LangIdEval,
+    "q251_source_jsd" -> ExtensionOracles.q251SourceJsd,
+    "q252_decision_stump" -> ExtensionOracles.q252DecisionStump,
+    "q253_ece_reliability" -> ExtensionOracles.q253EceReliability,
+    "q254_oov_drift" -> ExtensionOracles.q254OovDrift,
+    "q255_heavyhitter_churn" -> ExtensionOracles.q255HeavyHitterChurn,
   )
 }

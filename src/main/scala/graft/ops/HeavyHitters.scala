@@ -190,4 +190,41 @@ object HeavyHitters {
       .limit(k)
       .orderBy(col("cnt").desc, col("user_id"))
   }
+
+  /** q255: HEAVY-HITTER CHURN — the monitoring read on top of q150's
+    * top-token report: exact top-20 tokens of the first doc_id half vs
+    * the second (split = the q144 midpoint rule, broadcast 1-row
+    * min/max), full-outer joined into an entered / left / stayed table
+    * with both ranks and counts. A head token that vanishes or a new
+    * one that storms in is the earliest human-readable drift signal.
+    *
+    * Scale shape: one token count aggregate per half (same shuffle,
+    * keyed by half), two TakeOrdered top-k cuts (per-partition heaps,
+    * k rows to the driver stage), rank windows over the ≤ k-row cuts
+    * (the bounded benign case), one ≤ 2k-row outer join. */
+  def q255HeavyHitterChurn(s: org.apache.spark.sql.SparkSession,
+                           dir: String, k: Int = 20): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.ops.Par.widen(graft.Tables.documents(s, dir))
+    val span = d.agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+      .select(expr("(__d0 + __d1 + 1) DIV 2").as("__split"))
+    val counts = d.crossJoin(broadcast(span))
+      .select(when(col("doc_id") < col("__split"), "a").otherwise("b").as("half"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("half"), col("w")).agg(count(lit(1)).as("c"))
+    def top(h: String) = counts.filter(col("half") === h)
+      .orderBy(col("c").desc, col("w")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    top("a").select(col("w"), col("rank").as("rank_a"), col("c").as("cnt_a"))
+      .join(top("b").select(col("w"), col("rank").as("rank_b"), col("c").as("cnt_b")),
+        Seq("w"), "full_outer")
+      .withColumn("status",
+        when(col("rank_a").isNotNull && col("rank_b").isNotNull, "stayed")
+          .when(col("rank_a").isNotNull, "left").otherwise("entered"))
+      .select(col("w").as("token"), col("rank_a"), col("cnt_a"),
+        col("rank_b"), col("cnt_b"), col("status"))
+      .orderBy(col("token"))
+  }
 }

@@ -89,6 +89,67 @@ object Mixing {
       .withColumn("kl_bits", round(col("kl_nats") / lit(ln2), 12))
   }
 
+  /** q251: per-source JENSEN–SHANNON divergence (bits) of the unigram
+    * distribution vs the REST of the corpus — the symmetric, bounded
+    * ([0,1] in bits) companion of q69's KL-vs-pool: KL explodes on a
+    * source with private vocabulary and is asymmetric by construction;
+    * JSD is the metric-like quantity mixture papers rank sources by.
+    *
+    * The q-side trap and its closed form: JSD's rest-distribution sum
+    * runs over ALL corpus terms, which naively builds the
+    * sources × vocabulary grid (2·10⁹ rows at 100 TB). But for every
+    * term ABSENT from the source, m = q/2 exactly, so its contribution
+    * collapses to q·ln2 — and those sum to ln2·(1 − Q_s) where
+    * Q_s = Σ_{t∈source} q_t. Only SOURCE terms are ever evaluated:
+    * the frame is exactly q69's (source, term) aggregate, no grid.
+    *
+    * Determinism (the q69/q48 rules): per-term contributions are fixed
+    * left-to-right double expressions rounded 12, decimal(28,12)-
+    * summed; ln2 is a literal; final stats round 12. Sources with no
+    * rest (single-source corpora) yield NULL. */
+  def q251SourceJsd(s: SparkSession, dir: String): DataFrame =
+    sourceJsd(Tables.documents(s, dir))
+
+  /** The reusable JSD core over any (source, text) frame. */
+  def sourceJsd(docs: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val st = Par.widen(docs)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+    val corpus = st.groupBy(col("w")).agg(sum(col("k")).as("ck"))
+    val grpTotals = st.groupBy(col("source")).agg(sum(col("k")).as("ns"))
+    val corpusTotal = corpus.agg(sum(col("ck")).as("nc"))
+    val p = col("k").cast("double") / col("ns").cast("double")
+    val q = (col("ck") - col("k")).cast("double") / col("nr").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib = st
+      .join(corpus, "w")
+      .join(broadcast(grpTotals), "source")
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("nr", col("nc") - col("ns"))
+      .filter(col("nr") > 0)
+      .withColumn("aterm", round(p * log(p / m), 12).cast("decimal(28,12)"))
+      .withColumn("bterm",
+        when(col("ck") > col("k"), round(q * log(q / m), 12))
+          .otherwise(lit(0.0)).cast("decimal(28,12)"))
+      .withColumn("qr", round(q, 12).cast("decimal(28,12)"))
+    val present = contrib.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), max(col("ns")).as("n_tokens"),
+        sum(col("aterm")).as("asum"), sum(col("bterm")).as("bsum"),
+        sum(col("qr")).as("qsum"))
+      .withColumn("jsd_nats", round(lit(0.5) *
+        (col("asum").cast("double") + col("bsum").cast("double") +
+          round(lit(ln2) * (lit(1.0) - col("qsum").cast("double")), 12)), 12))
+      .withColumn("jsd_bits", round(col("jsd_nats") / lit(ln2), 12))
+    // single-source corpora (no rest) fall out of the filter above —
+    // re-attach them with NULL jsd so every source reports
+    grpTotals.select(col("source"))
+      .join(present, Seq("source"), "left")
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        col("jsd_bits"))
+      .orderBy(col("source"))
+  }
+
   /** q78: temporal drift — per-UTC-day KL divergence of the event-type
     * distribution from the all-time pool, the monitoring statistic that
     * catches a collection pipeline silently changing its mix (a scraper

@@ -114,4 +114,38 @@ object Vocabulary {
         col("n_tokens"), col("vocab"), col("heaps_beta"), col("heaps_lnk"))
       .orderBy(col("j"))
   }
+
+  /** q254: OOV-RATE DRIFT against a frozen vocabulary snapshot — the
+    * question a deployed tokenizer/vocab faces as data arrives: how
+    * much of each new slice falls outside the training-time vocabulary
+    * (token OCCURRENCES out-of-vocab, and distinct NEW TYPES), per
+    * source. Snapshot = the %3=0 doc slice's distinct tokens (the q32
+    * deterministic-split family); slices 1 and 2 are "new data".
+    * Complements q229 (Heaps growth says vocabulary keeps growing;
+    * this says how much of it YOUR frozen vocab misses, and where).
+    *
+    * Scale shape: ONE (slice, source, token) aggregate off the explode
+    * (map-side combined — token hot keys collapse there); the snapshot
+    * vocab is a projection of the same frame; the OOV flag is a
+    * left-join on the AGGREGATED rows (≤ types, not occurrences).
+    * Exact longs; one rounded divide. */
+  def q254OovDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Par.widen(Tables.documents(s, dir))
+      .select(pmod(col("doc_id"), lit(3L)).as("slice"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("slice"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the snapshot vocab AND the drift scan
+    val vocab = toks.filter(col("slice") === 0L).select(col("w")).distinct()
+      .withColumn("known", lit(1L))
+    toks.filter(col("slice") =!= 0L)
+      .join(vocab, Seq("w"), "left")
+      .groupBy(col("slice"), col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("known").isNull, col("c")).otherwise(0L)).as("n_oov"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new_types"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy(col("slice"), col("source"))
+  }
 }

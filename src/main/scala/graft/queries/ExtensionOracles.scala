@@ -6971,4 +6971,212 @@ object ExtensionOracles {
        |JOIN imgh h1 ON t.d1 = h1.doc_id
        |JOIN imgh h2 ON t.d2 = h2.doc_id
        |ORDER BY t.d1, t.d2""".stripMargin
+
+  /** Shared CTEs for the q250/q253 eval pair: the q22 scoring
+    * expressions + argmax prediction, verbatim. */
+  private val langPredCtes =
+    """lp AS (SELECT doc_id, lang AS lang_label,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|for)\b')) AS BIGINT) AS n_en,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|ein|zu)\b')) AS BIGINT) AS n_de,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en|un|una|por)\b')) AS BIGINT) AS n_es,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|un|une|pour|dans|sur|avec)\b')) AS BIGINT) AS n_fr
+      |  FROM documents),
+      |pred AS (SELECT *,
+      |  CASE WHEN n_en >= greatest(n_de, n_es, n_fr) THEN 'en'
+      |       WHEN n_de >= greatest(n_es, n_fr) THEN 'de'
+      |       WHEN n_es >= n_fr THEN 'es'
+      |       ELSE 'fr' END AS lang_pred FROM lp)""".stripMargin
+
+  /** Mirrors q250 (`ops.Evaluation.q250LangIdEval`): confusion counts,
+    * per-class P/R/F1 with the NULL-guard rules, macro row averaging
+    * rounded values through DECIMAL(28,12) with undefined-as-0. */
+  val q250LangIdEval: String =
+    s"""WITH $langPredCtes,
+       |cells AS (SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pred GROUP BY 1, 2),
+       |bt AS (SELECT lang_label AS lang, CAST(SUM(c) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN lang_pred = lang_label THEN c ELSE 0 END) AS BIGINT) AS tp
+       |  FROM cells GROUP BY 1),
+       |bp AS (SELECT lang_pred AS lang, CAST(SUM(c) AS BIGINT) AS n_pred
+       |  FROM cells GROUP BY 1),
+       |pc AS (SELECT bt.lang, n_true, CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred, tp,
+       |    CASE WHEN COALESCE(n_pred, 0) > 0
+       |      THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 12) END AS prec_v,
+       |    CASE WHEN n_true > 0
+       |      THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 12) END AS rec_v
+       |  FROM bt LEFT JOIN bp ON bt.lang = bp.lang),
+       |pc2 AS (SELECT *,
+       |    CASE WHEN prec_v IS NOT NULL AND rec_v IS NOT NULL AND prec_v + rec_v > 0.0
+       |      THEN round(2.0 * prec_v * rec_v / (prec_v + rec_v), 12) END AS f1_v
+       |  FROM pc),
+       |mac AS (SELECT '__macro' AS lang, CAST(SUM(n_true) AS BIGINT) AS n_true,
+       |    CAST(SUM(n_pred) AS BIGINT) AS n_pred, CAST(SUM(tp) AS BIGINT) AS tp,
+       |    round(CAST(SUM(CAST(COALESCE(prec_v, 0.0) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 12) AS prec_v,
+       |    round(CAST(SUM(CAST(COALESCE(rec_v, 0.0) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 12) AS rec_v,
+       |    round(CAST(SUM(CAST(COALESCE(f1_v, 0.0) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 12) AS f1_v
+       |  FROM pc2)
+       |SELECT lang, n_true, n_pred, tp, prec_v AS precision, rec_v AS recall,
+       |  f1_v AS f1 FROM pc2
+       |UNION ALL
+       |SELECT lang, n_true, n_pred, tp, prec_v, rec_v, f1_v FROM mac
+       |ORDER BY lang""".stripMargin
+
+  /** Mirrors q251 (`ops.Mixing.q251SourceJsd`): the source-term-only
+    * JSD with the absent-term closed form ln2·(1 − Q_s); per-term
+    * contributions rounded 12 and decimal-summed, ln2 literal. */
+  val q251SourceJsd: String =
+    s"""WITH $tokCte,
+       |t2 AS (SELECT doc_id, unnest(l) AS w FROM tok),
+       |st AS (SELECT d.source, t2.w, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM t2 JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |corpus AS (SELECT w, CAST(SUM(k) AS BIGINT) AS ck FROM st GROUP BY 1),
+       |gt AS (SELECT source, CAST(SUM(k) AS BIGINT) AS ns FROM st GROUP BY 1),
+       |ct AS (SELECT CAST(SUM(ck) AS BIGINT) AS nc FROM corpus),
+       |contrib AS (SELECT st.source,
+       |    CAST(round((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) *
+       |      ln((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) /
+       |        (((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) +
+       |          (CAST(ck - k AS DOUBLE) / CAST(nc - ns AS DOUBLE))) / 2.0)), 12)
+       |      AS DECIMAL(28,12)) AS aterm,
+       |    CAST(CASE WHEN ck > k THEN
+       |      round((CAST(ck - k AS DOUBLE) / CAST(nc - ns AS DOUBLE)) *
+       |        ln((CAST(ck - k AS DOUBLE) / CAST(nc - ns AS DOUBLE)) /
+       |          (((CAST(k AS DOUBLE) / CAST(ns AS DOUBLE)) +
+       |            (CAST(ck - k AS DOUBLE) / CAST(nc - ns AS DOUBLE))) / 2.0)), 12)
+       |      ELSE 0.0 END AS DECIMAL(28,12)) AS bterm,
+       |    CAST(round(CAST(ck - k AS DOUBLE) / CAST(nc - ns AS DOUBLE), 12)
+       |      AS DECIMAL(28,12)) AS qr
+       |  FROM st JOIN corpus USING (w) JOIN gt USING (source) CROSS JOIN ct
+       |  WHERE nc - ns > 0),
+       |present AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    (SELECT ns FROM gt g WHERE g.source = contrib.source) AS n_tokens,
+       |    SUM(aterm) AS asum, SUM(bterm) AS bsum, SUM(qr) AS qsum
+       |  FROM contrib GROUP BY source),
+       |fin AS (SELECT source, n_terms, n_tokens,
+       |    round(round(0.5 * (CAST(asum AS DOUBLE) + CAST(bsum AS DOUBLE) +
+       |      round(0.6931471805599453 * (1.0 - CAST(qsum AS DOUBLE)), 12)), 12)
+       |      / 0.6931471805599453, 12) AS jsd_bits
+       |  FROM present)
+       |SELECT gt.source, fin.n_terms, fin.n_tokens, fin.jsd_bits
+       |FROM gt LEFT JOIN fin USING (source)
+       |ORDER BY source""".stripMargin
+
+  /** Mirrors q252 (`ops.Stump.q252DecisionStump`): the exact info-gain
+    * stump over the (char-length → quality-band) histogram — entropies
+    * in nats with per-side 0·ln0 guards, weighted sides rounded 12,
+    * gain in bits rounded 6, top-5 by (gain desc, threshold asc). */
+  val q252DecisionStump: String =
+    """WITH d AS (SELECT CAST(length(text) AS BIGINT) AS v,
+      |    CAST(CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+      |      BETWEEN 20 AND 200 THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM documents),
+      |hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM d GROUP BY v),
+      |cum AS (SELECT v,
+      |    CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS n_left,
+      |    CAST(SUM(pos) OVER (ORDER BY v) AS BIGINT) AS pos_left
+      |  FROM hist),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p,
+      |    MAX(v) AS vmax FROM hist),
+      |sides AS (SELECT v, n_left, pos_left,
+      |    CAST(n - n_left AS BIGINT) AS n_right,
+      |    CAST(p - pos_left AS BIGINT) AS pos_right, n, p
+      |  FROM cum CROSS JOIN tot WHERE v < vmax),
+      |g AS (SELECT v, n_left, pos_left, n_right, pos_right,
+      |    round(round(CASE WHEN p > 0 AND p < n THEN
+      |        -((CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))
+      |        - ((CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      ELSE 0.0 END, 12)
+      |      - round((CAST(n_left AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |          round(CASE WHEN pos_left > 0 AND pos_left < n_left THEN
+      |            -((CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)) * ln(CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)))
+      |            - ((CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)) * ln(CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)))
+      |          ELSE 0.0 END, 12), 12)
+      |      - round((CAST(n_right AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |          round(CASE WHEN pos_right > 0 AND pos_right < n_right THEN
+      |            -((CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE)) * ln(CAST(pos_right AS DOUBLE) / CAST(n_right AS DOUBLE)))
+      |            - ((CAST(n_right - pos_right AS DOUBLE) / CAST(n_right AS DOUBLE)) * ln(CAST(n_right - pos_right AS DOUBLE) / CAST(n_right AS DOUBLE)))
+      |          ELSE 0.0 END, 12), 12), 12) AS gain_nats
+      |  FROM sides)
+      |SELECT v AS threshold, n_left, pos_left, n_right, pos_right,
+      |  round(gain_nats / 0.6931471805599453, 6) AS gain_bits
+      |FROM g
+      |ORDER BY gain_bits DESC, threshold
+      |LIMIT 5""".stripMargin
+
+  /** Mirrors q253 (`ops.Evaluation.q253EceReliability`): conf rounded
+    * 12, equal-width bins clamped at b9, per-bin rounded means through
+    * DECIMAL(28,12), ECE from rounded n·gap products, round 6. */
+  val q253EceReliability: String =
+    s"""WITH $langPredCtes,
+       |scored AS (SELECT *,
+       |    CASE WHEN n_en + n_de + n_es + n_fr > 0
+       |      THEN round(CAST(n_en AS DOUBLE) / CAST(n_en + n_de + n_es + n_fr AS DOUBLE), 12)
+       |      ELSE 0.0 END AS conf,
+       |    CAST(CASE WHEN lang_label = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM pred),
+       |binned AS (SELECT least(9, CAST(floor(conf * 10.0) AS BIGINT)) AS bin,
+       |    conf, y FROM scored),
+       |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    round(CAST(SUM(CAST(conf AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 12) AS avg_conf
+       |  FROM binned GROUP BY bin),
+       |bins2 AS (SELECT bin, n, n_pos, avg_conf,
+       |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 12) AS acc
+       |  FROM bins),
+       |bins3 AS (SELECT *, round(abs(acc - avg_conf), 12) AS gap FROM bins2),
+       |tot AS (SELECT '__total' AS bin_label, CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |    CAST(NULL AS DOUBLE) AS avg_conf, CAST(NULL AS DOUBLE) AS acc,
+       |    round(CAST(SUM(CAST(round(n * gap, 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(SUM(n) AS DOUBLE), 6) AS gap
+       |  FROM bins3)
+       |SELECT 'b' || CAST(bin AS VARCHAR) AS bin_label, n, n_pos, avg_conf, acc, gap
+       |FROM bins3
+       |UNION ALL
+       |SELECT * FROM tot
+       |ORDER BY bin_label""".stripMargin
+
+  /** Mirrors q254 (`ops.Vocabulary.q254OovDrift`): snapshot vocab from
+    * the %3=0 slice, occurrence and type OOV per (slice, source). */
+  val q254OovDrift: String =
+    s"""WITH $tokCte,
+       |t2 AS (SELECT doc_id, unnest(l) AS w FROM tok),
+       |base AS (SELECT d.doc_id % 3 AS slice, d.source, t2.w,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM t2 JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+       |vocab AS (SELECT DISTINCT w FROM base WHERE slice = 0)
+       |SELECT base.slice, base.source,
+       |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN vocab.w IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+       |  round(CAST(SUM(CASE WHEN vocab.w IS NULL THEN c ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+       |FROM base LEFT JOIN vocab ON base.w = vocab.w
+       |WHERE base.slice <> 0
+       |GROUP BY 1, 2
+       |ORDER BY slice, source""".stripMargin
+
+  /** Mirrors q255 (`ops.HeavyHitters.q255HeavyHitterChurn`): exact
+    * top-20 per doc_id half (midpoint split), entered/left/stayed. */
+  val q255HeavyHitterChurn: String =
+    s"""WITH $tokCte,
+       |sp AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS split FROM documents),
+       |t2 AS (SELECT doc_id, unnest(l) AS w FROM tok),
+       |cnt AS (SELECT CASE WHEN t2.doc_id < sp.split THEN 'a' ELSE 'b' END AS half,
+       |    t2.w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM t2 CROSS JOIN sp GROUP BY 1, 2),
+       |ta AS (SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+       |  FROM cnt WHERE half = 'a' ORDER BY c DESC, w LIMIT 20),
+       |tb AS (SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+       |  FROM cnt WHERE half = 'b' ORDER BY c DESC, w LIMIT 20)
+       |SELECT COALESCE(ta.w, tb.w) AS token,
+       |  ta.rank AS rank_a, ta.c AS cnt_a, tb.rank AS rank_b, tb.c AS cnt_b,
+       |  CASE WHEN ta.w IS NOT NULL AND tb.w IS NOT NULL THEN 'stayed'
+       |       WHEN ta.w IS NOT NULL THEN 'left' ELSE 'entered' END AS status
+       |FROM ta FULL OUTER JOIN tb ON ta.w = tb.w
+       |ORDER BY token""".stripMargin
 }
