@@ -481,6 +481,14 @@ object SparkEntry {
       graft.ops.Vocabulary.q254OovDrift(s, dir)),
     "q255_heavyhitter_churn" -> ((s: SparkSession, dir: String) =>
       graft.ops.HeavyHitters.q255HeavyHitterChurn(s, dir).toDF()),
+    "q256_late_data_audit" -> ((s: SparkSession, dir: String) =>
+      graft.ops.StreamingGates.q256LateDataAudit(s, dir)),
+    "q257_mahalanobis" -> ((s: SparkSession, dir: String) =>
+      graft.ops.RobustStats.q257MahalanobisOutliers(s, dir)),
+    "q258_exactsub_cut_plan" -> ((s: SparkSession, dir: String) =>
+      graft.ops.ExactSubstring.q258ExactSubstringCutPlan(s, dir)),
+    "q259_representation_audit" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Mixing.q259RepresentationAudit(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1056,5 +1064,9 @@ object SparkEntry {
     "q253_ece_reliability" -> ExtensionOracles.q253EceReliability,
     "q254_oov_drift" -> ExtensionOracles.q254OovDrift,
     "q255_heavyhitter_churn" -> ExtensionOracles.q255HeavyHitterChurn,
+    "q256_late_data_audit" -> ExtensionOracles.q256LateDataAudit,
+    "q257_mahalanobis" -> ExtensionOracles.q257MahalanobisOutliers,
+    "q258_exactsub_cut_plan" -> ExtensionOracles.q258ExactSubstringCutPlan,
+    "q259_representation_audit" -> ExtensionOracles.q259RepresentationAudit,
   )
 }

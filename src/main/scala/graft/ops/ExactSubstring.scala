@@ -252,6 +252,64 @@ object ExactSubstring {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q258: the CUT PLAN that completes the Lee-et-al pipeline — q207
+    * finds verified duplicated windows, this decides what to delete:
+    * each duplicated window string keeps its CANONICAL occurrence (the
+    * corpus-first: min doc_id, then min pos) and every other
+    * occurrence is marked for removal; the marked positions merge into
+    * maximal per-doc cut spans (the q207 gap ≤ L rule) and the plan
+    * reports, per affected doc, the windows/spans/chars to cut and
+    * the cleaned length. Keep-first (not cut-everywhere) preserves one
+    * copy of every string — dedup, not destruction.
+    *
+    * Scale shape: on top of the verified-occurrence frame, the
+    * canonical pick is one min(struct) aggregate per window string
+    * (map-side combined; a boilerplate window's occurrence list skews
+    * a reducer, never pairs), the cut set is an anti-join, and the
+    * span merge windows per doc (bounded by doc length). */
+  def q258ExactSubstringCutPlan(s: SparkSession, dir: String,
+                                L: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val t = Par.widen(docs).select(col("doc_id"), col("text"))
+    val hashed = windowHashes(t, L)
+    val dupH = hashed.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val winCol = hashed.join(dupH, Seq("h"), "left_semi")
+      .join(t, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, CAST(pos AS INT), $L)").as("win"))
+    val dupWin = winCol.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("win"))
+    val occ = winCol.join(dupWin, Seq("win"), "left_semi")
+      .localCheckpoint() // feeds the canonical pick AND the anti-join
+    val canonical = occ.groupBy(col("win"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("win"), col("first.doc_id").as("doc_id"),
+        col("first.pos").as("pos"))
+    val cuts = occ.join(canonical, Seq("win", "doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lagPos = lag(col("pos"), 1).over(w)
+    val spans = cuts
+      .withColumn("brk",
+        when(lagPos.isNull || col("pos") - lagPos > L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) + L - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_windows"))
+    spans.groupBy(col("doc_id"))
+      .agg(sum(col("n_windows")).as("n_cut_windows"),
+        count(lit(1)).as("n_cut_spans"),
+        sum(col("span_len")).as("chars_cut"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_len")), Seq("doc_id"))
+      .withColumn("cleaned_len", col("orig_len") - col("chars_cut"))
+      .select(col("doc_id"), col("n_cut_windows"), col("n_cut_spans"),
+        col("chars_cut"), col("orig_len"), col("cleaned_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q248: the STREAMED window-hash index lifecycle as a declared
     * query (the q169 shape): index the %5∈{1,2,3} slice, stream-append
     * the %10∈{4,9} slices as two micro-batches, probe with the %5=0

@@ -150,6 +150,41 @@ object Mixing {
       .orderBy(col("source"))
   }
 
+  /** q259: REPRESENTATION RESIDUAL audit of the source × language
+    * grid — the cellwise read the aggregate chi-squares (q246) cannot
+    * give: for every (source, lang) cell, observed count, expected
+    * count under independence (row·col/N), and the Pearson
+    * standardized residual (obs − exp)/√exp with an over/under/ok
+    * verdict at |r| > 2. The curation question it answers: WHICH
+    * source is over-collecting WHICH language, not just "the grid is
+    * skewed".
+    *
+    * Scale shape: one (source, lang) count aggregate; marginals are
+    * re-aggregates of that tiny grid, attached by broadcast.
+    * Determinism: counts exact; expected and residual are fixed
+    * rounded double expressions (6). */
+  def q259RepresentationAudit(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("obs"))
+    val rowT = grid.groupBy(col("source")).agg(sum(col("obs")).as("row_n"))
+    val colT = grid.groupBy(col("lang")).agg(sum(col("obs")).as("col_n"))
+    val tot = grid.agg(sum(col("obs")).as("n"))
+    grid.join(broadcast(rowT), Seq("source"))
+      .join(broadcast(colT), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", round(
+        col("row_n").cast("double") * col("col_n").cast("double") /
+          col("n").cast("double"), 6))
+      .withColumn("residual", round(
+        (col("obs").cast("double") - col("expected")) / sqrt(col("expected")), 6))
+      .withColumn("verdict",
+        when(col("residual") > 2.0, "over")
+          .when(col("residual") < -2.0, "under").otherwise("ok"))
+      .select(col("source"), col("lang"), col("obs"), col("expected"),
+        col("residual"), col("verdict"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** q78: temporal drift — per-UTC-day KL divergence of the event-type
     * distribution from the all-time pool, the monitoring statistic that
     * catches a collection pipeline silently changing its mix (a scraper

@@ -207,4 +207,49 @@ object RobustStats {
       .drop("max_d")
       .orderBy(col("source"))
   }
+
+  /** q257: MAHALANOBIS outliers over the (token count, distinct-token
+    * count) plane — the MULTIVARIATE escalation of q228's per-axis MAD
+    * fence: a doc can sit inside both marginal fences yet far off the
+    * Heaps ridge (many tokens from a tiny vocabulary — the classic
+    * repeated-template shape), and that is exactly what the
+    * covariance-whitened distance catches.
+    *
+    * Exact ingredients: the five moments (Σx, Σy, Σx², Σy², Σxy) as
+    * DECIMAL(38,0) integer sums off ONE corpus aggregate; population
+    * means/covariances as fixed rounded-12 double expressions; the
+    * 2×2 inverse in closed form through the determinant (NULL when
+    * degenerate); per-doc d² = (c_yy·dx² − 2·c_xy·dx·dy + c_xx·dy²)/det
+    * rounded 6; top-20 by (d² desc, doc_id) via TakeOrdered. */
+  def q257MahalanobisOutliers(s: SparkSession, dir: String,
+                              k: Int = 20): DataFrame = {
+    val d = Par.widen(Tables.documents(s, dir)).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("x"),
+      size(array_distinct(TextAnalysis.tokens(col("text"))))
+        .cast("long").as("y"))
+    val mom = d.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val mx = round(col("sx").cast("double") / nD, 12)
+    val my = round(col("sy").cast("double") / nD, 12)
+    val cxx = round(col("sxx").cast("double") / nD - mx * mx, 12)
+    val cyy = round(col("syy").cast("double") / nD - my * my, 12)
+    val cxy = round(col("sxy").cast("double") / nD - mx * my, 12)
+    val stats = mom.select(mx.as("mx"), my.as("my"), cxx.as("cxx"),
+        cyy.as("cyy"), cxy.as("cxy"))
+      .withColumn("det", round(col("cxx") * col("cyy") - col("cxy") * col("cxy"), 12))
+    val dx = col("x").cast("double") - col("mx")
+    val dy = col("y").cast("double") - col("my")
+    d.crossJoin(broadcast(stats))
+      .withColumn("d2", when(col("det") > 0.0,
+        round((col("cyy") * dx * dx - lit(2.0) * col("cxy") * dx * dy +
+          col("cxx") * dy * dy) / col("det"), 6)))
+      .select(col("doc_id"), col("x").as("n_tokens"), col("y").as("n_types"),
+        col("d2"))
+      .orderBy(col("d2").desc, col("doc_id")).limit(k)
+  }
 }

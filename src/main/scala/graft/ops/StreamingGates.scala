@@ -180,6 +180,76 @@ object StreamingGates {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** q256: LATE-DATA ACCOUNTING hash-proven — the first gate whose
+    * staging deliberately VIOLATES the chronological contract: slices
+    * are time-thirds, but every event_id % 37 == 0 row is displaced
+    * TWO slices later (capped at the last slice — the straggler shape
+    * of a real ingest), so the watermark genuinely drops rows. The
+    * declared frame reconciles the stream against batch truth per
+    * hourly window: (window_start_us, n_stream, n_batch,
+    * n_dropped_late).
+    *
+    * What the oracle pins (Spark's exact drop rule, discovered by the
+    * ProbeLate experiment and asserted here): the watermark DURING
+    * batch i is (max event-time ms over batches < i) − delay ms,
+    * scaled to µs, and a batch-i row is dropped iff its WINDOW END ≤
+    * the PREVIOUS batch's watermark — i.e. iff its window was already
+    * EVICTED (append-mode emission) at an earlier commit. A row
+    * exactly one batch late is therefore LOSSLESS (its window is
+    * evicted at the end of the batch it arrives in, row included) —
+    * which is why this gate displaces by two. The far-future sentinel
+    * slice pushes the final watermark past every real window so
+    * append mode flushes them all. */
+  def q256LateDataAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Sidecars.path("graft_streamed_late")
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val sliceIdx = least(lit(2L),
+      floor((col("ts") - lit(lo)).cast("double") * 3.0 /
+        (lit(hi - lo).cast("double") + 1.0)).cast("long") +
+        when(pmod(col("event_id"), lit(37L)) === 0L, 2L).otherwise(0L))
+    val withIdx = ev.withColumn("slice", sliceIdx).localCheckpoint()
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(hi + 7L * 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"))
+    stageSlices(root,
+      (0L to 2L).map(i => withIdx.filter(col("slice") === i).drop("slice"))
+        :+ sentinel)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("t", "2 hours")
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(count(lit(1)).as("n_stream"))
+    val sink = s"$root/win"
+    withMicroBatchConfs(s) {
+      stream.select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_stream"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start(sink)
+        .awaitTermination()
+    }
+    val streamed = s.read.parquet(sink)
+      .filter(col("window_start_us") <= hi / 1000L) // drop the sentinel window
+    val batch = ev
+      .withColumn("window_start_us",
+        expr("(ts DIV 1000) - (ts DIV 1000) % 3600000000").cast("long"))
+      .groupBy(col("window_start_us")).agg(count(lit(1)).as("n_batch"))
+    batch.join(streamed, Seq("window_start_us"), "left")
+      .withColumn("n_stream", coalesce(col("n_stream"), lit(0L)))
+      .withColumn("n_dropped_late", col("n_batch") - col("n_stream"))
+      .select(col("window_start_us"), col("n_stream"), col("n_batch"),
+        col("n_dropped_late"))
+      .orderBy(col("window_start_us"))
+  }
+
   /** q148: watermarked STREAMING EXACT DEDUP hash-proven — one row per
     * user, their chronologically FIRST event, via
     * `dropDuplicatesWithinWatermark` over the chronological slices (the

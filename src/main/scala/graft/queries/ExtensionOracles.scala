@@ -7179,4 +7179,140 @@ object ExtensionOracles {
        |       WHEN ta.w IS NOT NULL THEN 'left' ELSE 'entered' END AS status
        |FROM ta FULL OUTER JOIN tb ON ta.w = tb.w
        |ORDER BY token""".stripMargin
+
+  /** Mirrors q257 (`ops.RobustStats.q257MahalanobisOutliers`): exact
+    * decimal moments, rounded-12 means/covariances (means nested
+    * rounded exactly as the engine's reused column), closed-form 2×2
+    * inverse through the determinant, d² rounded 6, top-20. */
+  val q257MahalanobisOutliers: String =
+    """WITH tok2 AS (SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |    CAST(len(l) AS BIGINT) AS x,
+      |    CAST(len(list_distinct(l)) AS BIGINT) AS y
+      |  FROM tok2),
+      |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+      |    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+      |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      |  FROM d),
+      |st1 AS (SELECT n, sxx, syy, sxy,
+      |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 12) AS mx,
+      |    round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 12) AS my
+      |  FROM mom),
+      |st2 AS (SELECT mx, my,
+      |    round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mx * mx, 12) AS cxx,
+      |    round(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - my * my, 12) AS cyy,
+      |    round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mx * my, 12) AS cxy
+      |  FROM st1),
+      |st AS (SELECT *, round(cxx * cyy - cxy * cxy, 12) AS det FROM st2)
+      |SELECT doc_id, x AS n_tokens, y AS n_types,
+      |  CASE WHEN det > 0.0 THEN
+      |    round((cyy * (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+      |      - 2.0 * cxy * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my)
+      |      + cxx * (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my)) / det, 6)
+      |  END AS d2
+      |FROM d CROSS JOIN st
+      |ORDER BY d2 DESC NULLS LAST, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Mirrors q258 (`ops.ExactSubstring.q258ExactSubstringCutPlan`):
+    * q207's definitional dup scan, minus each window string's corpus-
+    * first occurrence (min doc_id, min pos), merged to cut spans and
+    * rolled up per doc. */
+  val q258ExactSubstringCutPlan: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |w AS (SELECT doc_id, unnest(generate_series(1, len(text) - 49)) AS pos, text
+      |  FROM d),
+      |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    substr(text, CAST(pos AS INT), 50) AS win FROM w),
+      |dup AS (SELECT win FROM s GROUP BY win HAVING COUNT(*) >= 2),
+      |occ AS (SELECT s.doc_id, s.pos, s.win FROM s JOIN dup USING (win)),
+      |rk AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      |  FROM occ),
+      |cuts AS (SELECT DISTINCT doc_id, pos FROM rk WHERE rn > 1),
+      |isl AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM cuts),
+      |g AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+      |spans AS (SELECT doc_id,
+      |    CAST(MAX(pos) + 50 - MIN(pos) AS BIGINT) AS span_len,
+      |    CAST(COUNT(*) AS BIGINT) AS nw
+      |  FROM g GROUP BY doc_id, grp),
+      |per AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_cut_windows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+      |    CAST(SUM(span_len) AS BIGINT) AS chars_cut
+      |  FROM spans GROUP BY doc_id)
+      |SELECT per.doc_id, n_cut_windows, n_cut_spans, chars_cut,
+      |  CAST(length(d.text) AS BIGINT) AS orig_len,
+      |  CAST(length(d.text) AS BIGINT) - chars_cut AS cleaned_len
+      |FROM per JOIN d USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors q259 (`ops.Mixing.q259RepresentationAudit`): independence
+    * expecteds and Pearson residuals over the source × lang grid. */
+  val q259RepresentationAudit: String =
+    """WITH grid AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS row_n FROM grid GROUP BY 1),
+      |ct AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS col_n FROM grid GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM grid),
+      |e AS (SELECT grid.source, grid.lang, obs,
+      |    round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      AS expected
+      |  FROM grid JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot),
+      |r AS (SELECT *,
+      |    round((CAST(obs AS DOUBLE) - expected) / sqrt(expected), 6) AS residual
+      |  FROM e)
+      |SELECT source, lang, obs, expected, residual,
+      |  CASE WHEN residual > 2.0 THEN 'over'
+      |       WHEN residual < -2.0 THEN 'under' ELSE 'ok' END AS verdict
+      |FROM r
+      |ORDER BY source, lang""".stripMargin
+
+  /** Mirrors q256 (`ops.StreamingGates.q256LateDataAudit`): replays
+    * the slice assignment (time-thirds + %37 two-slice displacement),
+    * Spark's watermark sequence (max event-time MILLISECONDS over
+    * earlier batches − 2 h, scaled to µs) and the EMPIRICALLY PINNED
+    * drop rule (ProbeLate): a row is dropped iff its hourly WINDOW
+    * END ≤ the PREVIOUS batch's watermark — the watermark whose
+    * commit already evicted the window; one-batch lateness is
+    * lossless. Reconciled per window against batch truth.
+    * Hour-aligned window ends make the ≤-vs-< and ms-vs-µs boundary
+    * variants indistinguishable by construction (a tie would need the
+    * data max ms to land exactly on an hour boundary), so the pinned
+    * rule is robust to fixture regeneration. */
+  val q256LateDataAudit: String =
+    """WITH ev AS (SELECT event_id, epoch_ns(ts) AS tsn FROM events),
+      |b AS (SELECT MIN(tsn) AS lo, MAX(tsn) AS hi FROM ev),
+      |sl AS (SELECT event_id, tsn, tsn // 1000 AS tsu,
+      |    least(2, CAST(floor(CAST(tsn - lo AS DOUBLE) * 3.0 /
+      |      (CAST(hi - lo AS DOUBLE) + 1.0)) AS BIGINT)
+      |      + CASE WHEN event_id % 37 = 0 THEN 2 ELSE 0 END) AS slice
+      |  FROM ev CROSS JOIN b),
+      |mx AS (SELECT slice, MAX(tsu) AS mx_us FROM sl GROUP BY slice),
+      |wm AS (SELECT s.slice,
+      |    (MAX(m.mx_us // 1000) - 7200000) * 1000 AS wm_prev_us
+      |  FROM (SELECT DISTINCT slice FROM sl) s
+      |  LEFT JOIN mx m ON m.slice < s.slice - 1
+      |  GROUP BY s.slice),
+      |surv AS (SELECT sl.tsu - sl.tsu % 3600000000 AS window_start_us
+      |  FROM sl JOIN wm USING (slice)
+      |  WHERE wm.wm_prev_us IS NULL
+      |     OR (sl.tsu - sl.tsu % 3600000000) + 3600000000 > wm.wm_prev_us),
+      |ns AS (SELECT window_start_us, CAST(COUNT(*) AS BIGINT) AS n_stream
+      |  FROM surv GROUP BY 1),
+      |nb AS (SELECT tsu - tsu % 3600000000 AS window_start_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_batch
+      |  FROM sl GROUP BY 1)
+      |SELECT nb.window_start_us,
+      |  CAST(COALESCE(ns.n_stream, 0) AS BIGINT) AS n_stream, nb.n_batch,
+      |  nb.n_batch - CAST(COALESCE(ns.n_stream, 0) AS BIGINT) AS n_dropped_late
+      |FROM nb LEFT JOIN ns USING (window_start_us)
+      |ORDER BY window_start_us""".stripMargin
 }
