@@ -385,6 +385,32 @@ object Soak {
         docs.select(col("source"),
           graft.ops.TextAnalysis.tokenCount(col("text")).as("v")))),
       timed("vocab_growth")(graft.ops.Vocabulary.growthCurve(docs)),
+      // wave 39/40 families. langid_eval/ece: one in-row-scored
+      // aggregate each, class/bin-bounded tails. source_jsd: the q69
+      // frame + closed-form tail (no sources×vocab grid). stump: two
+      // PrefixSum passes over the value histogram. oov_drift: one
+      // (slice, source, token) aggregate + type-level join.
+      // hh_churn: two TakeOrdered cuts. mahalanobis: one moment
+      // aggregate + broadcast stats. exactsub_cut: the q207 chain +
+      // one min(struct)-per-window aggregate + anti-join (the salted
+      // replicas mint fresh window strings per replica, so canonical
+      // groups scale ×mult, never cross replicas).
+      timed("langid_eval")(graft.ops.Evaluation.langIdEvalOf(docs)),
+      timed("ece_reliability")(graft.ops.Evaluation.eceReliabilityOf(docs)),
+      timed("source_jsd")(graft.ops.Mixing.sourceJsd(docs)),
+      timed("decision_stump")(graft.ops.Stump.stumpGains(
+        docs.select(length(col("text")).cast("long").as("v"),
+          (graft.ops.TextAnalysis.tokenCount(col("text")).between(20L, 200L))
+            .cast("long").as("y")))),
+      timed("oov_drift")(graft.ops.Vocabulary.oovDriftOf(docs)),
+      timed("hh_churn")(graft.ops.HeavyHitters.heavyHitterChurnOf(docs, 20).toDF()),
+      timed("mahalanobis")(graft.ops.RobustStats.mahalanobisTopK(
+        docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("x"),
+          size(array_distinct(graft.ops.TextAnalysis.tokens(col("text"))))
+            .cast("long").as("y")), 20)),
+      timed("exactsub_cut")(graft.ops.ExactSubstring.cutPlanOf(docs, 50)),
+      timed("representation")(graft.ops.Mixing.representationAuditOf(docs)),
       // image/audio perceptual dedup: corpus synth + REAL codec decode +
       // fingerprint (narrow map, payloads never shuffle) + the
       // hash-collapsed banded pair join. Replicated doc_ids are

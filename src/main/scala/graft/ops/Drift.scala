@@ -125,7 +125,11 @@ object Drift {
   /** The reusable KS core over any (source, v: long) frame. */
   def ksDrift(values: DataFrame): DataFrame = {
     val v = values
+    // pinned: five consumers below (ns, the global cumulative, the grid
+    // join, totals) — unpinned, each re-runs the corpus scan (and the
+    // caller's tokenize) per reference (the r14 soak lesson)
     val counts = v.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val globalCum = PrefixSum.runningSum(
         counts.groupBy(col("v")).agg(sum(col("c")).as("cg")),
@@ -184,6 +188,7 @@ object Drift {
   def rankSumEffect(values: DataFrame): DataFrame = {
     val counts = values.groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // four consumers (the ksDrift pin note)
     val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val g = PrefixSum.runningSum(
       counts.groupBy(col("v")).agg(sum(col("c")).as("cg")),
@@ -245,6 +250,7 @@ object Drift {
   /** The reusable W1 core over any (source, v: long) frame. */
   def wassersteinDrift(values: DataFrame): DataFrame = {
     val counts = values.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // four consumers (the ksDrift pin note)
     val ns = counts.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val globalCum = PrefixSum.runningSum(
         counts.groupBy(col("v")).agg(sum(col("c")).as("cg")),
@@ -296,7 +302,10 @@ object Drift {
         TextAnalysis.tokenCount(col("text")).as("v")))
 
   /** The runs-test core over any (source, doc_id, v: long) frame. */
-  def runsTest(values: DataFrame): DataFrame = {
+  def runsTest(values0: DataFrame): DataFrame = {
+    // pinned: the histogram pass, the bounds pass and the signed join
+    // all read it, and the caller's lineage tokenizes
+    val values = values0.localCheckpoint()
     val hist = values.groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("c"))
     val totals = hist.groupBy(col("source").as("ts")).agg(sum(col("c")).as("n0"))
@@ -321,7 +330,11 @@ object Drift {
     // monotone). Run counts are identical by construction; only the
     // partition sizes change.
     val p = values.sparkSession.sparkContext.defaultParallelism
-    val bounds = signed.agg(min(col("doc_id").cast("double")).as("__lo"),
+    // bounds from the INPUT frame, not `signed`: the agg only touches
+    // doc_id, so Catalyst prunes the (expensive) value column from this
+    // pass; bounds-from-signed would re-run the median join AND the
+    // upstream tokenize a second time (r14 soak lesson)
+    val bounds = values.agg(min(col("doc_id").cast("double")).as("__lo"),
       max(col("doc_id").cast("double")).as("__hi"))
     val chunked = signed.crossJoin(broadcast(bounds))
       .withColumn("chunk", least(lit(p - 1L), greatest(lit(0L),

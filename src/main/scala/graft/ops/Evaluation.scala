@@ -19,9 +19,13 @@ import graft.Tables
   * per-row terms (order-free, the q48 rule), final round 6. */
 object Evaluation {
 
-  private def langPreds(s: SparkSession, dir: String): DataFrame = {
+  private def langPreds(s: SparkSession, dir: String): DataFrame =
+    langPredsOf(Tables.documents(s, dir))
+
+  /** The q22 scoring + argmax over any (doc_id, lang, text) frame. */
+  private[graft] def langPredsOf(docs: DataFrame): DataFrame = {
     import TextAnalysis.langHits
-    Tables.documents(s, dir).select(
+    Par.widen(docs).select(
         col("doc_id"), col("lang").as("lang_label"),
         langHits(col("text"), "en").as("n_en"),
         langHits(col("text"), "de").as("n_de"),
@@ -41,8 +45,12 @@ object Evaluation {
     * undefined), plus a `__macro` row averaging the per-class F1/P/R
     * with undefined treated as 0 (the standard macro convention —
     * a never-predicted class drags the average, which is the point). */
-  def q250LangIdEval(s: SparkSession, dir: String): DataFrame = {
-    val cells = langPreds(s, dir)
+  def q250LangIdEval(s: SparkSession, dir: String): DataFrame =
+    langIdEvalOf(Tables.documents(s, dir))
+
+  /** The eval core over any (doc_id, lang, text) frame. */
+  private[graft] def langIdEvalOf(docs: DataFrame): DataFrame = {
+    val cells = langPredsOf(docs)
       .groupBy(col("lang_label"), col("lang_pred"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // class-bounded; feeds three tiny aggregates
@@ -86,9 +94,13 @@ object Evaluation {
     * closes the top bin); per bin: population, positives, mean
     * confidence, accuracy, |gap|; the `__total` row carries
     * ECE = Σ (n_b/N)·gap_b. */
-  def q253EceReliability(s: SparkSession, dir: String): DataFrame = {
+  def q253EceReliability(s: SparkSession, dir: String): DataFrame =
+    eceReliabilityOf(Tables.documents(s, dir))
+
+  /** The reliability core over any (doc_id, lang, text) frame. */
+  private[graft] def eceReliabilityOf(docs: DataFrame): DataFrame = {
     val den = col("n_en") + col("n_de") + col("n_es") + col("n_fr")
-    val scored = langPreds(s, dir)
+    val scored = langPredsOf(docs)
       .withColumn("conf", when(den > 0,
         round(col("n_en").cast("double") / den.cast("double"), 12))
         .otherwise(lit(0.0)))

@@ -268,9 +268,12 @@ object ExactSubstring {
     * a reducer, never pairs), the cut set is an anti-join, and the
     * span merge windows per doc (bounded by doc length). */
   def q258ExactSubstringCutPlan(s: SparkSession, dir: String,
-                                L: Int = 50): DataFrame = {
+                                L: Int = 50): DataFrame =
+    cutPlanOf(Tables.documents(s, dir), L)
+
+  /** The cut-plan core over any (doc_id, text) frame. */
+  private[graft] def cutPlanOf(docs: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
     val t = Par.widen(docs).select(col("doc_id"), col("text"))
     val hashed = windowHashes(t, L)
     val dupH = hashed.groupBy(col("h")).agg(count(lit(1)).as("c"))

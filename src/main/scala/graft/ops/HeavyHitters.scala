@@ -203,10 +203,15 @@ object HeavyHitters {
     * k rows to the driver stage), rank windows over the ≤ k-row cuts
     * (the bounded benign case), one ≤ 2k-row outer join. */
   def q255HeavyHitterChurn(s: org.apache.spark.sql.SparkSession,
-                           dir: String, k: Int = 20): Dataset[org.apache.spark.sql.Row] = {
+                           dir: String, k: Int = 20): Dataset[org.apache.spark.sql.Row] =
+    heavyHitterChurnOf(graft.Tables.documents(s, dir), k)
+
+  /** The churn core over any (doc_id, text) frame. */
+  private[graft] def heavyHitterChurnOf(docs: org.apache.spark.sql.DataFrame,
+                                        k: Int): Dataset[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val d = graft.ops.Par.widen(graft.Tables.documents(s, dir))
+    val d = graft.ops.Par.widen(docs)
     val span = d.agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
       .select(expr("(__d0 + __d1 + 1) DIV 2").as("__split"))
     val counts = d.crossJoin(broadcast(span))

@@ -163,8 +163,12 @@ object Mixing {
     * re-aggregates of that tiny grid, attached by broadcast.
     * Determinism: counts exact; expected and residual are fixed
     * rounded double expressions (6). */
-  def q259RepresentationAudit(s: SparkSession, dir: String): DataFrame = {
-    val grid = Tables.documents(s, dir)
+  def q259RepresentationAudit(s: SparkSession, dir: String): DataFrame =
+    representationAuditOf(Tables.documents(s, dir))
+
+  /** The audit core over any (source, lang) frame. */
+  private[graft] def representationAuditOf(docs: DataFrame): DataFrame = {
+    val grid = docs
       .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("obs"))
     val rowT = grid.groupBy(col("source")).agg(sum(col("obs")).as("row_n"))
     val colT = grid.groupBy(col("lang")).agg(sum(col("obs")).as("col_n"))

@@ -47,8 +47,16 @@ object PrefixSum {
   def runningSum(df: DataFrame, order: Column, value: Column,
                  out: String): DataFrame = {
     val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // PIN the input: three consumers follow (bounds, subtotals, the
+    // final join) and `df` is typically an UNCACHED aggregate whose
+    // lineage reaches back to a corpus scan — unpinned, each consumer
+    // would re-run that scan (r14 soak: the ECDF family re-tokenized
+    // the corpus 3× and ran 3× slower than the single-task window it
+    // replaced). The frame is aggregated-small by precondition, so the
+    // checkpoint is cheap.
     val keyed = df.withColumn("__psv", order)
       .withColumn("__psx", value.cast("long"))
+      .localCheckpoint()
     val bounds = keyed.agg(
       min(col("__psv").cast("double")).as("__pslo"),
       max(col("__psv").cast("double")).as("__pshi"))
@@ -59,13 +67,16 @@ object PrefixSum {
         floor((col("__psv").cast("double") - col("__pslo")) * lit(p.toDouble) /
           (col("__pshi") - col("__pslo") + lit(1.0))).cast("long"))))
       .drop("__pslo", "__pshi")
-    val offsets = bucketed.groupBy(col("__psb"))
+    // exclusive bucket offsets via a triangular self-join over the ≤ P
+    // subtotals (≤ P² ≤ 1024 joined rows) — not a global window, so no
+    // single-partition stage exists anywhere in this plan
+    val subtotals = bucketed.groupBy(col("__psb"))
       .agg(sum(col("__psx")).as("__pst"))
-      // ≤ P rows: the constant-bounded single-task window
-      .withColumn("__psoff",
-        coalesce(sum(col("__pst")).over(Window.orderBy(col("__psb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__psb").as("__psb_o"), col("__psoff"))
+      .localCheckpoint() // ≤ P rows; two consumers
+    val offsets = subtotals.as("a")
+      .join(subtotals.as("b"), col("b.__psb") < col("a.__psb"), "left")
+      .groupBy(col("a.__psb").as("__psb_o"))
+      .agg(coalesce(sum(col("b.__pst")), lit(0L)).as("__psoff"))
     bucketed
       .withColumn("__pscum",
         sum(col("__psx")).over(

@@ -222,11 +222,17 @@ object RobustStats {
     * degenerate); per-doc d² = (c_yy·dx² − 2·c_xy·dx·dy + c_xx·dy²)/det
     * rounded 6; top-20 by (d² desc, doc_id) via TakeOrdered. */
   def q257MahalanobisOutliers(s: SparkSession, dir: String,
-                              k: Int = 20): DataFrame = {
-    val d = Par.widen(Tables.documents(s, dir)).select(col("doc_id"),
+                              k: Int = 20): DataFrame =
+    mahalanobisTopK(Par.widen(Tables.documents(s, dir)).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("x"),
       size(array_distinct(TextAnalysis.tokens(col("text"))))
-        .cast("long").as("y"))
+        .cast("long").as("y")), k)
+
+  /** The distance core over any (doc_id, x: long, y: long) frame. */
+  private[graft] def mahalanobisTopK(d0: DataFrame, k: Int): DataFrame = {
+    // pinned: the moment pass AND the scoring pass both read it, and
+    // the caller's lineage usually tokenizes (r14 soak lesson)
+    val d = d0.localCheckpoint()
     val mom = d.agg(count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),

@@ -129,8 +129,12 @@ object Vocabulary {
     * vocab is a projection of the same frame; the OOV flag is a
     * left-join on the AGGREGATED rows (≤ types, not occurrences).
     * Exact longs; one rounded divide. */
-  def q254OovDrift(s: SparkSession, dir: String): DataFrame = {
-    val toks = Par.widen(Tables.documents(s, dir))
+  def q254OovDrift(s: SparkSession, dir: String): DataFrame =
+    oovDriftOf(Tables.documents(s, dir))
+
+  /** The OOV-drift core over any (doc_id, source, text) frame. */
+  private[graft] def oovDriftOf(docs: DataFrame): DataFrame = {
+    val toks = Par.widen(docs)
       .select(pmod(col("doc_id"), lit(3L)).as("slice"), col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("slice"), col("source"), col("w"))
