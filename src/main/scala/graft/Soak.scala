@@ -411,6 +411,17 @@ object Soak {
             .cast("long").as("y")), 20)),
       timed("exactsub_cut")(graft.ops.ExactSubstring.cutPlanOf(docs, 50)),
       timed("representation")(graft.ops.Mixing.representationAuditOf(docs)),
+      // wave 41: label-noise in IVF cells (the q205 split — within-cell
+      // pair volume (n/c)², never all-pairs) and the (label × dim)
+      // moment grid (schema-bounded output whatever the corpus)
+      timed("label_noise_cells")(graft.ops.KnnGraph.labelNoiseOver(
+        spark.range(mult).crossJoin(Tables.embeddings(spark, sfDir))
+          .select((col("vec_id") * mult + col("id")).as("vec_id"),
+            col("embedding"), col("label")), 5, Some(64))),
+      timed("fisher_mom")(graft.ops.Clustering.fisherSeparabilityOf(
+        spark.range(mult).crossJoin(Tables.embeddings(spark, sfDir))
+          .select((col("vec_id") * mult + col("id")).as("vec_id"),
+            col("embedding"), col("label")))),
       // image/audio perceptual dedup: corpus synth + REAL codec decode +
       // fingerprint (narrow map, payloads never shuffle) + the
       // hash-collapsed banded pair join. Replicated doc_ids are

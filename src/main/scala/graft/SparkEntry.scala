@@ -489,6 +489,10 @@ object SparkEntry {
       graft.ops.ExactSubstring.q258ExactSubstringCutPlan(s, dir)),
     "q259_representation_audit" -> ((s: SparkSession, dir: String) =>
       graft.ops.Mixing.q259RepresentationAudit(s, dir)),
+    "q260_label_noise" -> ((s: SparkSession, dir: String) =>
+      graft.ops.KnnGraph.q260LabelNoise(s, dir)),
+    "q261_fisher_separability" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Clustering.q261FisherSeparability(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1068,5 +1072,7 @@ object SparkEntry {
     "q257_mahalanobis" -> ExtensionOracles.q257MahalanobisOutliers,
     "q258_exactsub_cut_plan" -> ExtensionOracles.q258ExactSubstringCutPlan,
     "q259_representation_audit" -> ExtensionOracles.q259RepresentationAudit,
+    "q260_label_noise" -> ExtensionOracles.q260LabelNoise,
+    "q261_fisher_separability" -> ExtensionOracles.q261FisherSeparability,
   )
 }

@@ -559,4 +559,55 @@ object Clustering {
     }
     steps.toSeq
   }
+
+  /** q261: FISHER CLASS-SEPARABILITY audit — for every label pair, the
+    * dimension that best separates them and its Fisher ratio
+    * (m₁ − m₂)²/(v₁ + v₂): the embedding-space answer to "are these
+    * two classes distinguishable at all, and along what" — near-zero
+    * best ratios flag label pairs a linear probe cannot tell apart
+    * (merge candidates or labeling noise), complementing q260's
+    * per-VECTOR read with a per-CLASS-PAIR one.
+    *
+    * Scale shape: ONE (label, dim) moment aggregate off the element
+    * explode (map-side combined; labels × dims rows out — bounded by
+    * the schema, not the corpus); the pair grid joins that tiny frame
+    * to itself; the per-pair argmax windows over ≤ dims rows.
+    * Determinism: element sums as DECIMAL(28,18) (the knn norms
+    * recipe), means/variances rounded 12, ratio rounded 6, argmax
+    * tie-break (fisher DESC, dim ASC). */
+  def q261FisherSeparability(s: SparkSession, dir: String): DataFrame =
+    fisherSeparabilityOf(graft.Tables.embeddings(s, dir))
+
+  /** The separability core over any (label, embedding) frame. */
+  private[graft] def fisherSeparabilityOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Par.widen(emb)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("i"),
+        col("col").cast("double").as("x"))
+    val mom = x.groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,18)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,18)")).as("sxx"))
+      .withColumn("m", round(col("sx").cast("double") / col("n").cast("double"), 12))
+      .withColumn("v", round(col("sxx").cast("double") / col("n").cast("double")
+        - col("m") * col("m"), 12))
+      .localCheckpoint() // labels × dims rows; both pair sides read it
+    val pairs = mom.as("a").join(mom.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("l1"), col("b.label").as("l2"),
+        col("a.n").as("n1"), col("b.n").as("n2"), col("a.i").as("dim"),
+        when(col("a.v") + col("b.v") > 0.0,
+          round((col("a.m") - col("b.m")) * (col("a.m") - col("b.m")) /
+            (col("a.v") + col("b.v")), 6)).as("fisher"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l1"), col("l2"))
+          .orderBy(col("fisher").desc_nulls_last, col("dim"))))
+      .filter(col("rn") === 1)
+      .select(col("l1"), col("l2"), col("n1"), col("n2"),
+        col("dim").as("best_dim"), col("fisher"))
+      .orderBy(col("l1"), col("l2"))
+  }
 }

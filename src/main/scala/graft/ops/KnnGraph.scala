@@ -256,4 +256,44 @@ object KnnGraph {
           .cast("double") / k, 12).as("recall_at_k"))
       .orderBy(col("query_id"))
   }
+
+  /** q260: LABEL-NOISE audit via k-NN label agreement (the Confident-
+    * Learning read): for every vector, how many of its EXACT top-k
+    * cosine neighbors carry the same label — a vector whose
+    * neighborhood disagrees (≤ 1 of k) is a suspected mislabel, the
+    * single highest-yield data-quality pass a labeled training set
+    * gets. Reuses [[topKEdges]] (decimal-exact ranking, so the oracle
+    * replays the neighborhood bit-for-bit); the suspect fence is the
+    * integer cross-multiply k·n_agree ≤ n_neighbors — no float
+    * boundary. Vectors with no scorable neighbors (zero-norm) report
+    * 0/NULL/false. */
+  def q260LabelNoise(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    labelNoiseOver(Tables.embeddings(s, dir), k, nCells = None)
+
+  /** The audit core: exact neighborhoods when `nCells` is None (the
+    * gate form), IVF-cell co-resident neighborhoods otherwise (the
+    * 100 TB path — the q177/q205 split applied here). */
+  def labelNoiseOver(emb: DataFrame, k: Int,
+                     nCells: Option[Int]): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .localCheckpoint() // three consumers (two edge sides + the spine)
+    val edges = topKEdges(emb.select(col("vec_id"), col("embedding")), k,
+      k + 11, nCells)
+    val agree = edges
+      .join(lbl.select(col("vec_id").as("src"), col("label").as("l_src")), Seq("src"))
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("l_dst")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("l_src") === col("l_dst"), 1L).otherwise(0L)).as("n_agree"))
+    lbl.join(agree.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("n_neighbors", coalesce(col("n_neighbors"), lit(0L)))
+      .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+      .withColumn("agree_frac", when(col("n_neighbors") > 0,
+        round(col("n_agree").cast("double") / col("n_neighbors").cast("double"), 12)))
+      .withColumn("suspect", col("n_neighbors") > 0 &&
+        lit(k.toLong) * col("n_agree") <= col("n_neighbors"))
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("n_agree"),
+        col("agree_frac"), col("suspect"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -7315,4 +7315,59 @@ object ExtensionOracles {
       |  nb.n_batch - CAST(COALESCE(ns.n_stream, 0) AS BIGINT) AS n_dropped_late
       |FROM nb LEFT JOIN ns USING (window_start_us)
       |ORDER BY window_start_us""".stripMargin
+
+  /** Mirrors q260 (`ops.KnnGraph.q260LabelNoise`): the exact decimal
+    * top-5 neighborhood (knnTopCtes), label agreement per vector, the
+    * integer k·n_agree ≤ n fence. */
+  val q260LabelNoise: String =
+    s"""WITH ${knnTopCtes(5)},
+       |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |agree AS (SELECT t.src AS vec_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       |    CAST(SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM top t
+       |  JOIN lbl ls ON t.src = ls.vec_id
+       |  JOIN lbl ld ON t.dst = ld.vec_id
+       |  GROUP BY t.src)
+       |SELECT l.vec_id, l.label,
+       |  CAST(COALESCE(a.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       |  CAST(COALESCE(a.n_agree, 0) AS BIGINT) AS n_agree,
+       |  CASE WHEN COALESCE(a.n_neighbors, 0) > 0
+       |    THEN round(CAST(COALESCE(a.n_agree, 0) AS DOUBLE) /
+       |      CAST(a.n_neighbors AS DOUBLE), 12) END AS agree_frac,
+       |  (COALESCE(a.n_neighbors, 0) > 0 AND
+       |    5 * COALESCE(a.n_agree, 0) <= COALESCE(a.n_neighbors, 0)) AS suspect
+       |FROM lbl l LEFT JOIN agree a USING (vec_id)
+       |ORDER BY l.vec_id""".stripMargin
+
+  /** Mirrors q261 (`ops.Clustering.q261FisherSeparability`): per
+    * (label, dim) decimal moments, pairwise Fisher ratios, per-pair
+    * argmax with (fisher DESC NULLS LAST, dim) tie-break. */
+  val q261FisherSeparability: String =
+    """WITH e2 AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+      |x2 AS (SELECT label, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM e2),
+      |xv AS (SELECT label, CAST(i AS BIGINT) AS i,
+      |    CAST(embedding[i] AS DOUBLE) AS x FROM x2),
+      |mom AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,18))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(28,18))) AS sxx
+      |  FROM xv GROUP BY 1, 2),
+      |st AS (SELECT label, i, n,
+      |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 12) AS m
+      |  FROM mom),
+      |stv AS (SELECT st.label, st.i, st.n, st.m,
+      |    round(CAST(mom.sxx AS DOUBLE) / CAST(mom.n AS DOUBLE) - st.m * st.m, 12) AS v
+      |  FROM st JOIN mom ON st.label = mom.label AND st.i = mom.i),
+      |pairs AS (SELECT a.label AS l1, b.label AS l2, a.n AS n1, b.n AS n2,
+      |    a.i AS dim,
+      |    CASE WHEN a.v + b.v > 0.0
+      |      THEN round((a.m - b.m) * (a.m - b.m) / (a.v + b.v), 6) END AS fisher
+      |  FROM stv a JOIN stv b ON a.i = b.i AND a.label < b.label),
+      |rk2 AS (SELECT *, row_number() OVER (PARTITION BY l1, l2
+      |    ORDER BY fisher DESC NULLS LAST, dim) AS rn FROM pairs)
+      |SELECT l1, l2, n1, n2, dim AS best_dim, fisher
+      |FROM rk2 WHERE rn = 1
+      |ORDER BY l1, l2""".stripMargin
 }
