@@ -493,6 +493,8 @@ object SparkEntry {
       graft.ops.KnnGraph.q260LabelNoise(s, dir)),
     "q261_fisher_separability" -> ((s: SparkSession, dir: String) =>
       graft.ops.Clustering.q261FisherSeparability(s, dir)),
+    "q262_rendezvous_rebalance" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Sharding.q262RendezvousRebalance(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1074,5 +1076,6 @@ object SparkEntry {
     "q259_representation_audit" -> ExtensionOracles.q259RepresentationAudit,
     "q260_label_noise" -> ExtensionOracles.q260LabelNoise,
     "q261_fisher_separability" -> ExtensionOracles.q261FisherSeparability,
+    "q262_rendezvous_rebalance" -> ExtensionOracles.q262RendezvousRebalance,
   )
 }

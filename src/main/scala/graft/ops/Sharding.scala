@@ -341,4 +341,40 @@ object Sharding {
         col("s_rows").as("manifest_rows"), col("n_rows").as("file_rows"),
         col("s_md5").as("manifest_md5"), col("content_md5").as("file_md5"))
   }
+
+  /** q262: RENDEZVOUS (highest-random-weight) shard REBALANCE audit —
+    * the data-layout question a growing cluster asks: when the shard
+    * count goes 16 → 17, which documents move? Rendezvous hashing
+    * (shard = argmax over shards of md5("rv" + shard + ":" + doc_id))
+    * has the minimal-disruption guarantee BY CONSTRUCTION: a doc's
+    * weights for existing shards are unchanged, so a doc moves iff the
+    * NEW shard's weight beats them all — every moved doc lands on
+    * shard 16 (asserted in spec AND visible in the emitted cells), and
+    * the moved fraction concentrates at 1/17. Compare `(position-1)
+    * DIV docsPerShard` modulo schemes, which reshuffle nearly
+    * everything on resize.
+    *
+    * In-row cost: 33 md5s per doc (16 + 17), one aggregate to the
+    * ≤ 17×17 cell grid — a pure narrow map at 100 TB. Weights compare
+    * as fixed-length hex strings (ASCII order, both engines). */
+  def q262RendezvousRebalance(s: SparkSession, dir: String,
+                              oldN: Int = 16, newN: Int = 17): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    def shardCol(n: Int) = {
+      val entries = (0 until n).map { sh =>
+        struct(
+          substring(md5(concat(lit("rv"), lit(sh.toString), lit(":"),
+            col("doc_id").cast("string"))), 1, 13).as("w"),
+          lit(sh.toLong).as("s"))
+      }
+      array_max(array(entries: _*)).getField("s")
+    }
+    graft.ops.Par.widen(docs)
+      .select(col("doc_id"), shardCol(oldN).as("old_shard"),
+        shardCol(newN).as("new_shard"))
+      .groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+      .orderBy(col("old_shard"), col("new_shard"))
+  }
 }

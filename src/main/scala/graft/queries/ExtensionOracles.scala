@@ -7370,4 +7370,28 @@ object ExtensionOracles {
       |SELECT l1, l2, n1, n2, dim AS best_dim, fisher
       |FROM rk2 WHERE rn = 1
       |ORDER BY l1, l2""".stripMargin
+
+  /** Mirrors q262 (`ops.Sharding.q262RendezvousRebalance`): both
+    * argmax-of-md5 shard assignments replayed over unnested shard
+    * series (own CTE level — the r13 unnest/WHERE bind lesson), the
+    * cell grid, the moved flag. */
+  val q262RendezvousRebalance: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |sn AS (SELECT doc_id, unnest(generate_series(0, 16)) AS sh FROM d),
+      |w AS (SELECT doc_id, CAST(sh AS BIGINT) AS sh,
+      |    substr(md5('rv' || CAST(sh AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 13) AS wt
+      |  FROM sn),
+      |old_r AS (SELECT doc_id, sh,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, sh DESC) AS rn
+      |  FROM w WHERE sh < 16),
+      |new_r AS (SELECT doc_id, sh,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, sh DESC) AS rn
+      |  FROM w),
+      |asg AS (SELECT o.doc_id, o.sh AS old_shard, n.sh AS new_shard
+      |  FROM old_r o JOIN new_r n ON o.doc_id = n.doc_id
+      |  WHERE o.rn = 1 AND n.rn = 1)
+      |SELECT old_shard, new_shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  (old_shard <> new_shard) AS moved
+      |FROM asg GROUP BY 1, 2
+      |ORDER BY old_shard, new_shard""".stripMargin
 }
