@@ -134,33 +134,33 @@ object Bench {
     writeAtomic(fullPath, theFullLine)
 
     // The driver captures only the LAST ~2000 chars of stdout. A named
-    // 247-entry map is ~2700+ chars and CANNOT fit that window (BENCH_r10
+    // 262-entry map is ~3000+ chars and CANNOT fit that window (BENCH_r10
     // proved it: the line's front — metric/value — fell outside the tail
     // and parsed came back null). Self-sufficiency has three layers:
     //   1. the full NAMED per-query map is in tools/bench_latest_full.json
     //      (rewritten atomically after every pass — even a kill -9 leaves
     //      the last completed pass parseable);
     //   2. the full named line is still printed, for humans and small runs;
-    //   3. the LAST stdout line is compact JSON < ~1800 chars carrying the
-    //      COMPLETE coverage: "queries" is the array of all n_queries
-    //      medians in name-sorted order (2-decimal seconds, ~5 chars each
-    //      — the only encoding of 247 values that fits the tail), plus
-    //      "query_order" naming the ordering and "full" pointing at the
-    //      named map. len(queries) == n_queries always holds.
+    //   3. the LAST stdout line is compact JSON < ~1800 chars in the SAME
+    //      shape the driver parsed green in r11/r12: "queries" is a NAMED
+    //      map (the contract shape), slowest-first, truncated to a
+    //      1200-char budget so the line always fits the tail window;
+    //      "full" points at the complete named map on disk.
     // Printing after a silenced spark.stop() keeps everything but sbt's
     // one [success] line out of the tail window.
-    def arr(dec: Int): String = results.map { case (_, v) =>
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    }.mkString("[", ",", "]")
-    val slowest = results.sortBy(-_._2).take(5).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
-    def compactLine(dec: Int) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"passes_done":$passesDone,"partial":$partial,"queries":${arr(dec)},"query_order":"name_sorted","slowest":$slowest,"full":"$fullPath","sf":"$sfDir"}"""
-    val compact = {
-      val two = compactLine(2)
-      if (two.length <= 1800) two else compactLine(1)
+    def item(k: String, v: Double) = "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    val compactQs = {
+      val sb = new StringBuilder
+      results.sortBy(-_._2).foreach { case (k, v) =>
+        val it = item(k, v)
+        if (sb.length + it.length < 1200) {
+          if (sb.nonEmpty) sb.append(','); sb.append(it)
+        }
+      }
+      sb.insert(0, '{').append('}').toString
     }
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"passes_done":$passesDone,"partial":$partial,"queries":$compactQs,"full":"$fullPath","sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(theFullLine)

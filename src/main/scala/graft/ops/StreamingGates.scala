@@ -69,9 +69,19 @@ object StreamingGates {
     val watched = s"$root/in"
     fs.delete(new org.apache.hadoop.fs.Path(watched), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(watched))
-    slices.zipWithIndex.foreach { case (df, i) =>
+    // The slice writes are mutually independent single-part jobs whose
+    // wall is driver planning + commit latency, not executor CPU —
+    // issue them CONCURRENTLY (the Par.inParallel lifecycle-store cut,
+    // r14: every streamed gate stages 2–6 slices and paid that latency
+    // serially). Each job writes its own stage_i dir; the move into
+    // `in` (rename + pinned mtime) stays a cheap sequential driver
+    // loop AFTER all writes, so the watched dir appears atomically in
+    // slice order exactly as before.
+    Par.inParallel(slices.zipWithIndex.map { case (df, i) =>
+      () => df.coalesce(1).write.parquet(s"$root/stage_$i")
+    }: _*)
+    slices.indices.foreach { i =>
       val tmpd = s"$root/stage_$i"
-      df.coalesce(1).write.parquet(tmpd)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
         .map(_.getPath).find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no parquet part written under $tmpd"))
