@@ -57,22 +57,35 @@ object SetSimilarity {
     val sets = docSets.toDF("id", "toks").filter(size(col("toks")) >= 1)
     val exploded = sets.select(col("id"), explode(col("toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val chk = exploded.agg(
-      countDistinct(col("tok")).as("nt"), countDistinct(col("h")).as("nh")).head()
-    require(chk.getLong(0) == chk.getLong(1),
-      s"xxhash64 collision in the token dictionary (${chk.getLong(0)} tokens, " +
-        s"${chk.getLong(1)} hashes) — exact intersection counts would be wrong")
-    val dfCounts = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // df pass and collision check share ONE aggregate: a hash collides
+    // iff some h carries ≥ 2 distinct tokens, so countDistinct(tok)
+    // rides the per-h df shuffle instead of a separate whole-corpus
+    // 2×countDistinct pre-pass (r14: the check alone was a full
+    // tokenize+explode+shuffle before any real work). The per-h frame
+    // is vocabulary-scale — pinned, it serves the check AND the rank
+    // join without re-running the corpus explode.
+    val dfCounts = exploded.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), countDistinct(col("tok")).as("__ntok"))
+      .localCheckpoint()
+    val nColl = dfCounts.filter(col("__ntok") > 1).count()
+    require(nColl == 0,
+      s"xxhash64 collision in the token dictionary ($nColl hashes carry " +
+        "multiple tokens) — exact intersection counts would be wrong")
     // per-doc array sorted rarest-first; the struct's (df, h) field
     // order IS the global total order (sort_array is lexicographic on
     // struct fields, ties broken by the token hash)
-    val ranked = exploded.select(col("id"), col("h")).join(dfCounts, "h")
+    val ranked = exploded.select(col("id"), col("h"))
+      .join(dfCounts.select(col("h"), col("df")), "h")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
       .withColumn("n", size(col("arr")))
       .withColumn("plen",
         (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))
       .withColumn("pre", slice(col("arr"), lit(1), col("plen")))
+    // (measured, not kept: pinning `ranked` for its four downstream
+    // references — 8.0 → 10.6 s at sf0.1. ReuseExchange already dedupes
+    // the identical aggregation subtrees; an eager materialization of
+    // the array frame only costs the write and breaks pipelining.)
     // SKINNY candidate generation: only (token, id) rides the prefix
     // explode and the self-join — never the arrays. (The first cut
     // carried each doc's full struct array through the explode for an
