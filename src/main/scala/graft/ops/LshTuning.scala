@@ -50,26 +50,38 @@ object LshTuning {
       .agg(Dedup.minhashAgg(0), (1 until 8).map(Dedup.minhashAgg): _*)
       .localCheckpoint()
     val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
-    val rows = configs.map { case (b, r) =>
-      val bandStructs = (0 until b).map { i =>
-        struct(lit(i).as("band"),
-          md5(concat((0 until r).map(j => col(s"h${r * i + j}")): _*)).as("bh"))
+    // Each config's candidate volume and truth-hit count fold into ONE
+    // action (left join against the pinned truth, count + count(hit) in
+    // one aggregate — the cand frame has a single consumer now, so its
+    // old eager pin + two follow-up counts collapse), and the four
+    // configs are mutually independent readers of the two pins (sig,
+    // truth) — run concurrently (Par.inParallel contract). r14: the
+    // sweep was 12 serialized actions; it is now 4 overlapped ones.
+    val truthM = truth.withColumn("__t", lit(1))
+    val rows = new Array[(Int, Int, Long, Long)](configs.size)
+    Par.inParallel(configs.zipWithIndex.map { case ((b, r), ci) =>
+      () => {
+        val bandStructs = (0 until b).map { i =>
+          struct(lit(i).as("band"),
+            md5(concat((0 until r).map(j => col(s"h${r * i + j}")): _*)).as("bh"))
+        }
+        val bands = sig.select(col("doc_id"),
+            explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        val cnt = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+          .join(truthM, Seq("d1", "d2"), "left")
+          .agg(count(lit(1)).as("nc"), count(col("__t")).as("nh"))
+          .head()
+        rows(ci) = (b, r, cnt.getLong(0), cnt.getLong(1))
       }
-      val bands = sig.select(col("doc_id"),
-          explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-        .localCheckpoint()
-      val nCand = cand.count()
-      val nHit = cand.join(truth, Seq("d1", "d2")).count()
-      (b, r, nCand, nTrue, nHit)
-    }
+    }: _*)
     import s.implicits._
-    rows.toDF("n_bands", "rows_per_band", "n_candidates", "n_true", "n_hit")
+    rows.toSeq.map { case (b, r, nc, nh) => (b, r, nc, nTrue, nh) }
+      .toDF("n_bands", "rows_per_band", "n_candidates", "n_true", "n_hit")
       .select(col("n_bands").cast("long"), col("rows_per_band").cast("long"),
         col("n_candidates"), col("n_true"), col("n_hit"))
       .withColumn("recall", round(

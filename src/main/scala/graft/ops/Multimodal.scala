@@ -710,7 +710,21 @@ object Multimodal {
   def q249CrossModalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val hashes = contentImageSeeds(docs)
+    // Candidates FIRST, images only for their members: every consumer
+    // of the image hashes (the confirm joins here, the oracle's inner
+    // joins) touches only docs appearing in an LSH pair, so the
+    // PNG encode→decode→aHash codec pass — the dominant cost — runs
+    // per CANDIDATE MEMBER, not per corpus doc (r14: 5000 codec calls
+    // → |pair members|; the scaladoc's candidates→confirm shape now
+    // holds for the hashing too, which is also the 100 TB form — a
+    // corpus-wide codec pass cannot be the price of a pair decision).
+    // The pair frame is pair-scale — pinned once for the member cut
+    // and the final joins.
+    val pairs = Dedup.minhashLshPairs(docs).localCheckpoint()
+    val members = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val hashes = contentImageSeeds(
+        docs.join(members, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("seed")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, seed) =>
         // .get, not getOrElse: a JDK PNG the JDK cannot re-decode is a
@@ -719,7 +733,7 @@ object Multimodal {
       }).toDF("doc_id", "seed", "ahash")
     hashes.write.mode("overwrite").parquet(CrossModalHashPath)
     val h = s.read.parquet(CrossModalHashPath)
-    Dedup.minhashLshPairs(docs)
+    pairs
       .join(h.select(col("doc_id").as("d1"), col("ahash").as("a1")), Seq("d1"))
       .join(h.select(col("doc_id").as("d2"), col("ahash").as("a2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("jaccard"),
