@@ -469,10 +469,14 @@ object Dedup {
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
       // pointer jumping: follow the (possibly stale) label one more hop
       val labelOfLabel = labels.select(col("id").as("l_id"), col("component").as("l_comp"))
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // materializing action, so each round runs ONE job (materialize +
+      // sum) instead of two (r14; lineage truncation is identical once
+      // materialized — the property the eager form bought)
       val next = hop.join(labelOfLabel, col("component") === col("l_id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("l_comp"), col("component"))).as("component"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
