@@ -44,7 +44,7 @@ object LshTuning {
       .filter(col("c").cast("double") /
         (col("s1.n") + col("s2.n") - col("c")).cast("double") >= threshold)
       .select(col("d1"), col("d2"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     val nTrue = truth.count()
     val sig = Dedup.withDigests(sh).groupBy(col("doc_id"))
       .agg(Dedup.minhashAgg(0), (1 until 8).map(Dedup.minhashAgg): _*)

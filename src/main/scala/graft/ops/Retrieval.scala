@@ -794,7 +794,8 @@ object Retrieval {
     NearDupIndex.recoverBakDirs(s, dst + "_dl")
     if (!pathExists(s, dst + "_tombstones")) return (0L, Array.empty)
     val dead = s.read.parquet(dst + "_tombstones")
-      .select(col("doc_id")).distinct().localCheckpoint()
+      .select(col("doc_id")).distinct()
+      .localCheckpoint(false) // lazy: the count below materializes it
     val nDead = dead.count()
     if (nDead == 0) return (0L, Array.empty)
     val nBuckets = s.read.parquet(dst + "_meta").head().getInt(0)

@@ -66,7 +66,7 @@ object SetSimilarity {
     // join without re-running the corpus explode.
     val dfCounts = exploded.groupBy(col("h"))
       .agg(count(lit(1)).as("df"), countDistinct(col("tok")).as("__ntok"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the full-scan count below materializes it
     val nColl = dfCounts.filter(col("__ntok") > 1).count()
     require(nColl == 0,
       s"xxhash64 collision in the token dictionary ($nColl hashes carry " +
