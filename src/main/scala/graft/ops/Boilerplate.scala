@@ -187,8 +187,15 @@ object Boilerplate {
     val stream = StreamingGates.stagedFileStream(StreamedGramDfPath,
       (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
     val store = s"$StreamedGramDfPath/store"
-    graft.streaming.Streaming.gramDfStream(stream, store, 3)
-      .awaitTermination()
+    // micro-batch pin (8 partitions + AQE off): each batch's append is a
+    // KB-scale df-partial aggregate — at session width (32) the per-batch
+    // jobs pay 4× the tasks and AQE re-planning for no data (the
+    // StreamingGates.withMicroBatchConfs rationale; this gate was the one
+    // stateless stream still running bare — BENCH_r14's largest line)
+    StreamingGates.withMicroBatchConfs(s) {
+      graft.streaming.Streaming.gramDfStream(stream, store, 3)
+        .awaitTermination()
+    }
     rewriteWithFrequent(tokenized(docs), frequentFromStore(s, store, 1), 3)
   }
 

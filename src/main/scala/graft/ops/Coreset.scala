@@ -56,34 +56,44 @@ object Coreset {
     * by convention). */
   def kcenterSelect(emb: DataFrame, m: Int): Seq[(Long, Seq[Long])] = {
     require(m >= 1, "need at least one center")
+    // lazy checkpoint: the seed argmax right below is the materializing
+    // action, so pinning costs no extra job (the r14 pin-then-count rule)
     val base = emb
       .select(col("vec_id"), Clustering.snapped(col("embedding")).as("qx"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
-    def qxOf(id: Long): Seq[Long] =
-      base.filter(col("vec_id") === id).head().getSeq[Long](1)
+    // each pick rides ONE argmax job: the winner's qx is carried inside
+    // the max struct — (key, nid) is unique per row (nid = -vec_id), so
+    // the lexicographic struct comparison never reaches the qx field and
+    // the pick is bit-identical to the old (key, nid) argmax; the old
+    // plan paid a second full-scan job (qxOf) per round just to fetch
+    // the winner's vector
+    def argmaxCarry(df: DataFrame, key: Column): (Long, Seq[Long]) = {
+      val r = df
+        .agg(max(struct(key.as("key"), (-col("vec_id")).as("nid"),
+          col("qx").as("qx"))).as("s"))
+        .select(col("s.nid"), col("s.qx")).head()
+      (-r.getLong(0), r.getSeq[Long](1))
+    }
 
     // seed: max integer norm, ties to the smaller vec_id
-    val seedPick = base
-      .withColumn("nrm", coalesce(aggregate(col("qx"), lit(0L),
-        (acc, e) => acc + e * e), lit(0L)))
-      .agg(max(struct(col("nrm"), (-col("vec_id")).as("nid"))).as("s"))
-      .select(col("s.nid")).head().getLong(0)
-    val seedId = -seedPick
-    var chosen = Vector((seedId, qxOf(seedId)))
+    var chosen = Vector(argmaxCarry(
+      base.withColumn("nrm", coalesce(aggregate(col("qx"), lit(0L),
+        (acc, e) => acc + e * e), lit(0L))),
+      col("nrm")))
 
-    var cur = base.withColumn("mind", distTo(chosen.head._2)).localCheckpoint()
+    // per round: lazy checkpoint + argmax = ONE job (the materializing
+    // action IS the pick; the old eager checkpoint was a separate job,
+    // so each round paid 3 jobs — checkpoint, pick, qxOf — now 1)
+    var cur = base.withColumn("mind", distTo(chosen.head._2))
+      .localCheckpoint(false)
     (2 to m).foreach { _ =>
       val ids = chosen.map(_._1)
-      val pick = cur
-        .filter(!col("vec_id").isin(ids: _*))
-        .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"))).as("s"))
-        .select(col("s.nid")).head().getLong(0)
-      val id = -pick
-      val qx = qxOf(id)
+      val (id, qx) = argmaxCarry(
+        cur.filter(!col("vec_id").isin(ids: _*)), col("mind"))
       chosen = chosen :+ (id, qx)
       cur = cur.withColumn("mind", least(col("mind"), distTo(qx)))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     chosen
   }

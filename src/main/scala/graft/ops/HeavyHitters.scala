@@ -163,8 +163,13 @@ object HeavyHitters {
         (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
       .select(col("user_id").cast("string").as("item"))
     val store = s"$StreamedStorePath/store"
-    graft.streaming.Streaming.heavyHitterStream(stream, store, capacity)
-      .awaitTermination()
+    // micro-batch pin: each batch reduces to ONE capacity-bounded
+    // summary — session-width shuffles + AQE re-planning are pure
+    // overhead per batch (StreamingGates.withMicroBatchConfs)
+    StreamingGates.withMicroBatchConfs(s) {
+      graft.streaming.Streaming.heavyHitterStream(stream, store, capacity)
+        .awaitTermination()
+    }
 
     serveHeavyUsers(s, store, s.read.parquet(watched), k, capacity)
   }

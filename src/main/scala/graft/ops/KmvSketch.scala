@@ -224,10 +224,12 @@ object KmvSketch {
     val stream = StreamingGates.stagedFileStream(StreamedSketchPath,
       (0 until 3).map(i => ev.filter(pmod(col("user_id"), lit(3)) === i)))
     val store = s"$StreamedSketchPath/store"
-    // 8 shuffle partitions while the stream runs: each micro-batch's
-    // per-day partial aggregate is ≤ span_days rows (StreamingGates
-    // scaladoc on state-commit churn)
-    StreamingGates.withShufflePartitions(s, 8) {
+    // full micro-batch pin (8 shuffle partitions + AQE off) while the
+    // stream runs: each micro-batch's per-day partial aggregate is
+    // ≤ span_days rows (StreamingGates scaladoc on state-commit churn;
+    // this sink is stateless-foreachBatch, so AQE is NOT auto-disabled
+    // and only adds per-batch re-planning)
+    StreamingGates.withMicroBatchConfs(s) {
       graft.streaming.Streaming.kmvDailyStream(stream, store, k)
         .awaitTermination()
     }

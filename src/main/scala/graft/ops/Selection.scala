@@ -370,35 +370,56 @@ object Selection {
   def q243CoverageSelect(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     // coverage universe = distinct word-3-gram shingles (the q25 frame):
     // this corpus's unigram vocabulary is so small one doc covers it in
-    // a single step — shingles give the greedy a real sequence to walk
-    val tokd = Dedup.shingles(graft.Tables.documents(s, dir), 3)
-      .select(col("doc_id"), col("g").as("w"))
-      .localCheckpoint() // scanned once per greedy step
-    val sess = tokd.sparkSession
+    // a single step — shingles give the greedy a real sequence to walk.
+    //
+    // Shape (r15): ONE ROW PER DOC — the per-doc distinct shingle array
+    // (Dedup.shingles' own in-row kernel, pre-explode), checkpointed
+    // once. Each greedy step is then a single narrow map + TakeOrdered
+    // job: gain(d) = size(ws(d) \ covered) via array_except against the
+    // driver-held covered set (bounded: the union of ≤ k picked docs'
+    // shingle sets), and the winner's UNCOVERED array rides the argmax
+    // row, so folding it into covered costs no extra job. The old plan
+    // paid, per step, a corpus-scale (doc_id, w) scan + broadcast
+    // anti-join + groupBy shuffle + a covered distinct/checkpoint job
+    // (measured 44 jobs / 713 tasks / 164 s summed task time at sf0.1;
+    // exploded rows are ~500× the doc count). Pick sequence is
+    // bit-identical: ws(d) is distinct in-row, so |ws(d) \ covered|
+    // equals the exploded anti-join count, the (gain desc, doc_id)
+    // argmax and the 0-gain early-stop are unchanged, and covered ∪
+    // uncov(win) = covered ∪ ws(win). A doc whose shingles are all
+    // covered had NO rows in the old gains frame and has gain 0 here —
+    // it can win neither argmax while any positive gain remains, and a
+    // 0-gain best stops the loop before picking in both forms.
+    val docsArr = Par.widen(graft.Tables.documents(s, dir))
+      .select(col("doc_id"),
+        graft.functions.exprs.word_ngrams(
+          TextAnalysis.tokens(col("text")), 3, distinct = true).as("ws"))
+      .localCheckpoint(false) // materialized by step 1's argmax
+    val sess = docsArr.sparkSession
     import sess.implicits._
-    var covered = Seq.empty[String].toDF("w")
+    var covered = Set.empty[String]
     val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var covTotal = 0L
     var step = 1
     var done = false
     while (step <= k && !done) {
-      val gains = tokd
+      val top = docsArr
         .filter(!col("doc_id").isInCollection(
           if (picked.isEmpty) Seq(-1L) else picked.toSeq))
-        .join(covered, Seq("w"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .select(col("doc_id"),
+          array_except(col("ws"), typedlit(covered.toSeq)).as("uncov"))
+        .select(col("doc_id"), size(col("uncov")).cast("long").as("gain"),
+          col("uncov"))
         .orderBy(col("gain").desc, col("doc_id")).limit(1)
         .collect()
-      if (gains.isEmpty || gains(0).getLong(1) == 0L) done = true
+      if (top.isEmpty || top(0).getLong(1) == 0L) done = true
       else {
-        val win = gains(0).getLong(0); val g = gains(0).getLong(1)
+        val win = top(0).getLong(0); val g = top(0).getLong(1)
         covTotal += g
         rows += ((step.toLong, win, g, covTotal))
         picked += win
-        covered = covered
-          .union(tokd.filter(col("doc_id") === win).select(col("w")))
-          .distinct().localCheckpoint()
+        covered ++= top(0).getSeq[String](2)
         step += 1
       }
     }

@@ -62,8 +62,12 @@ object VectorStore {
     val stream = StreamingGates.stagedFileStream(StreamStoreRoot,
       (0 until 3).map(i => emb.filter(pmod(col("vec_id"), lit(3)) === i)))
     val store = s"$StreamStoreRoot/store"
-    graft.streaming.Streaming.ivfAssignStream(stream, store, centroids)
-      .awaitTermination()
+    // micro-batch pin: assignment is a broadcast map + cell-partitioned
+    // append per batch (StreamingGates.withMicroBatchConfs)
+    StreamingGates.withMicroBatchConfs(s) {
+      graft.streaming.Streaming.ivfAssignStream(stream, store, centroids)
+        .awaitTermination()
+    }
     serveAssignments(s, store)
   }
 
