@@ -47,13 +47,37 @@ object ProfileQueries {
     // warmup: first query once, untimed (codegen/classloader)
     qs.head._2(spark, dir).count()
 
+    // SPARK_GRAFT_PROFILE_EXPLAIN=1 additionally prints the EXECUTED
+    // (post-AQE) plan of the count action — the only way to see final
+    // AQEShuffleRead coalescing, which pre-execution explain() hides
+    // behind isFinalPlan=false. Captured via a QueryExecutionListener
+    // because the count builds its own QueryExecution over the frame.
+    val explainAfter = sys.env.get("SPARK_GRAFT_PROFILE_EXPLAIN").contains("1")
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    if (explainAfter)
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          lastPlan.set(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+
     qs.foreach { case (name, fn) =>
       spark.catalog.clearCache()
       val (j0, s0, k0, r0, g0, c0) =
         (jobs.get, stages.get, tasks.get, runMs.get, gcMs.get, cpuMs.get)
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      val df = fn(spark, dir)
+      df.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      if (explainAfter) {
+        Thread.sleep(500) // listener delivery is async
+        println(s"========== $name executed plan ==========")
+        println(lastPlan.get.take(40000))
+      }
       Thread.sleep(500) // listener bus drain
       println(f"$name%-30s wall=$wall%7.2f s  jobs=${jobs.get - j0}%4d " +
         f"stages=${stages.get - s0}%4d tasks=${tasks.get - k0}%6d  " +
