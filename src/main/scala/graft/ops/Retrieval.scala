@@ -346,9 +346,14 @@ object Retrieval {
     // fan-out then sums precomputed decimals instead). Restricted to
     // champion docs: the decimal chain runs only for rows that can
     // still reach a top-k.
+    // candDocs/cand are BOUNDED (≤ |queries|·C candidates, two longs per
+    // row) — broadcast both joins so the hits-scale tf/parts side is
+    // never shuffled by doc_id (guide §3.1: the unhinted planner picked
+    // sort-merge here, exchanging the corpus-weight side twice; the
+    // exchanges removed are visible in plans/r15/q71_*)
     val candDocs = cand.select(col("doc_id")).distinct()
     val parts = tf
-      .join(candDocs, Seq("doc_id"), "left_semi")
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(totals))
       .withColumn("part", bm25Part)
@@ -357,7 +362,7 @@ object Retrieval {
     // terms contribute — the champion cut prunes candidate GENERATION,
     // never a surviving candidate's score
     val scored = parts
-      .join(cand, Seq("doc_id"))
+      .join(broadcast(cand), Seq("doc_id"))
       .join(broadcast(inform), Seq("query_id", "term"), "left_semi")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("part")).as("sc"))

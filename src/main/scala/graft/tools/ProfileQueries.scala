@@ -26,6 +26,11 @@ object ProfileQueries {
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
     val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    // SPARK_GRAFT_PROFILE_STAGES=N prints the N heaviest stages per
+    // query (by summed task run time) with their call sites — the
+    // inside-the-operator attribution the whole-query numbers can't give
+    val topStages = sys.env.getOrElse("SPARK_GRAFT_PROFILE_STAGES", "0").toInt
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -36,6 +41,9 @@ object ProfileQueries {
           runMs.addAndGet(m.executorRunTime)
           gcMs.addAndGet(m.jvmGCTime)
           cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+          if (topStages > 0)
+            stageRows.add((m.executorRunTime, st.stageInfo.numTasks,
+              st.stageInfo.name.take(180)))
         }
       }
     })
@@ -67,6 +75,7 @@ object ProfileQueries {
 
     qs.foreach { case (name, fn) =>
       spark.catalog.clearCache()
+      stageRows.clear()
       val (j0, s0, k0, r0, g0, c0) =
         (jobs.get, stages.get, tasks.get, runMs.get, gcMs.get, cpuMs.get)
       val t0 = System.nanoTime()
@@ -77,6 +86,14 @@ object ProfileQueries {
         Thread.sleep(500) // listener delivery is async
         println(s"========== $name executed plan ==========")
         println(lastPlan.get.take(40000))
+      }
+      if (topStages > 0) {
+        Thread.sleep(500)
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._1).take(topStages).foreach {
+          case (ms, n, nm) =>
+            println(f"    stage ${ms / 1000.0}%8.1f s tasks=$n%5d  $nm")
+        }
       }
       Thread.sleep(500) // listener bus drain
       println(f"$name%-30s wall=$wall%7.2f s  jobs=${jobs.get - j0}%4d " +
