@@ -141,11 +141,15 @@ object Pipeline {
 
     val fv = pin(stageQuality(train))
     val keep1 = keep1Of(train, fv)
-    val wc = stageExactSplit(keep1)
-    val dropExact = pin(wc.filter(col("doc_id") =!= col("can"))
-      .select(col("doc_id")))
-    val keep2 = pin(wc.filter(col("doc_id") === col("can"))
-      .select(col("doc_id"), col("text")))
+    // ONE pin of the exact-split frame: dropExact/keep2 are cheap
+    // filters over the cached rows — the old two pins each re-evaluated
+    // the whole keyed-join lineage as its own job (r15)
+    val wc = pin(stageExactSplit(keep1)
+      .select(col("doc_id"), col("can"), col("text")))
+    val dropExact = wc.filter(col("doc_id") =!= col("can"))
+      .select(col("doc_id"))
+    val keep2 = wc.filter(col("doc_id") === col("can"))
+      .select(col("doc_id"), col("text"))
     val dropNear = stageNearDrop(keep2)
     val keep3 = keep2.join(dropNear, Seq("doc_id"), "left_anti")
     val testDocs = docs.filter(Splits.of(col("doc_id")) === "test")
