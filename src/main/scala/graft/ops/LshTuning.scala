@@ -57,6 +57,13 @@ object LshTuning {
     // configs are mutually independent readers of the two pins (sig,
     // truth) — run concurrently (Par.inParallel contract). r14: the
     // sweep was 12 serialized actions; it is now 4 overlapped ones.
+    // LOAD-BEARING invariant (r14 advisor note): the counts below assume
+    // `truth` holds AT MOST ONE row per (d1, d2) — count(*) after the
+    // left join equals the candidate count only then. This holds because
+    // coGroupedPairCounts groups per pair (one row per (d1, d2) by
+    // construction); a future truth source that can emit duplicates must
+    // be .distinct()-ed before reaching here or both n_candidates and
+    // n_hit silently inflate.
     val truthM = truth.withColumn("__t", lit(1))
     val rows = new Array[(Int, Int, Long, Long)](configs.size)
     Par.inParallel(configs.zipWithIndex.map { case ((b, r), ci) =>

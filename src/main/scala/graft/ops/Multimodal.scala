@@ -695,7 +695,14 @@ object Multimodal {
     * the SEED rides along — the oracle recomputes it from `documents`
     * in SQL and joins on (doc_id, seed), so the content→image rule is
     * gate-checked too; only pixels→aHash is trusted input (the q205
-    * persisted-model-is-data boundary, same as q224). */
+    * persisted-model-is-data boundary, same as q224).
+    *
+    * COVERAGE (r14): the sidecar holds only LSH candidate-PAIR MEMBERS,
+    * not the whole corpus — every consumer (the engine's d1/d2 inner
+    * joins and the oracle's) reads pair members only, so the codec pass
+    * runs at candidate scale. Do not compare it against a full-coverage
+    * sidecar from a pre-r14 round, and a future consumer needing
+    * per-doc coverage must re-derive it, not read this. */
   val CrossModalHashPath: String = graft.Sidecars.path("graft_crossmodal_ahash.parquet")
 
   /** q249: CROSS-MODAL joint dedup — the near-dup decision a

@@ -43,12 +43,16 @@ private[graft] object Par {
     * that latency N times, issued concurrently the scheduler overlaps
     * it (r14 profile: q100's sync stages were 60% of the gate and
     * almost entirely this). Callers MUST pass tasks that are mutually
-    * independent AND read only PINNED inputs (localCheckpoint) — two
-    * concurrent actions over an unpinned shared lineage would compute
-    * it twice, and any read-after-write ordering must stay sequential
-    * (e.g. purge corrections after store rewrites). Threads, not a
-    * shared pool: tasks block on Spark jobs, so pool starvation ≡
-    * deadlock; the thread count is the call's task count (≤ 6). */
+    * independent AND read only PINNED inputs (localCheckpoint) or
+    * inputs whose recomputation is acceptably cheap — two concurrent
+    * actions over an unpinned shared lineage compute it once EACH
+    * (never wrong, just duplicated work; StreamingGates.stageSlices'
+    * unpinned slice filters are the sanctioned example: each slice was
+    * already evaluated independently when the writes were serial).
+    * Any read-after-write ordering must stay sequential (e.g. purge
+    * corrections after store rewrites). Threads, not a shared pool:
+    * tasks block on Spark jobs, so pool starvation ≡ deadlock; the
+    * thread count is the call's task count (≤ 6). */
   def inParallel(tasks: (() => Unit)*): Unit = {
     if (tasks.size <= 1) { tasks.foreach(_()); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
